@@ -1,0 +1,38 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Single place that encodes the session settings the whole engine
+  * assumes: UTC semantics (oracle parity), AQE on (runtime re-plan at
+  * scale: skew joins, adaptive shuffle partition coalescing), and a
+  * shuffle-partition count sized for the local harness while staying a
+  * pure config knob for a real cluster.
+  */
+object Sessions {
+
+  /** Apply graft's standard configs to an existing builder. */
+  def tuned(b: SparkSession.Builder): SparkSession.Builder = b
+    .config("spark.sql.session.timeZone", "UTC")
+    .config("spark.sql.adaptive.enabled", "true")
+    .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+    .config("spark.sql.adaptive.skewJoin.enabled", "true")
+    // parquet scans: vectorized reader + pushdown are default-on; pin
+    // them anyway so a cluster-side config drift can't silently
+    // de-optimize every scan.
+    .config("spark.sql.parquet.filterPushdown", "true")
+    .config("spark.sql.parquet.enableVectorizedReader", "true")
+    .config("spark.ui.enabled", "false")
+
+  /** Local session for tests / tools. */
+  def local(cores: Int = Runtime.getRuntime.availableProcessors().min(32))
+      : SparkSession = {
+    val s = tuned(
+      SparkSession.builder()
+        .master(s"local[$cores]")
+        .appName("graft")
+        .config("spark.sql.shuffle.partitions", cores.toString)
+    ).getOrCreate()
+    s.sparkContext.setLogLevel("WARN")
+    s
+  }
+}

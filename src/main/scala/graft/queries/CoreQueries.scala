@@ -1,0 +1,348 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.Relational._
+
+/** SURVEY.md §2.9 declared-query inventory: one oracle-checked query per
+  * reference operator class, over the TPC-H-ish testdata. Every query is
+  * fully deterministic (explicit ORDER BY, exact decimal money sums,
+  * dates rendered as strings) so the driver's hash compare against
+  * DuckDB is stable.
+  */
+object CoreQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val datePivot = "1998-01-01"
+
+  /** A4/U1/U2 spine of distinct (ship_date, l_suppkey) built from two
+    * date-sliced scans (mirrors the reference's union of member tables,
+    * steps/step5_create_views.py:313-325).
+    */
+  private def spineDf(s: SparkSession, d: String): DataFrame = {
+    val li = Tables.lineitem(s, d)
+      .select(date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+              col("l_suppkey"))
+    val before = li.filter(col("ship_date") < datePivot)
+    val after  = li.filter(col("ship_date") >= datePivot)
+    spine(Seq(before, after), Seq("ship_date", "l_suppkey"))
+  }
+
+  private def monthAgg(s: SparkSession, d: String, status: String,
+                       alias: String): DataFrame =
+    Tables.lineitem(s, d)
+      .filter(col("l_linestatus") === status)
+      .groupBy(date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+               col("l_suppkey"))
+      .agg(sum(col("l_quantity")).as(alias))
+
+  val queries: Map[String, Q] = Map(
+    // S1 — scan + projection; pushed to the parquet reader.
+    "q_scan" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // P1/P2 — fixed + prefix column drop.
+    "q_drop" -> ((s, d) =>
+      dropColumns(Tables.part(s, d), Seq("p_brand"), Seq("p_ret"))
+        .orderBy("p_partkey")),
+
+    // F1 — not-null/not-empty filter.
+    "q_filter_null" -> ((s, d) =>
+      filterNonEmpty(Tables.customer(s, d), "c_mktsegment")
+        .select("c_custkey", "c_name", "c_mktsegment")
+        .orderBy("c_custkey")),
+
+    // F3 — HAVING-style threshold on non-null counts.
+    "q_having" -> ((s, d) =>
+      groupsWithAtLeast(Tables.lineitem(s, d),
+        Seq("l_suppkey", "l_partkey"), "l_quantity", 3L)
+        .orderBy("l_suppkey", "l_partkey")),
+
+    // F2 — anti-join against sparse groups.
+    "q_anti" -> ((s, d) =>
+      dropSparseGroups(Tables.lineitem(s, d),
+        Seq("l_suppkey", "l_partkey"), "l_quantity", 3L)
+        .select("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // A1 — non-null group counts vs row counts.
+    "q_groupcount" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_suppkey")
+        .agg(count(col("l_extendedprice")).as("n_price"),
+             count(lit(1)).as("n_rows"))
+        .orderBy("l_suppkey")),
+
+    // A2 — exact distinct counts.
+    "q_distinctcount" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .agg(countDistinct(col("l_suppkey")).as("n_supp"),
+             countDistinct(col("l_partkey")).as("n_part"))),
+
+    // A4/U1/U2 — spine via union + distinct.
+    "q_spine" -> ((s, d) =>
+      spineDf(s, d).orderBy("ship_date", "l_suppkey")),
+
+    // J1/J2 — label attach: spine left-joined to a broadcast dimension.
+    "q_leftjoin" -> ((s, d) =>
+      attachDim(spineDf(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey", Seq("s_name"))
+        .select("ship_date", "l_suppkey", "s_name")
+        .orderBy("ship_date", "l_suppkey")),
+
+    // J3/J4 — N-way sequential left join (reference's view shape).
+    "q_multijoin" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sp = li.select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_suppkey")).distinct()
+      wideViewJoin(sp, Seq("ship_month", "l_suppkey"),
+        Seq("qty_o" -> monthAgg(s, d, "O", "qty_o"),
+            "qty_f" -> monthAgg(s, d, "F", "qty_f")))
+        .orderBy("ship_month", "l_suppkey")
+    }),
+
+    // J4 scale form — same result via single-shuffle pivot.
+    "q_pivot" -> ((s, d) => {
+      val li = Tables.lineitem(s, d).select(
+        date_format(col("l_shipdate"), "yyyy-MM").as("ship_month"),
+        col("l_suppkey"), col("l_linestatus"), col("l_quantity"))
+      li.groupBy("ship_month", "l_suppkey")
+        .pivot("l_linestatus", Seq("O", "F"))
+        .agg(sum(col("l_quantity")))
+        .withColumnRenamed("O", "qty_o")
+        .withColumnRenamed("F", "qty_f")
+        .orderBy("ship_month", "l_suppkey")
+    }),
+
+    // U3 — keyed dedup keeping the smallest orderkey.
+    "q_dedupkey" -> ((s, d) =>
+      dedupKeepFirst(Tables.orders(s, d),
+        Seq("o_custkey", "o_orderstatus"), "o_orderkey")
+        .select("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice")
+        .orderBy("o_orderkey")),
+
+    // O1/O2 — deterministic top-5 suppliers by rows in sparse groups.
+    "q_topk" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val sparse = li.groupBy("l_suppkey", "l_partkey")
+        .agg(count(col("l_quantity")).as("n_obs"))
+        .filter(col("n_obs") < 3)
+        .select("l_suppkey", "l_partkey")
+      val eliminated = li.join(sparse, Seq("l_suppkey", "l_partkey"),
+        "left_semi")
+        .groupBy("l_suppkey")
+        .agg(count(lit(1)).as("n_eliminated"))
+      topK(eliminated, "n_eliminated", "l_suppkey", 5)
+    }),
+
+    // X6 — global row numbering over a joined dimension.
+    "q_rownum" -> ((s, d) => {
+      val j = Tables.supplier(s, d).join(
+        Tables.nation(s, d),
+        col("s_nationkey") === col("n_nationkey"), "left")
+      j.select(
+        row_number().over(Window.orderBy("n_name", "s_name")).as("rn"),
+        col("s_name"), col("n_name"))
+        .orderBy("rn")
+    }),
+
+    // X4 — threshold-gated numeric coercion of a mixed string column.
+    "q_coerce" -> ((s, d) => {
+      val mixed = Tables.orders(s, d).withColumn("val_coerced",
+        when(col("o_orderkey") % 10 === 0, lit("n/a"))
+          .otherwise(col("o_custkey").cast("string")))
+      coerceNumeric(mixed, "val_coerced")
+        .select("o_orderkey", "val_coerced")
+        .orderBy("o_orderkey")
+    }),
+
+    // S4 — sink round-trip: write parquet, re-read, re-sort.
+    "q_roundtrip" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip"
+      attachDim(spineDf(s, d), Tables.supplier(s, d),
+        "l_suppkey", "s_suppkey", Seq("s_name"))
+        .select("ship_date", "l_suppkey", "s_name")
+        .write.mode("overwrite").parquet(out)
+      s.read.parquet(out).orderBy("ship_date", "l_suppkey")
+    }),
+
+    // Flagship — pricing summary (TPC-H Q1 shape), exact decimal money.
+    "q_agg" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          sum(col("l_quantity")).as("sum_qty"),
+          moneySum(col("l_extendedprice")).as("sum_base_price"),
+          moneyProductSum(col("l_extendedprice"), lit(1) - col("l_discount"))
+            .as("sum_disc_price"),
+          count(col("l_quantity")).as("count_order"),
+          (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Headline join-agg — revenue by nation (broadcast dims over fact).
+    "q_joinagg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val o = Tables.orders(s, d)
+      val c = Tables.customer(s, d)
+      val n = Tables.nation(s, d)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(n), col("c_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(moneyProductSum(col("l_extendedprice"),
+               lit(1) - col("l_discount")).as("revenue"),
+             count(lit(1)).as("n_lines"))
+        .orderBy("n_name")
+    }),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_scan" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_drop" ->
+      """SELECT p_partkey, p_name, p_type, p_size FROM part
+        |ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_null" ->
+      """SELECT c_custkey, c_name, c_mktsegment FROM customer
+        |WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q_having" ->
+      """SELECT l_suppkey, l_partkey, COUNT(l_quantity) AS n_obs
+        |FROM lineitem GROUP BY 1, 2 HAVING COUNT(l_quantity) >= 3
+        |ORDER BY l_suppkey, l_partkey""".stripMargin,
+
+    "q_anti" ->
+      """WITH sparse AS (
+        |  SELECT l_suppkey, l_partkey FROM lineitem
+        |  GROUP BY 1, 2 HAVING COUNT(l_quantity) < 3)
+        |SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_partkey
+        |FROM lineitem l
+        |WHERE NOT EXISTS (SELECT 1 FROM sparse s
+        |  WHERE s.l_suppkey = l.l_suppkey AND s.l_partkey = l.l_partkey)
+        |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q_groupcount" ->
+      """SELECT l_suppkey, COUNT(l_extendedprice) AS n_price,
+        |       COUNT(*) AS n_rows
+        |FROM lineitem GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q_distinctcount" ->
+      """SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+        |       COUNT(DISTINCT l_partkey) AS n_part
+        |FROM lineitem""".stripMargin,
+
+    "q_spine" ->
+      """SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |       l_suppkey
+        |FROM (SELECT * FROM lineitem WHERE l_shipdate < TIMESTAMP '1998-01-01'
+        |      UNION ALL
+        |      SELECT * FROM lineitem WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+        |ORDER BY ship_date, l_suppkey""".stripMargin,
+
+    "q_leftjoin" ->
+      """SELECT sp.ship_date, sp.l_suppkey, s.s_name
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |             l_suppkey FROM lineitem) sp
+        |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_multijoin" ->
+      """SELECT sp.ship_month, sp.l_suppkey, o.qty_o, f.qty_f
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |             l_suppkey FROM lineitem) sp
+        |LEFT JOIN (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |                  l_suppkey, SUM(l_quantity) AS qty_o
+        |           FROM lineitem WHERE l_linestatus = 'O'
+        |           GROUP BY 1, 2) o USING (ship_month, l_suppkey)
+        |LEFT JOIN (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |                  l_suppkey, SUM(l_quantity) AS qty_f
+        |           FROM lineitem WHERE l_linestatus = 'F'
+        |           GROUP BY 1, 2) f USING (ship_month, l_suppkey)
+        |ORDER BY sp.ship_month, sp.l_suppkey""".stripMargin,
+
+    "q_pivot" ->
+      """SELECT sp.ship_month, sp.l_suppkey, o.qty_o, f.qty_f
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |             l_suppkey FROM lineitem) sp
+        |LEFT JOIN (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |                  l_suppkey, SUM(l_quantity) AS qty_o
+        |           FROM lineitem WHERE l_linestatus = 'O'
+        |           GROUP BY 1, 2) o USING (ship_month, l_suppkey)
+        |LEFT JOIN (SELECT strftime(l_shipdate, '%Y-%m') AS ship_month,
+        |                  l_suppkey, SUM(l_quantity) AS qty_f
+        |           FROM lineitem WHERE l_linestatus = 'F'
+        |           GROUP BY 1, 2) f USING (ship_month, l_suppkey)
+        |ORDER BY sp.ship_month, sp.l_suppkey""".stripMargin,
+
+    "q_dedupkey" ->
+      """SELECT o_orderkey, o_custkey, o_orderstatus, o_totalprice
+        |FROM orders
+        |QUALIFY ROW_NUMBER() OVER (
+        |  PARTITION BY o_custkey, o_orderstatus ORDER BY o_orderkey) = 1
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_topk" ->
+      """WITH sparse AS (
+        |  SELECT l_suppkey, l_partkey FROM lineitem
+        |  GROUP BY 1, 2 HAVING COUNT(l_quantity) < 3)
+        |SELECT l.l_suppkey, COUNT(*) AS n_eliminated FROM lineitem l
+        |WHERE EXISTS (SELECT 1 FROM sparse s
+        |  WHERE s.l_suppkey = l.l_suppkey AND s.l_partkey = l.l_partkey)
+        |GROUP BY 1 ORDER BY n_eliminated DESC, l.l_suppkey LIMIT 5""".stripMargin,
+
+    "q_rownum" ->
+      """SELECT ROW_NUMBER() OVER (ORDER BY n_name, s_name) AS rn,
+        |       s_name, n_name
+        |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
+        |ORDER BY rn""".stripMargin,
+
+    "q_coerce" ->
+      """SELECT o_orderkey,
+        |       TRY_CAST(CASE WHEN o_orderkey % 10 = 0 THEN 'n/a'
+        |                     ELSE CAST(o_custkey AS VARCHAR) END
+        |                AS DOUBLE) AS val_coerced
+        |FROM orders ORDER BY o_orderkey""".stripMargin,
+
+    "q_roundtrip" ->
+      """SELECT sp.ship_date, sp.l_suppkey, s.s_name
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |             l_suppkey FROM lineitem) sp
+        |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_agg" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  SUM(l_quantity) AS sum_qty,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  COUNT(l_quantity) AS count_order,
+        |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
+        |FROM lineitem GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_joinagg" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+  )
+}
