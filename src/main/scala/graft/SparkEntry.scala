@@ -11,12 +11,17 @@ object SparkEntry {
   def entry(spark: SparkSession): DataFrame =
     CoreQueries.queries("q_agg")(spark, "/root/testdata/sf0.001")
 
-  /** One entry per implemented operator from SURVEY.md §2. */
+  /** One entry per implemented operator from SURVEY.md §2, plus the
+    * training-data-pipeline extensions (text analysis, dedup,
+    * similarity search, event analytics).
+    */
   def queries: Map[String, (SparkSession, String) => DataFrame] =
-    CoreQueries.queries
+    CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
+      SimilarityQueries.queries ++ EventQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
-    CoreQueries.oracleSql
+    CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
+      SimilarityQueries.oracleSql ++ EventQueries.oracleSql
 }

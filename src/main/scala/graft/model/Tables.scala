@@ -26,7 +26,18 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  def events(s: SparkSession, d: String): DataFrame = load(s, d, "events")
+  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
+    * reader rejects outright; read the nanos as a long and truncate to
+    * microseconds (integer `div` — the ns epoch exceeds 2^53, so any
+    * double round-trip would corrupt it). The harness data carries no
+    * sub-microsecond precision, so the truncation is lossless.
+    */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    load(s, d, "events")
+      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+        org.apache.spark.sql.functions.expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

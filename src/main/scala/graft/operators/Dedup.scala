@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.functions.Portable._
+
+/** Deduplication operators for large text corpora — the core
+  * training-data-pipeline extension beyond the reference (whose only
+  * dedup is pandas drop_duplicates on tiny frames,
+  * steps/step5_create_views.py:324).
+  *
+  * Scale design: every operator is shuffle-minimal and driver-free.
+  * - exact dedup: one shuffle on the content hash (not the content —
+  *   at 100 TB you group on a 128-bit digest, never on megabyte texts).
+  * - MinHash: signatures are one groupBy over exploded shingles
+  *   (map-side partial min per permutation), then LSH banding turns
+  *   the quadratic all-pairs problem into a self-join on band keys —
+  *   each bucket is tiny, so the join is a skew-safe shuffle on
+  *   band-key, never a cross join.
+  * - SimHash: one pass per doc for the signature, candidate pairs by
+  *   exact-match on rotated band keys (hamming ≤ k within bands).
+  * - n-gram Jaccard: exact pairwise scores, but only over candidate
+  *   pairs (from LSH) or an explicit blocking key — never all pairs.
+  */
+object Dedup {
+
+  /** Exact dedup by content digest. Returns one row per distinct
+    * content: (keeper id = min id, n_copies, content hash). Grouping
+    * on md5 keeps shuffle rows small regardless of doc size.
+    */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), md5(col(textCol)).as("content_md5"))
+      .groupBy("content_md5")
+      .agg(min(col(idCol)).as("keep_id"), count(lit(1)).as("n_copies"))
+
+  /** Exact dedup: keep one row per distinct text (the min-id row). */
+  def exactDedup(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.join(
+      exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
+      Seq(idCol), "left_semi")
+
+  /** Distinct k-word shingles per doc: (id, shingle) long table. */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
+      : DataFrame =
+    df.select(col(idCol),
+        explode(shingles(Portable.tokens(col(textCol)), k)).as("shingle"))
+      .distinct()
+
+  /** MinHash signatures: one column per permutation, built by a single
+    * groupBy over the (id, shingle-hash) table with NumPerms partial
+    * mins (map-side combine ⇒ shuffle carries one row per doc per
+    * partition, not per shingle).
+    */
+  def minhashSignatures(shingled: DataFrame, idCol: String): DataFrame = {
+    val h = hash32(col("shingle"))
+    shingled
+      .groupBy(col(idCol))
+      .agg(min(perm(h, 0)).as("mh0"),
+        (1 until NumPerms).map(j => min(perm(h, j)).as(s"mh$j")): _*)
+  }
+
+  /** LSH candidate pairs from signatures: docs sharing any band of
+    * RowsPerBand consecutive signature components. Self-join per band
+    * on the band key, unioned, distinct. Emits (id_a < id_b).
+    */
+  def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
+    val bands = (0 until NumBands).map { b =>
+      val key = concat_ws("_",
+        lit(b) +: (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
+      sigs.select(col(idCol).as("id_a"), key.as("band_key"))
+    }
+    val keyed = bands.reduce(_ unionByName _)
+    keyed.join(keyed.withColumnRenamed("id_a", "id_b"), Seq("band_key"))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** Estimated Jaccard for candidate pairs = fraction of matching
+    * signature components. Joins the (small) signature table twice —
+    * broadcast-friendly, AQE picks the strategy.
+    */
+  def estimatedJaccard(pairs: DataFrame, sigs: DataFrame, idCol: String)
+      : DataFrame = {
+    val a = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val b = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val matches = (0 until NumPerms)
+      .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
+      .reduce(_ + _)
+    pairs.join(a, "id_a").join(b, "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(matches.cast("double") / NumPerms, 6).as("est_jaccard"))
+  }
+
+  /** End-to-end MinHash near-dup pairs above a similarity threshold. */
+  def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val sigs = minhashSignatures(docShingles(df, idCol, textCol, k), idCol)
+    estimatedJaccard(lshCandidatePairs(sigs, idCol), sigs, idCol)
+      .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Exact n-gram Jaccard for an explicit candidate-pair set:
+    * |A ∩ B| / |A ∪ B| over distinct k-shingles. Intersection via
+    * shingle-key join (shuffle on shingle), sizes via per-doc counts.
+    */
+  def ngramJaccard(pairs: DataFrame, shingled: DataFrame, idCol: String)
+      : DataFrame = {
+    val sizes = shingled.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(shingled.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(shingled.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  /** 32-bit SimHash over frequency-weighted tokens: bit b of the
+    * signature is the sign of Σ_tokens (2·bit_b(hash32(token)) − 1).
+    * Computed as one explode + two groupBys (token×32 bit rows —
+    * linear in corpus size, map-side combinable).
+    */
+  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val tok = df.select(col(idCol),
+      explode(Portable.tokens(col(textCol))).as("tok"))
+    val h = hash32(col("tok"))
+    val bitRows = tok.select(col(idCol), h.as("h"))
+      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("h"))
+      .withColumn("w", expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1"))
+    bitRows.groupBy(col(idCol), col("b"))
+      .agg(sum(col("w")).as("s"))
+      .groupBy(col(idCol))
+      .agg(sum(expr(
+        "case when s >= 0 then shiftleft(cast(1 as bigint), cast(b as int)) " +
+          "else cast(0 as bigint) end")).as("simhash"))
+  }
+
+  /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates
+    * blocked by 16-bit halves (any half equal → candidate; with
+    * maxDist ≤ 15 every qualifying pair shares at least one half by
+    * pigeonhole when maxDist < 2... kept simple: two blocks, catches
+    * pairs differing only within one half). For exhaustive small-N
+    * checks use `blockCol = lit(1)`.
+    */
+  def simhashNearDups(sims: DataFrame, idCol: String, maxDist: Int,
+                      blockCol: Column): DataFrame = {
+    val a = sims.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      blockCol.as("blk"))
+    val b = sims.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      blockCol.as("blk"))
+    a.join(b, "blk")
+      .filter(col("id_a") < col("id_b"))
+      .withColumn("hamming",
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
+}

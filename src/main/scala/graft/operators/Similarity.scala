@@ -1,0 +1,124 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor / similarity-search operators over an
+  * embedding column (`array<float>` widened to double for exact,
+  * order-deterministic arithmetic).
+  *
+  * Scale design:
+  * - brute-force top-k is the correctness baseline: queries × corpus
+  *   dot products. Fine when |queries| is small (broadcast the query
+  *   set); never run it all-pairs at 100 TB.
+  * - IVF: a coarse quantizer assigns each vector to a cell; search
+  *   only probes the query's cell(s). The cell assignment is the
+  *   partition key, so a cell probe is a co-partitioned join, not a
+  *   scan. Here the harness table carries a `label` cluster id which
+  *   stands in for the quantizer's assignment.
+  * - Random-hyperplane LSH: sign-bit sketch over fixed hyperplanes
+  *   turns cosine similarity into hamming proximity on compact keys;
+  *   bucket join replaces the cross product.
+  * All expressions are codegen'd higher-order functions — no UDFs.
+  */
+object Similarity {
+
+  /** Sequential-fold dot product of two double-array columns (index
+    * order, so the result is bit-deterministic and reproducible by any
+    * engine that folds left-to-right).
+    */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0.0), (acc, x) => acc + x)
+
+  def l2Norm(a: Column): Column = sqrt(dot(a, a))
+
+  /** Cosine similarity dot/(|a|·|b|); exactly dot(a,b) /
+    * (sqrt(dot(a,a)) * sqrt(dot(b,b))) — mirror this shape in oracles.
+    */
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+
+  /** Brute-force cosine top-k: for each row of `queries`, the k most
+    * similar rows of `corpus` (excluding self-matches by id). The
+    * query side is broadcast — the corpus is scanned once, no shuffle
+    * of the corpus itself; the only shuffle is the per-query top-k
+    * window over |queries|·|corpus| scored pairs.
+    */
+  def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** IVF-style probed top-k: identical to brute force but the score
+    * space is restricted to the query's coarse cell (`cellCol` equal on
+    * both sides) — the join becomes an equi-join on the cell id, which
+    * at scale is co-partitioned with the corpus layout.
+    */
+  def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, cellCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
+      col(vecCol).cast("array<double>").as("cv"))
+    val scored = c.join(broadcast(q), "cell")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
+  /** Deterministic pseudo-random hyperplane component w(plane i, dim j)
+    * in {-3..3}: a fixed integer formula, so Spark and any oracle can
+    * regenerate the same planes.
+    */
+  def planeComponent(i: Int, j: Int): Int = ((i * 31 + j * 17 + 7) % 7) - 3
+
+  /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to
+    * a long. Vectors in the same bucket are cosine-close candidates.
+    */
+  def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
+    (0 until numPlanes).map { i =>
+      val proj = (0 until dim).map { j =>
+        element_at(vec, j + 1) * lit(planeComponent(i, j).toDouble)
+      }.reduce(_ + _)
+      when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
+    }.reduce(_ + _)
+
+  /** LSH-bucketed ANN: score only pairs sharing a bucket. Recall is
+    * tunable by numPlanes (fewer planes → bigger buckets → higher
+    * recall, more compute).
+    */
+  def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+              vecCol: String, dim: Int, numPlanes: Int, k: Int): DataFrame = {
+    val withBucket = (df: DataFrame, id: String, v: String) =>
+      df.select(col(idCol).as(id),
+        col(vecCol).cast("array<double>").as(v),
+        lshBucket(col(vecCol).cast("array<double>"), dim, numPlanes).as("bucket"))
+    val q = withBucket(queries, "query_id", "qv")
+    val c = withBucket(corpus, "neighbor_id", "cv")
+    val scored = c.join(broadcast(q), "bucket")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .withColumn("cos", cosine(col("qv"), col("cv")))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+}

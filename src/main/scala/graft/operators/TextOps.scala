@@ -1,0 +1,126 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Text-analysis operators for the training-data-pipeline surface
+  * (beyond reference parity — the reference processes numeric
+  * measurement tables only). All are narrow, codegen-friendly column
+  * expressions: no UDFs, no shuffles except where a groupBy is the
+  * semantic (so the same plan scales to a partitioned 100 TB corpus —
+  * each doc is scored independently, embarrassing parallelism).
+  */
+object TextOps {
+
+  /** Language marker profiles: high-frequency function-word /
+    * character-sequence markers per language. Scoring = total
+    * occurrence count of each language's markers; argmax wins, ties
+    * broken by language code ascending, zero evidence → "und".
+    * Deliberately substring-based (no regex dialect dependence) so the
+    * DuckDB oracle can mirror it exactly.
+    */
+  val langProfiles: Seq[(String, Seq[String])] = Seq(
+    "de" -> Seq(" der ", " und ", " die ", "sch", " nicht "),
+    "en" -> Seq(" the ", " and ", " of ", " is ", "ing "),
+    "es" -> Seq(" el ", " de ", " que ", "ción", " los "),
+    "fr" -> Seq(" le ", " les ", " des ", " est ", " une "),
+    "zh" -> Seq("的", "是", "了", "在", "我"),
+  )
+
+  /** Occurrence count of literal `needle` in `c`:
+    * (len(s) - len(replace(s, needle, ''))) / len(needle). Literal
+    * `replace`, not regex — portable to any SQL engine with
+    * replace/length and no regex-dialect dependence.
+    */
+  def occCount(c: Column, needle: String): Column =
+    (length(c) - length(replace(c, lit(needle), lit("")))) / lit(needle.length)
+
+  /** Per-language marker score columns for a padded text column. */
+  def langScores(padded: Column): Seq[(String, Column)] =
+    langProfiles.map { case (lang, markers) =>
+      lang -> markers.map(m => occCount(padded, m)).reduce(_ + _)
+    }
+
+  /** Language-ID: argmax marker score with deterministic tie-break
+    * (language code ascending = profile order), "und" when no marker
+    * hits. Text is space-padded so word-boundary markers match at the
+    * edges.
+    */
+  def languageId(text: Column): Column = {
+    val padded = concat(lit(" "), lower(text), lit(" "))
+    val scores = langScores(padded)
+    // fold best-so-far over (lang, score); strict > keeps the earlier
+    // (alphabetically smaller) language on ties.
+    val (bestLang, bestScore) = scores.tail.foldLeft(
+      (lit(scores.head._1), scores.head._2)) {
+      case ((bl, bs), (lang, sc)) =>
+        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
+    }
+    when(bestScore > 0, bestLang).otherwise(lit("und"))
+  }
+
+  /** Token statistics: n_tokens, n_distinct_tokens, avg token length
+    * (double). One pass, no shuffle.
+    */
+  def withTokenStats(df: DataFrame, textCol: String): DataFrame = {
+    val t = Portable.tokens(col(textCol))
+    df.withColumn("n_tokens", size(t))
+      .withColumn("n_distinct_tokens", size(array_distinct(t)))
+      .withColumn("avg_token_len",
+        aggregate(t, lit(0L), (acc, x) => acc + length(x)).cast("double")
+          / size(t).cast("double"))
+  }
+
+  /** Quality scoring: length, lexical-diversity ratio, stopword ratio,
+    * non-alphanumeric ratio, and a weighted composite in [0,1]-ish.
+    * Heuristics follow the published CCNet/Gopher-style text-quality
+    * filters (ratio features over a doc; fixed weights).
+    */
+  val stopwords: Seq[String] =
+    Seq("the", "a", "an", "and", "of", "to", "in", "is", "it", "that")
+
+  def withQuality(df: DataFrame, textCol: String): DataFrame = {
+    val t = Portable.tokens(col(textCol))
+    val nTok = size(t).cast("double")
+    val distinctRatio = size(array_distinct(t)).cast("double") / nTok
+    val stopRatio =
+      size(filter(t, x => x.isin(stopwords: _*))).cast("double") / nTok
+    val alnum = regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")
+    val nonAlnumRatio =
+      (length(col(textCol)) - length(alnum)).cast("double") /
+        length(col(textCol)).cast("double")
+    df.withColumn("n_tokens", size(t))
+      .withColumn("distinct_ratio", round(distinctRatio, 6))
+      .withColumn("stopword_ratio", round(stopRatio, 6))
+      .withColumn("non_alnum_ratio", round(nonAlnumRatio, 6))
+      .withColumn("quality_score",
+        round(lit(0.4) * distinctRatio + lit(0.3) * stopRatio
+          + lit(0.3) * (lit(1.0) - nonAlnumRatio), 6))
+  }
+
+  /** Document fingerprint: 31-ary rolling hash over the token-hash
+    * sequence, mod Portable.P — order-sensitive, so word-order edits
+    * change the fingerprint (unlike a bag-of-words hash). Seeded with
+    * the first token's hash; empty docs get fingerprint -1.
+    */
+  def fingerprint(text: Column): Column = {
+    val hs = transform(Portable.tokens(text), x => Portable.hash32(x))
+    // NB: slice(hs, 2, Int.MaxValue) silently yields an empty fold
+    // inside aggregate() (codegen start+length int overflow) — the
+    // tail length must be a computed column.
+    when(size(hs) === 0, lit(-1L)).otherwise(
+      aggregate(slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),
+        element_at(hs, 1),
+        (acc, x) => (acc * 31 + x) % Portable.P))
+  }
+
+  /** DuckDB SQL mirror of [[fingerprint]] over a text expression. */
+  def fingerprintSql(textE: String): String = {
+    val toks = Portable.tokensSql(textE)
+    val hs = s"list_transform($toks, x -> ${Portable.hash32Sql("x")})"
+    s"CASE WHEN len($hs) = 0 THEN -1 ELSE " +
+      s"list_reduce($hs, (acc, x) -> (acc * 31 + x) % ${Portable.P}) END"
+  }
+}

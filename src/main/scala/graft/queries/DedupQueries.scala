@@ -1,0 +1,165 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.functions.Portable._
+import graft.model.Tables
+import graft.operators.Dedup
+
+/** Deduplication queries over `documents`: exact, MinHash+LSH,
+  * SimHash, and exact n-gram Jaccard. The MinHash/SimHash oracles are
+  * generated from the same constants as the Spark expressions
+  * (graft.functions.Portable), so the DuckDB compare is bit-exact.
+  */
+object DedupQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 3 // shingle width
+
+  val queries: Map[String, Q] = Map(
+    // exact dedup groups by content digest
+    "q_dedup_exact" -> ((s, d) =>
+      Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("content_md5")),
+
+    // MinHash signatures (16 perms)
+    "q_minhash_sig" -> ((s, d) =>
+      Dedup.minhashSignatures(
+        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K),
+        "doc_id")
+        .orderBy("doc_id")),
+
+    // LSH candidate pairs with estimated Jaccard
+    "q_minhash_pairs" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K),
+        "doc_id")
+      Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
+
+    // per-doc 32-bit SimHash
+    "q_simhash" -> ((s, d) =>
+      Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // SimHash near-dup pairs, exhaustive within the small corpus
+    "q_simhash_pairs" -> ((s, d) =>
+      Dedup.simhashNearDups(
+        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
+        "doc_id", maxDist = 6, blockCol = lit(1))
+        .orderBy("id_a", "id_b")),
+
+    // exact n-gram Jaccard over source-blocked candidate pairs
+    "q_ngram_jaccard" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = docs.select(col("doc_id").as("id_a"), col("source"))
+        .join(docs.select(col("doc_id").as("id_b"), col("source")), "source")
+        .filter(col("id_a") < col("id_b"))
+        .select("id_a", "id_b")
+      Dedup.ngramJaccard(pairs,
+        Dedup.docShingles(docs, "doc_id", "text", K), "doc_id")
+        .filter(col("jaccard") > 0)
+        .orderBy("id_a", "id_b")
+    }),
+  )
+
+  // ---- oracle SQL, generated from the same constants ----
+
+  private val shCte =
+    s"""toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+       |sh0 AS (SELECT doc_id, unnest(${Portable.shinglesSql("t", K)}) AS s FROM toks),
+       |sh AS (SELECT DISTINCT doc_id, s FROM sh0)""".stripMargin
+
+  private val sigCte =
+    s"""$shCte,
+       |h AS (SELECT doc_id, ${Portable.hash32Sql("s")} AS hv FROM sh),
+       |sig AS (SELECT doc_id,
+       |  ${(0 until NumPerms).map(j => s"CAST(min(${Portable.permSql("hv", j)}) AS BIGINT) AS mh$j").mkString(",\n  ")}
+       |  FROM h GROUP BY doc_id)""".stripMargin
+
+  private val bandsCte = {
+    val bands = (0 until NumBands).map { b =>
+      val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
+      s"SELECT doc_id, concat_ws('_', $b, ${cols.mkString(", ")}) AS band_key FROM sig"
+    }
+    s"bands AS (${bands.mkString(" UNION ALL ")})"
+  }
+
+  private val simhashCtes =
+    s"""tok0 AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+       |tok AS (SELECT doc_id, unnest(t) AS tok FROM tok0),
+       |hh AS (SELECT doc_id, ${Portable.hash32Sql("tok")} AS h FROM tok),
+       |bits AS (SELECT doc_id, b, ((h >> CAST(b AS INT)) & 1) * 2 - 1 AS w
+       |  FROM hh, generate_series(0, 31) AS gs(b)),
+       |bsum AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY 1, 2),
+       |sim AS (SELECT doc_id,
+       |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))
+       |           ELSE 0 END) AS BIGINT) AS simhash
+       |  FROM bsum GROUP BY doc_id)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_dedup_exact" ->
+      """SELECT md5(text) AS content_md5, min(doc_id) AS keep_id,
+        |  count(*) AS n_copies
+        |FROM documents GROUP BY 1 ORDER BY content_md5""".stripMargin,
+
+    "q_minhash_sig" ->
+      s"""WITH $sigCte
+         |SELECT * FROM sig ORDER BY doc_id""".stripMargin,
+
+    "q_minhash_pairs" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(($matches) AS DOUBLE) / $NumPerms, 6) AS est_jaccard
+         |FROM cand c
+         |JOIN sig a ON a.doc_id = c.id_a
+         |JOIN sig b ON b.doc_id = c.id_b
+         |ORDER BY c.id_a, c.id_b""".stripMargin
+    },
+
+    "q_simhash" ->
+      s"""WITH $simhashCtes
+         |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
+
+    "q_simhash_pairs" ->
+      s"""WITH $simhashCtes
+         |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+         |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_ngram_jaccard" ->
+      s"""WITH $shCte,
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |pairs AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b
+         |  FROM documents a JOIN documents b
+         |    ON a.source = b.source AND a.doc_id < b.doc_id),
+         |inter AS (SELECT p.id_a, p.id_b, count(*) AS n_inter
+         |  FROM pairs p
+         |  JOIN sh sa ON sa.doc_id = p.id_a
+         |  JOIN sh sb ON sb.doc_id = p.id_b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT p.id_a, p.id_b,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |        / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |FROM pairs p
+         |LEFT JOIN inter i ON i.id_a = p.id_a AND i.id_b = p.id_b
+         |JOIN sizes na ON na.doc_id = p.id_a
+         |JOIN sizes nb ON nb.doc_id = p.id_b
+         |WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |        / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) > 0
+         |ORDER BY p.id_a, p.id_b""".stripMargin,
+  )
+}

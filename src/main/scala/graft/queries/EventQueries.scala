@@ -1,0 +1,223 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.model.Tables
+
+/** Analytic queries over the `events` table — the window / rollup /
+  * sessionization / set-op surface the reference lacks entirely
+  * (SURVEY.md §2.8 "all absent") but any engine at this scale needs.
+  * Batch forms here; graft.streaming holds the incremental forms.
+  *
+  * Determinism notes: event sums use decimal casts (double sums drift
+  * across partition orders); timestamps render as microsecond strings;
+  * every window has a total order (ts, event_id tie-break).
+  */
+object EventQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val GapMinutes = 30L
+
+  private def ev(s: SparkSession, d: String): DataFrame =
+    Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+
+  /** Gap-based sessionization: a new session starts when the gap to
+    * the previous event of the same user exceeds GapMinutes; session
+    * id = running count of session starts. Two windows over one
+    * shuffle on user_id.
+    */
+  private def sessionized(s: SparkSession, d: String): DataFrame = {
+    val byUser = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ev(s, d)
+      .withColumn("prev_us", lag(unix_micros(col("ts")), 1).over(byUser))
+      .withColumn("new_sess",
+        when(col("prev_us").isNull ||
+          unix_micros(col("ts")) - col("prev_us") > GapMinutes * 60L * 1000000L,
+          1L).otherwise(0L))
+      .withColumn("session_seq",
+        sum(col("new_sess")).over(
+          byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+  }
+
+  val queries: Map[String, Q] = Map(
+    // per-session aggregate: the batch sessionization result
+    "q_sessionize" -> ((s, d) =>
+      sessionized(s, d)
+        .groupBy("user_id", "session_seq")
+        .agg(count(lit(1)).as("n_events"),
+          date_format(min(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_start"),
+          date_format(max(col("ts")), "yyyy-MM-dd HH:mm:ss.SSSSSS").as("session_end"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+        .orderBy("user_id", "session_seq")),
+
+    // lag/lead/running-sum/moving-avg per user
+    "q_window_funcs" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      val run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val mov = w.rowsBetween(-2, 0)
+      ev(s, d).select(
+        col("event_id"), col("user_id"),
+        round(lag(col("value"), 1).over(w), 6).as("prev_value"),
+        round(lead(col("value"), 1).over(w), 6).as("next_value"),
+        sum(col("value").cast(DecimalType(18, 6))).over(run)
+          .cast("double").as("running_value"),
+        (sum(col("value").cast(DecimalType(18, 6))).over(mov).cast("double")
+          / count(lit(1)).over(mov)).as("moving_avg3"))
+        .orderBy("event_id")
+    }),
+
+    // rollup: event_type × day hierarchy with subtotals
+    "q_rollup" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"),
+          col("value"))
+        .rollup("event_type", "day")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
+
+    // cube over event_type × device-ish bucket
+    "q_cube" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"), (col("user_id") % 10).as("user_bucket"),
+          col("value"))
+        .cube("event_type", "user_bucket")
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+        .orderBy(col("event_type").asc_nulls_first,
+          col("user_bucket").asc_nulls_first)),
+
+    // exact percentiles per event type
+    "q_percentile" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("event_type")
+        .agg(
+          round(expr("percentile(value, 0.5)"), 6).as("p50"),
+          round(expr("percentile(value, 0.9)"), 6).as("p90"),
+          round(expr("percentile(value, 0.99)"), 6).as("p99"))
+        .orderBy("event_type")),
+
+    // deterministic arg-max: highest-value event per user
+    "q_argmax" -> ((s, d) => {
+      val w = Window.partitionBy("user_id")
+        .orderBy(col("value").desc, col("event_id").desc)
+      ev(s, d)
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("event_id").as("top_event_id"),
+          col("event_type").as("top_event_type"),
+          round(col("value"), 6).as("top_value"))
+        .orderBy("user_id")
+    }),
+
+    // set ops: users with clicks but no errors (EXCEPT), and both (INTERSECT)
+    "q_setop" -> ((s, d) => {
+      val e = ev(s, d)
+      val clickers = e.filter(col("event_type") === "click")
+        .select("user_id").distinct()
+      val erronious = e.filter(col("event_type") === "error")
+        .select("user_id").distinct()
+      clickers.except(erronious).withColumn("cohort", lit("click_no_error"))
+        .unionByName(
+          clickers.intersect(erronious).withColumn("cohort", lit("click_and_error")))
+        .orderBy("cohort", "user_id")
+    }),
+
+    // JSON extraction from the props column
+    "q_json" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_id"),
+          get_json_object(col("props"), "$.k").cast("long").as("k"))
+        .orderBy("event_id")),
+  )
+
+  val oracleSql: Map[String, String] = Map(
+    "q_sessionize" ->
+      s"""WITH ordered AS (
+         |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us,
+         |    CASE WHEN lag(epoch_us(ts)) OVER w IS NULL
+         |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GapMinutes * 60000000L}
+         |         THEN 1 ELSE 0 END AS new_sess
+         |  FROM events
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |sess AS (
+         |  SELECT *, sum(new_sess) OVER (
+         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    ROWS UNBOUNDED PRECEDING) AS session_seq
+         |  FROM ordered)
+         |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
+         |  count(*) AS n_events,
+         |  strftime(min(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+         |  strftime(max(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+         |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+         |FROM sess GROUP BY user_id, session_seq
+         |ORDER BY user_id, session_seq""".stripMargin,
+
+    "q_window_funcs" ->
+      """SELECT event_id, user_id,
+        |  round(lag(value) OVER w, 6) AS prev_value,
+        |  round(lead(value) OVER w, 6) AS next_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
+        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER m AS DOUBLE)
+        |       / count(*) OVER m AS moving_avg3
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
+        |       m AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rollup" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
+        |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q_cube" ->
+      """SELECT event_type, user_id % 10 AS user_bucket,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY CUBE(event_type, user_id % 10)
+        |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
+
+    "q_percentile" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q_argmax" ->
+      """SELECT user_id, event_id AS top_event_id,
+        |  event_type AS top_event_type, round(value, 6) AS top_value
+        |FROM events
+        |QUALIFY row_number() OVER (
+        |  PARTITION BY user_id ORDER BY value DESC, event_id DESC) = 1
+        |ORDER BY user_id""".stripMargin,
+
+    "q_setop" ->
+      """WITH clickers AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'click'),
+        |err AS (SELECT DISTINCT user_id FROM events
+        |    WHERE event_type = 'error')
+        |SELECT user_id, 'click_no_error' AS cohort
+        |FROM (SELECT user_id FROM clickers EXCEPT SELECT user_id FROM err)
+        |UNION ALL
+        |SELECT user_id, 'click_and_error' AS cohort
+        |FROM (SELECT user_id FROM clickers INTERSECT SELECT user_id FROM err)
+        |ORDER BY cohort, user_id""".stripMargin,
+
+    "q_json" ->
+      """SELECT event_id,
+        |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
+        |FROM events ORDER BY event_id""".stripMargin,
+  )
+}

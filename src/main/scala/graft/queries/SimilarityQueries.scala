@@ -1,0 +1,112 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.Similarity
+
+/** Similarity-search queries over `embeddings` (64-dim float vectors):
+  * brute-force cosine top-k (the correctness baseline), IVF-probed
+  * top-k (cell = the table's cluster label), and random-hyperplane
+  * LSH top-k. DuckDB oracles mirror Spark's sequential-fold dot
+  * product as an explicit left-associated addition chain, so the
+  * doubles are bit-identical before rounding.
+  */
+object SimilarityQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  /** queries = every 50th vector: small, broadcastable query set. */
+  private val QueryFilter = "vec_id % 50 = 0"
+  private val Dim = 64
+  private val K = 3
+  private val NumPlanes = 8
+
+  private def queriesDf(s: SparkSession, d: String): DataFrame =
+    Tables.embeddings(s, d).filter(expr(QueryFilter))
+
+  val queries: Map[String, Q] = Map(
+    "q_cosine_topk" -> ((s, d) =>
+      Similarity.bruteForceTopK(queriesDf(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")),
+
+    "q_ann_ivf" -> ((s, d) =>
+      Similarity.ivfTopK(queriesDf(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", K)
+        .orderBy("query_id", "rank")),
+
+    "q_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(queriesDf(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", Dim, NumPlanes, K)
+        .orderBy("query_id", "rank")),
+  )
+
+  // ---- oracle SQL ----
+
+  /** Left-associated dot-product chain: a[1]*b[1] + a[2]*b[2] + …
+    * == Spark's aggregate(zip_with(a,b,*), 0.0, +) fold order
+    * (0.0 + x == x exactly for finite x).
+    */
+  private def dotSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+
+  private def cosSql(a: String, b: String): String =
+    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+
+  private val vecsCte =
+    "vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
+
+  /** LSH bucket: sum over planes of (proj_i >= 0 ? 2^i : 0), proj_i =
+    * Σ_j v[j]·w(i,j) in index order — mirrors Similarity.lshBucket.
+    */
+  private def bucketSql(v: String): String =
+    (0 until NumPlanes).map { i =>
+      val proj = (0 until Dim)
+        .map(j => s"$v[${j + 1}]*(${Similarity.planeComponent(i, j)}.0)")
+        .mkString(" + ")
+      s"CASE WHEN ($proj) >= 0 THEN ${1L << i} ELSE 0 END"
+    }.mkString(" + ")
+
+  private def topkSql(joinCond: String, extraCtes: String = ""): String =
+    s"""WITH $vecsCte$extraCtes,
+       |q AS (SELECT vec_id AS query_id, label AS q_label, v AS qv
+       |  FROM vecs WHERE $QueryFilter),
+       |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+       |    ${cosSql("q.qv", "c.v")} AS cos
+       |  FROM q JOIN vecs c ON $joinCond)
+       |SELECT query_id,
+       |  CAST(row_number() OVER w AS INT) AS rank,
+       |  neighbor_id, round(cos, 6) AS cos_sim
+       |FROM scored
+       |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+       |QUALIFY row_number() OVER w <= $K
+       |ORDER BY query_id, rank""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_cosine_topk" -> topkSql("q.query_id <> c.vec_id"),
+
+    "q_ann_ivf" -> topkSql("q.q_label = c.label AND q.query_id <> c.vec_id"),
+
+    "q_ann_lsh" -> {
+      val b =
+        s""",
+           |bucketed AS (SELECT vec_id, label, v, ${bucketSql("v")} AS bucket
+           |  FROM vecs)""".stripMargin
+      s"""WITH $vecsCte$b,
+         |q AS (SELECT vec_id AS query_id, v AS qv, bucket
+         |  FROM bucketed WHERE $QueryFilter),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.qv", "c.v")} AS cos
+         |  FROM q JOIN bucketed c
+         |    ON q.bucket = c.bucket AND q.query_id <> c.vec_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cos_sim
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    },
+  )
+}

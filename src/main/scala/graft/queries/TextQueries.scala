@@ -1,0 +1,111 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.model.Tables
+import graft.operators.TextOps
+
+/** Text-analysis queries over the `documents` table: token stats,
+  * quality scoring, language-ID, fingerprinting. Each has a DuckDB
+  * oracle that mirrors the Spark expression shape operation-for-
+  * operation (same fold order, same literal-replace occurrence
+  * counting) so the hash compare is exact.
+  */
+object TextQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  // shared oracle fragments
+  private val toksSql = graft.functions.Portable.tokensSql("text")
+
+  val queries: Map[String, Q] = Map(
+    // token statistics — one narrow pass, no shuffle
+    "q_text_stats" -> ((s, d) =>
+      TextOps.withTokenStats(Tables.documents(s, d), "text")
+        .select(col("doc_id"),
+          col("n_tokens").cast("long").as("n_tokens"),
+          col("n_distinct_tokens").cast("long").as("n_distinct_tokens"),
+          round(col("avg_token_len"), 6).as("avg_token_len"))
+        .orderBy("doc_id")),
+
+    // quality scoring — ratio features + weighted composite
+    "q_text_quality" -> ((s, d) =>
+      TextOps.withQuality(Tables.documents(s, d), "text")
+        .select(col("doc_id"), col("n_tokens").cast("long").as("n_tokens"),
+          col("distinct_ratio"), col("stopword_ratio"),
+          col("non_alnum_ratio"), col("quality_score"))
+        .orderBy("doc_id")),
+
+    // language-ID via marker-occurrence argmax
+    "q_langid" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), col("lang"),
+          TextOps.languageId(col("text")).as("lang_pred"))
+        .orderBy("doc_id")),
+
+    // order-sensitive rolling-hash fingerprint
+    "q_fingerprint" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+  )
+
+  private def langScoreSql(lang: String, markers: Seq[String]): String =
+    markers.map { m =>
+      val esc = m.replace("'", "''")
+      s"(len(p) - len(replace(p, '$esc', ''))) / ${m.length}"
+    }.mkString("(", " + ", s") AS s_$lang")
+
+  private val langPredSql: String = {
+    val langs = TextOps.langProfiles.map(_._1)
+    val mx = langs.map(l => s"s_$l").mkString("greatest(", ", ", ")")
+    val arms = langs.map(l => s"WHEN s_$l = mx THEN '$l'").mkString(" ")
+    s"CASE WHEN mx <= 0 THEN 'und' $arms END"
+  }
+
+  val oracleSql: Map[String, String] = Map(
+    "q_text_stats" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
+         |SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS BIGINT) AS n_distinct_tokens,
+         |  round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
+         |        / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
+         |FROM toks ORDER BY doc_id""".stripMargin,
+
+    "q_text_quality" -> {
+      val stopList = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+      s"""WITH toks AS (SELECT doc_id, text, $toksSql AS t FROM documents),
+         |feat AS (SELECT doc_id,
+         |  CAST(len(t) AS BIGINT) AS n_tokens,
+         |  CAST(len(list_distinct(t)) AS DOUBLE) / CAST(len(t) AS DOUBLE) AS dr,
+         |  CAST(len(list_filter(t, x -> x IN ($stopList))) AS DOUBLE)
+         |    / CAST(len(t) AS DOUBLE) AS sr,
+         |  CAST(len(text) - len(regexp_replace(text, '[^a-zA-Z0-9 ]', '', 'g'))
+         |       AS DOUBLE) / CAST(len(text) AS DOUBLE) AS nar
+         |  FROM toks)
+         |SELECT doc_id, n_tokens, round(dr, 6) AS distinct_ratio,
+         |  round(sr, 6) AS stopword_ratio, round(nar, 6) AS non_alnum_ratio,
+         |  round(0.4 * dr + 0.3 * sr + 0.3 * (1.0 - nar), 6) AS quality_score
+         |FROM feat ORDER BY doc_id""".stripMargin
+    },
+
+    "q_langid" -> {
+      val scores = TextOps.langProfiles
+        .map { case (l, ms) => langScoreSql(l, ms) }.mkString(",\n  ")
+      s"""WITH padded AS (SELECT doc_id, lang,
+         |    ' ' || lower(text) || ' ' AS p FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |  $scores
+         |  FROM padded),
+         |m AS (SELECT *, greatest(${TextOps.langProfiles.map("s_" + _._1).mkString(", ")}) AS mx
+         |  FROM scored)
+         |SELECT doc_id, lang, $langPredSql AS lang_pred
+         |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_fingerprint" ->
+      s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
+         |FROM documents ORDER BY doc_id""".stripMargin,
+  )
+}
