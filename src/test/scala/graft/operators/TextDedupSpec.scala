@@ -1,0 +1,95 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class TextDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "the quick brown fox jumps over the lazy dog"),
+    (2L, "the quick brown fox jumps over the lazy dog"), // exact dup of 1
+    (3L, "the quick brown fox leaps over the lazy dog"), // near dup (1 word)
+    (4L, "completely different content about spark engines and shuffles"),
+  ).toDF("doc_id", "text")
+
+  test("languageId: english markers win, no markers → und") {
+    val r = Seq(("a", "the cat and the dog of the house"),
+      ("b", "zzz qqq xxx")).toDF("id", "text")
+      .select($"id", TextOps.languageId($"text").as("lang"))
+      .collect().map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(r("a") == "en")
+    assert(r("b") == "und")
+  }
+
+  test("fingerprint is order-sensitive and deterministic") {
+    val fps = Seq((1L, "alpha beta gamma"), (2L, "beta alpha gamma"),
+      (3L, "alpha beta gamma")).toDF("doc_id", "text")
+      .select($"doc_id", TextOps.fingerprint($"text").as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(1L) == fps(3L), "same text, same fingerprint")
+    assert(fps(1L) != fps(2L), "word order must change the fingerprint")
+  }
+
+  test("quality ratios on a known doc") {
+    val row = TextOps.withQuality(Seq((1L, "the the cat!")).toDF("doc_id", "text"), "text")
+      .select("n_tokens", "distinct_ratio", "stopword_ratio", "non_alnum_ratio")
+      .head()
+    assert(row.getInt(0) == 3)
+    assert(math.abs(row.getDouble(1) - 2.0 / 3) < 1e-6)
+    assert(math.abs(row.getDouble(2) - 2.0 / 3) < 1e-6)
+    assert(math.abs(row.getDouble(3) - 1.0 / 12) < 1e-6)
+  }
+
+  test("exact dedup keeps the min-id row per distinct text") {
+    val kept = Dedup.exactDedup(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(1L, 3L, 4L))
+  }
+
+  test("minhash: identical docs collide on every band, unrelated on none") {
+    val sigs = Dedup.minhashSignatures(
+      Dedup.docShingles(docs, "doc_id", "text", 3), "doc_id")
+    val pairs = Dedup.estimatedJaccard(
+      Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(pairs((1L, 2L)) == 1.0, "exact dups must collide on every perm")
+    assert(!pairs.contains((1L, 4L)), "unrelated docs must not pair")
+    // (1,3) is 0.4-Jaccard — below the 4×4 banding s-curve threshold
+    // (1/4)^(1/4) ≈ 0.71, so LSH correctly does NOT owe us that pair.
+  }
+
+  test("minhash est_jaccard approximates exact shingle jaccard") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val sigs = Dedup.minhashSignatures(sh, "doc_id")
+    // score the explicit pair (not via LSH — candidacy is probabilistic
+    // below the banding threshold; estimation accuracy is not)
+    val est = Dedup.estimatedJaccard(
+      Seq((1L, 3L)).toDF("id_a", "id_b"), sigs, "doc_id")
+      .select("est_jaccard").as[Double].head()
+    val exact = Dedup.ngramJaccard(
+      Seq((1L, 3L)).toDF("id_a", "id_b"), sh, "doc_id")
+      .select("jaccard").as[Double].head()
+    // 7 shingles each, 4 shared → exact 0.4; 16 perms → est within ~0.35
+    assert(math.abs(est - exact) < 0.35, s"est=$est exact=$exact")
+  }
+
+  test("simhash: identical docs → hamming 0; near dups closer than unrelated") {
+    val sims = Dedup.simhash(docs, "doc_id", "text")
+    val pairs = Dedup.simhashNearDups(sims, "doc_id", maxDist = 32, lit(1))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0)
+    assert(pairs((1L, 3L)) < pairs((1L, 4L)),
+      "near dup must be closer in hamming space than unrelated doc")
+  }
+
+  test("ngram jaccard exact values") {
+    val sh = Dedup.docShingles(docs, "doc_id", "text", 3)
+    val j = Dedup.ngramJaccard(
+      Seq((1L, 2L), (1L, 4L)).toDF("id_a", "id_b"), sh, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(j((1L, 2L)) == 1.0)
+    assert(j((1L, 4L)) == 0.0)
+  }
+}
