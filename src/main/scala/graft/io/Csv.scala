@@ -1,0 +1,35 @@
+package graft.io
+
+import org.apache.spark.sql.{DataFrame, SaveMode, SparkSession}
+import org.apache.spark.sql.types.StructType
+
+/** CSV source/sink (SURVEY.md §2.1 S1/S4).
+  *
+  * The reference reads every stage through pandas `read_csv` on raw
+  * bytes (steps/step3_remove_columns.py:46-50 et al.) and writes
+  * single headered CSV files (:63-70). Spark mapping:
+  * - read: headered CSV; Spark's UTF-8 reader strips the BOM the INE
+  *   exports carry on the first header cell (FIXTURES.md).
+  * - schema: explicit `StructType` fast path when the catalog knows
+  *   it; `inferSchema` fallback (double-scans — acceptable for KB-MB
+  *   config-like tables, never for the 100 TB fact path).
+  * - write: multi-part by default (scale path); `singleFile = true`
+  *   reproduces the reference's one-file-per-table layout for golden
+  *   comparisons (coalesce(1) — driver-adjacent, small outputs only).
+  */
+object Csv {
+
+  def read(spark: SparkSession, path: String,
+           schema: Option[StructType] = None): DataFrame = {
+    val base = spark.read.option("header", "true").option("encoding", "UTF-8")
+    schema match {
+      case Some(s) => base.schema(s).csv(path)
+      case None => base.option("inferSchema", "true").csv(path)
+    }
+  }
+
+  def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
+    val out = if (singleFile) df.coalesce(1) else df
+    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+  }
+}

@@ -1,0 +1,84 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.operators.Relational
+
+/** Stage transformations mirroring reference steps 3–4, as lazy
+  * DataFrame combinators (the reference materializes a CSV per step;
+  * here each step is a plan fragment and Catalyst fuses the lot into
+  * one scan — checkpoint to a stage directory only when you want
+  * restartability).
+  */
+object Steps {
+
+  /** Step 3 — remove flag columns, tolerant of absence
+    * (steps/step3_remove_columns.py:25,56-59).
+    */
+  def removeFlagColumns(df: DataFrame): DataFrame =
+    df.drop(Schemas.flagColumns: _*)
+
+  /** Step 4 — eliminate sparse stations: a station is eliminated when
+    * it has fewer than `minRecords` NON-NULL `Value` rows
+    * (steps/step4_filter_stations.py:39-40,116-119; pandas count() is
+    * the non-null count). Rows with null/empty station codes are
+    * dropped first (:106-110). Returns (filtered, eliminatedStations).
+    *
+    * Scale: the reference collects the sparse list into memory
+    * (:142); here it stays distributed — agg + left_anti join, with
+    * the aggregated side small enough for AQE to broadcast.
+    */
+  val MinRecords = 3L
+
+  def filterSparseStations(df: DataFrame, minRecords: Long = MinRecords)
+      : (DataFrame, DataFrame) =
+    Schemas.findStationColumn(df) match {
+      case None => (df, df.sparkSession.emptyDataFrame)
+      case Some(scol) =>
+        val valid = Relational.filterNonEmpty(df, scol)
+        val counts = valid.groupBy(col(scol))
+          .agg(count(col(Schemas.valueColumn)).as("n_obs"))
+        val sparse = counts.filter(col("n_obs") < minRecords).select(col(scol))
+        (valid.join(sparse, Seq(scol), "left_anti"), sparse)
+    }
+
+  /** Step 6's type coercion (steps/step6_upload_to_db.py:63-72): every
+    * string column is cast to double iff ≥ 50 % of its non-null values
+    * parse. NaN→NULL is a no-op under Spark null semantics (X5).
+    */
+  def coerceAllNumeric(df: DataFrame): DataFrame =
+    df.schema.fields.filter(_.dataType.typeName == "string")
+      .map(_.name)
+      .foldLeft(df)((acc, c) => Relational.coerceNumeric(acc, c))
+
+  /** Entity-catalog assembly (steps/step5_create_views.py:550-642):
+    * union of per-table distinct entity names tagged with (tipo,
+    * descripcion), deduped on (nombre, tipo) keeping first, sorted,
+    * with a 1-based surrogate id. row_number over a global sort — the
+    * catalog is dimension-sized (≤ thousands), so the single-partition
+    * window is fine; at scale switch to zipWithIndex-style assignment.
+    */
+  def entityCatalog(sources: Seq[(DataFrame, String, String, String)])
+      : Option[DataFrame] = {
+    val parts = sources.flatMap { case (df, colName, tipo, desc) =>
+      if (!df.columns.contains(colName)) None
+      else Some(df.select(col(colName).as("nombre"))
+        .na.drop(Seq("nombre"))
+        .distinct()
+        .withColumn("tipo", lit(tipo))
+        .withColumn("descripcion", lit(desc)))
+    }
+    if (parts.isEmpty) None
+    else {
+      val merged = parts.reduce(_ unionByName _)
+        .dropDuplicates("nombre", "tipo")
+      val w = Window.orderBy("tipo", "nombre")
+      Some(merged
+        .withColumn("id", row_number().over(w).cast("long"))
+        .select("id", "nombre", "tipo", "descripcion")
+        .orderBy("tipo", "nombre"))
+    }
+  }
+}
