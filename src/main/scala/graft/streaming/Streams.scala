@@ -1,0 +1,135 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.DecimalType
+
+/** Structured Streaming surface (SURVEY.md §2.8 — absent in the
+  * reference, provided as the engine's incremental path). Every batch
+  * query in graft.queries.EventQueries has its streaming twin here:
+  * the same logical shape over `readStream`, with watermarks bounding
+  * state.
+  *
+  * Scale: state is keyed by (window, type) or user — partitioned by
+  * the shuffle like any agg; the watermark is what keeps state finite,
+  * so every stateful operator here REQUIRES one.
+  */
+object Streams {
+
+  /** File-based event stream: the batch `events` table read
+    * incrementally (one new parquet file per micro-batch at the 100 TB
+    * ingest edge; `maxFilesPerTrigger` bounds batch size). `dir` must
+    * be a DIRECTORY — the file stream source rejects a bare file path
+    * ("Option 'basePath' must be a directory").
+    */
+  def fileEventStream(spark: SparkSession, dir: String,
+                      maxFilesPerTrigger: Int = 16): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = spark.read.parquet(dir).schema
+    spark.readStream
+      .schema(schema)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(dir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  /** Tumbling-window counts/sums per event type, late data bounded by
+    * the watermark (streaming twin of q_rollup's leaf level).
+    */
+  def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour",
+                         watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("event_type"), col("n"), col("sum_value"))
+
+  /** Built-in gap-based session windows (streaming twin of
+    * q_sessionize): Spark's session_window merges events closer than
+    * `gap` into one growing window per user.
+    */
+  def sessionWindowAgg(events: DataFrame, gap: String = "30 minutes",
+                       watermark: String = "2 hours"): DataFrame =
+    events
+      .withWatermark("ts", watermark)
+      .groupBy(session_window(col("ts"), gap), col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(col("value").cast(DecimalType(18, 6))).cast("double").as("total_value"))
+      .select(col("session_window.start").as("session_start"),
+        col("session_window.end").as("session_end"),
+        col("user_id"), col("n_events"), col("total_value"))
+
+  // ---- custom stateful sessionization ----
+
+  final case class Ev(user_id: Long, ts: Timestamp, value: Double)
+  final case class SessionState(start: Timestamp, last: Timestamp,
+                                n: Long, total: Double)
+  final case class SessionOut(user_id: Long, session_start: Timestamp,
+                              session_end: Timestamp, n_events: Long,
+                              total_value: Double)
+
+  /** flatMapGroupsWithState sessionization: the custom-state form of
+    * [[sessionWindowAgg]] for semantics session_window can't express
+    * (e.g. emitting value totals with custom close conditions). A
+    * session closes in-batch when a gap > `gapMs` appears, or via the
+    * EVENT-time timeout once the watermark passes last+gap — event
+    * time, not processing time, so batches only run when data arrives
+    * (a processing-time timeout would micro-batch continuously and
+    * burn the cluster on empty batches). State per user is O(1).
+    */
+  def statefulSessions(events: Dataset[Ev], gapMs: Long,
+                       watermark: String = "2 hours"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+
+    def fn(user: Long, rows: Iterator[Ev], state: GroupState[SessionState])
+        : Iterator[SessionOut] = {
+      if (state.hasTimedOut) {
+        val s = state.get
+        state.remove()
+        Iterator.single(SessionOut(user, s.start, s.last, s.n, s.total))
+      } else {
+        val sorted = rows.toSeq.sortBy(_.ts.getTime)
+        var closed = List.empty[SessionOut]
+        var cur = state.getOption
+        sorted.foreach { e =>
+          cur match {
+            case Some(s) if e.ts.getTime - s.last.getTime <= gapMs =>
+              cur = Some(SessionState(s.start, e.ts, s.n + 1, s.total + e.value))
+            case Some(s) =>
+              closed ::= SessionOut(user, s.start, s.last, s.n, s.total)
+              cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+            case None =>
+              cur = Some(SessionState(e.ts, e.ts, 1L, e.value))
+          }
+        }
+        cur.foreach { s =>
+          state.update(s)
+          state.setTimeoutTimestamp(s.last.getTime + gapMs)
+        }
+        closed.reverseIterator
+      }
+    }
+
+    events.withWatermark("ts", watermark)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.EventTimeTimeout)(fn)
+  }
+
+  /** Streaming dedup twin of q_dedup_exact: first-seen wins within the
+    * watermark horizon (`dropDuplicates` keyed on the content digest;
+    * state bounded by the event-time watermark).
+    */
+  def streamingDedup(docs: DataFrame, idCol: String, textCol: String,
+                     tsCol: String, watermark: String): DataFrame =
+    docs
+      .withColumn("content_md5", md5(col(textCol)))
+      .withWatermark(tsCol, watermark)
+      .dropDuplicates("content_md5")
+}

@@ -1,0 +1,93 @@
+package graft.streaming
+
+import java.sql.Timestamp
+
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class StreamsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("windowed counts aggregate per tumbling window and type") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val events = in.toDF().toDF("ts", "event_type", "value")
+    val q = Streams.windowedTypeCounts(events, "1 hour", "2 hours")
+      .writeStream.format("memory").queryName("win_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(10), "click", 1.0), (ts(20), "click", 2.0),
+        (ts(70), "click", 4.0), (ts(15), "view", 8.0))
+      q.processAllAvailable()
+      val rows = spark.table("win_counts")
+        .select("event_type", "n", "sum_value")
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rows == Set(("click", 2L, 3.0), ("click", 1L, 4.0),
+        ("view", 1L, 8.0)))
+    } finally q.stop()
+  }
+
+  test("session_window merges events within the gap") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, Long, Double)]
+    val events = in.toDF().toDF("ts", "user_id", "value")
+    val q = Streams.sessionWindowAgg(events, "30 minutes", "2 hours")
+      .writeStream.format("memory").queryName("sess")
+      .outputMode("complete").start()
+    try {
+      // user 1: events at 0,10,20 (one session), then 120 (new session)
+      in.addData((ts(0), 1L, 1.0), (ts(10), 1L, 2.0), (ts(20), 1L, 3.0),
+        (ts(120), 1L, 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("sess")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      assert(rows == Set((1L, 3L, 6.0), (1L, 1L, 10.0)))
+    } finally q.stop()
+  }
+
+  test("stateful sessionization closes a session on gap within a batch") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.Ev]
+    val q = Streams.statefulSessions(in.toDS(), gapMs = 30 * 60 * 1000L)
+      .writeStream.format("memory").queryName("stateful_sess")
+      .outputMode("append").start()
+    try {
+      // gap between minute 20 and minute 120 closes the first session
+      in.addData(Streams.Ev(1L, ts(0), 1.0), Streams.Ev(1L, ts(10), 2.0),
+        Streams.Ev(1L, ts(20), 3.0), Streams.Ev(1L, ts(120), 10.0))
+      q.processAllAvailable()
+      val rows = spark.table("stateful_sess")
+        .select("user_id", "n_events", "total_value")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .toSet
+      // first session emitted (closed by the later event); second still open
+      assert(rows == Set((1L, 3L, 6.0)))
+    } finally q.stop()
+  }
+
+  test("streaming dedup keeps first occurrence per content hash") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val q = Streams.streamingDedup(docs, "doc_id", "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("dedup_stream")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, "same text", ts(0)), (2L, "same text", ts(5)),
+        (3L, "other text", ts(6)))
+      q.processAllAvailable()
+      val ids = spark.table("dedup_stream")
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids.size == 2 && ids.contains(3L))
+      assert(ids.intersect(Set(1L, 2L)).size == 1)
+    } finally q.stop()
+  }
+}
