@@ -1,0 +1,132 @@
+package graft.multimodal
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+
+/** Multimodal-column plumbing for a training-data pipeline: image /
+  * audio / video as opaque `binary` columns plus typed metadata, with
+  * decode / feature-extract / resize / frame-sample as partition-wise
+  * batched transforms (the Scala analog of PySpark's `mapInPandas`:
+  * `Dataset.mapPartitions` over an iterator, with explicit micro-
+  * batching so a real decoder could amortize model/codec init per
+  * batch instead of per row).
+  *
+  * DECODERS ARE STUBBED: this container has no image/audio libs, so
+  * [[StubCodec]] derives deterministic fake pixels/samples from the
+  * bytes themselves. The Spark-side contract — schema, encoders,
+  * batching, partitioning, row explosion — is real and tested; swap
+  * [[Codec]] for an FFI-backed implementation to go live.
+  *
+  * Scale: content bytes never shuffle unless the operator needs them
+  * to — features project away the payload as early as possible, and
+  * frame sampling explodes AFTER per-partition decode so the shuffle
+  * carries frames, not videos.
+  */
+object Multimodal {
+
+  final case class MediaMeta(width: Int, height: Int, durationMs: Long,
+                             codec: String)
+  final case class MediaAsset(asset_id: Long, media_type: String,
+                              content: Array[Byte], meta: MediaMeta)
+  final case class MediaFeatures(asset_id: Long, media_type: String,
+                                 n_bytes: Long, luma_mean: Double,
+                                 luma_hist: Array[Long])
+  final case class Frame(asset_id: Long, frame_idx: Int, ts_ms: Long,
+                         frame_bytes: Array[Byte])
+
+  /** Decoder contract a real implementation would satisfy. */
+  trait Codec extends Serializable {
+    /** Decode to an 8-bit luma plane (stubbed). */
+    def decodeLuma(content: Array[Byte], meta: MediaMeta): Array[Int]
+    /** Re-encode at a new size (stubbed). */
+    def resize(content: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte]
+  }
+
+  /** Deterministic fake: "pixels" are a rolling transform of the
+    * content bytes — stable across runs/JVMs, so tests can assert
+    * exact values. A real codec would call libjpeg/ffmpeg here.
+    */
+  object StubCodec extends Codec {
+    def decodeLuma(content: Array[Byte], meta: MediaMeta): Array[Int] = {
+      var acc = 17
+      content.map { b =>
+        acc = (acc * 31 + (b & 0xff)) & 0xff
+        acc
+      }
+    }
+    def resize(content: Array[Byte], meta: MediaMeta, w: Int, h: Int): Array[Byte] = {
+      val target = math.max(1, content.length * (w.toLong * h) /
+        math.max(1L, meta.width.toLong * meta.height)).toInt
+      java.util.Arrays.copyOf(content, target)
+    }
+  }
+
+  /** Batched feature extraction (luma mean + 16-bin histogram):
+    * partition-wise with `batchSize` assets decoded per inner batch —
+    * the mapInPandas batch shape. No shuffle; the binary payload is
+    * dropped from the output row.
+    */
+  def extractFeatures(assets: Dataset[MediaAsset], codec: Codec = StubCodec,
+                      batchSize: Int = 64): Dataset[MediaFeatures] = {
+    import assets.sparkSession.implicits._
+    assets.mapPartitions { it =>
+      it.grouped(batchSize).flatMap { batch =>
+        // per-batch init point (model/codec handles in a real impl)
+        batch.iterator.map { a =>
+          val luma = codec.decodeLuma(a.content, a.meta)
+          val hist = new Array[Long](16)
+          var sum = 0L
+          luma.foreach { v => hist(v / 16) += 1; sum += v }
+          val mean = if (luma.isEmpty) 0.0 else sum.toDouble / luma.length
+          MediaFeatures(a.asset_id, a.media_type, a.content.length.toLong,
+            mean, hist)
+        }
+      }
+    }
+  }
+
+  /** Resize: new payload + updated metadata, partition-wise. */
+  def resizeAssets(assets: Dataset[MediaAsset], w: Int, h: Int,
+                   codec: Codec = StubCodec): Dataset[MediaAsset] = {
+    import assets.sparkSession.implicits._
+    assets.map { a =>
+      a.copy(content = codec.resize(a.content, a.meta, w, h),
+        meta = a.meta.copy(width = w, height = h))
+    }
+  }
+
+  /** Frame sampling: every `everyMs` over the asset duration, emitted
+    * as one row per frame (decode once per asset, explode after).
+    */
+  def sampleFrames(assets: Dataset[MediaAsset], everyMs: Long,
+                   codec: Codec = StubCodec): Dataset[Frame] = {
+    import assets.sparkSession.implicits._
+    assets.flatMap { a =>
+      val n = math.max(0L, a.meta.durationMs / everyMs).toInt
+      val luma = codec.decodeLuma(a.content, a.meta)
+      (0 until n).map { i =>
+        val ts = i.toLong * everyMs
+        // stub frame payload: a slice of the decoded plane
+        val off = if (luma.isEmpty) 0 else (ts % math.max(1, luma.length)).toInt
+        val len = math.min(16, math.max(0, luma.length - off))
+        Frame(a.asset_id, i, ts, luma.slice(off, off + len).map(_.toByte))
+      }
+    }
+  }
+
+  /** Wrap any binary-ish column as typed media assets (harness helper:
+    * the testdata has no real media, so callers cast e.g. document
+    * text to binary payloads).
+    */
+  def asAssets(df: DataFrame, idCol: String, payloadCol: String,
+               mediaType: String): Dataset[MediaAsset] = {
+    import df.sparkSession.implicits._
+    df.select(col(idCol).cast("long").as("asset_id"),
+        lit(mediaType).as("media_type"),
+        col(payloadCol).cast("binary").as("content"),
+        struct(lit(64).as("width"), lit(64).as("height"),
+          (length(col(payloadCol)) * 10L).cast("long").as("durationMs"),
+          lit("stub").as("codec")).as("meta"))
+      .as[MediaAsset]
+  }
+}
