@@ -63,6 +63,12 @@ object Portable {
 
   /** Spark: k-word shingles (space-joined) of a token array column.
     * Empty when the doc has fewer than k tokens.
+    *
+    * PERF: pass a MATERIALIZED column (project [[tokens]] with a
+    * select first), never the tokens expression inline — the lambda
+    * body references `toks` via element_at, and higher-order functions
+    * are interpreted, so an inline split(...) tree is re-evaluated per
+    * element (~10× slowdown measured: 8 s → 0.8 s on 260k shingles).
     */
   def shingles(toks: Column, k: Int): Column =
     when(size(toks) >= k,

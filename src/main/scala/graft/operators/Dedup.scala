@@ -41,21 +41,35 @@ object Dedup {
       exactGroups(df, idCol, textCol).select(col("keep_id").as(idCol)),
       Seq(idCol), "left_semi")
 
-  /** Distinct k-word shingles per doc: (id, shingle) long table. */
-  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3)
-      : DataFrame =
-    df.select(col(idCol),
-        explode(shingles(Portable.tokens(col(textCol)), k)).as("shingle"))
-      .distinct()
+  /** Distinct k-word shingles per doc: (id, shingle) long table.
+    * `dedup = false` skips the distinct — correct for MinHash
+    * signatures (min over a multiset == min over its set) and saves a
+    * full shuffle of the shingle strings; Jaccard counting needs the
+    * distinct.
+    */
+  def docShingles(df: DataFrame, idCol: String, textCol: String, k: Int = 3,
+                  dedup: Boolean = true): DataFrame = {
+    // two-step projection: tokens materialize once per row before the
+    // shingle lambda reads them (see Portable.shingles PERF note)
+    val exploded = df
+      .select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(shingles(col("__toks"), k)).as("shingle"))
+    if (dedup) exploded.distinct() else exploded
+  }
 
   /** MinHash signatures: one column per permutation, built by a single
     * groupBy over the (id, shingle-hash) table with NumPerms partial
     * mins (map-side combine ⇒ shuffle carries one row per doc per
-    * partition, not per shingle).
+    * partition, not per shingle). The md5 is materialized ONCE as a
+    * projected column before the agg — inlining hash32 into each of
+    * the 16 min() expressions recomputes the digest 16× per shingle
+    * (no CSE across aggregate expressions; measured ~2× on the sig
+    * build at sf0.1).
     */
   def minhashSignatures(shingled: DataFrame, idCol: String): DataFrame = {
-    val h = hash32(col("shingle"))
+    val h = col("__h")
     shingled
+      .withColumn("__h", hash32(col("shingle")))
       .groupBy(col(idCol))
       .agg(min(perm(h, 0)).as("mh0"),
         (1 until NumPerms).map(j => min(perm(h, j)).as(s"mh$j")): _*)
@@ -94,17 +108,60 @@ object Dedup {
         round(matches.cast("double") / NumPerms, 6).as("est_jaccard"))
   }
 
-  /** End-to-end MinHash near-dup pairs above a similarity threshold. */
+  /** End-to-end MinHash near-dup pairs above a similarity threshold.
+    * The signature table is persisted: it feeds the band join AND both
+    * sides of the estimation join, and without a cache Spark computes
+    * the explode+digest subtree three times (measured ~2× end-to-end
+    * at sf0.1).
+    */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(docShingles(df, idCol, textCol, k), idCol)
+    val sigs = minhashSignatures(
+      docShingles(df, idCol, textCol, k, dedup = false), idCol).persist()
     estimatedJaccard(lshCandidatePairs(sigs, idCol), sigs, idCol)
       .filter(col("est_jaccard") >= threshold)
+  }
+
+  /** Blocked exact n-gram Jaccard: all same-block pairs with at least
+    * one shared shingle, scored |A ∩ B| / |A ∪ B|. The plan is
+    * shingle-first: self-join the (block, shingle, id) table on
+    * (block, shingle) → count per pair → join per-doc sizes. Pairs
+    * sharing nothing never materialize (they'd score 0 anyway), so
+    * the intermediate is Σ_shingle-group C(docs,2), not
+    * |pairs| × |shingles| — at sf0.1 this is the difference between
+    * ~8M and ~190M intermediate rows (24 s → ~4 s measured).
+    * The block key bounds shingle-group fanout; it is the unit of
+    * comparison (same source, same LSH bucket, …).
+    */
+  def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
+                          blockCol: String, k: Int = 3,
+                          minJaccard: Double = 0.0): DataFrame = {
+    val sh = df
+      .select(col(idCol), col(blockCol).as("__blk"),
+        Portable.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__blk"),
+        explode(shingles(col("__toks"), k)).as("shingle"))
+      .distinct()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val a = sh.select(col(idCol).as("id_a"), col("__blk"), col("shingle"))
+    val b = sh.select(col(idCol).as("id_b"), col("__blk"), col("shingle"))
+    val inter = a.join(b, Seq("__blk", "shingle"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"),
+        round(col("n_inter").cast("double")
+          / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+      .filter(col("jaccard") > minJaccard)
   }
 
   /** Exact n-gram Jaccard for an explicit candidate-pair set:
     * |A ∩ B| / |A ∪ B| over distinct k-shingles. Intersection via
     * shingle-key join (shuffle on shingle), sizes via per-doc counts.
+    * For discovery over a blocking key use [[ngramJaccardBlocked]] —
+    * this form is for scoring an already-known pair list.
     */
   def ngramJaccard(pairs: DataFrame, shingled: DataFrame, idCol: String)
       : DataFrame = {

@@ -24,18 +24,22 @@ object DedupQueries {
       Dedup.exactGroups(Tables.documents(s, d), "doc_id", "text")
         .orderBy("content_md5")),
 
-    // MinHash signatures (16 perms)
+    // MinHash signatures (16 perms; no shingle dedup — min is
+    // multiset-invariant, saves a shuffle of the shingle strings)
     "q_minhash_sig" -> ((s, d) =>
       Dedup.minhashSignatures(
-        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K),
+        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K,
+          dedup = false),
         "doc_id")
         .orderBy("doc_id")),
 
-    // LSH candidate pairs with estimated Jaccard
+    // LSH candidate pairs with estimated Jaccard (signatures persisted
+    // — they feed the band join and both estimation sides)
     "q_minhash_pairs" -> ((s, d) => {
       val sigs = Dedup.minhashSignatures(
-        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K),
-        "doc_id")
+        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K,
+          dedup = false),
+        "doc_id").persist()
       Dedup.estimatedJaccard(
         Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
         .orderBy("id_a", "id_b")
@@ -53,18 +57,12 @@ object DedupQueries {
         "doc_id", maxDist = 6, blockCol = lit(1))
         .orderBy("id_a", "id_b")),
 
-    // exact n-gram Jaccard over source-blocked candidate pairs
-    "q_ngram_jaccard" -> ((s, d) => {
-      val docs = Tables.documents(s, d)
-      val pairs = docs.select(col("doc_id").as("id_a"), col("source"))
-        .join(docs.select(col("doc_id").as("id_b"), col("source")), "source")
-        .filter(col("id_a") < col("id_b"))
-        .select("id_a", "id_b")
-      Dedup.ngramJaccard(pairs,
-        Dedup.docShingles(docs, "doc_id", "text", K), "doc_id")
-        .filter(col("jaccard") > 0)
-        .orderBy("id_a", "id_b")
-    }),
+    // exact n-gram Jaccard over source-blocked pairs (shingle-first
+    // self-join — zero-overlap pairs never materialize)
+    "q_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardBlocked(Tables.documents(s, d),
+        "doc_id", "text", "source", K)
+        .orderBy("id_a", "id_b")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
