@@ -31,10 +31,12 @@ object Scalars {
   def nanToNull(c: Column): Column = when(isnan(c), lit(null)).otherwise(c)
 
   /** X7 — percentage with fixed rounding (report metrics, e.g.
-    * steps/step1_scraper.py:454-526).
+    * steps/step1_scraper.py:454-526). try_divide: Spark 4 runs ANSI
+    * mode by default, so a plain `/` THROWS on a zero total instead of
+    * returning NaN — a zero-denominator metric degrades to NULL here.
     */
   def pct(part: Column, total: Column, scale: Int = 2): Column =
-    round(part.cast("double") / total.cast("double") * 100, scale)
+    round(try_divide(part.cast("double"), total.cast("double")) * 100, scale)
 
   /** X2 — prefix/suffix predicates are Column.startsWith/endsWith;
     * re-exported here so the §2.7 surface is complete in one place.

@@ -23,9 +23,10 @@ class ScalarsSpec extends SparkSpec {
     assert(out.toSeq == Seq(Some(1.0), None, Some(3.0)))
   }
 
-  test("pct rounds to scale") {
-    val out = Seq((87L, 90L)).toDF("ok", "total")
-      .select(Scalars.pct($"ok", $"total").as("p")).as[Double].head()
-    assert(out == 96.67)
+  test("pct rounds to scale; zero total → NULL (ANSI mode, not a throw)") {
+    val out = Seq((87L, 90L), (5L, 0L)).toDF("ok", "total")
+      .select(Scalars.pct($"ok", $"total").as("p"))
+      .collect().map(r => if (r.isNullAt(0)) None else Some(r.getDouble(0)))
+    assert(out.toSeq == Seq(Some(96.67), None))
   }
 }
