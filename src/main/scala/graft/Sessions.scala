@@ -13,6 +13,8 @@ object Sessions {
   /** Apply graft's standard configs to an existing builder. */
   def tuned(b: SparkSession.Builder): SparkSession.Builder = b
     .config("spark.sql.session.timeZone", "UTC")
+    // native vector functions + the HOF-dot-product rewrite rule
+    .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
