@@ -47,11 +47,31 @@ object Steps {
   /** Step 6's type coercion (steps/step6_upload_to_db.py:63-72): every
     * string column is cast to double iff ≥ 50 % of its non-null values
     * parse. NaN→NULL is a no-op under Spark null semantics (X5).
+    *
+    * ONE scan for all columns: the parse ratios are computed in a
+    * single aggregate (per-column `coerceNumeric` would scan the table
+    * once per string column — a non-starter at scale).
     */
-  def coerceAllNumeric(df: DataFrame): DataFrame =
-    df.schema.fields.filter(_.dataType.typeName == "string")
-      .map(_.name)
-      .foldLeft(df)((acc, c) => Relational.coerceNumeric(acc, c))
+  def coerceAllNumeric(df: DataFrame, threshold: Double = 0.5): DataFrame = {
+    val stringCols = df.schema.fields
+      .filter(_.dataType.typeName == "string").map(_.name)
+    if (stringCols.isEmpty) df
+    else {
+      val ratioExprs = stringCols.flatMap { c =>
+        Seq(count(expr(s"try_cast(`$c` as double)")).as(s"__p_$c"),
+          count(col(c)).as(s"__n_$c"))
+      }
+      val row = df.agg(ratioExprs.head, ratioExprs.tail: _*).collect()(0)
+      val toCast = stringCols.filter { c =>
+        val parsed = row.getAs[Long](s"__p_$c")
+        val total = row.getAs[Long](s"__n_$c")
+        total > 0 && parsed.toDouble / total >= threshold
+      }.toSet
+      df.select(df.columns.map { c =>
+        if (toCast(c)) expr(s"try_cast(`$c` as double)").as(c) else col(c)
+      }: _*)
+    }
+  }
 
   /** Entity-catalog assembly (steps/step5_create_views.py:550-642):
     * union of per-table distinct entity names tagged with (tipo,

@@ -117,10 +117,11 @@ object EventQueries {
     // set ops: users with clicks but no errors (EXCEPT), and both (INTERSECT)
     "q_setop" -> ((s, d) => {
       val e = ev(s, d)
+      // persisted: each distinct set feeds both EXCEPT and INTERSECT
       val clickers = e.filter(col("event_type") === "click")
-        .select("user_id").distinct()
+        .select("user_id").distinct().persist()
       val erronious = e.filter(col("event_type") === "error")
-        .select("user_id").distinct()
+        .select("user_id").distinct().persist()
       clickers.except(erronious).withColumn("cohort", lit("click_no_error"))
         .unionByName(
           clickers.intersect(erronious).withColumn("cohort", lit("click_and_error")))

@@ -1,0 +1,105 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.SparkSpec
+import graft.pipeline.Steps
+
+/** Property-based invariants (SURVEY.md §5.4): pivot ≡ N-left-join on
+  * duplicate-free long tables, sparse-filter threshold monotonicity,
+  * union+distinct idempotence, minhash bounds, coercion threshold.
+  * Plain ScalaCheck Gen with fixed seeds (the scalatest bridge artifact
+  * isn't in the offline cache); deterministic across runs.
+  */
+class PropertiesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val longTableGen: Gen[Seq[(String, String, Option[Double])]] =
+    Gen.listOf(for {
+      p <- Gen.oneOf("m1", "m2", "m3")
+      s <- Gen.oneOf("S1", "S2", "S3", "S4")
+      v <- Gen.option(Gen.choose(-100.0, 100.0))
+    } yield (p, s, v)).map(_.distinctBy(t => (t._1, t._2)))
+
+  private def samples[A](g: Gen[A], n: Int): Seq[A] = {
+    val params = Gen.Parameters.default.withSize(12)
+    (1 to n).flatMap(i => g.apply(params, Seed(42L + i)))
+  }
+
+  private def toDf(rows: Seq[(String, String, Option[Double])]): DataFrame =
+    rows.toDF("p", "s", "value")
+      .select($"p", $"s", $"value".cast("double").as("value"))
+
+  test("pivot form ≡ sequential-left-join form on duplicate-free members") {
+    samples(Gen.zip(longTableGen, longTableGen), 5).foreach { case (t1, t2) =>
+      if (t1.nonEmpty || t2.nonEmpty) {
+        val (a, b) = (toDf(t1), toDf(t2))
+        val keys = Seq("p", "s")
+        val sp = Relational.spine(Seq(a, b).map(_.select("p", "s")), keys)
+        val viaJoin = Relational.wideViewJoin(sp, keys,
+          Seq("ta" -> a.select($"p", $"s", $"value"),
+            "tb" -> b.select($"p", $"s", $"value")))
+        val viaPivot = sp.join(
+          Relational.wideViewPivot(Seq("ta" -> a, "tb" -> b), keys, "value"),
+          keys, "left")
+        val l = viaJoin.select("p", "s", "ta", "tb").collect()
+          .map(_.toSeq).toSet
+        val r = viaPivot.select("p", "s", "ta", "tb").collect()
+          .map(_.toSeq).toSet
+        assert(l == r, s"join=$l pivot=$r")
+      }
+    }
+  }
+
+  test("raising the sparse threshold never increases surviving rows") {
+    samples(longTableGen, 5).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.toDF("DTI_CL_MES", "DTI_CL_ESTACIONES_METEO", "Value")
+      val counts = (1L to 4L).map(k =>
+        Steps.filterSparseStations(df, minRecords = k)._1.count())
+      assert(counts.zip(counts.tail).forall { case (a, b) => a >= b },
+        s"not monotone: $counts")
+    }
+  }
+
+  test("spine (union+distinct) is idempotent and order-insensitive") {
+    samples(Gen.zip(longTableGen, longTableGen), 5).foreach { case (t1, t2) =>
+      if (t1.nonEmpty && t2.nonEmpty) {
+        val (a, b) = (toDf(t1), toDf(t2))
+        val ab = Relational.spine(Seq(a, b), Seq("p", "s")).collect()
+          .map(_.toSeq).toSet
+        val ba = Relational.spine(Seq(b, a, a), Seq("p", "s")).collect()
+          .map(_.toSeq).toSet
+        assert(ab == ba)
+      }
+    }
+  }
+
+  test("minhash estimate is 1.0 for identical docs and in [0,1] always") {
+    val docs = Seq((1L, "a b c d e f g"), (2L, "a b c d e f g"),
+      (3L, "x y z w v u t")).toDF("doc_id", "text")
+    val sigs = Dedup.minhashSignatures(
+      Dedup.docShingles(docs, "doc_id", "text", 3, dedup = false), "doc_id")
+    val est = Dedup.estimatedJaccard(
+      Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b"), sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2)).toMap
+    assert(est((1L, 2L)) == 1.0)
+    assert(est((1L, 3L)) >= 0.0 && est((1L, 3L)) <= 1.0)
+  }
+
+  test("coerceAllNumeric honors the 50% threshold per column") {
+    val df = Seq(
+      ("1.5", "x", "10"), ("2.5", "y", "z"), ("bad", "z", "30"),
+      ("4.0", "w", "40")).toDF("mostly_num", "never_num", "three_quarters")
+    val out = Steps.coerceAllNumeric(df)
+    val types = out.schema.fields.map(f => f.name -> f.dataType.typeName).toMap
+    assert(types("mostly_num") == "double", "3/4 parse → cast")
+    assert(types("never_num") == "string", "0/4 parse → keep")
+    assert(types("three_quarters") == "double", "3/4 parse → cast")
+    assert(out.select("mostly_num").collect().map(r =>
+      Option(r.get(0))).toSeq == Seq(Some(1.5), Some(2.5), None, Some(4.0)),
+      "unparseable values become null after cast")
+  }
+}

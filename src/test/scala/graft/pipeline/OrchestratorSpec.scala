@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import java.nio.file.{Files, Path}
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+import graft.io.Csv
+
+/** End-to-end pipeline golden test: INE-shaped fixture CSVs (UTF-8 BOM,
+  * accents, sparse stations, a period known only to the second member)
+  * through Orchestrator.run, asserting on the written view CSVs —
+  * the same drive as the reference's stages 3→5 over `raw/` → `views/`.
+  */
+class OrchestratorSpec extends SparkSpec {
+
+  private lazy val rawDir: Path = {
+    val dir = Files.createTempDirectory("graft_ine_raw")
+    def write(name: String, content: String): Unit =
+      Files.write(dir.resolve(s"$name.csv"),
+        ("﻿" + content).getBytes("UTF-8"))
+    write("temp_max_absoluta",
+      """DTI_CL_MES,Mes,DTI_CL_ESTACIONES_METEO,Estaciones meteorológicas DMC,Value,Flag Codes,Flags
+        |2021-01,enero 2021,S1,Santiago,30.0,e,est
+        |2021-01,enero 2021,S2,Valparaíso,25.0,e,est
+        |2021-02,febrero 2021,S1,Santiago,31.0,e,est
+        |2021-02,febrero 2021,S2,Valparaíso,26.0,e,est
+        |2021-03,marzo 2021,S1,Santiago,29.0,e,est
+        |2021-03,marzo 2021,S2,Valparaíso,24.0,e,est
+        |2021-01,enero 2021,SX,Sparse,,e,est
+        |2021-02,febrero 2021,SX,Sparse,,e,est""".stripMargin)
+    write("temp_min_absoluta",
+      """DTI_CL_MES,Mes,DTI_CL_ESTACIONES_METEO,Estaciones meteorológicas DMC,Value,Flag Codes,Flags
+        |2021-01,enero 2021,S1,Santiago,10.0,e,est
+        |2021-02,febrero 2021,S1,Santiago,11.0,e,est
+        |2021-04,abril 2021,S1,Santiago,9.0,e,est""".stripMargin)
+    write("volumen_del_embalse_por_embalse",
+      """DTI_CL_MES,Mes,DTI_CL_T002A,Embalse,Value,Flag Codes,Flags
+        |2021-01,enero 2021,E1,Embalse Uno,100.5,e,est""".stripMargin)
+    dir
+  }
+
+  private def load: String => Option[DataFrame] = { name =>
+    val p = rawDir.resolve(s"$name.csv")
+    if (Files.exists(p)) Some(Csv.read(spark, p.toString)) else None
+  }
+
+  test("orchestrator produces views + report over fixture CSVs") {
+    val outDir = Files.createTempDirectory("graft_ine_out").toString
+    val report = Orchestrator.run(spark, load, outDir, filterStations = true,
+      singleFileCsv = true)
+    val byName = report.views.map(v => v.name -> v).toMap
+
+    // consolidated air view present with the two member columns
+    val vt = byName("v_temperatura")
+    assert(vt.status == "success")
+    assert(vt.columns == Seq("mes", "estacion", "temp_max_absoluta",
+      "temp_min_absoluta"))
+    // spine: 3 periods × S1,S2 from member 1 + 2021-04×S1 from member 2;
+    // SX eliminated by the sparse filter (0 non-null values)
+    assert(vt.rows == 7, s"got ${vt.rows}")
+
+    // the written CSV is re-readable and carries the NULL-label quirk
+    val back = Csv.read(spark, s"$outDir/views/v_temperatura")
+    val abril = back.filter(back("temp_min_absoluta") === 9.0).collect()
+    assert(abril.length == 1 && abril(0).isNullAt(0),
+      "period known only to member 2 → NULL mes label")
+
+    // simple water view: flags + DTI_ dropped
+    assert(byName("v_volumen_del_embalse_por_embalse").columns ==
+      Seq("Mes", "Embalse", "Value"))
+
+    // missing members reported as error, run continues
+    assert(byName("v_mp25_anual").status == "error")
+
+    // report JSON is parseable shape
+    assert(report.toJson.startsWith("""{"views":["""))
+  }
+}
