@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Scale-path join utilities: bucketed co-located joins (no shuffle at
+  * read time) and salted joins for skewed keys. These are the knobs a
+  * 100 TB deployment turns that the small-SF harness can only
+  * demonstrate structurally — tests assert on the PLANS (no exchange /
+  * salt fan-out correctness), not on wall-clock.
+  */
+object Scale {
+
+  /** Write `df` as a bucketed+sorted table: a join between two tables
+    * bucketed the same way on the join keys runs WITHOUT a shuffle on
+    * either side (SortMergeJoin reads co-located buckets directly).
+    * Bucket count is a layout decision: pick so each bucket is
+    * 100–500 MB at production scale.
+    */
+  def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
+                    numBuckets: Int): Unit =
+    df.write
+      .bucketBy(numBuckets, keys.head, keys.tail: _*)
+      .sortBy(keys.head, keys.tail: _*)
+      .mode("overwrite")
+      .format("parquet")
+      .saveAsTable(table)
+
+  /** Join two same-bucketed tables on their bucket keys — shuffle-free
+    * when both sides were written by [[writeBucketed]] with the same
+    * numBuckets.
+    */
+  def bucketedJoin(spark: SparkSession, leftTable: String, rightTable: String,
+                   keys: Seq[String], joinType: String = "inner"): DataFrame =
+    spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
+
+  /** Salted equi-join for a skewed LEFT side: the left's hot keys are
+    * spread over `saltFactor` sub-keys; the (small) right side is
+    * replicated `saltFactor`× via an exploded salt column, so every
+    * sub-key finds its match. Use when AQE's skew-join splitting isn't
+    * enough (e.g. one key is >> a single partition). Right side grows
+    * by saltFactor — keep it the dimension side.
+    */
+  def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+                 saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    val salted = left.withColumn("__salt",
+      pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
+    val replicated = right.withColumn("__salt",
+      explode(sequence(lit(0), lit(saltFactor - 1))))
+    salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
+  }
+}

@@ -1,0 +1,53 @@
+package graft.operators
+
+import org.apache.spark.sql.execution.adaptive.AdaptiveSparkPlanExec
+
+import graft.SparkSpec
+
+class ScaleSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("bucketed join plans without a shuffle exchange") {
+    // default warehouse dir (spark.sql.warehouse.dir is static config);
+    // DROP TABLE below cleans the files
+    val left = (1L to 1000L).map(i => (i % 50, s"l$i")).toDF("k", "lv")
+    val right = (1L to 500L).map(i => (i % 50, s"r$i")).toDF("k", "rv")
+    Scale.writeBucketed(left, "bkt_left", Seq("k"), 8)
+    Scale.writeBucketed(right, "bkt_right", Seq("k"), 8)
+    // disable broadcast so the join must be sort-merge (the co-located case)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = Scale.bucketedJoin(spark, "bkt_left", "bkt_right", Seq("k"))
+      assert(joined.count() == 1000L * 10) // 50 keys, 20 left × 10 right each
+      val planStr = joined.queryExecution.executedPlan match {
+        case a: AdaptiveSparkPlanExec => a.executedPlan.toString
+        case p => p.toString
+      }
+      assert(!planStr.contains("Exchange hashpartitioning"),
+        s"bucketed join must not shuffle:\n$planStr")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_left")
+      spark.sql("DROP TABLE IF EXISTS bkt_right")
+    }
+  }
+
+  test("salted join matches the plain join result") {
+    val left = (1L to 2000L).map(i => (if (i % 10 == 0) 1L else i % 7, i))
+      .toDF("k", "lv") // key 1 is hot
+    val right = (0L to 6L).map(k => (k, s"dim$k")).toDF("k", "rv")
+    val plain = left.join(right, Seq("k")).select("k", "lv", "rv")
+      .collect().map(_.toSeq).toSet
+    val salted = Scale.saltedJoin(left, right, Seq("k"), saltFactor = 4)
+      .select("k", "lv", "rv").collect().map(_.toSeq).toSet
+    assert(salted == plain)
+  }
+
+  test("salted left join preserves unmatched rows") {
+    val left = Seq((1L, "a"), (99L, "unmatched")).toDF("k", "lv")
+    val right = Seq((1L, "dim")).toDF("k", "rv")
+    val out = Scale.saltedJoin(left, right, Seq("k"), 3, "left")
+      .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
+    assert(out == Set((1L, Some("dim")), (99L, None)))
+  }
+}
