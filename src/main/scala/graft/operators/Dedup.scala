@@ -180,6 +180,21 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** End-to-end corpus dedup: drop exact duplicates (keep min id),
+    * then drop the greater id of every near-dup pair at/above the
+    * similarity threshold (greedy pairwise policy — deterministic and
+    * order-free; a transitive-closure policy would need an iterative
+    * connected-components pass, overkill for typical thresholds).
+    * Returns the surviving rows of `df`.
+    */
+  def dedupCorpus(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val exact = exactDedup(df, idCol, textCol)
+    val nearDupLosers = minhashNearDups(df, idCol, textCol, k, threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    exact.join(nearDupLosers, Seq(idCol), "left_anti")
+  }
+
   /** 32-bit SimHash over frequency-weighted tokens: bit b of the
     * signature is the sign of Σ_tokens (2·bit_b(hash32(token)) − 1).
     * Computed as one explode + two groupBys (token×32 bit rows —

@@ -100,6 +100,19 @@ object TextOps {
           + lit(0.3) * (lit(1.0) - nonAlnumRatio), 6))
   }
 
+  /** BPE-ish subword-boundary tokenization (GPT-2-style pattern:
+    * contraction suffixes, space-prefixed letter runs, digit runs,
+    * punctuation runs). A real BPE merges pairs against a vocab; this
+    * regex pass gives the token-boundary statistics a data pipeline
+    * needs (length filtering, cost estimation) without a vocab file.
+    * RE2-safe (no backrefs/lookahead) so DuckDB mirrors it verbatim.
+    */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?[\\p{L}]+| ?[\\p{N}]+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(text: Column): Column =
+    regexp_extract_all(text, lit(bpePattern), lit(0))
+
   /** Document fingerprint: 31-ary rolling hash over the token-hash
     * sequence, mod Portable.P — order-sensitive, so word-order edits
     * change the fingerprint (unlike a bag-of-words hash). Seeded with

@@ -63,6 +63,13 @@ object DedupQueries {
       Dedup.ngramJaccardBlocked(Tables.documents(s, d),
         "doc_id", "text", "source", K)
         .orderBy("id_a", "id_b")),
+
+    // end-to-end corpus dedup: exact + minhash near-dup removal
+    "q_dedup_corpus" -> ((s, d) =>
+      Dedup.dedupCorpus(Tables.documents(s, d), "doc_id", "text", K,
+        threshold = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -137,6 +144,27 @@ object DedupQueries {
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
          |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_dedup_corpus" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |losers AS (SELECT DISTINCT c.id_b FROM cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |keepers AS (SELECT min(doc_id) AS doc_id FROM documents
+         |  GROUP BY md5(text))
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN keepers kp ON kp.doc_id = d.doc_id
+         |WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
+         |ORDER BY d.doc_id""".stripMargin
+    },
 
     "q_ngram_jaccard" ->
       s"""WITH $shCte,

@@ -40,6 +40,19 @@ object SimilarityQueries {
       Similarity.lshTopK(queriesDf(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", Dim, NumPlanes, K)
         .orderBy("query_id", "rank")),
+
+    // embedding-cosine near-dup pairs, blocked by the cluster label
+    "q_embed_neardup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
+        col("embedding").cast("array<double>").as("v"))
+      val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
+      val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
+      a.join(b, "label").filter(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b"),
+          round(Similarity.cosine(col("va"), col("vb")), 6).as("cos_sim"))
+        .filter(col("cos_sim") >= 0.35)
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // ---- oracle SQL ----
@@ -87,6 +100,15 @@ object SimilarityQueries {
     "q_cosine_topk" -> topkSql("q.query_id <> c.vec_id"),
 
     "q_ann_ivf" -> topkSql("q.q_label = c.label AND q.query_id <> c.vec_id"),
+
+    "q_embed_neardup" ->
+      s"""WITH $vecsCte
+         |SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         |  round(${cosSql("a.v", "b.v")}, 6) AS cos_sim
+         |FROM vecs a JOIN vecs b
+         |  ON a.label = b.label AND a.vec_id < b.vec_id
+         |WHERE round(${cosSql("a.v", "b.v")}, 6) >= 0.35
+         |ORDER BY id_a, id_b""".stripMargin,
 
     "q_ann_lsh" -> {
       val b =

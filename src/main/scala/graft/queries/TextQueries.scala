@@ -48,6 +48,16 @@ object TextQueries {
       Tables.documents(s, d)
         .select(col("doc_id"), TextOps.fingerprint(col("text")).as("fp"))
         .orderBy("doc_id")),
+
+    // BPE-ish subword token counting
+    "q_bpe_tokens" -> ((s, d) => {
+      val t = TextOps.bpeTokens(col("text"))
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          size(t).cast("long").as("n_bpe"),
+          size(array_distinct(t)).cast("long").as("n_bpe_distinct"))
+        .orderBy("doc_id")
+    }),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -107,5 +117,14 @@ object TextQueries {
     "q_fingerprint" ->
       s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
          |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q_bpe_tokens" -> {
+      val pat = TextOps.bpePattern.replace("'", "''")
+      s"""SELECT doc_id,
+         |  CAST(len(regexp_extract_all(text, '$pat')) AS BIGINT) AS n_bpe,
+         |  CAST(len(list_distinct(regexp_extract_all(text, '$pat'))) AS BIGINT)
+         |    AS n_bpe_distinct
+         |FROM documents ORDER BY doc_id""".stripMargin
+    },
   )
 }
