@@ -28,6 +28,21 @@ object Csv {
     }
   }
 
+  /** INE-shaped fast path: header-only schema discovery (all strings)
+    * with the measurement `Value` column cast to double — one scan
+    * instead of inferSchema's two, exact for the long-table shape
+    * where every non-Value column is a code/label string anyway.
+    */
+  def readLongTable(spark: SparkSession, path: String,
+                    valueCol: String = "Value"): DataFrame = {
+    val df = spark.read.option("header", "true").option("encoding", "UTF-8")
+      .csv(path)
+    if (df.columns.contains(valueCol))
+      df.withColumn(valueCol,
+        org.apache.spark.sql.functions.col(valueCol).cast("double"))
+    else df
+  }
+
   def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
     val out = if (singleFile) df.coalesce(1) else df
     out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
