@@ -105,10 +105,12 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, dim: Int, numPlanes: Int, k: Int): DataFrame = {
+    // project the cast array first: the bucket expression references the
+    // vector dim×planes times, and an inline cast would be carried into
+    // every one of those terms
     val withBucket = (df: DataFrame, id: String, v: String) =>
-      df.select(col(idCol).as(id),
-        col(vecCol).cast("array<double>").as(v),
-        lshBucket(col(vecCol).cast("array<double>"), dim, numPlanes).as("bucket"))
+      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+        .select(col(id), col(v), lshBucket(col(v), dim, numPlanes).as("bucket"))
     val q = withBucket(queries, "query_id", "qv")
     val c = withBucket(corpus, "neighbor_id", "cv")
     val scored = c.join(broadcast(q), "bucket")
