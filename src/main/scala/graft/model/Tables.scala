@@ -31,9 +31,16 @@ object Tables {
     * microseconds (integer `div` — the ns epoch exceeds 2^53, so any
     * double round-trip would corrupt it). The harness data carries no
     * sub-microsecond precision, so the truncation is lossless.
+    *
+    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
+    * session build by [[graft.Sessions.tuned]] — NOT mutated here: a
+    * per-read `conf.set` silently changes how every later parquet read
+    * on the shared session interprets nanos timestamps, and races
+    * under the orchestrator's multi-threaded driver.
     */
   def events(s: SparkSession, d: String): DataFrame = {
-    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "events needs spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned sets it)")
     load(s, d, "events")
       .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
         org.apache.spark.sql.functions.expr("ts div 1000")))

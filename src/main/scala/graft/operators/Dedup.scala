@@ -215,12 +215,11 @@ object Dedup {
           "else cast(0 as bigint) end")).as("simhash"))
   }
 
-  /** SimHash near-dup pairs: hamming distance ≤ maxDist, candidates
-    * blocked by 16-bit halves (any half equal → candidate; with
-    * maxDist ≤ 15 every qualifying pair shares at least one half by
-    * pigeonhole when maxDist < 2... kept simple: two blocks, catches
-    * pairs differing only within one half). For exhaustive small-N
-    * checks use `blockCol = lit(1)`.
+  /** SimHash near-dup pairs within an EXPLICIT blocking key (same
+    * source, same LSH bucket, …): hamming ≤ maxDist over same-block
+    * pairs. All-pairs within a block — use only when the block bounds
+    * pair fanout; for corpus-wide discovery use
+    * [[simhashBandedPairs]], which needs no external key.
     */
   def simhashNearDups(sims: DataFrame, idCol: String, maxDist: Int,
                       blockCol: Column): DataFrame = {
@@ -234,5 +233,41 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))))
       .filter(col("hamming") <= maxDist)
       .select("id_a", "id_b", "hamming")
+  }
+
+  /** Banded SimHash near-dup pairs, no external blocking key: the
+    * `sigBits`-bit signature splits into `numBands` contiguous bands;
+    * candidates are pairs agreeing exactly on at least one band
+    * (self-join on band value, one shuffle on (band#, band bits) —
+    * never all pairs). Pigeonhole: maxDist differing bits touch at
+    * most maxDist bands, so with `maxDist < numBands` every qualifying
+    * pair shares an intact band — the banded plan is EXACT, not
+    * approximate, for that regime (hence the `require`).
+    */
+  def simhashBandedPairs(sims: DataFrame, idCol: String, maxDist: Int,
+                         numBands: Int = 4, sigBits: Int = 32): DataFrame = {
+    require(maxDist < numBands,
+      s"banded recall is only exact for maxDist < numBands " +
+        s"(got maxDist=$maxDist, numBands=$numBands); " +
+        "raise numBands or use simhashNearDups with an explicit block")
+    require(sigBits % numBands == 0, "sigBits must divide evenly into bands")
+    val bandBits = sigBits / numBands
+    val mask = (1L << bandBits) - 1
+    val banded = (0 until numBands).map { bnd =>
+      sims.select(col(idCol), col("simhash"),
+        concat_ws("_", lit(bnd),
+          shiftright(col("simhash"), bnd * bandBits).bitwiseAND(lit(mask)))
+          .as("band_key"))
+    }.reduce(_ unionByName _)
+    val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
+      col("band_key"))
+    val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),
+      col("band_key"))
+    a.join(b, "band_key")
+      .filter(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
+      .filter(col("hamming") <= maxDist)
+      .distinct() // a pair may agree on several bands
   }
 }

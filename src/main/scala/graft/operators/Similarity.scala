@@ -90,12 +90,20 @@ object Similarity {
 
   /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to
     * a long. Vectors in the same bucket are cosine-close candidates.
+    *
+    * Each projection is a native [[graft.expressions.DotProduct]]
+    * against a constant plane array (requires
+    * [[graft.extensions.GraftExtensions]] on the session): one fused
+    * codegen loop per plane. The unrolled alternative — dim×planes
+    * `element_at` terms in a single expression tree — costs ~10× here
+    * and risks overflowing the 64 KB JVM method limit into interpreted
+    * fallback. Arithmetic is the same left-to-right fold, so oracle
+    * SQL mirroring the index-order sum stays bit-exact.
     */
   def lshBucket(vec: Column, dim: Int, numPlanes: Int): Column =
     (0 until numPlanes).map { i =>
-      val proj = (0 until dim).map { j =>
-        element_at(vec, j + 1) * lit(planeComponent(i, j).toDouble)
-      }.reduce(_ + _)
+      val plane = typedLit((0 until dim).map(j => planeComponent(i, j).toDouble))
+      val proj = graft.expressions.VectorExpressions.dotProduct(vec, plane)
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 

@@ -50,11 +50,14 @@ object DedupQueries {
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs, exhaustive within the small corpus
+    // SimHash near-dup pairs via 4×8-bit banding: candidates share at
+    // least one intact band, which by pigeonhole is EXACT for
+    // maxDist 3 < 4 bands — so the all-pairs DuckDB oracle must match
+    // bit-for-bit even though the Spark plan never joins all pairs
     "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashNearDups(
+      Dedup.simhashBandedPairs(
         Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-        "doc_id", maxDist = 6, blockCol = lit(1))
+        "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b")),
 
     // exact n-gram Jaccard over source-blocked pairs (shingle-first
@@ -137,12 +140,15 @@ object DedupQueries {
       s"""WITH $simhashCtes
          |SELECT doc_id, simhash FROM sim ORDER BY doc_id""".stripMargin,
 
+    // ground truth stays ALL-pairs: banding with maxDist < numBands is
+    // lossless (pigeonhole), so the exhaustive oracle checks both the
+    // hamming arithmetic AND the banded plan's recall
     "q_simhash_pairs" ->
       s"""WITH $simhashCtes
          |SELECT a.doc_id AS id_a, b.doc_id AS id_b,
          |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
          |FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 6
+         |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
          |ORDER BY id_a, id_b""".stripMargin,
 
     "q_dedup_corpus" -> {

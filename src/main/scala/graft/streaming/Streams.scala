@@ -27,7 +27,11 @@ object Streams {
     */
   def fileEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 16): DataFrame = {
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    // nanosAsLong is set once at session build (Sessions.tuned) — see
+    // Tables.events for why a per-read conf.set is unacceptable
+    require(
+      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
+      "needs spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned sets it)")
     val schema = spark.read.parquet(dir).schema
     spark.readStream
       .schema(schema)
