@@ -1,8 +1,11 @@
 package graft.pipeline
 
+import scala.util.{Failure, Success, Try}
+
 import org.apache.spark.sql.{DataFrame, SparkSession}
 
 import graft.io.Csv
+import graft.model.{Catalogs, TableCatalog}
 
 /** Pipeline orchestration mirroring pipeline_orchestrator.py:71-315 —
   * stages 3→5 composed as one lazy lineage per view (no intermediate
@@ -11,9 +14,11 @@ import graft.io.Csv
   *
   * Step 1 (Playwright scraping) is external acquisition, not a Spark
   * operator (SURVEY.md §2.1 S3) — the orchestrator starts at the file
-  * layer. Step 2 (renames) is absorbed by the name→path catalog.
-  * Step 6 (JDBC) is [[graft.io.Jdbc]], pluggable as the sink. Step 7
-  * (report merge) is [[RunReport.toJson]].
+  * layer. Step 2 (renames) is absorbed by the name→path catalog
+  * ([[graft.model.TableCatalog.pathFor]]). Step 6 (JDBC) is
+  * [[graft.io.Jdbc]], pluggable as the sink. Step 7 (report merge) is
+  * [[RunReport.toJson]]. Dated-run layout/cleanup is
+  * [[graft.io.RunPaths]].
   */
 object Orchestrator {
 
@@ -56,25 +61,80 @@ object Orchestrator {
       "Estación oceanográfica - Medición de temperatura del mar"),
     ("nivel_medio_del_mar", "Estación ambiental SHOA",
       "Estación Oceanográfica",
-      "Estación oceanográfica - Medición de nivel del mar"),
-  )
+      "Estación oceanográfica - Medición de nivel del mar"))
 
   final case class ViewResult(name: String, status: String, rows: Long,
-                              columns: Seq[String])
-  final case class RunReport(views: Seq[ViewResult]) {
+                              columns: Seq[String],
+                              error: Option[String] = None)
+
+  /** Consolidated run report — the step-7 merge
+    * (steps/step7_generate_report.py:167-202) plus the step-4 filter
+    * metrics the reference reports per file
+    * (steps/step4_filter_stations.py:247-295).
+    */
+  final case class RunReport(views: Seq[ViewResult],
+                             filterStats: Seq[Steps.FilterStats] = Nil) {
+    def successes: Seq[ViewResult] = views.filter(_.status == "success")
+    def successRate: Double =
+      if (views.isEmpty) 0.0 else successes.size.toDouble / views.size * 100
+
+    /** Top-n files by eliminated stations, desc, name tiebreak
+      * (steps/step4_filter_stations.py:291-295).
+      */
+    def topEliminated(n: Int = 5): Seq[Steps.FilterStats] =
+      filterStats.sortBy(s => (-s.stationsEliminated, s.table)).take(n)
+
     def toJson: String = {
       def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
-      views.map { v =>
+      def pct(x: Double) = math.round(x * 100.0) / 100.0
+      val viewsJson = views.map { v =>
         s"""{"view":${q(v.name)},"status":${q(v.status)},"rows":${v.rows},""" +
-          s""""columns":[${v.columns.map(q).mkString(",")}]}"""
-      }.mkString("""{"views":[""", ",", "]}")
+          s""""columns":[${v.columns.map(q).mkString(",")}]""" +
+          v.error.map(e => s""","error":${q(e)}""").getOrElse("") + "}"
+      }.mkString("[", ",", "]")
+      val statsJson = filterStats.map { s =>
+        s"""{"table":${q(s.table)},"rows_before":${s.rowsBefore},""" +
+          s""""null_station_rows":${s.nullStationRows},""" +
+          s""""rows_eliminated":${s.rowsEliminated},"rows_after":${s.rowsAfter},""" +
+          s""""stations_before":${s.stationsBefore},""" +
+          s""""stations_eliminated":${s.stationsEliminated},""" +
+          s""""stations_after":${s.stationsAfter}}"""
+      }.mkString("[", ",", "]")
+      val topJson = topEliminated().map(s =>
+        s"""{"table":${q(s.table)},"stations_eliminated":${s.stationsEliminated},""" +
+          s""""rows_eliminated":${s.rowsEliminated}}""").mkString("[", ",", "]")
+      val totalRowsBefore = filterStats.map(_.rowsBefore).sum
+      val totalRowsElim = filterStats.map(_.rowsEliminated).sum
+      val elimPct =
+        if (totalRowsBefore == 0) 0.0
+        else totalRowsElim.toDouble / totalRowsBefore * 100
+      s"""{"views":$viewsJson,""" +
+        s""""resumen":{"vistas_totales":${views.size},""" +
+        s""""vistas_exitosas":${successes.size},""" +
+        s""""vistas_fallidas":${views.size - successes.size},""" +
+        s""""tasa_exito":${pct(successRate)}},""" +
+        s""""filtrado":{"archivos":${filterStats.size},""" +
+        s""""umbral_minimo":${Steps.MinRecords},""" +
+        s""""total_estaciones_eliminadas":${filterStats.map(_.stationsEliminated).sum},""" +
+        s""""total_registros_eliminados":$totalRowsElim,""" +
+        s""""total_registros_null":${filterStats.map(_.nullStationRows).sum},""" +
+        s""""porcentaje_registros_eliminados":${pct(elimPct)},""" +
+        s""""top_eliminadas":$topJson,""" +
+        s""""archivos_detalle":$statsJson}}"""
     }
   }
 
-  /** Run stages 3–5 over a loader (table name → cleaned DataFrame),
+  /** Run stages 3–5 over a loader (table name → raw DataFrame),
     * writing each view as CSV under `outDir/views`. `filterStations`
     * applies step 4 semantics before consolidation, as the pipeline
     * order prescribes (step 4 runs before step 5).
+    *
+    * `dictDir` (the reference's dictionary/ folder) enables the
+    * dictionary-driven pieces: the `v_estaciones` station catalog (the
+    * 33rd view, steps/step5_create_views.py:503-548) and the
+    * data-driven station-column probe list. `detailedStats` adds the
+    * reference's per-file step-4 metrics to the report (two extra
+    * small jobs per file — off by default, never on the hot path).
     *
     * Throughput design (87 files / 33 views on one session):
     * - cleaned members are persisted and memoized — each member feeds
@@ -85,17 +145,36 @@ object Orchestrator {
     * - views run on `parallelism` driver threads: the per-view jobs
     *   are small, so concurrent scheduling keeps the executor pool
     *   busy instead of paying 33 × sequential job latency.
+    *
+    * Failure semantics mirror the reference: any view task error is
+    * captured as a status=error row and the run continues; the thread
+    * pool and persisted frames are released in a finally block.
     */
   def run(spark: SparkSession, loadRaw: String => Option[DataFrame],
           outDir: String, filterStations: Boolean = true,
-          singleFileCsv: Boolean = false, parallelism: Int = 8): RunReport = {
+          singleFileCsv: Boolean = false, parallelism: Int = 8,
+          dictDir: Option[String] = None,
+          detailedStats: Boolean = false): RunReport = {
+    val catalog = dictDir.map(Catalogs.load)
+    // reference probe order: the table's mapped station column first,
+    // then the registry in dictionary order (step4:42-66); without a
+    // dictionary, the transcribed fallback list
+    def knownFor(name: String): Seq[String] = catalog
+      .map(_.stationProbeOrder(name))
+      .getOrElse(Schemas.stationColumns)
+    val statsMap =
+      new scala.collection.concurrent.TrieMap[String, Steps.FilterStats]
     val cache = new scala.collection.concurrent.TrieMap[String, Option[DataFrame]]
     val load: String => Option[DataFrame] = name =>
       cache.getOrElseUpdate(name,
         loadRaw(name).map { df =>
           val noFlags = Steps.removeFlagColumns(df)
+          if (detailedStats)
+            Steps.sparseStationStats(noFlags, name, known = knownFor(name))
+              .foreach(statsMap.put(name, _))
           val cleaned =
-            if (filterStations) Steps.filterSparseStations(noFlags)._1
+            if (filterStations)
+              Steps.filterSparseStations(noFlags, known = knownFor(name))._1
             else noFlags
           cleaned.persist()
         })
@@ -106,43 +185,75 @@ object Orchestrator {
     val pool = Executors.newFixedThreadPool(parallelism)
     implicit val ec: ExecutionContext = ExecutionContext.fromExecutorService(pool)
 
-    def inParallel[A, B](items: Seq[A])(f: A => B): Seq[B] =
-      Await.result(Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
+    def inParallel[A](items: Seq[A])(f: A => ViewResult): Seq[ViewResult] =
+      Await.result(
+        Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
 
-    val consolidated = inParallel(Views.airViews ++ Views.waterConsolidatedViews) { v =>
-      Consolidate.consolidate(v, load) match {
-        case Some(df0) =>
+    /** One persisted view → CSV + counted result, errors captured. */
+    def emit(name: String, built: => Option[DataFrame]): ViewResult =
+      Try(built) match {
+        case Success(Some(df0)) =>
           val df = df0.persist()
-          Csv.write(df, s"$outDir/views/${v.name}", singleFileCsv)
-          val r = ViewResult(v.name, "success", df.count(), df.columns.toSeq)
-          df.unpersist(blocking = false)
-          r
-        case None => ViewResult(v.name, "error", 0L, Nil)
+          try {
+            Csv.write(df, s"$outDir/views/$name", singleFileCsv)
+            ViewResult(name, "success", df.count(), df.columns.toSeq)
+          } finally df.unpersist(blocking = false)
+        case Success(None) => ViewResult(name, "error", 0L, Nil)
+        case Failure(e) =>
+          ViewResult(name, "error", 0L, Nil,
+            Some(Option(e.getMessage).getOrElse(e.getClass.getName)))
       }
-    }
 
-    val simple = inParallel(Views.waterSimpleTables) { t =>
-      load(t) match {
-        case Some(df0) =>
-          val view = Consolidate.simpleWaterView(df0).persist()
-          Csv.write(view, s"$outDir/views/v_$t", singleFileCsv)
-          val r = ViewResult(s"v_$t", "success", view.count(), view.columns.toSeq)
-          view.unpersist(blocking = false)
-          r
-        case None => ViewResult(s"v_$t", "error", 0L, Nil)
+    try {
+      val consolidated =
+        inParallel(Views.airViews ++ Views.waterConsolidatedViews) { v =>
+          emit(v.name, Consolidate.consolidate(v, load))
+        }
+      val simple = inParallel(Views.waterSimpleTables) { t =>
+        emit(s"v_$t", load(t).map(Consolidate.simpleWaterView))
       }
+
+      // catalogs: v_estaciones from the dictionary (exact reference
+      // column order), v_entidades_agua from the CLEANED members — the
+      // reference rewrites raw/ in place at steps 3-4, so its step-5
+      // entity extraction only ever sees filtered data; building from
+      // loadRaw would leak sparse-eliminated stations into the catalog
+      val estaciones = dictDir.toSeq.map { d =>
+        emit("v_estaciones", Some(Catalogs.stationCatalog(spark, d)))
+      }
+      val entities = emit("v_entidades_agua",
+        Steps.entityCatalog(entitySources.flatMap {
+          case (table, colName, tipo, desc) =>
+            load(table).map(df => (df, colName, tipo, desc))
+        }))
+
+      RunReport(consolidated ++ simple ++ estaciones :+ entities,
+        statsMap.values.toSeq.sortBy(_.table))
+    } finally {
+      pool.shutdown()
+      cache.values.flatten.foreach(_.unpersist(blocking = false))
     }
-    pool.shutdown()
+  }
 
-    val entities = Steps.entityCatalog(entitySources.flatMap {
-      case (table, colName, tipo, desc) =>
-        loadRaw(table).map(df => (df, colName, tipo, desc))
-    }).map { df =>
-      Csv.write(df, s"$outDir/views/v_entidades_agua", singleFileCsv)
-      ViewResult("v_entidades_agua", "success", df.count(), df.columns.toSeq)
-    }.toSeq
-
-    cache.values.flatten.foreach(_.unpersist(blocking = false))
-    RunReport(consolidated ++ simple ++ entities)
+  /** Catalog-driven entry: table names resolve to CSV paths under
+    * `rawDir` via the dictionary's standardized names (S8 as
+    * metadata — the reference renames physical files; here the rename
+    * IS the catalog lookup).
+    */
+  def runWithCatalog(spark: SparkSession, catalog: TableCatalog,
+                     rawDir: String, outDir: String, dictDir: String,
+                     filterStations: Boolean = true,
+                     singleFileCsv: Boolean = false, parallelism: Int = 8,
+                     detailedStats: Boolean = false): RunReport = {
+    val loader: String => Option[DataFrame] = name => {
+      val path = catalog.pathFor(rawDir, name)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (fs.exists(new org.apache.hadoop.fs.Path(path)))
+        Some(Csv.readLongTable(spark, path))
+      else None
+    }
+    run(spark, loader, outDir, filterStations, singleFileCsv, parallelism,
+      Some(dictDir), detailedStats)
   }
 }

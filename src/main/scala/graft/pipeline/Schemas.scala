@@ -35,8 +35,13 @@ object Schemas {
     "DTI_CL_ANO" -> Seq("Año", "anio", "Ano"),
     "DTI_CL_DIA" -> Seq("Día", "dia", "Dia"))
 
-  /** Station-code columns the reference knows about
-    * (dictionary/station_columns_mapping.json `station_column_types`).
+  /** Fallback station-code column list — a transcription of
+    * dictionary/station_columns_mapping.json `station_column_types`
+    * for dictionary-less use. When a dictionary directory is
+    * available, load [[graft.model.Catalogs.load]] and pass
+    * `catalog.stationColumns` to [[findStationColumn]] instead, so the
+    * probe list is data-driven like the reference's
+    * (steps/step4_filter_stations.py:28-31).
     */
   val stationColumns: Seq[String] = Seq(
     "DTI_CL_ESTACIONES_METEO", "DTI_CL_EST_MONITOREO_AIRE",
@@ -57,10 +62,14 @@ object Schemas {
 
   /** Station column: known list first, then fallback scan for any
     * other `DTI_`-prefixed column that isn't the period column
-    * (mirrors steps/step4_filter_stations.py:42-66).
+    * (mirrors steps/step4_filter_stations.py:42-66). `known` defaults
+    * to the transcribed list; pass a
+    * [[graft.model.TableCatalog]]'s `stationColumns` for the
+    * dictionary-driven probe.
     */
-  def findStationColumn(df: DataFrame): Option[String] =
-    stationColumns.find(df.columns.contains).orElse(
+  def findStationColumn(df: DataFrame,
+                        known: Seq[String] = stationColumns): Option[String] =
+    known.find(df.columns.contains).orElse(
       df.columns.find(c => c.startsWith("DTI_") && !periodColumns.contains(c)))
 
   /** Station label = the non-DTI column right after the station code

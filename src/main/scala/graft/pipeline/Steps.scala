@@ -32,9 +32,10 @@ object Steps {
     */
   val MinRecords = 3L
 
-  def filterSparseStations(df: DataFrame, minRecords: Long = MinRecords)
+  def filterSparseStations(df: DataFrame, minRecords: Long = MinRecords,
+                           known: Seq[String] = Schemas.stationColumns)
       : (DataFrame, DataFrame) =
-    Schemas.findStationColumn(df) match {
+    Schemas.findStationColumn(df, known) match {
       case None => (df, df.sparkSession.emptyDataFrame)
       case Some(scol) =>
         val valid = Relational.filterNonEmpty(df, scol)
@@ -42,6 +43,43 @@ object Steps {
           .agg(count(col(Schemas.valueColumn)).as("n_obs"))
         val sparse = counts.filter(col("n_obs") < minRecords).select(col(scol))
         (valid.join(sparse, Seq(scol), "left_anti"), sparse)
+    }
+
+  /** Step-4 per-file metrics, mirroring the reference's report fields
+    * (steps/step4_filter_stations.py:247-295: registros originales /
+    * eliminados / null, estaciones antes / eliminadas). Costs two
+    * extra jobs per file (a count + one scalar aggregate over the
+    * per-station counts) — the orchestrator only runs it when detailed
+    * reporting is requested; never on the hot path.
+    */
+  final case class FilterStats(table: String, rowsBefore: Long,
+                               nullStationRows: Long, rowsEliminated: Long,
+                               rowsAfter: Long, stationsBefore: Long,
+                               stationsEliminated: Long, stationsAfter: Long)
+
+  def sparseStationStats(df: DataFrame, table: String,
+                         minRecords: Long = MinRecords,
+                         known: Seq[String] = Schemas.stationColumns)
+      : Option[FilterStats] =
+    Schemas.findStationColumn(df, known).map { scol =>
+      val valid = Relational.filterNonEmpty(df, scol)
+      val perStation = valid.groupBy(col(scol))
+        .agg(count(lit(1)).as("n_rows"),
+          count(col(Schemas.valueColumn)).as("n_obs"))
+      val sparseRow = when(col("n_obs") < minRecords, col("n_rows"))
+      val r = perStation.agg(
+        coalesce(sum(col("n_rows")), lit(0L)).as("valid_rows"),
+        count(lit(1)).as("stations"),
+        coalesce(sum(sparseRow), lit(0L)).as("sparse_rows"),
+        count(sparseRow).as("sparse_stations")).collect()(0)
+      val total = df.count()
+      val validRows = r.getAs[Long]("valid_rows")
+      val sparseRows = r.getAs[Long]("sparse_rows")
+      val stations = r.getAs[Long]("stations")
+      val sparseStations = r.getAs[Long]("sparse_stations")
+      FilterStats(table, total, total - validRows, sparseRows,
+        validRows - sparseRows, stations, sparseStations,
+        stations - sparseStations)
     }
 
   /** Step 6's type coercion (steps/step6_upload_to_db.py:63-72): every

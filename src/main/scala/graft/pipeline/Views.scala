@@ -2,10 +2,11 @@ package graft.pipeline
 
 /** The 33-view inventory of the reference, as data
   * (steps/step5_create_views.py:41-194 air, :197-216 consolidated
-  * water, :219-230 simple water; catalogs are built by
-  * [[Catalogs]]). Member order is semantic — the first member
-  * supplies the period-label mapping (§2.10 quirk) — so these are
-  * ordered Seqs, never Maps.
+  * water, :219-230 simple water; the v_estaciones /
+  * v_entidades_agua catalogs are built by
+  * [[graft.model.Catalogs]] and [[Steps.entityCatalog]]). Member
+  * order is semantic — the first member supplies the period-label
+  * mapping (§2.10 quirk) — so these are ordered Seqs, never Maps.
   */
 final case class ViewDef(
     name: String,

@@ -76,4 +76,52 @@ class OrchestratorSpec extends SparkSpec {
     // report JSON is parseable shape
     assert(report.toJson.startsWith("""{"views":["""))
   }
+
+  test("dictionary run: v_estaciones emitted, detailed step-4/7 report") {
+    val outDir = Files.createTempDirectory("graft_ine_out2").toString
+    val report = Orchestrator.run(spark, load, outDir, filterStations = true,
+      singleFileCsv = true, dictDir = Some("/root/reference/dictionary"),
+      detailedStats = true)
+    val byName = report.views.map(v => v.name -> v).toMap
+
+    // the 33rd view: station catalog in exact reference column order
+    val est = byName("v_estaciones")
+    assert(est.status == "success" && est.rows == 98)
+    assert(est.columns == Seq("nombre", "latitud", "longitud",
+      "numero_region", "nombre_region", "descripcion"))
+    // with the dictionary, ALL 33 reference views are attempted:
+    // 19 air + 2 water consolidated + 10 simple + 2 catalogs
+    assert(report.views.size == 33, s"got ${report.views.size}")
+
+    // step-4 metrics for the fixture's temp_max_absoluta: 8 rows, SX
+    // has 2 rows but 0 non-null values → station eliminated
+    val st = report.filterStats.find(_.table == "temp_max_absoluta").get
+    assert(st.rowsBefore == 8 && st.rowsEliminated == 2)
+    assert(st.stationsBefore == 3 && st.stationsEliminated == 1 &&
+      st.stationsAfter == 2)
+    assert(st.nullStationRows == 0)
+
+    // consolidated step-7 merge carries the reference's summary fields
+    val json = report.toJson
+    assert(json.contains(""""resumen":{"vistas_totales":33"""))
+    assert(json.contains(""""umbral_minimo":3"""))
+    assert(json.contains(""""top_eliminadas":["""))
+    assert(report.successRate > 0 && report.successRate < 100)
+    assert(report.topEliminated().head.table == "temp_max_absoluta")
+  }
+
+  test("a failing view is captured as error and the run continues") {
+    val outDir = Files.createTempDirectory("graft_ine_out3").toString
+    val poison: String => Option[DataFrame] = {
+      case "temp_max_absoluta" => throw new RuntimeException("boom")
+      case name => load(name)
+    }
+    val report = Orchestrator.run(spark, poison, outDir,
+      filterStations = true, singleFileCsv = true)
+    val byName = report.views.map(v => v.name -> v).toMap
+    assert(byName("v_temperatura").status == "error")
+    assert(byName("v_temperatura").error.exists(_.contains("boom")))
+    // unrelated views still succeed
+    assert(byName("v_volumen_del_embalse_por_embalse").status == "success")
+  }
 }
