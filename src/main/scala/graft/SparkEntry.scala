@@ -25,5 +25,5 @@ object SparkEntry {
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
-      CatalogQueries.oracleSql
+      CatalogQueries.oracleSql ++ MultimodalQueries.oracleSql
 }

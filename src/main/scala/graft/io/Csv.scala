@@ -43,8 +43,30 @@ object Csv {
     else df
   }
 
-  def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit = {
-    val out = if (singleFile) df.coalesce(1) else df
-    out.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
-  }
+  /** Write CSV. Default: multi-part directory (the scale path).
+    * `singleFile = true` produces ONE file at exactly `path` — the
+    * reference's `{view}.csv` layout
+    * (steps/step5_create_views.py:416-423) — via a temp directory +
+    * Hadoop `FileSystem.rename` of the part file (works on `file://`
+    * and `s3a://` alike). Driver-adjacent; small outputs only.
+    */
+  def write(df: DataFrame, path: String, singleFile: Boolean = false): Unit =
+    if (!singleFile)
+      df.write.mode(SaveMode.Overwrite).option("header", "true").csv(path)
+    else {
+      import org.apache.hadoop.fs.Path
+      val target = new Path(path)
+      val fs = target.getFileSystem(
+        df.sparkSession.sparkContext.hadoopConfiguration)
+      val tmp = new Path(path + "_spark_write_tmp")
+      df.coalesce(1).write.mode(SaveMode.Overwrite)
+        .option("header", "true").csv(tmp.toString)
+      val part = fs.listStatus(tmp).map(_.getPath)
+        .find(_.getName.startsWith("part-"))
+        .getOrElse(throw new IllegalStateException(
+          s"no part file under $tmp"))
+      if (fs.exists(target)) fs.delete(target, true)
+      fs.rename(part, target)
+      fs.delete(tmp, true)
+    }
 }

@@ -125,7 +125,9 @@ object Multimodal {
         lit(mediaType).as("media_type"),
         col(payloadCol).cast("binary").as("content"),
         struct(lit(64).as("width"), lit(64).as("height"),
-          (length(col(payloadCol)) * 10L).cast("long").as("durationMs"),
+          // octet_length, not length: duration must track the BYTE
+          // payload the codec sees, not the character count
+          (octet_length(col(payloadCol)) * 10L).cast("long").as("durationMs"),
           lit("stub").as("codec")).as("meta"))
       .as[MediaAsset]
   }

@@ -41,8 +41,22 @@ object Scale {
     * enough (e.g. one key is >> a single partition). Right side grows
     * by saltFactor — keep it the dimension side.
     */
+  /** Join types whose semantics survive right-side replication: a
+    * replicated right row only ever MATCHES (inner/left/semi) or
+    * PROVES EXISTENCE (anti) — it is never emitted unmatched. Under
+    * right/full outer, an unmatched right row would surface once per
+    * salt value (saltFactor duplicates), so those are rejected.
+    */
+  private val saltSafeJoinTypes =
+    Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
+      "left_anti", "leftanti", "cross")
+
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
+    require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
+      s"saltedJoin corrupts '$joinType': unmatched right rows replicate " +
+        s"saltFactor times; use inner/left/left_semi/left_anti, or swap " +
+        "the sides so the skewed side is on the left")
     val salted = left.withColumn("__salt",
       pmod(hash(monotonically_increasing_id()), lit(saltFactor)))
     val replicated = right.withColumn("__salt",

@@ -189,13 +189,20 @@ object Orchestrator {
       Await.result(
         Future.sequence(items.map(a => Future(f(a)))), Duration.Inf)
 
-    /** One persisted view → CSV + counted result, errors captured. */
+    /** One persisted view → CSV + counted result, errors captured.
+      * Single-file mode writes exactly `{view}.csv` like the reference
+      * (steps/step5_create_views.py:416-423); multi-part mode writes a
+      * directory per view (the scale path).
+      */
     def emit(name: String, built: => Option[DataFrame]): ViewResult =
       Try(built) match {
         case Success(Some(df0)) =>
           val df = df0.persist()
           try {
-            Csv.write(df, s"$outDir/views/$name", singleFileCsv)
+            val target =
+              if (singleFileCsv) s"$outDir/views/$name.csv"
+              else s"$outDir/views/$name"
+            Csv.write(df, target, singleFileCsv)
             ViewResult(name, "success", df.count(), df.columns.toSeq)
           } finally df.unpersist(blocking = false)
         case Success(None) => ViewResult(name, "error", 0L, Nil)

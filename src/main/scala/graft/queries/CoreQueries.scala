@@ -172,6 +172,24 @@ object CoreQueries {
       s.read.parquet(out).orderBy("ship_date", "l_suppkey")
     }),
 
+    // S4 — CSV round-trip through the exact single-file sink (the
+    // reference's {view}.csv layout): write via the rename-based
+    // single-file path, re-read with an explicit schema (the CSV
+    // carries no types; inferSchema would turn ship_date into a DATE
+    // and break hash parity with the string-typed oracle).
+    "q_csv_roundtrip" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip.csv"
+      graft.io.Csv.write(
+        attachDim(spineDf(s, d), Tables.supplier(s, d),
+          "l_suppkey", "s_suppkey", Seq("s_name"))
+          .select("ship_date", "l_suppkey", "s_name"),
+        out, singleFile = true)
+      graft.io.Csv.read(s, out, Some(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "ship_date STRING, l_suppkey BIGINT, s_name STRING")))
+        .orderBy("ship_date", "l_suppkey")
+    }),
+
     // Flagship — pricing summary (TPC-H Q1 shape), exact decimal money.
     "q_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -314,6 +332,16 @@ object CoreQueries {
         |FROM orders ORDER BY o_orderkey""".stripMargin,
 
     "q_roundtrip" ->
+      """SELECT sp.ship_date, sp.l_suppkey, s.s_name
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |             l_suppkey FROM lineitem) sp
+        |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    // CSV round-trip is value-identical to the parquet one: the sink
+    // serializes and the explicit-schema re-read restores the same
+    // (string, bigint, string) row set
+    "q_csv_roundtrip" ->
       """SELECT sp.ship_date, sp.l_suppkey, s.s_name
         |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |             l_suppkey FROM lineitem) sp

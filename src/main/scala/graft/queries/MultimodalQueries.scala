@@ -8,9 +8,15 @@ import graft.multimodal.Multimodal
 
 /** Multimodal plumbing exercised over the harness data (document text
   * wrapped as binary payloads — the container has no real media).
-  * Not SQL-expressible in DuckDB (partition-wise typed transforms), so
-  * these carry no oracle entry: the driver records the weaker
-  * rows-only check, and MultimodalSpec pins exact semantics.
+  *
+  * Both queries carry REAL DuckDB oracles even though the transforms
+  * are partition-wise typed Datasets: the stub codec is deterministic
+  * over the payload bytes, so its rolling luma transform
+  * (acc = (acc*31 + byte) & 0xff) is re-derivable in SQL — a
+  * recursive CTE walks the hex-encoded payload byte by byte. Frame
+  * sampling is closed-form (n = bytes*10/500 frames). This checks the
+  * full chain: binary cast, byte-based duration metadata, per-asset
+  * decode, row explosion.
   */
 object MultimodalQueries {
   type Q = (SparkSession, String) => DataFrame
@@ -37,5 +43,38 @@ object MultimodalQueries {
     }),
   )
 
-  val oracleSql: Map[String, String] = Map.empty
+  val oracleSql: Map[String, String] = Map(
+    // the stub codec's luma plane is acc_i = (acc_{i-1}*31 + byte_i)
+    // & 0xff from acc_0 = 17; luma_mean = sum(acc_i)/n. The recursive
+    // CTE replays exactly that fold over the hex-encoded UTF-8 bytes.
+    "q_media_features" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS pos, 17 AS acc, CAST(0 AS BIGINT) AS s, n
+        |  FROM b
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    (r.acc * 31 + CAST('0x' || substr(b.hx, r.pos*2+1, 2) AS INT)) & 255,
+        |    r.s + ((r.acc * 31 + CAST('0x' || substr(b.hx, r.pos*2+1, 2) AS INT)) & 255),
+        |    r.n
+        |  FROM r JOIN b USING (doc_id) WHERE r.pos < r.n)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_bytes,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE)/n END, 6)
+        |    AS luma_mean
+        |FROM r WHERE pos = n ORDER BY asset_id""".stripMargin,
+
+    // frame sampling is closed-form: durationMs = bytes*10, one frame
+    // every 500 ms, frame i at ts i*500
+    "q_media_frames" ->
+      """WITH f AS (
+        |  SELECT doc_id,
+        |    unnest(generate_series(0,
+        |      (octet_length(encode(text)) * 10) // 500 - 1)) AS i
+        |  FROM documents WHERE doc_id < 50)
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        |  CAST(i * 500 AS BIGINT) AS ts_ms
+        |FROM f ORDER BY asset_id, frame_idx""".stripMargin)
 }

@@ -50,4 +50,23 @@ class ScaleSpec extends SparkSpec {
       .collect().map(r => (r.getLong(0), Option(r.getString(2)))).toSet
     assert(out == Set((1L, Some("dim")), (99L, None)))
   }
+
+  test("salted left_anti keeps only keys absent from the right") {
+    val left = Seq((1L, "hit"), (99L, "miss"), (99L, "miss2")).toDF("k", "lv")
+    val right = Seq((1L, "dim")).toDF("k", "rv")
+    val out = Scale.saltedJoin(left, right, Seq("k"), 3, "left_anti")
+      .select("k", "lv").collect().map(_.toSeq).toSet
+    assert(out == Set(Seq(99L, "miss"), Seq(99L, "miss2")))
+  }
+
+  test("salted right/full outer is rejected — replication would dup rows") {
+    val left = Seq((1L, "a")).toDF("k", "lv")
+    val right = Seq((1L, "dim"), (2L, "orphan")).toDF("k", "rv")
+    for (jt <- Seq("right", "right_outer", "full", "full_outer", "outer")) {
+      val e = intercept[IllegalArgumentException] {
+        Scale.saltedJoin(left, right, Seq("k"), 3, jt)
+      }
+      assert(e.getMessage.contains("corrupts"), s"$jt must be rejected")
+    }
+  }
 }

@@ -60,8 +60,11 @@ class OrchestratorSpec extends SparkSpec {
     // SX eliminated by the sparse filter (0 non-null values)
     assert(vt.rows == 7, s"got ${vt.rows}")
 
-    // the written CSV is re-readable and carries the NULL-label quirk
-    val back = Csv.read(spark, s"$outDir/views/v_temperatura")
+    // single-file mode writes exactly {view}.csv (reference layout),
+    // re-readable, carrying the NULL-label quirk
+    assert(Files.isRegularFile(
+      java.nio.file.Paths.get(s"$outDir/views/v_temperatura.csv")))
+    val back = Csv.read(spark, s"$outDir/views/v_temperatura.csv")
     val abril = back.filter(back("temp_min_absoluta") === 9.0).collect()
     assert(abril.length == 1 && abril(0).isNullAt(0),
       "period known only to member 2 → NULL mes label")
