@@ -53,7 +53,8 @@ object PipelineBench {
 
     val t0 = System.nanoTime()
     val report = Orchestrator.run(spark, load, out,
-      parallelism = sys.env.getOrElse("GRAFT_PIPE_PAR", "8").toInt)
+      parallelism = sys.env.getOrElse("GRAFT_PIPE_PAR", "8").toInt,
+      dictDir = Some(queries.CatalogQueries.DictDir))
     val secs = (System.nanoTime() - t0) / 1e9
     val ok = report.views.count(_.status == "success")
     val rows = report.views.map(_.rows).sum

@@ -133,6 +133,93 @@ class ConsolidateSpec extends SparkSpec {
     assert(out.columns.toSeq == Seq("Día", "Embalse", "Value"))
   }
 
+  // ---- §1.3 irregular schemas (SURVEY.md) ----
+
+  /** metales_* shape: extra dimension column DTI_CL_T014PARAM_POAL
+    * (dictionary/data_columns.txt:143-162) — (period, station) is NOT
+    * unique; each (period, station, param) is its own observation.
+    */
+  private lazy val metales = Seq(
+    ("d1", "día 1", "P1", "Quintero", "As", "Arsénico", 0.5),
+    ("d1", "día 1", "P1", "Quintero", "Cu", "Cobre", 1.5),
+    ("d1", "día 1", "P2", "Ventanas", "As", "Arsénico", 0.7),
+    ("d2", "día 2", "P1", "Quintero", "As", "Arsénico", 0.6))
+    .toDF("DTI_CL_DIA", "Día", "DTI_CL_T013EST_POAL", "Estaciones POAL",
+      "DTI_CL_T014PARAM_POAL", "Parámetros POAL", "Value")
+    .withColumn("Flags", org.apache.spark.sql.functions.lit("x"))
+
+  test("extra-dim POAL table: simple water view keeps the param label") {
+    val out = Consolidate.simpleWaterView(metales)
+    // DTI_ code columns drop; BOTH label columns pass through — the
+    // param dimension stays part of the row identity
+    assert(out.columns.toSeq ==
+      Seq("Día", "Estaciones POAL", "Parámetros POAL", "Value"))
+    assert(out.count() == 4, "one row per (period, station, param)")
+  }
+
+  test("extra-dim POAL table: station filter counts across params") {
+    // station P1 has 3 non-null values (2 params × d1 + d2) → kept;
+    // P2 has 1 → eliminated. The param dim must not fragment the count.
+    val (kept, sparse) = Steps.filterSparseStations(
+      Steps.removeFlagColumns(metales))
+    assert(kept.select("DTI_CL_T013EST_POAL").distinct()
+      .as[String].collect().toSet == Set("P1"))
+    assert(sparse.as[String].collect().toSeq == Seq("P2"))
+  }
+
+  test("extra-dim member in a consolidated view: pivot-duplicate policy") {
+    // if an extra-dim table ever joins a consolidated view, the
+    // (period, station) key is non-unique; DECLARED POLICY (SURVEY
+    // §2.10 "What's hard"): the pivot collapses duplicates with
+    // first(ignoreNulls) — one row per pair, value from the member's
+    // candidate set (the reference's sequential left join would
+    // instead fan out the spine; divergence documented)
+    import graft.operators.Relational
+    val dup = metales.select($"DTI_CL_DIA", $"DTI_CL_T013EST_POAL", $"Value")
+    val wide = Relational.wideViewPivot(
+      Seq("metales" -> dup), Seq("DTI_CL_DIA", "DTI_CL_T013EST_POAL"),
+      "Value")
+    assert(wide.count() == 3, "one row per distinct (period, station) pair")
+    val p1d1 = wide.filter($"DTI_CL_DIA" === "d1" &&
+      $"DTI_CL_T013EST_POAL" === "P1").collect()(0).getDouble(2)
+    assert(Set(0.5, 1.5).contains(p1d1),
+      "collapsed value comes from the duplicate candidate set")
+  }
+
+  /** caudal shape: TWO station-ish columns
+    * (dictionary/data_columns.txt:25-34).
+    */
+  private lazy val caudal = Seq(
+    ("2021-01", "enero", "AC1", "Río Maipo", "F1", "Estación Maipo", 10.0),
+    ("2021-01", "enero", "AC1", "Río Maipo", "F2", "Estación Alta", 11.0),
+    ("2021-02", "febrero", "AC1", "Río Maipo", "F1", "Estación Maipo", 12.0),
+    ("2021-03", "marzo", "AC1", "Río Maipo", "F1", "Estación Maipo", 13.0))
+    .toDF("DTI_CL_MES", "Mes", "DTI_CL_AGUAS_CORRIENTES", "Aguas Corrientes",
+      "DTI_CL_ESTACIONES_FLUVIOMETRICAS", "Estaciones Fluviométricas", "Value")
+
+  test("dual-station caudal: filter keys on the MAPPED fluviométricas col") {
+    // probe order (dictionary mapping first) must pick
+    // DTI_CL_ESTACIONES_FLUVIOMETRICAS, not DTI_CL_AGUAS_CORRIENTES:
+    // F1 has 3 non-null → kept, F2 has 1 → eliminated. Keying on the
+    // wrong column would keep everything (AC1 has 4).
+    assert(Schemas.findStationColumn(caudal).contains(
+      "DTI_CL_ESTACIONES_FLUVIOMETRICAS"))
+    val (kept, sparse) = Steps.filterSparseStations(caudal)
+    assert(sparse.as[String].collect().toSeq == Seq("F2"))
+    assert(kept.count() == 3)
+    // same answer through the dictionary-driven probe list
+    val cat = graft.model.Catalogs.load("/root/reference/dictionary")
+    assert(Schemas.findStationColumn(caudal,
+      cat.stationProbeOrder("caudal_medio_de_aguas_corrientes"))
+      .contains("DTI_CL_ESTACIONES_FLUVIOMETRICAS"))
+  }
+
+  test("dual-station caudal: simple water view keeps both label columns") {
+    val out = Consolidate.simpleWaterView(caudal)
+    assert(out.columns.toSeq ==
+      Seq("Mes", "Aguas Corrientes", "Estaciones Fluviométricas", "Value"))
+  }
+
   test("entity catalog: dedup on (nombre,tipo), sorted, 1-based ids") {
     val emb = Seq(("Embalse A", 1.0), ("Embalse B", 2.0), ("Embalse A", 3.0))
       .toDF("Embalse", "Value")
