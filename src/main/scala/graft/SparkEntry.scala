@@ -18,12 +18,14 @@ object SparkEntry {
   def queries: Map[String, (SparkSession, String) => DataFrame] =
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
-      MultimodalQueries.queries ++ CatalogQueries.queries
+      MultimodalQueries.queries ++ CatalogQueries.queries ++
+      TemporalQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
   def oracleSql: Map[String, String] =
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
-      CatalogQueries.oracleSql ++ MultimodalQueries.oracleSql
+      CatalogQueries.oracleSql ++ MultimodalQueries.oracleSql ++
+      TemporalQueries.oracleSql
 }

@@ -197,22 +197,27 @@ object Dedup {
 
   /** 32-bit SimHash over frequency-weighted tokens: bit b of the
     * signature is the sign of Σ_tokens (2·bit_b(hash32(token)) − 1).
-    * Computed as one explode + two groupBys (token×32 bit rows —
-    * linear in corpus size, map-side combinable).
+    *
+    * ONE groupBy with 32 conditional sums: the shuffle carries one
+    * 32-column partial row per doc per partition (map-side combined)
+    * instead of the naive plan's token×32 exploded bit rows — a 32×
+    * reduction in shuffled rows, same arithmetic bit-for-bit (the
+    * DuckDB oracle keeps the explicit bit-row formulation and must
+    * still hash-match).
     */
   def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
     val tok = df.select(col(idCol),
       explode(Portable.tokens(col(textCol))).as("tok"))
-    val h = hash32(col("tok"))
-    val bitRows = tok.select(col(idCol), h.as("h"))
-      .select(col(idCol), explode(sequence(lit(0), lit(31))).as("b"), col("h"))
-      .withColumn("w", expr("(shiftright(h, cast(b as int)) & 1) * 2 - 1"))
-    bitRows.groupBy(col(idCol), col("b"))
-      .agg(sum(col("w")).as("s"))
+    val bitSums = (0 until 32).map { b =>
+      sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
+    }
+    val packed = (0 until 32)
+      .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
+      .reduce(_ + _)
+    tok.select(col(idCol), hash32(col("tok")).as("h"))
       .groupBy(col(idCol))
-      .agg(sum(expr(
-        "case when s >= 0 then shiftleft(cast(1 as bigint), cast(b as int)) " +
-          "else cast(0 as bigint) end")).as("simhash"))
+      .agg(bitSums.head, bitSums.tail: _*)
+      .select(col(idCol), packed.as("simhash"))
   }
 
   /** SimHash near-dup pairs within an EXPLICIT blocking key (same
@@ -253,12 +258,16 @@ object Dedup {
     require(sigBits % numBands == 0, "sigBits must divide evenly into bands")
     val bandBits = sigBits / numBands
     val mask = (1L << bandBits) - 1
-    val banded = (0 until numBands).map { bnd =>
-      sims.select(col(idCol), col("simhash"),
-        concat_ws("_", lit(bnd),
-          shiftright(col("simhash"), bnd * bandBits).bitwiseAND(lit(mask)))
-          .as("band_key"))
-    }.reduce(_ unionByName _)
+    // ONE pass over sims: explode an array of band keys instead of
+    // unioning numBands projections — a union would re-evaluate the
+    // (possibly expensive, e.g. simhash-aggregation) input subtree
+    // once per band per join side
+    val bandKeys = array((0 until numBands).map { bnd =>
+      concat_ws("_", lit(bnd),
+        shiftright(col("simhash"), bnd * bandBits).bitwiseAND(lit(mask)))
+    }: _*)
+    val banded = sims.select(col(idCol), col("simhash"),
+      explode(bandKeys).as("band_key"))
     val a = banded.select(col(idCol).as("id_a"), col("simhash").as("sh_a"),
       col("band_key"))
     val b = banded.select(col(idCol).as("id_b"), col("simhash").as("sh_b"),

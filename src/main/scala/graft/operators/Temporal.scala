@@ -1,0 +1,86 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal join operators the reference lacks but any event/training
+  * pipeline at scale needs: as-of joins (latest right row at or before
+  * each left timestamp) and range joins (point-in-interval), both in
+  * shuffle-bounded forms.
+  *
+  * Scale design:
+  * - [[asofJoin]] is the union-sort form: ONE shuffle on the key, no
+  *   join at all. Tagging both sides into a single sorted stream and
+  *   carrying the last non-null right payload forward beats the naive
+  *   "filter right < ts, window, rank" plan (which joins then discards
+  *   almost everything) and stays skew-safe — each key's stream is
+  *   processed linearly.
+  * - [[rangeJoinBucketed]] turns the O(|L|·|R|) inequality join into
+  *   an equi-join on (key, time bucket): each interval is exploded
+  *   into the buckets it covers, points join their bucket, and the
+  *   residual predicate runs on co-located rows only. Bucket width is
+  *   the tuning knob: ~= median interval length keeps the explosion
+  *   factor ~2 while pruning all non-overlapping pairs.
+  */
+object Temporal {
+
+  /** As-of join: for each `left` row, the `payloadCols` of the LATEST
+    * `right` row with the same `keys` and `right.tsCol <= left.tsCol`
+    * (nulls when no such row). Right payload lands as
+    * `prefix + name`.
+    *
+    * Right rows must be unique per (keys, tsCol) — pre-aggregate ties
+    * away (the window's last-wins on equal timestamps would otherwise
+    * be nondeterministic).
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
+               tsCol: String, payloadCols: Seq[String],
+               prefix: String = "asof_"): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val carryCols = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    // tag: right=0 sorts before left=1 at equal ts, so `<=` holds
+    val lTagged = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {
+      (df, c) =>
+        df.withColumn(s"$prefix$c", lit(null).cast(right.schema(c).dataType))
+    }
+    val rTagged = carryCols.foldLeft(
+      right.select(
+        (keys :+ tsCol).map(col) ++
+          payloadCols.map(c => col(c).as(s"$prefix$c")): _*)
+        .withColumn("__side", lit(0))) { (df, c) =>
+      df.withColumn(c, lit(null).cast(left.schema(c).dataType))
+    }
+    val w = Window.partitionBy(keys.map(col): _*)
+      .orderBy(col(tsCol).asc, col("__side").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val filled = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
+      (df, c) =>
+        df.withColumn(s"$prefix$c",
+          last(col(s"$prefix$c"), ignoreNulls = true).over(w))
+    }
+    filled.filter(col("__side") === 1)
+      .select((leftCols ++ payloadCols.map(prefix + _)).map(col): _*)
+  }
+
+  /** Bucketed range join: rows of `points` matched to rows of
+    * `intervals` with equal `keys` and
+    * `startCol <= points.tsCol <= endCol` (inner). Both timestamps are
+    * mapped to `bucketSeconds`-wide epoch buckets; intervals explode
+    * into every bucket they span, the join is an equi-join on
+    * (keys, bucket), and the range predicate filters co-located
+    * candidates. Exact — bucketing only prunes, never drops a match.
+    */
+  def rangeJoinBucketed(points: DataFrame, intervals: DataFrame,
+                        keys: Seq[String], tsCol: String, startCol: String,
+                        endCol: String, bucketSeconds: Long): DataFrame = {
+    def bucketOf(c: Column): Column =
+      floor(unix_timestamp(c) / bucketSeconds).cast("long")
+    val p = points.withColumn("__bucket", bucketOf(col(tsCol)))
+    val iv = intervals.withColumn("__bucket",
+      explode(sequence(bucketOf(col(startCol)), bucketOf(col(endCol)))))
+    p.join(iv, keys :+ "__bucket")
+      .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
+      .drop("__bucket")
+  }
+}

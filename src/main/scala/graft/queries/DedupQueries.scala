@@ -54,11 +54,13 @@ object DedupQueries {
     // least one intact band, which by pigeonhole is EXACT for
     // maxDist 3 < 4 bands — so the all-pairs DuckDB oracle must match
     // bit-for-bit even though the Spark plan never joins all pairs
-    "q_simhash_pairs" -> ((s, d) =>
-      Dedup.simhashBandedPairs(
-        Dedup.simhash(Tables.documents(s, d), "doc_id", "text"),
-        "doc_id", maxDist = 3)
-        .orderBy("id_a", "id_b")),
+    "q_simhash_pairs" -> ((s, d) => {
+      // signatures persisted: they feed both sides of the band join
+      val sims = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
+        .persist()
+      Dedup.simhashBandedPairs(sims, "doc_id", maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
 
     // exact n-gram Jaccard over source-blocked pairs (shingle-first
     // self-join — zero-overlap pairs never materialize)

@@ -1,0 +1,88 @@
+package graft.operators
+
+import java.sql.Timestamp
+
+import graft.SparkSpec
+
+/** Exact-value tests for the temporal joins: as-of boundary semantics
+  * (equal timestamps match, later rights don't), null behavior for
+  * unmatched lefts, and range-join bucket-boundary correctness.
+  */
+class TemporalSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asofJoin: latest right at-or-before each left, per key") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:00:00")),
+      (3L, "u2", ts("2024-01-01 09:00:00")), // before any u2 right
+      (4L, "u3", ts("2024-01-01 09:00:00"))  // u3 has no rights at all
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1.0),
+      ("u1", ts("2024-01-01 10:00:00"), 2.0), // equal ts → matches id=1
+      ("u1", ts("2024-01-01 11:30:00"), 3.0),
+      ("u1", ts("2024-01-01 13:00:00"), 9.0), // after both lefts
+      ("u2", ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("user", "ts", "v")
+
+    val out = Temporal.asofJoin(left, right, Seq("user"), "ts", Seq("v"))
+      .orderBy("id")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, Some(2.0)), // equal-ts right wins over 09:00's 1.0
+      (2L, Some(3.0)), // 11:30 is the latest <= 12:00; 13:00 excluded
+      (3L, None),      // u2's only right is later
+      (4L, None)))     // no rights for u3
+  }
+
+  test("asofJoin carries left payload columns through untouched") {
+    val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), "payload"))
+      .toDF("id", "user", "ts", "note")
+    val right = Seq(("u1", ts("2024-01-01 09:00:00"), 7.0))
+      .toDF("user", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("user"), "ts", Seq("v"))
+    assert(out.columns.toSeq == Seq("id", "user", "ts", "note", "asof_v"))
+    val r = out.collect()(0)
+    assert(r.getAs[String]("note") == "payload")
+    assert(r.getAs[Double]("asof_v") == 7.0)
+  }
+
+  test("rangeJoinBucketed equals the naive inequality join") {
+    val rnd = new scala.util.Random(7)
+    val points = (1 to 300).map { i =>
+      (i.toLong, s"u${i % 5}", ts(f"2024-01-01 ${rnd.nextInt(24)}%02d:${rnd.nextInt(60)}%02d:00"))
+    }.toDF("pid", "user", "ts")
+    val intervals = (1 to 40).map { i =>
+      val h = rnd.nextInt(22)
+      (i.toLong, s"u${i % 5}",
+        ts(f"2024-01-01 $h%02d:00:00"), ts(f"2024-01-01 ${h + 1}%02d:30:00"))
+    }.toDF("iid", "user", "w_start", "w_end")
+
+    val bucketed = Temporal.rangeJoinBucketed(points, intervals,
+      Seq("user"), "ts", "w_start", "w_end", bucketSeconds = 1800L)
+      .select("pid", "iid").collect().map(_.toSeq).toSet
+    val naive = points.join(intervals, "user")
+      .filter($"ts" >= $"w_start" && $"ts" <= $"w_end")
+      .select("pid", "iid").collect().map(_.toSeq).toSet
+    assert(bucketed == naive && naive.nonEmpty)
+  }
+
+  test("rangeJoinBucketed: boundary timestamps are inclusive both ends") {
+    val points = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00")), // == start
+      (2L, "u", ts("2024-01-01 11:00:00")), // == end
+      (3L, "u", ts("2024-01-01 11:00:01"))  // just past end
+    ).toDF("pid", "user", "ts")
+    val intervals = Seq(
+      (1L, "u", ts("2024-01-01 10:00:00"), ts("2024-01-01 11:00:00")))
+      .toDF("iid", "user", "w_start", "w_end")
+    val got = Temporal.rangeJoinBucketed(points, intervals, Seq("user"),
+      "ts", "w_start", "w_end", 600L)
+      .select("pid").as[Long].collect().toSet
+    assert(got == Set(1L, 2L))
+  }
+}
