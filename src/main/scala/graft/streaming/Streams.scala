@@ -136,4 +136,53 @@ object Streams {
       .withColumn("content_md5", md5(col(textCol)))
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_md5")
+
+  // ---- streaming as-of enrichment ----
+
+  /** One tagged row of the merged as-of stream: side 0 = reference
+    * update (new "latest" value for the key), side 1 = query row to
+    * enrich. Side 0 sorts first at equal timestamps, mirroring the
+    * batch [[graft.operators.Temporal.asofJoin]]'s `<=` semantics.
+    */
+  final case class AsofEv(user_id: Long, ts: Timestamp, side: Int,
+                          id: Long, value: Double)
+  final case class AsofLatest(ts: Timestamp, value: Double)
+  final case class AsofOut(id: Long, user_id: Long, ts: Timestamp,
+                           value: Double, asof_value: Option[Double])
+
+  /** Streaming twin of the batch as-of join: queries are enriched with
+    * the latest update value per key seen SO FAR. State is O(1) per
+    * key (just the newest (ts, value)), so cardinality — not history —
+    * bounds memory; no timeout is needed. Within a micro-batch, rows
+    * process in (ts, side) order, so an update and a query landing in
+    * the same batch still enrich correctly; across batches the stream
+    * is inherently arrival-ordered — late updates enrich only later
+    * queries (document this divergence from the batch operator, which
+    * sees all data).
+    */
+  def streamingAsofEnrich(tagged: Dataset[AsofEv]): Dataset[AsofOut] = {
+    import tagged.sparkSession.implicits._
+
+    def fn(user: Long, rows: Iterator[AsofEv], state: GroupState[AsofLatest])
+        : Iterator[AsofOut] = {
+      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.side, e.id))
+      var latest = state.getOption
+      val out = Seq.newBuilder[AsofOut]
+      sorted.foreach { e =>
+        if (e.side == 0) {
+          if (latest.forall(_.ts.getTime <= e.ts.getTime))
+            latest = Some(AsofLatest(e.ts, e.value))
+        } else {
+          out += AsofOut(e.id, user, e.ts, e.value,
+            latest.filter(_.ts.getTime <= e.ts.getTime).map(_.value))
+        }
+      }
+      latest.foreach(state.update)
+      out.result().iterator
+    }
+
+    tagged.groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append,
+        GroupStateTimeout.NoTimeout)(fn)
+  }
 }

@@ -90,4 +90,37 @@ class StreamsSpec extends SparkSpec {
       assert(ids.intersect(Set(1L, 2L)).size == 1)
     } finally q.stop()
   }
+
+  test("streaming as-of enrich: latest update wins, state survives batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[Streams.AsofEv]
+    val q = Streams.streamingAsofEnrich(in.toDS())
+      .writeStream.format("memory").queryName("asof_stream")
+      .outputMode("append").start()
+    try {
+      // batch 1: update u1=5.0 @t0; query @t10 sees it; query @t(-5)
+      // (before the update) sees nothing; same-ts query sees update
+      in.addData(
+        Streams.AsofEv(1L, ts(10), 0, 100L, 5.0),
+        Streams.AsofEv(1L, ts(20), 1, 1L, 0.0),
+        Streams.AsofEv(1L, ts(5), 1, 2L, 0.0),
+        Streams.AsofEv(1L, ts(10), 1, 3L, 0.0))
+      q.processAllAvailable()
+      // batch 2: state carries over; new update replaces it
+      in.addData(
+        Streams.AsofEv(1L, ts(30), 1, 4L, 0.0),
+        Streams.AsofEv(1L, ts(40), 0, 101L, 7.0),
+        Streams.AsofEv(1L, ts(50), 1, 5L, 0.0),
+        Streams.AsofEv(2L, ts(50), 1, 6L, 0.0)) // other key: no state
+      q.processAllAvailable()
+      val rows = spark.table("asof_stream")
+        .select("id", "asof_value")
+        .collect()
+        .map(r => (r.getLong(0), Option(r.get(1)).map(_.asInstanceOf[Double])))
+        .toMap
+      assert(rows == Map(
+        1L -> Some(5.0), 2L -> None, 3L -> Some(5.0),
+        4L -> Some(5.0), 5L -> Some(7.0), 6L -> None))
+    } finally q.stop()
+  }
 }
