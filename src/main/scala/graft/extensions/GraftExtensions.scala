@@ -64,5 +64,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
     ext.injectOptimizerRule(_ => NativeDotProductRule)
+    // opt-in: spark.graft.pivotRewrite=true (see JoinChainToPivotRule)
+    ext.injectOptimizerRule(_ => JoinChainToPivotRule)
   }
 }

@@ -102,4 +102,41 @@ class PropertiesSpec extends SparkSpec {
       Option(r.get(0))).toSeq == Seq(Some(1.5), Some(2.5), None, Some(4.0)),
       "unparseable values become null after cast")
   }
+
+  test("asofJoin ≡ naive max-ts-below join on random keyed streams") {
+    import java.sql.Timestamp
+    val evGen: Gen[(Int, Int)] = for {
+      k <- Gen.choose(0, 4)
+      t <- Gen.choose(0, 2000)
+    } yield (k, t)
+    def mkTs(t: Int) = new Timestamp(1700000000000L + t * 1000L)
+    for (round <- 1 to 3) {
+      val params = Gen.Parameters.default.withSize(60)
+      val ls = (1 to 60).flatMap(i =>
+        evGen.apply(params, Seed(round * 1000L + i)))
+      val rs0 = (1 to 60).flatMap(i =>
+        evGen.apply(params, Seed(round * 2000L + i)))
+      // unique (key, ts) on the right, as the operator requires
+      val rs = rs0.distinctBy(identity).zipWithIndex
+      val left = ls.zipWithIndex
+        .map { case ((k, t), i) => (i.toLong, s"k$k", mkTs(t)) }
+        .toDF("id", "key", "ts")
+      val right = rs
+        .map { case ((k, t), i) => (s"k$k", mkTs(t), i.toDouble) }
+        .toDF("key", "ts", "v")
+
+      val got = Temporal.asofJoin(left, right, Seq("key"), "ts", Seq("v"))
+        .select("id", "asof_v").collect()
+        .map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      // naive: per left row, the max right ts <= left ts, then its value
+      val naive = left.as("l")
+        .join(right.as("r"),
+          expr("l.key = r.key AND r.ts <= l.ts"), "left")
+        .groupBy($"l.id")
+        .agg(max(struct($"r.ts", $"r.v")).as("best"))
+        .select($"id", $"best.v")
+        .collect().map(r => r.getLong(0) -> Option(r.get(1))).toMap
+      assert(got == naive, s"round $round mismatch")
+    }
+  }
 }
