@@ -128,18 +128,32 @@ object CoreQueries {
         .orderBy("o_orderkey")),
 
     // O1/O2 — deterministic top-5 suppliers by rows in sparse groups.
+    // ONE scan: the per-pair aggregate carries both the sparseness
+    // count (non-null) and the total row count, so eliminated rows per
+    // supplier are a re-aggregation of the pair aggregate — no
+    // semi-join back into the fact table (the reference's join-back
+    // form stays exercised by q_anti).
     "q_topk" -> ((s, d) => {
-      val li = Tables.lineitem(s, d)
-      val sparse = li.groupBy("l_suppkey", "l_partkey")
-        .agg(count(col("l_quantity")).as("n_obs"))
-        .filter(col("n_obs") < 3)
-        .select("l_suppkey", "l_partkey")
-      val eliminated = li.join(sparse, Seq("l_suppkey", "l_partkey"),
-        "left_semi")
+      val perPair = Tables.lineitem(s, d)
+        .groupBy("l_suppkey", "l_partkey")
+        .agg(count(col("l_quantity")).as("n_obs"),
+          count(lit(1)).as("n_rows"))
+      val eliminated = perPair.filter(col("n_obs") < 3)
         .groupBy("l_suppkey")
-        .agg(count(lit(1)).as("n_eliminated"))
+        .agg(sum(col("n_rows")).as("n_eliminated"))
       topK(eliminated, "n_eliminated", "l_suppkey", 5)
     }),
+
+    // F4/U1/U3/X6 composite — the reference's entity-catalog assembly
+    // (union of per-table distinct names + dedup + surrogate ids)
+    // exercised over harness dimensions, giving the pipeline operator
+    // itself an oracle row (ConsolidateSpec pins the quirk details).
+    "q_entity_catalog" -> ((s, d) =>
+      graft.pipeline.Steps.entityCatalog(Seq(
+        (Tables.supplier(s, d), "s_name", "Proveedor",
+          "Proveedores del sistema"),
+        (Tables.customer(s, d), "c_name", "Cliente",
+          "Clientes del sistema"))).get),
 
     // X6 — global row numbering over a joined dimension.
     "q_rownum" -> ((s, d) => {
@@ -176,12 +190,15 @@ object CoreQueries {
     // reference's {view}.csv layout): write via the rename-based
     // single-file path, re-read with an explicit schema (the CSV
     // carries no types; inferSchema would turn ship_date into a DATE
-    // and break hash parity with the string-typed oracle).
+    // and break hash parity with the string-typed oracle). One month
+    // of the spine: single-file CSV is the small-view layout — the
+    // full fact path stays multi-part parquet (q_roundtrip).
     "q_csv_roundtrip" -> ((s, d) => {
       val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip.csv"
       graft.io.Csv.write(
-        attachDim(spineDf(s, d), Tables.supplier(s, d),
-          "l_suppkey", "s_suppkey", Seq("s_name"))
+        attachDim(
+          spineDf(s, d).filter(col("ship_date").startsWith("1997-03")),
+          Tables.supplier(s, d), "l_suppkey", "s_suppkey", Seq("s_name"))
           .select("ship_date", "l_suppkey", "s_name"),
         out, singleFile = true)
       graft.io.Csv.read(s, out, Some(
@@ -318,6 +335,18 @@ object CoreQueries {
         |  WHERE s.l_suppkey = l.l_suppkey AND s.l_partkey = l.l_partkey)
         |GROUP BY 1 ORDER BY n_eliminated DESC, l.l_suppkey LIMIT 5""".stripMargin,
 
+    "q_entity_catalog" ->
+      """WITH merged AS (
+        |  SELECT DISTINCT s_name AS nombre, 'Proveedor' AS tipo,
+        |         'Proveedores del sistema' AS descripcion
+        |  FROM supplier WHERE s_name IS NOT NULL
+        |  UNION ALL
+        |  SELECT DISTINCT c_name, 'Cliente', 'Clientes del sistema'
+        |  FROM customer WHERE c_name IS NOT NULL)
+        |SELECT CAST(row_number() OVER (ORDER BY tipo, nombre) AS BIGINT)
+        |    AS id, nombre, tipo, descripcion
+        |FROM merged ORDER BY tipo, nombre""".stripMargin,
+
     "q_rownum" ->
       """SELECT ROW_NUMBER() OVER (ORDER BY n_name, s_name) AS rn,
         |       s_name, n_name
@@ -338,13 +367,14 @@ object CoreQueries {
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
 
-    // CSV round-trip is value-identical to the parquet one: the sink
-    // serializes and the explicit-schema re-read restores the same
-    // (string, bigint, string) row set
+    // CSV round-trip is value-identical to the parquet one on its
+    // month slice: the sink serializes and the explicit-schema re-read
+    // restores the same (string, bigint, string) row set
     "q_csv_roundtrip" ->
       """SELECT sp.ship_date, sp.l_suppkey, s.s_name
         |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
-        |             l_suppkey FROM lineitem) sp
+        |             l_suppkey FROM lineitem
+        |      WHERE strftime(l_shipdate, '%Y-%m') = '1997-03') sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
 

@@ -71,6 +71,33 @@ class TemporalSpec extends SparkSpec {
     assert(bucketed == naive && naive.nonEmpty)
   }
 
+  test("asofJoin plans exactly one shuffle — union-sort, no join operator") {
+    val left = (1 to 200).map(i => (i.toLong, s"u${i % 7}",
+      ts(f"2024-01-01 ${i % 24}%02d:00:00"))).toDF("id", "user", "ts")
+    val right = (1 to 100).map(i => (s"u${i % 7}",
+      ts(f"2024-01-01 ${i % 24}%02d:30:00"), i.toDouble))
+      .distinct.toDF("user", "ts", "v")
+    val plan = Temporal.asofJoin(left, right, Seq("user"), "ts", Seq("v"))
+      .queryExecution.executedPlan.toString
+    val shuffles = "Exchange hashpartitioning".r.findAllIn(plan).size
+    assert(shuffles == 1, s"expected exactly 1 shuffle:\n$plan")
+    assert(!plan.contains("Join"), s"as-of must not plan a join:\n$plan")
+  }
+
+  test("rangeJoinBucketed plans an equi-join, never a nested loop") {
+    val points = (1 to 100).map(i => (i.toLong, s"u${i % 3}",
+      ts(f"2024-01-01 ${i % 24}%02d:00:00"))).toDF("pid", "user", "ts")
+    val intervals = (1 to 20).map(i => (i.toLong, s"u${i % 3}",
+      ts(f"2024-01-01 ${i % 22}%02d:00:00"),
+      ts(f"2024-01-01 ${i % 22 + 2}%02d:00:00")))
+      .toDF("iid", "user", "w_start", "w_end")
+    val plan = Temporal.rangeJoinBucketed(points, intervals, Seq("user"),
+      "ts", "w_start", "w_end", 3600L)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("NestedLoop") && !plan.contains("Cartesian"),
+      s"range join must stay an equi-join:\n$plan")
+  }
+
   test("rangeJoinBucketed: boundary timestamps are inclusive both ends") {
     val points = Seq(
       (1L, "u", ts("2024-01-01 10:00:00")), // == start
