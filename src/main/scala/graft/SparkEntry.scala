@@ -19,7 +19,7 @@ object SparkEntry {
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ CatalogQueries.queries ++
-      TemporalQueries.queries
+      TemporalQueries.queries ++ CurationQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +27,5 @@ object SparkEntry {
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
       CatalogQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      TemporalQueries.oracleSql
+      TemporalQueries.oracleSql ++ CurationQueries.oracleSql
 }

@@ -1,0 +1,85 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Dataset-curation operators for training-data pipelines: sampling,
+  * split assignment, sequence packing, decontamination. None exist in
+  * the reference; all are first-class needs at 100 TB corpus scale.
+  *
+  * Every random-looking decision here is DETERMINISTIC hash
+  * arithmetic (md5-prefix buckets, Portable.hash32): seeded RNG
+  * sampling is irreproducible across engines/partitionings, while a
+  * content-keyed hash gives the same holdout on any engine, any day —
+  * which is what makes train/test splits auditable. No shuffle is
+  * needed for sampling/splitting at all (pure row-local projection);
+  * packing is one window per source; decontamination is a shingle
+  * semi-join (shuffle on shingle, never doc×doc).
+  */
+object Curation {
+
+  /** Stable bucket in [0, buckets) from the md5-prefix hash of a
+    * column's string form — engine-portable (DuckDB mirrors it).
+    */
+  def hashBucket(c: Column, buckets: Int = 100): Column =
+    Portable.hash32(c.cast("string")) % buckets
+
+  /** Deterministic sample: keeps rows whose key hashes into the first
+    * `pct` of 100 buckets. Sampling a fact table costs a scan, zero
+    * shuffles.
+    */
+  def hashSample(df: DataFrame, keyCol: String, pct: Int): DataFrame =
+    df.filter(hashBucket(col(keyCol)) < pct)
+
+  /** Train/val/test assignment by hash bucket: [0,train) → "train",
+    * [train, train+valPct) → "val", rest → "test". Row-local.
+    */
+  def datasetSplit(df: DataFrame, keyCol: String, trainPct: Int = 80,
+                   valPct: Int = 10): DataFrame = {
+    val b = hashBucket(col(keyCol))
+    df.withColumn("split",
+      when(b < trainPct, "train")
+        .when(b < trainPct + valPct, "val")
+        .otherwise("test"))
+  }
+
+  /** Cumulative-quota sequence packing: within each `groupCol`
+    * partition ordered by `idCol`, documents are assigned to packs of
+    * ~`budget` tokens by exclusive prefix sum — pack =
+    * floor(tokens_before / budget). This is the deterministic
+    * streaming-packing policy (a doc overflowing the quota starts
+    * inside the current pack and pushes the next doc out), NOT optimal
+    * bin packing — which is NP-hard and order-unstable. One window
+    * per group; shuffle on groupCol only.
+    */
+  def packSequences(df: DataFrame, idCol: String, tokenCountCol: String,
+                    budget: Long, groupCol: String): DataFrame = {
+    val w = Window.partitionBy(groupCol).orderBy(idCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("__cum", sum(col(tokenCountCol)).over(w))
+      .withColumn("pack_id",
+        floor((col("__cum") - col(tokenCountCol)) / budget).cast("long"))
+      .drop("__cum")
+  }
+
+  /** Decontamination: drop (or flag) training docs sharing at least
+    * one k-word shingle with the benchmark set. The comparison is a
+    * semi-join on the shingle key — shuffle volume is the shingle
+    * tables, never |train|×|bench|.
+    */
+  def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
+                      textCol: String, k: Int = 3): DataFrame = {
+    val t = Dedup.docShingles(train, idCol, textCol, k)
+    val b = Dedup.docShingles(bench, idCol, textCol, k)
+      .select(col("shingle")).distinct()
+    t.join(b, Seq("shingle"), "left_semi").select(col(idCol)).distinct()
+  }
+
+  def decontaminate(train: DataFrame, bench: DataFrame, idCol: String,
+                    textCol: String, k: Int = 3): DataFrame =
+    train.join(contaminatedIds(train, bench, idCol, textCol, k),
+      Seq(idCol), "left_anti")
+}

@@ -1,0 +1,103 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+import graft.model.Tables
+import graft.operators.Curation
+
+/** Dataset-curation queries over `documents`: deterministic hash
+  * sampling, train/val/test split, cumulative-quota sequence packing,
+  * and shingle-overlap decontamination. All hash decisions are
+  * md5-prefix arithmetic mirrored verbatim in the DuckDB oracles, so
+  * the "random" splits hash-match bit-for-bit.
+  */
+object CurationQueries {
+  type Q = (SparkSession, String) => DataFrame
+
+  private val K = 3
+  private val PackBudget = 256L
+
+  private def docs(s: SparkSession, d: String): DataFrame =
+    Tables.documents(s, d)
+
+  val queries: Map[String, Q] = Map(
+    // deterministic 10% sample by doc_id hash bucket
+    "q_hash_sample" -> ((s, d) =>
+      Curation.hashSample(docs(s, d), "doc_id", pct = 10)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
+
+    // 80/10/10 split assignment; aggregate counts per (split, source)
+    "q_dataset_split" -> ((s, d) =>
+      Curation.datasetSplit(docs(s, d), "doc_id")
+        .groupBy("split", "source")
+        .agg(count(lit(1)).as("n_docs"))
+        .orderBy("split", "source")),
+
+    // pack docs into ~256-token packs per source, ordered by doc_id
+    "q_seq_pack" -> ((s, d) =>
+      Curation.packSequences(
+        docs(s, d).withColumn("n_tokens",
+          size(Portable.tokens(col("text"))).cast("long")),
+        "doc_id", "n_tokens", PackBudget, "source")
+        .select("doc_id", "source", "n_tokens", "pack_id")
+        .orderBy("doc_id")),
+
+    // decontamination: training docs sharing a 3-shingle with the
+    // benchmark slice (every 20th doc) are dropped
+    "q_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      val bench = all.filter(col("doc_id") % 20 === 0)
+      val train = all.filter(col("doc_id") % 20 =!= 0)
+      Curation.decontaminate(train, bench, "doc_id", "text", K)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }))
+
+  // ---- oracle SQL, same constants ----
+
+  private def bucketSql(e: String): String =
+    s"${Portable.hash32Sql(s"CAST($e AS VARCHAR)")} % 100"
+
+  private val shingleSqlOf =
+    s"""toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t
+       |  FROM documents),
+       |sh AS (SELECT DISTINCT doc_id,
+       |    unnest(${Portable.shinglesSql("t", K)}) AS s
+       |  FROM toks)""".stripMargin
+
+  val oracleSql: Map[String, String] = Map(
+    "q_hash_sample" ->
+      s"""SELECT doc_id, lang, source FROM documents
+         |WHERE ${bucketSql("doc_id")} < 10
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_dataset_split" ->
+      s"""SELECT CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+         |            WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+         |            ELSE 'test' END AS split,
+         |       source, count(*) AS n_docs
+         |FROM documents GROUP BY 1, 2 ORDER BY split, source""".stripMargin,
+
+    "q_seq_pack" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents)
+         |SELECT doc_id, source, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+         |    / $PackBudget) AS BIGINT) AS pack_id
+         |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_decontam" ->
+      s"""WITH $shingleSqlOf,
+         |bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM bench_sh))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 20 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin)
+}

@@ -1,0 +1,78 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Curation operators: determinism of hash splits, packing arithmetic,
+  * decontamination semantics.
+  */
+class CurationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = Seq(
+    (1L, "alpha beta gamma delta"),
+    (2L, "epsilon zeta eta theta"),
+    (3L, "alpha beta gamma delta prime"),
+    (4L, "totally unrelated words here"),
+    (20L, "alpha beta gamma benchmark")).toDF("doc_id", "text")
+
+  test("hash sampling is deterministic and partition-independent") {
+    val a = Curation.hashSample(docs, "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    val b = Curation.hashSample(docs.repartition(7), "doc_id", 50)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == b, "same sample regardless of partitioning")
+    // monotone: a larger pct only adds rows
+    val bigger = Curation.hashSample(docs, "doc_id", 90)
+      .select("doc_id").as[Long].collect().toSet
+    assert(a.subsetOf(bigger))
+    assert(Curation.hashSample(docs, "doc_id", 100).count() == docs.count())
+    assert(Curation.hashSample(docs, "doc_id", 0).count() == 0)
+  }
+
+  test("split buckets partition the corpus and respect percentages") {
+    val n = 500
+    val many = (1L to n).map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val split = Curation.datasetSplit(many, "doc_id", 80, 10)
+    val counts = split.groupBy("split").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.values.sum == n)
+    // md5 buckets are uniform-ish; generous tolerance, deterministic seed
+    assert(counts("train") > n * 70 / 100 && counts("train") < n * 90 / 100,
+      counts.toString)
+    assert(counts.keySet == Set("train", "val", "test"))
+    // every doc keeps its split across runs/partitionings
+    val again = Curation.datasetSplit(many.repartition(13), "doc_id", 80, 10)
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val first = split.select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(again == first)
+  }
+
+  test("packSequences: exclusive-prefix quota arithmetic per group") {
+    val df = Seq(
+      (1L, "g", 100L), (2L, "g", 100L), (3L, "g", 100L), // cum 0,100,200
+      (4L, "g", 100L),                                   // cum 300 → pack 1
+      (5L, "h", 900L),                                   // own group
+      (6L, "h", 50L)                                     // pack 3 (900/256)
+    ).toDF("id", "grp", "toks")
+    val out = Curation.packSequences(df, "id", "toks", 256L, "grp")
+      .select("id", "pack_id").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 1L,
+      5L -> 0L, 6L -> 3L), out.toString)
+  }
+
+  test("decontamination drops exactly the shingle-sharing train docs") {
+    val bench = docs.filter($"doc_id" === 20L)
+    val train = docs.filter($"doc_id" =!= 20L)
+    // docs 1 and 3 share the "alpha beta gamma" 3-shingle with bench;
+    // 2 and 4 share nothing
+    val contaminated = Curation.contaminatedIds(train, bench,
+      "doc_id", "text").as[Long].collect().toSet
+    assert(contaminated == Set(1L, 3L))
+    val clean = Curation.decontaminate(train, bench, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    assert(clean == Set(2L, 4L))
+  }
+}
