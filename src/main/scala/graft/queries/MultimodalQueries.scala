@@ -32,6 +32,19 @@ object MultimodalQueries {
         .orderBy("asset_id")
     }),
 
+    // resize then re-extract: payload truncated by the stub codec's
+    // area ratio (64×64 → 32×32 keeps a quarter, min 1 byte), features
+    // recomputed over the resized bytes
+    "q_media_resize" -> ((s, d) => {
+      val assets = Multimodal.asAssets(
+        Tables.documents(s, d), "doc_id", "text", "image_stub")
+      Multimodal.extractFeatures(Multimodal.resizeAssets(assets, 32, 32))
+        .toDF()
+        .select(col("asset_id"), col("n_bytes"),
+          round(col("luma_mean"), 6).as("luma_mean"))
+        .orderBy("asset_id")
+    }),
+
     // frame sampling: payload → per-frame rows
     "q_media_frames" -> ((s, d) => {
       val assets = Multimodal.asAssets(
@@ -51,6 +64,28 @@ object MultimodalQueries {
       """WITH RECURSIVE b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS pos, 17 AS acc, CAST(0 AS BIGINT) AS s, n
+        |  FROM b
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    (r.acc * 31 + CAST('0x' || substr(b.hx, r.pos*2+1, 2) AS INT)) & 255,
+        |    r.s + ((r.acc * 31 + CAST('0x' || substr(b.hx, r.pos*2+1, 2) AS INT)) & 255),
+        |    r.n
+        |  FROM r JOIN b USING (doc_id) WHERE r.pos < r.n)
+        |SELECT doc_id AS asset_id, CAST(n AS BIGINT) AS n_bytes,
+        |  round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE)/n END, 6)
+        |    AS luma_mean
+        |FROM r WHERE pos = n ORDER BY asset_id""".stripMargin,
+
+    // resize truncates the payload to the area ratio (min 1 byte);
+    // the same rolling-luma CTE just stops at the resized length
+    "q_media_resize" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         greatest(1, (octet_length(encode(text)) * 1024) // 4096)
+        |           AS n
         |  FROM documents),
         |r AS (
         |  SELECT doc_id, 0 AS pos, 17 AS acc, CAST(0 AS BIGINT) AS s, n

@@ -113,6 +113,21 @@ class OrchestratorSpec extends SparkSpec {
     assert(report.topEliminated().head.table == "temp_max_absoluta")
   }
 
+  test("runWithCatalog resolves tables via the dictionary name mapping") {
+    val outDir = Files.createTempDirectory("graft_ine_out4").toString
+    val cat = graft.model.Catalogs.load("/root/reference/dictionary")
+    val report = Orchestrator.runWithCatalog(spark, cat,
+      rawDir.toString, outDir, "/root/reference/dictionary",
+      singleFileCsv = true)
+    val byName = report.views.map(v => v.name -> v).toMap
+    // the fixture files carry standardized names → found through
+    // catalog.pathFor; absent members → error rows, run completes
+    assert(byName("v_temperatura").status == "success")
+    assert(byName("v_temperatura").rows == 7)
+    assert(byName("v_estaciones").rows == 98)
+    assert(report.views.size == 33)
+  }
+
   test("a failing view is captured as error and the run continues") {
     val outDir = Files.createTempDirectory("graft_ine_out3").toString
     val poison: String => Option[DataFrame] = {
