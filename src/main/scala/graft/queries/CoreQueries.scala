@@ -207,6 +207,28 @@ object CoreQueries {
         .orderBy("ship_date", "l_suppkey")
     }),
 
+    // S5 — JDBC round-trip through an embedded Derby database (the
+    // derby jars ship with Spark): overwrite-mode write with the
+    // reference's 1000-row batching, then spark.read.jdbc back. The
+    // oracle recomputes the aggregate directly, so a hash match proves
+    // the sink+source preserve values (decimal money sums stay
+    // bit-exact through Derby's DOUBLE).
+    "q_jdbc_roundtrip" -> ((s, d) => {
+      val cfg = graft.io.Jdbc.JdbcConfig(
+        url = "jdbc:derby:memory:graftverify;create=true",
+        user = "", password = "",
+        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver",
+        numPartitions = 2)
+      val agg = Tables.supplier(s, d)
+        .join(Tables.nation(s, d),
+          col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(count(lit(1)).as("n_suppliers"),
+          moneySum(col("s_acctbal")).as("total_acctbal"))
+      graft.io.Jdbc.write(agg, "jdbc_rt", cfg)
+      graft.io.Jdbc.read(s, "jdbc_rt", cfg).orderBy("n_name")
+    }),
+
     // Flagship — pricing summary (TPC-H Q1 shape), exact decimal money.
     "q_agg" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -377,6 +399,15 @@ object CoreQueries {
         |      WHERE strftime(l_shipdate, '%Y-%m') = '1997-03') sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    // the oracle recomputes the aggregate the Spark side pushed
+    // through Derby — equality proves sink+source value fidelity
+    "q_jdbc_roundtrip" ->
+      """SELECT n_name, COUNT(*) AS n_suppliers,
+        |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS total_acctbal
+        |FROM supplier JOIN nation ON s_nationkey = n_nationkey
+        |GROUP BY n_name ORDER BY n_name""".stripMargin,
 
     "q_agg" ->
       """SELECT l_returnflag, l_linestatus,
