@@ -38,6 +38,9 @@ object Temporal {
                tsCol: String, payloadCols: Seq[String],
                prefix: String = "asof_"): DataFrame = {
     val leftCols = left.columns.toSeq
+    payloadCols.foreach(c => require(!leftCols.contains(prefix + c),
+      s"output column '$prefix$c' collides with a left column; " +
+        "pass a different prefix"))
     val carryCols = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
     // tag: right=0 sorts before left=1 at equal ts, so `<=` holds
     val lTagged = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {

@@ -128,6 +128,30 @@ class OrchestratorSpec extends SparkSpec {
     assert(report.views.size == 33)
   }
 
+  test("same-day re-run: clean + re-emit under the dated run layout") {
+    import graft.io.RunPaths
+    val base = Files.createTempDirectory("graft_runs_e2e").toString
+    val today = java.time.LocalDate.of(2026, 8, 12)
+
+    def runOnce(): Orchestrator.RunReport = {
+      RunPaths.cleanRun(spark, base, today) // limpiar_ejecucion_previa
+      Orchestrator.run(spark, load, RunPaths.runDir(base, today),
+        filterStations = true, singleFileCsv = true)
+    }
+    val first = runOnce()
+    val marker = java.nio.file.Paths.get(
+      RunPaths.runDir(base, today), "views", "stale_leftover.csv")
+    Files.write(marker, "stale".getBytes)
+    val second = runOnce()
+    // the re-run wiped the day's folder: no stale file, views re-emitted
+    assert(!Files.exists(marker), "same-day cleanup must remove leftovers")
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      RunPaths.runDir(base, today), "views", "v_temperatura.csv")))
+    assert(second.views.map(_.name).toSet == first.views.map(_.name).toSet)
+    assert(RunPaths.latestRun(spark, base).get
+      .endsWith(RunPaths.runFolder(today)))
+  }
+
   test("a failing view is captured as error and the run continues") {
     val outDir = Files.createTempDirectory("graft_ine_out3").toString
     val poison: String => Option[DataFrame] = {
