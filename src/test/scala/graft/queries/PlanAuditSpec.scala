@@ -1,0 +1,62 @@
+package graft.queries
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Plan audit as assertions, not prose: column pruning must reach the
+  * parquet ReadSchema, predicates must reach PushedFilters, and
+  * whole-stage codegen must cover the scan→agg path. These are the
+  * properties that decide whether a 100 TB scan reads 3 columns or
+  * 16. Assertions read the FINAL (post-AQE) executed-plan string —
+  * query stages hide the scan nodes from plan.collect.
+  */
+class PlanAuditSpec extends SparkSpec {
+
+  private def finalPlan(df: DataFrame): String = {
+    df.collect() // force execution so AQE finalizes the plan
+    df.queryExecution.executedPlan.toString
+  }
+
+  test("projection prunes the parquet ReadSchema to selected columns") {
+    val plan = finalPlan(
+      Tables.lineitem(spark, sf)
+        .select("l_orderkey", "l_quantity")
+        .groupBy("l_orderkey").agg(sum("l_quantity")))
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("")
+    val cols = read.split(",").map(_.split(":")(0)).toSet
+    assert(cols == Set("l_orderkey", "l_quantity"),
+      s"scan must read only the projected columns, got '$read'")
+  }
+
+  test("filters are pushed down to the parquet scan") {
+    val plan = finalPlan(
+      Tables.lineitem(spark, sf)
+        .filter(col("l_suppkey") === 7L)
+        .select("l_orderkey", "l_suppkey"))
+    assert(plan.contains("EqualTo(l_suppkey,7)"),
+      s"expected pushed equality filter:\n$plan")
+  }
+
+  test("scan→aggregate runs inside whole-stage codegen") {
+    val plan = finalPlan(
+      Tables.lineitem(spark, sf)
+        .groupBy("l_returnflag").agg(sum("l_quantity")))
+    // codegen'd operators render as "*(stageId) Op" in the tree
+    assert("""\*\(\d+\) HashAggregate""".r.findFirstIn(plan).isDefined,
+      s"agg path must be codegen'd:\n$plan")
+  }
+
+  test("dimension join broadcasts the small side") {
+    val plan = finalPlan(
+      Tables.supplier(spark, sf)
+        .join(Tables.nation(spark, sf),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "n_name"))
+    assert(plan.contains("BroadcastHashJoin"),
+      s"nation is KB-sized and must broadcast:\n$plan")
+  }
+}
