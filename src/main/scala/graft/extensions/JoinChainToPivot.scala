@@ -94,6 +94,10 @@ object JoinChainToPivotRule extends Rule[LogicalPlan] {
     case Join(left, agg: Aggregate, LeftOuter, Some(cond), _) =>
       keyPairsOf(cond, left.outputSet, agg.outputSet) match {
         case Some(pairs) if pairs.nonEmpty &&
+            // distinct LEFT keys too: spine.k = m.k1 AND spine.k = m.k2
+            // would collapse to one mapping and silently drop an
+            // equality constraint in the rebuilt join
+            pairs.map(_._1.exprId).distinct.size == pairs.size &&
             eligibleMember(agg, pairs.map(_._2)) =>
           val (spine, below) = peel(left)
           // every left key must come from the shared spine, and every
@@ -174,12 +178,26 @@ object JoinChainToPivotRule extends Rule[LogicalPlan] {
     Project(top.output, joined)
   }
 
+  /** Members must agree on the output TYPE at every payload slot:
+    * coercing member 2's double through member 1's decimal slot and
+    * back would silently round — when slots disagree, the chain keeps
+    * its joins.
+    */
+  private def slotTypesAligned(links: Seq[Link]): Boolean = {
+    val width = links.map(_.agg.output.size).max
+    (0 until width).forall { j =>
+      links.flatMap(_.agg.output.lift(j)).map(_.dataType).distinct.size <= 1
+    }
+  }
+
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString("spark.graft.pivotRewrite", "false").toBoolean)
       plan
     else plan.transformDown {
       case j: Join =>
         val (spine, links) = peel(j)
-        if (links.size >= 2) rewrite(j, spine, links) else j
+        if (links.size >= 2 && slotTypesAligned(links))
+          rewrite(j, spine, links)
+        else j
     }
 }

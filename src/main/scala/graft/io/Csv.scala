@@ -66,7 +66,11 @@ object Csv {
         .getOrElse(throw new IllegalStateException(
           s"no part file under $tmp"))
       if (fs.exists(target)) fs.delete(target, true)
-      fs.rename(part, target)
+      // Hadoop rename reports most failures via the boolean, not an
+      // exception — an unchecked false here followed by the temp-dir
+      // delete would silently destroy the only copy of the output
+      if (!fs.rename(part, target))
+        throw new java.io.IOException(s"rename $part -> $target failed")
       fs.delete(tmp, true)
     }
 }

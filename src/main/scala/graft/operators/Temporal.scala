@@ -42,28 +42,32 @@ object Temporal {
       s"output column '$prefix$c' collides with a left column; " +
         "pass a different prefix"))
     val carryCols = leftCols.filterNot(c => keys.contains(c) || c == tsCol)
+    // the payload travels as ONE struct, non-null for every right row:
+    // filling columns independently with last(ignoreNulls) would skip
+    // a genuinely-NULL payload in the latest right row in favor of an
+    // older row's value (and could even mix columns from different
+    // rows) — the struct keeps "latest right ROW" semantics, nulls and
+    // all, matching DuckDB's ASOF JOIN
+    val payloadType = org.apache.spark.sql.types.StructType(
+      payloadCols.map(c => org.apache.spark.sql.types.StructField(
+        c, right.schema(c).dataType)))
     // tag: right=0 sorts before left=1 at equal ts, so `<=` holds
-    val lTagged = payloadCols.foldLeft(left.withColumn("__side", lit(1))) {
-      (df, c) =>
-        df.withColumn(s"$prefix$c", lit(null).cast(right.schema(c).dataType))
-    }
+    val lTagged = left.withColumn("__side", lit(1))
+      .withColumn("__asof", lit(null).cast(payloadType))
     val rTagged = carryCols.foldLeft(
-      right.select(
-        (keys :+ tsCol).map(col) ++
-          payloadCols.map(c => col(c).as(s"$prefix$c")): _*)
+      right.select((keys :+ tsCol).map(col) :+
+          struct(payloadCols.map(col): _*).as("__asof"): _*)
         .withColumn("__side", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol).asc, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val filled = payloadCols.foldLeft(lTagged.unionByName(rTagged)) {
-      (df, c) =>
-        df.withColumn(s"$prefix$c",
-          last(col(s"$prefix$c"), ignoreNulls = true).over(w))
-    }
+    val filled = lTagged.unionByName(rTagged)
+      .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))
     filled.filter(col("__side") === 1)
-      .select((leftCols ++ payloadCols.map(prefix + _)).map(col): _*)
+      .select(leftCols.map(col) ++
+        payloadCols.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
   }
 
   /** Bucketed range join: rows of `points` matched to rows of

@@ -85,7 +85,18 @@ object Orchestrator {
       filterStats.sortBy(s => (-s.stationsEliminated, s.table)).take(n)
 
     def toJson: String = {
-      def q(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"") + "\""
+      // full RFC-8259 escape: error messages routinely carry newlines
+      // (Spark embeds plan fragments), which would otherwise make the
+      // report unparseable exactly when it matters most
+      def q(s: String): String = "\"" + s.flatMap {
+        case '"' => "\\\""
+        case '\\' => "\\\\"
+        case '\n' => "\\n"
+        case '\r' => "\\r"
+        case '\t' => "\\t"
+        case c if c < ' ' => f"\\u${c.toInt}%04x"
+        case c => c.toString
+      } + "\""
       def pct(x: Double) = math.round(x * 100.0) / 100.0
       val viewsJson = views.map { v =>
         s"""{"view":${q(v.name)},"status":${q(v.status)},"rows":${v.rows},""" +
@@ -164,9 +175,13 @@ object Orchestrator {
       .getOrElse(Schemas.stationColumns)
     val statsMap =
       new scala.collection.concurrent.TrieMap[String, Steps.FilterStats]
-    val cache = new scala.collection.concurrent.TrieMap[String, Option[DataFrame]]
+    // computeIfAbsent, not TrieMap.getOrElseUpdate: the latter can
+    // evaluate the thunk in two racing view threads and orphan one
+    // persist()ed DataFrame (never unpersisted, table read twice)
+    val cache =
+      new java.util.concurrent.ConcurrentHashMap[String, Option[DataFrame]]
     val load: String => Option[DataFrame] = name =>
-      cache.getOrElseUpdate(name,
+      cache.computeIfAbsent(name, _ =>
         loadRaw(name).map { df =>
           val noFlags = Steps.removeFlagColumns(df)
           if (detailedStats)
@@ -192,11 +207,14 @@ object Orchestrator {
     /** One persisted view → CSV + counted result, errors captured.
       * Single-file mode writes exactly `{view}.csv` like the reference
       * (steps/step5_create_views.py:416-423); multi-part mode writes a
-      * directory per view (the scale path).
+      * directory per view (the scale path). The Try wraps the WHOLE
+      * task — plan building AND the write/count actions, where Spark
+      * failures actually surface — so one bad view degrades to a
+      * status=error row instead of aborting the run.
       */
     def emit(name: String, built: => Option[DataFrame]): ViewResult =
-      Try(built) match {
-        case Success(Some(df0)) =>
+      Try {
+        built.map { df0 =>
           val df = df0.persist()
           try {
             val target =
@@ -205,6 +223,9 @@ object Orchestrator {
             Csv.write(df, target, singleFileCsv)
             ViewResult(name, "success", df.count(), df.columns.toSeq)
           } finally df.unpersist(blocking = false)
+        }
+      } match {
+        case Success(Some(r)) => r
         case Success(None) => ViewResult(name, "error", 0L, Nil)
         case Failure(e) =>
           ViewResult(name, "error", 0L, Nil,
@@ -238,7 +259,8 @@ object Orchestrator {
         statsMap.values.toSeq.sortBy(_.table))
     } finally {
       pool.shutdown()
-      cache.values.flatten.foreach(_.unpersist(blocking = false))
+      import scala.jdk.CollectionConverters._
+      cache.values.asScala.flatten.foreach(_.unpersist(blocking = false))
     }
   }
 

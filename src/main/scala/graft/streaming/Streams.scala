@@ -165,16 +165,25 @@ object Streams {
 
     def fn(user: Long, rows: Iterator[AsofEv], state: GroupState[AsofLatest])
         : Iterator[AsofOut] = {
-      val sorted = rows.toSeq.sortBy(e => (e.ts.getTime, e.side, e.id))
+      // Timestamp.compareTo, never getTime: getTime truncates to
+      // milliseconds while the event data carries microseconds — a
+      // same-millisecond update/query pair would otherwise let a
+      // query see a value from the future
+      val sorted = rows.toSeq.sortWith { (a, b) =>
+        val c = a.ts.compareTo(b.ts)
+        if (c != 0) c < 0
+        else if (a.side != b.side) a.side < b.side
+        else a.id < b.id
+      }
       var latest = state.getOption
       val out = Seq.newBuilder[AsofOut]
       sorted.foreach { e =>
         if (e.side == 0) {
-          if (latest.forall(_.ts.getTime <= e.ts.getTime))
+          if (latest.forall(_.ts.compareTo(e.ts) <= 0))
             latest = Some(AsofLatest(e.ts, e.value))
         } else {
           out += AsofOut(e.id, user, e.ts, e.value,
-            latest.filter(_.ts.getTime <= e.ts.getTime).map(_.value))
+            latest.filter(_.ts.compareTo(e.ts) <= 0).map(_.value))
         }
       }
       latest.foreach(state.update)

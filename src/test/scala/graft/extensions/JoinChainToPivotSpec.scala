@@ -76,6 +76,24 @@ class JoinChainToPivotSpec extends SparkSpec {
     }
   }
 
+  test("no rewrite when members disagree on a payload slot's type") {
+    withFlag(on = true) {
+      val spine = facts.select("period", "station").distinct()
+      val asDouble = measure("A", "a") // sum(double) → double
+      val asCount = facts.filter($"kind" === "B")
+        .groupBy($"period".as("b_p"), $"station".as("b_s"))
+        .agg(count(lit(1)).as("b")) // → long, same slot position
+      val df = spine
+        .join(asDouble, spine("period") === asDouble("a_p") &&
+          spine("station") === asDouble("a_s"), "left")
+        .join(asCount, spine("period") === asCount("b_p") &&
+          spine("station") === asCount("b_s"), "left")
+      // coercing long through the double slot could corrupt values —
+      // the chain must keep its joins
+      assert(joinCount(df) == 2)
+    }
+  }
+
   test("no rewrite when the aggregate groups on extra columns") {
     withFlag(on = true) {
       val spine = facts.select("period", "station").distinct()

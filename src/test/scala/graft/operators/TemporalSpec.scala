@@ -39,6 +39,21 @@ class TemporalSpec extends SparkSpec {
       (4L, None)))     // no rights for u3
   }
 
+  test("asofJoin: a NULL payload in the latest right row stays NULL") {
+    val left = Seq((1L, "u1", ts("2024-01-01 12:00:00")))
+      .toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), Some(1.0)),
+      ("u1", ts("2024-01-01 11:00:00"), None: Option[Double])) // latest, null v
+      .toDF("user", "ts", "v")
+    val r = Temporal.asofJoin(left, right, Seq("user"), "ts", Seq("v"))
+      .collect()(0)
+    // latest-ROW semantics (like DuckDB ASOF): the 11:00 row wins even
+    // though its payload is null — 09:00's 1.0 must NOT leak through
+    assert(r.isNullAt(r.fieldIndex("asof_v")),
+      s"expected null from the latest right row, got $r")
+  }
+
   test("asofJoin carries left payload columns through untouched") {
     val left = Seq((1L, "u1", ts("2024-01-01 10:00:00"), "payload"))
       .toDF("id", "user", "ts", "note")

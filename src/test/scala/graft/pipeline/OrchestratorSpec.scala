@@ -166,4 +166,25 @@ class OrchestratorSpec extends SparkSpec {
     // unrelated views still succeed
     assert(byName("v_volumen_del_embalse_por_embalse").status == "success")
   }
+
+  test("an ACTION-time failure (during the view write) is also captured") {
+    import org.apache.spark.sql.functions.expr
+    val outDir = Files.createTempDirectory("graft_ine_out5").toString
+    // plan builds fine; the error fires only when tasks execute —
+    // where Spark failures actually surface
+    val poison: String => Option[DataFrame] = {
+      case "temp_max_absoluta" => load("temp_max_absoluta")
+        .map(_.withColumn("Value", expr("raise_error('task boom')")))
+      case name => load(name)
+    }
+    val report = Orchestrator.run(spark, poison, outDir,
+      filterStations = true, singleFileCsv = true)
+    val byName = report.views.map(v => v.name -> v).toMap
+    assert(byName("v_temperatura").status == "error",
+      "runtime task failures must degrade to an error row, not abort")
+    assert(byName("v_volumen_del_embalse_por_embalse").status == "success")
+    // the consolidated report stays VALID JSON even with a multi-line
+    // Spark error message embedded
+    new com.fasterxml.jackson.databind.ObjectMapper().readTree(report.toJson)
+  }
 }
