@@ -18,13 +18,24 @@ object Scale {
     * 100–500 MB at production scale.
     */
   def writeBucketed(df: DataFrame, table: String, keys: Seq[String],
-                    numBuckets: Int): Unit =
+                    numBuckets: Int): Unit = {
+    val spark = df.sparkSession
+    // a previous SESSION may have left the managed location on disk
+    // while this session's in-memory catalog has no such table —
+    // saveAsTable(Overwrite) then fails with LOCATION_ALREADY_EXISTS;
+    // drop both the entry and any stale directory first
+    spark.sql(s"DROP TABLE IF EXISTS `$table`")
+    val loc = new org.apache.hadoop.fs.Path(
+      spark.conf.get("spark.sql.warehouse.dir"), table)
+    val fs = loc.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(loc)) fs.delete(loc, true)
     df.write
       .bucketBy(numBuckets, keys.head, keys.tail: _*)
       .sortBy(keys.head, keys.tail: _*)
       .mode("overwrite")
       .format("parquet")
       .saveAsTable(table)
+  }
 
   /** Join two same-bucketed tables on their bucket keys — shuffle-free
     * when both sides were written by [[writeBucketed]] with the same

@@ -207,6 +207,28 @@ object CoreQueries {
         .orderBy("ship_date", "l_suppkey")
     }),
 
+    // Scale-path layout — bucketed co-located join: both sides written
+    // bucketed+sorted on the join key, so the SortMergeJoin reads
+    // co-located buckets with NO shuffle on either side (ScaleSpec
+    // asserts the plan; this row oracle-checks the VALUES through the
+    // bucketed write+read+join path).
+    "q_bucketed_join" -> ((s, d) => {
+      import graft.operators.Scale
+      Scale.writeBucketed(
+        Tables.orders(s, d).select("o_orderkey", "o_custkey",
+          "o_orderstatus"),
+        "bq_orders", Seq("o_orderkey"), 8)
+      Scale.writeBucketed(
+        Tables.lineitem(s, d)
+          .groupBy(col("l_orderkey").as("o_orderkey"))
+          .agg(sum(col("l_quantity")).as("qty")),
+        "bq_liagg", Seq("o_orderkey"), 8)
+      Scale.bucketedJoin(s, "bq_orders", "bq_liagg",
+        Seq("o_orderkey"), "inner")
+        .select(col("o_orderkey"), col("o_orderstatus"), col("qty"))
+        .orderBy("o_orderkey")
+    }),
+
     // S5 — JDBC round-trip through an embedded Derby database (the
     // derby jars ship with Spark): overwrite-mode write with the
     // reference's 1000-row batching, then spark.read.jdbc back. The
@@ -399,6 +421,16 @@ object CoreQueries {
         |      WHERE strftime(l_shipdate, '%Y-%m') = '1997-03') sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    // the oracle recomputes the join directly — equality proves the
+    // bucketed write+read+join path preserves values
+    "q_bucketed_join" ->
+      """SELECT o.o_orderkey, o.o_orderstatus, li.qty
+        |FROM orders o
+        |JOIN (SELECT l_orderkey, SUM(l_quantity) AS qty
+        |      FROM lineitem GROUP BY 1) li
+        |  ON o.o_orderkey = li.l_orderkey
+        |ORDER BY o.o_orderkey""".stripMargin,
 
     // the oracle recomputes the aggregate the Spark side pushed
     // through Derby — equality proves sink+source value fidelity
