@@ -70,13 +70,22 @@ object Relational {
   /** J1/J2 — attach labels from a small dimension: broadcast left join
     * (steps/step5_create_views.py:333-350). Caller broadcasts when the
     * dim is known-small; with AQE Spark will also switch at runtime.
+    *
+    * PRECONDITION: `dimKey` is unique in `dim` — a duplicate dim key
+    * fans the fact table out, exactly like the SQL join the oracles
+    * mirror (for a dedup-per-key label map, see Consolidate's
+    * label-map assembly). The dim key is renamed internally so
+    * `factKey == dimKey` is safe (no ambiguous self-reference).
     */
   def attachDim(factTable: DataFrame, dim: DataFrame, factKey: String,
-                dimKey: String, dimCols: Seq[String]): DataFrame =
+                dimKey: String, dimCols: Seq[String]): DataFrame = {
+    val dk = "__dim_" + dimKey
     factTable.join(
-      broadcast(dim.select((dimKey +: dimCols).distinct.map(col): _*)),
-      col(factKey) === col(dimKey), "left")
-      .drop(dimKey)
+      broadcast(dim.select((dimKey +: dimCols).distinct.map(col): _*)
+        .withColumnRenamed(dimKey, dk)),
+      col(factKey) === col(dk), "left")
+      .drop(dk)
+  }
 
   /** J3/J4 — wide view via sequential left joins: the reference's exact
     * shape (steps/step5_create_views.py:352-375). Kept as the
@@ -138,8 +147,10 @@ object Relational {
       : DataFrame = {
     val c = col(colName)
     val parsed = expr(s"try_cast(`$colName` as double)")
+    // try_divide, not `/`: an all-null (or empty) column makes this
+    // 0/0, which throws under Spark 4's default ANSI mode
     val ratioRow = df.agg(
-      (count(parsed) / count(c)).as("ratio")).collect()(0)
+      try_divide(count(parsed), count(c)).as("ratio")).collect()(0)
     val ratio = if (ratioRow.isNullAt(0)) 0.0 else ratioRow.getDouble(0)
     if (ratio >= threshold) df.withColumn(colName, parsed) else df
   }

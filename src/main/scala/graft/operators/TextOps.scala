@@ -58,7 +58,10 @@ object TextOps {
       case ((bl, bs), (lang, sc)) =>
         (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
     }
-    when(bestScore > 0, bestLang).otherwise(lit("und"))
+    // null text stays null (the SQL CASE with no ELSE an oracle
+    // writes yields NULL there — 'und' would silently diverge)
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(when(bestScore > 0, bestLang).otherwise(lit("und")))
   }
 
   /** Token statistics: n_tokens, n_distinct_tokens, avg token length
@@ -88,9 +91,11 @@ object TextOps {
     val stopRatio =
       size(filter(t, x => x.isin(stopwords: _*))).cast("double") / nTok
     val alnum = regexp_replace(col(textCol), "[^a-zA-Z0-9 ]", "")
-    val nonAlnumRatio =
-      (length(col(textCol)) - length(alnum)).cast("double") /
-        length(col(textCol)).cast("double")
+    // try_divide: an empty-string doc has length 0, and 0/0 throws
+    // under Spark 4's default ANSI mode (null ratio instead)
+    val nonAlnumRatio = try_divide(
+      (length(col(textCol)) - length(alnum)).cast("double"),
+      length(col(textCol)).cast("double"))
     df.withColumn("n_tokens", size(t))
       .withColumn("distinct_ratio", round(distinctRatio, 6))
       .withColumn("stopword_ratio", round(stopRatio, 6))
@@ -116,14 +121,17 @@ object TextOps {
   /** Document fingerprint: 31-ary rolling hash over the token-hash
     * sequence, mod Portable.P — order-sensitive, so word-order edits
     * change the fingerprint (unlike a bag-of-words hash). Seeded with
-    * the first token's hash; empty docs get fingerprint -1.
+    * the first token's hash; empty/whitespace-only docs get -1 (the
+    * explicit trim guard, because split("") yields [""] — a single
+    * empty token — so a size check alone can never fire); null text
+    * stays null.
     */
   def fingerprint(text: Column): Column = {
     val hs = transform(Portable.tokens(text), x => Portable.hash32(x))
     // NB: slice(hs, 2, Int.MaxValue) silently yields an empty fold
     // inside aggregate() (codegen start+length int overflow) — the
     // tail length must be a computed column.
-    when(size(hs) === 0, lit(-1L)).otherwise(
+    when(trim(text) === "" || size(hs) === 0, lit(-1L)).otherwise(
       aggregate(slice(hs, lit(2), greatest(size(hs) - 1, lit(0))),
         element_at(hs, 1),
         (acc, x) => (acc * 31 + x) % Portable.P))
@@ -133,7 +141,7 @@ object TextOps {
   def fingerprintSql(textE: String): String = {
     val toks = Portable.tokensSql(textE)
     val hs = s"list_transform($toks, x -> ${Portable.hash32Sql("x")})"
-    s"CASE WHEN len($hs) = 0 THEN -1 ELSE " +
+    s"CASE WHEN trim($textE) = '' OR len($hs) = 0 THEN -1 ELSE " +
       s"list_reduce($hs, (acc, x) -> (acc * 31 + x) % ${Portable.P}) END"
   }
 }

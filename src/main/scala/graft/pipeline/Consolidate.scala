@@ -45,20 +45,18 @@ object Consolidate {
     }
     if (members.isEmpty) return None
 
-    // period-label variant probe with last-wins mutation (§2.10)
-    val declaredLabel: Option[String] = view.periodCol match {
-      case p if p.contains("DTI_CL_MES") => Some("Mes")
-      case p if p.contains("DTI_CL_ANO") => Some("Año")
-      case p if p.contains("DTI_CL_DIA") => Some("Día")
-      case _ => None
-    }
+    // period-label variant probe with last-wins mutation (§2.10),
+    // driven by the SAME variant table Schemas declares — an inline
+    // Año↔anio-only probe would silently miss 'Ano'/'mes'/'dia'
+    // spellings that Schemas.periodLabelVariants knows about
+    val labelVariants: Seq[String] =
+      Schemas.periodLabelVariants.getOrElse(view.periodCol, Nil)
+    val declaredLabel: Option[String] = labelVariants.headOption
     val periodLabelCol: Option[String] =
       members.foldLeft(declaredLabel) { (cur, m) =>
         cur match {
           case Some(c) if !m.df.columns.contains(c) =>
-            if (c == "Año" && m.df.columns.contains("anio")) Some("anio")
-            else if (c == "anio" && m.df.columns.contains("Año")) Some("Año")
-            else cur
+            labelVariants.find(m.df.columns.contains).orElse(cur)
           case other => other
         }
       }
@@ -86,25 +84,43 @@ object Consolidate {
     if (spineMembers.isEmpty) return None
     val spine = Relational.spine(spineMembers, Seq(pcol, scol))
 
-    // period labels from the FIRST member only (§2.10)
+    // Label maps must be ONE row per key: the reference builds python
+    // DICTS (later entries overwrite), so a conflicting label spelling
+    // in another member must not fan the spine out through the join —
+    // a pair-level distinct() would keep both spellings and duplicate
+    // every affected view row.
+
+    // period labels from the FIRST member only (§2.10); conflicting
+    // duplicate labels within it resolve deterministically to max
+    def onePerKey(df: DataFrame, key: String, lbl: String): DataFrame =
+      df.groupBy(col(key)).agg(max(col(lbl)).as(lbl))
     val withPeriodLabel = periodLabelCol
       .filter(members.head.df.columns.contains)
       .flatMap(lbl => normalized(members.head).map(df =>
         spine.join(
-          broadcast(df.select(col(pcol), col(lbl)).distinct()),
+          broadcast(onePerKey(df.select(col(pcol), col(lbl)), pcol, lbl)),
           Seq(pcol), "left")))
       .getOrElse(spine)
 
-    // station labels from ALL members (§2.10)
+    // station labels from ALL members (§2.10): dict semantics — the
+    // LAST member listing a station supplies its label (member index
+    // carried through a max(struct) aggregation)
     val stationLabel = Some(view.stationName).filter(_.nonEmpty)
     val withLabels = stationLabel
       .map { lbl =>
-        val maps = members.map(_.df)
-          .filter(df => df.columns.contains(lbl) && df.columns.contains(scol))
-          .map(_.select(col(scol), col(lbl)))
+        val maps = members.zipWithIndex
+          .filter { case (m, _) =>
+            m.df.columns.contains(lbl) && m.df.columns.contains(scol) }
+          .map { case (m, i) =>
+            m.df.select(col(scol), col(lbl), lit(i).as("__member_idx")) }
         if (maps.isEmpty) withPeriodLabel
-        else withPeriodLabel.join(
-          broadcast(maps.reduce(_ unionByName _).distinct()), Seq(scol), "left")
+        else {
+          val lastWins = maps.reduce(_ unionByName _)
+            .groupBy(col(scol))
+            .agg(max(struct(col("__member_idx"), col(lbl))).as("__m"))
+            .select(col(scol), col(s"__m.$lbl").as(lbl))
+          withPeriodLabel.join(broadcast(lastWins), Seq(scol), "left")
+        }
       }
       .getOrElse(withPeriodLabel)
 

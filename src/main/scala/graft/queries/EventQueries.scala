@@ -21,8 +21,11 @@ object EventQueries {
 
   private val GapMinutes = 30L
 
+  // Tables.events already delivers ts as a microsecond timestamp (the
+  // nanos-long conversion happens THERE) — no re-cast here, so nobody
+  // mistakes this for the place the conversion happens
   private def ev(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+    Tables.events(s, d)
 
   /** Gap-based sessionization: a new session starts when the gap to
     * the previous event of the same user exceeds GapMinutes; session
@@ -144,10 +147,10 @@ object EventQueries {
          |         OR epoch_us(ts) - lag(epoch_us(ts)) OVER w > ${GapMinutes * 60000000L}
          |         THEN 1 ELSE 0 END AS new_sess
          |  FROM events
-         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
          |sess AS (
          |  SELECT *, sum(new_sess) OVER (
-         |    PARTITION BY user_id ORDER BY ts, event_id
+         |    PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
          |    ROWS UNBOUNDED PRECEDING) AS session_seq
          |  FROM ordered)
          |SELECT user_id, CAST(session_seq AS BIGINT) AS session_seq,
@@ -163,13 +166,13 @@ object EventQueries {
         |  round(lag(value) OVER w, 6) AS prev_value,
         |  round(lead(value) OVER w, 6) AS next_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER (
-        |    PARTITION BY user_id ORDER BY ts, event_id
+        |    PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |    ROWS UNBOUNDED PRECEDING) AS DOUBLE) AS running_value,
         |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER m AS DOUBLE)
         |       / count(*) OVER m AS moving_avg3
         |FROM events
-        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id),
-        |       m AS (PARTITION BY user_id ORDER BY ts, event_id
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
+        |       m AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 

@@ -21,7 +21,7 @@ object TemporalQueries {
   private val BucketSeconds = 3600L
 
   private def ev(s: SparkSession, d: String): DataFrame =
-    Tables.events(s, d).withColumn("ts", col("ts").cast("timestamp"))
+    Tables.events(s, d)
 
   val queries: Map[String, Q] = Map(
     // as-of: each click carries the value of the user's latest view at

@@ -70,6 +70,29 @@ class ConsolidateSpec extends SparkSpec {
     assert(conce.length == 1, "S3 appears only in member 2 but keeps its label")
   }
 
+  test("conflicting station labels: dict semantics, no spine fan-out") {
+    // member 2 re-labels S1 'SANTIAGO CENTRO' — the reference builds a
+    // python dict, so the later member OVERWRITES; a pair-distinct map
+    // would keep both spellings and duplicate every S1 spine row
+    val relabeled = f1(Seq(
+      ("2021-01", "enero 2021", "S1", "SANTIAGO CENTRO", 10.0),
+      ("2021-03", "marzo 2021", "S1", "SANTIAGO CENTRO", 12.0),
+      ("2021-03", "marzo 2021", "S3", "Concepción", 11.0)))
+    val out = Consolidate.consolidate(view, {
+      case "tempMax" => Some(Steps.removeFlagColumns(tempMax))
+      case "tempMin" => Some(Steps.removeFlagColumns(relabeled))
+      case _ => None
+    }).get
+    val s1 = out.filter(out("tempMax") === 30.0 || out("tempMin") === 10.0)
+      .collect()
+    // 2021-01/S1 is ONE row (no fan-out), labeled by the LAST member
+    assert(s1.map(r => (r.getString(0), r.getString(1))).distinct.length
+      == s1.length, "no duplicated spine rows from label conflicts")
+    assert(out.filter(out("estacion") === "SANTIAGO CENTRO").count() > 0)
+    assert(out.filter(out("estacion") === "Santiago").count() == 0,
+      "later member's label must overwrite, like the reference's dict")
+  }
+
   test("quirk: Año↔anio variant mutation, last member wins") {
     val a = Seq(("2020", "año 2020", "S1", "st", 1.0))
       .toDF("DTI_CL_ANO", "Año", "DTI_CL_CUENCAS", "Cuencas", "Value")
