@@ -34,11 +34,21 @@ object Portable {
   /** Fixed permutation coefficients, derived from a Weyl-style
     * sequence so they are reproducible literals (no RNG): odd, nonzero,
     * < P. Used verbatim on both engines.
+    *
+    * Overflow headroom: h < 2^32 (md5 prefix) and a,b < 2^31, so
+    * a·h + b < (2^31−1)(2^32−1) + 2^31 < 2^63 — fits a Long.
     */
   val As: IndexedSeq[Long] =
     (1 to NumPerms).map(j => ((2654435761L * j) % P) | 1L)
   val Bs: IndexedSeq[Long] =
     (1 to NumPerms).map(j => ((40503L * j * j + 2246822519L * j) % P) | 1L)
+  // `(x % P) | 1` CAN yield exactly P (≡ 0 mod P) when x % P == P-1,
+  // which would make that permutation constant (a·h ≡ 0) and silently
+  // inflate every Jaccard estimate by 1/NumPerms. The current 16
+  // coefficients verifiably miss that case; this guard keeps any
+  // future NumPerms/constant change honest.
+  require((As ++ Bs).forall(c => c > 0 && c < P),
+    "degenerate MinHash coefficient (multiple of P)")
 
   // ---- 32-bit md5-prefix hash ----
 
@@ -52,12 +62,21 @@ object Portable {
 
   // ---- whitespace tokenization ----
 
+  /** Explicit whitespace class instead of `\s`: Java's `\s` includes
+    * vertical tab U+000B but RE2's (DuckDB's) does not, so a corpus
+    * containing one VT would tokenize differently per engine and break
+    * the bit-identical contract. The class below is character-for-
+    * character identical on both.
+    */
+  private val WsClassJava = "[ \\t\\n\\r\\f\\u000B]+"
+  private val WsClassRe2 = "[ \\t\\n\\r\\f\\x{0B}]+"
+
   /** Spark: whitespace tokens of a trimmed string column. */
-  def tokens(c: Column): Column = split(trim(c), "\\s+")
+  def tokens(c: Column): Column = split(trim(c), WsClassJava)
 
   /** DuckDB SQL for [[tokens]]. */
   def tokensSql(e: String): String =
-    s"regexp_split_to_array(trim($e), '\\s+')"
+    s"regexp_split_to_array(trim($e), '$WsClassRe2')"
 
   // ---- k-word shingles ----
 

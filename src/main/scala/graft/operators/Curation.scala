@@ -72,8 +72,11 @@ object Curation {
     */
   def contaminatedIds(train: DataFrame, bench: DataFrame, idCol: String,
                       textCol: String, k: Int = 3): DataFrame = {
-    val t = Dedup.docShingles(train, idCol, textCol, k)
-    val b = Dedup.docShingles(bench, idCol, textCol, k)
+    // dedup=false on both sides: the semi-join + trailing distincts
+    // already give set semantics, so pre-distincting the (id, shingle)
+    // pairs would only add a full shuffle of the raw shingle strings
+    val t = Dedup.docShingles(train, idCol, textCol, k, dedup = false)
+    val b = Dedup.docShingles(bench, idCol, textCol, k, dedup = false)
       .select(col("shingle")).distinct()
     t.join(b, Seq("shingle"), "left_semi").select(col(idCol)).distinct()
   }

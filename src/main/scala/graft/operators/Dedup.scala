@@ -76,16 +76,19 @@ object Dedup {
   }
 
   /** LSH candidate pairs from signatures: docs sharing any band of
-    * RowsPerBand consecutive signature components. Self-join per band
-    * on the band key, unioned, distinct. Emits (id_a < id_b).
+    * RowsPerBand consecutive signature components. Band keys explode
+    * from ONE array projection (a per-band union would re-evaluate the
+    * signature subtree once per band per join side — the pitfall
+    * [[simhashBandedPairs]] documents); self-join on band key,
+    * distinct. Emits (id_a < id_b).
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
-    val bands = (0 until NumBands).map { b =>
-      val key = concat_ws("_",
+    val bandKeys = array((0 until NumBands).map { b =>
+      concat_ws("_",
         lit(b) +: (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
-      sigs.select(col(idCol).as("id_a"), key.as("band_key"))
-    }
-    val keyed = bands.reduce(_ unionByName _)
+    }: _*)
+    val keyed = sigs.select(col(idCol).as("id_a"),
+      explode(bandKeys).as("band_key"))
     keyed.join(keyed.withColumnRenamed("id_a", "id_b"), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")

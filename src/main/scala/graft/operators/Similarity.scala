@@ -35,8 +35,15 @@ object Similarity {
 
   /** Cosine similarity dot/(|a|·|b|); exactly dot(a,b) /
     * (sqrt(dot(a,a)) * sqrt(dot(b,b))) — mirror this shape in oracles.
+    * A zero vector yields NULL (declared policy), not NaN — NaN sorts
+    * LARGEST under desc ordering, so one all-zero embedding would
+    * otherwise take rank 1 for every query.
     */
-  def cosine(a: Column, b: Column): Column = dot(a, b) / (l2Norm(a) * l2Norm(b))
+  def cosine(a: Column, b: Column): Column = {
+    val denom = l2Norm(a) * l2Norm(b)
+    when(denom === 0.0, lit(null).cast("double"))
+      .otherwise(dot(a, b) / denom)
+  }
 
   /** Brute-force cosine top-k: for each row of `queries`, the k most
     * similar rows of `corpus` (excluding self-matches by id). The
@@ -44,6 +51,20 @@ object Similarity {
     * of the corpus itself; the only shuffle is the per-query top-k
     * window over |queries|·|corpus| scored pairs.
     */
+  /** Shared ranking tail: per-query top-k by cosine desc with a
+    * deterministic neighbor-id tie-break. One place, so the tie-break
+    * and rounding can never desynchronize across the three ANN forms
+    * (each has its own oracle row mirroring exactly this shape).
+    */
+  private def rankTopK(scored: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        round(col("cos"), 6).as("cos_sim"))
+  }
+
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
@@ -52,12 +73,7 @@ object Similarity {
       col(vecCol).cast("array<double>").as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** IVF-style probed top-k: identical to brute force but the score
@@ -74,19 +90,26 @@ object Similarity {
     val scored = c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(scored, k)
   }
 
   /** Deterministic pseudo-random hyperplane component w(plane i, dim j)
-    * in {-3..3}: a fixed integer formula, so Spark and any oracle can
-    * regenerate the same planes.
+    * in {-3..3}: a fixed integer MIXING function, so Spark and any
+    * oracle regenerate the same planes (oracle SQL interpolates these
+    * values as literals, so only Scala-side determinism matters).
+    *
+    * Must NOT be affine in (i, j): the previous
+    * ((i*31 + j*17 + 7) % 7) - 3 collapses to f((i+j) mod 7), making
+    * every plane a cyclic shift of one 7-periodic pattern — plane 7
+    * bit-identical to plane 0, all projections functions of the
+    * vector's 7 residue-class sums, recall silently degraded. The
+    * multiply-xor-shift mix below breaks that structure.
     */
-  def planeComponent(i: Int, j: Int): Int = ((i * 31 + j * 17 + 7) % 7) - 3
+  def planeComponent(i: Int, j: Int): Int = {
+    val h0 = i * 0x9E3779B9 + (j + 1) * 0x85EBCA6B
+    val h1 = (h0 ^ (h0 >>> 13)) * 0xC2B2AE35
+    Math.floorMod(h1 ^ (h1 >>> 16), 7) - 3
+  }
 
   /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to
     * a long. Vectors in the same bucket are cosine-close candidates.
@@ -124,11 +147,6 @@ object Similarity {
     val scored = c.join(broadcast(q), "bucket")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos").desc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
-      .select(col("query_id"), col("rank"), col("neighbor_id"),
-        round(col("cos"), 6).as("cos_sim"))
+    rankTopK(scored, k)
   }
 }

@@ -18,6 +18,13 @@ object CoreQueries {
 
   private val datePivot = "1998-01-01"
 
+  /** Per-sfDir suffix for scratch locations (tmp files, warehouse
+    * tables): two Verify/Bench processes on different scale factors
+    * must not clobber each other's round-trip artifacts.
+    */
+  private def scratchTag(d: String): String =
+    java.lang.Integer.toHexString(d.hashCode)
+
   /** A4/U1/U2 spine of distinct (ship_date, l_suppkey) built from two
     * date-sliced scans (mirrors the reference's union of member tables,
     * steps/step5_create_views.py:313-325).
@@ -178,7 +185,8 @@ object CoreQueries {
 
     // S4 — sink round-trip: write parquet, re-read, re-sort.
     "q_roundtrip" -> ((s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip"
+      val out =
+        s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${scratchTag(d)}"
       attachDim(spineDf(s, d), Tables.supplier(s, d),
         "l_suppkey", "s_suppkey", Seq("s_name"))
         .select("ship_date", "l_suppkey", "s_name")
@@ -194,7 +202,8 @@ object CoreQueries {
     // of the spine: single-file CSV is the small-view layout — the
     // full fact path stays multi-part parquet (q_roundtrip).
     "q_csv_roundtrip" -> ((s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_roundtrip.csv"
+      val out =
+        s"${sys.props("java.io.tmpdir")}/graft_rt_${scratchTag(d)}.csv"
       graft.io.Csv.write(
         attachDim(
           spineDf(s, d).filter(col("ship_date").startsWith("1997-03")),
@@ -217,13 +226,14 @@ object CoreQueries {
       Scale.writeBucketed(
         Tables.orders(s, d).select("o_orderkey", "o_custkey",
           "o_orderstatus"),
-        "bq_orders", Seq("o_orderkey"), 8)
+        s"bq_orders_${scratchTag(d)}", Seq("o_orderkey"), 8)
       Scale.writeBucketed(
         Tables.lineitem(s, d)
           .groupBy(col("l_orderkey").as("o_orderkey"))
           .agg(sum(col("l_quantity")).as("qty")),
-        "bq_liagg", Seq("o_orderkey"), 8)
-      Scale.bucketedJoin(s, "bq_orders", "bq_liagg",
+        s"bq_liagg_${scratchTag(d)}", Seq("o_orderkey"), 8)
+      Scale.bucketedJoin(s, s"bq_orders_${scratchTag(d)}",
+        s"bq_liagg_${scratchTag(d)}",
         Seq("o_orderkey"), "inner")
         .select(col("o_orderkey"), col("o_orderstatus"), col("qty"))
         .orderBy("o_orderkey")
@@ -392,7 +402,8 @@ object CoreQueries {
         |FROM merged ORDER BY tipo, nombre""".stripMargin,
 
     "q_rownum" ->
-      """SELECT ROW_NUMBER() OVER (ORDER BY n_name, s_name) AS rn,
+      """SELECT ROW_NUMBER() OVER (
+        |    ORDER BY n_name NULLS FIRST, s_name NULLS FIRST) AS rn,
         |       s_name, n_name
         |FROM supplier LEFT JOIN nation ON s_nationkey = n_nationkey
         |ORDER BY rn""".stripMargin,
