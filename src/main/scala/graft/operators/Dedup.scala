@@ -282,4 +282,77 @@ object Dedup {
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair may agree on several bands
   }
+
+  /** Connected components over an undirected candidate-pair graph by
+    * iterative min-label propagation: every vertex starts labeled with
+    * its own id; each round, a vertex's label becomes the min of its
+    * own and its neighbors' labels; fixpoint = every vertex carries the
+    * min id of its component. This is THE transitive-closure policy
+    * for corpus dedup ("a≈b, b≈c ⇒ one cluster" even when a and c
+    * share no band) — the greedy pairwise policy of [[dedupCorpus]]
+    * can drop both endpoints of a chain.
+    *
+    * Scale: each round is one join + one groupBy, both shuffling on
+    * vertex id — no driver-side data, no collect. Rounds needed = the
+    * graph diameter, which for near-dup clusters is tiny (they are
+    * near-cliques: band collisions connect most members directly).
+    * `localCheckpoint` after each round truncates the lineage so the
+    * plan doesn't grow with iterations (the classic iterative-Spark
+    * trap). The driver loop carries only a scalar convergence count.
+    * For adversarial long-chain graphs, large-star/small-star
+    * (Kiveris et al., "Connected Components in MapReduce") drops the
+    * bound to O(log² n) rounds; the propagation step here is the
+    * small-star half of that algorithm.
+    *
+    * Returns (idCol, `component`) for EVERY vertex of `vertices` —
+    * singletons label themselves.
+    */
+  def connectedComponents(pairs: DataFrame, vertices: DataFrame,
+                          idCol: String, maxIter: Int = 25): DataFrame = {
+    // symmetric edge list: propagation must flow both directions
+    val edges = pairs
+      .select(col("id_a").as("src"), col("id_b").as("dst"))
+      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .distinct()
+      .persist()
+    edges.count() // materialize once; reused every round
+    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
+      .localCheckpoint()
+    var changed = 1L
+    var iter = 0
+    while (changed > 0 && iter < maxIter) {
+      val neighborMin = edges
+        .join(labels.withColumnRenamed("id", "dst"), "dst")
+        .groupBy(col("src").as("id"))
+        .agg(min("component").as("nbr_min"))
+      val next = labels.join(neighborMin, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("nbr_min"), col("component")))
+            .as("component"),
+          (col("nbr_min") < col("component")).as("__chg"))
+        .localCheckpoint()
+      changed = next.filter(col("__chg")).count()
+      labels = next.drop("__chg")
+      iter += 1
+    }
+    edges.unpersist()
+    labels.withColumnRenamed("id", idCol)
+  }
+
+  /** Transitive-closure corpus dedup: cluster near-dup pairs into
+    * connected components and keep exactly the min-id document of each
+    * cluster. Unlike [[dedupCorpus]]'s greedy policy, every cluster
+    * keeps exactly one representative — a chain a≈b≈c keeps only a.
+    * Exact duplicates need no separate pass: identical texts have
+    * identical signatures, so they are always LSH candidates with
+    * estimated Jaccard 1.0 and land in one cluster.
+    */
+  def dedupCorpusTransitive(df: DataFrame, idCol: String, textCol: String,
+                            k: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val pairs = minhashNearDups(df, idCol, textCol, k, threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs, df.select(idCol), idCol)
+    df.join(comps.filter(col(idCol) === col("component")).select(idCol),
+      Seq(idCol), "left_semi")
+  }
 }

@@ -75,6 +75,25 @@ object DedupQueries {
         threshold = 0.5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+
+    // duplicate clusters: connected components (iterative min-label
+    // propagation) over the minhash near-dup pair graph — the
+    // transitive-closure view the DuckDB oracle replays with a
+    // recursive CTE
+    "q_dup_clusters" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", K,
+        threshold = 0.5).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // transitive-closure corpus dedup: one representative per cluster
+    "q_dedup_transitive" -> ((s, d) =>
+      Dedup.dedupCorpusTransitive(Tables.documents(s, d), "doc_id", "text",
+        K, threshold = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -172,6 +191,57 @@ object DedupQueries {
          |JOIN keepers kp ON kp.doc_id = d.doc_id
          |WHERE d.doc_id NOT IN (SELECT id_b FROM losers)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_dup_clusters" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      // transitive closure by recursive CTE: reach(id, comp) holds
+      // every component-member id reachable from `id`; min over it is
+      // exactly the min-label fixpoint the Spark loop converges to
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
+         |SELECT id AS doc_id, min(comp) AS component
+         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dedup_transitive" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+         |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.lang, d.source FROM documents d
+         |JOIN comps c ON c.id = d.doc_id
+         |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin
     },
 
     "q_ngram_jaccard" ->

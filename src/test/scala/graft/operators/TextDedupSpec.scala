@@ -92,4 +92,28 @@ class TextDedupSpec extends SparkSpec {
     assert(j((1L, 2L)) == 1.0)
     assert(j((1L, 4L)) == 0.0)
   }
+
+  test("connectedComponents: chains close transitively, singletons self-label") {
+    // graph: 1-2, 2-3, 3-4 (a 4-chain: diameter > 1 forces >1 round),
+    // 6-7; 5 is a singleton
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (6L, 7L))
+      .toDF("id_a", "id_b")
+    val verts = (1L to 7L).toDF("id")
+    val comps = Dedup.connectedComponents(pairs, verts, "id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(Seq(1L, 2L, 3L, 4L).forall(comps(_) == 1L),
+      "chain must collapse to min id even across >1 hop")
+    assert(comps(5L) == 5L, "singleton labels itself")
+    assert(comps(6L) == 6L && comps(7L) == 6L)
+  }
+
+  test("dedupCorpusTransitive keeps one representative per cluster") {
+    // 1≈2 exact, 3 near-dup of both → all one cluster; 4 alone
+    val kept = Dedup.dedupCorpusTransitive(docs, "doc_id", "text",
+      k = 3, threshold = 0.3)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.head == 1L, "cluster keeps its min id")
+    assert(kept.contains(4L), "unrelated doc survives")
+    assert(!kept.contains(2L), "exact dup removed without a separate pass")
+  }
 }
