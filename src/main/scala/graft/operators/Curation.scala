@@ -85,4 +85,38 @@ object Curation {
                     textCol: String, k: Int = 3): DataFrame =
     train.join(contaminatedIds(train, bench, idCol, textCol, k),
       Seq(idCol), "left_anti")
+
+  /** Domain-mixture resampling: re-weight a corpus to target per-group
+    * rates (e.g. "2.5× epochs of wiki, 0.3× of web crawl") with
+    * deterministic hash arithmetic. A rate r emits floor(r) copies of
+    * every row plus one more for rows whose hash bucket falls under
+    * the fractional part — so E[copies] = r exactly, reproducible on
+    * any engine/partitioning.
+    *
+    * Entirely row-local (a when-chain of constants and one
+    * explode) — zero shuffles, zero joins; the one operator every
+    * training-data pipeline runs immediately before sequence packing.
+    * Rows of groups not in `rates` get the `default` rate. Output
+    * carries `copy_idx` (1-based) so downstream shuffles can keep
+    * replicas apart.
+    */
+  def mixtureSample(df: DataFrame, keyCol: String, groupCol: String,
+                    rates: Map[String, Double], default: Double = 1.0)
+      : DataFrame = {
+    require(rates.values.forall(_ >= 0) && default >= 0,
+      "mixture rates must be non-negative")
+    val rate = rates.foldLeft(lit(default)) { case (acc, (g, r)) =>
+      when(col(groupCol) === g, lit(r)).otherwise(acc)
+    }
+    val whole = floor(rate).cast("int")
+    // fractional part as an integer percent: bucket < round(frac*100)
+    // keeps the tie-break arithmetic exact on both engines
+    val fracPct = round((rate - floor(rate)) * 100).cast("int")
+    val copies = whole + when(hashBucket(col(keyCol)) < fracPct, 1).otherwise(0)
+    // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — rate-0
+    // rows must map to an empty array so explode drops them
+    df.withColumn("copy_idx",
+      explode(when(copies >= 1, sequence(lit(1), copies))
+        .otherwise(array().cast("array<int>"))))
+  }
 }

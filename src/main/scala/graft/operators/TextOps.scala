@@ -137,6 +137,69 @@ object TextOps {
         (acc, x) => (acc * 31 + x) % Portable.P))
   }
 
+  /** Gopher-style repetition statistics (Rae et al. 2021, "Scaling
+    * Language Models: ... Gopher", Appendix A1.1 — published filter
+    * family): per document, the fraction of n-grams claimed by the
+    * single most frequent n-gram (n = 2, 3) and the fraction of
+    * n-grams that occur more than once (n = 5). High values mark
+    * boilerplate / degenerate repetition.
+    *
+    * Plan shape: this is deliberately NOT a per-row HOF fold — counting
+    * the mode of a row's n-gram multiset with nested lambdas is O(n·d)
+    * per row AND interpreted (no codegen for lambda bodies). Instead
+    * the n-grams for all three n explode from one token-array
+    * projection into (id, n, gram) rows, one groupBy counts each gram,
+    * a second rolls up per (id, n), and a 3-value pivot widens — every
+    * step map-side-combinable and shuffle-keyed on the doc id, so the
+    * same plan runs at corpus scale with no per-row quadratic work.
+    */
+  val repetitionNs: Seq[Int] = Seq(2, 3, 5)
+
+  def repetitionStats(df: DataFrame, idCol: String, textCol: String,
+                      top2Max: Double = 0.20, top3Max: Double = 0.18,
+                      dup5Max: Double = 0.15): DataFrame = {
+    val grams = df
+      .select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), explode(array(repetitionNs.map(n =>
+        struct(lit(n).as("n"), Portable.shingles(col("__toks"), n).as("gs"))): _*))
+        .as("__t"))
+      .select(col(idCol), col("__t.n").as("n"), explode(col("__t.gs")).as("g"))
+    val counts = grams.groupBy(col(idCol), col("n"), col("g"))
+      .agg(count(lit(1)).as("c"))
+    val stats = counts.groupBy(col(idCol), col("n"))
+      .agg(max("c").as("mx"), sum("c").as("tot"),
+        sum(when(col("c") > 1, col("c")).otherwise(0L)).as("dup"))
+    val wide = stats.groupBy(col(idCol))
+      .pivot("n", repetitionNs.map(_.toString))
+      .agg(first("mx").as("mx"), first("tot").as("tot"), first("dup").as("dup"))
+    val top2 = round(col("2_mx").cast("double") / col("2_tot"), 6)
+    val top3 = round(col("3_mx").cast("double") / col("3_tot"), 6)
+    val dup5 = round(col("5_dup").cast("double") / col("5_tot"), 6)
+    df.select(col(idCol))
+      .join(wide, Seq(idCol), "left")
+      .select(col(idCol),
+        top2.as("top_bigram_frac"),
+        top3.as("top_trigram_frac"),
+        dup5.as("dup_5gram_frac"),
+        (coalesce(top2, lit(0.0)) <= top2Max
+          && coalesce(top3, lit(0.0)) <= top3Max
+          && coalesce(dup5, lit(0.0)) <= dup5Max).as("gopher_pass"))
+  }
+
+  /** Corpus-level boilerplate n-grams: k-word shingles present in at
+    * least `minDocs` distinct documents (headers, footers, license
+    * blurbs, navigation chrome). One groupBy on the shingle key over
+    * the distinct (doc, shingle) table — map-side combinable, shuffle
+    * rows are shingles not documents, and the threshold filter runs
+    * post-agg so rare shingles never leave the aggregation.
+    */
+  def boilerplateNgrams(df: DataFrame, idCol: String, textCol: String,
+                        k: Int = 3, minDocs: Long = 5): DataFrame =
+    Dedup.docShingles(df, idCol, textCol, k, dedup = true)
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("n_docs"))
+      .filter(col("n_docs") >= minDocs)
+
   /** DuckDB SQL mirror of [[fingerprint]] over a text expression. */
   def fingerprintSql(textE: String): String = {
     val toks = Portable.tokensSql(textE)

@@ -54,7 +54,18 @@ object CurationQueries {
       Curation.decontaminate(train, bench, "doc_id", "text", K)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
-    }))
+    }),
+
+    // domain-mixture resample: 2.5× src0, 0.4× src1, drop src2,
+    // everything else 1× — deterministic hash arithmetic, zero shuffle
+    "q_mixture_sample" -> ((s, d) =>
+      Curation.mixtureSample(docs(s, d), "doc_id", "source", MixRates)
+        .select(col("doc_id"), col("source"),
+          col("copy_idx").cast("long").as("copy_idx"))
+        .orderBy("doc_id", "copy_idx")))
+
+  private val MixRates =
+    Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
 
   // ---- oracle SQL, same constants ----
 
@@ -99,5 +110,22 @@ object CurationQueries {
          |SELECT doc_id, lang, source FROM documents
          |WHERE doc_id % 20 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
-         |ORDER BY doc_id""".stripMargin)
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_mixture_sample" -> {
+      val rateCase = MixRates.foldLeft("1.0") { case (acc, (g, r)) =>
+        s"CASE WHEN source = '$g' THEN $r ELSE $acc END"
+      }
+      s"""WITH r AS (SELECT doc_id, source, $rateCase AS rate,
+         |    ${bucketSql("doc_id")} AS b FROM documents),
+         |c AS (SELECT doc_id, source,
+         |    CAST(floor(rate) AS INT)
+         |      + CASE WHEN b < CAST(round((rate - floor(rate)) * 100)
+         |                       AS INT) THEN 1 ELSE 0 END AS n_copies
+         |  FROM r)
+         |SELECT doc_id, source,
+         |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
+         |FROM c WHERE n_copies >= 1
+         |ORDER BY doc_id, copy_idx""".stripMargin
+    })
 }

@@ -58,6 +58,17 @@ object TextQueries {
           size(array_distinct(t)).cast("long").as("n_bpe_distinct"))
         .orderBy("doc_id")
     }),
+
+    // Gopher-style repetition fractions + composite pass flag
+    "q_repetition" -> ((s, d) =>
+      TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // corpus-wide boilerplate 3-grams present in ≥ 5 docs
+    "q_boilerplate" -> ((s, d) =>
+      TextOps.boilerplateNgrams(Tables.documents(s, d), "doc_id", "text",
+        k = 3, minDocs = 5)
+        .orderBy("shingle")),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -125,6 +136,43 @@ object TextQueries {
          |  CAST(len(list_distinct(regexp_extract_all(text, '$pat'))) AS BIGINT)
          |    AS n_bpe_distinct
          |FROM documents ORDER BY doc_id""".stripMargin
+    },
+
+    "q_repetition" -> {
+      val toks = graft.functions.Portable.tokensSql("text")
+      def statsCte(n: Int) =
+        s"""g$n AS (SELECT doc_id,
+           |  unnest(${graft.functions.Portable.shinglesSql("t", n)}) AS g
+           |  FROM toks),
+           |c$n AS (SELECT doc_id, g, count(*) AS c FROM g$n GROUP BY 1, 2),
+           |s$n AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+           |  FROM c$n GROUP BY 1)""".stripMargin
+      s"""WITH toks AS (SELECT doc_id, $toks AS t FROM documents),
+         |${statsCte(2)},
+         |${statsCte(3)},
+         |${statsCte(5)}
+         |SELECT d.doc_id,
+         |  round(CAST(s2.mx AS DOUBLE) / s2.tot, 6) AS top_bigram_frac,
+         |  round(CAST(s3.mx AS DOUBLE) / s3.tot, 6) AS top_trigram_frac,
+         |  round(CAST(s5.dup AS DOUBLE) / s5.tot, 6) AS dup_5gram_frac,
+         |  (coalesce(round(CAST(s2.mx AS DOUBLE) / s2.tot, 6), 0.0) <= 0.20
+         |   AND coalesce(round(CAST(s3.mx AS DOUBLE) / s3.tot, 6), 0.0) <= 0.18
+         |   AND coalesce(round(CAST(s5.dup AS DOUBLE) / s5.tot, 6), 0.0) <= 0.15)
+         |    AS gopher_pass
+         |FROM documents d
+         |LEFT JOIN s2 ON s2.doc_id = d.doc_id
+         |LEFT JOIN s3 ON s3.doc_id = d.doc_id
+         |LEFT JOIN s5 ON s5.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_boilerplate" -> {
+      val sh3 = graft.functions.Portable.shinglesSql("t", 3)
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest($sh3) AS shingle FROM toks)
+         |SELECT shingle, count(*) AS n_docs FROM sh
+         |GROUP BY 1 HAVING count(*) >= 5 ORDER BY shingle""".stripMargin
     },
   )
 }

@@ -75,4 +75,45 @@ class CurationSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSet
     assert(clean == Set(2L, 4L))
   }
+
+  test("mixtureSample: whole-rate copies exact, rate 0 drops, default 1×") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
+      .toDF("doc_id", "grp")
+    val out = Curation.mixtureSample(df, "doc_id", "grp",
+      Map("a" -> 3.0, "b" -> 0.0))
+      .select("doc_id", "copy_idx").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    // group a: exactly 3 copies each (no fractional part); b dropped;
+    // c defaults to exactly 1
+    assert(out.count(_._1 == 1L) == 3)
+    assert(out.count(_._1 == 2L) == 3)
+    assert(!out.exists(_._1 == 3L), "rate-0 group must vanish")
+    assert(out.filter(_._1 == 4L).toSeq == Seq((4L, 1)))
+    // copy_idx enumerates 1..n
+    assert(out.filter(_._1 == 1L).map(_._2).sorted.toSeq == Seq(1, 2, 3))
+    // fractional rates keep E[copies] = r via hash buckets: over many
+    // keys, a 0.5 rate keeps about half — and is deterministic
+    val many = (1L to 200L).map(i => (i, "x")).toDF("doc_id", "grp")
+    val frac = Curation.mixtureSample(many, "doc_id", "grp",
+      Map("x" -> 0.5)).count()
+    assert(frac > 60 && frac < 140, s"0.5 rate kept $frac of 200")
+    val again = Curation.mixtureSample(many, "doc_id", "grp",
+      Map("x" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    val first = Curation.mixtureSample(many, "doc_id", "grp",
+      Map("x" -> 0.5)).select("doc_id").as[Long].collect().toSet
+    assert(again == first, "hash sampling must be deterministic")
+  }
+
+  test("boilerplateNgrams finds shingles shared across enough docs") {
+    val corpus = Seq(
+      (1L, "all rights reserved foo"),
+      (2L, "all rights reserved bar"),
+      (3L, "all rights reserved baz"),
+      (4L, "something else entirely here")).toDF("doc_id", "text")
+    val bp = TextOps.boilerplateNgrams(corpus, "doc_id", "text",
+      k = 3, minDocs = 3)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(bp == Map("all rights reserved" -> 3L))
+  }
 }

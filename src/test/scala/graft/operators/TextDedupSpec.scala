@@ -93,6 +93,25 @@ class TextDedupSpec extends SparkSpec {
     assert(j((1L, 4L)) == 0.0)
   }
 
+  test("repetitionStats: exact fractions, null-safe pass flag") {
+    val d = Seq(
+      (1L, "a b a b a b"), // top bigram "a b" 3/5, degenerate
+      (2L, "t01 t02 t03 t04 t05 t06 t07 t08 t09 t10 " +
+        "t11 t12 t13 t14 t15 t16 t17 t18 t19 t20"), // all distinct
+      (3L, "hello"), // no n-grams at all → null fractions, passes
+    ).toDF("doc_id", "text")
+    val r = TextOps.repetitionStats(d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x).toMap
+    assert(math.abs(r(1L).getDouble(1) - 0.6) < 1e-9) // 3/5
+    assert(math.abs(r(1L).getDouble(2) - 0.5) < 1e-9) // 2/4
+    assert(r(1L).getDouble(3) == 0.0, "both 5-grams occur exactly once")
+    assert(!r(1L).getBoolean(4))
+    assert(math.abs(r(2L).getDouble(1) - 1.0 / 19) < 1e-6)
+    assert(r(2L).getBoolean(4), "distinct doc passes")
+    assert(r(3L).isNullAt(1) && r(3L).getBoolean(4),
+      "doc too short for n-grams: null fractions, passes by coalesce")
+  }
+
   test("connectedComponents: chains close transitively, singletons self-label") {
     // graph: 1-2, 2-3, 3-4 (a 4-chain: diameter > 1 forces >1 round),
     // 6-7; 5 is a singleton
