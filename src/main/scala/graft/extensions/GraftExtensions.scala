@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.expressions.{CosineSimilarity, DotProduct}
+import graft.expressions.{CosineSimilarity, DotProduct, NfcNormalize}
 
 /** Catalyst rule: rewrite the declarative dot-product pattern
   *
@@ -63,6 +63,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
       (args: Seq[Expression]) => CosineSimilarity(args(0), args(1))))
+    ext.injectFunction((
+      new FunctionIdentifier("nfc_normalize"),
+      new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
+      (args: Seq[Expression]) => NfcNormalize(args.head)))
     ext.injectOptimizerRule(_ => NativeDotProductRule)
     // opt-in: spark.graft.pivotRewrite=true (see JoinChainToPivotRule)
     ext.injectOptimizerRule(_ => JoinChainToPivotRule)

@@ -186,6 +186,40 @@ object TextOps {
           && coalesce(dup5, lit(0.0)) <= dup5Max).as("gopher_pass"))
   }
 
+  /** Text-cleaning patterns — every regex here is RE2-safe (no
+    * backreferences, no lookaround) so DuckDB's regexp_replace mirrors
+    * it verbatim. Redaction placeholders follow the common
+    * pseudonymization convention of published pipeline stacks.
+    */
+  val htmlTagPattern = "<[^>]*>"
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\.[0-9]{1,3}\\b"
+  val phonePattern = "\\+[0-9][0-9 ()-]{6,}[0-9]"
+
+  /** Strip markup tags to spaces, collapse whitespace runs, trim —
+    * the standard pre-tokenization cleanup pass. Row-local, codegen'd.
+    */
+  def stripHtml(c: Column): Column =
+    trim(regexp_replace(regexp_replace(c, htmlTagPattern, " "),
+      "[ \\t\\r\\n]+", " "))
+
+  /** Redact emails, then phone numbers, then bare IPv4s (order
+    * matters: an IP-looking fragment inside an email must be consumed
+    * by the email pass first). Row-local, no shuffle — at 100 TB this
+    * runs as a map over the corpus scan.
+    */
+  def redactPii(c: Column): Column = {
+    val e = regexp_replace(c, emailPattern, "[EMAIL]")
+    val p = regexp_replace(e, phonePattern, "[PHONE]")
+    regexp_replace(p, ipv4Pattern, "[IP]")
+  }
+
+  /** Count of PII matches of `pattern` in `c` — audit metric for a
+    * redaction pass (regexp_count is codegen'd in Spark 4).
+    */
+  def piiCount(c: Column, pattern: String): Column =
+    regexp_count(c, lit(pattern))
+
   /** Corpus-level boilerplate n-grams: k-word shingles present in at
     * least `minDocs` distinct documents (headers, footers, license
     * blurbs, navigation chrome). One groupBy on the shingle key over

@@ -69,6 +69,25 @@ object TextQueries {
       TextOps.boilerplateNgrams(Tables.documents(s, d), "doc_id", "text",
         k = 3, minDocs = 5)
         .orderBy("shingle")),
+
+    // cleanup pipeline: strip HTML → redact PII → NFC-normalize (the
+    // native codegen'd expression), over docs deterministically
+    // adorned with markup, an email, a phone, an IP, and a decomposed
+    // é — so every cleanup stage provably fires
+    "q_normalize" -> ((s, d) => {
+      val adorned = concat(col("text"),
+        lit(" <b>footer</b> contact: user"),
+        col("doc_id").cast("string"), lit("@example.com"),
+        lit(" tel: +1 555 123 4567 ip: 10.0.0."),
+        (col("doc_id") % 256).cast("string"), lit(" cafe\u0301")) // decomposed e + U+0301
+      Tables.documents(s, d)
+        .select(col("doc_id"),
+          graft.expressions.TextExpressions.nfcNormalize(
+            TextOps.redactPii(TextOps.stripHtml(adorned))).as("clean"),
+          TextOps.piiCount(adorned, TextOps.emailPattern).cast("long")
+            .as("n_emails"))
+        .orderBy("doc_id")
+    }),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -165,6 +184,30 @@ object TextQueries {
          |LEFT JOIN s3 ON s3.doc_id = d.doc_id
          |LEFT JOIN s5 ON s5.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_normalize" -> {
+      val email = TextOps.emailPattern
+      val phone = TextOps.phonePattern
+      val ip = TextOps.ipv4Pattern
+      val html = TextOps.htmlTagPattern
+      s"""WITH a AS (SELECT doc_id,
+         |    text || ' <b>footer</b> contact: user' || doc_id
+         |      || '@example.com tel: +1 555 123 4567 ip: 10.0.0.'
+         |      || (doc_id % 256) || ' cafe' || chr(769) AS adorned
+         |  FROM documents),
+         |stripped AS (SELECT doc_id, adorned,
+         |    trim(regexp_replace(regexp_replace(adorned, '$html', ' ', 'g'),
+         |      '[ \\t\\r\\n]+', ' ', 'g')) AS s
+         |  FROM a)
+         |SELECT doc_id,
+         |  nfc_normalize(regexp_replace(regexp_replace(regexp_replace(s,
+         |    '$email', '[EMAIL]', 'g'),
+         |    '$phone', '[PHONE]', 'g'),
+         |    '$ip', '[IP]', 'g')) AS clean,
+         |  CAST(len(regexp_extract_all(adorned, '$email')) AS BIGINT)
+         |    AS n_emails
+         |FROM stripped ORDER BY doc_id""".stripMargin
     },
 
     "q_boilerplate" -> {
