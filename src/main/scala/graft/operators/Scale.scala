@@ -74,4 +74,28 @@ object Scale {
       explode(sequence(lit(0), lit(saltFactor - 1))))
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
+
+  /** Skew diagnostic: the top-N heaviest join/shuffle keys with their
+    * row share and a suggested salt factor (⌈key count / mean key
+    * count⌉ — the replication needed to level that key's partition to
+    * the average). Run this BEFORE picking [[saltedJoin]]'s
+    * saltFactor or trusting AQE to split a hot partition.
+    *
+    * Cost: one groupBy on the key (map-side combinable) + a scalar
+    * aggregate broadcast back over the counts — no driver collect, so
+    * it is safe to point at a 100 TB fact table. Ties order by key
+    * ascending for a deterministic report.
+    */
+  def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
+    val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
+    val stats = counts.agg(sum("cnt").as("__total"),
+      count(lit(1)).as("__n_keys"))
+    counts.crossJoin(broadcast(stats))
+      .select(col(keyCol), col("cnt"),
+        round(col("cnt").cast("double") / col("__total"), 6).as("row_share"),
+        ceil(col("cnt").cast("double") * col("__n_keys") / col("__total"))
+          .cast("long").as("suggested_salt"))
+      .orderBy(col("cnt").desc, col(keyCol).asc)
+      .limit(topN)
+  }
 }

@@ -239,6 +239,12 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Scale-path diagnostic — top heavy keys + suggested salt factor,
+    // the pre-flight a 100 TB join runs before picking saltedJoin's
+    // replication (or trusting AQE skew split)
+    "q_skew_report" -> ((s, d) =>
+      graft.operators.Scale.skewReport(Tables.events(s, d), "user_id", 10)),
+
     // S5 — JDBC round-trip through an embedded Derby database (the
     // derby jars ship with Spark): overwrite-mode write with the
     // reference's 1000-row batching, then spark.read.jdbc back. The
@@ -442,6 +448,15 @@ object CoreQueries {
         |      FROM lineitem GROUP BY 1) li
         |  ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_skew_report" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),
+        |s AS (SELECT sum(cnt) AS total, count(*) AS n_keys FROM c)
+        |SELECT c.user_id, c.cnt,
+        |  round(CAST(c.cnt AS DOUBLE) / s.total, 6) AS row_share,
+        |  CAST(ceil(CAST(c.cnt AS DOUBLE) * s.n_keys / s.total) AS BIGINT)
+        |    AS suggested_salt
+        |FROM c, s ORDER BY c.cnt DESC, c.user_id ASC LIMIT 10""".stripMargin,
 
     // the oracle recomputes the aggregate the Spark side pushed
     // through Derby — equality proves sink+source value fidelity

@@ -59,6 +59,17 @@ class ScaleSpec extends SparkSpec {
     assert(out == Set(Seq(99L, "miss"), Seq(99L, "miss2")))
   }
 
+  test("skewReport: shares, salt suggestion, deterministic tie-break") {
+    val df = (Seq.fill(6)("a") ++ Seq.fill(3)("b") ++ Seq("c"))
+      .toDF("k")
+    val rows = Scale.skewReport(df, "k", 10).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2), r.getLong(3)))
+    assert(rows.toSeq == Seq(
+      ("a", 6L, 0.6, 2L), // 6 / mean(10/3) = 1.8 → salt 2
+      ("b", 3L, 0.3, 1L),
+      ("c", 1L, 0.1, 1L)))
+  }
+
   test("salted right/full outer is rejected — replication would dup rows") {
     val left = Seq((1L, "a")).toDF("k", "lv")
     val right = Seq((1L, "dim"), (2L, "orphan")).toDF("k", "rv")
