@@ -86,6 +86,33 @@ object Curation {
     train.join(contaminatedIds(train, bench, idCol, textCol, k),
       Seq(idCol), "left_anti")
 
+  /** Stratified sample: exactly `n` rows per group (fewer if the group
+    * is smaller), chosen deterministically by hash order — the same
+    * rows on any engine, any partitioning, any day. One window per
+    * group (shuffle on groupCol); ties in the hash order break by the
+    * key itself, so the selection is total-ordered.
+    */
+  def stratifiedSample(df: DataFrame, groupCol: String, keyCol: String,
+                       n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Portable.hash32(col(keyCol).cast("string")), col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
+  /** Token-budget truncation: keep the first `maxTokens` whitespace
+    * tokens, with a flag marking docs that lost content. Row-local
+    * projection — no shuffle, runs as a map over the corpus scan.
+    */
+  def truncateTokens(df: DataFrame, textCol: String, maxTokens: Int)
+      : DataFrame = {
+    val t = Portable.tokens(col(textCol))
+    df.withColumn("text_trunc",
+      array_join(slice(t, 1, maxTokens), " "))
+      .withColumn("was_truncated", size(t) > maxTokens)
+  }
+
   /** Domain-mixture resampling: re-weight a corpus to target per-group
     * rates (e.g. "2.5× epochs of wiki, 0.3× of web crawl") with
     * deterministic hash arithmetic. A rate r emits floor(r) copies of

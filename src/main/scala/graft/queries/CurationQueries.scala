@@ -62,7 +62,19 @@ object CurationQueries {
       Curation.mixtureSample(docs(s, d), "doc_id", "source", MixRates)
         .select(col("doc_id"), col("source"),
           col("copy_idx").cast("long").as("copy_idx"))
-        .orderBy("doc_id", "copy_idx")))
+        .orderBy("doc_id", "copy_idx")),
+
+    // exactly 5 docs per source, hash-ordered — deterministic stratum
+    "q_stratified_sample" -> ((s, d) =>
+      Curation.stratifiedSample(docs(s, d), "source", "doc_id", 5)
+        .select("doc_id", "source")
+        .orderBy("doc_id")),
+
+    // 32-token budget truncation with loss flag — row-local map
+    "q_truncate" -> ((s, d) =>
+      Curation.truncateTokens(docs(s, d), "text", 32)
+        .select("doc_id", "text_trunc", "was_truncated")
+        .orderBy("doc_id")))
 
   private val MixRates =
     Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
@@ -127,5 +139,22 @@ object CurationQueries {
          |  CAST(unnest(generate_series(1, n_copies)) AS BIGINT) AS copy_idx
          |FROM c WHERE n_copies >= 1
          |ORDER BY doc_id, copy_idx""".stripMargin
-    })
+    },
+
+    "q_stratified_sample" ->
+      s"""WITH r AS (SELECT doc_id, source,
+         |    row_number() OVER (PARTITION BY source
+         |      ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
+         |               doc_id) AS rn
+         |  FROM documents)
+         |SELECT doc_id, source FROM r WHERE rn <= 5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_truncate" ->
+      s"""WITH t AS (SELECT doc_id, ${Portable.tokensSql("text")} AS toks
+         |  FROM documents)
+         |SELECT doc_id,
+         |  array_to_string(toks[1:32], ' ') AS text_trunc,
+         |  len(toks) > 32 AS was_truncated
+         |FROM t ORDER BY doc_id""".stripMargin)
 }

@@ -59,4 +59,28 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"),
       s"nation is KB-sized and must broadcast:\n$plan")
   }
+
+  test("row-local curation ops plan with ZERO shuffle exchanges") {
+    // mixture resampling and token truncation are pure projections —
+    // at 100 TB they must ride the corpus scan, not repartition it
+    val mix = finalPlan(graft.operators.Curation.mixtureSample(
+      Tables.documents(spark, sf), "doc_id", "source",
+      Map("src0" -> 2.0, "src1" -> 0.5)))
+    assert(!mix.contains("Exchange"),
+      s"mixtureSample must not shuffle:\n$mix")
+    val trunc = finalPlan(graft.operators.Curation.truncateTokens(
+      Tables.documents(spark, sf), "text", 16))
+    assert(!trunc.contains("Exchange"),
+      s"truncateTokens must not shuffle:\n$trunc")
+  }
+
+  test("stratifiedSample shuffles once, on the group column only") {
+    val df = graft.operators.Curation.stratifiedSample(
+      Tables.documents(spark, sf), "source", "doc_id", 3)
+    val plan = finalPlan(df)
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("source")),
+      s"expected exactly the groupCol shuffle, got $exchanges:\n$plan")
+  }
 }
