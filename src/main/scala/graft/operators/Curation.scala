@@ -113,6 +113,45 @@ object Curation {
       .withColumn("was_truncated", size(t) > maxTokens)
   }
 
+  /** End-to-end corpus curation — the composed pipeline a
+    * training-data run executes, as one lazy plan:
+    *
+    *   1. quality gate: Gopher repetition thresholds
+    *      ([[TextOps.repetitionStats]]) AND a minimum token count;
+    *   2. dedup: transitive-closure MinHash clustering, one
+    *      representative per cluster ([[Dedup.dedupCorpusTransitive]]);
+    *   3. split: deterministic hash buckets ([[datasetSplit]]);
+    *   4. packing: cumulative token quota per (split, source)
+    *      ([[packSequences]]).
+    *
+    * Stage order matters and is load-bearing: filtering BEFORE dedup
+    * shrinks the pair graph; splitting AFTER dedup keeps near-dups
+    * from straddling train/test (the leakage a split-then-dedup order
+    * permits); packing last, within each split×source stratum.
+    * Everything before the dedup self-join is row-local.
+    */
+  def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
+                   sourceCol: String, minTokens: Int = 20,
+                   dedupThreshold: Double = 0.5, trainPct: Int = 80,
+                   valPct: Int = 10, packBudget: Long = 256L): DataFrame = {
+    val pass = TextOps.repetitionStats(docs, idCol, textCol)
+      .filter(col("gopher_pass")).select(col(idCol))
+    val base = docs
+      .withColumn("n_tokens",
+        size(Portable.tokens(col(textCol))).cast("long"))
+      .filter(col("n_tokens") >= minTokens)
+      .join(pass, Seq(idCol), "left_semi")
+    val kept = Dedup.dedupCorpusTransitive(base, idCol, textCol,
+      k = 3, threshold = dedupThreshold)
+    val split = datasetSplit(kept, idCol, trainPct, valPct)
+      // composite pack stratum; '|' collides with neither split names
+      // nor source ids
+      .withColumn("__stratum",
+        concat_ws("|", col("split"), col(sourceCol)))
+    packSequences(split, idCol, "n_tokens", packBudget, "__stratum")
+      .drop("__stratum")
+  }
+
   /** Domain-mixture resampling: re-weight a corpus to target per-group
     * rates (e.g. "2.5× epochs of wiki, 0.3× of web crawl") with
     * deterministic hash arithmetic. A rate r emits floor(r) copies of

@@ -98,25 +98,50 @@ object DedupQueries {
 
   // ---- oracle SQL, generated from the same constants ----
 
-  private val shCte =
-    s"""toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+  // CTE builders parameterized by the base relation so composed
+  // pipelines (CurationQueries.q_corpus_pipeline) can run the same
+  // MinHash arithmetic over a filtered doc set
+  private[queries] def shCteFrom(base: String): String =
+    s"""toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM $base),
        |sh0 AS (SELECT doc_id, unnest(${Portable.shinglesSql("t", K)}) AS s FROM toks),
        |sh AS (SELECT DISTINCT doc_id, s FROM sh0)""".stripMargin
 
-  private val sigCte =
-    s"""$shCte,
+  private[queries] def sigCteFrom(base: String): String =
+    s"""${shCteFrom(base)},
        |h AS (SELECT doc_id, ${Portable.hash32Sql("s")} AS hv FROM sh),
        |sig AS (SELECT doc_id,
        |  ${(0 until NumPerms).map(j => s"CAST(min(${Portable.permSql("hv", j)}) AS BIGINT) AS mh$j").mkString(",\n  ")}
        |  FROM h GROUP BY doc_id)""".stripMargin
 
-  private val bandsCte = {
+  private val shCte = shCteFrom("documents")
+
+  private val sigCte = sigCteFrom("documents")
+
+  /** cand + pairs CTEs: LSH band candidates filtered to estimated
+    * Jaccard ≥ threshold. Expects `sig` and `bands` in scope.
+    */
+  private[queries] def pairsCtes(threshold: Double): String = {
+    val matches = (0 until NumPerms)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+       |  WHERE x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN sig a ON a.doc_id = c.id_a
+       |  JOIN sig b ON b.doc_id = c.id_b
+       |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= $threshold)""".stripMargin
+  }
+
+  private[queries] val bandsCteText: String = {
     val bands = (0 until NumBands).map { b =>
       val cols = (0 until RowsPerBand).map(r => s"mh${b * RowsPerBand + r}")
       s"SELECT doc_id, concat_ws('_', $b, ${cols.mkString(", ")}) AS band_key FROM sig"
     }
     s"bands AS (${bands.mkString(" UNION ALL ")})"
   }
+
+  private val bandsCte = bandsCteText
 
   private val simhashCtes =
     s"""tok0 AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),

@@ -105,6 +105,25 @@ class CurationSpec extends SparkSpec {
     assert(again == first, "hash sampling must be deterministic")
   }
 
+  test("curateCorpus: gate drops degenerate/short docs, dedup keeps min id") {
+    val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
+    val corpus = Seq(
+      (1L, long1, "s0"),                       // survives
+      (2L, long1, "s0"),                       // exact dup of 1 → dropped
+      (3L, "spam spam spam spam spam spam spam spam spam spam " +
+        "spam spam spam spam spam spam spam spam spam spam", "s0"), // degenerate
+      (4L, "too short", "s1"),                 // < 20 tokens
+      (5L, (100 to 131).map(i => s"v$i").mkString(" "), "s1"), // survives
+    ).toDF("doc_id", "text", "source")
+    val out = Curation.curateCorpus(corpus, "doc_id", "text", "source")
+      .select("doc_id", "split", "pack_id").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val ids = out.map(_._1).toSet
+    assert(ids == Set(1L, 5L), s"got $ids")
+    assert(out.forall(r => Set("train", "val", "test").contains(r._2)))
+    assert(out.forall(_._3 == 0L), "single doc per stratum → pack 0")
+  }
+
   test("boilerplateNgrams finds shingles shared across enough docs") {
     val corpus = Seq(
       (1L, "all rights reserved foo"),
