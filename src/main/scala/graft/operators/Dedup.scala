@@ -316,7 +316,12 @@ object Dedup {
       .distinct()
       .persist()
     edges.count() // materialize once; reused every round
-    var labels = vertices.select(col(idCol).as("id"), col(idCol).as("component"))
+    // the loop runs over PAIR-GRAPH vertices only — in a near-dup
+    // corpus that graph is orders of magnitude smaller than the
+    // corpus, and singletons' labels are known (themselves), so they
+    // ride a union around the iteration instead of through it
+    val active = edges.select(col("src").as("id")).distinct()
+    var labels = active.select(col("id"), col("id").as("component"))
       .localCheckpoint()
     var changed = 1L
     var iter = 0
@@ -325,10 +330,10 @@ object Dedup {
         .join(labels.withColumnRenamed("id", "dst"), "dst")
         .groupBy(col("src").as("id"))
         .agg(min("component").as("nbr_min"))
-      val next = labels.join(neighborMin, Seq("id"), "left")
+      // every active vertex has ≥1 neighbor, so the join is inner
+      val next = labels.join(neighborMin, Seq("id"))
         .select(col("id"),
-          least(col("component"), coalesce(col("nbr_min"), col("component")))
-            .as("component"),
+          least(col("component"), col("nbr_min")).as("component"),
           (col("nbr_min") < col("component")).as("__chg"))
         .localCheckpoint()
       changed = next.filter(col("__chg")).count()
@@ -336,7 +341,10 @@ object Dedup {
       iter += 1
     }
     edges.unpersist()
-    labels.withColumnRenamed("id", idCol)
+    val singletons = vertices.select(col(idCol).as("id"))
+      .join(active, Seq("id"), "left_anti")
+      .select(col("id"), col("id").as("component"))
+    labels.union(singletons).withColumnRenamed("id", idCol)
   }
 
   /** Transitive-closure corpus dedup: cluster near-dup pairs into

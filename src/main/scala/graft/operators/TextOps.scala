@@ -220,6 +220,43 @@ object TextOps {
   def piiCount(c: Column, pattern: String): Column =
     regexp_count(c, lit(pattern))
 
+  /** Row-local twin of [[repetitionStats]] for STREAMING gates: the
+    * distributed form needs two aggregations + a pivot (fine for
+    * batch, impossible per-row in an append-mode stream), so this one
+    * computes the same three fractions with array HOFs inside the row.
+    * Interpreted and O(grams × distinct grams) per row — use it for
+    * per-event filtering where rows are single documents; batch scans
+    * should stay on [[repetitionStats]]. Spec-pinned equal to the
+    * distributed form on the same input.
+    */
+  def repetitionPassLocal(text: Column, top2Max: Double = 0.20,
+                          top3Max: Double = 0.18,
+                          dup5Max: Double = 0.15): Column = {
+    def fracs(toks: Column, n: Int): (Column, Column) = {
+      val g = Portable.shingles(toks, n)
+      val counts = transform(array_distinct(g),
+        x => size(filter(g, y => y === x)))
+      // empty gram list → null (NOT 0/0: double division yields NaN,
+      // and coalesce(NaN, 0) is NaN, which would silently FAIL the
+      // gate where the distributed form's missing-group null passes)
+      val empty = size(g) === 0
+      val top = when(empty, lit(null).cast("double"))
+        .otherwise(array_max(counts).cast("double") / size(g))
+      val dup = when(empty, lit(null).cast("double"))
+        .otherwise(aggregate(counts, lit(0),
+          (acc, c) => acc + when(c > 1, c).otherwise(0)).cast("double")
+          / size(g))
+      (top, dup)
+    }
+    val toks = Portable.tokens(text)
+    val (top2, _) = fracs(toks, 2)
+    val (top3, _) = fracs(toks, 3)
+    val (_, dup5) = fracs(toks, 5)
+    (coalesce(round(top2, 6), lit(0.0)) <= top2Max
+      && coalesce(round(top3, 6), lit(0.0)) <= top3Max
+      && coalesce(round(dup5, 6), lit(0.0)) <= dup5Max)
+  }
+
   /** Corpus-level boilerplate n-grams: k-word shingles present in at
     * least `minDocs` distinct documents (headers, footers, license
     * blurbs, navigation chrome). One groupBy on the shingle key over

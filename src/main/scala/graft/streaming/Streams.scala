@@ -137,6 +137,18 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_md5")
 
+  /** Streaming quality gate: the stateless curation front-door — drop
+    * degenerate-repetition docs ([[graft.operators.TextOps
+    * .repetitionPassLocal]], the row-local twin of the batch gate) and
+    * under-length docs as they arrive. Pure projection+filter: no
+    * state, no watermark, works in append mode at any rate.
+    */
+  def streamingQualityGate(docs: DataFrame, textCol: String,
+                           minTokens: Int = 20): DataFrame =
+    docs.filter(
+      graft.operators.TextOps.repetitionPassLocal(col(textCol)) &&
+        size(graft.functions.Portable.tokens(col(textCol))) >= minTokens)
+
   // ---- streaming as-of enrichment ----
 
   /** One tagged row of the merged as-of stream: side 0 = reference

@@ -112,6 +112,22 @@ class TextDedupSpec extends SparkSpec {
       "doc too short for n-grams: null fractions, passes by coalesce")
   }
 
+  test("repetitionPassLocal agrees with the distributed gate on real docs") {
+    val real = graft.model.Tables.documents(spark, sf).limit(200)
+    val d = TextOps.repetitionStats(real, "doc_id", "text")
+      .select("doc_id", "gopher_pass")
+    val l = real.select(col("doc_id"),
+      TextOps.repetitionPassLocal(col("text")).as("local_pass"))
+    val joined = d.join(l, "doc_id").collect()
+    assert(joined.nonEmpty)
+    joined.foreach(r => assert(r.getBoolean(1) == r.getBoolean(2),
+      s"doc ${r.getLong(0)}: dist=${r.getBoolean(1)} local=${r.getBoolean(2)}"))
+    // short doc: no grams at all → passes on both paths
+    val short = Seq((1L, "hi")).toDF("doc_id", "text")
+      .select(TextOps.repetitionPassLocal(col("text"))).head().getBoolean(0)
+    assert(short)
+  }
+
   test("connectedComponents: chains close transitively, singletons self-label") {
     // graph: 1-2, 2-3, 3-4 (a 4-chain: diameter > 1 forces >1 round),
     // 6-7; 5 is a singleton

@@ -91,6 +91,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming quality gate drops degenerate and short docs in-flight") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingQualityGate(docs, "text", minTokens = 20)
+      .writeStream.format("memory").queryName("qgate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        (1L, (1 to 30).map(i => s"w$i").mkString(" ")), // clean, long
+        (2L, Seq.fill(30)("spam").mkString(" ")),       // degenerate
+        (3L, "too short"))                              // under budget
+      q.processAllAvailable()
+      val ids = spark.table("qgate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(ids == Set(1L))
+    } finally q.stop()
+  }
+
   test("streaming as-of enrich: latest update wins, state survives batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.AsofEv]
