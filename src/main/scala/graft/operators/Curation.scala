@@ -152,6 +152,30 @@ object Curation {
       .drop("__stratum")
   }
 
+  /** Fixed-window document chunking with overlap — the pre-embedding
+    * step of a retrieval/training pipeline: token windows of
+    * `chunkSize` starting every `chunkSize - overlap` tokens. Pure
+    * row-local explode (chunk starts come from one `sequence`), so the
+    * corpus scan fans out to chunks without any shuffle. Every doc
+    * yields at least one chunk (the last may be short); `chunk_idx` is
+    * 0-based and dense.
+    */
+  def chunkTokens(df: DataFrame, idCol: String, textCol: String,
+                  chunkSize: Int, overlap: Int = 0): DataFrame = {
+    require(chunkSize > 0 && overlap >= 0 && overlap < chunkSize,
+      s"need 0 <= overlap < chunkSize, got chunkSize=$chunkSize overlap=$overlap")
+    val stride = chunkSize - overlap
+    val t = Portable.tokens(col(textCol))
+    df.withColumn("__toks", t)
+      .withColumn("__start",
+        explode(sequence(lit(1), greatest(size(col("__toks")), lit(1)),
+          lit(stride))))
+      .select(col(idCol),
+        ((col("__start") - 1) / stride).cast("long").as("chunk_idx"),
+        array_join(slice(col("__toks"), col("__start"), lit(chunkSize)), " ")
+          .as("chunk_text"))
+  }
+
   /** Domain-mixture resampling: re-weight a corpus to target per-group
     * rates (e.g. "2.5× epochs of wiki, 0.3× of web crawl") with
     * deterministic hash arithmetic. A rate r emits floor(r) copies of

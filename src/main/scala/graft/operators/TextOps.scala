@@ -257,6 +257,24 @@ object TextOps {
       && coalesce(round(dup5, 6), lit(0.0)) <= dup5Max)
   }
 
+  /** Per-group corpus profile: the summary report a curation run
+    * prints — doc counts, token totals/means, exact interpolated
+    * token-count percentiles, language spread. One groupBy on the
+    * profile key; `percentile` is Spark's exact interpolated
+    * aggregate, mirrored by DuckDB's `quantile_cont`.
+    */
+  def corpusProfile(df: DataFrame, textCol: String, groupCol: String,
+                    langCol: String = "lang"): DataFrame =
+    df.select(col(groupCol), col(langCol).as("__lang"),
+      size(Portable.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        round(avg("__nt"), 6).as("avg_tokens"),
+        round(expr("percentile(__nt, 0.5)"), 6).as("p50_tokens"),
+        round(expr("percentile(__nt, 0.9)"), 6).as("p90_tokens"),
+        countDistinct(col("__lang")).as("n_langs"))
+
   /** Corpus-level boilerplate n-grams: k-word shingles present in at
     * least `minDocs` distinct documents (headers, footers, license
     * blurbs, navigation chrome). One groupBy on the shingle key over

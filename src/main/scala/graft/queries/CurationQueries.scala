@@ -82,7 +82,19 @@ object CurationQueries {
       Curation.curateCorpus(docs(s, d), "doc_id", "text", "source")
         .select(col("doc_id"), col("source"), col("n_tokens"),
           col("split"), col("pack_id"))
-        .orderBy("doc_id")))
+        .orderBy("doc_id")),
+
+    // 24-token chunks with 8-token overlap — row-local explode, the
+    // pre-embedding fan-out
+    "q_chunk" -> ((s, d) =>
+      Curation.chunkTokens(docs(s, d), "doc_id", "text",
+        chunkSize = 24, overlap = 8)
+        .orderBy("doc_id", "chunk_idx")),
+
+    // per-source corpus profile with exact interpolated percentiles
+    "q_corpus_stats" -> ((s, d) =>
+      graft.operators.TextOps.corpusProfile(docs(s, d), "text", "source")
+        .orderBy("source")))
 
   private val MixRates =
     Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
@@ -216,5 +228,28 @@ object CurationQueries {
          |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
          |    / 256) AS BIGINT) AS pack_id
          |FROM sp ORDER BY doc_id""".stripMargin
-    })
+    },
+
+    "q_chunk" ->
+      s"""WITH t AS (SELECT doc_id, ${Portable.tokensSql("text")} AS toks
+         |  FROM documents),
+         |st AS (SELECT doc_id, toks,
+         |    unnest(generate_series(1, greatest(len(toks), 1), 16)) AS s
+         |  FROM t)
+         |SELECT doc_id,
+         |  CAST((s - 1) / 16 AS BIGINT) AS chunk_idx,
+         |  array_to_string(toks[s:s+23], ' ') AS chunk_text
+         |FROM st ORDER BY doc_id, chunk_idx""".stripMargin,
+
+    "q_corpus_stats" ->
+      s"""WITH t AS (SELECT source, lang,
+         |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS nt
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(nt) AS BIGINT) AS total_tokens,
+         |  round(avg(nt), 6) AS avg_tokens,
+         |  round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
+         |  round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
+         |  count(DISTINCT lang) AS n_langs
+         |FROM t GROUP BY source ORDER BY source""".stripMargin)
 }

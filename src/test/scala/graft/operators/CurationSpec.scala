@@ -124,6 +124,23 @@ class CurationSpec extends SparkSpec {
     assert(out.forall(_._3 == 0L), "single doc per stratum → pack 0")
   }
 
+  test("chunkTokens: overlapping windows, dense 0-based chunk ids") {
+    val df = Seq((7L, (1 to 10).map(i => s"t$i").mkString(" ")))
+      .toDF("doc_id", "text")
+    val chunks = Curation.chunkTokens(df, "doc_id", "text",
+      chunkSize = 4, overlap = 1)
+      .orderBy("chunk_idx")
+      .collect().map(r => (r.getLong(1), r.getString(2)))
+    assert(chunks.toSeq == Seq(
+      (0L, "t1 t2 t3 t4"), (1L, "t4 t5 t6 t7"),
+      (2L, "t7 t8 t9 t10"), (3L, "t10")))
+    // a doc shorter than one chunk still yields exactly one chunk
+    val one = Curation.chunkTokens(
+      Seq((1L, "a b")).toDF("doc_id", "text"), "doc_id", "text", 16)
+      .collect()
+    assert(one.length == 1 && one.head.getString(2) == "a b")
+  }
+
   test("boilerplateNgrams finds shingles shared across enough docs") {
     val corpus = Seq(
       (1L, "all rights reserved foo"),
