@@ -309,10 +309,14 @@ object Dedup {
     */
   def connectedComponents(pairs: DataFrame, vertices: DataFrame,
                           idCol: String, maxIter: Int = 25): DataFrame = {
-    // symmetric edge list: propagation must flow both directions
+    // symmetric edge list: propagation must flow both directions.
+    // Explode-of-structs, NOT a union of two projections — a union
+    // evaluates the (expensive: band self-join) pairs subtree twice
     val edges = pairs
-      .select(col("id_a").as("src"), col("id_b").as("dst"))
-      .union(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      .select(explode(array(
+        struct(col("id_a").as("src"), col("id_b").as("dst")),
+        struct(col("id_b").as("src"), col("id_a").as("dst")))).as("e"))
+      .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
     edges.count() // materialize once; reused every round
@@ -357,10 +361,14 @@ object Dedup {
     */
   def dedupCorpusTransitive(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val pairs = minhashNearDups(df, idCol, textCol, k, threshold)
+    // df feeds three consumers (signature build, vertex list, final
+    // semi-join) — persist so an expensive upstream (e.g. a quality
+    // gate's aggregations) computes once, not three times
+    val input = df.persist()
+    val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
       .select("id_a", "id_b")
-    val comps = connectedComponents(pairs, df.select(idCol), idCol)
-    df.join(comps.filter(col(idCol) === col("component")).select(idCol),
+    val comps = connectedComponents(pairs, input.select(idCol), idCol)
+    input.join(comps.filter(col(idCol) === col("component")).select(idCol),
       Seq(idCol), "left_semi")
   }
 }
