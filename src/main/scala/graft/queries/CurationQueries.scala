@@ -94,7 +94,22 @@ object CurationQueries {
     // per-source corpus profile with exact interpolated percentiles
     "q_corpus_stats" -> ((s, d) =>
       graft.operators.TextOps.corpusProfile(docs(s, d), "text", "source")
-        .orderBy("source")))
+        .orderBy("source")),
+
+    // Hive-partitioned corpus layout: write split=<v>/ directories,
+    // read back ONLY the train partition — the 100 TB access pattern
+    // (a train-set scan must touch train files, never the test dirs;
+    // PlanAuditSpec asserts the PartitionFilters prune)
+    "q_partitioned_prune" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_part_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      Curation.datasetSplit(docs(s, d), "doc_id")
+        .write.mode("overwrite").partitionBy("split").parquet(out)
+      s.read.parquet(out)
+        .filter(col("split") === "train")
+        .select("doc_id", "lang", "source", "split")
+        .orderBy("doc_id")
+    }))
 
   private val MixRates =
     Map("src0" -> 2.5, "src1" -> 0.4, "src2" -> 0.0)
@@ -251,5 +266,10 @@ object CurationQueries {
          |  round(quantile_cont(nt, 0.5), 6) AS p50_tokens,
          |  round(quantile_cont(nt, 0.9), 6) AS p90_tokens,
          |  count(DISTINCT lang) AS n_langs
-         |FROM t GROUP BY source ORDER BY source""".stripMargin)
+         |FROM t GROUP BY source ORDER BY source""".stripMargin,
+
+    "q_partitioned_prune" ->
+      s"""SELECT doc_id, lang, source, 'train' AS split FROM documents
+         |WHERE ${bucketSql("doc_id")} < 80
+         |ORDER BY doc_id""".stripMargin)
 }

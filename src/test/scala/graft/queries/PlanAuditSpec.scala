@@ -74,6 +74,22 @@ class PlanAuditSpec extends SparkSpec {
       s"truncateTokens must not shuffle:\n$trunc")
   }
 
+  test("partitioned layout: split filter becomes a PartitionFilter, not a scan") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_prune_audit"
+    graft.operators.Curation.datasetSplit(
+      Tables.documents(spark, sf), "doc_id")
+      .write.mode("overwrite").partitionBy("split").parquet(out)
+    val df = spark.read.parquet(out).filter(col("split") === "train")
+      .select("doc_id")
+    val plan = finalPlan(df)
+    assert(plan.contains("PartitionFilters") && plan.contains("train"),
+      s"split predicate must prune directories, not filter rows:\n$plan")
+    // the partition column must NOT appear in the data-file ReadSchema
+    val read = "ReadSchema: struct<([^>]*)>".r
+      .findFirstMatchIn(plan).map(_.group(1)).getOrElse("?")
+    assert(!read.contains("split"), s"split must be directory-derived: $read")
+  }
+
   test("stratifiedSample shuffles once, on the group column only") {
     val df = graft.operators.Curation.stratifiedSample(
       Tables.documents(spark, sf), "source", "doc_id", 3)
