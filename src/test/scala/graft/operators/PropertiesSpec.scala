@@ -139,4 +139,52 @@ class PropertiesSpec extends SparkSpec {
       assert(got == naive, s"round $round mismatch")
     }
   }
+
+  test("chunking reconstructs the document: zero-overlap chunks concat to the original") {
+    val textGen = Gen.chooseNum(1, 60).flatMap(n =>
+      Gen.listOfN(n, Gen.oneOf("ab", "cd", "ef", "gh")).map(_.mkString(" ")))
+    samples(textGen, 8).zipWithIndex.foreach { case (text, i) =>
+      val df = Seq((i.toLong, text)).toDF("doc_id", "text")
+      for (size <- Seq(1, 5, 16)) {
+        val rebuilt = Curation.chunkTokens(df, "doc_id", "text", size)
+          .orderBy("chunk_idx").select("chunk_text").as[String]
+          .collect().mkString(" ")
+        assert(rebuilt == text, s"chunkSize=$size must partition exactly")
+      }
+    }
+  }
+
+  test("connectedComponents is a fixpoint: relabeling the labeled graph changes nothing") {
+    val pairsGen = Gen.listOf(
+      Gen.zip(Gen.chooseNum(1L, 12L), Gen.chooseNum(1L, 12L))
+        .suchThat(p => p._1 != p._2))
+    samples(pairsGen, 6).filter(_.nonEmpty).foreach { ps =>
+      val pairs = ps.map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+        .distinct.toDF("id_a", "id_b")
+      val verts = (1L to 12L).toDF("id")
+      val comps = Dedup.connectedComponents(pairs, verts, "id")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // every edge's endpoints agree, and each component's label is its min
+      ps.foreach { case (a, b) =>
+        assert(comps(a) == comps(b), s"edge ($a,$b) split across components")
+      }
+      comps.groupBy(_._2).foreach { case (label, members) =>
+        assert(members.keys.min == label,
+          s"component label $label must be its min member")
+      }
+    }
+  }
+
+  test("mixtureSample copy counts: floor(r) or ceil(r) per row, E[copies] bracket") {
+    val df = (1L to 300L).map(i => (i, "g")).toDF("doc_id", "grp")
+    for (rate <- Seq(0.25, 1.5, 2.75)) {
+      val copies = Curation.mixtureSample(df, "doc_id", "grp", Map("g" -> rate))
+        .groupBy("doc_id").count().select("count").as[Long].collect()
+      val (lo, hi) = (math.floor(rate).toLong, math.ceil(rate).toLong)
+      assert(copies.forall(c => c == lo || c == hi))
+      val mean = (copies.sum.toDouble +
+        0L * (300 - copies.length)) / 300 // absent rows = 0 copies
+      assert(math.abs(mean - rate) < 0.15, s"rate=$rate mean=$mean")
+    }
+  }
 }

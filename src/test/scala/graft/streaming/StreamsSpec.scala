@@ -110,6 +110,28 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming curation chain: gate then dedup, incrementally") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, Timestamp)]
+    val docs = in.toDF().toDF("doc_id", "text", "ts")
+    val clean = (1 to 30).map(i => s"w$i").mkString(" ")
+    val q = Streams.streamingDedup(
+      Streams.streamingQualityGate(docs, "text", minTokens = 20),
+      "doc_id", "text", "ts", "1 hour")
+      .writeStream.format("memory").queryName("cur_chain")
+      .outputMode("append").start()
+    try {
+      in.addData((1L, clean, ts(0)), (2L, "too short", ts(1)))
+      q.processAllAvailable()
+      in.addData((3L, clean, ts(5)), // dup of 1, later batch
+        (4L, Seq.fill(25)("spam").mkString(" "), ts(6)))
+      q.processAllAvailable()
+      val ids = spark.table("cur_chain").select("doc_id").as[Long]
+        .collect().toSet
+      assert(ids == Set(1L), s"gate+dedup must leave only doc 1, got $ids")
+    } finally q.stop()
+  }
+
   test("streaming as-of enrich: latest update wins, state survives batches") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.AsofEv]
