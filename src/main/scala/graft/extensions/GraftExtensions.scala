@@ -70,5 +70,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectOptimizerRule(_ => NativeDotProductRule)
     // opt-in: spark.graft.pivotRewrite=true (see JoinChainToPivotRule)
     ext.injectOptimizerRule(_ => JoinChainToPivotRule)
+    // per-group top-k: row_number window + rank filter → bounded-heap
+    // operator (graft.plans.GroupedTopK); exact-shape match, always on
+    ext.injectOptimizerRule(_ => graft.plans.GroupedTopKRule)
+    ext.injectPlannerStrategy(_ => graft.plans.GroupedTopKStrategy)
   }
 }

@@ -1,0 +1,161 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Window, WindowGroupLimit}
+import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
+import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
+import org.apache.spark.sql.types.IntegerType
+
+/** Per-group top-k as a first-class operator — the tier-(c) custom
+  * path (LogicalPlan + Rule + SparkStrategy + SparkPlan, registered
+  * through [[graft.extensions.GraftExtensions]]).
+  *
+  * The declarative form every user writes,
+  *
+  *   row_number().over(Window.partitionBy(g).orderBy(o)) as rn
+  *     ... WHERE rn <= k
+  *
+  * executes as WindowExec: every group is fully buffered and fully
+  * sorted just to keep k rows. At 100 TB that is a sort of the fact
+  * table. This operator holds a k-BOUNDED heap per group instead —
+  * memory is groups × k rows, each input row costs O(log k) against
+  * the heap, and no sort of the full input ever happens. Spark's own
+  * InferWindowGroupLimit (3.5+) already prunes rows BELOW the window
+  * map-side; the rewrite keeps that partial pass as the pre-shuffle
+  * stage and replaces the post-shuffle sort+window with the heap
+  * operator, emitting the same `rn` attribute (same exprId) so
+  * downstream references resolve untouched.
+  *
+  * Semantics: identical to row_number + filter, including the tie
+  * class — row_number's tie order within equal sort keys is plan-
+  * dependent in stock Spark too, so queries needing determinism must
+  * total-order their sort keys (this repo's discipline everywhere).
+  */
+case class GroupedTopKPlan(partitionExprs: Seq[Expression],
+                           orderExprs: Seq[SortOrder], k: Int,
+                           rnAttr: Attribute, child: LogicalPlan)
+    extends UnaryNode {
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr :: Nil)
+  override def maxRows: Option[Long] = child.maxRows
+  override protected def withNewChildInternal(newChild: LogicalPlan)
+      : GroupedTopKPlan = copy(child = newChild)
+}
+
+case class GroupedTopKExec(partitionExprs: Seq[Expression],
+                           orderExprs: Seq[SortOrder], k: Int,
+                           rnAttr: Attribute, child: SparkPlan)
+    extends SparkPlan with UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output :+ rnAttr
+  override def producedAttributes: AttributeSet = AttributeSet(rnAttr :: Nil)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    if (partitionExprs.isEmpty) AllTuples :: Nil
+    else ClusteredDistribution(partitionExprs) :: Nil
+
+  override def outputPartitioning = child.outputPartitioning
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val partExprs = partitionExprs
+    val ordExprs = orderExprs
+    val kk = k
+    val outAttrs = output
+    child.execute().mapPartitions { iter =>
+      val groupProj = UnsafeProjection.create(partExprs, childOutput)
+      val ordering = RowOrdering.create(ordExprs, childOutput)
+      // max-heap on the sort order: head = worst row currently kept,
+      // so "better than head" decides eviction in O(log k)
+      val heaps =
+        mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      while (iter.hasNext) {
+        val row = iter.next()
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) heap.enqueue(row.copy())
+            else if (ordering.lt(row, heap.head)) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+        }
+      }
+      val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      heaps.valuesIterator.flatMap { heap =>
+        // dequeueAll drains in priority (worst-first) order; reverse
+        // gives rank order 1..k
+        val ranked = heap.dequeueAll.reverse
+        ranked.iterator.zipWithIndex.map { case (r, i) =>
+          resultProj(new JoinedRow(r,
+            new GenericInternalRow(Array[Any](i + 1))))
+        }
+      }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : GroupedTopKExec = copy(child = newChild)
+}
+
+/** Optimizer rule: Filter(rn ≤ k) over a single-row_number Window →
+  * [[GroupedTopKPlan]]. Matches only the exact shape (one window
+  * expression, RowNumber, integer-literal bound) and peels Spark's own
+  * WindowGroupLimit if InferWindowGroupLimit already inserted it (the
+  * heap operator subsumes the final pass; the partial map-side pass is
+  * kept where the planner placed it).
+  */
+object GroupedTopKRule extends Rule[LogicalPlan] {
+
+  private def limitOf(cond: Expression, rn: Attribute): Option[Int] =
+    cond match {
+      case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
+          if a.semanticEquals(rn) => Some(v)
+      case LessThan(a: Attribute, Literal(v: Int, IntegerType))
+          if a.semanticEquals(rn) => Some(v - 1)
+      case EqualTo(a: Attribute, Literal(v: Int, IntegerType))
+          if a.semanticEquals(rn) && v == 1 => Some(1)
+      case GreaterThanOrEqual(Literal(v: Int, IntegerType), a: Attribute)
+          if a.semanticEquals(rn) => Some(v)
+      case _ => None
+    }
+
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformDown {
+      case f @ org.apache.spark.sql.catalyst.plans.logical.Filter(cond,
+          Window(
+            Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
+            part, order, wchild, _)) =>
+        limitOf(cond, alias.toAttribute) match {
+          case Some(k) if k >= 1 =>
+            // peel Spark's InferWindowGroupLimit node if present: the
+            // heap exec performs the complete top-k itself, and a bare
+            // WindowGroupLimit (without its Window) has no planning
+            // path of its own
+            val base = wchild match {
+              case WindowGroupLimit(_, _, _, _, grandchild) => grandchild
+              case other => other
+            }
+            GroupedTopKPlan(part, order, k, alias.toAttribute, base)
+          case _ => f
+        }
+    }
+}
+
+/** Planner strategy for [[GroupedTopKPlan]]. */
+object GroupedTopKStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case GroupedTopKPlan(part, order, k, rn, child) =>
+      GroupedTopKExec(part, order, k, rn, planLater(child)) :: Nil
+    case _ => Nil
+  }
+}

@@ -239,6 +239,26 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // Per-group top-k through the custom bounded-heap operator: the
+    // query is written in the STOCK row_number+filter form; the
+    // GroupedTopKRule/Strategy (GraftExtensions) swap in
+    // graft.plans.GroupedTopKExec — same rows, same ranks, no
+    // per-group sort (GroupedTopKSpec asserts the plan)
+    "q_group_topk" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("l_suppkey"))
+        .orderBy(col("l_quantity").desc, col("l_orderkey").asc,
+          col("l_linenumber").asc)
+      Tables.lineitem(s, d)
+        .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") <= 3)
+        .select(col("l_suppkey"), col("l_orderkey"),
+          col("l_linenumber").cast("long").as("l_linenumber"),
+          col("l_quantity"), col("rn").cast("long").as("rn"))
+        .orderBy("l_suppkey", "rn")
+    }),
+
     // Scale-path diagnostic — top heavy keys + suggested salt factor,
     // the pre-flight a 100 TB join runs before picking saltedJoin's
     // replication (or trusting AQE skew split)
@@ -448,6 +468,16 @@ object CoreQueries {
         |      FROM lineitem GROUP BY 1) li
         |  ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_group_topk" ->
+      """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,
+        |  row_number() OVER (PARTITION BY l_suppkey
+        |    ORDER BY l_quantity DESC, l_orderkey, l_linenumber) AS rn
+        |  FROM lineitem)
+        |SELECT l_suppkey, l_orderkey,
+        |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
+        |  CAST(rn AS BIGINT) AS rn
+        |FROM r WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

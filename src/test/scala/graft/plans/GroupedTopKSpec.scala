@@ -1,0 +1,68 @@
+package graft.plans
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+class GroupedTopKSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def topkDf(k: Int) = {
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc,
+      $"l_orderkey".asc, $"l_linenumber".asc) // total order → deterministic
+    Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+      .filter($"rn" <= k)
+  }
+
+  test("rewrite replaces WindowExec with the bounded-heap operator") {
+    val df = topkDf(3)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopK "),
+      s"expected the custom operator in:\n$plan")
+    assert(!plan.contains("WindowExec") && !plan.contains(" Sort "),
+      s"window sort must be gone:\n$plan")
+  }
+
+  test("heap operator returns exactly the window form's rows and ranks") {
+    // reference computed driver-side from raw data — no window, no rule
+    val got = topkDf(2)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "rn")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getInt(3)))
+      .toSet
+    // reference: per supplier, take the 2 best rows by the same total
+    // order, computed driver-side from the raw data
+    val raw = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2).toLong, r.getDouble(3)))
+    val expected = raw.groupBy(_._1).toSeq.flatMap { case (supp, rows) =>
+      rows.sortBy(t => (-t._4, t._2, t._3)).take(2).zipWithIndex
+        .map { case (t, i) => (supp, t._2, t._3, i + 1) }.toSeq
+    }.toSet
+    assert(got == expected)
+  }
+
+  test("rank-1 shape (argmax) and rn < k shape both rewrite") {
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc,
+      $"l_orderkey".asc, $"l_linenumber".asc)
+    val base = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+    for (f <- Seq(base.filter($"rn" === 1), base.filter($"rn" < 4))) {
+      f.collect()
+      assert(f.queryExecution.executedPlan.toString
+        .contains("GroupedTopK "))
+    }
+    // rn === 1 keeps exactly one row per supplier
+    val n = base.filter($"rn" === 1).count()
+    val nSupp = Tables.lineitem(spark, sf)
+      .select("l_suppkey").distinct().count()
+    assert(n == nSupp)
+  }
+}
