@@ -62,12 +62,20 @@ case class GroupedTopKExec(partitionExprs: Seq[Expression],
 
   override def outputPartitioning = child.outputPartitioning
 
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"),
+    "numGroups" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of groups"))
+
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
     val partExprs = partitionExprs
     val ordExprs = orderExprs
     val kk = k
     val outAttrs = output
+    val outRows = longMetric("numOutputRows")
+    val nGroups = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
       val groupProj = UnsafeProjection.create(partExprs, childOutput)
       val ordering = RowOrdering.create(ordExprs, childOutput)
@@ -91,11 +99,13 @@ case class GroupedTopKExec(partitionExprs: Seq[Expression],
         }
       }
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
+      nGroups += heaps.size
       heaps.valuesIterator.flatMap { heap =>
         // dequeueAll drains in priority (worst-first) order; reverse
         // gives rank order 1..k
         val ranked = heap.dequeueAll.reverse
         ranked.iterator.zipWithIndex.map { case (r, i) =>
+          outRows += 1
           resultProj(new JoinedRow(r,
             new GenericInternalRow(Array[Any](i + 1))))
         }
