@@ -126,6 +126,14 @@ case class GroupedTopKExec(partitionExprs: Seq[Expression],
   */
 object GroupedTopKRule extends Rule[LogicalPlan] {
 
+  /** Heap memory is groups × k rows per partition; past this k the
+    * stock WindowExec (which can spill its buffered partitions) is the
+    * safer plan, so the rewrite bails. Override with
+    * `spark.graft.groupTopK.maxK`.
+    */
+  private def maxK: Int =
+    conf.getConfString("spark.graft.groupTopK.maxK", "10000").toInt
+
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] =
     cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
@@ -146,7 +154,7 @@ object GroupedTopKRule extends Rule[LogicalPlan] {
             Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
             part, order, wchild, _)) =>
         limitOf(cond, alias.toAttribute) match {
-          case Some(k) if k >= 1 =>
+          case Some(k) if k >= 1 && k <= maxK =>
             // peel Spark's InferWindowGroupLimit node if present: the
             // heap exec performs the complete top-k itself, and a bare
             // WindowGroupLimit (without its Window) has no planning

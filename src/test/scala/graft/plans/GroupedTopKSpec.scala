@@ -65,4 +65,22 @@ class GroupedTopKSpec extends SparkSpec {
       .select("l_suppkey").distinct().count()
     assert(n == nSupp)
   }
+
+  test("rewrite bails above spark.graft.groupTopK.maxK (WindowExec can spill)") {
+    val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc)
+    val base = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_quantity")
+      .withColumn("rn", row_number().over(w))
+    spark.conf.set("spark.graft.groupTopK.maxK", "5")
+    try {
+      val big = base.filter($"rn" <= 100)
+      big.collect()
+      assert(!big.queryExecution.executedPlan.toString
+        .contains("GroupedTopK "), "k=100 > maxK=5 must keep WindowExec")
+      val small = base.filter($"rn" <= 5)
+      small.collect()
+      assert(small.queryExecution.executedPlan.toString
+        .contains("GroupedTopK "))
+    } finally spark.conf.unset("spark.graft.groupTopK.maxK")
+  }
 }
