@@ -1,0 +1,49 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Per-group numeric feature transforms for model-input preparation:
+  * standardization and outlier clipping. Both follow the same scale
+  * shape — ONE aggregate over the fact table producing a tiny
+  * per-group stats frame, broadcast back onto the facts — so the
+  * fact table is scanned twice but never shuffled on its own rows
+  * (the alternative, a window over the group, shuffles and buffers
+  * every fact row).
+  */
+object Features {
+
+  /** z-score standardization within each group:
+    * (x − mean) / stddev_samp. A constant-valued group has stddev 0 →
+    * null z-score (try_divide), which is the honest answer. Rounded to
+    * 6 decimals so results are stable across partition-order float
+    * summation.
+    */
+  def zscoreByGroup(df: DataFrame, valueCol: String, groupCol: String)
+      : DataFrame = {
+    val stats = df.groupBy(col(groupCol))
+      .agg(avg(col(valueCol)).as("__mu"),
+        stddev_samp(col(valueCol)).as("__sd"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("zscore",
+        round(try_divide(col(valueCol) - col("__mu"), col("__sd")), 6))
+      .drop("__mu", "__sd")
+  }
+
+  /** Winsorization: clip each value into its group's
+    * [percentile(lo), percentile(hi)] band (exact interpolated
+    * percentiles, mirroring DuckDB's quantile_cont). The standard
+    * outlier treatment before scaling features.
+    */
+  def winsorizeByGroup(df: DataFrame, valueCol: String, groupCol: String,
+                       lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
+    require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1")
+    val stats = df.groupBy(col(groupCol))
+      .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
+        expr(s"percentile($valueCol, $hi)").as("__hi"))
+    df.join(broadcast(stats), groupCol)
+      .withColumn("winsorized",
+        round(greatest(col("__lo"), least(col("__hi"), col(valueCol))), 6))
+      .drop("__lo", "__hi")
+  }
+}

@@ -137,6 +137,20 @@ object EventQueries {
         .select(col("event_id"),
           get_json_object(col("props"), "$.k").cast("long").as("k"))
         .orderBy("event_id")),
+
+    // per-type z-score standardization (tiny stats frame broadcast
+    // back — the facts are never shuffled)
+    "q_zscore" -> ((s, d) =>
+      graft.operators.Features.zscoreByGroup(ev(s, d), "value", "event_type")
+        .select("event_id", "event_type", "zscore")
+        .orderBy("event_id")),
+
+    // per-type winsorization into the [p01, p99] band
+    "q_winsorize" -> ((s, d) =>
+      graft.operators.Features.winsorizeByGroup(ev(s, d), "value",
+        "event_type")
+        .select("event_id", "event_type", "winsorized")
+        .orderBy("event_id")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -223,5 +237,24 @@ object EventQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_zscore" ->
+      """WITH s AS (SELECT event_type, avg(value) AS mu,
+        |    stddev_samp(value) AS sd
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round((e.value - s.mu) / s.sd, 6) AS zscore
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
+
+    "q_winsorize" ->
+      """WITH s AS (SELECT event_type,
+        |    quantile_cont(value, 0.01) AS lo,
+        |    quantile_cont(value, 0.99) AS hi
+        |  FROM events GROUP BY 1)
+        |SELECT e.event_id, e.event_type,
+        |  round(greatest(s.lo, least(s.hi, e.value)), 6) AS winsorized
+        |FROM events e JOIN s USING (event_type)
+        |ORDER BY e.event_id""".stripMargin,
   )
 }

@@ -1,0 +1,31 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class FeaturesSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("zscore exact values; constant group → null, not an error") {
+    val df = Seq(("a", 1.0), ("a", 2.0), ("a", 3.0), ("c", 5.0), ("c", 5.0))
+      .toDF("g", "value")
+    val z = Features.zscoreByGroup(df, "value", "g")
+      .collect().map(r => (r.getString(0), r.getDouble(1)) ->
+        Option(r.get(2)).map(_.asInstanceOf[Double])).toMap
+    assert(z(("a", 1.0)).contains(-1.0)) // mean 2, sd_samp 1
+    assert(z(("a", 2.0)).contains(0.0))
+    assert(z(("a", 3.0)).contains(1.0))
+    assert(z(("c", 5.0)).isEmpty, "zero variance must yield null")
+  }
+
+  test("winsorize clips into the interpolated percentile band") {
+    val df = Seq.tabulate(4)(i => ("g", Seq(0.0, 10.0, 20.0, 100.0)(i)))
+      .toDF("g", "value")
+    val w = Features.winsorizeByGroup(df, "value", "g", lo = 0.25, hi = 0.75)
+      .collect().map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // sorted [0,10,20,100]: p25 = 7.5, p75 = 40 (linear interpolation)
+    assert(w(0.0) == 7.5)
+    assert(w(10.0) == 10.0)
+    assert(w(20.0) == 20.0)
+    assert(w(100.0) == 40.0)
+  }
+}
