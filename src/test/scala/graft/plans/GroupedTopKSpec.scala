@@ -66,6 +66,25 @@ class GroupedTopKSpec extends SparkSpec {
     assert(n == nSupp)
   }
 
+  test("null group keys and null sort keys match the window semantics") {
+    // nulls group together; sort nulls follow SortOrder null ordering —
+    // read expectations off a driver-side replay of the same rules
+    val df = Seq(
+      (Some("a"), Some(3.0), 1L), (Some("a"), None, 2L),
+      (Some("a"), Some(1.0), 3L), (None, Some(9.0), 4L),
+      (None, Some(2.0), 5L), (None, None, 6L),
+    ).toDF("g", "v", "id")
+    val w = Window.partitionBy($"g").orderBy($"v".desc_nulls_last, $"id")
+    val out = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 2)
+    out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("GroupedTopK "))
+    val got = out.select("id", "rn").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // group "a": v desc nulls last → 3.0(id1), 1.0(id3); null-v id2 cut
+    // group null: 9.0(id4), 2.0(id5); null-v id6 cut
+    assert(got == Map(1L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), got.toString)
+  }
+
   test("rewrite bails above spark.graft.groupTopK.maxK (WindowExec can spill)") {
     val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc)
     val base = Tables.lineitem(spark, sf)
