@@ -83,26 +83,53 @@ object Dedup {
     * distinct. Emits (id_a < id_b).
     */
   def lshCandidatePairs(sigs: DataFrame, idCol: String): DataFrame = {
-    val bandKeys = array((0 until NumBands).map { b =>
-      concat_ws("_",
-        lit(b) +: (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
-    }: _*)
-    val keyed = sigs.select(col(idCol).as("id_a"),
-      explode(bandKeys).as("band_key"))
+    val keyed = bandKeyed(sigs, idCol).withColumnRenamed(idCol, "id_a")
     keyed.join(keyed.withColumnRenamed("id_a", "id_b"), Seq("band_key"))
       .filter(col("id_a") < col("id_b"))
       .select("id_a", "id_b")
       .distinct()
   }
 
+  /** (id, band_key) long table for a signature frame — one exploded
+    * array projection per row.
+    */
+  private def bandKeyed(sigs: DataFrame, idCol: String): DataFrame = {
+    val bandKeys = array((0 until NumBands).map { b =>
+      concat_ws("_",
+        lit(b) +: (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
+    }: _*)
+    sigs.select(col(idCol), explode(bandKeys).as("band_key"))
+  }
+
+  /** Cross-corpus LSH candidates: (new id_a, existing id_b) pairs
+    * sharing a band — an equi-join between two band-key tables, never
+    * new × existing. This is the incremental-ingest primitive: the
+    * existing corpus contributes only its (maintained) signature
+    * table, not its text.
+    */
+  def lshCrossPairs(sigsNew: DataFrame, sigsExisting: DataFrame,
+                    idCol: String): DataFrame =
+    bandKeyed(sigsNew, idCol).withColumnRenamed(idCol, "id_a")
+      .join(bandKeyed(sigsExisting, idCol).withColumnRenamed(idCol, "id_b"),
+        Seq("band_key"))
+      .select("id_a", "id_b")
+      .distinct()
+
   /** Estimated Jaccard for candidate pairs = fraction of matching
     * signature components. Joins the (small) signature table twice —
     * broadcast-friendly, AQE picks the strategy.
     */
   def estimatedJaccard(pairs: DataFrame, sigs: DataFrame, idCol: String)
-      : DataFrame = {
-    val a = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val b = sigs.toDF(sigs.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+      : DataFrame = estimatedJaccardAcross(pairs, sigs, sigs, idCol)
+
+  /** [[estimatedJaccard]] generalized to two signature tables — the
+    * `id_a` side resolves in `sigsA`, the `id_b` side in `sigsB`
+    * (cross-corpus scoring for incremental dedup).
+    */
+  def estimatedJaccardAcross(pairs: DataFrame, sigsA: DataFrame,
+                             sigsB: DataFrame, idCol: String): DataFrame = {
+    val a = sigsA.toDF(sigsA.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val b = sigsB.toDF(sigsB.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val matches = (0 until NumPerms)
       .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _)
@@ -281,6 +308,37 @@ object Dedup {
         bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).as("hamming"))
       .filter(col("hamming") <= maxDist)
       .distinct() // a pair may agree on several bands
+  }
+
+  /** Incremental corpus dedup — the daily-ingest pattern: a new batch
+    * is deduped against the corpus WITHOUT recomputing or even reading
+    * the corpus text. The existing corpus contributes its maintained
+    * signature table (built once by [[minhashSignatures]] and appended
+    * per ingest); a new doc is dropped if it is a near-dup of any
+    * existing doc (cross band-join) or of an earlier new doc in the
+    * same batch (greedy min-id policy, as [[dedupCorpus]]). Returns
+    * the surviving rows of `newDocs`; append their signatures to the
+    * corpus table afterwards to complete the cycle.
+    *
+    * At 100 TB the signature table is ~120 bytes/doc — the cross join
+    * shuffles band keys of the NEW batch against it, never documents.
+    */
+  def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
+                       existingSigs: DataFrame, k: Int = 3,
+                       threshold: Double = 0.5): DataFrame = {
+    val newSigs = minhashSignatures(
+      docShingles(newDocs, idCol, textCol, k, dedup = false), idCol).persist()
+    val vsExisting = estimatedJaccardAcross(
+      lshCrossPairs(newSigs, existingSigs, idCol), newSigs, existingSigs,
+      idCol)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_a").as(idCol)).distinct()
+    val intraLosers = estimatedJaccard(
+      lshCandidatePairs(newSigs, idCol), newSigs, idCol)
+      .filter(col("est_jaccard") >= threshold)
+      .select(col("id_b").as(idCol)).distinct()
+    newDocs
+      .join(vsExisting.union(intraLosers).distinct(), Seq(idCol), "left_anti")
   }
 
   /** Connected components over an undirected candidate-pair graph by

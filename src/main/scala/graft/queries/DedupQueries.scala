@@ -94,6 +94,19 @@ object DedupQueries {
         K, threshold = 0.5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")),
+
+    // incremental ingest: even-id docs are the standing corpus (only
+    // their SIGNATURE table participates), odd-id docs the new batch
+    "q_incremental_dedup" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val existingSigs = Dedup.minhashSignatures(
+        Dedup.docShingles(all.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", K, dedup = false), "doc_id")
+      Dedup.incrementalDedup(all.filter(col("doc_id") % 2 =!= 0),
+        "doc_id", "text", existingSigs, K, threshold = 0.5)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -267,6 +280,34 @@ object DedupQueries {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |JOIN comps c ON c.id = d.doc_id
          |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_incremental_dedup" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |bn AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 2 <> 0),
+         |be AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 2 = 0),
+         |cross_cand AS (SELECT DISTINCT n.doc_id AS id_a, e.doc_id AS id_b
+         |  FROM bn n JOIN be e ON n.band_key = e.band_key),
+         |vs_existing AS (SELECT DISTINCT c.id_a FROM cross_cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |intra_cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bn x JOIN bn y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |intra_losers AS (SELECT DISTINCT c.id_b FROM intra_cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5)
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 2 <> 0
+         |  AND doc_id NOT IN (SELECT id_a FROM vs_existing)
+         |  AND doc_id NOT IN (SELECT id_b FROM intra_losers)
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_ngram_jaccard" ->

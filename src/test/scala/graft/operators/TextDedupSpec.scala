@@ -142,6 +142,23 @@ class TextDedupSpec extends SparkSpec {
     assert(comps(6L) == 6L && comps(7L) == 6L)
   }
 
+  test("incrementalDedup: drops vs existing sigs and intra-batch, keeps novel") {
+    val existing = Seq(
+      (2L, "the quick brown fox jumps over the lazy dog")).toDF("doc_id", "text")
+    val existingSigs = Dedup.minhashSignatures(
+      Dedup.docShingles(existing, "doc_id", "text", 3, dedup = false), "doc_id")
+    val batch = Seq(
+      (11L, "the quick brown fox jumps over the lazy dog"), // dup of corpus
+      (13L, "completely novel content about spark shuffles here"),
+      (15L, "another brand new document with fresh words inside"),
+      (17L, "another brand new document with fresh words inside"), // dup of 15
+    ).toDF("doc_id", "text")
+    val kept = Dedup.incrementalDedup(batch, "doc_id", "text", existingSigs)
+      .select("doc_id").as[Long].collect().sorted
+    assert(kept.toSeq == Seq(13L, 15L),
+      s"corpus dup and intra-batch dup must drop, got ${kept.toSeq}")
+  }
+
   test("dedupCorpusTransitive keeps one representative per cluster") {
     // 1≈2 exact, 3 near-dup of both → all one cluster; 4 alone
     val kept = Dedup.dedupCorpusTransitive(docs, "doc_id", "text",
