@@ -180,8 +180,9 @@ object Curation {
     * rates (e.g. "2.5× epochs of wiki, 0.3× of web crawl") with
     * deterministic hash arithmetic. A rate r emits floor(r) copies of
     * every row plus one more for rows whose hash bucket falls under
-    * the fractional part — so E[copies] = r exactly, reproducible on
-    * any engine/partitioning.
+    * the fractional part — so E[copies] = r (exact for rates that are
+    * multiples of 1/10000; the bucket space is basis points),
+    * reproducible on any engine/partitioning.
     *
     * Entirely row-local (a when-chain of constants and one
     * explode) — zero shuffles, zero joins; the one operator every
@@ -199,10 +200,13 @@ object Curation {
       when(col(groupCol) === g, lit(r)).otherwise(acc)
     }
     val whole = floor(rate).cast("int")
-    // fractional part as an integer percent: bucket < round(frac*100)
-    // keeps the tie-break arithmetic exact on both engines
-    val fracPct = round((rate - floor(rate)) * 100).cast("int")
-    val copies = whole + when(hashBucket(col(keyCol)) < fracPct, 1).otherwise(0)
+    // fractional part in integer BASIS POINTS over 10000 hash buckets:
+    // rates are honored to 0.01% granularity (a percent bucket space
+    // would quantize e.g. 0.125 to 0.13), and the round() keeps the
+    // tie-break arithmetic exact on both engines
+    val fracBp = round((rate - floor(rate)) * 10000).cast("int")
+    val copies =
+      whole + when(hashBucket(col(keyCol), 10000) < fracBp, 1).otherwise(0)
     // sequence(1, 0) is DESCENDING [1, 0] in Spark, not empty — rate-0
     // rows must map to an empty array so explode drops them
     df.withColumn("copy_idx",

@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -139,15 +139,22 @@ object Dedup {
   }
 
   /** End-to-end MinHash near-dup pairs above a similarity threshold.
-    * The signature table is persisted: it feeds the band join AND both
-    * sides of the estimation join, and without a cache Spark computes
-    * the explode+digest subtree three times (measured ~2× end-to-end
-    * at sf0.1).
+    * The signature table feeds the band join AND both sides of the
+    * estimation join; without materialization Spark computes the
+    * explode+digest subtree three times (measured ~2× end-to-end at
+    * sf0.1). `localCheckpoint` (eager) instead of `persist`: same
+    * single evaluation, but nothing is left registered in the
+    * CacheManager for the caller to unpersist — the checkpointed
+    * blocks are dropped when the plan is garbage-collected. The
+    * tradeoff (shared with [[connectedComponents]]) is that local
+    * checkpoints are not fault-tolerant: on a real cluster an executor
+    * loss forces a job re-run instead of a partition recompute.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, threshold: Double = 0.5): DataFrame = {
     val sigs = minhashSignatures(
-      docShingles(df, idCol, textCol, k, dedup = false), idCol).persist()
+      docShingles(df, idCol, textCol, k, dedup = false), idCol)
+      .localCheckpoint()
     estimatedJaccard(lshCandidatePairs(sigs, idCol), sigs, idCol)
       .filter(col("est_jaccard") >= threshold)
   }
@@ -160,8 +167,18 @@ object Dedup {
     * the intermediate is Σ_shingle-group C(docs,2), not
     * |pairs| × |shingles| — at sf0.1 this is the difference between
     * ~8M and ~190M intermediate rows (24 s → ~4 s measured).
-    * The block key bounds shingle-group fanout; it is the unit of
-    * comparison (same source, same LSH bucket, …).
+    *
+    * BLOCK CONTRACT (at-scale): within-block candidate pairs are
+    * O(n²/blocks) — the block key must bound per-block cardinality to
+    * thousands of docs, not "everything from one crawl". A coarse
+    * attribute like `source` is demo/audit-grade only; corpus-scale
+    * discovery should block on an LSH band bucket, which the engine
+    * already computes — that composition is [[ngramJaccardLsh]].
+    *
+    * The shingle table feeds three consumers (sizes, both join sides);
+    * it is eagerly `localCheckpoint`ed so the tokenize+explode+distinct
+    * subtree evaluates once, not three times (measured 9.1 s → ~3 s at
+    * sf0.1), with no CacheManager entry left behind.
     */
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, k: Int = 3,
@@ -172,6 +189,7 @@ object Dedup {
       .select(col(idCol), col("__blk"),
         explode(shingles(col("__toks"), k)).as("shingle"))
       .distinct()
+      .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
     val a = sh.select(col(idCol).as("id_a"), col("__blk"), col("shingle"))
     val b = sh.select(col(idCol).as("id_b"), col("__blk"), col("shingle"))
@@ -208,6 +226,23 @@ object Dedup {
       .select(col("id_a"), col("id_b"),
         round(col("n_inter").cast("double")
           / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
+  }
+
+  /** Exact n-gram Jaccard over LSH-bounded candidates — the
+    * corpus-scale form of [[ngramJaccardBlocked]]: the "block" is the
+    * MinHash band bucket, so candidate fanout is bounded by band
+    * collisions (tiny buckets by construction) instead of an external
+    * attribute's cardinality. One shingle materialization serves both
+    * the signature build and the exact scoring: a min over a shingle
+    * SET equals the min over the multiset, so the deduped table is
+    * valid MinHash input too.
+    */
+  def ngramJaccardLsh(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, minJaccard: Double = 0.0): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, k, dedup = true)
+      .localCheckpoint()
+    val pairs = lshCandidatePairs(minhashSignatures(sh, idCol), idCol)
+    ngramJaccard(pairs, sh, idCol).filter(col("jaccard") > minJaccard)
   }
 
   /** End-to-end corpus dedup: drop exact duplicates (keep min id),
@@ -318,16 +353,26 @@ object Dedup {
     * existing doc (cross band-join) or of an earlier new doc in the
     * same batch (greedy min-id policy, as [[dedupCorpus]]). Returns
     * the surviving rows of `newDocs`; append their signatures to the
-    * corpus table afterwards to complete the cycle.
+    * corpus table afterwards to complete the cycle
+    * ([[appendSignatures]] — see [[writeSignatures]] for the full
+    * lifecycle).
     *
     * At 100 TB the signature table is ~120 bytes/doc — the cross join
     * shuffles band keys of the NEW batch against it, never documents.
+    *
+    * CALLER CONTRACT for `existingSigs`: it is consumed TWICE (band
+    * keying and the `sigsB` scoring side). Pass a materialized frame —
+    * a parquet-backed [[readSignatures]] table (the intended shape) or
+    * at least a localCheckpoint — or its subtree evaluates twice.
+    * `newSigs` is handled here (localCheckpoint: single evaluation,
+    * nothing left in the CacheManager).
     */
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
                        existingSigs: DataFrame, k: Int = 3,
                        threshold: Double = 0.5): DataFrame = {
     val newSigs = minhashSignatures(
-      docShingles(newDocs, idCol, textCol, k, dedup = false), idCol).persist()
+      docShingles(newDocs, idCol, textCol, k, dedup = false), idCol)
+      .localCheckpoint()
     val vsExisting = estimatedJaccardAcross(
       lshCrossPairs(newSigs, existingSigs, idCol), newSigs, existingSigs,
       idCol)
@@ -339,6 +384,71 @@ object Dedup {
       .select(col("id_b").as(idCol)).distinct()
     newDocs
       .join(vsExisting.union(intraLosers).distinct(), Seq(idCol), "left_anti")
+  }
+
+  // ---- maintained signature-table lifecycle ----
+  //
+  // The storage half of [[incrementalDedup]]'s contract: the corpus is
+  // represented between ingests by its MinHash signature table
+  // (~120 bytes/doc — 16 longs + id), persisted as hash-partitioned
+  // parquet. Each daily batch (1) reads the table, (2) dedups against
+  // it, (3) appends the survivors' signatures. The corpus TEXT is
+  // never re-read after its first ingest.
+
+  /** Number of `sig_part` hash partitions in a signature table. Fixed
+    * rather than parameterized: append and overwrite must agree on the
+    * layout or a table would mix granularities. At 100 TB corpus scale
+    * (~10 B docs ⇒ ~1.2 TB of signatures) raise this constant before
+    * first write — it only bounds file parallelism, not correctness
+    * (readers never prune on sig_part).
+    */
+  val SigParts = 16
+
+  private def withSigPart(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.withColumn("sig_part",
+      (hash32(col(idCol).cast("string")) % SigParts).cast("int"))
+
+  /** Create (or replace) a maintained signature table at `path`. */
+  def writeSignatures(sigs: DataFrame, idCol: String, path: String): Unit =
+    withSigPart(sigs, idCol)
+      .write.mode("overwrite").partitionBy("sig_part").parquet(path)
+
+  /** Append a batch's signatures to a maintained table — the step that
+    * closes [[incrementalDedup]]'s cycle. Parquet append is atomic per
+    * file and add-only, so a concurrent reader sees either the old or
+    * the new batch, never a torn row. Every append adds one file per
+    * touched partition; run [[compactSignatures]] periodically (e.g.
+    * weekly) so file counts stay bounded.
+    */
+  def appendSignatures(sigs: DataFrame, idCol: String, path: String): Unit =
+    withSigPart(sigs, idCol)
+      .write.mode("append").partitionBy("sig_part").parquet(path)
+
+  /** Read a maintained signature table (the `existingSigs` input of
+    * [[incrementalDedup]] — parquet-backed, so its two consumers there
+    * each cost a columnar scan, never a signature recompute).
+    */
+  def readSignatures(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(path).drop("sig_part")
+
+  /** Rewrite a signature table to one file per partition, collapsing
+    * the per-append small files. Staged write + FS rename swap: the
+    * table is never readable half-compacted (same single-writer
+    * assumption as any file-level compaction; pair with a table format
+    * (Iceberg/Delta) if concurrent writers are required).
+    */
+  def compactSignatures(spark: SparkSession, path: String): Unit = {
+    val staging = path + "__compact"
+    spark.read.parquet(path)
+      .repartition(SigParts, col("sig_part"))
+      .write.mode("overwrite").partitionBy("sig_part").parquet(staging)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p = new org.apache.hadoop.fs.Path(path)
+    val s = new org.apache.hadoop.fs.Path(staging)
+    val fs = p.getFileSystem(conf)
+    fs.delete(p, true)
+    if (!fs.rename(s, p))
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
   }
 
   /** Connected components over an undirected candidate-pair graph by
@@ -377,36 +487,51 @@ object Dedup {
       .select(col("e.src").as("src"), col("e.dst").as("dst"))
       .distinct()
       .persist()
-    edges.count() // materialize once; reused every round
-    // the loop runs over PAIR-GRAPH vertices only — in a near-dup
-    // corpus that graph is orders of magnitude smaller than the
-    // corpus, and singletons' labels are known (themselves), so they
-    // ride a union around the iteration instead of through it
-    val active = edges.select(col("src").as("id")).distinct()
-    var labels = active.select(col("id"), col("id").as("component"))
-      .localCheckpoint()
-    var changed = 1L
-    var iter = 0
-    while (changed > 0 && iter < maxIter) {
-      val neighborMin = edges
-        .join(labels.withColumnRenamed("id", "dst"), "dst")
-        .groupBy(col("src").as("id"))
-        .agg(min("component").as("nbr_min"))
-      // every active vertex has ≥1 neighbor, so the join is inner
-      val next = labels.join(neighborMin, Seq("id"))
-        .select(col("id"),
-          least(col("component"), col("nbr_min")).as("component"),
-          (col("nbr_min") < col("component")).as("__chg"))
+    try {
+      edges.count() // materialize once; reused every round
+      // the loop runs over PAIR-GRAPH vertices only — in a near-dup
+      // corpus that graph is orders of magnitude smaller than the
+      // corpus, and singletons' labels are known (themselves), so they
+      // ride a union around the iteration instead of through it.
+      // Checkpointed: `active` is also read by the singleton anti-join
+      // AFTER edges is unpersisted — without materialization that read
+      // would re-evaluate the whole pairs subtree (band self-join) at
+      // caller time. The id list is tiny.
+      val active = edges.select(col("src").as("id")).distinct()
         .localCheckpoint()
-      changed = next.filter(col("__chg")).count()
-      labels = next.drop("__chg")
-      iter += 1
-    }
-    edges.unpersist()
-    val singletons = vertices.select(col(idCol).as("id"))
-      .join(active, Seq("id"), "left_anti")
-      .select(col("id"), col("id").as("component"))
-    labels.union(singletons).withColumnRenamed("id", idCol)
+      var labels = active.select(col("id"), col("id").as("component"))
+        .localCheckpoint()
+      var changed = 1L
+      var iter = 0
+      while (changed > 0 && iter < maxIter) {
+        val neighborMin = edges
+          .join(labels.withColumnRenamed("id", "dst"), "dst")
+          .groupBy(col("src").as("id"))
+          .agg(min("component").as("nbr_min"))
+        // every active vertex has ≥1 neighbor, so the join is inner
+        val next = labels.join(neighborMin, Seq("id"))
+          .select(col("id"),
+            least(col("component"), col("nbr_min")).as("component"),
+            (col("nbr_min") < col("component")).as("__chg"))
+          .localCheckpoint()
+        changed = next.filter(col("__chg")).count()
+        labels = next.drop("__chg")
+        iter += 1
+      }
+      // fail LOUDLY on a non-converged exit: returning partial labels
+      // would silently keep several representatives per cluster. Rounds
+      // needed ≈ graph diameter, so hitting the default 25 means a
+      // pathological long-chain graph — raise maxIter (or switch to a
+      // large-star/small-star O(log² n) scheme) rather than trust the
+      // output.
+      if (changed > 0) throw new IllegalStateException(
+        s"connectedComponents did not converge after $maxIter rounds " +
+          s"($changed labels still changing); raise maxIter")
+      val singletons = vertices.select(col(idCol).as("id"))
+        .join(active, Seq("id"), "left_anti")
+        .select(col("id"), col("id").as("component"))
+      labels.union(singletons).withColumnRenamed("id", idCol)
+    } finally edges.unpersist(blocking = false)
   }
 
   /** Transitive-closure corpus dedup: cluster near-dup pairs into
@@ -420,9 +545,12 @@ object Dedup {
   def dedupCorpusTransitive(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, threshold: Double = 0.5): DataFrame = {
     // df feeds three consumers (signature build, vertex list, final
-    // semi-join) — persist so an expensive upstream (e.g. a quality
-    // gate's aggregations) computes once, not three times
-    val input = df.persist()
+    // semi-join) — localCheckpoint so an expensive upstream (e.g. a
+    // quality gate's aggregations) computes once, not three times,
+    // without leaving a CacheManager entry the caller would have to
+    // unpersist (the r2-audited leak). Eager is fine: the component
+    // loop materializes everything anyway.
+    val input = df.localCheckpoint()
     val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
       .select("id_a", "id_b")
     val comps = connectedComponents(pairs, input.select(idCol), idCol)

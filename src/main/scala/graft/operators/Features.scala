@@ -18,16 +18,20 @@ object Features {
     * null z-score (try_divide), which is the honest answer. Rounded to
     * 6 decimals so results are stable across partition-order float
     * summation.
+    *
+    * NULL group keys form their own group (groupBy keeps them) and are
+    * re-attached with null-safe equality — a plain equi-join would
+    * silently drop every null-group row from the output.
     */
   def zscoreByGroup(df: DataFrame, valueCol: String, groupCol: String)
       : DataFrame = {
-    val stats = df.groupBy(col(groupCol))
+    val stats = df.groupBy(col(groupCol).as("__grp"))
       .agg(avg(col(valueCol)).as("__mu"),
         stddev_samp(col(valueCol)).as("__sd"))
-    df.join(broadcast(stats), groupCol)
+    df.join(broadcast(stats), col(groupCol) <=> col("__grp"))
       .withColumn("zscore",
         round(try_divide(col(valueCol) - col("__mu"), col("__sd")), 6))
-      .drop("__mu", "__sd")
+      .drop("__grp", "__mu", "__sd")
   }
 
   /** Winsorization: clip each value into its group's
@@ -38,12 +42,12 @@ object Features {
   def winsorizeByGroup(df: DataFrame, valueCol: String, groupCol: String,
                        lo: Double = 0.01, hi: Double = 0.99): DataFrame = {
     require(lo >= 0 && hi <= 1 && lo < hi, s"need 0 <= lo < hi <= 1")
-    val stats = df.groupBy(col(groupCol))
+    val stats = df.groupBy(col(groupCol).as("__grp"))
       .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
         expr(s"percentile($valueCol, $hi)").as("__hi"))
-    df.join(broadcast(stats), groupCol)
+    df.join(broadcast(stats), col(groupCol) <=> col("__grp"))
       .withColumn("winsorized",
         round(greatest(col("__lo"), least(col("__hi"), col(valueCol))), 6))
-      .drop("__lo", "__hi")
+      .drop("__grp", "__lo", "__hi")
   }
 }

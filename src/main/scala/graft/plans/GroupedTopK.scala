@@ -10,7 +10,7 @@ import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, UnaryNode, Wind
 import org.apache.spark.sql.catalyst.plans.physical.{AllTuples, ClusteredDistribution, Distribution}
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.execution.{SparkPlan, SparkStrategy, UnaryExecNode}
-import org.apache.spark.sql.types.IntegerType
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType, IntegerType, MapType, StructType}
 
 /** Per-group top-k as a first-class operator — the tier-(c) custom
   * path (LogicalPlan + Rule + SparkStrategy + SparkPlan, registered
@@ -134,6 +134,24 @@ object GroupedTopKRule extends Rule[LogicalPlan] {
   private def maxK: Int =
     conf.getConfString("spark.graft.groupTopK.maxK", "10000").toInt
 
+  /** Float/double anywhere in a partition key's type (incl. nested in
+    * struct/array/map) disqualifies the rewrite: this rule runs before
+    * Spark's NormalizeFloatingNumbers batch, and that batch only
+    * rewrites Window/Aggregate/Join nodes — a GroupedTopKPlan would
+    * keep un-normalized keys, so -0.0 vs 0.0 (and NaN bit patterns)
+    * would hash apart and split one row_number group into several.
+    * Bailing out leaves the stock Filter+Window shape, which the
+    * normalization batch handles correctly.
+    */
+  private def hasFloatingPoint(dt: DataType): Boolean = dt match {
+    case FloatType | DoubleType => true
+    case s: StructType => s.fields.exists(f => hasFloatingPoint(f.dataType))
+    case a: ArrayType => hasFloatingPoint(a.elementType)
+    case m: MapType =>
+      hasFloatingPoint(m.keyType) || hasFloatingPoint(m.valueType)
+    case _ => false
+  }
+
   private def limitOf(cond: Expression, rn: Attribute): Option[Int] =
     cond match {
       case LessThanOrEqual(a: Attribute, Literal(v: Int, IntegerType))
@@ -154,7 +172,8 @@ object GroupedTopKRule extends Rule[LogicalPlan] {
             Seq(alias @ Alias(WindowExpression(RowNumber(), _), _)),
             part, order, wchild, _)) =>
         limitOf(cond, alias.toAttribute) match {
-          case Some(k) if k >= 1 && k <= maxK =>
+          case Some(k) if k >= 1 && k <= maxK &&
+              !part.exists(e => hasFloatingPoint(e.dataType)) =>
             // peel Spark's InferWindowGroupLimit node if present: the
             // heap exec performs the complete top-k itself, and a bare
             // WindowGroupLimit (without its Window) has no planning

@@ -164,10 +164,11 @@ object CurationQueries {
         s"CASE WHEN source = '$g' THEN $r ELSE $acc END"
       }
       s"""WITH r AS (SELECT doc_id, source, $rateCase AS rate,
-         |    ${bucketSql("doc_id")} AS b FROM documents),
+         |    ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000
+         |      AS b FROM documents),
          |c AS (SELECT doc_id, source,
          |    CAST(floor(rate) AS INT)
-         |      + CASE WHEN b < CAST(round((rate - floor(rate)) * 100)
+         |      + CASE WHEN b < CAST(round((rate - floor(rate)) * 10000)
          |                       AS INT) THEN 1 ELSE 0 END AS n_copies
          |  FROM r)
          |SELECT doc_id, source,

@@ -96,17 +96,54 @@ object DedupQueries {
         .orderBy("doc_id")),
 
     // incremental ingest: even-id docs are the standing corpus (only
-    // their SIGNATURE table participates), odd-id docs the new batch
+    // their SIGNATURE table participates), odd-id docs the new batch.
+    // The corpus signatures are localCheckpoint-materialized per
+    // incrementalDedup's caller contract: they feed BOTH the band join
+    // and the scoring join, and the unmaterialized form evaluated the
+    // half-corpus shingle+digest subtree twice (r2's slowest query,
+    // 20.6 s at sf0.1)
     "q_incremental_dedup" -> ((s, d) => {
       val all = Tables.documents(s, d)
       val existingSigs = Dedup.minhashSignatures(
         Dedup.docShingles(all.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", K, dedup = false), "doc_id")
+        .localCheckpoint()
       Dedup.incrementalDedup(all.filter(col("doc_id") % 2 =!= 0),
         "doc_id", "text", existingSigs, K, threshold = 0.5)
         .select("doc_id", "lang", "source")
         .orderBy("doc_id")
     }),
+
+    // full maintained-table lifecycle: write the corpus signatures to
+    // partitioned parquet, read them back, dedup the new batch against
+    // the STORED table, append the survivors' signatures, compact, and
+    // return the final table — the oracle recomputes what it must
+    // contain (corpus sigs + surviving-batch sigs) from scratch
+    "q_sig_lifecycle" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val table = java.nio.file.Files
+        .createTempDirectory("graft_sigtable_").toString + "/sigs"
+      val corpusSigs = Dedup.minhashSignatures(
+        Dedup.docShingles(all.filter(col("doc_id") % 2 === 0),
+          "doc_id", "text", K, dedup = false), "doc_id")
+      Dedup.writeSignatures(corpusSigs, "doc_id", table)
+      val stored = Dedup.readSignatures(s, table)
+      val survivors = Dedup.incrementalDedup(
+        all.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", stored, K,
+        threshold = 0.5)
+      Dedup.appendSignatures(Dedup.minhashSignatures(
+        Dedup.docShingles(survivors, "doc_id", "text", K, dedup = false),
+        "doc_id"), "doc_id", table)
+      Dedup.compactSignatures(s, table)
+      Dedup.readSignatures(s, table).orderBy("doc_id")
+    }),
+
+    // exact n-gram Jaccard over LSH-bounded candidate pairs — the
+    // corpus-scale block key (band buckets), vs q_ngram_jaccard's
+    // attribute block
+    "q_ngram_jaccard_lsh" -> ((s, d) =>
+      Dedup.ngramJaccardLsh(Tables.documents(s, d), "doc_id", "text", K)
+        .orderBy("id_a", "id_b")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -309,6 +346,61 @@ object DedupQueries {
          |  AND doc_id NOT IN (SELECT id_b FROM intra_losers)
          |ORDER BY doc_id""".stripMargin
     },
+
+    // final maintained table = corpus (even) signatures + signatures
+    // of batch (odd) docs surviving the q_incremental_dedup logic
+    "q_sig_lifecycle" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |bn AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 2 <> 0),
+         |be AS (SELECT doc_id, band_key FROM bands WHERE doc_id % 2 = 0),
+         |cross_cand AS (SELECT DISTINCT n.doc_id AS id_a, e.doc_id AS id_b
+         |  FROM bn n JOIN be e ON n.band_key = e.band_key),
+         |vs_existing AS (SELECT DISTINCT c.id_a FROM cross_cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |intra_cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bn x JOIN bn y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |intra_losers AS (SELECT DISTINCT c.id_b FROM intra_cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5)
+         |SELECT * FROM sig
+         |WHERE doc_id % 2 = 0
+         |   OR (doc_id NOT IN (SELECT id_a FROM vs_existing)
+         |       AND doc_id NOT IN (SELECT id_b FROM intra_losers))
+         |ORDER BY doc_id""".stripMargin
+    },
+
+    // LSH-blocked exact Jaccard: candidates from band buckets, scored
+    // over the distinct shingle table
+    "q_ngram_jaccard_lsh" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |        / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) AS jaccard
+         |FROM cand c
+         |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN sizes na ON na.doc_id = c.id_a
+         |JOIN sizes nb ON nb.doc_id = c.id_b
+         |WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
+         |        / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) > 0
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     "q_ngram_jaccard" ->
       s"""WITH $shCte,

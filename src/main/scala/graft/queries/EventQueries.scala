@@ -244,7 +244,8 @@ object EventQueries {
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type,
         |  round((e.value - s.mu) / s.sd, 6) AS zscore
-        |FROM events e JOIN s USING (event_type)
+        |FROM events e
+        |JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
         |ORDER BY e.event_id""".stripMargin,
 
     "q_winsorize" ->
@@ -254,7 +255,8 @@ object EventQueries {
         |  FROM events GROUP BY 1)
         |SELECT e.event_id, e.event_type,
         |  round(greatest(s.lo, least(s.hi, e.value)), 6) AS winsorized
-        |FROM events e JOIN s USING (event_type)
+        |FROM events e
+        |JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
         |ORDER BY e.event_id""".stripMargin,
   )
 }
