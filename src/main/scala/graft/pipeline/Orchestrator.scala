@@ -70,10 +70,12 @@ object Orchestrator {
   /** Consolidated run report — the step-7 merge
     * (steps/step7_generate_report.py:167-202) plus the step-4 filter
     * metrics the reference reports per file
-    * (steps/step4_filter_stations.py:247-295).
+    * (steps/step4_filter_stations.py:247-295) and the step-3
+    * columns-removed detail (steps/step3_remove_columns.py:178-212).
     */
   final case class RunReport(views: Seq[ViewResult],
-                             filterStats: Seq[Steps.FilterStats] = Nil) {
+                             filterStats: Seq[Steps.FilterStats] = Nil,
+                             removeStats: Seq[Steps.RemoveStats] = Nil) {
     def successes: Seq[ViewResult] = views.filter(_.status == "success")
     def successRate: Double =
       if (views.isEmpty) 0.0 else successes.size.toDouble / views.size * 100
@@ -119,11 +121,22 @@ object Orchestrator {
       val elimPct =
         if (totalRowsBefore == 0) 0.0
         else totalRowsElim.toDouble / totalRowsBefore * 100
+      val removeJson = removeStats.map { r =>
+        s"""{"archivo":${q(r.table)},""" +
+          s""""columnas_originales":[${r.colsOriginal.map(q).mkString(",")}],""" +
+          s""""columnas_eliminadas":[${r.colsRemoved.map(q).mkString(",")}],""" +
+          s""""num_columnas_original":${r.colsOriginal.size},""" +
+          s""""num_columnas_final":${r.colsFinal.size}}"""
+      }.mkString("[", ",", "]")
       s"""{"views":$viewsJson,""" +
         s""""resumen":{"vistas_totales":${views.size},""" +
         s""""vistas_exitosas":${successes.size},""" +
         s""""vistas_fallidas":${views.size - successes.size},""" +
         s""""tasa_exito":${pct(successRate)}},""" +
+        s""""remocion_columnas":{"archivos":${removeStats.size},""" +
+        s""""archivos_con_columnas":${removeStats.count(_.colsRemoved.nonEmpty)},""" +
+        s""""total_columnas_eliminadas":${removeStats.map(_.colsRemoved.size).sum},""" +
+        s""""detalle":$removeJson},""" +
         s""""filtrado":{"archivos":${filterStats.size},""" +
         s""""umbral_minimo":${Steps.MinRecords},""" +
         s""""total_estaciones_eliminadas":${filterStats.map(_.stationsEliminated).sum},""" +
@@ -175,6 +188,8 @@ object Orchestrator {
       .getOrElse(Schemas.stationColumns)
     val statsMap =
       new scala.collection.concurrent.TrieMap[String, Steps.FilterStats]
+    val removeMap =
+      new scala.collection.concurrent.TrieMap[String, Steps.RemoveStats]
     // computeIfAbsent, not TrieMap.getOrElseUpdate: the latter can
     // evaluate the thunk in two racing view threads and orphan one
     // persist()ed DataFrame (never unpersisted, table read twice)
@@ -183,7 +198,9 @@ object Orchestrator {
     val load: String => Option[DataFrame] = name =>
       cache.computeIfAbsent(name, _ =>
         loadRaw(name).map { df =>
-          val noFlags = Steps.removeFlagColumns(df)
+          // step-3 detail is schema-only (no jobs) — always collected
+          val (noFlags, rmStats) = Steps.removeFlagColumnsWithStats(df, name)
+          removeMap.put(name, rmStats)
           if (detailedStats)
             Steps.sparseStationStats(noFlags, name, known = knownFor(name))
               .foreach(statsMap.put(name, _))
@@ -256,7 +273,8 @@ object Orchestrator {
         }))
 
       RunReport(consolidated ++ simple ++ estaciones :+ entities,
-        statsMap.values.toSeq.sortBy(_.table))
+        statsMap.values.toSeq.sortBy(_.table),
+        removeMap.values.toSeq.sortBy(_.table))
     } finally {
       pool.shutdown()
       import scala.jdk.CollectionConverters._

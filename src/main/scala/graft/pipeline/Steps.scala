@@ -20,6 +20,26 @@ object Steps {
   def removeFlagColumns(df: DataFrame): DataFrame =
     df.drop(Schemas.flagColumns: _*)
 
+  /** Step-3 per-file metrics, mirroring the reference's report detail
+    * (steps/step3_remove_columns.py:52-82: columnas_originales /
+    * eliminadas / finales per file). Schema-only — costs zero Spark
+    * jobs, so unlike the step-4 stats it is always collected. The
+    * reference's byte-size fields (size_original/size_final) are
+    * deliberately absent: they are properties of its CSV-per-step
+    * materialization, which the fused lazy plan never creates.
+    */
+  final case class RemoveStats(table: String, colsOriginal: Seq[String],
+                               colsRemoved: Seq[String]) {
+    def colsFinal: Seq[String] = colsOriginal.diff(colsRemoved)
+  }
+
+  def removeFlagColumnsWithStats(df: DataFrame, table: String)
+      : (DataFrame, RemoveStats) = {
+    val before = df.columns.toSeq
+    val out = removeFlagColumns(df)
+    (out, RemoveStats(table, before, before.diff(out.columns.toSeq)))
+  }
+
   /** Step 4 — eliminate sparse stations: a station is eliminated when
     * it has fewer than `minRecords` NON-NULL `Value` rows
     * (steps/step4_filter_stations.py:39-40,116-119; pandas count() is

@@ -105,6 +105,25 @@ class CurationSpec extends SparkSpec {
     assert(again == first, "hash sampling must be deterministic")
   }
 
+  test("mixtureSample honors fractional rates to basis points") {
+    import org.apache.spark.sql.functions.col
+    val many = (1L to 500L).map(i => (i, "x")).toDF("doc_id", "grp")
+    // rate 0.125 must select exactly the keys whose 10000-bucket hash
+    // falls under 1250 bp — a percent bucket space would quantize this
+    // to 0.13 (bucket < 13 of 100), a different key set (r2 advice)
+    val kept = Curation.mixtureSample(many, "doc_id", "grp",
+      Map("x" -> 0.125)).select("doc_id").as[Long].collect().toSet
+    val expected = many
+      .filter(Curation.hashBucket(col("doc_id"), 10000) < 1250)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == expected)
+    val pctQuantized = many
+      .filter(Curation.hashBucket(col("doc_id"), 100) < 13)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept != pctQuantized,
+      "basis-point arithmetic must differ from whole-percent quantization")
+  }
+
   test("curateCorpus: gate drops degenerate/short docs, dedup keeps min id") {
     val long1 = (1 to 30).map(i => s"w$i").mkString(" ")
     val corpus = Seq(

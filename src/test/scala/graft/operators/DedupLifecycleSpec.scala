@@ -1,0 +1,72 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Maintained signature-table lifecycle + operator cache hygiene. */
+class DedupLifecycleSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def sigsOf(pred: org.apache.spark.sql.Column) = {
+    val docs = Tables.documents(spark, sf).filter(pred)
+    Dedup.minhashSignatures(
+      Dedup.docShingles(docs, "doc_id", "text", 3, dedup = false), "doc_id")
+  }
+
+  test("signature table: write, append, compact, read round-trip") {
+    val table = Files.createTempDirectory("graft_sig_spec_").toString + "/t"
+    val a = sigsOf(col("doc_id") % 2 === 0)
+    val b = sigsOf(col("doc_id") % 2 =!= 0)
+    Dedup.writeSignatures(a, "doc_id", table)
+    Dedup.appendSignatures(b, "doc_id", table)
+    Dedup.compactSignatures(spark, table)
+
+    val back = Dedup.readSignatures(spark, table)
+    val all = sigsOf(lit(true))
+    assert(back.count() == all.count())
+    // bit-exact signatures through the partitioned layout
+    assert(back.join(all, Seq("doc_id", "mh0", "mh7", "mh15"), "inner")
+      .count() == all.count())
+
+    // compaction leaves exactly one parquet file per sig_part dir
+    val dirs = new java.io.File(table).listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("sig_part="))
+    assert(dirs.nonEmpty)
+    dirs.foreach { d =>
+      val files = d.listFiles().filter(_.getName.endsWith(".parquet"))
+      assert(files.length == 1,
+        s"${d.getName}: expected 1 file post-compaction, got ${files.length}")
+    }
+  }
+
+  test("dedup operators leave the CacheManager empty (no persist leaks)") {
+    spark.sharedState.cacheManager.clearCache()
+    val docs = Tables.documents(spark, sf)
+    Dedup.dedupCorpusTransitive(docs, "doc_id", "text").count()
+    Dedup.minhashNearDups(docs, "doc_id", "text").count()
+    Dedup.ngramJaccardBlocked(docs, "doc_id", "text", "source").count()
+    Dedup.incrementalDedup(docs.filter($"doc_id" % 2 =!= 0), "doc_id",
+      "text", sigsOf(col("doc_id") % 2 === 0).localCheckpoint()).count()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "an orchestrated dedup session must not accumulate cache entries")
+  }
+
+  test("connectedComponents fails loudly on non-convergence") {
+    // a pure chain has diameter n−1: min-label propagation cannot
+    // finish in 2 rounds, and a silent partial result would keep
+    // several representatives per cluster (r2 advice)
+    val pairs = (0L until 10L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val verts = (0L to 10L).toDF("doc_id")
+    val e = intercept[IllegalStateException] {
+      Dedup.connectedComponents(pairs, verts, "doc_id", maxIter = 2)
+    }
+    assert(e.getMessage.contains("did not converge"))
+    // with enough rounds the same graph converges to one component
+    val ok = Dedup.connectedComponents(pairs, verts, "doc_id")
+    assert(ok.select("component").distinct().count() == 1)
+  }
+}

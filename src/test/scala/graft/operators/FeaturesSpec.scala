@@ -17,6 +17,24 @@ class FeaturesSpec extends SparkSpec {
     assert(z(("c", 5.0)).isEmpty, "zero variance must yield null")
   }
 
+  test("null group keys form their own group and are kept") {
+    // a plain equi-join on the group column would silently drop the
+    // null-group rows; the null-safe join must keep them AND compute
+    // their stats as a real group (r2 advice)
+    val df = Seq((Option("a"), 1.0), (Option("a"), 3.0),
+      (Option.empty[String], 2.0), (Option.empty[String], 4.0))
+      .toDF("g", "value")
+    val z = Features.zscoreByGroup(df, "value", "g")
+    assert(z.count() == 4, "null-group rows must survive")
+    val nullZ = z.filter($"g".isNull).select("value", "zscore")
+      .collect().map(r => r.getDouble(0) -> r.getDouble(1)).toMap
+    // null group: mean 3, stddev_samp sqrt(2) → z = ∓0.707107
+    assert(nullZ(2.0) == -0.707107 && nullZ(4.0) == 0.707107)
+    val w = Features.winsorizeByGroup(df, "value", "g", lo = 0.25, hi = 0.75)
+    assert(w.count() == 4)
+    assert(w.filter($"g".isNull).count() == 2)
+  }
+
   test("winsorize clips into the interpolated percentile band") {
     val df = Seq.tabulate(4)(i => ("g", Seq(0.0, 10.0, 20.0, 100.0)(i)))
       .toDF("g", "value")

@@ -113,6 +113,46 @@ class OrchestratorSpec extends SparkSpec {
     assert(report.topEliminated().head.table == "temp_max_absoluta")
   }
 
+  test("per-step reports + consolidated multi-report merge") {
+    import graft.io.RunPaths
+    val base = Files.createTempDirectory("graft_reports_e2e").toString
+    val today = java.time.LocalDate.of(2026, 8, 12)
+    val report = Orchestrator.run(spark, load,
+      RunPaths.runDir(base, today), filterStations = true,
+      singleFileCsv = true, detailedStats = true)
+
+    // step-3 detail collected schema-only: the fixture files all carry
+    // "Flag Codes"/"Flags"
+    assert(report.removeStats.nonEmpty)
+    val rm = report.removeStats.find(_.table == "temp_max_absoluta").get
+    assert(rm.colsRemoved == Seq("Flag Codes", "Flags"))
+    assert(rm.colsFinal.size == rm.colsOriginal.size - 2)
+    assert(report.toJson.contains(""""remocion_columnas":{"archivos":"""))
+
+    Reports.writeStepReports(spark, base, today, report,
+      elapsedSeconds = 12.34)
+    val consolidated = Reports.consolidate(spark, base)
+    assert(consolidated.isDefined)
+    val tree = new com.fasterxml.jackson.databind.ObjectMapper()
+      .readTree(consolidated.get)
+    // 3 of the 6 reference steps present (scrape/standardize/db absent)
+    assert(tree.at("/resumen_pipeline/pasos_completados").asInt == 3)
+    assert(tree.at("/resumen_pipeline/pasos_fallidos").asInt == 3)
+    assert(tree.at("/resumen_pipeline/tiempo_total_segundos")
+      .asDouble == 12.34)
+    assert(tree.at("/reportes_individuales/paso_3/resumen/total_columnas_eliminadas")
+      .asInt == report.removeStats.map(_.colsRemoved.size).sum)
+    assert(tree.at("/reportes_individuales/paso_4/resumen/total_registros_eliminados")
+      .asInt == report.filterStats.map(_.rowsEliminated).sum)
+    assert(tree.at("/reportes_individuales/paso_5/resumen/vistas_totales")
+      .asInt == report.views.size)
+    // the consolidated file itself landed in reportes/
+    assert(Files.isRegularFile(java.nio.file.Paths.get(
+      RunPaths.reportsDir(base, today), Reports.ConsolidatedFile)))
+    // re-running the consolidation is idempotent (reads from disk)
+    assert(Reports.consolidate(spark, base).isDefined)
+  }
+
   test("runWithCatalog resolves tables via the dictionary name mapping") {
     val outDir = Files.createTempDirectory("graft_ine_out4").toString
     val cat = graft.model.Catalogs.load("/root/reference/dictionary")

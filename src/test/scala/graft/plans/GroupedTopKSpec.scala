@@ -85,6 +85,40 @@ class GroupedTopKSpec extends SparkSpec {
     assert(got == Map(1L -> 1, 3L -> 2, 4L -> 1, 5L -> 2), got.toString)
   }
 
+  test("float/double partition keys bail out to the stock window plan") {
+    // the rule runs before NormalizeFloatingNumbers (which only
+    // rewrites Window/Aggregate/Join), so un-normalized -0.0 vs 0.0
+    // keys would hash apart in the heap exec and split one group —
+    // the rewrite must decline and leave the Window for the stock
+    // normalization to handle (r2 advice, medium)
+    val df = Seq((0.0, 1L), (-0.0, 2L), (1.5, 3L)).toDF("g", "id")
+    val w = Window.partitionBy($"g").orderBy($"id")
+    val out = df.withColumn("rn", row_number().over(w)).filter($"rn" <= 1)
+    val rows = out.collect()
+    assert(!out.queryExecution.executedPlan.toString.contains("GroupedTopK "),
+      "double partition key must not rewrite")
+    // -0.0 and 0.0 are ONE normalized group → one rank-1 row for it
+    assert(rows.length == 2, rows.mkString(","))
+
+    // nested float (struct field) must also bail
+    val nested = df.select(struct($"g").as("s"), $"id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"s").orderBy($"id")))
+      .filter($"rn" <= 1)
+    nested.collect()
+    assert(!nested.queryExecution.executedPlan.toString
+      .contains("GroupedTopK "), "nested double key must not rewrite")
+
+    // integer keys still rewrite (guard must not over-fire)
+    val ints = Seq((1L, 1L), (1L, 2L), (2L, 3L)).toDF("g", "id")
+      .withColumn("rn", row_number().over(
+        Window.partitionBy($"g").orderBy($"id")))
+      .filter($"rn" <= 1)
+    ints.collect()
+    assert(ints.queryExecution.executedPlan.toString
+      .contains("GroupedTopK "))
+  }
+
   test("rewrite bails above spark.graft.groupTopK.maxK (WindowExec can spill)") {
     val w = Window.partitionBy($"l_suppkey").orderBy($"l_quantity".desc)
     val base = Tables.lineitem(spark, sf)
