@@ -275,6 +275,33 @@ object TextOps {
         round(expr("percentile(__nt, 0.9)"), 6).as("p90_tokens"),
         countDistinct(col("__lang")).as("n_langs"))
 
+  /** Scale twin of [[corpusProfile]]: `approx_percentile` (a mergeable
+    * quantile sketch, combined map-side like any partial aggregate)
+    * instead of the exact interpolated percentile, which at 100 TB
+    * must buffer and sort every group's values. `accuracy` is Spark's
+    * inverse-epsilon knob: rank error ≤ 1/accuracy, memory
+    * O(accuracy) per group. The exact form stays the oracle mode —
+    * approx_percentile picks an actual element (no interpolation), so
+    * the two agree only to rank tolerance, which the spec bounds.
+    */
+  def corpusProfileApprox(df: DataFrame, textCol: String, groupCol: String,
+                          langCol: String = "lang",
+                          accuracy: Int = 10000): DataFrame =
+    df.select(col(groupCol), col(langCol).as("__lang"),
+      size(Portable.tokens(col(textCol))).cast("long").as("__nt"))
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("__nt").as("total_tokens"),
+        round(avg("__nt"), 6).as("avg_tokens"),
+        // cast to double for schema parity with the exact profile
+        // (percentile interpolates → double; the sketch returns an
+        // actual element of the long-typed input)
+        round(expr(s"approx_percentile(__nt, 0.5, $accuracy)")
+          .cast("double"), 6).as("p50_tokens"),
+        round(expr(s"approx_percentile(__nt, 0.9, $accuracy)")
+          .cast("double"), 6).as("p90_tokens"),
+        countDistinct(col("__lang")).as("n_langs"))
+
   /** Corpus-level boilerplate n-grams: k-word shingles present in at
     * least `minDocs` distinct documents (headers, footers, license
     * blurbs, navigation chrome). One groupBy on the shingle key over
@@ -288,6 +315,44 @@ object TextOps {
       .groupBy("shingle")
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
+
+  /** Boilerplate REMOVAL — the C4-style cleanup a pipeline actually
+    * runs after [[boilerplateNgrams]] detection: every occurrence of a
+    * corpus-frequent k-shingle is removed from the text (token spans
+    * covered by at least one boilerplate shingle occurrence are cut,
+    * survivors re-joined in order). Returns (idCol, text_clean) for
+    * EVERY input doc — a fully-boilerplate doc comes back as "".
+    *
+    * Plan shape: one token-array projection feeds both the position-
+    * indexed token table and the position-indexed shingle table
+    * (posexplode each); boilerplate hits are a shingle-key join against
+    * the detection output (shuffle carries shingles, never docs²);
+    * coverage expands hits by k positions; a (id, pos) anti-join drops
+    * covered tokens; one groupBy per doc rebuilds the text. Every
+    * shuffle is keyed on doc id or shingle — corpus-scale safe.
+    */
+  def stripBoilerplate(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, minDocs: Long = 5): DataFrame = {
+    val bp = boilerplateNgrams(df, idCol, textCol, k, minDocs)
+      .select(col("shingle"))
+    val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+    val toks = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val grams = base.select(col(idCol),
+      posexplode(Portable.shingles(col("__toks"), k)).as(Seq("start", "shingle")))
+    val covered = grams.join(bp, "shingle")
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
 
   /** DuckDB SQL mirror of [[fingerprint]] over a text expression. */
   def fingerprintSql(textE: String): String = {

@@ -70,6 +70,13 @@ object TextQueries {
         k = 3, minDocs = 5)
         .orderBy("shingle")),
 
+    // boilerplate REMOVAL: cut every occurrence of a corpus-frequent
+    // 3-gram span, rebuild the text from surviving tokens
+    "q_strip_boilerplate" -> ((s, d) =>
+      TextOps.stripBoilerplate(Tables.documents(s, d), "doc_id", "text",
+        k = 3, minDocs = 5)
+        .orderBy("doc_id")),
+
     // cleanup pipeline: strip HTML → redact PII → NFC-normalize (the
     // native codegen'd expression), over docs deterministically
     // adorned with markup, an email, a phone, an IP, and a decomposed
@@ -216,6 +223,36 @@ object TextQueries {
          |sh AS (SELECT DISTINCT doc_id, unnest($sh3) AS shingle FROM toks)
          |SELECT shingle, count(*) AS n_docs FROM sh
          |GROUP BY 1 HAVING count(*) >= 5 ORDER BY shingle""".stripMargin
+    },
+
+    // token positions are 1-based here vs 0-based in Spark's
+    // posexplode — coverage arithmetic is internally consistent per
+    // engine, and the compared column is the rebuilt text only
+    "q_strip_boilerplate" -> {
+      val sh3 = graft.functions.Portable.shinglesSql("t", 3)
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh AS (SELECT DISTINCT doc_id, unnest($sh3) AS shingle FROM toks),
+         |bp AS (SELECT shingle FROM sh GROUP BY 1 HAVING count(*) >= 5),
+         |tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+         |  FROM toks),
+         |tok AS (SELECT doc_id, pos, t[pos] AS tok FROM tk),
+         |gr0 AS (SELECT doc_id, $sh3 AS g FROM toks),
+         |gr AS (SELECT doc_id, unnest(generate_series(1, len(g))) AS start, g
+         |  FROM gr0),
+         |hits AS (SELECT r.doc_id, r.start FROM gr r
+         |  JOIN bp ON r.g[r.start] = bp.shingle),
+         |covered AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(start, start + 2)) AS pos
+         |  FROM hits)),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+         |    AS text_clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
     },
   )
 }

@@ -128,6 +128,47 @@ class TextDedupSpec extends SparkSpec {
     assert(short)
   }
 
+  test("stripBoilerplate removes every frequent-shingle span, keeps the rest") {
+    // "common header text" appears in 3 docs → boilerplate at minDocs=3;
+    // unique bodies survive; a doc that is ONLY boilerplate → ""
+    val d = Seq(
+      (1L, "common header text alpha beta gamma"),
+      (2L, "common header text delta epsilon"),
+      (3L, "common header text"),
+      (4L, "nothing shared here at all"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.stripBoilerplate(d, "doc_id", "text", k = 3,
+      minDocs = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "alpha beta gamma")
+    assert(got(2L) == "delta epsilon")
+    assert(got(3L) == "", "all-boilerplate doc must come back empty")
+    assert(got(4L) == "nothing shared here at all")
+  }
+
+  test("corpusProfileApprox tracks the exact profile within rank tolerance") {
+    val docs = graft.model.Tables.documents(spark, sf)
+    val key = (r: org.apache.spark.sql.Row) => r.getString(0)
+    val exact = TextOps.corpusProfile(docs, "text", "source")
+      .orderBy("source").collect()
+    val approx = TextOps.corpusProfileApprox(docs, "text", "source")
+      .orderBy("source").collect()
+    assert(exact.length == approx.length)
+    exact.zip(approx).foreach { case (e, a) =>
+      assert(key(e) == key(a))
+      // counting aggregates are identical; only the percentiles are
+      // sketched (and approx returns an element, exact interpolates)
+      assert(e.getAs[Long]("n_docs") == a.getAs[Long]("n_docs"))
+      assert(e.getAs[Long]("total_tokens") == a.getAs[Long]("total_tokens"))
+      for (c <- Seq("p50_tokens", "p90_tokens")) {
+        val ev = e.getAs[Double](c)
+        val av = a.getAs[Double](c)
+        assert(math.abs(av - ev) <= math.max(2.0, ev * 0.1),
+          s"$c diverged: approx $av vs exact $ev")
+      }
+    }
+  }
+
   test("connectedComponents: chains close transitively, singletons self-label") {
     // graph: 1-2, 2-3, 3-4 (a 4-chain: diameter > 1 forces >1 round),
     // 6-7; 5 is a singleton
