@@ -369,7 +369,20 @@ object Dedup {
     */
   def incrementalDedup(newDocs: DataFrame, idCol: String, textCol: String,
                        existingSigs: DataFrame, k: Int = 3,
-                       threshold: Double = 0.5): DataFrame = {
+                       threshold: Double = 0.5): DataFrame =
+    incrementalDedupWithSigs(newDocs, idCol, textCol, existingSigs, k,
+      threshold)._1
+
+  /** [[incrementalDedup]] variant that ALSO returns the survivors'
+    * signature table — exactly what [[appendSignatures]] needs to
+    * close the ingest cycle, WITHOUT re-tokenizing the surviving docs:
+    * the batch signatures were already computed for the dedup itself,
+    * so the append input is a tiny anti-join over them.
+    */
+  def incrementalDedupWithSigs(newDocs: DataFrame, idCol: String,
+                               textCol: String, existingSigs: DataFrame,
+                               k: Int = 3, threshold: Double = 0.5)
+      : (DataFrame, DataFrame) = {
     val newSigs = minhashSignatures(
       docShingles(newDocs, idCol, textCol, k, dedup = false), idCol)
       .localCheckpoint()
@@ -382,8 +395,11 @@ object Dedup {
       lshCandidatePairs(newSigs, idCol), newSigs, idCol)
       .filter(col("est_jaccard") >= threshold)
       .select(col("id_b").as(idCol)).distinct()
-    newDocs
-      .join(vsExisting.union(intraLosers).distinct(), Seq(idCol), "left_anti")
+    // checkpointed: the loser id list feeds BOTH anti-joins (docs and
+    // signatures) — unmaterialized it would run the band joins twice
+    val losers = vsExisting.union(intraLosers).distinct().localCheckpoint()
+    (newDocs.join(losers, Seq(idCol), "left_anti"),
+      newSigs.join(losers, Seq(idCol), "left_anti"))
   }
 
   // ---- maintained signature-table lifecycle ----
@@ -460,17 +476,19 @@ object Dedup {
     * share no band) — the greedy pairwise policy of [[dedupCorpus]]
     * can drop both endpoints of a chain.
     *
-    * Scale: each round is one join + one groupBy, both shuffling on
-    * vertex id — no driver-side data, no collect. Rounds needed = the
-    * graph diameter, which for near-dup clusters is tiny (they are
-    * near-cliques: band collisions connect most members directly).
+    * Scale: each round is one neighbor-min join + groupBy plus one
+    * POINTER-JUMPING join (adopt your label's label — Shiloach-Vishkin
+    * style shortcutting, the same doubling trick large-star/small-star
+    * schemes [Kiveris et al., "Connected Components in MapReduce"]
+    * exploit), all shuffling on vertex id or label — no driver-side
+    * data, no collect. The jump makes the min label reach roughly
+    * DOUBLE its previous distance every round, so rounds needed are
+    * O(log diameter) rather than O(diameter): an adversarial
+    * 300-vertex chain converges in ~8 rounds (spec-pinned), while
+    * near-dup clusters (near-cliques) still finish in 2–3.
     * `localCheckpoint` after each round truncates the lineage so the
     * plan doesn't grow with iterations (the classic iterative-Spark
     * trap). The driver loop carries only a scalar convergence count.
-    * For adversarial long-chain graphs, large-star/small-star
-    * (Kiveris et al., "Connected Components in MapReduce") drops the
-    * bound to O(log² n) rounds; the propagation step here is the
-    * small-star half of that algorithm.
     *
     * Returns (idCol, `component`) for EVERY vertex of `vertices` —
     * singletons label themselves.
@@ -509,10 +527,24 @@ object Dedup {
           .groupBy(col("src").as("id"))
           .agg(min("component").as("nbr_min"))
         // every active vertex has ≥1 neighbor, so the join is inner
-        val next = labels.join(neighborMin, Seq("id"))
+        // checkpointed: prop feeds BOTH sides of the jump self-join —
+        // unmaterialized, the neighbor-min subtree would run twice
+        val prop = labels.join(neighborMin, Seq("id"))
           .select(col("id"),
             least(col("component"), col("nbr_min")).as("component"),
             (col("nbr_min") < col("component")).as("__chg"))
+          .localCheckpoint()
+        // pointer jump: adopt the label OF your label. Labels start as
+        // own ids of active vertices and only ever take mins of other
+        // labels, so every label value IS an active vertex id — the
+        // self-join below is total (inner is safe) and label(label) ≤
+        // label, which is what doubles the propagation distance.
+        val jump = prop.select(col("id").as("__jid"),
+          col("component").as("__jcomp"))
+        val next = prop.join(jump, col("component") === col("__jid"))
+          .select(col("id"),
+            least(col("component"), col("__jcomp")).as("component"),
+            (col("__chg") || col("__jcomp") < col("component")).as("__chg"))
           .localCheckpoint()
         changed = next.filter(col("__chg")).count()
         labels = next.drop("__chg")

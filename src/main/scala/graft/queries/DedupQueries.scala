@@ -33,13 +33,14 @@ object DedupQueries {
         "doc_id")
         .orderBy("doc_id")),
 
-    // LSH candidate pairs with estimated Jaccard (signatures persisted
-    // — they feed the band join and both estimation sides)
+    // LSH candidate pairs with estimated Jaccard (signatures
+    // localCheckpoint-materialized — they feed the band join and both
+    // estimation sides, and nothing is left in the CacheManager)
     "q_minhash_pairs" -> ((s, d) => {
       val sigs = Dedup.minhashSignatures(
         Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K,
           dedup = false),
-        "doc_id").persist()
+        "doc_id").localCheckpoint()
       Dedup.estimatedJaccard(
         Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
         .orderBy("id_a", "id_b")
@@ -55,9 +56,9 @@ object DedupQueries {
     // maxDist 3 < 4 bands — so the all-pairs DuckDB oracle must match
     // bit-for-bit even though the Spark plan never joins all pairs
     "q_simhash_pairs" -> ((s, d) => {
-      // signatures persisted: they feed both sides of the band join
+      // signatures materialized: they feed both sides of the band join
       val sims = Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
-        .persist()
+        .localCheckpoint()
       Dedup.simhashBandedPairs(sims, "doc_id", maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -128,12 +129,12 @@ object DedupQueries {
           "doc_id", "text", K, dedup = false), "doc_id")
       Dedup.writeSignatures(corpusSigs, "doc_id", table)
       val stored = Dedup.readSignatures(s, table)
-      val survivors = Dedup.incrementalDedup(
+      // WithSigs: the survivors' signatures come out of the dedup
+      // itself — the append never re-tokenizes the batch
+      val (_, survivorSigs) = Dedup.incrementalDedupWithSigs(
         all.filter(col("doc_id") % 2 =!= 0), "doc_id", "text", stored, K,
         threshold = 0.5)
-      Dedup.appendSignatures(Dedup.minhashSignatures(
-        Dedup.docShingles(survivors, "doc_id", "text", K, dedup = false),
-        "doc_id"), "doc_id", table)
+      Dedup.appendSignatures(survivorSigs, "doc_id", table)
       Dedup.compactSignatures(s, table)
       Dedup.readSignatures(s, table).orderBy("doc_id")
     }),

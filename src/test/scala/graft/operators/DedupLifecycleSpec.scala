@@ -69,4 +69,32 @@ class DedupLifecycleSpec extends SparkSpec {
     val ok = Dedup.connectedComponents(pairs, verts, "doc_id")
     assert(ok.select("component").distinct().count() == 1)
   }
+
+  test("pointer jumping collapses a 300-chain in logarithmic rounds") {
+    // plain min-label propagation needs ~diameter rounds (299 here);
+    // with the label-of-label jump the reach roughly doubles per round
+    // (2, 6, 14, 30, … = 2^(k+1)−2), so 12 rounds must suffice — and
+    // the non-convergence guard turns any regression into a loud fail
+    val n = 300L
+    val pairs = (0L until n - 1).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val verts = (0L until n).toDF("doc_id")
+    val out = Dedup.connectedComponents(pairs, verts, "doc_id",
+      maxIter = 12)
+    assert(out.select("component").distinct().count() == 1)
+    assert(out.filter($"component" === 0L).count() == n)
+  }
+
+  test("incrementalDedupWithSigs returns exactly the survivors' signatures") {
+    val docs = Tables.documents(spark, sf)
+    val existing = sigsOf(col("doc_id") % 2 === 0).localCheckpoint()
+    val (survivors, sigs) = Dedup.incrementalDedupWithSigs(
+      docs.filter($"doc_id" % 2 =!= 0), "doc_id", "text", existing)
+    val survivorIds = survivors.select("doc_id").as[Long].collect().toSet
+    val sigIds = sigs.select("doc_id").as[Long].collect().toSet
+    assert(sigIds == survivorIds)
+    // and the signatures are the batch signatures, not recomputed junk
+    val direct = sigsOf(col("doc_id") % 2 =!= 0)
+    assert(sigs.join(direct, Seq("doc_id", "mh0", "mh15"), "left_semi")
+      .count() == sigIds.size)
+  }
 }
