@@ -280,9 +280,14 @@ object TextOps {
     * instead of the exact interpolated percentile, which at 100 TB
     * must buffer and sort every group's values. `accuracy` is Spark's
     * inverse-epsilon knob: rank error ≤ 1/accuracy, memory
-    * O(accuracy) per group. The exact form stays the oracle mode —
-    * approx_percentile picks an actual element (no interpolation), so
-    * the two agree only to rank tolerance, which the spec bounds.
+    * O(accuracy) per group. Language cardinality likewise goes through
+    * `approx_count_distinct` (HyperLogLog++, one-pass mergeable —
+    * exact `countDistinct` plans as an Expand + second aggregation
+    * phase, doubling the shuffle) — exact for small cardinalities like
+    * language counts, ~2% rsd beyond. The exact form stays the oracle
+    * mode — approx_percentile picks an actual element (no
+    * interpolation), so the two agree only to rank tolerance, which
+    * the spec bounds.
     */
   def corpusProfileApprox(df: DataFrame, textCol: String, groupCol: String,
                           langCol: String = "lang",
@@ -300,7 +305,7 @@ object TextOps {
           .cast("double"), 6).as("p50_tokens"),
         round(expr(s"approx_percentile(__nt, 0.9, $accuracy)")
           .cast("double"), 6).as("p90_tokens"),
-        countDistinct(col("__lang")).as("n_langs"))
+        approx_count_distinct(col("__lang"), rsd = 0.02).as("n_langs"))
 
   /** Corpus-level boilerplate n-grams: k-word shingles present in at
     * least `minDocs` distinct documents (headers, footers, license

@@ -160,6 +160,8 @@ class TextDedupSpec extends SparkSpec {
       // sketched (and approx returns an element, exact interpolates)
       assert(e.getAs[Long]("n_docs") == a.getAs[Long]("n_docs"))
       assert(e.getAs[Long]("total_tokens") == a.getAs[Long]("total_tokens"))
+      // HLL++ at 2% rsd is exact for language-sized cardinalities
+      assert(e.getAs[Long]("n_langs") == a.getAs[Long]("n_langs"))
       for (c <- Seq("p50_tokens", "p90_tokens")) {
         val ev = e.getAs[Double](c)
         val av = a.getAs[Double](c)
