@@ -321,6 +321,48 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** Per-group top-k characteristic terms by a LOG-FREE tf-idf score:
+    * score = tf × N / df (tf = term count within the group, df =
+    * distinct docs containing the term, N = corpus doc count). The
+    * log is deliberately absent — ln() differs in final ulps across
+    * engines, while ×/÷ of doubles is IEEE-exact, so the DuckDB
+    * oracle hash-matches bit-for-bit; the RANKING is identical to
+    * classic tf-idf whenever df ordering agrees, and rank is what the
+    * report consumes.
+    *
+    * Plan: ONE token explosion aggregated to (group, tok, doc, c) —
+    * map-side combined, then localCheckpoint'ed because both tf and
+    * df derive from it (tf = Σc per group×tok; df = distinct docs per
+    * tok). The checkpointed frame is bounded by distinct tokens per
+    * doc, far smaller than the raw token stream. Ranking is
+    * row_number over (group, score desc, tok) — the GroupedTopK heap
+    * operator picks it up (string partition key), so no per-group
+    * sort materializes.
+    */
+  def topTerms(df: DataFrame, idCol: String, textCol: String,
+               groupCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toks = df.select(col(idCol), col(groupCol),
+      explode(Portable.tokens(col(textCol))).as("tok"))
+    val g1 = toks.groupBy(col(groupCol), col("tok"), col(idCol))
+      .agg(count(lit(1)).as("__c"))
+      .localCheckpoint()
+    val tf = g1.groupBy(col(groupCol), col("tok")).agg(sum("__c").as("tf"))
+    val dfreq = g1.select(col("tok"), col(idCol)).distinct()
+      .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("__n") / col("df"), 6))
+      .drop("__n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(groupCol), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
   /** Boilerplate REMOVAL — the C4-style cleanup a pipeline actually
     * runs after [[boilerplateNgrams]] detection: every occurrence of a
     * corpus-frequent k-shingle is removed from the text (token spans

@@ -70,6 +70,13 @@ object TextQueries {
         k = 3, minDocs = 5)
         .orderBy("shingle")),
 
+    // per-source top-5 characteristic terms (log-free tf-idf, ranked
+    // through the GroupedTopK heap operator)
+    "q_top_terms" -> ((s, d) =>
+      TextOps.topTerms(Tables.documents(s, d), "doc_id", "text", "source",
+        k = 5)
+        .orderBy("source", "rk")),
+
     // boilerplate REMOVAL: cut every occurrence of a corpus-frequent
     // 3-gram span, rebuild the text from surviving tokens
     "q_strip_boilerplate" -> ((s, d) =>
@@ -224,6 +231,23 @@ object TextQueries {
          |SELECT shingle, count(*) AS n_docs FROM sh
          |GROUP BY 1 HAVING count(*) >= 5 ORDER BY shingle""".stripMargin
     },
+
+    // score arithmetic is ×/÷ only (IEEE-exact on both engines; ln
+    // would differ in final ulps), same operation order both sides
+    "q_top_terms" ->
+      s"""WITH toks AS (SELECT doc_id, source, unnest($toksSql) AS tok
+         |  FROM documents),
+         |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT t.source, t.tok, t.tf, d.df,
+         |    round(CAST(t.tf AS DOUBLE) * n.n / d.df, 6) AS score
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, tok) AS rk FROM scored)
+         |SELECT source, tok, tf, df, score, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     // token positions are 1-based here vs 0-based in Spark's
     // posexplode — coverage arithmetic is internally consistent per

@@ -146,6 +146,24 @@ class TextDedupSpec extends SparkSpec {
     assert(got(4L) == "nothing shared here at all")
   }
 
+  test("topTerms: deterministic ranking through the GroupedTopK operator") {
+    val d = Seq(
+      (1L, "alpha alpha beta", "s1"), (2L, "alpha gamma", "s1"),
+      (3L, "beta beta beta", "s2"), (4L, "alpha delta", "s2"),
+    ).toDF("doc_id", "text", "source")
+    val out = TextOps.topTerms(d, "doc_id", "text", "source", k = 2)
+    val rows = out.collect()
+    assert(out.queryExecution.executedPlan.toString.contains("GroupedTopK "),
+      "ranking must route through the heap operator")
+    val got = rows.map(r => (r.getString(0), r.getInt(5)) -> r.getString(1))
+      .toMap
+    // s1: alpha tf=3 df=3 → 3*4/3=4.0; gamma tf=1 df=1 → 4.0; beta
+    // tf=1 df=2 → 2.0 — tie at 4.0 breaks on token asc
+    assert(got(("s1", 1)) == "alpha" && got(("s1", 2)) == "gamma")
+    // s2: beta tf=3 df=2 → 6.0; delta tf=1 df=1 → 4.0; alpha 1*4/3
+    assert(got(("s2", 1)) == "beta" && got(("s2", 2)) == "delta")
+  }
+
   test("corpusProfileApprox tracks the exact profile within rank tolerance") {
     val docs = graft.model.Tables.documents(spark, sf)
     val key = (r: org.apache.spark.sql.Row) => r.getString(0)
