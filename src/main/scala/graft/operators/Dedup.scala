@@ -101,6 +101,42 @@ object Dedup {
     sigs.select(col(idCol), explode(bandKeys).as("band_key"))
   }
 
+  /** The distinct band-key set of a signature table — the static side
+    * of the STREAMING near-dup gate
+    * ([[graft.streaming.Streams.streamingNearDupGate]]): membership of
+    * any band key in this set marks a new doc as a near-dup candidate.
+    * Distinct keys only (~NumBands rows/doc, one column), so the gate's
+    * joins never multiply rows.
+    */
+  def bandKeySet(sigs: DataFrame, idCol: String): DataFrame =
+    bandKeyed(sigs, idCol).select("band_key").distinct()
+
+  /** Row-local MinHash signature columns (`mh0..mhN`), bit-identical to
+    * [[minhashSignatures]] (a min over the shingle MULTISET equals the
+    * min over its set, and the arithmetic is the same Portable
+    * constants). Computed with array HOFs inside the row — interpreted
+    * (lambdas don't codegen) and O(shingles × perms) per row, so this
+    * is the STREAMING-edge form where a per-doc gate cannot shuffle;
+    * batch scans should stay on the explode+groupBy form. Pass a
+    * MATERIALIZED shingle-hash array column (see [[Portable.shingles]]
+    * PERF note); docs with fewer than k tokens yield null components
+    * (array_min of empty), which never match a real band key.
+    */
+  def minhashSigColumnsFromHashes(shingleHashes: Column): Seq[Column] =
+    (0 until NumPerms).map(j =>
+      array_min(transform(shingleHashes, h => perm(h, j))).as(s"mh$j"))
+
+  /** Band-key columns (`band_0..band_B`) from per-row `mh*` signature
+    * columns — the row-local twin of the banding inside
+    * [[lshCandidatePairs]], same key format.
+    */
+  def bandKeyColumns(prefix: String = "mh"): Seq[Column] =
+    (0 until NumBands).map { b =>
+      concat_ws("_", lit(b) +:
+        (0 until RowsPerBand).map(r => col(s"$prefix${b * RowsPerBand + r}")): _*)
+        .as(s"band_$b")
+    }
+
   /** Cross-corpus LSH candidates: (new id_a, existing id_b) pairs
     * sharing a band — an equi-join between two band-key tables, never
     * new × existing. This is the incremental-ingest primitive: the

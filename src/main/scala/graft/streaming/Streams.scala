@@ -137,6 +137,55 @@ object Streams {
       .withWatermark(tsCol, watermark)
       .dropDuplicates("content_md5")
 
+  /** Streaming INCREMENTAL near-dup gate: drop arriving docs that LSH-
+    * collide with the maintained corpus signature table — the
+    * streaming twin of [[graft.operators.Dedup.incrementalDedup]],
+    * closing the loop with the signature-table lifecycle
+    * (writeSignatures/appendSignatures): the static side is just
+    * `Dedup.bandKeySet(readSignatures(...))`.
+    *
+    * Semantics are deliberately CONSERVATIVE (recall-oriented): any
+    * shared band ⇒ drop, with no Jaccard verification step — a
+    * streaming gate can't re-group its own output without stateful
+    * aggregation, and a borderline false drop is the right tradeoff at
+    * the ingest edge (the batch [[graft.operators.Dedup
+    * .incrementalDedup]] does verified scoring for reconciliation).
+    * Mechanics: the MinHash signature is computed ROW-LOCALLY
+    * (`Dedup.minhashSigColumnsFromHashes` — bit-identical to the batch
+    * signatures, no shuffle, append-mode safe), then one stream-static
+    * LEFT ANTI join per band against the distinct corpus band-key set.
+    * The static side joins on its single distinct key column, so rows
+    * never multiply and no per-doc re-aggregation is needed. Intra-
+    * batch (new-vs-new) dups are NOT dropped here — they fall to the
+    * next signature-table refresh, as in any streaming/batch lambda
+    * split.
+    */
+  def streamingNearDupGate(docs: DataFrame, textCol: String,
+                           staticBandKeys: DataFrame, k: Int = 3)
+      : DataFrame = {
+    import graft.functions.Portable
+    import graft.operators.Dedup
+    val withHashes = docs
+      .withColumn("__toks", Portable.tokens(col(textCol)))
+      .withColumn("__hs",
+        transform(Portable.shingles(col("__toks"), k),
+          s => Portable.hash32(s)))
+    val withSig = withHashes.select(col("*") +:
+      Dedup.minhashSigColumnsFromHashes(col("__hs"))
+        .zipWithIndex.map { case (c, j) => c.as(s"__mh$j") }: _*)
+    val withBands = withSig.select(col("*") +:
+      Dedup.bandKeyColumns("__mh").zipWithIndex
+        .map { case (c, b) => c.as(s"__band$b") }: _*)
+    val gated = (0 until Portable.NumBands).foldLeft(withBands) {
+      (d, b) =>
+        d.join(staticBandKeys.select(col("band_key").as(s"__band$b")),
+          Seq(s"__band$b"), "left_anti")
+    }
+    gated.drop((Seq("__toks", "__hs") ++
+      (0 until Portable.NumPerms).map(j => s"__mh$j") ++
+      (0 until Portable.NumBands).map(b => s"__band$b")): _*)
+  }
+
   /** Streaming quality gate: the stateless curation front-door — drop
     * degenerate-repetition docs ([[graft.operators.TextOps
     * .repetitionPassLocal]], the row-local twin of the batch gate) and

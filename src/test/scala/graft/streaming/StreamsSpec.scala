@@ -53,6 +53,57 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming near-dup gate drops LSH collisions vs the static corpus") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // static corpus: two docs; their band keys come from the BATCH
+    // signature path — the gate's row-local signatures must collide
+    // with them bit-for-bit
+    val corpus = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog again and again"),
+      (2L, "completely different content about spark engines and shuffles"),
+    ).toDF("doc_id", "text")
+    val bandSet = Dedup.bandKeySet(Dedup.minhashSignatures(
+      Dedup.docShingles(corpus, "doc_id", "text", 3, dedup = false),
+      "doc_id"), "doc_id").localCheckpoint()
+
+    val in = MemoryStream[(Long, String)]
+    val docs = in.toDF().toDF("doc_id", "text")
+    val q = Streams.streamingNearDupGate(docs, "text", bandSet)
+      .writeStream.format("memory").queryName("neardup_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // exact copy of corpus doc 1 → identical sigs → dropped
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        // novel doc → survives
+        (11L, "a totally novel document with nothing in common whatsoever"),
+        // short doc (< 3 tokens, null sigs) → survives
+        (12L, "too short"))
+      q.processAllAvailable()
+      val out = spark.table("neardup_gate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(out == Set(11L, 12L), s"got $out")
+    } finally q.stop()
+  }
+
+  test("row-local minhash signature is bit-identical to the batch form") {
+    import graft.operators.Dedup
+    import graft.functions.Portable
+    val docs = graft.model.Tables.documents(spark, sf).limit(50)
+    val batch = Dedup.minhashSignatures(
+      Dedup.docShingles(docs, "doc_id", "text", 3, dedup = false), "doc_id")
+    val local = docs
+      .withColumn("__toks", Portable.tokens(col("text")))
+      .withColumn("__hs", transform(Portable.shingles(col("__toks"), 3),
+        s => Portable.hash32(s)))
+      .select(col("doc_id") +:
+        Dedup.minhashSigColumnsFromHashes(col("__hs")): _*)
+    // inner join on every signature component: all rows must survive
+    val joinCols = "doc_id" +: (0 until Portable.NumPerms).map(j => s"mh$j")
+    assert(local.join(batch, joinCols, "inner").count() == batch.count())
+  }
+
   test("stateful sessionization closes a session on gap within a batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.Ev]
