@@ -111,6 +111,85 @@ object Similarity {
     Math.floorMod(h1 ^ (h1 >>> 16), 7) - 3
   }
 
+  /** Squared L2 distance as a sequential index-order fold — the same
+    * bit-deterministic shape as [[dot]], so an oracle mirroring the
+    * left-associated chain `(v1-c1)² + (v2-c2)² + …` reproduces it
+    * exactly.
+    */
+  def l2Sq(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** Assignment step of Lloyd's k-means: each vector to its nearest
+    * centroid (squared L2, ties to the lowest cluster id). `centroids`
+    * must be `(cluster, cv: array<double>)` and SMALL — it is broadcast,
+    * so the fact side is scanned once with no shuffle of the vectors
+    * themselves; the only shuffle is the per-vector argmin, which the
+    * GroupedTopK heap rewrite executes without a full sort. This is the
+    * semantic-clustering primitive a curation pipeline runs at corpus
+    * scale (centroids come from a sample; assignment is the 100 TB
+    * pass).
+    */
+  def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
+                        centroids: DataFrame): DataFrame = {
+    val v = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val scored = v.crossJoin(broadcast(centroids))
+      .withColumn("__d2", l2Sq(col("__v"), col("cv")))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__d2").asc, col("cluster").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("__id").as(idCol), col("cluster"),
+        round(col("__d2"), 6).as("dist2"))
+  }
+
+  /** Full Lloyd's k-means over an embedding column. Deterministic
+    * throughout: seeds are the k vectors with the smallest ids (no RNG
+    * — reproducible across runs and engines), assignment ties break to
+    * the lowest cluster id, and iteration count is fixed rather than
+    * tolerance-driven so every run does identical work.
+    *
+    * Scale shape: centroids live in a k×dim frame that is broadcast
+    * for assignment and recomputed by a (cluster, dim) grouped mean —
+    * per iteration one broadcast join + one explode/groupBy shuffle of
+    * k·dim partial sums, never a vector×vector product. Centroid means
+    * are float-sum order-DEPENDENT across partitions, which is why the
+    * oracle-checked query covers the assignment step (exact) and this
+    * loop is spec-verified on separable data instead.
+    *
+    * Returns (assignments `(id, cluster, dist2)`, centroids
+    * `(cluster, cv)`). Lineage per round is truncated with
+    * localCheckpoint on the tiny centroid frame only.
+    */
+  def kmeans(df: DataFrame, idCol: String, vecCol: String,
+             k: Int, iters: Int): (DataFrame, DataFrame) = {
+    val v = df.select(col(idCol).as("__id"),
+      col(vecCol).cast("array<double>").as("__v"))
+    val seedW = Window.orderBy("__id")
+    var cent = v.orderBy("__id").limit(k)
+      .withColumn("cluster", row_number().over(seedW) - 1)
+      .select(col("cluster"), col("__v").as("cv"))
+      .localCheckpoint(eager = true)
+    for (_ <- 0 until iters) {
+      val assign = v.crossJoin(broadcast(cent))
+        .withColumn("__d2", l2Sq(col("__v"), col("cv")))
+        .withColumn("__rn", row_number().over(
+          Window.partitionBy("__id").orderBy(col("__d2").asc, col("cluster").asc)))
+        .filter(col("__rn") === 1)
+        .select(col("__id"), col("cluster"), col("__v"))
+      cent = assign
+        .select(col("cluster"), posexplode(col("__v")).as(Seq("__dim", "__x")))
+        .groupBy("cluster", "__dim").agg(avg("__x").as("__m"))
+        .groupBy("cluster")
+        .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
+        .select(col("cluster"),
+          transform(col("__dm"), s => s.getField("__m")).as("cv"))
+        .localCheckpoint(eager = true)
+    }
+    (assignToCentroids(df, idCol, vecCol, cent), cent)
+  }
+
   /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to
     * a long. Vectors in the same bucket are cosine-close candidates.
     *

@@ -21,6 +21,8 @@ object SimilarityQueries {
   private val Dim = 64
   private val K = 3
   private val NumPlanes = 8
+  private val NumSeeds = 10
+  private val SemThreshold = 0.35
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(expr(QueryFilter))
@@ -40,6 +42,45 @@ object SimilarityQueries {
       Similarity.lshTopK(queriesDf(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", Dim, NumPlanes, K)
         .orderBy("query_id", "rank")),
+
+    // k-means assignment step against deterministic seed centroids
+    // (the k smallest vec_ids) — the exact, oracle-checkable half of
+    // Similarity.kmeans; the iterative loop is spec-verified
+    "q_kmeans_assign" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
+        .orderBy("vec_id")
+    }),
+
+    // semantic dedup: within a k-means cell, drop any vector with a
+    // smaller-id neighbor at cosine >= threshold (greedy min-id
+    // survivor, same policy as q_dedup_corpus). The cell is the block
+    // key — pairs are cell-local, never corpus × corpus.
+    "q_semantic_dedup" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      val assigned = Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
+        .select(col("vec_id"), col("cluster"))
+        .join(e.select(col("vec_id"),
+          col("embedding").cast("array<double>").as("v")), "vec_id")
+        .localCheckpoint() // feeds both pair sides + the survivor anti-join
+      val a = assigned.select(col("vec_id").as("id_a"), col("cluster"),
+        col("v").as("va"))
+      val b = assigned.select(col("vec_id").as("id_b"), col("cluster"),
+        col("v").as("vb"))
+      val losers = a.join(b, Seq("cluster"))
+        .filter(col("id_a") < col("id_b"))
+        .filter(round(Similarity.cosine(col("va"), col("vb")), 6) >= SemThreshold)
+        .select(col("id_b").as("vec_id")).distinct()
+      assigned.join(losers, Seq("vec_id"), "left_anti")
+        .select(col("vec_id"), col("cluster"))
+        .orderBy("vec_id")
+    }),
 
     // embedding-cosine near-dup pairs, blocked by the cluster label
     "q_embed_neardup" -> ((s, d) => {
@@ -96,7 +137,41 @@ object SimilarityQueries {
        |QUALIFY row_number() OVER w <= $K
        |ORDER BY query_id, rank""".stripMargin
 
+  /** Left-associated squared-L2 chain mirroring Similarity.l2Sq. */
+  private def l2SqSql(a: String, b: String): String =
+    (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
+
+  private val centCte =
+    s"cent AS (SELECT vec_id AS cluster, v AS cv FROM vecs WHERE vec_id < $NumSeeds)"
+
+  private val assignedCte =
+    s"""assigned AS (
+       |  SELECT vec_id, cluster, v FROM (
+       |    SELECT vecs.vec_id, cent.cluster, vecs.v,
+       |      row_number() OVER (PARTITION BY vecs.vec_id
+       |        ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
+       |    FROM vecs CROSS JOIN cent) WHERE rn = 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
+    "q_kmeans_assign" ->
+      s"""WITH $vecsCte, $centCte
+         |SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+         |  SELECT vecs.vec_id, cent.cluster,
+         |    ${l2SqSql("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vecs.vec_id
+         |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
+         |  FROM vecs CROSS JOIN cent)
+         |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_semantic_dedup" ->
+      s"""WITH $vecsCte, $centCte, $assignedCte
+         |SELECT s.vec_id, s.cluster FROM assigned s
+         |WHERE NOT EXISTS (
+         |  SELECT 1 FROM assigned o
+         |  WHERE o.cluster = s.cluster AND o.vec_id < s.vec_id
+         |    AND round(${cosSql("o.v", "s.v")}, 6) >= $SemThreshold)
+         |ORDER BY s.vec_id""".stripMargin,
+
     "q_cosine_topk" -> topkSql("q.query_id <> c.vec_id"),
 
     "q_ann_ivf" -> topkSql("q.q_label = c.label AND q.query_id <> c.vec_id"),

@@ -35,6 +35,31 @@ class SimilaritySpec extends SparkSpec {
     assert(r.toSeq == Seq(2L), "only same-label (cell 0) neighbors probed")
   }
 
+  test("kmeans recovers separable clusters and assignment is nearest-centroid") {
+    // 3 well-separated groups of 8 vectors around orthogonal bases,
+    // deterministic jitter; ids interleaved across groups so the seed
+    // centroids (3 smallest ids) start one-per-group
+    val pts = (0 until 24).map { i =>
+      val g = i % 3
+      val base = Array.tabulate(4)(j => if (j == g) 10.0f else 0.0f)
+      (i.toLong, base.zipWithIndex.map { case (x, j) =>
+        x + ((i * 7 + j * 3) % 5) * 0.1f }, g)
+    }.toDF("vec_id", "embedding", "truth")
+    val (assign, cent) = Similarity.kmeans(pts, "vec_id", "embedding", 3, 3)
+    assert(cent.count() == 3)
+    val m = assign.join(pts, "vec_id").select("cluster", "truth")
+      .as[(Int, Int)].collect().toSeq
+    // each truth group lands in exactly one kmeans cluster, and the
+    // 3 clusters are distinct
+    val byTruth = m.groupBy(_._2).view.mapValues(_.map(_._1).toSet).toMap
+    assert(byTruth.values.forall(_.size == 1), s"split cluster: $byTruth")
+    assert(byTruth.values.flatten.toSet.size == 3, s"merged clusters: $byTruth")
+    // every assignment is the argmin centroid (dist2 vs each centroid)
+    val worst = assign.agg(org.apache.spark.sql.functions.max("dist2"))
+      .head.getDouble(0)
+    assert(worst < 1.0, s"within-cluster dist2 should be tiny, got $worst")
+  }
+
   test("lsh buckets separate opposite vectors, keep near ones") {
     val r = Similarity.lshTopK(
       vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding",
