@@ -65,6 +65,23 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Per-group token-budget cap: keep documents, in deterministic
+    * hash order (fair — uncorrelated with id/recency/length), until
+    * the group's running token total reaches `budget`; the doc that
+    * would cross the line is cut with it. This is the "N tokens per
+    * source" sampling contract of a mixture spec, as one window per
+    * group — shuffle on groupCol only, no global sort, and the
+    * emitted `cum_tokens` makes the cut auditable.
+    */
+  def tokenBudgetCap(df: DataFrame, keyCol: String, groupCol: String,
+                     tokenCountCol: String, budget: Long): DataFrame = {
+    val w = Window.partitionBy(groupCol)
+      .orderBy(Portable.hash32(col(keyCol).cast("string")), col(keyCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.withColumn("cum_tokens", sum(col(tokenCountCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Decontamination: drop (or flag) training docs sharing at least
     * one k-word shingle with the benchmark set. The comparison is a
     * semi-join on the shingle key — shuffle volume is the shingle

@@ -70,6 +70,27 @@ object Temporal {
         payloadCols.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
   }
 
+  /** Time-range rolling aggregates: per key, count/sum over the
+    * trailing `windowSec` seconds ending at each row (RANGE frame over
+    * epoch micros, so all peers of an equal timestamp fall in the
+    * frame — the time-series feature shape a RANGE row count can't
+    * express when event spacing is uneven). One shuffle on the key;
+    * the sum is decimal so the result is partition-order independent
+    * (a double sum over a sliding frame is order-dependent and engine-
+    * specific — DuckDB's segment tree vs Spark's frame re-scan would
+    * diverge in final ulps).
+    */
+  def rollingByTime(df: DataFrame, keyCol: String, tsCol: String,
+                    valueCol: String, windowSec: Long): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(unix_micros(col(tsCol)))
+      .rangeBetween(-windowSec * 1000000L, 0L)
+    df.withColumn("rolling_n", count(lit(1)).over(w))
+      .withColumn("rolling_sum",
+        sum(col(valueCol).cast(org.apache.spark.sql.types.DecimalType(18, 6)))
+          .over(w).cast("double"))
+  }
+
   /** Bucketed range join: rows of `points` matched to rows of
     * `intervals` with equal `keys` and
     * `startCol <= points.tsCol <= endCol` (inner). Both timestamps are

@@ -18,6 +18,7 @@ object CurationQueries {
 
   private val K = 3
   private val PackBudget = 256L
+  private val TokenBudget = 1000L
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -43,6 +44,16 @@ object CurationQueries {
           size(Portable.tokens(col("text"))).cast("long")),
         "doc_id", "n_tokens", PackBudget, "source")
         .select("doc_id", "source", "n_tokens", "pack_id")
+        .orderBy("doc_id")),
+
+    // 1000-token budget per source, hash-ordered admission — the
+    // "N tokens per domain" mixture contract
+    "q_token_budget" -> ((s, d) =>
+      Curation.tokenBudgetCap(
+        docs(s, d).withColumn("n_tokens",
+          size(Portable.tokens(col("text"))).cast("long")),
+        "doc_id", "source", "n_tokens", TokenBudget)
+        .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")),
 
     // decontamination: training docs sharing a 3-shingle with the
@@ -148,6 +159,20 @@ object CurationQueries {
          |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
          |    / $PackBudget) AS BIGINT) AS pack_id
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_token_budget" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |c AS (SELECT doc_id, source, n_tokens,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
+         |               doc_id ROWS UNBOUNDED PRECEDING) AS BIGINT)
+         |      AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, cum_tokens FROM c
+         |WHERE cum_tokens <= $TokenBudget
+         |ORDER BY doc_id""".stripMargin,
 
     "q_decontam" ->
       s"""WITH $shingleSqlOf,

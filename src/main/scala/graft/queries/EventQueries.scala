@@ -72,6 +72,14 @@ object EventQueries {
         .orderBy("event_id")
     }),
 
+    // trailing-5-minute rolling count/sum per user (RANGE frame over
+    // event time — uneven spacing, so a ROWS frame can't express it)
+    "q_rolling_range" -> ((s, d) =>
+      graft.operators.Temporal.rollingByTime(ev(s, d), "user_id", "ts",
+        "value", windowSec = 300L)
+        .select("event_id", "user_id", "rolling_n", "rolling_sum")
+        .orderBy("event_id")),
+
     // rollup: event_type × day hierarchy with subtotals
     "q_rollup" -> ((s, d) =>
       ev(s, d)
@@ -188,6 +196,16 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
         |       m AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rolling_range" ->
+      """SELECT event_id, user_id,
+        |  count(*) OVER w AS rolling_n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) OVER w AS DOUBLE)
+        |    AS rolling_sum
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+        |  RANGE BETWEEN 300000000 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
 
     "q_rollup" ->
