@@ -363,6 +363,24 @@ object TextOps {
         col("score"), col("rk"))
   }
 
+  /** Inverted-index build: token → document frequency + a bounded,
+    * sorted posting sample (first `maxPostings` doc ids as a CSV
+    * string). The full posting list of a stopword-like token is the
+    * classic reducer-killer; the bound keeps every group's state
+    * O(maxPostings) while `doc_freq` stays exact. One explode + one
+    * groupBy on the token — shuffle carries (token, id) pairs,
+    * pre-deduped per doc so a token repeated in a doc ships once.
+    */
+  def invertedIndex(df: DataFrame, idCol: String, textCol: String,
+                    maxPostings: Int = 20): DataFrame =
+    df.select(col(idCol),
+      explode(array_distinct(Portable.tokens(col(textCol)))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("doc_freq"),
+        array_join(
+          slice(array_sort(collect_list(col(idCol))), 1, maxPostings),
+          ",").as("postings"))
+
   /** Boilerplate REMOVAL — the C4-style cleanup a pipeline actually
     * runs after [[boilerplateNgrams]] detection: every occurrence of a
     * corpus-frequent k-shingle is removed from the text (token spans

@@ -194,6 +194,20 @@ object CoreQueries {
       s.read.parquet(out).orderBy("ship_date", "l_suppkey")
     }),
 
+    // S4 — ORC round-trip: the columnar alternative when the lake
+    // standardizes on ORC (Hive shops). Same month-slice shape as the
+    // CSV path; values must survive the ORC writer/reader identically.
+    "q_orc_roundtrip" -> ((s, d) => {
+      val out =
+        s"${sys.props("java.io.tmpdir")}/graft_orc_${scratchTag(d)}"
+      attachDim(
+        spineDf(s, d).filter(col("ship_date").startsWith("1997-06")),
+        Tables.supplier(s, d), "l_suppkey", "s_suppkey", Seq("s_name"))
+        .select("ship_date", "l_suppkey", "s_name")
+        .write.mode("overwrite").orc(out)
+      s.read.orc(out).orderBy("ship_date", "l_suppkey")
+    }),
+
     // S4 — CSV round-trip through the exact single-file sink (the
     // reference's {view}.csv layout): write via the rename-based
     // single-file path, re-read with an explicit schema (the CSV
@@ -445,6 +459,14 @@ object CoreQueries {
       """SELECT sp.ship_date, sp.l_suppkey, s.s_name
         |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
         |             l_suppkey FROM lineitem) sp
+        |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
+        |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_orc_roundtrip" ->
+      """SELECT sp.ship_date, sp.l_suppkey, s.s_name
+        |FROM (SELECT DISTINCT strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |             l_suppkey FROM lineitem
+        |      WHERE strftime(l_shipdate, '%Y-%m') = '1997-06') sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
 

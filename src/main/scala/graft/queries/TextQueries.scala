@@ -43,6 +43,11 @@ object TextQueries {
           TextOps.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // inverted index: token → exact doc_freq + bounded sorted postings
+    "q_inverted_index" -> ((s, d) =>
+      TextOps.invertedIndex(Tables.documents(s, d), "doc_id", "text", 20)
+        .orderBy("token")),
+
     // order-sensitive rolling-hash fingerprint
     "q_fingerprint" -> ((s, d) =>
       Tables.documents(s, d)
@@ -157,6 +162,13 @@ object TextQueries {
          |SELECT doc_id, lang, $langPredSql AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin
     },
+
+    "q_inverted_index" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |td AS (SELECT doc_id, unnest(list_distinct(t)) AS token FROM toks)
+         |SELECT token, count(*) AS doc_freq,
+         |  array_to_string((list_sort(list(doc_id)))[1:20], ',') AS postings
+         |FROM td GROUP BY token ORDER BY token""".stripMargin,
 
     "q_fingerprint" ->
       s"""SELECT doc_id, ${TextOps.fingerprintSql("text")} AS fp
