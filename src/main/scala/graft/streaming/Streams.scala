@@ -186,6 +186,60 @@ object Streams {
       (0 until Portable.NumBands).map(b => s"__band$b")): _*)
   }
 
+  /** Signature-MAINTAINING streaming ingest — the full lambda loop in
+    * one stream: every micro-batch is deduped against the maintained
+    * signature table with the verified BATCH path
+    * ([[graft.operators.Dedup.incrementalDedupWithSigs]] — foreachBatch
+    * hands us a plain DataFrame, so unlike [[streamingNearDupGate]]
+    * nothing has to be approximated), survivors flow to `survivorSink`,
+    * and their signatures are appended back to the table so the NEXT
+    * batch dedups against them. Batch 1 bootstraps the table
+    * (intra-batch dedup against an empty signature frame, then
+    * `writeSignatures`).
+    *
+    * Exactly-once caveat: the parquet append and the sink are not one
+    * atomic commit — a crash between them can re-append a batch's
+    * signatures on replay. Duplicate signature rows only re-confirm the
+    * same near-dup verdicts (dedup is idempotent), so the failure mode
+    * is benign; a table format with batchId-conditional commits would
+    * remove it entirely.
+    *
+    * Returns the started query; caller sets checkpointLocation via
+    * `options`.
+    */
+  def signatureMaintainingIngest(docs: DataFrame, idCol: String,
+                                 textCol: String, sigPath: String,
+                                 options: Map[String, String] = Map.empty,
+                                 k: Int = 3, threshold: Double = 0.5)
+                                (survivorSink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        val spark = batch.sparkSession
+        val hPath = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = hPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val bootstrap = !fs.exists(hPath)
+        // the batch feeds the signature build AND the survivor
+        // anti-join — materialize once, not per consumer
+        val b = batch.localCheckpoint()
+        val existing =
+          if (bootstrap) // schema-correct empty signature frame
+            Dedup.minhashSignatures(
+              Dedup.docShingles(b.limit(0), idCol, textCol, k,
+                dedup = false), idCol)
+          else Dedup.readSignatures(spark, sigPath)
+        val (survivors, survivorSigs) = Dedup.incrementalDedupWithSigs(
+          b, idCol, textCol, existing, k, threshold)
+        if (bootstrap) Dedup.writeSignatures(survivorSigs, idCol, sigPath)
+        else Dedup.appendSignatures(survivorSigs, idCol, sigPath)
+        survivorSink(survivors, batchId)
+      }
+      .start()
+  }
+
   /** Streaming quality gate: the stateless curation front-door — drop
     * degenerate-repetition docs ([[graft.operators.TextOps
     * .repetitionPassLocal]], the row-local twin of the batch gate) and

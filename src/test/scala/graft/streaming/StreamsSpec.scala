@@ -87,6 +87,42 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("signature-maintaining ingest dedups batch 2 against batch 1's appends") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val tag = System.nanoTime()
+    val sigPath = s"${sys.props("java.io.tmpdir")}/graft_sig_ingest_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_sig_ckpt_$tag"
+    val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.signatureMaintainingIngest(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", sigPath,
+      Map("checkpointLocation" -> ckpt)) { (survivors, batchId) =>
+      seen.synchronized {
+        seen(batchId) = survivors.select("doc_id")
+          .collect().map(_.getLong(0)).toSet
+      }
+    }
+    try {
+      in.addData(
+        (1L, "the quick brown fox jumps over the lazy dog again and again"),
+        (2L, "completely different content about spark engines and shuffles"))
+      q.processAllAvailable()
+      in.addData(
+        // exact copy of doc 1 from batch 1 → dropped via the table
+        (10L, "the quick brown fox jumps over the lazy dog again and again"),
+        (11L, "a totally novel document with nothing in common whatsoever"))
+      q.processAllAvailable()
+      val all = seen.synchronized(seen.toMap)
+      assert(all(0L) == Set(1L, 2L), s"batch 0: ${all.get(0L)}")
+      assert(all(1L) == Set(11L), s"batch 1: ${all.get(1L)}")
+      // table holds exactly the survivors' signatures
+      val ids = Dedup.readSignatures(spark, sigPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 11L), s"sig table: $ids")
+    } finally q.stop()
+  }
+
   test("row-local minhash signature is bit-identical to the batch form") {
     import graft.operators.Dedup
     import graft.functions.Portable
