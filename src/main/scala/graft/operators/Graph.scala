@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Iterative graph analytics over plain edge-list DataFrames — the
+  * layer above [[Dedup.connectedComponents]]: once a near-dup pair
+  * graph exists, centrality over it ranks cluster "canonical"
+  * candidates (the doc most-connected inside a duplicate neighborhood
+  * is usually the best representative to keep).
+  *
+  * No GraphX: an edge list + vertex frame keeps everything in
+  * DataFrames (Catalyst-optimized joins/aggs, AQE skew handling) and
+  * every iteration shuffles on the vertex id only — the same
+  * partitioning each round, so at scale the shuffle is co-partitioned
+  * after the first materialization.
+  */
+object Graph {
+
+  /** Deterministic PageRank in integer MICRO-units (per-node mass
+    * 1,000,000; damping 0.85):
+    *
+    *   rank'(v) = 150000 + (850000 · Σ_{(u,v)∈E} (rank(u) div deg(u)))
+    *              div 1000000
+    *
+    * Every operation is 64-bit integer arithmetic with truncating
+    * division — bit-identical on ANY engine, unlike float PageRank
+    * whose cross-partition addition order leaks into the result. The
+    * price is ≤1 ppm truncation loss per hop, irrelevant for ranking.
+    *
+    * Overflow: a node's in-sum is bounded by total graph mass
+    * ≈ |V|·10⁶, so 850000·sum stays inside a signed 64-bit long up to
+    * ~10¹² vertices — beyond any practical corpus.
+    *
+    * Fixed `iters` rather than convergence-tolerance keeps work
+    * identical across runs (and lets an unrolled-CTE oracle mirror it
+    * exactly). Per round: one join + one groupBy, both keyed on vertex
+    * id; the tiny rank frame is localCheckpoint-bounded like
+    * [[Dedup.connectedComponents]]'s loop state.
+    *
+    * `edges` is DIRECTED (src → dst); pass both directions for an
+    * undirected graph. Nodes with no out-edges simply contribute
+    * nothing (their mass evaporates — the classic dangling-node
+    * simplification); isolated nodes settle at 150000.
+    */
+  def pageRank(nodes: DataFrame, edges: DataFrame, idCol: String,
+               srcCol: String, dstCol: String, iters: Int = 3): DataFrame = {
+    val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
+    // (src, dst, deg) is consumed every round — materialize once
+    val ed = edges.select(col(srcCol), col(dstCol)).join(deg, srcCol)
+      .localCheckpoint()
+    val verts = nodes.select(col(idCol).as("__v")).localCheckpoint()
+    var ranks = verts.withColumn("rank_ppm", lit(1000000L))
+    for (_ <- 0 until iters) {
+      val contrib = ed
+        .join(ranks, col(srcCol) === col("__v"))
+        .select(col(dstCol).as("__dst"),
+          expr("rank_ppm div __deg").as("__c"))
+        .groupBy("__dst").agg(sum("__c").as("__in"))
+      ranks = verts
+        .join(contrib, col("__v") === col("__dst"), "left")
+        .select(col("__v"),
+          (lit(150000L) +
+            expr("(850000 * coalesce(__in, 0L)) div 1000000")).as("rank_ppm"))
+        .localCheckpoint()
+    }
+    ranks.select(col("__v").as(idCol), col("rank_ppm"))
+  }
+}

@@ -46,6 +46,25 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // PageRank over the near-dup pair graph (both directions), 3
+    // rounds of integer micro-unit arithmetic — centrality marks the
+    // canonical doc inside each duplicate neighborhood
+    "q_pagerank" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      graft.operators.Graph.pageRank(docs.select("doc_id"), edges,
+        "doc_id", "src", "dst", iters = 3)
+        .orderBy("doc_id")
+    }),
+
     // per-doc 32-bit SimHash
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -231,6 +250,35 @@ object DedupQueries {
          |JOIN sig a ON a.doc_id = c.id_a
          |JOIN sig b ON b.doc_id = c.id_b
          |ORDER BY c.id_a, c.id_b""".stripMargin
+    },
+
+    "q_pagerank" -> {
+      // one unrolled rank CTE per round: r{t+1} from r{t}, the same
+      // integer micro-unit formula as Graph.pageRank (// truncates
+      // like Spark's `div` for the all-positive operands here)
+      def round(t: Int): String =
+        s"""r${t + 1} AS (SELECT n.doc_id AS v,
+           |  CAST(150000 + (850000 * coalesce(c.i, 0)) // 1000000
+           |       AS BIGINT) AS r
+           |  FROM documents n LEFT JOIN (
+           |    SELECT ed.dst AS v2, CAST(sum(r$t.r // ed.deg) AS BIGINT) AS i
+           |    FROM ed JOIN r$t ON r$t.v = ed.src GROUP BY ed.dst) c
+           |  ON c.v2 = n.doc_id)""".stripMargin
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |${pairsCtes(0.5)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+         |  JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+         |  ON d.src = e.src),
+         |r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r
+         |  FROM documents),
+         |${round(0)},
+         |${round(1)},
+         |${round(2)}
+         |SELECT v AS doc_id, r AS rank_ppm FROM r3
+         |ORDER BY doc_id""".stripMargin
     },
 
     "q_simhash" ->

@@ -1,0 +1,36 @@
+package graft.operators
+
+import graft.SparkSpec
+
+class GraphSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("pageRank: hub outranks leaves, isolated settles at 150000, exact ints") {
+    val nodes = Seq(1L, 2L, 3L, 4L, 5L).toDF("id")
+    // star: 2,3,4 → 1, and 1 → 2 (no dangling hub); 5 isolated
+    val edges = Seq((2L, 1L), (3L, 1L), (4L, 1L), (1L, 2L))
+      .toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, "id", "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(5L) == 150000L, s"isolated: ${r(5L)}")
+    assert(r(1L) > r(3L) && r(1L) > r(4L), s"hub must outrank leaves: $r")
+    assert(r(2L) > r(3L), s"hub's target outranks plain leaves: $r")
+    // hand-rolled round 1: leaves keep only the base 150000 after one
+    // round (their only in-mass comes from nothing), hub gets
+    // 150000 + 850000*3*1000000/1000000/1... deterministic — just pin
+    // full determinism across runs instead of re-deriving each value
+    val again = Graph.pageRank(nodes, edges, "id", "src", "dst", iters = 3)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(again == r, "two runs must be bit-identical")
+  }
+
+  test("pageRank conserves no mass for dangling nodes but never goes negative") {
+    val nodes = Seq(1L, 2L, 3L).toDF("id")
+    // chain with a dangling end: 1 → 2 → 3, 3 has no out-edges
+    val edges = Seq((1L, 2L), (2L, 3L)).toDF("src", "dst")
+    val r = Graph.pageRank(nodes, edges, "id", "src", "dst", iters = 4)
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r.values.forall(_ >= 150000L), s"ranks below base: $r")
+    assert(r(3L) > r(2L), s"downstream accumulates: $r")
+  }
+}
