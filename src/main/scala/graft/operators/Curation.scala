@@ -118,6 +118,33 @@ object Curation {
       .drop("__rn")
   }
 
+  /** Deterministic WEIGHTED sample: n rows per group, selection biased
+    * toward heavier rows. Policy (documented, engine-portable): keep
+    * the n smallest `hash32(key)·10⁶ div weight` — all integer
+    * arithmetic, so the draw is reproducible anywhere, and a row's
+    * selection odds scale with its weight (double the weight ⇒ half
+    * the expected priority). This is a deterministic *policy*, not
+    * exact Efraimidis–Spirakis sampling (whose `u^(1/w)` keys need
+    * float pow/ln, which never hash-match across engines). One window
+    * per group, executed by the GroupedTopK heap — no per-group sort.
+    */
+  def weightedSample(df: DataFrame, keyCol: String, weightCol: String,
+                     groupCol: String, n: Int): DataFrame = {
+    // `div` (integral division) has no Column-API form and a double
+    // `/`+floor can round across the quotient boundary at this
+    // magnitude — stage the operands and use the SQL operator
+    val staged = df
+      .withColumn("__hw",
+        Portable.hash32(col(keyCol).cast("string")) * lit(1000000L))
+      .withColumn("__wt", greatest(col(weightCol).cast("long"), lit(1L)))
+      .withColumn("__pri", expr("__hw div __wt"))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("__pri").asc, col(keyCol).asc)
+    staged.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn", "__hw", "__wt", "__pri")
+  }
+
   /** Token-budget truncation: keep the first `maxTokens` whitespace
     * tokens, with a flag marking docs that lost content. Row-local
     * projection — no shuffle, runs as a map over the corpus scan.

@@ -81,6 +81,16 @@ object CurationQueries {
         .select("doc_id", "source")
         .orderBy("doc_id")),
 
+    // 5 docs per source, selection odds proportional-ish to length —
+    // deterministic integer priority, no RNG
+    "q_weighted_sample" -> ((s, d) =>
+      Curation.weightedSample(
+        docs(s, d).withColumn("n_tokens",
+          size(Portable.tokens(col("text"))).cast("long")),
+        "doc_id", "n_tokens", "source", 5)
+        .select("doc_id", "source", "n_tokens")
+        .orderBy("doc_id")),
+
     // 32-token budget truncation with loss flag — row-local map
     "q_truncate" -> ((s, d) =>
       Curation.truncateTokens(docs(s, d), "text", 32)
@@ -209,6 +219,19 @@ object CurationQueries {
          |               doc_id) AS rn
          |  FROM documents)
          |SELECT doc_id, source FROM r WHERE rn <= 5
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_weighted_sample" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |r AS (SELECT doc_id, source, n_tokens,
+         |    row_number() OVER (PARTITION BY source ORDER BY
+         |      (${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")} * 1000000)
+         |        // greatest(n_tokens, 1),
+         |      doc_id) AS rn
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens FROM r WHERE rn <= 5
          |ORDER BY doc_id""".stripMargin,
 
     "q_truncate" ->

@@ -80,6 +80,29 @@ object EventQueries {
         .select("event_id", "user_id", "rolling_n", "rolling_sum")
         .orderBy("event_id")),
 
+    // ranking-function family over one total-ordered window: rank /
+    // dense_rank / ntile quartiles / percent_rank / cume_dist (ties on
+    // value are real — value is discretized to cents so rank vs
+    // dense_rank actually diverge)
+    "q_rank_funcs" -> ((s, d) => {
+      // value floored to whole units so ties are REAL (rank vs
+      // dense_rank diverge); rank/dense_rank/percent_rank/cume_dist
+      // are tie-stable, so the non-total order is still deterministic
+      val tied = Window.partitionBy("event_type")
+        .orderBy(floor(col("value")).asc)
+      // ntile depends on row POSITION, so it gets a total order
+      val total = Window.partitionBy("event_type")
+        .orderBy(col("value").asc, col("event_id").asc)
+      ev(s, d).select(
+        col("event_id"), col("event_type"),
+        rank().over(tied).as("rnk"),
+        dense_rank().over(tied).as("drnk"),
+        ntile(4).over(total).as("quartile"),
+        round(percent_rank().over(tied), 6).as("pct_rank"),
+        round(cume_dist().over(tied), 6).as("cume"))
+        .orderBy("event_id")
+    }),
+
     // rollup: event_type × day hierarchy with subtotals
     "q_rollup" -> ((s, d) =>
       ev(s, d)
@@ -196,6 +219,19 @@ object EventQueries {
         |WINDOW w AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST),
         |       m AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY event_id""".stripMargin,
+
+    "q_rank_funcs" ->
+      """SELECT event_id, event_type,
+        |  CAST(rank() OVER t AS INT) AS rnk,
+        |  CAST(dense_rank() OVER t AS INT) AS drnk,
+        |  CAST(ntile(4) OVER o AS INT) AS quartile,
+        |  round(percent_rank() OVER t, 6) AS pct_rank,
+        |  round(cume_dist() OVER t, 6) AS cume
+        |FROM events
+        |WINDOW t AS (PARTITION BY event_type ORDER BY floor(value)),
+        |       o AS (PARTITION BY event_type
+        |             ORDER BY value NULLS FIRST, event_id NULLS FIRST)
         |ORDER BY event_id""".stripMargin,
 
     "q_rolling_range" ->
