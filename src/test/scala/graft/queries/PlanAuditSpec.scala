@@ -90,6 +90,36 @@ class PlanAuditSpec extends SparkSpec {
     assert(!read.contains("split"), s"split must be directory-derived: $read")
   }
 
+  test("kmeans assignment broadcasts centroids and runs the heap argmin") {
+    val e = Tables.embeddings(spark, sf)
+    val cent = e.filter(col("vec_id") < 5)
+      .select(col("vec_id").as("cluster"),
+        col("embedding").cast("array<double>").as("cv"))
+    val plan = finalPlan(graft.operators.Similarity
+      .assignToCentroids(e, "vec_id", "embedding", cent))
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"centroids must broadcast — the corpus side must never shuffle for the join:\n$plan")
+    assert(plan.contains("GroupedTopK"),
+      s"the per-vector argmin must use the bounded heap, not a full window sort:\n$plan")
+  }
+
+  test("tokenBudgetCap / weightedSample shuffle only on the group column") {
+    val docs = Tables.documents(spark, sf).withColumn("n_tokens",
+      size(graft.functions.Portable.tokens(col("text"))).cast("long"))
+    for ((name, df) <- Seq(
+        "tokenBudgetCap" -> graft.operators.Curation.tokenBudgetCap(
+          docs, "doc_id", "source", "n_tokens", 1000L),
+        "weightedSample" -> graft.operators.Curation.weightedSample(
+          docs, "doc_id", "n_tokens", "source", 5))) {
+      val plan = finalPlan(df)
+      val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+        .r.findAllMatchIn(plan).map(_.group(1)).toList
+      assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("source")),
+        s"$name: expected only the groupCol shuffle, got $exchanges:\n$plan")
+    }
+  }
+
   test("stratifiedSample shuffles once, on the group column only") {
     val df = graft.operators.Curation.stratifiedSample(
       Tables.documents(spark, sf), "source", "doc_id", 3)
