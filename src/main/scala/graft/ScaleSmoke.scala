@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, Graph}
 
 /** Opt-in scaling smoke for the ITERATIVE paths (transitive dedup and
   * the composed curation pipeline): runs each at N and 10N generated
@@ -46,28 +46,45 @@ object ScaleSmoke {
     spark.sparkContext.setLogLevel("WARN")
     spark.range(1000000L).selectExpr("sum(id)").collect() // warmup
 
-    def runTier(rows: Long): (Double, Double) = {
+    def pagerank(rows: Long): Long = {
+      val docs = gen(spark, rows)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", 3, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select(col("id_a"), col("id_b"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      Graph.pageRank(docs.select("doc_id"), edges, "doc_id", "src", "dst", 3)
+        .count()
+    }
+
+    def runTier(rows: Long): (Double, Double, Double) = {
       val transitive = best2(
         Dedup.dedupCorpusTransitive(gen(spark, rows), "doc_id", "text")
           .count())
       val pipeline = best2(
         Curation.curateCorpus(gen(spark, rows), "doc_id", "text", "source")
           .count())
-      (transitive, pipeline)
+      val pr = best2(pagerank(rows))
+      (transitive, pipeline, pr)
     }
 
-    val (t1, p1) = runTier(n)
-    val (t10, p10) = runTier(n * 10)
+    val (t1, p1, g1) = runTier(n)
+    val (t10, p10, g10) = runTier(n * 10)
     val rT = t10 / t1
     val rP = p10 / p1
+    val rG = g10 / g1
     println(s"""{"metric":"scale_smoke","n":$n,""" +
       f""""transitive_1x":$t1%.2f,"transitive_10x":$t10%.2f,"transitive_ratio":$rT%.1f,""" +
       f""""pipeline_1x":$p1%.2f,"pipeline_10x":$p10%.2f,"pipeline_ratio":$rP%.1f,""" +
+      f""""pagerank_1x":$g1%.2f,"pagerank_10x":$g10%.2f,"pagerank_ratio":$rG%.1f,""" +
       s""""max_ratio":$maxRatio}""")
     spark.stop()
-    if (rT > maxRatio || rP > maxRatio) {
+    if (rT > maxRatio || rP > maxRatio || rG > maxRatio) {
       System.err.println(
-        f"[scale-smoke] FAIL: 10x ratio transitive=$rT%.1f pipeline=$rP%.1f exceeds $maxRatio")
+        f"[scale-smoke] FAIL: 10x ratio transitive=$rT%.1f pipeline=$rP%.1f pagerank=$rG%.1f exceeds $maxRatio")
       sys.exit(1)
     }
   }
