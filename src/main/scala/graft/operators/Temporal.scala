@@ -70,6 +70,33 @@ object Temporal {
         payloadCols.map(c => col("__asof").getField(c).as(s"$prefix$c")): _*)
   }
 
+  /** SCD2 (slowly-changing-dimension type 2) compression: per key,
+    * collapse consecutive runs of an equal attribute into validity
+    * intervals `[valid_from, valid_to)` — the warehouse primitive that
+    * turns an event log into a point-in-time dimension (pair with
+    * [[asofJoin]] to query "the attribute as of ts"). `valid_to` is
+    * NULL for each key's current (open) interval.
+    *
+    * Change detection is null-safe (a null attribute is a value, not a
+    * wildcard). `tieCol` totals the order within equal timestamps —
+    * without it the run boundaries would be partition-order dependent.
+    * Two windows over ONE shuffle on the key (both windows share the
+    * partitioning and sort).
+    */
+  def scd2(df: DataFrame, keyCol: String, tsCol: String, attrCol: String,
+           tieCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    val changes = df
+      .withColumn("__prev", lag(col(attrCol), 1).over(w))
+      .withColumn("__first", row_number().over(w) === 1)
+      .filter(col("__first") || !(col("__prev") <=> col(attrCol)))
+    val w2 = Window.partitionBy(keyCol).orderBy(col(tsCol), col(tieCol))
+    changes
+      .withColumn("valid_from", col(tsCol))
+      .withColumn("valid_to", lead(col(tsCol), 1).over(w2))
+      .drop("__prev", "__first")
+  }
+
   /** Time-range rolling aggregates: per key, count/sum over the
     * trailing `windowSec` seconds ending at each row (RANGE frame over
     * epoch micros, so all peers of an equal timestamp fall in the

@@ -194,6 +194,28 @@ object CoreQueries {
       s.read.parquet(out).orderBy("ship_date", "l_suppkey")
     }),
 
+    // MERGE upsert+delete into a keyed parquet table: bootstrap with a
+    // subset, then one merge batch that updates (%5), deletes (%10),
+    // and inserts (%5 keys missing from the base) — read back and
+    // oracle-check the final table state
+    "q_merge_upsert" -> ((s, d) => {
+      val out =
+        s"${sys.props("java.io.tmpdir")}/graft_merge_${scratchTag(d)}"
+      // fresh bootstrap per run — merge is stateful by design
+      val p = new org.apache.hadoop.fs.Path(out)
+      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val orders = Tables.orders(s, d)
+        .select("o_orderkey", "o_custkey", "o_orderstatus")
+      graft.io.MergeTable.merge(s, out,
+        orders.filter(col("o_orderkey") % 7 =!= 0), Seq("o_orderkey"))
+      val batch = orders.filter(col("o_orderkey") % 5 === 0)
+        .withColumn("o_orderstatus", lit("U"))
+        .withColumn("__del", col("o_orderkey") % 10 === 0)
+      graft.io.MergeTable.merge(s, out, batch, Seq("o_orderkey"),
+        deleteCol = Some("__del"))
+      s.read.parquet(out).orderBy("o_orderkey")
+    }),
+
     // S4 — ORC round-trip: the columnar alternative when the lake
     // standardizes on ORC (Hive shops). Same month-slice shape as the
     // CSV path; values must survive the ORC writer/reader identically.
@@ -461,6 +483,17 @@ object CoreQueries {
         |             l_suppkey FROM lineitem) sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    // final table = (base keys not touched) ∪ (non-deleted updates):
+    // kept iff (%7≠0 OR %5=0) AND %10≠0; status 'U' on every %5 key
+    "q_merge_upsert" ->
+      """SELECT o_orderkey, o_custkey,
+        |  CASE WHEN o_orderkey % 5 = 0 THEN 'U'
+        |       ELSE o_orderstatus END AS o_orderstatus
+        |FROM orders
+        |WHERE (o_orderkey % 7 <> 0 OR o_orderkey % 5 = 0)
+        |  AND o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT sp.ship_date, sp.l_suppkey, s.s_name

@@ -80,6 +80,18 @@ object EventQueries {
         .select("event_id", "user_id", "rolling_n", "rolling_sum")
         .orderBy("event_id")),
 
+    // SCD2 dimension build: each user's event_type history compressed
+    // to validity intervals (open interval → null valid_to)
+    "q_scd2" -> ((s, d) =>
+      graft.operators.Temporal.scd2(ev(s, d), "user_id", "ts",
+        "event_type", "event_id")
+        .select(col("user_id"), col("event_type"),
+          date_format(col("valid_from"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_from"),
+          date_format(col("valid_to"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("valid_to"))
+        .orderBy("user_id", "valid_from", "event_type")),
+
     // ranking-function family over one total-ordered window: rank /
     // dense_rank / ntile quartiles / percent_rank / cume_dist (ties on
     // value are real — value is discretized to cents so rank vs
@@ -220,6 +232,24 @@ object EventQueries {
         |       m AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_scd2" ->
+      """WITH o AS (SELECT user_id, event_type, ts, event_id,
+        |    lag(event_type) OVER w AS prev,
+        |    row_number() OVER w AS rn
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+        |ch AS (SELECT user_id, event_type, ts, event_id FROM o
+        |  WHERE rn = 1 OR prev IS DISTINCT FROM event_type),
+        |iv AS (SELECT user_id, event_type, ts AS vf,
+        |    lead(ts) OVER (PARTITION BY user_id
+        |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS vt
+        |  FROM ch)
+        |SELECT user_id, event_type,
+        |  strftime(vf, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+        |  strftime(vt, '%Y-%m-%d %H:%M:%S.%f') AS valid_to
+        |FROM iv ORDER BY user_id, valid_from, event_type""".stripMargin,
 
     "q_rank_funcs" ->
       """SELECT event_id, event_type,

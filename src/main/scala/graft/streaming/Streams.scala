@@ -69,6 +69,33 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  /** Stream-stream interval join — click attribution: each click joins
+    * the impressions of the same user in the preceding `attributionWindow`.
+    * BOTH sides carry watermarks and the join condition bounds event
+    * time in BOTH directions, which is what lets Spark expire buffered
+    * state (an unbounded stream-stream join would hold both streams
+    * forever). Inner join: unattributed clicks drop; state per side is
+    * bounded by watermark + window.
+    *
+    * Column contract: impressions (user_id, ts, imp_id), clicks
+    * (user_id, ts, click_id).
+    */
+  def streamStreamAttribution(impressions: DataFrame, clicks: DataFrame,
+                              attributionWindow: String = "10 minutes",
+                              watermark: String = "30 minutes"): DataFrame = {
+    val imp = impressions.withWatermark("ts", watermark)
+      .select(col("user_id"), col("ts").as("imp_ts"), col("imp_id"))
+    val clk = clicks.withWatermark("ts", watermark)
+      .select(col("user_id").as("c_user_id"), col("ts").as("click_ts"),
+        col("click_id"))
+    imp.join(clk,
+      col("user_id") === col("c_user_id") &&
+        col("click_ts") >= col("imp_ts") &&
+        col("click_ts") <= col("imp_ts") + expr(s"interval $attributionWindow"))
+      .select(col("user_id"), col("imp_id"), col("click_id"),
+        col("imp_ts"), col("click_ts"))
+  }
+
   // ---- custom stateful sessionization ----
 
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)

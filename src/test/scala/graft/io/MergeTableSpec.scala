@@ -1,0 +1,43 @@
+package graft.io
+
+import graft.SparkSpec
+
+class MergeTableSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshPath(tag: String): String = {
+    val p = s"${sys.props("java.io.tmpdir")}/graft_mergespec_${tag}_${System.nanoTime()}"
+    p
+  }
+
+  test("bootstrap insert, then update/insert/delete in one batch") {
+    val path = freshPath("basic")
+    MergeTable.merge(spark, path,
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "v"), Seq("k"))
+    MergeTable.merge(spark, path,
+      Seq((2L, "B", false), (4L, "d", false), (3L, "x", true))
+        .toDF("k", "v", "del"),
+      Seq("k"), deleteCol = Some("del"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "B", 4L -> "d"), s"got $out")
+  }
+
+  test("merge is idempotent for the same update batch") {
+    val path = freshPath("idem")
+    MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    val batch = Seq((1L, "z", false), (2L, "y", false)).toDF("k", "v", "del")
+    MergeTable.merge(spark, path, batch, Seq("k"), Some("del"))
+    MergeTable.merge(spark, path, batch, Seq("k"), Some("del"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "z", 2L -> "y"), s"got $out")
+  }
+
+  test("delete of a never-inserted key is a no-op, not an error") {
+    val path = freshPath("ghost")
+    MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    MergeTable.merge(spark, path,
+      Seq((99L, "ghost", true)).toDF("k", "v", "del"), Seq("k"), Some("del"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a"), s"got $out")
+  }
+}

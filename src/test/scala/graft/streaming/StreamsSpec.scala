@@ -140,6 +140,31 @@ class StreamsSpec extends SparkSpec {
     assert(local.join(batch, joinCols, "inner").count() == batch.count())
   }
 
+  test("stream-stream attribution joins clicks to in-window impressions only") {
+    implicit val sqlCtx = spark.sqlContext
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 10:00:00")
+    def at(min: Int) = new java.sql.Timestamp(t0.getTime + min * 60000L)
+    val imps = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val clks = MemoryStream[(Long, java.sql.Timestamp, String)]
+    val q = Streams.streamStreamAttribution(
+      imps.toDF().toDF("user_id", "ts", "imp_id"),
+      clks.toDF().toDF("user_id", "ts", "click_id"))
+      .writeStream.format("memory").queryName("attribution")
+      .outputMode("append").start()
+    try {
+      imps.addData((1L, at(0), "i1"), (2L, at(0), "i2"))
+      clks.addData(
+        (1L, at(5), "c_in"),     // 5 min after i1 → attributed
+        (2L, at(20), "c_late"),  // 20 min after i2 → outside window
+        (3L, at(5), "c_nouser")) // no impression for user 3
+      q.processAllAvailable()
+      val rows = spark.table("attribution")
+        .select("imp_id", "click_id").collect()
+        .map(r => (r.getString(0), r.getString(1))).toSet
+      assert(rows == Set(("i1", "c_in")), s"got $rows")
+    } finally q.stop()
+  }
+
   test("stateful sessionization closes a session on gap within a batch") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[Streams.Ev]
