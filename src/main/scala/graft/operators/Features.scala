@@ -34,6 +34,29 @@ object Features {
       .drop("__grp", "__mu", "__sd")
   }
 
+  /** Fixed-bound equi-width histogram per group: bucket =
+    * clamp(floor((x − lo)/width), 0, n−1), counted per (group,
+    * bucket). One aggregation, no window, sparse output (empty buckets
+    * absent). Fixed [lo, hi) rather than data-driven bounds keeps it
+    * ONE pass and deterministic — the profiling default at corpus
+    * scale, where a min/max pre-pass doubles the scan; compose with
+    * [[winsorizeByGroup]]'s percentile frame when adaptive bounds are
+    * worth the second pass.
+    */
+  def histogram(df: DataFrame, valueCol: String, groupCol: String,
+                lo: Double, hi: Double, nBuckets: Int): DataFrame = {
+    require(nBuckets > 0 && hi > lo, "need hi > lo and nBuckets > 0")
+    val width = (hi - lo) / nBuckets
+    val bucket = least(greatest(
+      floor((col(valueCol) - lo) / width), lit(0.0)), lit(nBuckets - 1.0))
+      .cast("int")
+    df.withColumn("bucket", bucket)
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("n"))
+      .withColumn("bucket_lo", round(lit(lo) + col("bucket") * width, 6))
+      .withColumn("bucket_hi", round(lit(lo) + (col("bucket") + 1) * width, 6))
+  }
+
   /** Winsorization: clip each value into its group's
     * [percentile(lo), percentile(hi)] band (exact interpolated
     * percentiles, mirroring DuckDB's quantile_cont). The standard

@@ -137,6 +137,26 @@ object EventQueries {
         .orderBy(col("event_type").asc_nulls_first,
           col("user_bucket").asc_nulls_first)),
 
+    // fixed-bound equi-width histogram of value per event type —
+    // one-pass profiling (no min/max pre-scan)
+    "q_histogram" -> ((s, d) =>
+      graft.operators.Features.histogram(ev(s, d), "value", "event_type",
+        lo = -5.0, hi = 5.0, nBuckets = 10)
+        .orderBy("event_type", "bucket")),
+
+    // wide → long reshape: per-flag aggregate unpivoted to
+    // (key, metric, value) triples — the melt half of the pivot pair
+    "q_unpivot" -> ((s, d) => {
+      val wide = ev(s, d).groupBy("event_type")
+        .agg(count(lit(1)).cast("double").as("n_events"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+      wide.unpivot(Array(col("event_type")),
+        Array(col("n_events"), col("sum_value")), "metric", "value")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("event_type", "metric")
+    }),
+
     // exact percentiles per event type
     "q_percentile" -> ((s, d) =>
       ev(s, d)
@@ -289,6 +309,29 @@ object EventQueries {
         |FROM events
         |GROUP BY CUBE(event_type, user_id % 10)
         |ORDER BY event_type NULLS FIRST, user_bucket NULLS FIRST""".stripMargin,
+
+    "q_histogram" ->
+      """WITH b AS (SELECT event_type,
+        |    CAST(least(greatest(floor((value - (-5.0)) / 1.0), 0.0), 9.0)
+        |         AS INT) AS bucket
+        |  FROM events)
+        |SELECT event_type, bucket, count(*) AS n,
+        |  round(-5.0 + bucket * 1.0, 6) AS bucket_lo,
+        |  round(-5.0 + (bucket + 1) * 1.0, 6) AS bucket_hi
+        |FROM b GROUP BY event_type, bucket
+        |ORDER BY event_type, bucket""".stripMargin,
+
+    "q_unpivot" ->
+      """WITH wide AS (SELECT event_type,
+        |    CAST(count(*) AS DOUBLE) AS n_events,
+        |    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |  FROM events GROUP BY event_type)
+        |SELECT event_type, metric, round(value, 6) AS value FROM (
+        |  SELECT event_type, 'n_events' AS metric, n_events AS value
+        |    FROM wide
+        |  UNION ALL
+        |  SELECT event_type, 'sum_value', sum_value FROM wide)
+        |ORDER BY event_type, metric""".stripMargin,
 
     "q_percentile" ->
       """SELECT event_type,
