@@ -194,6 +194,17 @@ object CoreQueries {
       s.read.parquet(out).orderBy("ship_date", "l_suppkey")
     }),
 
+    // custom DataSourceV2 read: the synthetic-corpus TableProvider
+    // with column pruning + doc_id-range partition pushdown; the
+    // oracle regenerates every cell from the same integer arithmetic
+    // via generate_series
+    "q_synthetic_source" -> ((s, _) =>
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000").option("parts", "8").load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 2000)
+        .select("doc_id", "source", "n_chars", "text")
+        .orderBy("doc_id")),
+
     // MERGE upsert+delete into a keyed parquet table: bootstrap with a
     // subset, then one merge batch that updates (%5), deletes (%10),
     // and inserts (%5 keys missing from the base) — read back and
@@ -483,6 +494,11 @@ object CoreQueries {
         |             l_suppkey FROM lineitem) sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_synthetic_source" ->
+      s"""SELECT ${graft.sources.SyntheticDocs.oracleSelectList}
+         |FROM generate_series(1000, 1999) t(id)
+         |ORDER BY doc_id""".stripMargin,
 
     // final table = (base keys not touched) ∪ (non-deleted updates):
     // kept iff (%7≠0 OR %5=0) AND %10≠0; status 'U' on every %5 key
