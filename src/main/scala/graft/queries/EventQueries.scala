@@ -126,6 +126,24 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
         .orderBy(col("event_type").asc_nulls_first, col("day").asc_nulls_first)),
 
+    // explicit GROUPING SETS (the rollup/cube sibling): per-type,
+    // per-day, and grand-total — but NOT the (type, day) cross, which
+    // rollup/cube can't express; grouping_id disambiguates the null
+    // that means "aggregated over" from a real null
+    "q_grouping_sets" -> ((s, d) => {
+      ev(s, d).select(col("event_type"),
+        date_format(col("ts"), "yyyy-MM-dd").as("day"), col("value"))
+        .createOrReplaceTempView("ev_gs")
+      s.sql("""
+        SELECT event_type, day,
+          CAST(grouping_id(event_type, day) AS INT) AS gid,
+          count(*) AS n,
+          CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        FROM ev_gs
+        GROUP BY GROUPING SETS ((event_type), (day), ())
+        ORDER BY gid, event_type NULLS LAST, day NULLS LAST""")
+    }),
+
     // cube over event_type × device-ish bucket
     "q_cube" -> ((s, d) =>
       ev(s, d)
@@ -301,6 +319,15 @@ object EventQueries {
         |FROM events
         |GROUP BY ROLLUP(event_type, strftime(ts, '%Y-%m-%d'))
         |ORDER BY event_type NULLS FIRST, day NULLS FIRST""".stripMargin,
+
+    "q_grouping_sets" ->
+      """SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |  CAST(grouping(event_type, strftime(ts, '%Y-%m-%d')) AS INT) AS gid,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events
+        |GROUP BY GROUPING SETS ((event_type), (strftime(ts, '%Y-%m-%d')), ())
+        |ORDER BY gid, event_type NULLS LAST, day NULLS LAST""".stripMargin,
 
     "q_cube" ->
       """SELECT event_type, user_id % 10 AS user_bucket,
