@@ -1,0 +1,34 @@
+package graft.io
+
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+class LayoutSpec extends SparkSpec {
+
+  test("writeClustered produces hive dirs with per-file sorted sort keys") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_layout_${System.nanoTime()}"
+    Layout.writeClustered(
+      Tables.events(spark, sf).select("event_type", "event_id", "value"),
+      out, partitionCols = Seq("event_type"), sortCols = Seq("value"))
+
+    val dirs = Files.list(Paths.get(out)).iterator().asScala
+      .filter(p => p.getFileName.toString.startsWith("event_type=")).toSeq
+    assert(dirs.nonEmpty, "expected hive partition directories")
+
+    val files = dirs.flatMap(d => Files.list(d).iterator().asScala)
+      .filter(_.getFileName.toString.endsWith(".parquet"))
+    assert(files.nonEmpty)
+    // every FILE must be internally sorted on the sort key — that is
+    // what makes its row-group min/max stats selective
+    files.foreach { f =>
+      val vals = spark.read.parquet(f.toString)
+        .select("value").collect().map(_.getDouble(0))
+      assert(vals.sameElements(vals.sorted),
+        s"file ${f.getFileName} not sorted on value")
+    }
+  }
+}

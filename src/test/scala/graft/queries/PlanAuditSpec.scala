@@ -120,6 +120,18 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("scd2's two windows share ONE shuffle on the key") {
+    // executedPlan.toString under AQE prints the Final AND Initial
+    // sections — count exchanges in the final section only
+    val plan = finalPlan(graft.operators.Temporal.scd2(
+      Tables.events(spark, sf), "user_id", "ts", "event_type", "event_id"))
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.length == 1 && exchanges.head.startsWith("user_id"),
+      s"change-detect + interval windows must reuse one user_id shuffle, got $exchanges:\n$plan")
+  }
+
   test("stratifiedSample shuffles once, on the group column only") {
     val df = graft.operators.Curation.stratifiedSample(
       Tables.documents(spark, sf), "source", "doc_id", 3)
