@@ -194,6 +194,39 @@ object CoreQueries {
       s.read.parquet(out).orderBy("ship_date", "l_suppkey")
     }),
 
+    // date/time scalar-function surface: truncation, month-end,
+    // day-of-week (normalized to Spark's 1=Sunday convention on the
+    // oracle side), day arithmetic, clamped month addition
+    "q_date_funcs" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_orderkey") % 50 === 0)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          date_format(col("l_shipdate"), "yyyy-MM-dd").as("ship_date"),
+          date_format(trunc(col("l_shipdate"), "MM"), "yyyy-MM-dd")
+            .as("month_start"),
+          date_format(last_day(col("l_shipdate")), "yyyy-MM-dd")
+            .as("month_end"),
+          dayofweek(col("l_shipdate")).as("dow"),
+          datediff(col("l_shipdate"), lit("1995-01-01").cast("date"))
+            .as("days_since_95"),
+          date_format(add_months(col("l_shipdate"), 2), "yyyy-MM-dd")
+            .as("plus_2m"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // string scalar-function surface incl. edit distance
+    "q_string_funcs" -> ((s, d) =>
+      Tables.supplier(s, d)
+        .select(col("s_suppkey"),
+          upper(col("s_name")).as("upper_name"),
+          length(col("s_name")).as("name_len"),
+          lpad(col("s_name"), 25, "*").as("padded"),
+          reverse(col("s_name")).as("reversed"),
+          substring(col("s_name"), 10, 5).as("mid"),
+          regexp_replace(col("s_name"), "#", "-").as("dashed"),
+          levenshtein(col("s_name"), lit("Supplier#000000001"))
+            .as("edit_dist"))
+        .orderBy("s_suppkey")),
+
     // custom DataSourceV2 read: the synthetic-corpus TableProvider
     // with column pruning + doc_id-range partition pushdown; the
     // oracle regenerates every cell from the same integer arithmetic
@@ -494,6 +527,33 @@ object CoreQueries {
         |             l_suppkey FROM lineitem) sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_date_funcs" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  strftime(l_shipdate, '%Y-%m-%d') AS ship_date,
+        |  strftime(date_trunc('month', l_shipdate), '%Y-%m-%d')
+        |    AS month_start,
+        |  strftime(last_day(CAST(l_shipdate AS DATE)), '%Y-%m-%d')
+        |    AS month_end,
+        |  CAST(dayofweek(l_shipdate) + 1 AS INT) AS dow,
+        |  CAST(CAST(l_shipdate AS DATE) - DATE '1995-01-01' AS INT)
+        |    AS days_since_95,
+        |  strftime(CAST(l_shipdate AS DATE) + INTERVAL 2 MONTH,
+        |           '%Y-%m-%d') AS plus_2m
+        |FROM lineitem WHERE l_orderkey % 50 = 0
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_string_funcs" ->
+      """SELECT s_suppkey,
+        |  upper(s_name) AS upper_name,
+        |  CAST(length(s_name) AS INT) AS name_len,
+        |  lpad(s_name, 25, '*') AS padded,
+        |  reverse(s_name) AS reversed,
+        |  substr(s_name, 10, 5) AS mid,
+        |  regexp_replace(s_name, '#', '-', 'g') AS dashed,
+        |  CAST(levenshtein(s_name, 'Supplier#000000001') AS INT)
+        |    AS edit_dist
+        |FROM supplier ORDER BY s_suppkey""".stripMargin,
 
     "q_synthetic_source" ->
       s"""SELECT ${graft.sources.SyntheticDocs.oracleSelectList}
