@@ -101,6 +101,34 @@ object Dedup {
     sigs.select(col(idCol), explode(bandKeys).as("band_key"))
   }
 
+  /** Blocked FUZZY match — entity resolution's two-phase shape:
+    * LSH band blocking proposes candidate pairs (shuffle carries band
+    * keys, never doc×doc), then Levenshtein edit distance on the raw
+    * text verifies each candidate (`edit_dist <= maxDist`). Exact
+    * edit distance over all pairs is O(n²·len²) — unrunnable at any
+    * scale; banding cuts the verified set to near-dup candidates
+    * while levenshtein stays per-pair O(len²) on only those.
+    *
+    * Returns (id_a, id_b, edit_dist), id_a < id_b. Tune recall with
+    * the shingle size k (smaller k → looser blocking → more
+    * candidates verified).
+    */
+  def fuzzyMatchPairs(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, maxDist: Int = 100): DataFrame = {
+    val sigs = minhashSignatures(
+      docShingles(df, idCol, textCol, k, dedup = false), idCol)
+      .localCheckpoint()
+    val texts = df.select(col(idCol), col(textCol))
+    val cand = lshCandidatePairs(sigs, idCol)
+      .select(col("id_a"), col("id_b"))
+    cand
+      .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
+      .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
+      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
+      .filter(col("edit_dist") <= maxDist)
+      .select(col("id_a"), col("id_b"), col("edit_dist"))
+  }
+
   /** The distinct band-key set of a signature table — the static side
     * of the STREAMING near-dup gate
     * ([[graft.streaming.Streams.streamingNearDupGate]]): membership of

@@ -46,6 +46,13 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // blocked fuzzy match: LSH band candidates verified by edit
+    // distance — the entity-resolution two-phase join
+    "q_fuzzy_match" -> ((s, d) =>
+      Dedup.fuzzyMatchPairs(Tables.documents(s, d), "doc_id", "text",
+        K, maxDist = 100)
+        .orderBy("id_a", "id_b")),
+
     // PageRank over the near-dup pair graph (both directions), 3
     // rounds of integer micro-unit arithmetic — centrality marks the
     // canonical doc inside each duplicate neighborhood
@@ -251,6 +258,20 @@ object DedupQueries {
          |JOIN sig b ON b.doc_id = c.id_b
          |ORDER BY c.id_a, c.id_b""".stripMargin
     },
+
+    "q_fuzzy_match" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(levenshtein(a.text, b.text) AS INT) AS edit_dist
+         |FROM cand c
+         |JOIN documents a ON a.doc_id = c.id_a
+         |JOIN documents b ON b.doc_id = c.id_b
+         |WHERE levenshtein(a.text, b.text) <= 100
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     "q_pagerank" -> {
       // one unrolled rank CTE per round: r{t+1} from r{t}, the same
