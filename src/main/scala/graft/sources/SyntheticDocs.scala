@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
 import org.apache.spark.sql.util.CaseInsensitiveStringMap
@@ -79,11 +80,29 @@ object SyntheticDocs {
 
   final class SynthScanBuilder(rows: Long, parts: Int)
       extends ScanBuilder
-      with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+      with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+      with SupportsPushDownAggregates {
     private var lo: Long = 0L
     private var hi: Long = rows // exclusive
     private var pushed: Array[Filter] = Array.empty
     private var required: StructType = SyntheticDocs.schema
+    private var countPushed = false
+
+    /** COUNT(*) with no grouping is answered ARITHMETICALLY from the
+      * pruned range — zero rows generated, zero read: the synthetic
+      * analogue of parquet answering count from footer metadata.
+      * COMPLETE pushdown (not partial): the returned row IS the final
+      * answer.
+      */
+    override def supportCompletePushDown(aggregation: Aggregation): Boolean =
+      aggregation.groupByExpressions.isEmpty &&
+        aggregation.aggregateExpressions.length == 1 &&
+        aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+    override def pushAggregation(aggregation: Aggregation): Boolean = {
+      if (!supportCompletePushDown(aggregation)) return false
+      countPushed = true
+      true
+    }
 
     /** doc_id range predicates tighten [lo, hi); everything else stays
       * with Spark (returned as post-scan residuals).
@@ -106,11 +125,43 @@ object SyntheticDocs {
     override def pruneColumns(requiredSchema: StructType): Unit =
       required = requiredSchema
 
-    override def build(): Scan = new SynthScan(rows, lo, hi, parts, required)
+    override def build(): Scan =
+      if (countPushed) new CountScan(math.max(0L, hi - lo))
+      else new SynthScan(rows, lo, hi, parts, required)
   }
 
   final case class SynthPartition(start: Long, end: Long)
       extends InputPartition
+
+  /** Single-row, single-partition scan carrying the precomputed count. */
+  final class CountScan(count: Long) extends Scan with Batch {
+    override def readSchema(): StructType =
+      StructType(Seq(StructField("count", LongType, nullable = false)))
+    override def toBatch: Batch = this
+    override def description(): String =
+      s"GraftSyntheticDocs pushed-count=$count"
+    override def planInputPartitions(): Array[InputPartition] =
+      Array(SynthPartition(0L, 1L))
+    override def createReaderFactory(): PartitionReaderFactory =
+      new CountReaderFactory(count)
+  }
+
+  /** Standalone (serializable) factory — an inner anonymous class
+    * would capture the non-serializable Scan via `$outer`.
+    */
+  final class CountReaderFactory(count: Long)
+      extends PartitionReaderFactory {
+    override def createReader(p: InputPartition)
+        : PartitionReader[InternalRow] =
+      new PartitionReader[InternalRow] {
+        private var emitted = false
+        override def next(): Boolean =
+          if (emitted) false else { emitted = true; true }
+        override def get(): InternalRow =
+          new GenericInternalRow(Array[Any](count))
+        override def close(): Unit = ()
+      }
+  }
 
   final class SynthScan(rows: Long, lo: Long, hi: Long, parts: Int,
                         required: StructType) extends Scan with Batch {

@@ -48,6 +48,17 @@ class SyntheticDocsSpec extends SparkSpec {
     assert(r.getAs[String]("text") == SyntheticDocs.genText(42L))
   }
 
+  test("count(*) is answered from metadata: pushed count in the plan, right value") {
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "100000").option("parts", "8").load()
+      .filter(col("doc_id") >= 1000L && col("doc_id") < 2000L)
+      .agg(count(lit(1)))
+    assert(df.head().getLong(0) == 1000L)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed-count=1000"),
+      s"count must be answered arithmetically from the pruned range:\n$plan")
+  }
+
   test("the final plan reflects the pushed range in the scan description") {
     val df = spark.read.format("graft.sources.SyntheticDocs")
       .option("rows", "100000").option("parts", "8").load()
