@@ -114,6 +114,31 @@ object Multimodal {
     }
   }
 
+  /** File-system media ingest: Spark's `binaryFile` source reads a
+    * directory of opaque media files as (path, modificationTime,
+    * length, content) rows — the 100 TB ingest edge for image/audio
+    * corpora (one task per file group, content never materialized on
+    * the driver). `pathGlobFilter` prunes by extension BEFORE read.
+    * Asset ids are the md5-prefix hash of the file name: stable across
+    * re-ingests, independent of listing order.
+    */
+  def ingestFiles(spark: org.apache.spark.sql.SparkSession, dir: String,
+                  glob: String, mediaType: String): Dataset[MediaAsset] = {
+    import spark.implicits._
+    spark.read.format("binaryFile")
+      .option("pathGlobFilter", glob)
+      .load(dir)
+      .select(
+        graft.functions.Portable.hash32(
+          element_at(split(col("path"), "/"), -1)).as("asset_id"),
+        lit(mediaType).as("media_type"),
+        col("content"),
+        struct(lit(64).as("width"), lit(64).as("height"),
+          (col("length") * 10L).as("durationMs"),
+          lit("stub").as("codec")).as("meta"))
+      .as[MediaAsset]
+  }
+
   /** Wrap any binary-ish column as typed media assets (harness helper:
     * the testdata has no real media, so callers cast e.g. document
     * text to binary payloads).

@@ -194,6 +194,23 @@ object CoreQueries {
       s.read.parquet(out).orderBy("ship_date", "l_suppkey")
     }),
 
+    // S4 — JSONL round-trip: newline-delimited JSON, the interchange
+    // format of every LLM data pipeline. Written by the json sink,
+    // re-read with an EXPLICIT schema (inference would re-order fields
+    // and widen types), values must survive identically.
+    "q_jsonl_roundtrip" -> ((s, d) => {
+      val out =
+        s"${sys.props("java.io.tmpdir")}/graft_jsonl_${scratchTag(d)}"
+      Tables.documents(s, d)
+        .select("doc_id", "lang", "source", "n_chars")
+        .write.mode("overwrite").json(out)
+      s.read.schema(
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "doc_id BIGINT, lang STRING, source STRING, n_chars BIGINT"))
+        .json(out)
+        .orderBy("doc_id")
+    }),
+
     // date/time scalar-function surface: truncation, month-end,
     // day-of-week (normalized to Spark's 1=Sunday convention on the
     // oracle side), day arithmetic, clamped month addition
@@ -527,6 +544,10 @@ object CoreQueries {
         |             l_suppkey FROM lineitem) sp
         |LEFT JOIN supplier s ON sp.l_suppkey = s.s_suppkey
         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_jsonl_roundtrip" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     "q_date_funcs" ->
       """SELECT l_orderkey, l_linenumber,

@@ -10,6 +10,29 @@ class MultimodalSpec extends SparkSpec {
                     durMs: Long = 100L): MediaAsset =
     MediaAsset(id, "image", bytes, MediaMeta(w, h, durMs, "stub"))
 
+  test("binaryFile ingest: glob prunes, content round-trips, stable ids") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_media_")
+    val payload = Array[Byte](1, 2, 3, 4, 5)
+    java.nio.file.Files.write(dir.resolve("a.jpg"), payload)
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array[Byte](9, 9))
+    java.nio.file.Files.write(dir.resolve("skip.txt"), Array[Byte](7))
+    val ingested = Multimodal.ingestFiles(spark, dir.toString,
+      "*.jpg", "image").collect()
+    assert(ingested.length == 2, "glob must exclude skip.txt before read")
+    val byBytes = ingested.find(_.content.sameElements(payload))
+    assert(byBytes.isDefined, "payload bytes must round-trip exactly")
+    // id = hash of the file NAME: re-ingest yields identical ids
+    val again = Multimodal.ingestFiles(spark, dir.toString,
+      "*.jpg", "image").collect()
+    assert(again.map(_.asset_id).sorted.sameElements(
+      ingested.map(_.asset_id).sorted))
+    // ingested assets flow straight into the feature extractor
+    val feats = Multimodal.extractFeatures(
+      Multimodal.ingestFiles(spark, dir.toString, "*.jpg", "image"))
+      .collect()
+    assert(feats.map(_.n_bytes).sorted.sameElements(Array(2L, 5L)))
+  }
+
   private lazy val assets = Seq(
     asset(1L, Array[Byte](1, 2, 3, 4, 5, 6, 7, 8)),
     asset(2L, Array[Byte](9, 10, 11, 12)),
