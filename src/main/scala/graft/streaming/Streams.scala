@@ -69,6 +69,51 @@ object Streams {
         col("session_window.end").as("session_end"),
         col("user_id"), col("n_events"), col("total_value"))
 
+  final case class BudgetDoc(source: String, doc_id: Long, n_tokens: Long)
+
+  /** Streaming token-budget gate on the `transformWithState` API
+    * (Spark 4's arbitrary-state operator — typed per-key state handles
+    * with TTL support, RocksDB-backed): the stateful twin of
+    * [[graft.operators.Curation.tokenBudgetCap]]. Per source, a single
+    * ValueState long accumulates admitted tokens; a doc passes iff it
+    * still fits the budget. Admission is ARRIVAL-ordered (a stream has
+    * no hash-order to replay), so this is the enforcement half — the
+    * batch op remains the reproducible-selection half.
+    *
+    * State per key is one long — no watermark needed, no growth.
+    * Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`).
+    */
+  def streamingTokenBudget(docs: Dataset[BudgetDoc], budget: Long)
+      : Dataset[BudgetDoc] = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Enc}
+
+    class BudgetProcessor
+        extends StatefulProcessor[String, BudgetDoc, BudgetDoc] {
+      @transient private var cum: ValueState[Long] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        cum = getHandle.getValueState[Long]("cum", Enc.scalaLong,
+          TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[BudgetDoc],
+                                   timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[BudgetDoc] = {
+        // eager: the returned iterator must not lazily touch state
+        var c = if (cum.exists()) cum.get() else 0L
+        val out = rows.filter { d =>
+          val fits = c + d.n_tokens <= budget
+          if (fits) { c += d.n_tokens; cum.update(c) }
+          fits
+        }.toVector
+        out.iterator
+      }
+    }
+    docs.groupByKey(_.source)
+      .transformWithState(new BudgetProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   /** Stream-stream interval join — click attribution: each click joins
     * the impressions of the same user in the preceding `attributionWindow`.
     * BOTH sides carry watermarks and the join condition bounds event

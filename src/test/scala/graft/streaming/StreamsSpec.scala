@@ -140,6 +140,40 @@ class StreamsSpec extends SparkSpec {
     assert(local.join(batch, joinCols, "inner").count() == batch.count())
   }
 
+  test("transformWithState token budget persists per-source spend across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streams.BudgetDoc]
+    val q = Streams.streamingTokenBudget(in.toDS(), budget = 10L)
+      .writeStream.format("memory").queryName("tws_budget")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Streams.BudgetDoc("a", 1L, 4L),  // cum 4 → pass
+        Streams.BudgetDoc("a", 2L, 5L),  // cum 9 → pass
+        Streams.BudgetDoc("b", 3L, 20L)) // over budget alone → drop
+      q.processAllAvailable()
+      // batch 2: state must remember a's 9 spent tokens
+      in.addData(Streams.BudgetDoc("a", 4L, 3L)) // 9+3 > 10 → drop
+      in.addData(Streams.BudgetDoc("b", 5L, 10L)) // b spent 0 → pass
+      q.processAllAvailable()
+      val ids = spark.table("tws_budget").select("doc_id")
+        .as[Long].collect().toSet
+      assert(ids == Set(1L, 2L, 5L), s"got $ids")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val tag = System.nanoTime()
