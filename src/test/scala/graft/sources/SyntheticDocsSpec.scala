@@ -59,6 +59,24 @@ class SyntheticDocsSpec extends SparkSpec {
       s"count must be answered arithmetically from the pruned range:\n$plan")
   }
 
+  test("catalog plugin: pure-SQL access with the provider's pushdowns intact") {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[GraftCatalog].getName)
+    // COUNT(*) through the catalog path still answers from metadata
+    val cnt = spark.sql("SELECT count(*) FROM graft.synth.docs_500")
+    assert(cnt.head().getLong(0) == 500L)
+    assert(cnt.queryExecution.executedPlan.toString
+      .contains("pushed-count=500"))
+    val row = spark.sql(
+      """SELECT source, n_chars FROM graft.synth.docs_500
+        |WHERE doc_id = 42""".stripMargin).head()
+    assert(row.getString(0) == SyntheticDocs.genSource(42L))
+    assert(row.getLong(1) == SyntheticDocs.genNChars(42L))
+    val tables = spark.sql("SHOW TABLES IN graft.synth")
+      .select("tableName").collect().map(_.getString(0)).toSet
+    assert(tables.contains("docs_1000"), tables)
+  }
+
   test("the final plan reflects the pushed range in the scan description") {
     val df = spark.read.format("graft.sources.SyntheticDocs")
       .option("rows", "100000").option("parts", "8").load()
