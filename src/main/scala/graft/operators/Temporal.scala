@@ -118,6 +118,38 @@ object Temporal {
           .over(w).cast("double"))
   }
 
+  /** Gaps-and-islands interval merge: per key, coalesce overlapping or
+    * touching `[startCol, endCol]` intervals into maximal islands —
+    * coverage analysis (time online, sensor uptime, contiguous
+    * validity) in one window pass + one groupBy, both keyed on the
+    * key column (a self-join formulation is O(n²) per key and the
+    * classic anti-pattern here).
+    *
+    * Mechanics: order intervals by (start, end); an interval starts a
+    * NEW island iff its start exceeds the running max end of all
+    * previous intervals; the running count of island-starts is the
+    * island id. Timestamps are compared as epoch micros (exact
+    * integers).
+    */
+  def mergeIntervals(df: DataFrame, keyCol: String, startCol: String,
+                     endCol: String): DataFrame = {
+    val w = Window.partitionBy(keyCol)
+      .orderBy(col(startCol), col(endCol))
+    val prevMaxEnd = max(unix_micros(col(endCol)))
+      .over(w.rowsBetween(Window.unboundedPreceding, -1))
+    val flagged = df
+      .withColumn("__new_island",
+        when(prevMaxEnd.isNull ||
+          unix_micros(col(startCol)) > prevMaxEnd, 1L).otherwise(0L))
+      .withColumn("island_id",
+        sum(col("__new_island")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    flagged.groupBy(col(keyCol), col("island_id"))
+      .agg(min(col(startCol)).as("island_start"),
+        max(col(endCol)).as("island_end"),
+        count(lit(1)).as("n_intervals"))
+  }
+
   /** Bucketed range join: rows of `points` matched to rows of
     * `intervals` with equal `keys` and
     * `startCol <= points.tsCol <= endCol` (inner). Both timestamps are

@@ -80,6 +80,21 @@ object EventQueries {
         .select("event_id", "user_id", "rolling_n", "rolling_sum")
         .orderBy("event_id")),
 
+    // gaps-and-islands: each event opens a 10-minute presence window;
+    // overlapping windows merge into maximal islands per user
+    "q_interval_merge" -> ((s, d) =>
+      graft.operators.Temporal.mergeIntervals(
+        ev(s, d).select(col("user_id"), col("ts").as("s"),
+          (col("ts") + expr("interval 10 minutes")).as("e")),
+        "user_id", "s", "e")
+        .select(col("user_id"), col("island_id").cast("long").as("island_id"),
+          date_format(col("island_start"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("island_start"),
+          date_format(col("island_end"), "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .as("island_end"),
+          col("n_intervals"))
+        .orderBy("user_id", "island_id")),
+
     // SCD2 dimension build: each user's event_type history compressed
     // to validity intervals (open interval → null valid_to)
     "q_scd2" -> ((s, d) =>
@@ -270,6 +285,29 @@ object EventQueries {
         |       m AS (PARTITION BY user_id ORDER BY ts NULLS FIRST, event_id NULLS FIRST
         |             ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
         |ORDER BY event_id""".stripMargin,
+
+    "q_interval_merge" ->
+      """WITH iv AS (SELECT user_id, ts AS s,
+        |    ts + INTERVAL 10 MINUTE AS e FROM events),
+        |f AS (SELECT user_id, s, e,
+        |    CASE WHEN max(epoch_us(e)) OVER pm IS NULL
+        |           OR epoch_us(s) > max(epoch_us(e)) OVER pm
+        |         THEN 1 ELSE 0 END AS ni
+        |  FROM iv
+        |  WINDOW pm AS (PARTITION BY user_id
+        |    ORDER BY s NULLS FIRST, e NULLS FIRST
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)),
+        |g AS (SELECT user_id, s, e,
+        |    sum(ni) OVER (PARTITION BY user_id
+        |      ORDER BY s NULLS FIRST, e NULLS FIRST
+        |      ROWS UNBOUNDED PRECEDING) AS island_id
+        |  FROM f)
+        |SELECT user_id, CAST(island_id AS BIGINT) AS island_id,
+        |  strftime(min(s), '%Y-%m-%d %H:%M:%S.%f') AS island_start,
+        |  strftime(max(e), '%Y-%m-%d %H:%M:%S.%f') AS island_end,
+        |  count(*) AS n_intervals
+        |FROM g GROUP BY user_id, island_id
+        |ORDER BY user_id, island_id""".stripMargin,
 
     "q_scd2" ->
       """WITH o AS (SELECT user_id, event_type, ts, event_id,
