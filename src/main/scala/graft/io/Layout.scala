@@ -30,4 +30,27 @@ object Layout {
       .partitionBy(partitionCols: _*)
       .parquet(path)
   }
+
+  /** Small-files compaction: rewrite a parquet directory into
+    * ~`targetBytes`-sized files (append-heavy tables accumulate one
+    * file per write — at 100 TB the resulting listing/open overhead
+    * dominates scans long before data volume does). Staged write +
+    * rename swap, same reader-safety contract as
+    * [[MergeTable.merge]]; single-writer assumption.
+    */
+  def compactDir(spark: org.apache.spark.sql.SparkSession, path: String,
+                 targetBytes: Long = 128L * 1024 * 1024): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new org.apache.hadoop.fs.Path(path)
+    val fs = target.getFileSystem(conf)
+    val totalBytes = fs.getContentSummary(target).getLength
+    val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
+    val staging = new org.apache.hadoop.fs.Path(path + "__compact")
+    spark.read.parquet(path)
+      .repartition(nFiles)
+      .write.mode("overwrite").parquet(staging.toString)
+    fs.delete(target, true)
+    if (!fs.rename(staging, target))
+      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
+  }
 }

@@ -9,6 +9,24 @@ import graft.model.Tables
 
 class LayoutSpec extends SparkSpec {
 
+  test("compactDir shrinks file count, preserves rows and values") {
+    import spark.implicits._
+    val out = s"${sys.props("java.io.tmpdir")}/graft_compact_${System.nanoTime()}"
+    // simulate append-heavy history: 6 tiny writes → ≥6 files
+    (1 to 6).foreach { i =>
+      Seq((i.toLong, s"v$i")).toDF("k", "v")
+        .write.mode("append").parquet(out)
+    }
+    def parquetFiles = Files.list(Paths.get(out)).iterator().asScala
+      .count(_.getFileName.toString.endsWith(".parquet"))
+    val before = parquetFiles
+    assert(before >= 6)
+    Layout.compactDir(spark, out) // tiny table → single target file
+    assert(parquetFiles == 1, s"expected 1 compacted file, got $parquetFiles")
+    val rows = spark.read.parquet(out).as[(Long, String)].collect().toSet
+    assert(rows == (1 to 6).map(i => (i.toLong, s"v$i")).toSet)
+  }
+
   test("writeClustered produces hive dirs with per-file sorted sort keys") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_layout_${System.nanoTime()}"
     Layout.writeClustered(
