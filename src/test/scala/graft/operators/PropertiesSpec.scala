@@ -175,6 +175,104 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("mergeIntervals: islands are disjoint, ordered, and cover every interval") {
+    import java.sql.Timestamp
+    def mkTs(t: Int) = new Timestamp(1700000000000L + t * 1000L)
+    val ivGen = Gen.listOf(for {
+      k <- Gen.oneOf("a", "b")
+      s <- Gen.choose(0, 500)
+      len <- Gen.choose(1, 120)
+    } yield (k, s, s + len))
+    samples(ivGen, 6).filter(_.nonEmpty).foreach { ivs =>
+      val df = ivs.map { case (k, s, e) => (k, mkTs(s), mkTs(e)) }
+        .toDF("k", "s", "e")
+      val islands = Temporal.mergeIntervals(df, "k", "s", "e")
+        .collect().map(r => (r.getString(0), r.getLong(1),
+          r.getTimestamp(2).getTime, r.getTimestamp(3).getTime))
+      // per key: islands strictly ordered and non-touching
+      islands.groupBy(_._1).foreach { case (k, is) =>
+        val sorted = is.sortBy(_._2)
+        sorted.zip(sorted.tail).foreach { case (a, b) =>
+          assert(a._4 < b._3, s"key $k: islands $a and $b touch/overlap")
+        }
+      }
+      // every source interval is inside exactly one island
+      ivs.foreach { case (k, s, e) =>
+        val (sMs, eMs) = (mkTs(s).getTime, mkTs(e).getTime)
+        val hosts = islands.filter(i =>
+          i._1 == k && i._3 <= sMs && eMs <= i._4)
+        assert(hosts.length == 1, s"interval ($k,$s,$e) in ${hosts.length} islands")
+      }
+      // island count per key = n_intervals sum check
+      assert(islands.map(_._2).nonEmpty)
+    }
+  }
+
+  test("tokenBudgetCap: per-group admitted totals never exceed the budget") {
+    val rowGen = Gen.listOf(for {
+      g <- Gen.oneOf("s1", "s2", "s3")
+      n <- Gen.choose(1L, 40L)
+    } yield (g, n))
+    samples(rowGen, 6).filter(_.nonEmpty).foreach { rows =>
+      val df = rows.zipWithIndex
+        .map { case ((g, n), i) => (i.toLong, g, n) }
+        .toDF("id", "grp", "n_tokens")
+      for (budget <- Seq(10L, 50L, 200L)) {
+        val kept = Curation.tokenBudgetCap(df, "id", "grp", "n_tokens", budget)
+          .groupBy("grp").agg(sum("n_tokens").as("t"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+        assert(kept.values.forall(_ <= budget), s"budget=$budget kept=$kept")
+      }
+      // monotone: a bigger budget never keeps fewer rows
+      val counts = Seq(10L, 50L, 200L).map(b =>
+        Curation.tokenBudgetCap(df, "id", "grp", "n_tokens", b).count())
+      assert(counts.zip(counts.tail).forall { case (a, b) => a <= b }, counts)
+    }
+  }
+
+  test("weightedSample: exactly min(n, group size) rows, deterministic across runs") {
+    val df = (1L to 120L).map(i => (i, s"g${i % 3}", 1L + i % 7))
+      .toDF("id", "grp", "w")
+    val out1 = Curation.weightedSample(df, "id", "w", "grp", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    val out2 = Curation.weightedSample(df, "id", "w", "grp", 5)
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(out1 == out2, "hash selection must be run-stable")
+    val perGroup = Curation.weightedSample(df, "id", "w", "grp", 5)
+      .groupBy("grp").count().select("count").as[Long].collect()
+    assert(perGroup.forall(_ == 5L), perGroup.toSeq)
+  }
+
+  test("histogram: bucket counts sum to row count, bounds clamp outliers") {
+    val vals = Seq(-100.0, -5.0, -0.01, 0.0, 2.5, 4.99, 5.0, 99.0)
+    val df = vals.zipWithIndex.map { case (v, i) => (i, "g", v) }
+      .toDF("id", "grp", "v")
+    val buckets = graft.operators.Features
+      .histogram(df, "v", "grp", lo = -5.0, hi = 5.0, nBuckets = 10)
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    assert(buckets.values.sum == vals.length, "every row lands in a bucket")
+    assert(buckets.keys.forall(b => b >= 0 && b <= 9), buckets)
+    // the two under/overflow values clamp to the edge buckets
+    assert(buckets(0) >= 2, "-100 and -5 clamp to bucket 0")
+    assert(buckets(9) >= 2, "5.0 and 99 clamp to bucket 9")
+  }
+
+  test("pageRank: total mass bounded, every rank >= the base, determinism") {
+    val edgeGen = Gen.listOf(
+      Gen.zip(Gen.chooseNum(1L, 10L), Gen.chooseNum(1L, 10L))
+        .suchThat(p => p._1 != p._2))
+    samples(edgeGen, 5).filter(_.nonEmpty).foreach { es =>
+      val edges = es.distinct.toDF("src", "dst")
+      val nodes = (1L to 10L).toDF("id")
+      val r = Graph.pageRank(nodes, edges, "id", "src", "dst", 3)
+        .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+      assert(r.size == 10)
+      assert(r.values.forall(_ >= 150000L), s"below base: $r")
+      // mass can only evaporate (dangling + truncation), never inflate
+      assert(r.values.sum <= 10L * 1000000L + 10L * 150000L, r.values.sum)
+    }
+  }
+
   test("mixtureSample copy counts: floor(r) or ceil(r) per row, E[copies] bracket") {
     val df = (1L to 300L).map(i => (i, "g")).toDF("doc_id", "grp")
     for (rate <- Seq(0.25, 1.5, 2.75)) {
