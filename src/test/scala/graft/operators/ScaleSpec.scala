@@ -32,6 +32,42 @@ class ScaleSpec extends SparkSpec {
     }
   }
 
+  test("AQE splits the skewed partition at runtime (skew=true in the final plan)") {
+    // one hot key dominating the left side; thresholds lowered so the
+    // test-sized data crosses AQE's skew detection bar
+    val confs = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "32KB",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2.0",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "false")
+    val saved = confs.map { case (k, _) => k -> spark.conf.getOption(k) }
+    confs.foreach { case (k, v) => spark.conf.set(k, v) }
+    try {
+      // md5-derived payload: shuffle blocks are compressed, so the pad
+      // must be incompressible or the hot partition stays under the
+      // detection threshold
+      val left = spark.range(120000L)
+        .selectExpr("CASE WHEN id % 2 = 0 THEN 0L ELSE id END AS k",
+          "concat(md5(cast(id AS string)), md5(cast(id + 7 AS string))) AS lv")
+      val right = spark.range(40000L)
+        .selectExpr("id AS k", "concat('r', id) AS rv")
+      val joined = left.join(right, "k")
+      // collect(), not count(): count() wraps a NEW query execution —
+      // the plan inspected below must be the one that actually ran
+      joined.collect()
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE must mark the hot-key join side as skewed:\n$plan")
+    } finally {
+      saved.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+  }
+
   test("salted join matches the plain join result") {
     val left = (1L to 2000L).map(i => (if (i % 10 == 0) 1L else i % 7, i))
       .toDF("k", "lv") // key 1 is hot
