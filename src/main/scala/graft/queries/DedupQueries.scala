@@ -1,6 +1,7 @@
 package graft.queries
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -44,6 +45,38 @@ object DedupQueries {
       Dedup.estimatedJaccard(
         Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
         .orderBy("id_a", "id_b")
+    }),
+
+    // canonical-doc selection: connected components pick the cluster,
+    // PageRank picks the representative (max centrality, min-id tie) —
+    // both integer-deterministic, so the whole composition oracles
+    "q_canonical_docs" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      // pairs feed BOTH the component labels and the rank edges
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b")).localCheckpoint()
+      val comps = Dedup.connectedComponents(pairs,
+        docs.select(col("doc_id").as("id")), "id")
+        .select(col("id").as("doc_id"), col("component"))
+      val edges = pairs.select(col("id_a").as("src"), col("id_b").as("dst"))
+        .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
+      val ranks = graft.operators.Graph.pageRank(docs.select("doc_id"),
+        edges, "doc_id", "src", "dst", iters = 3)
+      val w = Window.partitionBy("component")
+        .orderBy(col("rank_ppm").desc, col("doc_id").asc)
+      comps.join(ranks, "doc_id")
+        .withColumn("__rn", row_number().over(w))
+        .withColumn("cluster_size",
+          count(lit(1)).over(Window.partitionBy("component")))
+        .filter(col("__rn") === 1)
+        .select(col("component"), col("doc_id").as("canonical_id"),
+          col("rank_ppm"), col("cluster_size"))
+        .orderBy("component")
     }),
 
     // blocked fuzzy match: LSH band candidates verified by edit
@@ -257,6 +290,43 @@ object DedupQueries {
          |JOIN sig a ON a.doc_id = c.id_a
          |JOIN sig b ON b.doc_id = c.id_b
          |ORDER BY c.id_a, c.id_b""".stripMargin
+    },
+
+    "q_canonical_docs" -> {
+      def prRound(t: Int): String =
+        s"""r${t + 1} AS (SELECT n.doc_id AS v,
+           |  CAST(150000 + (850000 * coalesce(c.i, 0)) // 1000000
+           |       AS BIGINT) AS r
+           |  FROM documents n LEFT JOIN (
+           |    SELECT ed.dst AS v2, CAST(sum(r$t.r // ed.deg) AS BIGINT) AS i
+           |    FROM ed JOIN r$t ON r$t.v = ed.src GROUP BY ed.dst) c
+           |  ON c.v2 = n.doc_id)""".stripMargin
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |${pairsCtes(0.5)},
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION ALL SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+         |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+         |ed AS (SELECT e.src, e.dst, d.deg FROM edges e
+         |  JOIN (SELECT src, count(*) AS deg FROM edges GROUP BY src) d
+         |  ON d.src = e.src),
+         |r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r
+         |  FROM documents),
+         |${prRound(0)},
+         |${prRound(1)},
+         |${prRound(2)},
+         |j AS (SELECT c.comp AS component, c.id AS doc_id, r3.r AS rank_ppm
+         |  FROM comps c JOIN r3 ON r3.v = c.id)
+         |SELECT component, doc_id AS canonical_id, rank_ppm,
+         |  count(*) OVER (PARTITION BY component) AS cluster_size
+         |FROM j
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY component ORDER BY rank_ppm DESC, doc_id) = 1
+         |ORDER BY component""".stripMargin
     },
 
     "q_fuzzy_match" ->

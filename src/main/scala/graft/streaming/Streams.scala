@@ -44,10 +44,17 @@ object Streams {
     * the watermark (streaming twin of q_rollup's leaf level).
     */
   def windowedTypeCounts(events: DataFrame, windowLen: String = "1 hour",
-                         watermark: String = "2 hours"): DataFrame =
+                         watermark: String = "2 hours",
+                         slide: Option[String] = None): DataFrame =
     events
       .withWatermark("ts", watermark)
-      .groupBy(window(col("ts"), windowLen), col("event_type"))
+      .groupBy(
+        // sliding when a slide < windowLen is given: each event then
+        // contributes to windowLen/slide overlapping windows — the
+        // moving-average shape; state grows by the same factor
+        slide.map(s => window(col("ts"), windowLen, s))
+          .getOrElse(window(col("ts"), windowLen)),
+        col("event_type"))
       .agg(count(lit(1)).as("n"),
         sum(col("value").cast(DecimalType(18, 6))).cast("double").as("sum_value"))
       .select(col("window.start").as("window_start"),

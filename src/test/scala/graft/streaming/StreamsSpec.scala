@@ -33,6 +33,25 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("sliding windows: one event lands in windowLen/slide overlapping windows") {
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Timestamp, String, Double)]
+    val q = Streams.windowedTypeCounts(
+      in.toDF().toDF("ts", "event_type", "value"),
+      windowLen = "1 hour", watermark = "2 hours", slide = Some("30 minutes"))
+      .writeStream.format("memory").queryName("slide_counts")
+      .outputMode("complete").start()
+    try {
+      in.addData((ts(45), "click", 1.0)) // 00:45 → [00:00,01:00) and [00:30,01:30)
+      q.processAllAvailable()
+      val starts = spark.table("slide_counts")
+        .select("window_start").collect()
+        .map(_.getTimestamp(0).toString).sorted.toSeq
+      assert(starts == Seq("2024-01-01 00:00:00.0", "2024-01-01 00:30:00.0"),
+        s"got $starts")
+    } finally q.stop()
+  }
+
   test("session_window merges events within the gap") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Timestamp, Long, Double)]
