@@ -28,6 +28,14 @@ import org.apache.spark.sql.functions._
   */
 object MergeTable {
 
+  /** CALLER CONTRACT: `updates` must be unique per key — two update
+    * rows with the same key would BOTH land in the table (SQL MERGE
+    * raises "multiple source rows matched" here; checking distributed-
+    * ly would cost an extra aggregation per merge, so the contract is
+    * documented instead). Pre-aggregate with e.g.
+    * [[graft.operators.Relational.dedupKeepFirst]] when the batch may
+    * carry intra-batch key churn.
+    */
   def merge(spark: SparkSession, path: String, updates: DataFrame,
             keyCols: Seq[String], deleteCol: Option[String] = None): Unit = {
     require(keyCols.nonEmpty, "merge needs at least one key column")
