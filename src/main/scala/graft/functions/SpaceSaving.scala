@@ -19,15 +19,22 @@ import org.apache.spark.sql.expressions.Aggregator
   * the frequency sketch a curation pipeline uses to find stopwords /
   * boilerplate candidates cheaply.
   *
-  * Guarantees (exactness-when-small + frequent-item recall):
+  * Guarantees — SINGLE-SKETCH (one partition's stream):
   *   - if distinct items ≤ capacity, counts are EXACT;
   *   - any item with true count > N/capacity is guaranteed present;
   *   - reported count ≥ true count (overestimates by ≤ min-counter).
-  * NOT deterministic across partitionings when counters overflow
-  * (merge truncation depends on partial order) — an approximation
-  * contract, spec-verified rather than oracle-hashed; pair with the
-  * exact [[graft.operators.TextOps.topTerms]] when bit-stable output
-  * is required.
+  * The distributed MERGE path (sum matching counters, re-truncate) is
+  * strictly weaker: an item evicted in one partition's sketch but kept
+  * in another's surfaces with only its partial count — so merged
+  * reported counts can UNDER-estimate, and an over-threshold item can
+  * in principle be truncated away if its mass was scattered as
+  * eviction error across partitions (the standard caveat for merged
+  * Space-Saving without per-counter error bounds, cf. Agarwal et al.,
+  * "Mergeable Summaries"). Merged output is also NOT deterministic
+  * across partitionings (truncation depends on partial order). An
+  * approximation contract, spec-verified rather than oracle-hashed;
+  * pair with the exact [[graft.operators.TextOps.topTerms]] when
+  * bit-stable or guaranteed output is required.
   */
 object SpaceSaving {
 

@@ -14,18 +14,31 @@ import org.apache.spark.sql.functions.col
 object Layout {
 
   /** Write `df` hive-partitioned by `partitionCols` with files SORTED
-    * on `sortCols` inside each partition: one shuffle on the partition
-    * key, then a partition-local sort (no global ordering — a total
-    * sort would be a pointless second exchange; row-group stats only
-    * need per-file monotonicity).
+    * on `sortCols` inside each partition: one RANGE shuffle on
+    * (partition keys ++ sort keys), then a partition-local sort (no
+    * global ordering — row-group stats only need per-file
+    * monotonicity).
+    *
+    * Range-partitioning on the full clustering key — not hashing the
+    * partition key alone — is the skew defense: hashing only the
+    * partition key funnels every row of a hot partition value (a
+    * lang='en' holding 80% of a corpus) through ONE task and into ONE
+    * giant file; ranging on partition+sort keys splits that value
+    * across many tasks at sort-key boundaries, so each file still
+    * covers a narrow, stats-friendly sort-key range but no task ever
+    * owns a whole hive partition. `numFiles` bounds total output files
+    * (default: `spark.sql.shuffle.partitions`).
     */
   def writeClustered(df: DataFrame, path: String,
                      partitionCols: Seq[String],
-                     sortCols: Seq[String]): Unit = {
+                     sortCols: Seq[String],
+                     numFiles: Option[Int] = None): Unit = {
     require(partitionCols.nonEmpty && sortCols.nonEmpty,
       "need at least one partition column and one sort column")
-    df.repartition(partitionCols.map(col): _*)
-      .sortWithinPartitions((partitionCols ++ sortCols).map(col): _*)
+    val keys = (partitionCols ++ sortCols).map(col)
+    numFiles.map(n => df.repartitionByRange(n, keys: _*))
+      .getOrElse(df.repartitionByRange(keys: _*))
+      .sortWithinPartitions(keys: _*)
       .write.mode("overwrite")
       .partitionBy(partitionCols: _*)
       .parquet(path)
@@ -34,9 +47,8 @@ object Layout {
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (append-heavy tables accumulate one
     * file per write — at 100 TB the resulting listing/open overhead
-    * dominates scans long before data volume does). Staged write +
-    * rename swap, same reader-safety contract as
-    * [[MergeTable.merge]]; single-writer assumption.
+    * dominates scans long before data volume does). Swap semantics:
+    * [[StagedSwap]].
     */
   def compactDir(spark: org.apache.spark.sql.SparkSession, path: String,
                  targetBytes: Long = 128L * 1024 * 1024): Unit = {
@@ -45,12 +57,10 @@ object Layout {
     val fs = target.getFileSystem(conf)
     val totalBytes = fs.getContentSummary(target).getLength
     val nFiles = math.max(1L, (totalBytes + targetBytes - 1) / targetBytes).toInt
-    val staging = new org.apache.hadoop.fs.Path(path + "__compact")
-    spark.read.parquet(path)
-      .repartition(nFiles)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
+    StagedSwap.swap(spark, path) { stage =>
+      spark.read.parquet(path)
+        .repartition(nFiles)
+        .write.mode("overwrite").parquet(stage)
+    }
   }
 }

@@ -10,16 +10,10 @@ import org.apache.spark.sql.functions._
   *   - key matches a base row   → REPLACE it (update)
   *   - key unmatched            → INSERT
   *   - `deleteCol` true         → REMOVE the base row, insert nothing
+  *     (NULL flag = not deleted, like SQL `WHEN MATCHED AND <cond>`)
   *
-  * The rewrite is staged-then-swap (write the merged table to
-  * `path__stage`, then delete+rename), the same pattern as
-  * [[graft.operators.Dedup.compactSignatures]]: the staging write
-  * MATERIALIZES the result while the base is still readable (parquet
-  * can't overwrite a path it is lazily reading), and the swap is a
-  * filesystem rename, so a concurrent reader sees the old or the new
-  * table, never a half-merged one. Single-writer assumption, as any
-  * file-level table maintenance; reach for a table format
-  * (Iceberg/Delta) when concurrent writers are required.
+  * The rewrite is staged-then-swap via [[StagedSwap]] — see there for
+  * the reader-visibility and crash-recovery contract.
   *
   * Scale shape: one left_anti join of base against the update KEYS
   * (shuffle carries the keys, not the update payloads) plus a union —
@@ -43,8 +37,11 @@ object MergeTable {
     val target = new org.apache.hadoop.fs.Path(path)
     val fs = target.getFileSystem(conf)
 
+    // NULL delete flag means "keep": a bare !col(c) would be NULL and
+    // filter the row out of upserts while touchedKeys still displaced
+    // its base row — a silent delete
     val upserts = deleteCol
-      .map(c => updates.filter(!col(c)).drop(c))
+      .map(c => updates.filter(!coalesce(col(c), lit(false))).drop(c))
       .getOrElse(updates)
     // ALL update keys displace their base row — deletes by vanishing,
     // upserts by the fresh copy in the union
@@ -54,13 +51,11 @@ object MergeTable {
       upserts.write.mode("overwrite").parquet(path)
       return
     }
-    val staging = new org.apache.hadoop.fs.Path(path + "__stage")
-    spark.read.parquet(path)
-      .join(touchedKeys, keyCols, "left_anti")
-      .unionByName(upserts)
-      .write.mode("overwrite").parquet(staging.toString)
-    fs.delete(target, true)
-    if (!fs.rename(staging, target))
-      throw new java.io.IOException(s"merge swap failed: $staging -> $path")
+    StagedSwap.swap(spark, path) { stage =>
+      spark.read.parquet(path)
+        .join(touchedKeys, keyCols, "left_anti")
+        .unionByName(upserts)
+        .write.mode("overwrite").parquet(stage)
+    }
   }
 }

@@ -1,0 +1,51 @@
+package graft.io
+
+import org.apache.spark.sql.SparkSession
+import org.apache.hadoop.fs.Path
+
+/** The ONE staged-rewrite swap used by every file-level table
+  * maintenance op ([[MergeTable.merge]], [[Layout.compactDir]],
+  * [[graft.operators.Dedup.compactSignatures]]): materialize the
+  * replacement at `path__stage` while the live table stays readable
+  * (parquet can't overwrite a path it is lazily reading), then swap by
+  * RENAMES — move the live table aside to `path__old`, move staging
+  * into place, drop the old copy.
+  *
+  * Failure contract (the reason this is rename-aside, not
+  * delete-then-rename): a crash at ANY step leaves the previous table
+  * intact — still at `path` before the first rename, recoverable at
+  * `path__old` after it (the next swap attempt clears the leftovers).
+  * Nothing is deleted until the new table is live. The table-missing
+  * window a concurrent reader can observe is two filesystem METADATA
+  * renames — not atomic (only a real table format gives that), but
+  * microseconds rather than a data rewrite. Single-writer assumption
+  * throughout; reach for Iceberg/Delta when concurrent writers or a
+  * zero-gap reader contract are required.
+  */
+object StagedSwap {
+
+  /** Replace the table at `path` with whatever `write` materializes at
+    * the staging path it is handed. `write` must fully produce the new
+    * table (e.g. `df.write.mode("overwrite").parquet(_)`).
+    */
+  def swap(spark: SparkSession, path: String)(write: String => Unit): Unit = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val stage = new Path(path + "__stage")
+    val old = new Path(path + "__old")
+    val fs = target.getFileSystem(conf)
+    // leftovers from a writer that died mid-swap; the live table is
+    // whatever sits at `path`, so both side paths are garbage
+    fs.delete(stage, true)
+    fs.delete(old, true)
+    write(stage.toString)
+    if (!fs.rename(target, old))
+      throw new java.io.IOException(s"staged swap: cannot move $path aside")
+    if (!fs.rename(stage, target)) {
+      fs.rename(old, target) // restore the previous table
+      throw new java.io.IOException(
+        s"staged swap: cannot move staging into place for $path (restored)")
+    }
+    fs.delete(old, true)
+  }
+}

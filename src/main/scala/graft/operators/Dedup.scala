@@ -512,24 +512,15 @@ object Dedup {
     spark.read.parquet(path).drop("sig_part")
 
   /** Rewrite a signature table to one file per partition, collapsing
-    * the per-append small files. Staged write + FS rename swap: the
-    * table is never readable half-compacted (same single-writer
-    * assumption as any file-level compaction; pair with a table format
-    * (Iceberg/Delta) if concurrent writers are required).
+    * the per-append small files. Swap semantics (reader visibility,
+    * crash recovery, single-writer): [[graft.io.StagedSwap]].
     */
-  def compactSignatures(spark: SparkSession, path: String): Unit = {
-    val staging = path + "__compact"
-    spark.read.parquet(path)
-      .repartition(SigParts, col("sig_part"))
-      .write.mode("overwrite").partitionBy("sig_part").parquet(staging)
-    val conf = spark.sparkContext.hadoopConfiguration
-    val p = new org.apache.hadoop.fs.Path(path)
-    val s = new org.apache.hadoop.fs.Path(staging)
-    val fs = p.getFileSystem(conf)
-    fs.delete(p, true)
-    if (!fs.rename(s, p))
-      throw new java.io.IOException(s"compaction swap failed: $staging -> $path")
-  }
+  def compactSignatures(spark: SparkSession, path: String): Unit =
+    graft.io.StagedSwap.swap(spark, path) { stage =>
+      spark.read.parquet(path)
+        .repartition(SigParts, col("sig_part"))
+        .write.mode("overwrite").partitionBy("sig_part").parquet(stage)
+    }
 
   /** Connected components over an undirected candidate-pair graph by
     * iterative min-label propagation: every vertex starts labeled with

@@ -29,8 +29,14 @@ object Graph {
     * price is ≤1 ppm truncation loss per hop, irrelevant for ranking.
     *
     * Overflow: a node's in-sum is bounded by total graph mass
-    * ≈ |V|·10⁶, so 850000·sum stays inside a signed 64-bit long up to
-    * ~10¹² vertices — beyond any practical corpus.
+    * ≈ |V|·10⁶ (a hub can absorb all of it), so the naive
+    * `(850000·sum) div 10⁶` would wrap a signed 64-bit long at only
+    * ~10⁷ vertices. The implementation instead splits the product —
+    * `850000·(sum div 10⁶) + (850000·(sum mod 10⁶)) div 10⁶` — which
+    * is value-identical for the non-negative sums here (850000·10⁶ is
+    * an exact multiple of the divisor) but keeps every intermediate
+    * ≤ 850000·|V| + 8.5·10¹¹, safe past ~9·10¹² vertices — beyond any
+    * practical corpus.
     *
     * Fixed `iters` rather than convergence-tolerance keeps work
     * identical across runs (and lets an unrolled-CTE oracle mirror it
@@ -60,8 +66,11 @@ object Graph {
       ranks = verts
         .join(contrib, col("__v") === col("__dst"), "left")
         .select(col("__v"),
+          // split product: identical value, hub-proof (see scaladoc)
           (lit(150000L) +
-            expr("(850000 * coalesce(__in, 0L)) div 1000000")).as("rank_ppm"))
+            expr("850000 * (coalesce(__in, 0L) div 1000000)") +
+            expr("(850000 * (coalesce(__in, 0L) % 1000000)) div 1000000"))
+            .as("rank_ppm"))
         .localCheckpoint()
     }
     ranks.select(col("__v").as(idCol), col("rank_ppm"))

@@ -253,6 +253,23 @@ object DedupQueries {
 
   private val bandsCte = bandsCteText
 
+  /** One unrolled PageRank-round CTE (`r{t+1}` from `r{t}`) — the same
+    * split-product integer micro-unit formula as
+    * [[graft.operators.Graph.pageRank]] (`//` truncates like Spark's
+    * `div` for the all-non-negative operands here). Shared by
+    * q_pagerank and q_canonical_docs so the engine formula and both
+    * oracles can only change together.
+    */
+  private def pageRankRoundCte(t: Int): String =
+    s"""r${t + 1} AS (SELECT n.doc_id AS v,
+       |  CAST(150000 + 850000 * (coalesce(c.i, 0) // 1000000)
+       |       + (850000 * (coalesce(c.i, 0) % 1000000)) // 1000000
+       |       AS BIGINT) AS r
+       |  FROM documents n LEFT JOIN (
+       |    SELECT ed.dst AS v2, CAST(sum(r$t.r // ed.deg) AS BIGINT) AS i
+       |    FROM ed JOIN r$t ON r$t.v = ed.src GROUP BY ed.dst) c
+       |  ON c.v2 = n.doc_id)""".stripMargin
+
   private val simhashCtes =
     s"""tok0 AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(t) AS tok FROM tok0),
@@ -293,14 +310,6 @@ object DedupQueries {
     },
 
     "q_canonical_docs" -> {
-      def prRound(t: Int): String =
-        s"""r${t + 1} AS (SELECT n.doc_id AS v,
-           |  CAST(150000 + (850000 * coalesce(c.i, 0)) // 1000000
-           |       AS BIGINT) AS r
-           |  FROM documents n LEFT JOIN (
-           |    SELECT ed.dst AS v2, CAST(sum(r$t.r // ed.deg) AS BIGINT) AS i
-           |    FROM ed JOIN r$t ON r$t.v = ed.src GROUP BY ed.dst) c
-           |  ON c.v2 = n.doc_id)""".stripMargin
       s"""WITH RECURSIVE $sigCte,
          |$bandsCte,
          |${pairsCtes(0.5)},
@@ -316,9 +325,9 @@ object DedupQueries {
          |  ON d.src = e.src),
          |r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r
          |  FROM documents),
-         |${prRound(0)},
-         |${prRound(1)},
-         |${prRound(2)},
+         |${pageRankRoundCte(0)},
+         |${pageRankRoundCte(1)},
+         |${pageRankRoundCte(2)},
          |j AS (SELECT c.comp AS component, c.id AS doc_id, r3.r AS rank_ppm
          |  FROM comps c JOIN r3 ON r3.v = c.id)
          |SELECT component, doc_id AS canonical_id, rank_ppm,
@@ -344,17 +353,6 @@ object DedupQueries {
          |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     "q_pagerank" -> {
-      // one unrolled rank CTE per round: r{t+1} from r{t}, the same
-      // integer micro-unit formula as Graph.pageRank (// truncates
-      // like Spark's `div` for the all-positive operands here)
-      def round(t: Int): String =
-        s"""r${t + 1} AS (SELECT n.doc_id AS v,
-           |  CAST(150000 + (850000 * coalesce(c.i, 0)) // 1000000
-           |       AS BIGINT) AS r
-           |  FROM documents n LEFT JOIN (
-           |    SELECT ed.dst AS v2, CAST(sum(r$t.r // ed.deg) AS BIGINT) AS i
-           |    FROM ed JOIN r$t ON r$t.v = ed.src GROUP BY ed.dst) c
-           |  ON c.v2 = n.doc_id)""".stripMargin
       s"""WITH $sigCte,
          |$bandsCte,
          |${pairsCtes(0.5)},
@@ -365,9 +363,9 @@ object DedupQueries {
          |  ON d.src = e.src),
          |r0 AS (SELECT doc_id AS v, CAST(1000000 AS BIGINT) AS r
          |  FROM documents),
-         |${round(0)},
-         |${round(1)},
-         |${round(2)}
+         |${pageRankRoundCte(0)},
+         |${pageRankRoundCte(1)},
+         |${pageRankRoundCte(2)}
          |SELECT v AS doc_id, r AS rank_ppm FROM r3
          |ORDER BY doc_id""".stripMargin
     },

@@ -27,7 +27,9 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
-  private val DocsName = "docs_(\\d+)".r
+  // ≤18 digits so `.toLong` can't overflow — a longer digit run is
+  // "no such table", not a NumberFormatException out of loadTable
+  private val DocsName = "docs_(\\d{1,18})".r
 
   override def initialize(name: String,
                           options: CaseInsensitiveStringMap): Unit =

@@ -276,12 +276,18 @@ object Streams {
     * (intra-batch dedup against an empty signature frame, then
     * `writeSignatures`).
     *
-    * Exactly-once caveat: the parquet append and the sink are not one
-    * atomic commit — a crash between them can re-append a batch's
-    * signatures on replay. Duplicate signature rows only re-confirm the
-    * same near-dup verdicts (dedup is idempotent), so the failure mode
-    * is benign; a table format with batchId-conditional commits would
-    * remove it entirely.
+    * Exactly-once caveat: the sink call and the parquet append are not
+    * one atomic commit, so ORDER matters. The sink runs FIRST: a crash
+    * between sink and append replays the batch against a table that
+    * does not yet contain its signatures, so the same survivors are
+    * recomputed and re-delivered (at-least-once — the sink must be
+    * idempotent, the normal foreachBatch contract). The reverse order
+    * would be data LOSS: after an append-then-crash, the replayed batch
+    * would LSH-match its own stored signatures and deliver zero
+    * survivors. A crash after both steps replays to an empty survivor
+    * set (self-match) — an empty re-delivery and an empty append, both
+    * benign. A table format with batchId-conditional commits would
+    * remove the duplicate-delivery case entirely.
     *
     * Returns the started query; caller sets checkpointLocation via
     * `options`.
@@ -312,9 +318,10 @@ object Streams {
           else Dedup.readSignatures(spark, sigPath)
         val (survivors, survivorSigs) = Dedup.incrementalDedupWithSigs(
           b, idCol, textCol, existing, k, threshold)
+        // Sink BEFORE append: see the exactly-once caveat above.
+        survivorSink(survivors, batchId)
         if (bootstrap) Dedup.writeSignatures(survivorSigs, idCol, sigPath)
         else Dedup.appendSignatures(survivorSigs, idCol, sigPath)
-        survivorSink(survivors, batchId)
       }
       .start()
   }

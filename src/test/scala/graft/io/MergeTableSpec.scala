@@ -32,6 +32,35 @@ class MergeTableSpec extends SparkSpec {
     assert(out == Map(1L -> "z", 2L -> "y"), s"got $out")
   }
 
+  test("NULL delete flag means update, not delete") {
+    val path = freshPath("nullflag")
+    MergeTable.merge(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // nullable flag (e.g. from a left join): NULL must behave as false
+    MergeTable.merge(spark, path,
+      Seq((1L, "A", None: Option[Boolean]), (2L, "x", Some(true)))
+        .toDF("k", "v", "del"),
+      Seq("k"), deleteCol = Some("del"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "A"), s"got $out")
+  }
+
+  test("staged swap recovers from a dead writer's leftover side paths") {
+    val path = freshPath("leftover")
+    MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
+    // garbage a crashed previous swap could leave behind
+    Seq((9L, "stale")).toDF("k", "v").write.parquet(path + "__stage")
+    Seq((8L, "older")).toDF("k", "v").write.parquet(path + "__old")
+    MergeTable.merge(spark, path,
+      Seq((2L, "b", false)).toDF("k", "v", "del"), Seq("k"), Some("del"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b"), s"got $out")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__stage")))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
+  }
+
   test("delete of a never-inserted key is a no-op, not an error") {
     val path = freshPath("ghost")
     MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))

@@ -113,6 +113,7 @@ class StreamsSpec extends SparkSpec {
     val sigPath = s"${sys.props("java.io.tmpdir")}/graft_sig_ingest_$tag"
     val ckpt = s"${sys.props("java.io.tmpdir")}/graft_sig_ckpt_$tag"
     val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    val sigsAtSinkTime = scala.collection.mutable.Map[Long, Set[Long]]()
     val in = MemoryStream[(Long, String)]
     val q = Streams.signatureMaintainingIngest(
       in.toDF().toDF("doc_id", "text"), "doc_id", "text", sigPath,
@@ -120,6 +121,13 @@ class StreamsSpec extends SparkSpec {
       seen.synchronized {
         seen(batchId) = survivors.select("doc_id")
           .collect().map(_.getLong(0)).toSet
+        val p = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        sigsAtSinkTime(batchId) =
+          if (fs.exists(p))
+            Dedup.readSignatures(spark, sigPath)
+              .select("doc_id").as[Long].collect().toSet
+          else Set.empty
       }
     }
     try {
@@ -139,6 +147,14 @@ class StreamsSpec extends SparkSpec {
       val ids = Dedup.readSignatures(spark, sigPath)
         .select("doc_id").as[Long].collect().toSet
       assert(ids == Set(1L, 2L, 11L), s"sig table: $ids")
+      // crash-replay safety: the sink must run BEFORE the batch's own
+      // signatures land — otherwise a replayed batch would self-match
+      // and deliver nothing (see signatureMaintainingIngest scaladoc)
+      val atSink = sigsAtSinkTime.synchronized(sigsAtSinkTime.toMap)
+      assert(atSink(0L) == Set.empty[Long],
+        s"bootstrap batch saw a pre-existing table: ${atSink(0L)}")
+      assert(atSink(1L) == Set(1L, 2L),
+        s"batch 1's sink ran after its own append: ${atSink(1L)}")
     } finally q.stop()
   }
 
