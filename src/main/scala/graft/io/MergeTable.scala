@@ -58,4 +58,46 @@ object MergeTable {
         .write.mode("overwrite").parquet(stage)
     }
   }
+
+  /** Snapshot DIFF — extract change-data-capture rows between two
+    * versions of a keyed table: every key is classified `insert`
+    * (only in `newDf`), `delete` (only in `oldDf`) or `update` (in
+    * both with any payload column differing, null-safely); unchanged
+    * rows are dropped. The inverse of [[merge]] — `merge(old, diff)`
+    * reproduces `new` — and the incremental-feed primitive when an
+    * upstream republishes full snapshots instead of deltas.
+    *
+    * Output: key columns, `change_type`, then the payload columns —
+    * the NEW row's values for insert/update, the OLD row's for delete
+    * (exactly what a downstream merge or tombstone writer needs).
+    *
+    * Scale shape: ONE full-outer sort-merge join on the key — both
+    * snapshots shuffle once on the same key, so bucketed/co-located
+    * snapshots diff with no exchange at all. No collect, no window.
+    */
+  def diffSnapshots(oldDf: DataFrame, newDf: DataFrame,
+                    keyCols: Seq[String]): DataFrame = {
+    require(keyCols.nonEmpty, "diff needs at least one key column")
+    require(oldDf.columns.sameElements(newDf.columns),
+      s"snapshot schemas differ: ${oldDf.columns.toSeq} vs ${newDf.columns.toSeq}")
+    val payload = oldDf.columns.filterNot(keyCols.contains).toSeq
+    // presence markers, not key-null checks: payload (even key-adjacent
+    // columns) may be legitimately NULL
+    val o = payload.foldLeft(
+      oldDf.withColumn("__in_old", lit(true)))(
+      (d, c) => d.withColumnRenamed(c, s"__old_$c"))
+    val n = newDf.withColumn("__in_new", lit(true))
+    val changed = payload
+      .map(c => !(col(s"__old_$c") <=> col(c)))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, keyCols, "full_outer")
+      .filter(col("__in_old").isNull || col("__in_new").isNull || changed)
+      .select(keyCols.map(col) ++ Seq(
+        when(col("__in_old").isNull, "insert")
+          .when(col("__in_new").isNull, "delete")
+          .otherwise("update").as("change_type")) ++
+        payload.map(c =>
+          when(col("__in_new").isNull, col(s"__old_$c"))
+            .otherwise(col(c)).as(c)): _*)
+  }
 }

@@ -82,6 +82,25 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** Per-group admission CAP — "at most n docs per domain", the other
+    * half of a mixture recipe's quota (tokenBudgetCap bounds token
+    * mass; this bounds document COUNT, the guard against one domain
+    * flooding the mix regardless of doc length). Keeps the n best rows
+    * per group by (`orderCol` DESC, `keyCol` ASC) — quality-ranked
+    * admission with a total-order tie-break, so the selection is
+    * reproducible on any partitioning. Window+filter form: the
+    * GroupedTopK rewrite executes it as a bounded heap (groups×n
+    * state), never a per-group sort.
+    */
+  def capPerGroup(df: DataFrame, groupCol: String, keyCol: String,
+                  orderCol: String, n: Int): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col(orderCol).desc, col(keyCol))
+    df.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= n)
+      .drop("__rn")
+  }
+
   /** Decontamination: drop (or flag) training docs sharing at least
     * one k-word shingle with the benchmark set. The comparison is a
     * semi-join on the shingle key — shuffle volume is the shingle

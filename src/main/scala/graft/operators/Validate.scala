@@ -1,0 +1,102 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Data-quality profiling and constraint checking — the Deequ-style
+  * (Schelter et al., "Automating Large-Scale Data Quality
+  * Verification", VLDB 2018) validation layer a pipeline runs before
+  * trusting an ingest batch. Everything here is ONE aggregation pass
+  * over the frame: each column's measures (and each constraint's
+  * violation count) is an agg expression in a single `df.agg(...)`,
+  * so profiling N columns costs one scan, not N — at 100 TB that is
+  * the difference between a validation step and a validation DAY.
+  * The single wide agg row is exploded back to long form so results
+  * are relational (one row per column / per constraint).
+  */
+object Validate {
+
+  /** Per-column profile: null count, exact distinct count (of non-null
+    * values, SQL `count(DISTINCT c)` semantics) and min/max rendered
+    * as strings (computed on the NATIVE type — casting first would
+    * make "10" < "9" — and stringified after). Exact distincts across
+    * many columns expand the agg (Spark plans one Expand branch per
+    * distinct); swap `countDistinct` for `approx_count_distinct` at
+    * scale when 2% error is acceptable.
+    */
+  def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.nonEmpty, "profile needs at least one column")
+    val aggs = cols.flatMap { c =>
+      Seq(
+        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
+        countDistinct(col(c)).as(s"__dist_$c"),
+        min(col(c)).cast("string").as(s"__min_$c"),
+        max(col(c)).cast("string").as(s"__max_$c"))
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(cols.map(c => struct(
+        lit(c).as("column_name"),
+        col(s"__null_$c").as("null_count"),
+        col(s"__dist_$c").as("n_distinct"),
+        col(s"__min_$c").as("min_val"),
+        col(s"__max_$c").as("max_val"))): _*)).as("p"))
+      .select("p.*")
+  }
+
+  /** One declarative expectation over a frame. `violations` is the agg
+    * expression counting offending rows — extend by adding cases.
+    */
+  sealed trait Constraint {
+    def name: String
+    def violations: Column
+  }
+  /** No NULLs in `c`. */
+  final case class NotNull(c: String) extends Constraint {
+    val name = s"not_null($c)"
+    def violations: Column = sum(when(col(c).isNull, 1L).otherwise(0L))
+  }
+  /** `cols` form a unique key. Violations = extra copies beyond the
+    * first of each distinct tuple (struct-wrapped, so NULL fields
+    * participate in the key instead of vanishing from the count).
+    */
+  final case class Unique(cols: Seq[String]) extends Constraint {
+    val name = s"unique(${cols.mkString(",")})"
+    def violations: Column =
+      count(lit(1)) - countDistinct(struct(cols.map(col): _*))
+  }
+  /** Non-null values of `c` fall in [lo, hi]; NULLs are NotNull's job. */
+  final case class InRange(c: String, lo: Double, hi: Double)
+      extends Constraint {
+    val name = s"in_range($c,$lo,$hi)"
+    def violations: Column =
+      sum(when(col(c).isNotNull && !col(c).between(lo, hi), 1L)
+        .otherwise(0L))
+  }
+  /** Non-null values of `c` are members of `allowed`. */
+  final case class OneOf(c: String, allowed: Seq[String])
+      extends Constraint {
+    val name = s"one_of($c)"
+    def violations: Column =
+      sum(when(col(c).isNotNull && !col(c).isin(allowed: _*), 1L)
+        .otherwise(0L))
+  }
+
+  /** Evaluate every constraint in one scan: a row per constraint with
+    * its violation count and verdict. Gate an ingest with
+    * `check(...).filter(!$"passed").isEmpty`.
+    */
+  def check(df: DataFrame, constraints: Seq[Constraint]): DataFrame = {
+    require(constraints.nonEmpty, "check needs at least one constraint")
+    val aggs = constraints.zipWithIndex.map { case (k, i) =>
+      coalesce(k.violations.cast("long"), lit(0L)).as(s"__viol_$i")
+    }
+    df.agg(aggs.head, aggs.tail: _*)
+      .select(explode(array(constraints.zipWithIndex.map { case (k, i) =>
+        struct(
+          lit(k.name).as("constraint"),
+          col(s"__viol_$i").as("violations"),
+          (col(s"__viol_$i") === 0L).as("passed"))
+      }: _*)).as("c"))
+      .select("c.*")
+  }
+}

@@ -277,6 +277,40 @@ object CoreQueries {
       s.read.parquet(out).orderBy("o_orderkey")
     }),
 
+    // Deequ-style column profile in ONE scan (int/string columns —
+    // min/max stringification of those is engine-portable)
+    "q_validate_profile" -> ((s, d) =>
+      graft.operators.Validate.profile(Tables.lineitem(s, d),
+        Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus"))
+        .orderBy("column_name")),
+
+    // constraint suite in one scan: the range and membership checks
+    // are deliberately violated (totalprice cap below max, status set
+    // missing 'P') so non-zero violation counts get oracle-checked
+    "q_validate_check" -> ((s, d) =>
+      graft.operators.Validate.check(Tables.orders(s, d), Seq(
+        graft.operators.Validate.NotNull("o_custkey"),
+        graft.operators.Validate.Unique(Seq("o_orderkey")),
+        graft.operators.Validate.InRange("o_totalprice", 1000.0, 400000.0),
+        graft.operators.Validate.OneOf("o_orderstatus", Seq("F", "O"))))
+        .orderBy("constraint")),
+
+    // snapshot CDC: diff two deterministic versions of orders — keys
+    // %10∈{8,9} exist only in "new" (insert), %10∈{0,1} only in "old"
+    // (delete), and %3=0 overlap keys get a price bump (update);
+    // everything else is unchanged and must NOT appear
+    "q_snapshot_diff" -> ((s, d) => {
+      val base = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      val oldSnap = base.filter(col("o_orderkey") % 10 < 8)
+      val newSnap = base.filter(col("o_orderkey") % 10 >= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 3 === 0, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      graft.io.MergeTable.diffSnapshots(oldSnap, newSnap, Seq("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // S4 — ORC round-trip: the columnar alternative when the lake
     // standardizes on ORC (Hive shops). Same month-slice shape as the
     // CSV path; values must survive the ORC writer/reader identically.
@@ -590,6 +624,65 @@ object CoreQueries {
         |FROM orders
         |WHERE (o_orderkey % 7 <> 0 OR o_orderkey % 5 = 0)
         |  AND o_orderkey % 10 <> 0
+        |ORDER BY o_orderkey""".stripMargin,
+
+    "q_validate_profile" -> {
+      def row(c: String) =
+        s"""SELECT '$c' AS column_name,
+           |  CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |    AS null_count,
+           |  CAST(count(DISTINCT $c) AS BIGINT) AS n_distinct,
+           |  CAST(min($c) AS VARCHAR) AS min_val,
+           |  CAST(max($c) AS VARCHAR) AS max_val
+           |FROM lineitem""".stripMargin
+      Seq("l_orderkey", "l_linenumber", "l_returnflag", "l_linestatus")
+        .map(row).mkString("", "\nUNION ALL\n",
+          "\nORDER BY column_name")
+    },
+
+    "q_validate_check" ->
+      """WITH a AS (SELECT
+        |  CAST(sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END)
+        |    AS BIGINT) AS v_notnull,
+        |  CAST(count(*) - count(DISTINCT o_orderkey) AS BIGINT)
+        |    AS v_unique,
+        |  CAST(sum(CASE WHEN o_totalprice IS NOT NULL
+        |      AND (o_totalprice < 1000.0 OR o_totalprice > 400000.0)
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_range,
+        |  CAST(sum(CASE WHEN o_orderstatus IS NOT NULL
+        |      AND o_orderstatus NOT IN ('F', 'O')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS v_oneof
+        |FROM orders)
+        |SELECT t.* FROM a, LATERAL (VALUES
+        |  ('not_null(o_custkey)', a.v_notnull, a.v_notnull = 0),
+        |  ('unique(o_orderkey)', a.v_unique, a.v_unique = 0),
+        |  ('in_range(o_totalprice,1000.0,400000.0)', a.v_range,
+        |   a.v_range = 0),
+        |  ('one_of(o_orderstatus)', a.v_oneof, a.v_oneof = 0))
+        |  t("constraint", violations, passed)
+        |ORDER BY "constraint"""".stripMargin,
+
+    // mirror of diffSnapshots: full-outer on the key, unchanged rows
+    // filtered with IS DISTINCT FROM (the SQL spelling of non-<=>)
+    "q_snapshot_diff" ->
+      """WITH o AS (SELECT o_orderkey, o_orderstatus, o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 < 8),
+        |n AS (SELECT o_orderkey, o_orderstatus,
+        |    CASE WHEN o_orderkey % 3 = 0 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS o_totalprice
+        |  FROM orders WHERE o_orderkey % 10 >= 2)
+        |SELECT coalesce(o.o_orderkey, n.o_orderkey) AS o_orderkey,
+        |  CASE WHEN o.o_orderkey IS NULL THEN 'insert'
+        |       WHEN n.o_orderkey IS NULL THEN 'delete'
+        |       ELSE 'update' END AS change_type,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_orderstatus
+        |       ELSE n.o_orderstatus END AS o_orderstatus,
+        |  CASE WHEN n.o_orderkey IS NULL THEN o.o_totalprice
+        |       ELSE n.o_totalprice END AS o_totalprice
+        |FROM o FULL OUTER JOIN n ON o.o_orderkey = n.o_orderkey
+        |WHERE o.o_orderkey IS NULL OR n.o_orderkey IS NULL
+        |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
+        |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
         |ORDER BY o_orderkey""".stripMargin,
 
     "q_orc_roundtrip" ->

@@ -56,6 +56,13 @@ object CurationQueries {
         .select("doc_id", "source", "n_tokens", "cum_tokens")
         .orderBy("doc_id")),
 
+    // at most 5 docs per source, best-first by length — the doc-COUNT
+    // quota beside q_token_budget's token-mass quota
+    "q_domain_cap" -> ((s, d) =>
+      Curation.capPerGroup(docs(s, d), "source", "doc_id", "n_chars", 5)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // decontamination: training docs sharing a 3-shingle with the
     // benchmark slice (every 20th doc) are dropped
     "q_decontam" -> ((s, d) => {
@@ -182,6 +189,12 @@ object CurationQueries {
          |  FROM t)
          |SELECT doc_id, source, n_tokens, cum_tokens FROM c
          |WHERE cum_tokens <= $TokenBudget
+         |ORDER BY doc_id""".stripMargin,
+
+    "q_domain_cap" ->
+      s"""SELECT doc_id, source, n_chars FROM documents
+         |QUALIFY row_number() OVER (
+         |  PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
          |ORDER BY doc_id""".stripMargin,
 
     "q_decontam" ->

@@ -61,6 +61,33 @@ class MergeTableSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("diffSnapshots classifies changes and is merge's inverse") {
+    val path = freshPath("diff")
+    val oldSnap = Seq(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c"),
+      5L -> (None: Option[String]), 6L -> (None: Option[String]))
+      .toDF("k", "v")
+    val newSnap = Seq(1L -> Some("a"), 2L -> Some("B"), 4L -> Some("d"),
+      5L -> (None: Option[String]), 6L -> Some("x"))
+      .toDF("k", "v")
+    val diff = MergeTable.diffSnapshots(oldSnap, newSnap, Seq("k"))
+    val types = diff.collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    // 1 unchanged, 5 null==null unchanged — both absent; 6 null->x is
+    // an update only because the compare is null-safe
+    assert(types == Map(2L -> "update", 3L -> "delete", 4L -> "insert",
+      6L -> "update"), s"got $types")
+    // applying the diff as a merge batch reproduces the new snapshot
+    oldSnap.write.parquet(path)
+    MergeTable.merge(spark, path,
+      diff.withColumn("__del", $"change_type" === "delete")
+        .drop("change_type"),
+      Seq("k"), deleteCol = Some("__del"))
+    val merged = spark.read.parquet(path)
+      .as[(Long, Option[String])].collect().toSet
+    val expected = newSnap.as[(Long, Option[String])].collect().toSet
+    assert(merged == expected, s"merged $merged != new $expected")
+  }
+
   test("delete of a never-inserted key is a no-op, not an error") {
     val path = freshPath("ghost")
     MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))

@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+class ValidateSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val df = Seq(
+    (1L, Option(10L), "b"),
+    (2L, None: Option[Long], "a"),
+    (3L, Option(9L), "a"),
+    (3L, Option(9L), "a")
+  ).toDF("k", "v", "s")
+
+  test("profile: null/distinct counts and NATIVE-type min/max") {
+    val p = Validate.profile(df, Seq("k", "v", "s"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getLong(2), r.getString(3), r.getString(4))).toMap
+    assert(p("k") == ((0L, 3L, "1", "3")))
+    // min on the NUMERIC value: 9 < 10 (a string-cast-first profile
+    // would say "10" < "9"); distinct excludes the NULL
+    assert(p("v") == ((1L, 2L, "9", "10")))
+    assert(p("s") == ((0L, 2L, "a", "b")))
+  }
+
+  test("check: per-constraint violation counts in one aggregation") {
+    val out = Validate.check(df, Seq(
+      Validate.NotNull("v"),
+      Validate.Unique(Seq("k")),
+      Validate.Unique(Seq("k", "v", "s")),
+      Validate.InRange("v", 0, 9.5),
+      Validate.OneOf("s", Seq("a"))))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    assert(out("not_null(v)") == ((1L, false)))
+    assert(out("unique(k)") == ((1L, false))) // one extra copy of k=3
+    // the NULL-v row still participates in the struct key
+    assert(out("unique(k,v,s)") == ((1L, false)))
+    assert(out("in_range(v,0.0,9.5)") == ((1L, false))) // v=10; NULL exempt
+    assert(out("one_of(s)") == ((1L, false)))
+    // a clean frame passes everything
+    val clean = Validate.check(df.filter($"k" === 1L),
+      Seq(Validate.NotNull("v"), Validate.Unique(Seq("k"))))
+    assert(clean.filter(!$"passed").isEmpty)
+  }
+}

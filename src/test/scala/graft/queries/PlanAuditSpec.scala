@@ -120,6 +120,17 @@ class PlanAuditSpec extends SparkSpec {
     }
   }
 
+  test("capPerGroup executes on the GroupedTopK heap, one group shuffle") {
+    val capped = graft.operators.Curation.capPerGroup(
+      Tables.documents(spark, sf), "source", "doc_id", "n_chars", 5)
+    val plan = finalPlan(capped)
+    assert(plan.contains("GroupedTopK"),
+      s"per-group cap must use the bounded heap, not a window sort:\n$plan")
+    // each source keeps exactly min(5, group size) rows, best-first
+    val g = capped.groupBy("source").count().collect()
+    assert(g.nonEmpty && g.forall(_.getLong(1) <= 5), g.mkString(","))
+  }
+
   test("scd2's two windows share ONE shuffle on the key") {
     // executedPlan.toString under AQE prints the Final AND Initial
     // sections — count exchanges in the final section only
