@@ -45,6 +45,31 @@ object Similarity {
       .otherwise(dot(a, b) / denom)
   }
 
+  /** Symmetric per-vector INT8 quantization — the storage/bandwidth
+    * lever for ANN at scale: a 64-dim float32 embedding is 256 B, its
+    * int8 twin 64 B + one double scale, so a 100 TB embedding store
+    * scans ~4× less for candidate generation (re-rank the survivors
+    * against the full-precision vectors). Policy, engine-portable:
+    * `scale = max|v| / 127`; `q_i = floor(v_i/scale + 0.5)` clamped to
+    * [-127,127] (explicit floor(x+0.5) half-up, NOT round() — engines
+    * disagree on round's half behavior, floor never). A zero/empty
+    * vector quantizes to zeros with scale 0. Dequantization error is
+    * ≤ scale/2 per component (spec-pinned). Adds `q_scale` and `q_vec`
+    * (array<int>); row-local, no shuffle.
+    */
+  def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
+    val v = col(vecCol).cast("array<double>")
+    val scale = coalesce(array_max(transform(v, x => abs(x))), lit(0.0)) /
+      127.0
+    df.withColumn("q_scale", scale)
+      .withColumn("q_vec",
+        when(col("q_scale") === 0.0,
+          transform(v, _ => lit(0)))
+          .otherwise(transform(v, x =>
+            greatest(lit(-127), least(lit(127),
+              floor(x / col("q_scale") + 0.5).cast("int"))))))
+  }
+
   /** Brute-force cosine top-k: for each row of `queries`, the k most
     * similar rows of `corpus` (excluding self-matches by id). The
     * query side is broadcast — the corpus is scanned once, no shuffle

@@ -83,6 +83,16 @@ object SimilarityQueries {
     }),
 
     // embedding-cosine near-dup pairs, blocked by the cluster label
+    // int8 quantization of the whole embedding table; vector rendered
+    // csv so the compare is on exact integers (plus the double scale,
+    // rounded like every float column in this module)
+    "q_embed_quantize" -> ((s, d) =>
+      Similarity.quantizeInt8(Tables.embeddings(s, d), "embedding")
+        .select(col("vec_id"), round(col("q_scale"), 9).as("q_scale"),
+          concat_ws(",", transform(col("q_vec"), _.cast("string")))
+            .as("q_vec_csv"))
+        .orderBy("vec_id")),
+
     "q_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
         col("embedding").cast("array<double>").as("v"))
@@ -171,6 +181,20 @@ object SimilarityQueries {
          |  WHERE o.cluster = s.cluster AND o.vec_id < s.vec_id
          |    AND round(${cosSql("o.v", "s.v")}, 6) >= $SemThreshold)
          |ORDER BY s.vec_id""".stripMargin,
+
+    "q_embed_quantize" ->
+      s"""WITH $vecsCte,
+         |m AS (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS q_scale
+         |  FROM vecs)
+         |SELECT vec_id, round(q_scale, 9) AS q_scale,
+         |  CASE WHEN q_scale = 0
+         |    THEN array_to_string(list_transform(v, x -> 0), ',')
+         |    ELSE array_to_string(list_transform(v, x ->
+         |      GREATEST(-127, LEAST(127,
+         |        CAST(floor(x / q_scale + 0.5) AS INT)))), ',')
+         |  END AS q_vec_csv
+         |FROM m ORDER BY vec_id""".stripMargin,
 
     "q_cosine_topk" -> topkSql("q.query_id <> c.vec_id"),
 

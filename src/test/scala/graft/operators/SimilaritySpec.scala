@@ -60,6 +60,27 @@ class SimilaritySpec extends SparkSpec {
     assert(worst < 1.0, s"within-cluster dist2 should be tiny, got $worst")
   }
 
+  test("int8 quantization: error <= scale/2, extremes hit ±127, zero-safe") {
+    val df = Seq(
+      (1L, Array(0.5f, -1.27f, 1.27f, 0.001f)),
+      (2L, Array(0.0f, 0.0f, 0.0f, 0.0f))
+    ).toDF("vec_id", "embedding")
+    val q = Similarity.quantizeInt8(df, "embedding")
+      .select($"vec_id", $"q_scale", $"q_vec", $"embedding")
+      .collect().map(r => r.getLong(0) ->
+        (r.getDouble(1), r.getSeq[Int](2), r.getSeq[Float](3))).toMap
+    val (s1, qv1, v1) = q(1L)
+    assert(math.abs(s1 - 1.27f.toDouble / 127.0) < 1e-15)
+    assert(qv1(1) == -127 && qv1(2) == 127, s"extremes: $qv1")
+    // dequantization error bound per component
+    qv1.zip(v1).foreach { case (qi, vi) =>
+      assert(math.abs(qi * s1 - vi) <= s1 / 2 + 1e-12,
+        s"dequant error above scale/2 at q=$qi v=$vi")
+    }
+    val (s2, qv2, _) = q(2L)
+    assert(s2 == 0.0 && qv2.forall(_ == 0), "zero vector must be all zeros")
+  }
+
   test("lsh buckets separate opposite vectors, keep near ones") {
     val r = Similarity.lshTopK(
       vecs.filter($"vec_id" === 1L), vecs, "vec_id", "embedding",
