@@ -644,4 +644,64 @@ object Dedup {
     input.join(comps.filter(col(idCol) === col("component")).select(idCol),
       Seq(idCol), "left_semi")
   }
+
+  /** EXACT SUBSTRING dedup — span-level, not document-level: every
+    * k-token span whose text occurs more than once in the corpus is cut
+    * from every occurrence EXCEPT the first (first = smallest
+    * (id, start), a total order, so the keeper is the same on any
+    * engine at any parallelism). Overlapping duplicated spans merge: a
+    * token survives only if no cut span covers it. Returns
+    * (idCol, text_clean) for every input doc — a doc that is one big
+    * repeat of an earlier doc comes back as "".
+    *
+    * This is the distributed re-expression of suffix-array substring
+    * dedup (the "repeated ≥ N-token span" cleanup from the
+    * deduplication literature): a suffix array is a single-machine
+    * structure, but fixing the minimum span length k makes the problem
+    * shingle-local, and then every shuffle keys on the k-shingle or the
+    * doc id — never doc × doc, never global order:
+    *   1. one groupBy shingle with map-side partial (count,
+    *      min(struct(id, start))) picks duplicated shingles and their
+    *      keeper occurrence — min over a struct is a combinable
+    *      aggregate, so no window sort materializes the occurrence
+    *      list;
+    *   2. occurrences rejoin duplicated shingles on the shingle key
+    *      (bucketable, skew-safe: a shingle's bucket is its own
+    *      occurrence count);
+    *   3. covered positions anti-join the position-indexed token table
+    *      (doc-id keyed);
+    *   4. one groupBy per doc rebuilds the surviving text in order.
+    * At 100 TB, key steps 1–2 on a 64/128-bit shingle digest instead of
+    * the raw token string (collision odds ≪ 1/corpus rows; here the raw
+    * shingle keeps the DuckDB oracle bit-exact), and pick k at the
+    * span length you mean to dedup (50 tokens in the literature).
+    */
+  def substringDedup(df: DataFrame, idCol: String, textCol: String,
+                     k: Int = 8): DataFrame = {
+    val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+    val grams = base.select(col(idCol),
+      posexplode(shingles(col("__toks"), k)).as(Seq("start", "shingle")))
+    val firsts = grams
+      .groupBy("shingle")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("start"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("shingle"), col("__first"))
+    val cut = grams.join(firsts, "shingle")
+      .filter(struct(col(idCol), col("start")) =!= col("__first"))
+    val covered = cut
+      .select(col(idCol),
+        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
+      .distinct()
+    val toks = base.select(col(idCol),
+      posexplode(col("__toks")).as(Seq("pos", "tok")))
+    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(array_join(
+        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
+          x => x.getField("tok")), " ").as("text_clean"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+  }
 }

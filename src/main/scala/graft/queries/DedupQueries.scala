@@ -204,6 +204,12 @@ object DedupQueries {
     "q_ngram_jaccard_lsh" -> ((s, d) =>
       Dedup.ngramJaccardLsh(Tables.documents(s, d), "doc_id", "text", K)
         .orderBy("id_a", "id_b")),
+
+    // exact substring (span-level) dedup: corpus-duplicated 6-token
+    // spans cut everywhere but their first occurrence
+    "q_substring_dedup" -> ((s, d) =>
+      Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", k = 6)
+        .orderBy("doc_id")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -561,5 +567,38 @@ object DedupQueries {
          |WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
          |        / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) > 0
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // mirror of Dedup.substringDedup k=6: rn=1 in (doc_id, start) order
+    // is the keeper; every later occurrence of a shingle seen ≥2 times
+    // is cut; DuckDB arrays are 1-based where Spark posexplode is
+    // 0-based, but both sides are internally consistent
+    "q_substring_dedup" -> {
+      val k = 6
+      val shK = Portable.shinglesSql("t", k)
+      s"""WITH toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+         |gr0 AS (SELECT doc_id, $shK AS g FROM toks),
+         |occ AS (SELECT doc_id, unnest(generate_series(1, len(g))) AS start, g
+         |  FROM gr0),
+         |occ2 AS (SELECT doc_id, start, g[start] AS shingle FROM occ),
+         |ranked AS (SELECT doc_id, start, row_number()
+         |    OVER (PARTITION BY shingle ORDER BY doc_id, start) AS rn
+         |  FROM occ2),
+         |hits AS (SELECT doc_id, start FROM ranked WHERE rn >= 2),
+         |covered AS (SELECT DISTINCT doc_id, pos FROM (
+         |  SELECT doc_id, unnest(generate_series(start, start + ${k - 1})) AS pos
+         |  FROM hits)),
+         |tk AS (SELECT doc_id, unnest(generate_series(1, len(t))) AS pos, t
+         |  FROM toks),
+         |tok AS (SELECT doc_id, pos, t[pos] AS tok FROM tk),
+         |kept AS (SELECT t.doc_id, t.pos, t.tok FROM tok t
+         |  LEFT JOIN covered c ON c.doc_id = t.doc_id AND c.pos = t.pos
+         |  WHERE c.pos IS NULL),
+         |rebuilt AS (SELECT doc_id, string_agg(tok, ' ' ORDER BY pos)
+         |    AS text_clean
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
   )
 }

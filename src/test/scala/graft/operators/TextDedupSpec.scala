@@ -229,4 +229,49 @@ class TextDedupSpec extends SparkSpec {
     assert(kept.contains(4L), "unrelated doc survives")
     assert(!kept.contains(2L), "exact dup removed without a separate pass")
   }
+
+  test("substringDedup cuts repeated spans everywhere but first occurrence") {
+    val d = Seq(
+      // keeper: doc 1 holds the first occurrence of the repeated span
+      (1L, "one two three four intro words"),
+      // doc 2 repeats the span mid-text → span cut, rest survives
+      (2L, "prefix stuff one two three four suffix stuff"),
+      // doc 3 is ONLY the repeated span → ""
+      (3L, "one two three four"),
+      // doc 4 shares nothing 4 tokens long
+      (4L, "totally unrelated content lives here"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "one two three four intro words",
+      "first occurrence is the keeper, untouched")
+    assert(got(2L) == "prefix stuff suffix stuff")
+    assert(got(3L) == "", "doc that is one big repeat comes back empty")
+    assert(got(4L) == "totally unrelated content lives here")
+  }
+
+  test("substringDedup merges overlapping duplicated spans") {
+    // docs 1/2 share a 5-token run; with k=4 the two overlapping
+    // 4-shingles of the run are both duplicated — covered positions
+    // must union into ONE maximal cut, not leave a mid-run remnant
+    val d = Seq(
+      (1L, "a b c d e tail one"),
+      (2L, "head a b c d e tail two"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d e tail one")
+    // duplicated shingles in doc 2: (a b c d)@1, (b c d e)@2,
+    // (c d e tail)@3 → covered 1..6 unions into one cut
+    assert(got(2L) == "head two",
+      "the whole shared region is cut as one merged span")
+  }
+
+  test("substringDedup dedups WITHIN a doc too (first span kept)") {
+    val d = Seq((1L, "x y z w middle x y z w")).toDF("doc_id", "text")
+    val got = Dedup.substringDedup(d, "doc_id", "text", k = 4)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "x y z w middle",
+      "second intra-doc occurrence cut, keeper span intact")
+  }
 }
