@@ -1,0 +1,79 @@
+package graft.functions
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic Bloom filter over a key column — the broadcast-sketch
+  * membership gate for 100 TB semi-joins.
+  *
+  * Why not a broadcast hash semi-join? A hash set of the key *strings*
+  * is bytes-per-key; the bloom is BITS per key (~10 bits/key at 1% fp),
+  * so key sets far past the broadcast threshold still fit in every
+  * executor as one plan literal. Why not Spark's runtime bloom
+  * pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`)? That
+  * fires only on equi-join shapes the optimizer picks, and its
+  * `BloomFilterAggregate` bits are JVM-internal; this one is explicit,
+  * composable with row-local HOFs (`exists` over a shingle array needs
+  * no join at all), and its bit positions are md5-prefix arithmetic
+  * ([[Portable.hash32]] on seeded prefixes) — reproducible on any
+  * engine, so a filter built today validates bit-for-bit tomorrow.
+  *
+  * Contract: NO false negatives ever (an inserted key always passes);
+  * false positives at the classic (1-e^{-kn/m})^k rate — callers must
+  * treat a pass as "candidate", not "member", and verify exactly
+  * (see `Curation.decontaminateBloom`). Build cost is one distinct on
+  * bit positions, driver memory is mBits/8 bytes (sketch-sized, like
+  * k-means centroids — not a data collect).
+  */
+object Bloom {
+
+  /** k bit positions for a value: seeded md5-prefix hashes mod mBits.
+    * Engine-portable — [[bitPositionsSql]] is the DuckDB mirror.
+    */
+  def bitPositions(c: Column, mBits: Int, numHashes: Int): Column =
+    array((0 until numHashes).map { i =>
+      Portable.hash32(concat(lit(s"bf$i|"), c)) % mBits
+    }: _*)
+
+  /** DuckDB mirror of [[bitPositions]] as a list expression. */
+  def bitPositionsSql(e: String, mBits: Int, numHashes: Int): String =
+    (0 until numHashes)
+      .map(i => s"${Portable.hash32Sql(s"concat('bf$i|', $e)")} % $mBits")
+      .mkString("[", ", ", "]")
+
+  /** Build the filter from a key frame: one exploded projection, one
+    * distinct on the integer bit position (≤ mBits rows reach the
+    * driver — the sketch, never the keys).
+    */
+  def build(keys: DataFrame, keyCol: String, mBits: Int,
+            numHashes: Int): Array[Long] = {
+    val words = new Array[Long]((mBits + 63) / 64)
+    keys
+      .select(explode(bitPositions(col(keyCol), mBits, numHashes)).as("p"))
+      .distinct()
+      .collect()
+      .foreach { r =>
+        val p = r.getLong(0)
+        words((p / 64).toInt) |= 1L << (p % 64).toInt
+      }
+    words
+  }
+
+  /** Row-local membership probe against a built filter: true iff every
+    * seeded bit is set. The bitset rides the plan as one array<bigint>
+    * literal (mBits/8 bytes), so the probe broadcasts for free and
+    * stays inside codegen — usable in `filter`, in `exists(...)` over
+    * an array column, anywhere a Column goes. Variable-distance shift
+    * via the SQL `shiftrightunsigned` (the Scala wrapper only takes
+    * literal shifts, and the ARITHMETIC shift would sign-extend words
+    * whose bit 63 is set — `-1 % 2 = -1`, a false negative).
+    */
+  def mightContain(c: Column, words: Array[Long], mBits: Int,
+                   numHashes: Int): Column = {
+    val w = lit(words)
+    forall(bitPositions(c, mBits, numHashes), p =>
+      call_function("shiftrightunsigned",
+        element_at(w, (p / 64).cast("int") + 1),
+        (p % 64).cast("int")).bitwiseAND(lit(1L)) === 1)
+  }
+}

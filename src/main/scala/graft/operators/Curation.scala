@@ -122,6 +122,38 @@ object Curation {
     train.join(contaminatedIds(train, bench, idCol, textCol, k),
       Seq(idCol), "left_anti")
 
+  /** Bloom-pruned decontamination — same EXACT result as
+    * [[decontaminate]], different scaling shape. The plain semi-join
+    * shuffles every train shingle; at 100 TB that is the corpus token
+    * stream. Here the bench shingle set compiles into a broadcast
+    * bloom sketch ([[graft.functions.Bloom]], ~10 bits/shingle at
+    * 1% fp) and a ROW-LOCAL `exists` over each train doc's shingles
+    * gates the expensive path: docs with no bloom hit — at a 1% fp
+    * rate, almost all of a clean corpus — are provably uncontaminated
+    * (blooms have no false negatives) and never enter a shuffle at
+    * all. Only the surviving candidates run the exact shingle
+    * semi-join, which de-false-positives the result, so output ==
+    * [[decontaminate]] bit-for-bit and the DuckDB oracle is shared.
+    *
+    * Size mBits ≈ 10 × |distinct bench shingles| (rounded up to a
+    * power of two) with numHashes ≈ 7 for the textbook 1% fp rate.
+    */
+  def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
+                         textCol: String, k: Int = 3,
+                         mBits: Int = 1 << 17,
+                         numHashes: Int = 4): DataFrame = {
+    import graft.functions.Bloom
+    val benchShingles = Dedup
+      .docShingles(bench, idCol, textCol, k, dedup = false)
+      .select(col("shingle")).distinct()
+    val bits = Bloom.build(benchShingles, "shingle", mBits, numHashes)
+    val candidates = train.filter(
+      exists(Portable.shingles(Portable.tokens(col(textCol)), k),
+        s => Bloom.mightContain(s, bits, mBits, numHashes)))
+    train.join(contaminatedIds(candidates, bench, idCol, textCol, k),
+      Seq(idCol), "left_anti")
+  }
+
   /** Stratified sample: exactly `n` rows per group (fewer if the group
     * is smaller), chosen deterministically by hash order — the same
     * rows on any engine, any partitioning, any day. One window per

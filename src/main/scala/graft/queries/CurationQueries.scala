@@ -74,6 +74,18 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // bloom-pruned decontamination: same exact result (and oracle SQL)
+    // as q_decontam — the broadcast sketch only gates which docs reach
+    // the exact semi-join
+    "q_bloom_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      val bench = all.filter(col("doc_id") % 20 === 0)
+      val train = all.filter(col("doc_id") % 20 =!= 0)
+      Curation.decontaminateBloom(train, bench, "doc_id", "text", K)
+        .select("doc_id", "lang", "source")
+        .orderBy("doc_id")
+    }),
+
     // domain-mixture resample: 2.5× src0, 0.4× src1, drop src2,
     // everything else 1× — deterministic hash arithmetic, zero shuffle
     "q_mixture_sample" -> ((s, d) =>
@@ -198,6 +210,19 @@ object CurationQueries {
          |ORDER BY doc_id""".stripMargin,
 
     "q_decontam" ->
+      s"""WITH $shingleSqlOf,
+         |bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
+         |contaminated AS (SELECT DISTINCT doc_id FROM sh
+         |  WHERE doc_id % 20 <> 0 AND s IN (SELECT s FROM bench_sh))
+         |SELECT doc_id, lang, source FROM documents
+         |WHERE doc_id % 20 <> 0
+         |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
+         |ORDER BY doc_id""".stripMargin,
+
+    // the bloom gate is pure pruning — the exact-decontam SQL IS the
+    // oracle for the bloom-pruned plan (no false negatives, false
+    // positives verified away)
+    "q_bloom_decontam" ->
       s"""WITH $shingleSqlOf,
          |bench_sh AS (SELECT DISTINCT s FROM sh WHERE doc_id % 20 = 0),
          |contaminated AS (SELECT DISTINCT doc_id FROM sh

@@ -76,6 +76,33 @@ class CurationSpec extends SparkSpec {
     assert(clean == Set(2L, 4L))
   }
 
+  test("bloom filter: zero false negatives, bounded false positives") {
+    import org.apache.spark.sql.functions.{concat, lit}
+    import graft.functions.Bloom
+    val (mBits, k) = (1 << 14, 4)
+    val keys = spark.range(1000)
+      .select(concat(lit("key_"), $"id").as("k"))
+    val bits = Bloom.build(keys, "k", mBits, k)
+    val inserted = keys
+      .filter(!Bloom.mightContain($"k", bits, mBits, k)).count()
+    assert(inserted == 0, "an inserted key must ALWAYS pass")
+    // 1000 keys in 16384 bits, 4 hashes → textbook fp ≈ 2.4%; assert a
+    // loose 10% so the bound is about correctness, not luck
+    val fp = spark.range(1000)
+      .select(concat(lit("other_"), $"id").as("k"))
+      .filter(Bloom.mightContain($"k", bits, mBits, k)).count()
+    assert(fp < 100, s"false-positive rate out of range: $fp/1000")
+  }
+
+  test("decontaminateBloom equals exact decontaminate") {
+    val bench = docs.filter($"doc_id" === 20L)
+    val train = docs.filter($"doc_id" =!= 20L)
+    val viaBloom = Curation.decontaminateBloom(train, bench,
+      "doc_id", "text", mBits = 1 << 12, numHashes = 4)
+      .select("doc_id").as[Long].collect().toSet
+    assert(viaBloom == Set(2L, 4L), "bloom pruning must not change results")
+  }
+
   test("mixtureSample: whole-rate copies exact, rate 0 drops, default 1×") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
