@@ -4,6 +4,8 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.Portable
+
 /** Approximate-nearest-neighbor / similarity-search operators over an
   * embedding column (`array<float>` widened to double for exact,
   * order-deterministic arithmetic).
@@ -252,5 +254,66 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
+  }
+
+  /** Sparse all-pairs cosine over shared TOKENS (no embeddings): the
+    * inverted-index similarity join (Bayardo et al.'s all-pairs
+    * problem, re-expressed as three keyed shuffles). Documents are
+    * integer term-frequency vectors; a pair's dot product accumulates
+    * only through tokens BOTH contain, so the plan is:
+    *   1. (doc, token, tf) counts — one groupBy;
+    *   2. document-frequency cap: tokens in > dfCap docs are dropped
+    *      from pairing. This is THE scale lever — a stop-token in n
+    *      docs alone yields n²/2 candidate pairs, and cosine weight
+    *      from ubiquitous tokens is noise anyway (tf-idf intuition:
+    *      idf ≈ 0). Self-join volume is Σ df² over SURVIVING tokens,
+    *      bounded by |tokens| × dfCap;
+    *   3. postings self-join on token (a < b), groupBy pair summing
+    *      tf_a·tf_b → integer dot products;
+    *   4. threshold in INTEGERS: cos ≥ num/den ⟺ den²·dot² ≥
+    *      num²·|a|²·|b|² (dot ≥ 0 here), compared in DECIMAL(38,0) so
+    *      the squares can't wrap a long — no float compare decides
+    *      membership, so the survivor set is bit-stable on any engine.
+    * The reported cosine is IEEE double (sqrt is correctly rounded, so
+    * DuckDB matches exactly at round(..., 6)).
+    *
+    * Output: (id_a, id_b, dot, cos) for pairs with cos ≥ tNum/tDen.
+    */
+  def sparseCosinePairs(df: DataFrame, idCol: String, textCol: String,
+                        dfCap: Long = 100, tNum: Long = 1,
+                        tDen: Long = 2): DataFrame = {
+    val tf = df
+      .select(col(idCol).as("id"),
+        explode(Portable.tokens(col(textCol))).as("token"))
+      .groupBy("id", "token").agg(count(lit(1)).as("tf"))
+    // rare-token postings + per-doc squared norms over the SAME capped
+    // token set (norms must match the pairing space or the threshold
+    // algebra breaks); localCheckpoint: tf feeds the cap, both join
+    // sides, and the norms — four consumers of one token explosion
+    val tfc = tf.localCheckpoint()
+    val kept = tfc.groupBy("token")
+      .agg(count(lit(1)).as("df"))
+      .filter(col("df") <= dfCap)
+      .select("token")
+    val postings = tfc.join(kept, "token")
+    val norms = postings.groupBy("id")
+      .agg(sum(col("tf") * col("tf")).as("norm2"))
+    val a = postings.select(col("token"), col("id").as("id_a"),
+      col("tf").as("tf_a"))
+    val b = postings.select(col("token"), col("id").as("id_b"),
+      col("tf").as("tf_b"))
+    val dots = a.join(b, Seq("token"))
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(col("tf_a") * col("tf_b")).as("dot"))
+    dots
+      .join(norms.select(col("id").as("id_a"), col("norm2").as("na")), "id_a")
+      .join(norms.select(col("id").as("id_b"), col("norm2").as("nb")), "id_b")
+      .filter(lit(tDen * tDen) * col("dot").cast("decimal(38,0)") *
+        col("dot") >=
+        lit(tNum * tNum) * col("na").cast("decimal(38,0)") * col("nb"))
+      .select(col("id_a"), col("id_b"), col("dot"),
+        round(col("dot") / sqrt((col("na") * col("nb")).cast("double")), 6)
+          .as("cos"))
   }
 }

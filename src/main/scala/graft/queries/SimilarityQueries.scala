@@ -104,6 +104,13 @@ object SimilarityQueries {
         .filter(col("cos_sim") >= 0.35)
         .orderBy("id_a", "id_b")
     }),
+
+    // sparse all-pairs cosine over shared TOKENS (documents table, no
+    // embeddings): inverted-index join, df-capped, integer-thresholded
+    "q_sparse_simjoin" -> ((s, d) =>
+      Similarity.sparseCosinePairs(Tables.documents(s, d), "doc_id",
+        "text", dfCap = 50, tNum = 1, tDen = 2)
+        .orderBy("id_a", "id_b")),
   )
 
   // ---- oracle SQL ----
@@ -229,5 +236,30 @@ object SimilarityQueries {
          |QUALIFY row_number() OVER w <= $K
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    // mirror of Similarity.sparseCosinePairs(dfCap=50, t=1/2); the
+    // membership test is the same integer inequality (HUGEINT so the
+    // squares can't wrap), only the reported cos touches doubles
+    "q_sparse_simjoin" ->
+      s"""WITH tf AS (SELECT id, token, count(*) AS tf FROM (
+         |    SELECT doc_id AS id,
+         |      unnest(${graft.functions.Portable.tokensSql("text")}) AS token
+         |    FROM documents) GROUP BY 1, 2),
+         |kept AS (SELECT token FROM tf GROUP BY token
+         |  HAVING count(*) <= 50),
+         |p AS (SELECT tf.* FROM tf JOIN kept USING (token)),
+         |norms AS (SELECT id, sum(tf*tf) AS norm2 FROM p GROUP BY id),
+         |dots AS (SELECT a.id AS id_a, b.id AS id_b,
+         |    CAST(sum(a.tf * b.tf) AS BIGINT) AS dot
+         |  FROM p a JOIN p b ON a.token = b.token AND a.id < b.id
+         |  GROUP BY 1, 2)
+         |SELECT id_a, id_b, dot,
+         |  round(dot / sqrt(CAST(na.norm2 * nb.norm2 AS DOUBLE)), 6) AS cos
+         |FROM dots
+         |JOIN norms na ON na.id = id_a
+         |JOIN norms nb ON nb.id = id_b
+         |WHERE 4 * CAST(dot AS HUGEINT) * dot
+         |      >= CAST(na.norm2 AS HUGEINT) * nb.norm2
+         |ORDER BY id_a, id_b""".stripMargin,
   )
 }

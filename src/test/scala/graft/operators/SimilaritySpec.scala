@@ -89,4 +89,29 @@ class SimilaritySpec extends SparkSpec {
     assert(r.contains(2L), "near-identical vector must share the bucket")
     assert(!r.contains(4L), "opposite vector must hash to another bucket")
   }
+
+  test("sparseCosinePairs: exact integer dots, df cap, threshold") {
+    val d = Seq(
+      (1L, "apple banana apple"),       // tf: apple 2, banana 1 → |v|²=5
+      (2L, "apple banana cherry"),      // all tf 1 → |v|²=3
+      (3L, "cherry date elderberry"),   // shares only cherry with 2
+      (4L, "fig grape honeydew"),       // shares nothing
+    ).toDF("doc_id", "text")
+    val got = Similarity.sparseCosinePairs(d, "doc_id", "text",
+      dfCap = 10, tNum = 1, tDen = 2)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getDouble(3)))
+      .toMap
+    // (1,2): dot = 2·1 + 1·1 = 3, cos = 3/√15 ≈ 0.7746 → kept
+    assert(got((1L, 2L))._1 == 3L)
+    assert(math.abs(got((1L, 2L))._2 - 3.0 / math.sqrt(15.0)) < 1e-6)
+    // (2,3): dot = 1, cos = 1/3 < 1/2 → integer test must drop it
+    assert(!got.contains((2L, 3L)), s"sub-threshold pair leaked: $got")
+    assert(!got.keys.exists(p => p._1 == 4L || p._2 == 4L))
+    // df cap: with dfCap=1, apple/banana/cherry (df 2) drop out of the
+    // pairing space entirely → no pairs at all
+    val capped = Similarity.sparseCosinePairs(d, "doc_id", "text",
+      dfCap = 1, tNum = 1, tDen = 2).count()
+    assert(capped == 0, "df-capped tokens must not pair")
+  }
 }
