@@ -321,6 +321,50 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"))
       .filter(col("n_docs") >= minDocs)
 
+  /** n-gram coverage score — the LM-lite fluency proxy: what fraction
+    * of a doc's distinct k-shingles also occur in at least `minDf`
+    * OTHER corpus docs? A true LM perplexity filter needs float
+    * log-probs (never bit-stable cross-engine) and a trained model;
+    * shingle coverage is the integer-exact stand-in with the same
+    * discriminative shape — gibberish and boilerplate-free OCR noise
+    * score near 0 because their word sequences recur nowhere, while
+    * ordinary prose overlaps the corpus heavily. Scores are ratios of
+    * integer counts (round 6 only at the edge), so the gate decision
+    * is engine-portable.
+    *
+    * Plan: one distinct (doc, shingle) table localCheckpoint'ed to
+    * feed both sides; df per shingle is a map-side-combined groupBy;
+    * "known" = df ≥ minDf+1 total docs (the doc itself plus minDf
+    * others when counting its own shingle) is a broadcast-free
+    * shingle-keyed join; one groupBy per doc scores. Shuffles carry
+    * shingles and doc ids only.
+    *
+    * Output: (idCol, n_shingles, n_known, coverage) for every doc;
+    * docs shorter than k tokens get 0 shingles and null coverage.
+    */
+  def ngramCoverage(df: DataFrame, idCol: String, textCol: String,
+                    k: Int = 3, minDf: Long = 3): DataFrame = {
+    val sh = Dedup.docShingles(df, idCol, textCol, k, dedup = true)
+      .localCheckpoint()
+    val common = sh.groupBy("shingle")
+      .agg(count(lit(1)).as("df"))
+      // the doc itself always counts itself once — "minDf others"
+      .filter(col("df") >= minDf + 1)
+      .select("shingle")
+    val known = sh.join(common, Seq("shingle"), "left_semi")
+      .groupBy(col(idCol)).agg(count(lit(1)).as("n_known"))
+    val totals = sh.groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_shingles"))
+    df.select(col(idCol))
+      .join(totals, Seq(idCol), "left")
+      .join(known, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_shingles"), lit(0L)).as("n_shingles"),
+        coalesce(col("n_known"), lit(0L)).as("n_known"),
+        round(coalesce(col("n_known"), lit(0L)).cast("double")
+          / col("n_shingles"), 6).as("coverage"))
+  }
+
   /** Per-group top-k characteristic terms by a LOG-FREE tf-idf score:
     * score = tf × N / df (tf = term count within the group, df =
     * distinct docs containing the term, N = corpus doc count). The

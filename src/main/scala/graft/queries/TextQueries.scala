@@ -19,6 +19,12 @@ object TextQueries {
   private val toksSql = graft.functions.Portable.tokensSql("text")
 
   val queries: Map[String, Q] = Map(
+    // n-gram coverage: the LM-lite fluency gate
+    "q_ngram_coverage" -> ((s, d) =>
+      TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
+        k = 3, minDf = 3)
+        .orderBy("doc_id")),
+
     // token statistics — one narrow pass, no shuffle
     "q_text_stats" -> ((s, d) =>
       TextOps.withTokenStats(Tables.documents(s, d), "text")
@@ -123,6 +129,29 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // mirror of TextOps.ngramCoverage(k=3, minDf=3): known = shingle in
+    // ≥ minDf+1 docs total (the doc counts itself once)
+    "q_ngram_coverage" ->
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |sh0 AS (SELECT doc_id,
+         |  unnest(${graft.functions.Portable.shinglesSql("t", 3)}) AS s
+         |  FROM toks),
+         |sh AS (SELECT DISTINCT doc_id, s FROM sh0),
+         |common AS (SELECT s FROM sh GROUP BY s HAVING count(*) >= 4),
+         |known AS (SELECT doc_id, count(*) AS n_known
+         |  FROM sh JOIN common USING (s) GROUP BY 1),
+         |totals AS (SELECT doc_id, count(*) AS n_shingles
+         |  FROM sh GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(t.n_shingles, 0) AS n_shingles,
+         |  coalesce(k.n_known, 0) AS n_known,
+         |  round(CAST(coalesce(k.n_known, 0) AS DOUBLE) / t.n_shingles, 6)
+         |    AS coverage
+         |FROM documents d
+         |LEFT JOIN totals t USING (doc_id)
+         |LEFT JOIN known k USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin,
+
     "q_text_stats" ->
       s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents)
          |SELECT doc_id,

@@ -230,6 +230,24 @@ class TextDedupSpec extends SparkSpec {
     assert(!kept.contains(2L), "exact dup removed without a separate pass")
   }
 
+  test("ngramCoverage: exact counts, 0-known floor, short-doc null") {
+    val d = Seq(
+      (1L, "a b c d"),        // shingles (a b c),(b c d) — both in docs 1,2,3
+      (2L, "a b c d"),
+      (3L, "a b c d"),
+      (4L, "a b c unique tail"), // (a b c) common; 2 shingles unknown
+      (5L, "xx yy"),          // < k tokens → 0 shingles, null coverage
+    ).toDF("doc_id", "text")
+    val got = TextOps.ngramCoverage(d, "doc_id", "text", k = 3, minDf = 2)
+      .collect()
+      .map(r => r.getLong(0) ->
+        (r.getLong(1), r.getLong(2), Option(r.get(3)))).toMap
+    // minDf=2 → known needs df ≥ 3: (a b c) df 4 ✓, (b c d) df 3 ✓
+    assert(got(1L) == ((2L, 2L, Some(1.0))))
+    assert(got(4L) == ((3L, 1L, Some(0.333333))))
+    assert(got(5L) == ((0L, 0L, None)), "short doc → null coverage")
+  }
+
   test("substringDedup cuts repeated spans everywhere but first occurrence") {
     val d = Seq(
       // keeper: doc 1 holds the first occurrence of the repeated span
