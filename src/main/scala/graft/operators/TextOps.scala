@@ -365,6 +365,73 @@ object TextOps {
           / col("n_shingles"), 6).as("coverage"))
   }
 
+  /** Distributed BPE vocabulary induction — tokenizer merge training
+    * at corpus scale. The scale move is step 0: collapse the corpus to
+    * its WORD HISTOGRAM (one groupBy; 100 TB of text becomes a
+    * vocab-sized (word, freq) table), then every merge round runs over
+    * the histogram only:
+    *   1. adjacent-pair counts: one explode over each word's current
+    *      symbol array, weighted by freq, map-side combined;
+    *   2. argmax pair (ties break lexicographically — byte order,
+    *      identical on any engine): a 1-row TakeOrdered to the driver,
+    *      a scalar probe, not a data collect;
+    *   3. the merge applied to every word by a left-to-right
+    *      `aggregate` fold. Greedy non-overlap comes free: a merged
+    *      token is strictly longer than its left part, so the fold can
+    *      never re-merge into a token it just created ("aaa" + (a,a) →
+    *      [aa, a], never [aa, aa← overlap]).
+    * Per-round lineage is truncated with localCheckpoint like the
+    * other iterative operators (connectedComponents, kmeans).
+    *
+    * numMerges is small here; a production 32k-merge run amortizes the
+    * same plan — the histogram build dominates and runs once.
+    *
+    * Returns (rank, lhs, rhs, cnt): the ordered merge table, which IS
+    * the tokenizer (apply merges in rank order to encode).
+    */
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    val words = df
+      .select(explode(Portable.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+    var seg = words.select(col("word"), col("freq"),
+      transform(sequence(lit(1), length(col("word"))),
+        i => col("word").substr(i, lit(1))).as("seg"))
+      .localCheckpoint()
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    var exhausted = false
+    while (r <= numMerges && !exhausted) {
+      val top = seg
+        .select(col("freq"), explode(zip_with(
+          slice(col("seg"), lit(1), size(col("seg")) - 1),
+          slice(col("seg"), lit(2), size(col("seg")) - 1),
+          (x, y) => struct(x.as("a"), y.as("b")))).as("p"))
+        .groupBy(col("p.a").as("a"), col("p.b").as("b"))
+        .agg(sum(col("freq")).as("cnt"))
+        .orderBy(desc("cnt"), col("a"), col("b"))
+        .limit(1).collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val (a, b, cnt) = (top(0).getString(0), top(0).getString(1),
+          top(0).getLong(2))
+        merges += ((r, a, b, cnt))
+        val ab = a + b
+        seg = seg.select(col("word"), col("freq"),
+          aggregate(col("seg"), typedLit(Seq.empty[String]), (acc, s) =>
+            when(size(acc) > 0 &&
+              element_at(acc, -1) === lit(a) && s === lit(b),
+              concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
+              .otherwise(concat(acc, array(s)))).as("seg"))
+          .localCheckpoint()
+        r += 1
+      }
+    }
+    import spark.implicits._
+    merges.result().toDF("rank", "lhs", "rhs", "cnt")
+  }
+
   /** Per-group top-k characteristic terms by a LOG-FREE tf-idf score:
     * score = tf × N / df (tf = term count within the group, df =
     * distinct docs containing the term, N = corpus doc count). The

@@ -19,6 +19,11 @@ object TextQueries {
   private val toksSql = graft.functions.Portable.tokensSql("text")
 
   val queries: Map[String, Q] = Map(
+    // BPE merge training on the corpus word histogram
+    "q_bpe_merges" -> ((s, d) =>
+      TextOps.bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
+        .orderBy("rank")),
+
     // n-gram coverage: the LM-lite fluency gate
     "q_ngram_coverage" -> ((s, d) =>
       TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
@@ -128,7 +133,62 @@ object TextQueries {
     s"CASE WHEN mx <= 0 THEN 'und' $arms END"
   }
 
+  /** Unrolled-round mirror of [[TextOps.bpeTrain]]. The Spark fold's
+    * greedy left-to-right non-overlap is expressed relationally as the
+    * PARITY RULE: within each maximal run of consecutive match
+    * positions, merge the 1st, 3rd, 5th… (runs longer than 1 only
+    * happen when lhs == rhs, and there the fold provably merges at
+    * even offsets — same set). Each round is three CTEs: pair
+    * argmax → kept match positions → rebuilt segmentation.
+    */
+  private def bpeOracleSql(numMerges: Int): String = {
+    val init =
+      s"""words AS MATERIALIZED (SELECT word, count(*) AS freq FROM (
+         |    SELECT unnest($toksSql) AS word FROM documents)
+         |  WHERE len(word) > 0 GROUP BY 1),
+         |seg0 AS MATERIALIZED (SELECT word, freq,
+         |  list_transform(generate_series(1, len(word)), i -> word[i]) AS seg
+         |  FROM words)""".stripMargin
+    val rounds = (1 to numMerges).map { r =>
+      val prev = s"seg${r - 1}"
+      s"""pc$r AS MATERIALIZED (SELECT seg[i] AS a, seg[i + 1] AS b,
+         |    CAST(sum(freq) AS BIGINT) AS cnt
+         |  FROM (SELECT freq, seg, unnest(generate_series(1, len(seg) - 1))
+         |          AS i FROM $prev WHERE len(seg) > 1)
+         |  GROUP BY 1, 2),
+         |m$r AS MATERIALIZED (SELECT a, b, cnt FROM pc$r ORDER BY cnt DESC, a, b LIMIT 1),
+         |pos$r AS MATERIALIZED (SELECT word, freq, seg,
+         |    unnest(generate_series(1, len(seg))) AS i FROM $prev),
+         |mt$r AS MATERIALIZED (SELECT p.word, p.i FROM pos$r p, m$r m
+         |  WHERE p.i < len(p.seg) AND p.seg[p.i] = m.a
+         |    AND p.seg[p.i + 1] = m.b),
+         |kp$r AS MATERIALIZED (SELECT word, i FROM (
+         |  SELECT word, i, row_number()
+         |      OVER (PARTITION BY word, i - rn ORDER BY i) AS rk
+         |  FROM (SELECT word, i, row_number()
+         |          OVER (PARTITION BY word ORDER BY i) AS rn FROM mt$r))
+         |  WHERE rk % 2 = 1),
+         |seg$r AS MATERIALIZED (SELECT p.word, p.freq,
+         |    list(CASE WHEN k.i IS NOT NULL THEN p.seg[p.i] || p.seg[p.i + 1]
+         |              ELSE p.seg[p.i] END ORDER BY p.i) AS seg
+         |  FROM pos$r p
+         |  LEFT JOIN kp$r k ON k.word = p.word AND k.i = p.i
+         |  LEFT JOIN kp$r k2 ON k2.word = p.word AND k2.i = p.i - 1
+         |  WHERE k2.i IS NULL
+         |  GROUP BY p.word, p.freq)""".stripMargin
+    }
+    val out = (1 to numMerges)
+      .map(r => s"SELECT CAST($r AS INT) AS rank, a AS lhs, b AS rhs, cnt FROM m$r")
+      .mkString("\nUNION ALL ")
+    s"""WITH $init,
+       |${rounds.mkString(",\n")}
+       |$out
+       |ORDER BY rank""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
+    "q_bpe_merges" -> bpeOracleSql(8),
+
     // mirror of TextOps.ngramCoverage(k=3, minDf=3): known = shingle in
     // ≥ minDf+1 docs total (the doc counts itself once)
     "q_ngram_coverage" ->

@@ -230,6 +230,28 @@ class TextDedupSpec extends SparkSpec {
     assert(!kept.contains(2L), "exact dup removed without a separate pass")
   }
 
+  test("bpeTrain: hand-computed merge sequence with deterministic ties") {
+    val d = Seq((1L, "low lower low"), (2L, "new newer")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(d, "text", numMerges = 3)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // r1: (l,o)=3 ties (o,w)=3 → lex smallest lhs wins
+    // r2: (lo,w)=3   r3: (e,r)=(e,w)=(n,e)=2 → lex smallest (e,r)
+    assert(got.toSeq == Seq((1, "l", "o", 3L), (2, "lo", "w", 3L),
+      (3, "e", "r", 2L)), got.mkString(", "))
+  }
+
+  test("bpeTrain: greedy left-to-right non-overlap, early exhaustion") {
+    val d = Seq((1L, "aaa")).toDF("doc_id", "text")
+    val got = TextOps.bpeTrain(d, "text", numMerges = 5)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getString(2),
+        r.getLong(3)))
+    // "aaa" → [aa, a] (2 overlapping candidates, ONE merge), then
+    // [aaa], then no pairs left → stops at 2 merges, not 5
+    assert(got.toSeq == Seq((1, "a", "a", 2L), (2, "aa", "a", 1L)),
+      got.mkString(", "))
+  }
+
   test("ngramCoverage: exact counts, 0-known floor, short-doc null") {
     val d = Seq(
       (1L, "a b c d"),        // shingles (a b c),(b c d) — both in docs 1,2,3
