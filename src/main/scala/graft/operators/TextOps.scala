@@ -389,7 +389,24 @@ object TextOps {
     * Returns (rank, lhs, rhs, cnt): the ordered merge table, which IS
     * the tokenizer (apply merges in rank order to encode).
     */
-  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame = {
+  def bpeTrain(df: DataFrame, textCol: String, numMerges: Int): DataFrame =
+    bpeLoop(df, textCol, numMerges)._1
+
+  /** The trained SEGMENTATION TABLE — how every corpus word tokenizes
+    * after `numMerges` merges. This IS the encoder at scale: encoding
+    * a corpus is a broadcast join of its words against this table
+    * (vocab-sized), never a re-run of the merge scan per document.
+    * Returns (word, freq, seg_csv) — the symbol sequence joined with
+    * U+241F so the oracle compare is a plain string match.
+    */
+  def bpeSegmentation(df: DataFrame, textCol: String,
+                      numMerges: Int): DataFrame =
+    bpeLoop(df, textCol, numMerges)._2
+      .select(col("word"), col("freq"),
+        array_join(col("seg"), "␟").as("seg_csv"))
+
+  private def bpeLoop(df: DataFrame, textCol: String,
+                      numMerges: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession
     val words = df
       .select(explode(Portable.tokens(col(textCol))).as("word"))
@@ -429,7 +446,7 @@ object TextOps {
       }
     }
     import spark.implicits._
-    merges.result().toDF("rank", "lhs", "rhs", "cnt")
+    (merges.result().toDF("rank", "lhs", "rhs", "cnt"), seg)
   }
 
   /** Per-group top-k characteristic terms by a LOG-FREE tf-idf score:

@@ -24,6 +24,12 @@ object TextQueries {
       TextOps.bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
         .orderBy("rank")),
 
+    // the trained segmentation table (the encoder lookup at scale)
+    "q_bpe_segment" -> ((s, d) =>
+      TextOps.bpeSegmentation(Tables.documents(s, d), "text",
+        numMerges = 8)
+        .orderBy("word")),
+
     // n-gram coverage: the LM-lite fluency gate
     "q_ngram_coverage" -> ((s, d) =>
       TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
@@ -186,8 +192,21 @@ object TextQueries {
        |ORDER BY rank""".stripMargin
   }
 
+  /** Same unrolled rounds, selecting the final segmentation instead of
+    * the merge list — the [[TextOps.bpeSegmentation]] mirror.
+    */
+  private def bpeSegOracleSql(numMerges: Int): String = {
+    val body = bpeOracleSql(numMerges)
+    val withPart = body.substring(0, body.lastIndexOf("SELECT CAST(1 AS INT)"))
+    s"""${withPart.trim.stripSuffix(",")}
+       |SELECT word, freq, array_to_string(seg, '␟') AS seg_csv
+       |FROM seg$numMerges
+       |ORDER BY word""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracleSql(8),
+    "q_bpe_segment" -> bpeSegOracleSql(8),
 
     // mirror of TextOps.ngramCoverage(k=3, minDf=3): known = shingle in
     // ≥ minDf+1 docs total (the doc counts itself once)

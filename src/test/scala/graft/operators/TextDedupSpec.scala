@@ -241,6 +241,18 @@ class TextDedupSpec extends SparkSpec {
       (3, "e", "r", 2L)), got.mkString(", "))
   }
 
+  test("bpeSegmentation: the trained encoder table after 3 merges") {
+    val d = Seq((1L, "low lower low"), (2L, "new newer")).toDF("doc_id", "text")
+    val got = TextOps.bpeSegmentation(d, "text", numMerges = 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getString(2)))
+      .toMap
+    // merges: (l,o), (lo,w), (e,r)
+    assert(got("low") == ((2L, "low")))
+    assert(got("lower") == ((1L, "low␟er")))
+    assert(got("newer") == ((1L, "n␟e␟w␟er")))
+    assert(got("new") == ((1L, "n␟e␟w")))
+  }
+
   test("bpeTrain: greedy left-to-right non-overlap, early exhaustion") {
     val d = Seq((1L, "aaa")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(d, "text", numMerges = 5)
