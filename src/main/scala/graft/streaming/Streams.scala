@@ -338,6 +338,26 @@ object Streams {
       graft.operators.TextOps.repetitionPassLocal(col(textCol)) &&
         size(graft.functions.Portable.tokens(col(textCol))) >= minTokens)
 
+  /** Streaming DECONTAMINATION gate against a benchmark-set bloom
+    * sketch: drop any arriving doc sharing a k-shingle that the bloom
+    * reports as possibly-benchmark. Because the bitset rides the plan
+    * as a literal, the probe is row-local — stateless, no stream-static
+    * join, no state store — which is exactly what an ingest stream
+    * wants. Tradeoff vs the batch [[graft.operators.Curation
+    * .decontaminateBloom]]: no exact verification pass, so bloom FALSE
+    * POSITIVES are dropped too — the conservative direction for
+    * decontamination (never admits a contaminated doc; loses ~fp-rate
+    * of clean ones). Size mBits accordingly.
+    */
+  def streamingDecontamGate(docs: DataFrame, textCol: String,
+                            bloomBits: Array[Long], mBits: Int,
+                            numHashes: Int, k: Int = 3): DataFrame =
+    docs.filter(!exists(
+      graft.functions.Portable.shingles(
+        graft.functions.Portable.tokens(col(textCol)), k),
+      s => graft.functions.Bloom.mightContain(s, bloomBits, mBits,
+        numHashes)))
+
   // ---- streaming as-of enrichment ----
 
   /** One tagged row of the merged as-of stream: side 0 = reference

@@ -106,6 +106,37 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming decontam gate drops bloom hits row-locally") {
+    import graft.functions.Bloom
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val bench = Seq((1L, "the secret benchmark prompt lives here"))
+      .toDF("doc_id", "text")
+    val (mBits, nh) = (1 << 12, 4)
+    val bits = Bloom.build(
+      Dedup.docShingles(bench, "doc_id", "text", 3, dedup = false)
+        .select("shingle").distinct(), "shingle", mBits, nh)
+
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingDecontamGate(
+      in.toDF().toDF("doc_id", "text"), "text", bits, mBits, nh)
+      .writeStream.format("memory").queryName("decontam_gate")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        // shares the 3-shingle "secret benchmark prompt" → dropped
+        (10L, "leaked copy of the secret benchmark prompt found online"),
+        // clean doc → survives
+        (11L, "an unrelated training document about distributed joins"),
+        // short doc (no 3-shingles) → survives
+        (12L, "too short"))
+      q.processAllAvailable()
+      val out = spark.table("decontam_gate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(out == Set(11L, 12L), s"got $out")
+    } finally q.stop()
+  }
+
   test("signature-maintaining ingest dedups batch 2 against batch 1's appends") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
