@@ -256,6 +256,46 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Quantized-coarse / exact-fine ANN: rank candidates by the INT8
+    * integer dot product, rescore only the top `candidates` with the
+    * exact float cosine. This is the memory-bandwidth lever for ANN at
+    * corpus scale — the coarse pass streams 1-byte components (8×
+    * smaller scans than float64, 4× than float32) and its arithmetic
+    * is INTEGER (exact, order-independent, engine-portable); floats
+    * only touch the `candidates`-per-query rescore set. Recall loss is
+    * bounded by quantization error (≤ scale/2 per component, spec'd in
+    * [[quantizeInt8]]); candidates ≫ k buys it back.
+    *
+    * approx score = q_scale·c_scale·(q̂·ĉ) — the dequantized dot — so
+    * ranking is by approximate DOT; like IVF probing this assumes
+    * near-normalized embeddings (the common case for learned
+    * encoders). Both rank stages break ties by neighbor id.
+    */
+  def int8RescoreTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                      vecCol: String, k: Int,
+                      candidates: Int = 10): DataFrame = {
+    val q = quantizeInt8(
+      queries.select(col(idCol).as("query_id"),
+        col(vecCol).cast("array<double>").as("qv")), "qv")
+      .select(col("query_id"), col("qv"),
+        col("q_scale").as("qs"), col("q_vec").as("qq"))
+    val c = quantizeInt8(
+      corpus.select(col(idCol).as("neighbor_id"),
+        col(vecCol).cast("array<double>").as("cv")), "cv")
+      .select(col("neighbor_id"), col("cv"),
+        col("q_scale").as("cs"), col("q_vec").as("cq"))
+    val idot = aggregate(
+      zip_with(col("qq"), col("cq"), (x, y) => x * y),
+      lit(0L), (acc, x) => acc + x)
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", col("qs") * col("cs") * idot)
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= candidates)
+    rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
+  }
+
   /** Sparse all-pairs cosine over shared TOKENS (no embeddings): the
     * inverted-index similarity join (Bayardo et al.'s all-pairs
     * problem, re-expressed as three keyed shuffles). Documents are

@@ -105,6 +105,13 @@ object SimilarityQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // int8 coarse search (integer dot on quantized vectors) + exact
+    // float rescore of the top-10 candidates
+    "q_ann_int8" -> ((s, d) =>
+      Similarity.int8RescoreTopK(queriesDf(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", K, candidates = 10)
+        .orderBy("query_id", "rank")),
+
     // sparse all-pairs cosine over shared TOKENS (documents table, no
     // embeddings): inverted-index join, df-capped, integer-thresholded
     "q_sparse_simjoin" -> ((s, d) =>
@@ -233,6 +240,39 @@ object SimilarityQueries {
          |  neighbor_id, round(cos, 6) AS cos_sim
          |FROM scored
          |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // mirror of Similarity.int8RescoreTopK(k=3, candidates=10):
+    // quantize exactly as q_embed_quantize, integer dot chain (int
+    // addition is associative — no fold-order concern), approx =
+    // (qs*cs)*idot left-assoc like Spark, two QUALIFY rank stages
+    "q_ann_int8" -> {
+      val qvec = (v: String, s: String) =>
+        s"""CASE WHEN $s = 0 THEN list_transform($v, x -> 0)
+           |    ELSE list_transform($v, x -> GREATEST(-127, LEAST(127,
+           |      CAST(floor(x / $s + 0.5) AS INT)))) END""".stripMargin
+      val idot = (1 to Dim).map(i => s"CAST(q.qq[$i] AS BIGINT)*c.qq[$i]")
+        .mkString(" + ")
+      s"""WITH $vecsCte,
+         |qz AS (SELECT vec_id, v,
+         |    list_max(list_transform(v, x -> abs(x))) / 127.0 AS s
+         |  FROM vecs),
+         |qq AS (SELECT vec_id, v, s, ${qvec("v", "s")} AS qq FROM qz),
+         |q AS (SELECT vec_id AS query_id, v AS qv, s AS qs, qq
+         |  FROM qq WHERE $QueryFilter),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    q.qv, c.v AS cv
+         |  FROM q JOIN qq c ON q.query_id <> c.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY (q.qs * c.s) * ($idot) DESC, c.vec_id) <= 10)
+         |SELECT query_id,
+         |  CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |FROM cand
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= $K
          |ORDER BY query_id, rank""".stripMargin
     },

@@ -90,6 +90,17 @@ class SimilaritySpec extends SparkSpec {
     assert(!r.contains(4L), "opposite vector must hash to another bucket")
   }
 
+  test("int8RescoreTopK: equals brute force when candidates cover corpus") {
+    val q = vecs.filter($"vec_id" === 1L)
+    val exact = Similarity.bruteForceTopK(q, vecs, "vec_id", "embedding", 3)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    val viaInt8 = Similarity.int8RescoreTopK(q, vecs, "vec_id", "embedding",
+      3, candidates = 100)
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getLong(2)))
+    assert(viaInt8.toSeq == exact.toSeq,
+      "full-candidate rescore must reduce to exact brute force")
+  }
+
   test("sparseCosinePairs: exact integer dots, df cap, threshold") {
     val d = Seq(
       (1L, "apple banana apple"),       // tf: apple 2, banana 1 → |v|²=5
