@@ -152,4 +152,41 @@ class PlanAuditSpec extends SparkSpec {
     assert(exchanges.nonEmpty && exchanges.forall(_.startsWith("source")),
       s"expected exactly the groupCol shuffle, got $exchanges:\n$plan")
   }
+
+  test("substringDedup shuffles only on shingle / doc id / position") {
+    val plan = finalPlan(graft.operators.Dedup.substringDedup(
+      Tables.documents(spark, sf), "doc_id", "text", k = 6))
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"span dedup must never go doc × doc:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      e.startsWith("shingle") || e.startsWith("doc_id") ||
+        e.startsWith("pos")),
+      s"every shuffle must key on shingle/doc_id/pos, got $exchanges")
+  }
+
+  test("sparseCosinePairs aggregates partially and keys on token/id") {
+    val plan = finalPlan(graft.operators.Similarity.sparseCosinePairs(
+      Tables.documents(spark, sf), "doc_id", "text", dfCap = 50))
+      .split("== Initial Plan ==").head
+    assert(plan.contains("partial_count") || plan.contains("partial_sum"),
+      s"tf/df counting must map-side combine:\n$plan")
+    val exchanges = "Exchange hashpartitioning\\(([a-zA-Z_0-9#]+)"
+      .r.findAllMatchIn(plan).map(_.group(1)).toList
+    assert(exchanges.nonEmpty && exchanges.forall(e =>
+      e.startsWith("token") || e.startsWith("id")),
+      s"shuffles must key on token or doc id, got $exchanges")
+  }
+
+  test("int8 ANN candidate stage executes on the GroupedTopK heap") {
+    val q = Tables.embeddings(spark, sf).filter(expr("vec_id % 50 = 0"))
+    val plan = finalPlan(graft.operators.Similarity.int8RescoreTopK(
+      q, Tables.embeddings(spark, sf), "vec_id", "embedding", 3,
+      candidates = 10))
+    assert(plan.contains("GroupedTopK "),
+      s"both rank stages must run the bounded heap, not WindowExec:\n$plan")
+  }
 }
