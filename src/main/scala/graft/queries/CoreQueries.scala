@@ -396,6 +396,14 @@ object CoreQueries {
     "q_skew_report" -> ((s, d) =>
       graft.operators.Scale.skewReport(Tables.events(s, d), "user_id", 10)),
 
+    // global dense ids via sort + zipWithIndex — the distributed
+    // replacement for the single-partition global window
+    "q_dense_ids" -> ((s, d) =>
+      graft.operators.Scale.denseIds(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        Seq(col("source"), col("n_chars").desc, col("doc_id")), "rid")
+        .orderBy("rid")),
+
     // S5 — JDBC round-trip through an embedded Derby database (the
     // derby jars ship with Spark): overwrite-mode write with the
     // reference's 1000-row batching, then spark.read.jdbc back. The
@@ -723,6 +731,11 @@ object CoreQueries {
         |  CAST(l_linenumber AS BIGINT) AS l_linenumber, l_quantity,
         |  CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
+
+    "q_dense_ids" ->
+      """SELECT doc_id, source, n_chars,
+        |  row_number() OVER (ORDER BY source, n_chars DESC, doc_id) AS rid
+        |FROM documents ORDER BY rid""".stripMargin,
 
     "q_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -106,6 +106,19 @@ class ScaleSpec extends SparkSpec {
       ("c", 1L, 0.1, 1L)))
   }
 
+  test("denseIds: global order ids with no single-partition window") {
+    import org.apache.spark.sql.functions.col
+    val df = Seq((30L, "b"), (10L, "a"), (20L, "a"), (40L, "c"))
+      .toDF("k", "grp")
+    val out = Scale.denseIds(df, Seq(col("grp"), col("k")), "rid")
+    val got = out.collect().map(r => (r.getLong(0), r.getString(1),
+      r.getLong(2))).sortBy(_._3)
+    assert(got.toSeq == Seq((10L, "a", 1L), (20L, "a", 2L),
+      (30L, "b", 3L), (40L, "c", 4L)))
+    assert(!out.queryExecution.executedPlan.toString.contains("Window"),
+      "denseIds must not plan a window at all")
+  }
+
   test("salted right/full outer is rejected — replication would dup rows") {
     val left = Seq((1L, "a")).toDF("k", "lv")
     val right = Seq((1L, "dim"), (2L, "orphan")).toDF("k", "rv")
