@@ -27,7 +27,12 @@ object Bench {
     // absorb JVM/codegen/scheduler startup so the first measured query
     // isn't charged ~2s of warmup
     spark.range(1000000L).selectExpr("sum(id)").collect()
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // optional comma-separated query filter for local iteration; the
+    // driver invokes with no args (full sweep)
+    val only = if (args.nonEmpty) Some(args(0).split(",").toSet) else None
+    val selected = SparkEntry.queries
+      .filter { case (n, _) => only.forall(_.contains(n)) }
+    val results = selected.map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
         try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }

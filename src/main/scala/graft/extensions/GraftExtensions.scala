@@ -7,7 +7,7 @@ import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 
-import graft.expressions.{CosineSimilarity, DotProduct, NfcNormalize}
+import graft.expressions.{BloomAnyContain, BloomShingleContain, CosineSimilarity, DotProduct, NfcNormalize}
 
 /** Catalyst rule: rewrite the declarative dot-product pattern
   *
@@ -67,6 +67,41 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_any_contain"),
+      new ExpressionInfo(classOf[BloomAnyContain].getName,
+        "bloom_any_contain"),
+      (args: Seq[Expression]) => {
+        // bitset + sizing arrive as literals (see BloomExpressions);
+        // unwrap ONCE at resolution so the expression holds a plain
+        // long[] — never per-row literal traversal
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        (args(1), args(2), args(3)) match {
+          case (Literal(w: ArrayData, _), Literal(m: Int, _),
+                Literal(k: Int, _)) =>
+            BloomAnyContain(args(0), w.toLongArray(), m, k)
+          case other => throw new IllegalArgumentException(
+            s"bloom_any_contain(arr, bits, mBits, numHashes) needs " +
+              s"literal bits/sizes, got $other")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("bloom_shingle_contain"),
+      new ExpressionInfo(classOf[BloomShingleContain].getName,
+        "bloom_shingle_contain"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        (args(1), args(2), args(3), args(4)) match {
+          case (Literal(k: Int, _), Literal(w: ArrayData, _),
+                Literal(m: Int, _), Literal(nh: Int, _)) =>
+            BloomShingleContain(args(0), k, w.toLongArray(), m, nh)
+          case other => throw new IllegalArgumentException(
+            s"bloom_shingle_contain(text, k, bits, mBits, numHashes) " +
+              s"needs literal k/bits/sizes, got $other")
+        }
+      }))
     ext.injectOptimizerRule(_ => NativeDotProductRule)
     // opt-in: spark.graft.pivotRewrite=true (see JoinChainToPivotRule)
     ext.injectOptimizerRule(_ => JoinChainToPivotRule)

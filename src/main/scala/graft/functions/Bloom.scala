@@ -12,11 +12,18 @@ import org.apache.spark.sql.functions._
   * executor as one plan literal. Why not Spark's runtime bloom
   * pruning (`spark.sql.optimizer.runtime.bloomFilter.enabled`)? That
   * fires only on equi-join shapes the optimizer picks, and its
-  * `BloomFilterAggregate` bits are JVM-internal; this one is explicit,
-  * composable with row-local HOFs (`exists` over a shingle array needs
-  * no join at all), and its bit positions are md5-prefix arithmetic
-  * ([[Portable.hash32]] on seeded prefixes) — reproducible on any
-  * engine, so a filter built today validates bit-for-bit tomorrow.
+  * `BloomFilterAggregate` bits are JVM-internal; this one is explicit
+  * and composable with row-local HOFs (`exists` over a shingle array
+  * needs no join at all).
+  *
+  * Hashing: seeded `xxhash64` — codegen'd and an order of magnitude
+  * cheaper than the repo's md5-prefix portable hash. Cross-engine bit
+  * portability is deliberately NOT claimed: the filter is a pruning
+  * sketch whose passes are verified exactly downstream, so the only
+  * determinism that matters is build-probe agreement within the run —
+  * and xxhash64 is stable for Spark regardless of partitioning. (The
+  * exactness-checked oracles for bloom-pruned operators are the
+  * EXACT-path SQL, never the bits.)
   *
   * Contract: NO false negatives ever (an inserted key always passes);
   * false positives at the classic (1-e^{-kn/m})^k rate — callers must
@@ -27,19 +34,13 @@ import org.apache.spark.sql.functions._
   */
 object Bloom {
 
-  /** k bit positions for a value: seeded md5-prefix hashes mod mBits.
-    * Engine-portable — [[bitPositionsSql]] is the DuckDB mirror.
+  /** k bit positions for a value: seeded xxhash64 mod mBits (pmod —
+    * xxhash64 is signed).
     */
   def bitPositions(c: Column, mBits: Int, numHashes: Int): Column =
     array((0 until numHashes).map { i =>
-      Portable.hash32(concat(lit(s"bf$i|"), c)) % mBits
+      pmod(xxhash64(lit(i), c), lit(mBits.toLong))
     }: _*)
-
-  /** DuckDB mirror of [[bitPositions]] as a list expression. */
-  def bitPositionsSql(e: String, mBits: Int, numHashes: Int): String =
-    (0 until numHashes)
-      .map(i => s"${Portable.hash32Sql(s"concat('bf$i|', $e)")} % $mBits")
-      .mkString("[", ", ", "]")
 
   /** Build the filter from a key frame: one exploded projection, one
     * distinct on the integer bit position (≤ mBits rows reach the

@@ -147,9 +147,12 @@ object Curation {
       .docShingles(bench, idCol, textCol, k, dedup = false)
       .select(col("shingle")).distinct()
     val bits = Bloom.build(benchShingles, "shingle", mBits, numHashes)
+    // fused native probe straight off the text column: the HOF form
+    // re-evaluates the inline split() per shingle (the repo's
+    // documented O(tokens²) trap) and every HOF layer is interpreted
     val candidates = train.filter(
-      exists(Portable.shingles(Portable.tokens(col(textCol)), k),
-        s => Bloom.mightContain(s, bits, mBits, numHashes)))
+      graft.expressions.BloomExpressions.bloomShingleContain(
+        col(textCol), k, bits, mBits, numHashes))
     train.join(contaminatedIds(candidates, bench, idCol, textCol, k),
       Seq(idCol), "left_anti")
   }

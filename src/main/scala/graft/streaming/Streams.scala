@@ -352,11 +352,8 @@ object Streams {
   def streamingDecontamGate(docs: DataFrame, textCol: String,
                             bloomBits: Array[Long], mBits: Int,
                             numHashes: Int, k: Int = 3): DataFrame =
-    docs.filter(!exists(
-      graft.functions.Portable.shingles(
-        graft.functions.Portable.tokens(col(textCol)), k),
-      s => graft.functions.Bloom.mightContain(s, bloomBits, mBits,
-        numHashes)))
+    docs.filter(!graft.expressions.BloomExpressions.bloomShingleContain(
+      col(textCol), k, bloomBits, mBits, numHashes))
 
   // ---- streaming as-of enrichment ----
 

@@ -92,6 +92,53 @@ class CurationSpec extends SparkSpec {
       .select(concat(lit("other_"), $"id").as("k"))
       .filter(Bloom.mightContain($"k", bits, mBits, k)).count()
     assert(fp < 100, s"false-positive rate out of range: $fp/1000")
+    // the codegen'd array probe must agree with the HOF scalar probe
+    // bit-for-bit (build-path hash replication)
+    import org.apache.spark.sql.functions.array
+    import graft.expressions.BloomExpressions.bloomAnyContain
+    val nativeMiss = keys.select(array($"k").as("a"))
+      .filter(!bloomAnyContain($"a", bits, mBits, k)).count()
+    assert(nativeMiss == 0, "native probe produced a false negative")
+    val nativeFp = spark.range(1000)
+      .select(array(concat(lit("other_"), $"id")).as("a"))
+      .filter(bloomAnyContain($"a", bits, mBits, k)).count()
+    assert(nativeFp == fp, s"native fp $nativeFp != HOF fp $fp")
+  }
+
+  test("fused shingle probe agrees with the HOF form everywhere") {
+    import org.apache.spark.sql.functions.{col, exists}
+    import graft.functions.{Bloom, Portable}
+    import graft.expressions.BloomExpressions.bloomShingleContain
+    val (mBits, nh, k) = (1 << 12, 4, 3)
+    // real corpus docs + crafted whitespace edges (tabs, multi-space,
+    // trailing blanks, short docs) — the fused tokenizer must replicate
+    // Portable.tokens/shingles EXACTLY or candidates diverge
+    val real = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text")
+    val crafted = Seq(
+      (9001L, "alpha\tbeta  gamma delta "),
+      (9002L, "  leading and trailing   "),
+      (9003L, "short one"),
+      (9004L, ""),
+      (9005L, "alpha beta gamma")).toDF("doc_id", "text")
+    val docs = real.unionByName(crafted).localCheckpoint()
+    val benchSh = graft.operators.Dedup.docShingles(
+      docs.filter($"doc_id" % 7 === 0), "doc_id", "text", k, dedup = false)
+      .select("shingle").distinct()
+    val bits = Bloom.build(benchSh, "shingle", mBits, nh)
+    // HOF form: materialized token projection (explode barrier), the
+    // shape docShingles uses to dodge the inline-split trap
+    val hof = docs
+      .withColumn("__toks", Portable.tokens(col("text")))
+      .filter(exists(Portable.shingles(col("__toks"), k),
+        s => Bloom.mightContain(s, bits, mBits, nh)))
+      .select("doc_id").as[Long].collect().toSet
+    val fused = docs
+      .filter(bloomShingleContain(col("text"), k, bits, mBits, nh))
+      .select("doc_id").as[Long].collect().toSet
+    assert(fused == hof,
+      s"diverged: fused-only=${fused -- hof}, hof-only=${hof -- fused}")
+    assert(fused.nonEmpty, "sanity: the bench subset must self-hit")
   }
 
   test("decontaminateBloom equals exact decontaminate") {
