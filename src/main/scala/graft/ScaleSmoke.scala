@@ -60,31 +60,37 @@ object ScaleSmoke {
         .count()
     }
 
-    def runTier(rows: Long): (Double, Double, Double) = {
-      val transitive = best2(
+    def runTier(rows: Long): Seq[Double] = Seq(
+      best2(
         Dedup.dedupCorpusTransitive(gen(spark, rows), "doc_id", "text")
-          .count())
-      val pipeline = best2(
+          .count()),
+      best2(
         Curation.curateCorpus(gen(spark, rows), "doc_id", "text", "source")
-          .count())
-      val pr = best2(pagerank(rows))
-      (transitive, pipeline, pr)
-    }
+          .count()),
+      best2(pagerank(rows)),
+      // span-level dedup: shingle-keyed, must scale with token count
+      best2(
+        Dedup.substringDedup(gen(spark, rows), "doc_id", "text", k = 6)
+          .count()),
+      // inverted-index similarity join: df cap bounds the self-join
+      best2(
+        graft.operators.Similarity.sparseCosinePairs(
+          gen(spark, rows), "doc_id", "text", dfCap = 100).count()))
 
-    val (t1, p1, g1) = runTier(n)
-    val (t10, p10, g10) = runTier(n * 10)
-    val rT = t10 / t1
-    val rP = p10 / p1
-    val rG = g10 / g1
-    println(s"""{"metric":"scale_smoke","n":$n,""" +
-      f""""transitive_1x":$t1%.2f,"transitive_10x":$t10%.2f,"transitive_ratio":$rT%.1f,""" +
-      f""""pipeline_1x":$p1%.2f,"pipeline_10x":$p10%.2f,"pipeline_ratio":$rP%.1f,""" +
-      f""""pagerank_1x":$g1%.2f,"pagerank_10x":$g10%.2f,"pagerank_ratio":$rG%.1f,""" +
-      s""""max_ratio":$maxRatio}""")
+    val names = Seq("transitive", "pipeline", "pagerank", "substring",
+      "sparse_sim")
+    val tier1 = runTier(n)
+    val tier10 = runTier(n * 10)
+    val ratios = tier1.zip(tier10).map { case (a, b) => b / a }
+    val body = names.indices.map { i =>
+      f""""${names(i)}_1x":${tier1(i)}%.2f,"${names(i)}_10x":${tier10(i)}%.2f,"${names(i)}_ratio":${ratios(i)}%.1f"""
+    }.mkString(",")
+    println(s"""{"metric":"scale_smoke","n":$n,$body,"max_ratio":$maxRatio}""")
     spark.stop()
-    if (rT > maxRatio || rP > maxRatio || rG > maxRatio) {
-      System.err.println(
-        f"[scale-smoke] FAIL: 10x ratio transitive=$rT%.1f pipeline=$rP%.1f pagerank=$rG%.1f exceeds $maxRatio")
+    if (ratios.exists(_ > maxRatio)) {
+      System.err.println("[scale-smoke] FAIL: " + names.zip(ratios)
+        .map { case (nm, r) => f"$nm=$r%.1f" }.mkString(" ") +
+        s" vs max $maxRatio")
       sys.exit(1)
     }
   }
