@@ -292,6 +292,50 @@ object Dedup {
           / (col("n_a") + col("n_b") - col("n_inter")), 6).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT over LSH-bounded candidates: for each
+    * candidate pair, |A∩B|/|A| and |A∩B|/|B| — the measure Jaccard
+    * blurs. A short doc quoted inside a long one has tiny Jaccard
+    * (union is dominated by the long doc) but containment ≈ 1 in the
+    * short→long direction; that's the wrapper/quotation/boilerplate-
+    * page signature a symmetric threshold silently misses. Plan shape
+    * is identical to [[ngramJaccardLsh]] (shingle-keyed intersection
+    * over band candidates, never doc × doc); one caveat stands:
+    * MinHash bands under-recall containment when the size skew is
+    * extreme (min-hashing favors symmetric similarity), so at corpus
+    * scale pair this with a shingle-sample block for the
+    * short-into-long hunt — documented, not silently papered over.
+    *
+    * Output: (id_a, id_b, n_inter, contain_a, contain_b).
+    */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, minContain: Double = 0.0,
+                       knownPairs: Option[DataFrame] = None): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, k, dedup = true)
+      .localCheckpoint()
+    // discovery defaults to LSH banding; for the extreme-skew hunt
+    // (tiny doc inside huge doc) pass knownPairs from a shingle-sample
+    // block instead — see the caveat above
+    val pairs = knownPairs.getOrElse(
+      lshCandidatePairs(minhashSignatures(sh, idCol), idCol))
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
+    val inter = pairs
+      .join(sh.select(col(idCol).as("id_a"), col("shingle")), "id_a")
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")),
+        Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
+    pairs
+      .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .select(col("id_a"), col("id_b"), col("n_inter"),
+        round(col("n_inter").cast("double") / col("n_a"), 6)
+          .as("contain_a"),
+        round(col("n_inter").cast("double") / col("n_b"), 6)
+          .as("contain_b"))
+      .filter(col("contain_a") >= minContain ||
+        col("contain_b") >= minContain)
+  }
+
   /** Exact n-gram Jaccard over LSH-bounded candidates — the
     * corpus-scale form of [[ngramJaccardBlocked]]: the "block" is the
     * MinHash band bucket, so candidate fanout is bounded by band

@@ -210,6 +210,13 @@ object DedupQueries {
     "q_substring_dedup" -> ((s, d) =>
       Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", k = 6)
         .orderBy("doc_id")),
+
+    // asymmetric containment (|A∩B|/|A|, /|B|) over LSH candidates —
+    // the quote/wrapper signature Jaccard blurs
+    "q_containment" -> ((s, d) =>
+      Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", K,
+        minContain = 0.3)
+        .orderBy("id_a", "id_b")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -567,6 +574,35 @@ object DedupQueries {
          |WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE)
          |        / (na.n + nb.n - coalesce(i.n_inter, 0)), 6) > 0
          |ORDER BY p.id_a, p.id_b""".stripMargin,
+
+    // containment mirror: same cand CTE as the minhash pairs, n_inter
+    // via shingle-key join, both asymmetric ratios; the 0.3 OR-filter
+    // applies to the ROUNDED ratios exactly as the Spark side does
+    "q_containment" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT c.id_a, c.id_b, count(*) AS n_inter
+         |  FROM cand c
+         |  JOIN sh sa ON sa.doc_id = c.id_a
+         |  JOIN sh sb ON sb.doc_id = c.id_b AND sb.s = sa.s
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  CAST(coalesce(i.n_inter, 0) AS BIGINT) AS n_inter,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / na.n, 6)
+         |    AS contain_a,
+         |  round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / nb.n, 6)
+         |    AS contain_b
+         |FROM cand c
+         |LEFT JOIN inter i ON i.id_a = c.id_a AND i.id_b = c.id_b
+         |JOIN sizes na ON na.doc_id = c.id_a
+         |JOIN sizes nb ON nb.doc_id = c.id_b
+         |WHERE round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / na.n, 6) >= 0.3
+         |   OR round(CAST(coalesce(i.n_inter, 0) AS DOUBLE) / nb.n, 6) >= 0.3
+         |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     // mirror of Dedup.substringDedup k=6: rn=1 in (doc_id, start) order
     // is the keeper; every later occurrence of a shingle seen ≥2 times

@@ -230,6 +230,32 @@ class TextDedupSpec extends SparkSpec {
     assert(!kept.contains(2L), "exact dup removed without a separate pass")
   }
 
+  test("containmentPairs: short-doc-in-long-doc scores ~1 one way") {
+    val d = Seq(
+      // doc 2 is doc 1 plus a long unique tail: every shingle of 1 is
+      // in 2 (contain_a = 1.0) but Jaccard is diluted to 3/18 — the
+      // pair a symmetric threshold misses. The skewed pair is scored
+      // via knownPairs because LSH banding under-recalls extreme size
+      // skew (the operator's documented caveat; that's what the
+      // shingle-sample block is for at scale).
+      (1L, "alpha beta gamma delta epsilon"),
+      (2L, "alpha beta gamma delta epsilon zeta eta theta iota kappa " +
+        "lambda mu nu xi omicron pi rho sigma tau upsilon"),
+      (3L, "entirely different words everywhere here today"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.containmentPairs(d, "doc_id", "text", k = 3,
+      minContain = 0.3,
+      knownPairs = Some(Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")))
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) ->
+        (r.getLong(2), r.getDouble(3), r.getDouble(4))).toMap
+    val (nInter, ca, cb) = got((1L, 2L))
+    assert(nInter == 3L, s"3 shared 3-shingles, got $nInter")
+    assert(ca == 1.0, "every shingle of the short doc is contained")
+    assert(cb == 0.166667, s"18 shingles on the long side, got $cb")
+    assert(!got.contains((1L, 3L)), "zero-overlap pair fails minContain")
+  }
+
   test("bpeTrain: hand-computed merge sequence with deterministic ties") {
     val d = Seq((1L, "low lower low"), (2L, "new newer")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(d, "text", numMerges = 3)
