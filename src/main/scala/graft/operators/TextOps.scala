@@ -405,6 +405,24 @@ object TextOps {
       .select(col("word"), col("freq"),
         array_join(col("seg"), "␟").as("seg_csv"))
 
+  /** Encode the corpus through the trained BPE table: per doc, word
+    * count and subword count. The encode itself is the broadcast join
+    * this module's docs promise — doc words against the vocab-sized
+    * segmentation table — so a 100 TB corpus encodes in one map-side
+    * join pass; no per-document merge scanning ever re-runs.
+    */
+  def bpeEncodeCounts(df: DataFrame, idCol: String, textCol: String,
+                      numMerges: Int): DataFrame = {
+    val seg = bpeLoop(df, textCol, numMerges)._2
+      .select(col("word"), size(col("seg")).cast("long").as("n_sub"))
+    val words = df.select(col(idCol),
+      explode(Portable.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    words.join(broadcast(seg), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   private def bpeLoop(df: DataFrame, textCol: String,
                       numMerges: Int): (DataFrame, DataFrame) = {
     val spark = df.sparkSession

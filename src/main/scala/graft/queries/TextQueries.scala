@@ -30,6 +30,12 @@ object TextQueries {
         numMerges = 8)
         .orderBy("word")),
 
+    // corpus encoded through the trained table: per-doc token budget
+    "q_bpe_encode" -> ((s, d) =>
+      TextOps.bpeEncodeCounts(Tables.documents(s, d), "doc_id", "text",
+        numMerges = 8)
+        .orderBy("doc_id")),
+
     // n-gram coverage: the LM-lite fluency gate
     "q_ngram_coverage" -> ((s, d) =>
       TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
@@ -204,9 +210,24 @@ object TextQueries {
        |ORDER BY word""".stripMargin
   }
 
+  /** Encode mirror: per-doc word/subword counts through seg8. */
+  private def bpeEncodeOracleSql(numMerges: Int): String = {
+    val body = bpeOracleSql(numMerges)
+    val withPart = body.substring(0, body.lastIndexOf("SELECT CAST(1 AS INT)"))
+    s"""${withPart.trim.stripSuffix(",")}
+       |, docw AS (SELECT doc_id, unnest($toksSql) AS word FROM documents),
+       |dw AS (SELECT doc_id, word FROM docw WHERE len(word) > 0)
+       |SELECT dw.doc_id, count(*) AS n_words,
+       |  CAST(sum(len(s.seg)) AS BIGINT) AS n_subwords
+       |FROM dw JOIN seg$numMerges s ON s.word = dw.word
+       |GROUP BY dw.doc_id
+       |ORDER BY dw.doc_id""".stripMargin
+  }
+
   val oracleSql: Map[String, String] = Map(
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_segment" -> bpeSegOracleSql(8),
+    "q_bpe_encode" -> bpeEncodeOracleSql(8),
 
     // mirror of TextOps.ngramCoverage(k=3, minDf=3): known = shingle in
     // ≥ minDf+1 docs total (the doc counts itself once)

@@ -279,6 +279,16 @@ class TextDedupSpec extends SparkSpec {
     assert(got("new") == ((1L, "n␟e␟w")))
   }
 
+  test("bpeEncodeCounts: per-doc budgets through the trained table") {
+    val d = Seq((1L, "low lower low"), (2L, "new newer")).toDF("doc_id", "text")
+    val got = TextOps.bpeEncodeCounts(d, "doc_id", "text", numMerges = 3)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // segs: low→[low], lower→[low,er], new→[n,e,w], newer→[n,e,w,er]
+    assert(got(1L) == ((3L, 4L)))
+    assert(got(2L) == ((2L, 7L)))
+  }
+
   test("bpeTrain: greedy left-to-right non-overlap, early exhaustion") {
     val d = Seq((1L, "aaa")).toDF("doc_id", "text")
     val got = TextOps.bpeTrain(d, "text", numMerges = 5)
