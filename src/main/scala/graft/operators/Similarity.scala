@@ -296,6 +296,65 @@ object Similarity {
     rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** Maximal-marginal-relevance diverse top-k: greedily pick k items
+    * maximizing `rel(c) − λ·max_{s∈S} cos(c, s)` — the
+    * diversity-aware sampler for retrieval/curation (pure top-k
+    * returns k near-copies of the same hit; training-data selection
+    * wants coverage). Classic MMR (Carbonell & Goldstein).
+    *
+    * Scale shape: one distributed scan scores relevance and takes the
+    * top-`candidates` (bounded, checkpointed); the greedy loop then
+    * runs k rounds of a 1-row argmax over that bounded set, with each
+    * selected vector riding into the next round's expression as a
+    * literal — driver traffic is k rows, like the other argmax-probe
+    * loops (bpeTrain, kmeans). All arithmetic is the deterministic
+    * IEEE cosine/multiply chain, ties break by id, so the selection
+    * oracles exactly (k unrolled rounds in DuckDB).
+    */
+  def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
+              queryVec: Seq[Double], k: Int, lambda: Double = 0.5,
+              candidates: Int = 20): DataFrame = {
+    val spark = corpus.sparkSession
+    val qv = lit(queryVec.toArray)
+    val cand = corpus
+      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
+      .withColumn("rel", cosine(col("v"), qv))
+      .orderBy(desc("rel"), col(idCol))
+      .limit(candidates)
+      .localCheckpoint()
+    var selected = List.empty[(Long, Array[Double])]
+    val picks = Seq.newBuilder[(Int, Long, Double)]
+    var r = 1
+    var exhausted = false
+    while (r <= k && !exhausted) {
+      val base =
+        if (selected.isEmpty) cand
+        else cand.filter(!col(idCol).isin(selected.map(_._1): _*))
+      val sims = selected.map(s => cosine(col("v"), lit(s._2)))
+      val mmr = sims match {
+        case Nil => col("rel")
+        case one :: Nil => col("rel") - lit(lambda) * one
+        case many => col("rel") - lit(lambda) * greatest(many: _*)
+      }
+      val top = base.withColumn("mmr", mmr)
+        .orderBy(desc("mmr"), col(idCol))
+        .limit(1)
+        .select(col(idCol), col("mmr"), col("v"))
+        .collect()
+      if (top.isEmpty) exhausted = true
+      else {
+        val row = top(0)
+        val vec = row.getSeq[Double](2).toArray
+        selected ::= ((row.getLong(0), vec))
+        picks += ((r, row.getLong(0), row.getDouble(1)))
+        r += 1
+      }
+    }
+    import spark.implicits._
+    picks.result().toDF("rank", idCol, "mmr")
+      .select(col("rank"), col(idCol), round(col("mmr"), 6).as("mmr"))
+  }
+
   /** Sparse all-pairs cosine over shared TOKENS (no embeddings): the
     * inverted-index similarity join (Bayardo et al.'s all-pairs
     * problem, re-expressed as three keyed shuffles). Documents are

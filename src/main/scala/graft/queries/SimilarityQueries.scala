@@ -112,6 +112,18 @@ object SimilarityQueries {
         "vec_id", "embedding", K, candidates = 10)
         .orderBy("query_id", "rank")),
 
+    // MMR diverse top-5: greedy rel − λ·max-sim-to-selected over the
+    // top-20 relevance candidates, query = vec 0
+    "q_mmr_select" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val qv = e.filter(col("vec_id") === 0L)
+        .select(col("embedding").cast("array<double>"))
+        .head().getSeq[Double](0)
+      Similarity.mmrTopK(e.filter(col("vec_id") =!= 0L), "vec_id",
+        "embedding", qv, k = 5, lambda = 0.5, candidates = 20)
+        .orderBy("rank")
+    }),
+
     // sparse all-pairs cosine over shared TOKENS (documents table, no
     // embeddings): inverted-index join, df-capped, integer-thresholded
     "q_sparse_simjoin" -> ((s, d) =>
@@ -275,6 +287,43 @@ object SimilarityQueries {
          |  ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= $K
          |ORDER BY query_id, rank""".stripMargin
+    },
+
+    // mirror of Similarity.mmrTopK(k=5, λ=0.5, C=20): each greedy
+    // round is one MATERIALIZED CTE (1 row), cross-joined into the
+    // next round's max-sim term; single-sim rounds skip GREATEST to
+    // match Spark's two-operand arithmetic exactly
+    "q_mmr_select" -> {
+      val K2 = 5
+      def round(r: Int): String = {
+        val prev = (1 until r).map(i => s"m$i")
+        val sims = prev.map(p => s"(${cosSql("c.v", s"$p.v")})")
+        val maxSim =
+          if (sims.size == 1) sims.head
+          else s"GREATEST(${sims.mkString(", ")})"
+        val notin = prev.map(p => s"$p.vec_id").mkString(", ")
+        s"""m$r AS MATERIALIZED (SELECT c.vec_id, c.v,
+           |  c.rel - 0.5 * $maxSim AS mmr
+           |  FROM cand c, ${prev.mkString(", ")}
+           |  WHERE c.vec_id NOT IN ($notin)
+           |  QUALIFY row_number() OVER (
+           |    ORDER BY c.rel - 0.5 * $maxSim DESC, c.vec_id) = 1)""".stripMargin
+      }
+      val rounds = (2 to K2).map(round).mkString(",\n")
+      val out = (1 to K2)
+        .map(r => s"SELECT CAST($r AS INT) AS rank, vec_id, round(mmr, 6) AS mmr FROM m$r")
+        .mkString("\nUNION ALL ")
+      s"""WITH $vecsCte,
+         |q AS (SELECT v AS qv FROM vecs WHERE vec_id = 0),
+         |scored AS (SELECT c.vec_id, c.v, ${cosSql("c.v", "q.qv")} AS rel
+         |  FROM vecs c, q WHERE c.vec_id <> 0),
+         |cand AS MATERIALIZED (SELECT vec_id, v, rel FROM scored
+         |  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) <= 20),
+         |m1 AS MATERIALIZED (SELECT vec_id, v, rel AS mmr FROM cand
+         |  QUALIFY row_number() OVER (ORDER BY rel DESC, vec_id) = 1),
+         |$rounds
+         |$out
+         |ORDER BY rank""".stripMargin
     },
 
     // mirror of Similarity.sparseCosinePairs(dfCap=50, t=1/2); the

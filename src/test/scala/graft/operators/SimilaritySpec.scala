@@ -101,6 +101,23 @@ class SimilaritySpec extends SparkSpec {
       "full-candidate rescore must reduce to exact brute force")
   }
 
+  test("mmrTopK diversifies: near-dup demoted below a distinct hit") {
+    // q = x-axis; 1 and 2 are near-identical (+y tilt), 3 mirrors the
+    // tilt (-y): equally relevant but DIVERSE; 4 is barely relevant.
+    // Pure relevance order is (2, 1, 3) — MMR must pick (2, 3, 1).
+    val d = Seq(
+      (1L, Seq(0.9f, 0.43f, 0.0f)),
+      (2L, Seq(0.9f, 0.42f, 0.05f)),
+      (3L, Seq(0.9f, -0.43f, 0.0f)),
+      (4L, Seq(0.1f, 0.99f, 0.0f)),
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.mmrTopK(d, "vec_id", "embedding",
+      Seq(1.0, 0.0, 0.0), k = 3, lambda = 0.5, candidates = 10)
+      .collect().map(r => (r.getInt(0), r.getLong(1)))
+    assert(got.toSeq == Seq((1, 2L), (2, 3L), (3, 1L)),
+      s"expected diverse order (2,3,1), got ${got.mkString(",")}")
+  }
+
   test("sparseCosinePairs: exact integer dots, df cap, threshold") {
     val d = Seq(
       (1L, "apple banana apple"),       // tf: apple 2, banana 1 → |v|²=5
