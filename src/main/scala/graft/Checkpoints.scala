@@ -1,0 +1,36 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Lineage-truncation policy for the iterative operators
+  * (connectedComponents, pageRank, kmeans — anything that loops a
+  * plan back onto itself).
+  *
+  * `localCheckpoint` (the default) truncates lineage into executor
+  * block storage: eager, cheap, perfect for local/batch runs — but on
+  * a real cluster an executor loss makes those blocks unrecoverable
+  * and the JOB fails (there is no lineage left to recompute from). At
+  * 100 TB × hours-long iterative jobs that is a real operational risk,
+  * so every iterative loop routes its truncation through [[stabilize]]:
+  * when the session has a RELIABLE checkpoint directory configured
+  * (`spark.sparkContext.setCheckpointDir(hdfs://…)`), loop state is
+  * written there with `checkpoint()` instead — executor loss then
+  * recovers by re-reading the checkpoint files. Opting in is one line
+  * of cluster config; no operator code changes.
+  */
+object Checkpoints {
+
+  /** Truncate lineage: reliable `checkpoint()` when the session has a
+    * checkpoint dir (and `spark.graft.reliableCheckpoint` isn't
+    * "never" — the escape hatch for callers that set a checkpoint dir
+    * for OTHER purposes), `localCheckpoint()` otherwise. Both are
+    * EAGER — callers rely on single evaluation of expensive subtrees.
+    */
+  def stabilize(df: DataFrame): DataFrame = {
+    val session = df.sparkSession
+    val wantReliable =
+      session.conf.get("spark.graft.reliableCheckpoint", "auto") != "never" &&
+        session.sparkContext.getCheckpointDir.isDefined
+    if (wantReliable) df.checkpoint() else df.localCheckpoint()
+  }
+}

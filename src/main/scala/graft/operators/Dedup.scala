@@ -615,9 +615,9 @@ object Dedup {
       // would re-evaluate the whole pairs subtree (band self-join) at
       // caller time. The id list is tiny.
       val active = edges.select(col("src").as("id")).distinct()
-        .localCheckpoint()
+        .transform(graft.Checkpoints.stabilize)
       var labels = active.select(col("id"), col("id").as("component"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.stabilize)
       var changed = 1L
       var iter = 0
       while (changed > 0 && iter < maxIter) {
@@ -632,7 +632,7 @@ object Dedup {
           .select(col("id"),
             least(col("component"), col("nbr_min")).as("component"),
             (col("nbr_min") < col("component")).as("__chg"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.stabilize)
         // pointer jump: adopt the label OF your label. Labels start as
         // own ids of active vertices and only ever take mins of other
         // labels, so every label value IS an active vertex id — the
@@ -644,7 +644,7 @@ object Dedup {
           .select(col("id"),
             least(col("component"), col("__jcomp")).as("component"),
             (col("__chg") || col("__jcomp") < col("component")).as("__chg"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.stabilize)
         changed = next.filter(col("__chg")).count()
         labels = next.drop("__chg")
         iter += 1

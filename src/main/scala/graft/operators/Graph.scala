@@ -54,8 +54,8 @@ object Graph {
     val deg = edges.groupBy(col(srcCol)).agg(count(lit(1)).as("__deg"))
     // (src, dst, deg) is consumed every round — materialize once
     val ed = edges.select(col(srcCol), col(dstCol)).join(deg, srcCol)
-      .localCheckpoint()
-    val verts = nodes.select(col(idCol).as("__v")).localCheckpoint()
+      .transform(graft.Checkpoints.stabilize)
+    val verts = nodes.select(col(idCol).as("__v")).transform(graft.Checkpoints.stabilize)
     var ranks = verts.withColumn("rank_ppm", lit(1000000L))
     for (_ <- 0 until iters) {
       val contrib = ed
@@ -71,7 +71,7 @@ object Graph {
             expr("850000 * (coalesce(__in, 0L) div 1000000)") +
             expr("(850000 * (coalesce(__in, 0L) % 1000000)) div 1000000"))
             .as("rank_ppm"))
-        .localCheckpoint()
+        .transform(graft.Checkpoints.stabilize)
     }
     ranks.select(col("__v").as(idCol), col("rank_ppm"))
   }

@@ -84,6 +84,31 @@ class DedupLifecycleSpec extends SparkSpec {
     assert(out.filter($"component" === 0L).count() == n)
   }
 
+  test("reliable checkpoint mode: same results, files actually land") {
+    // with a checkpoint dir configured, the iterative loops must write
+    // RELIABLE checkpoints (cluster-survivable) instead of
+    // localCheckpoint blocks — and produce identical output
+    val docs = Tables.documents(spark, sf)
+    val plain = Dedup.dedupCorpusTransitive(docs, "doc_id", "text")
+      .select("doc_id").as[Long].collect().toSet
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_ckpt").toString
+    spark.sparkContext.setCheckpointDir(dir)
+    try {
+      val reliable = Dedup.dedupCorpusTransitive(docs, "doc_id", "text")
+        .select("doc_id").as[Long].collect().toSet
+      assert(reliable == plain, "checkpoint mode must not change results")
+      val files = java.nio.file.Files.walk(java.nio.file.Paths.get(dir))
+        .filter(java.nio.file.Files.isRegularFile(_)).count()
+      assert(files > 0, "reliable checkpoints must write files")
+    } finally {
+      // the dir can't be unset on a live context — flip the escape
+      // hatch so the shared session's other suites keep localCheckpoint
+      spark.conf.set("spark.graft.reliableCheckpoint", "never")
+      org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
+    }
+  }
+
   test("incrementalDedupWithSigs returns exactly the survivors' signatures") {
     val docs = Tables.documents(spark, sf)
     val existing = sigsOf(col("doc_id") % 2 === 0).localCheckpoint()
