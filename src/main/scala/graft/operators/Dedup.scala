@@ -715,16 +715,25 @@ object Dedup {
     *   3. covered positions anti-join the position-indexed token table
     *      (doc-id keyed);
     *   4. one groupBy per doc rebuilds the surviving text in order.
-    * At 100 TB, key steps 1–2 on a 64/128-bit shingle digest instead of
-    * the raw token string (collision odds ≪ 1/corpus rows; here the raw
-    * shingle keeps the DuckDB oracle bit-exact), and pick k at the
-    * span length you mean to dedup (50 tokens in the literature).
+    * At 100 TB, set `hashShingles = true`: steps 1–2 then key on the
+    * 64-bit xxhash of the shingle instead of the raw token string —
+    * shuffle rows shrink from k words to 8 bytes, at a collision risk
+    * of ~n²/2⁶⁴ spans (a false cut of one span, not a wrong keeper;
+    * acceptable at any realistic corpus). The default keys on the raw
+    * shingle, which keeps the DuckDB oracle bit-exact; a spec pins the
+    * two modes equal on collision-free data. Pick k at the span length
+    * you mean to dedup (50 tokens in the literature).
     */
   def substringDedup(df: DataFrame, idCol: String, textCol: String,
-                     k: Int = 8): DataFrame = {
+                     k: Int = 8, hashShingles: Boolean = false): DataFrame = {
     val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
-    val grams = base.select(col(idCol),
+    val gramsRaw = base.select(col(idCol),
       posexplode(shingles(col("__toks"), k)).as(Seq("start", "shingle")))
+    val grams =
+      if (hashShingles)
+        gramsRaw.select(col(idCol), col("start"),
+          xxhash64(col("shingle")).as("shingle"))
+      else gramsRaw
     val firsts = grams
       .groupBy("shingle")
       .agg(count(lit(1)).as("__cnt"),

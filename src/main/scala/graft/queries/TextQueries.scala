@@ -112,6 +112,27 @@ object TextQueries {
         k = 3, minDocs = 5)
         .orderBy("doc_id")),
 
+    // PII audit report: per-source match counts for each redaction
+    // pattern over deterministically adorned docs (the pre-flight a
+    // redaction pass runs to size its blast radius)
+    "q_pii_report" -> ((s, d) => {
+      val adorned = concat(col("text"),
+        lit(" contact: user"), col("doc_id").cast("string"),
+        lit("@example.com tel: +1 555 123 4567 ip: 10.0.0."),
+        (col("doc_id") % 256).cast("string"))
+      Tables.documents(s, d)
+        .select(col("source"),
+          TextOps.piiCount(adorned, TextOps.emailPattern).as("e"),
+          TextOps.piiCount(adorned, TextOps.phonePattern).as("p"),
+          TextOps.piiCount(adorned, TextOps.ipv4Pattern).as("i"))
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("e")).as("n_emails"),
+          sum(col("p")).as("n_phones"),
+          sum(col("i")).as("n_ips"))
+        .orderBy("source")
+    }),
+
     // cleanup pipeline: strip HTML → redact PII → NFC-normalize (the
     // native codegen'd expression), over docs deterministically
     // adorned with markup, an email, a phone, an IP, and a decomposed
@@ -363,6 +384,25 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(adorned, '$email')) AS BIGINT)
          |    AS n_emails
          |FROM stripped ORDER BY doc_id""".stripMargin
+    },
+
+    "q_pii_report" -> {
+      val email = TextOps.emailPattern
+      val phone = TextOps.phonePattern
+      val ip = TextOps.ipv4Pattern
+      s"""WITH a AS (SELECT source,
+         |    text || ' contact: user' || doc_id
+         |      || '@example.com tel: +1 555 123 4567 ip: 10.0.0.'
+         |      || (doc_id % 256) AS adorned
+         |  FROM documents)
+         |SELECT source, count(*) AS n_docs,
+         |  CAST(sum(len(regexp_extract_all(adorned, '$email'))) AS BIGINT)
+         |    AS n_emails,
+         |  CAST(sum(len(regexp_extract_all(adorned, '$phone'))) AS BIGINT)
+         |    AS n_phones,
+         |  CAST(sum(len(regexp_extract_all(adorned, '$ip'))) AS BIGINT)
+         |    AS n_ips
+         |FROM a GROUP BY source ORDER BY source""".stripMargin
     },
 
     "q_boilerplate" -> {

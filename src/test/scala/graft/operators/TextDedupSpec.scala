@@ -355,6 +355,16 @@ class TextDedupSpec extends SparkSpec {
       "the whole shared region is cut as one merged span")
   }
 
+  test("substringDedup digest-keyed mode equals raw-shingle mode") {
+    val real = graft.model.Tables.documents(spark, sf)
+    val raw = Dedup.substringDedup(real, "doc_id", "text", k = 6)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashed = Dedup.substringDedup(real, "doc_id", "text", k = 6,
+      hashShingles = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashed == raw, "64-bit digest keying must not change results")
+  }
+
   test("substringDedup dedups WITHIN a doc too (first span kept)") {
     val d = Seq((1L, "x y z w middle x y z w")).toDF("doc_id", "text")
     val got = Dedup.substringDedup(d, "doc_id", "text", k = 4)
