@@ -311,4 +311,33 @@ object Curation {
       explode(when(copies >= 1, sequence(lit(1), copies))
         .otherwise(array().cast("array<int>"))))
   }
+
+  /** Token-BUDGETED domain downsampling: each group is hash-sampled
+    * down to ≈ `budgetTokens` of its token mass (groups already under
+    * budget pass whole). Unlike [[mixtureSample]] the rates are
+    * DATA-DEPENDENT — rate_g = min(1, budget / Σ tokens_g) — computed
+    * as an aggregate and broadcast-joined back, so nothing ever hits
+    * the driver and the rates track the corpus as it grows. Unlike
+    * [[tokenBudgetCap]] (exact cumulative cut in hash order, one
+    * window shuffle per group) this is a row-local Bernoulli gate
+    * after one tiny aggregate: E[kept tokens] ≈ budget rather than an
+    * exact ≤-budget prefix — the cheap form you run over 100 TB when
+    * ±1% of budget is fine and a per-group window is not.
+    *
+    * Deterministic: the keep decision is the same basis-point hash
+    * arithmetic as mixtureSample (rate honored to 0.01%), so the
+    * selection is reproducible on any engine and oracles exactly.
+    */
+  def budgetedSample(df: DataFrame, keyCol: String, groupCol: String,
+                     tokensCol: String, budgetTokens: Long): DataFrame = {
+    require(budgetTokens > 0, "budget must be positive")
+    val totals = df.groupBy(col(groupCol))
+      .agg(sum(col(tokensCol)).as("__total"))
+      .withColumn("__rate",
+        least(lit(1.0), lit(budgetTokens.toDouble) / col("__total")))
+    val rateBp = round(col("__rate") * 10000).cast("int")
+    df.join(broadcast(totals), Seq(groupCol))
+      .filter(hashBucket(col(keyCol), 10000) < rateBp)
+      .drop("__total", "__rate")
+  }
 }

@@ -94,6 +94,15 @@ object CurationQueries {
           col("copy_idx").cast("long").as("copy_idx"))
         .orderBy("doc_id", "copy_idx")),
 
+    // token-budgeted domain downsampling: every source hash-sampled to
+    // ≈7000 chars of mass; rates are data-dependent aggregates, not
+    // literals
+    "q_budgeted_sample" -> ((s, d) =>
+      Curation.budgetedSample(docs(s, d), "doc_id", "source", "n_chars",
+        budgetTokens = 7000L)
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // exactly 5 docs per source, hash-ordered — deterministic stratum
     "q_stratified_sample" -> ((s, d) =>
       Curation.stratifiedSample(docs(s, d), "source", "doc_id", 5)
@@ -208,6 +217,16 @@ object CurationQueries {
          |QUALIFY row_number() OVER (
          |  PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
          |ORDER BY doc_id""".stripMargin,
+
+    "q_budgeted_sample" ->
+      s"""WITH t AS (SELECT source, sum(n_chars) AS total
+         |  FROM documents GROUP BY 1),
+         |r AS (SELECT source, least(1.0, 7000.0 / total) AS rate FROM t)
+         |SELECT d.doc_id, d.source, d.n_chars
+         |FROM documents d JOIN r USING (source)
+         |WHERE ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000
+         |      < CAST(round(rate * 10000) AS INT)
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontam" ->
       s"""WITH $shingleSqlOf,

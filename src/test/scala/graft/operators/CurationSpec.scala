@@ -150,6 +150,25 @@ class CurationSpec extends SparkSpec {
     assert(viaBloom == Set(2L, 4L), "bloom pruning must not change results")
   }
 
+  test("budgetedSample: under-budget groups whole, heavy groups thinned") {
+    import org.apache.spark.sql.functions.col
+    // group "small" totals 30 tokens (≤ budget → rate 1, all pass);
+    // "big" totals 4000 across 40 docs (rate 0.01 → ~0-2 survivors)
+    val small = (1L to 3L).map(i => (i, "small", 10L))
+    val big = (100L to 139L).map(i => (i, "big", 100L))
+    val df = (small ++ big).toDF("id", "grp", "toks")
+    val kept = Curation.budgetedSample(df, "id", "grp", "toks", 40L)
+      .select("id", "grp").collect()
+    val smallKept = kept.count(_.getString(1) == "small")
+    val bigKept = kept.count(_.getString(1) == "big")
+    assert(smallKept == 3, "under-budget group must pass whole")
+    assert(bigKept < 40, s"over-budget group must thin, kept $bigKept")
+    // deterministic: the same call returns the same selection
+    val again = Curation.budgetedSample(df, "id", "grp", "toks", 40L)
+      .select("id").as[Long].collect().toSet
+    assert(again == kept.map(_.getLong(0)).toSet)
+  }
+
   test("mixtureSample: whole-rate copies exact, rate 0 drops, default 1×") {
     import org.apache.spark.sql.functions.col
     val df = Seq((1L, "a"), (2L, "a"), (3L, "b"), (4L, "c"))
