@@ -353,6 +353,45 @@ object Dedup {
     ngramJaccard(pairs, sh, idCol).filter(col("jaccard") > minJaccard)
   }
 
+  /** LSH recall diagnostic — "measure, don't guess" for the banding
+    * config: ground-truth near-dup pairs (exact Jaccard ≥ tNum/tDen,
+    * decided by an INTEGER inequality, computed via the shingle
+    * self-join so only pairs sharing ≥1 shingle ever materialize) vs
+    * the LSH candidate set, reported as one row
+    * (n_exact, n_candidates, n_hit, recall). Run this on a SAMPLE
+    * before a 100 TB dedup to size NumPerms/bands for the threshold
+    * you actually care about — the ground truth is quadratic-ish in
+    * co-occurring shingles and is a tuning tool, not a production
+    * operator (that's what the banded operators are for).
+    */
+  def lshRecallReport(df: DataFrame, idCol: String, textCol: String,
+                      k: Int = 3, tNum: Long = 1,
+                      tDen: Long = 2): DataFrame = {
+    val sh = docShingles(df, idCol, textCol, k, dedup = true)
+      .localCheckpoint()
+    val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n"))
+    val inter = sh.select(col(idCol).as("id_a"), col("shingle"))
+      .join(sh.select(col(idCol).as("id_b"), col("shingle")), "shingle")
+      .filter(col("id_a") < col("id_b"))
+      .groupBy("id_a", "id_b").agg(count(lit(1)).as("ni"))
+    val exact = inter
+      .join(sizes.select(col(idCol).as("id_a"), col("n").as("na")), "id_a")
+      .join(sizes.select(col(idCol).as("id_b"), col("n").as("nb")), "id_b")
+      .filter(lit(tDen) * col("ni") >=
+        lit(tNum) * (col("na") + col("nb") - col("ni")))
+      .select("id_a", "id_b")
+      .localCheckpoint()
+    val cand = lshCandidatePairs(minhashSignatures(sh, idCol), idCol)
+      .localCheckpoint()
+    val hits = exact.join(cand, Seq("id_a", "id_b"), "left_semi")
+    exact.agg(count(lit(1)).as("n_exact"))
+      .crossJoin(cand.agg(count(lit(1)).as("n_candidates")))
+      .crossJoin(hits.agg(count(lit(1)).as("n_hit")))
+      .select(col("n_exact"), col("n_candidates"), col("n_hit"),
+        round(col("n_hit").cast("double") / col("n_exact"), 6)
+          .as("recall"))
+  }
+
   /** End-to-end corpus dedup: drop exact duplicates (keep min id),
     * then drop the greater id of every near-dup pair at/above the
     * similarity threshold (greedy pairwise policy — deterministic and

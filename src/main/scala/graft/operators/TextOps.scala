@@ -365,6 +365,43 @@ object TextOps {
           / col("n_shingles"), 6).as("coverage"))
   }
 
+  /** Keyword retrieval: top-k docs for a query string, scored by the
+    * log-free tf-idf this module uses everywhere (score contribution
+    * of query term t in doc d = tf(d,t) · N · SCALE div df(t), all in
+    * INTEGER micro-units with truncating division — sums of integers
+    * are order-free, where a float Σ tf·N/df would be partition-order
+    * dependent and never hash-stable). The inverted-index shape: the
+    * tf table is filtered to the query's terms FIRST (a handful of
+    * tokens — at scale this is the posting-list read, everything else
+    * pruned), df counted over those postings only, one groupBy per doc
+    * sums the score, GroupedTopK-shaped rank tail.
+    */
+  def searchTopK(df: DataFrame, idCol: String, textCol: String,
+                 query: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val Scale = 1000000L
+    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "empty query")
+    val n = df.select(count(lit(1)).as("__n"))
+    val tf = df
+      .select(col(idCol), explode(Portable.tokens(col(textCol))).as("token"))
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy(col(idCol), col("token")).agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(n))
+      .withColumn("__s", col("tf") * expr(s"(__n * $Scale) div df"))
+      .groupBy(col(idCol)).agg(sum(col("__s")).as("score"),
+        count(lit(1)).as("n_terms"))
+    // TakeOrdered first (distributed top-k), THEN number the k rows —
+    // a row_number window over the full match set would be the
+    // single-partition global-window trap
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col(idCol), col("score"), col("n_terms"))
+  }
+
   /** Distributed BPE vocabulary induction — tokenizer merge training
     * at corpus scale. The scale move is step 0: collapse the corpus to
     * its WORD HISTOGRAM (one groupBy; 100 TB of text becomes a

@@ -112,6 +112,18 @@ object TextQueries {
         k = 3, minDocs = 5)
         .orderBy("doc_id")),
 
+    // keyword retrieval: integer micro-unit tf-idf top-10
+    "q_retrieval" -> ((s, d) =>
+      TextOps.searchTopK(Tables.documents(s, d), "doc_id", "text",
+        "hash join filter", k = 10)
+        .orderBy("rank")),
+
+    // LSH recall diagnostic: ground truth (integer-exact jaccard ≥
+    // 1/2) vs the banding candidates, one report row
+    "q_lsh_recall" -> ((s, d) =>
+      graft.operators.Dedup.lshRecallReport(Tables.documents(s, d),
+        "doc_id", "text", k = 3)),
+
     // PII audit report: per-source match counts for each redaction
     // pattern over deterministically adorned docs (the pre-flight a
     // redaction pass runs to size its blast radius)
@@ -384,6 +396,53 @@ object TextQueries {
          |  CAST(len(regexp_extract_all(adorned, '$email')) AS BIGINT)
          |    AS n_emails
          |FROM stripped ORDER BY doc_id""".stripMargin
+    },
+
+    // DuckDB `//` floors where Spark `div` truncates — identical for
+    // the all-positive operands here
+    "q_retrieval" ->
+      s"""WITH n AS (SELECT count(*) AS nn FROM documents),
+         |tf AS (SELECT doc_id, tok AS token, count(*) AS tf FROM (
+         |    SELECT doc_id, unnest($toksSql) AS tok FROM documents)
+         |  WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(sum(tf.tf * ((n.nn * 1000000) // dfq.df)) AS BIGINT)
+         |      AS score,
+         |    count(*) AS n_terms
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN n GROUP BY 1)
+         |SELECT CAST(row_number() OVER w AS INT) AS rank, doc_id, score,
+         |  n_terms
+         |FROM sc
+         |WINDOW w AS (ORDER BY score DESC, doc_id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY rank""".stripMargin,
+
+    "q_lsh_recall" -> {
+      val sig = DedupQueries.sigCteFrom("documents")
+      val bands = DedupQueries.bandsCteText
+      s"""WITH $sig,
+         |$bands,
+         |cand AS MATERIALIZED (SELECT DISTINCT x.doc_id AS id_a,
+         |    y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |sizes AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+         |inter AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         |    count(*) AS ni
+         |  FROM sh a JOIN sh b ON a.s = b.s AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2),
+         |ex AS MATERIALIZED (SELECT i.id_a, i.id_b FROM inter i
+         |  JOIN sizes na ON na.doc_id = i.id_a
+         |  JOIN sizes nb ON nb.doc_id = i.id_b
+         |  WHERE 2 * i.ni >= (na.n + nb.n - i.ni)),
+         |hit AS (SELECT e.id_a FROM ex e
+         |  JOIN cand c ON c.id_a = e.id_a AND c.id_b = e.id_b)
+         |SELECT (SELECT count(*) FROM ex) AS n_exact,
+         |  (SELECT count(*) FROM cand) AS n_candidates,
+         |  (SELECT count(*) FROM hit) AS n_hit,
+         |  round(CAST((SELECT count(*) FROM hit) AS DOUBLE)
+         |        / (SELECT count(*) FROM ex), 6) AS recall""".stripMargin
     },
 
     "q_pii_report" -> {

@@ -230,6 +230,27 @@ class TextDedupSpec extends SparkSpec {
     assert(!kept.contains(2L), "exact dup removed without a separate pass")
   }
 
+  test("searchTopK: integer tf-idf scores, rare term dominates") {
+    val d = Seq(
+      (1L, "spark spark spark common"),     // tf(spark)=3
+      (2L, "spark common common"),          // tf(spark)=1
+      (3L, "common only here"),             // no query terms → absent
+      (4L, "unrelated entirely"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.searchTopK(d, "doc_id", "text", "spark", k = 5)
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // N=4 docs, df(spark)=2 → unit = 4*1000000 div 2 = 2000000
+    assert(got.toSeq == Seq((1, 1L, 6000000L), (2, 2L, 2000000L)))
+  }
+
+  test("lshRecallReport: exact dups are always recalled") {
+    val r = Dedup.lshRecallReport(docs, "doc_id", "text", k = 3)
+      .head()
+    // docs fixture: (1,2) exact dup is the only jaccard ≥ 0.5 pair
+    assert(r.getLong(0) == 1 && r.getLong(2) == 1 && r.getDouble(3) == 1.0,
+      s"unexpected report: $r")
+  }
+
   test("containmentPairs: short-doc-in-long-doc scores ~1 one way") {
     val d = Seq(
       // doc 2 is doc 1 plus a long unique tail: every shingle of 1 is
