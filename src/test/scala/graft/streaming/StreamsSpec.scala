@@ -106,6 +106,31 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming heavy hitters: SpaceSaving state merges across batches") {
+    // the typed Aggregator's mergeable sketch is exactly what a
+    // streaming groupByKey agg needs — complete-mode output must
+    // reflect items from BOTH micro-batches with summed counts
+    import graft.functions.SpaceSaving
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = in.toDS()
+      .groupByKey(_._1).mapValues(_._2)
+      .agg(SpaceSaving.topItems(8).toColumn.name("top"))
+      .writeStream.format("memory").queryName("stream_hh")
+      .outputMode("complete").start()
+    try {
+      in.addData(("g", "a"), ("g", "a"), ("g", "b"))
+      q.processAllAvailable()
+      in.addData(("g", "a"), ("g", "c"), ("h", "z"))
+      q.processAllAvailable()
+      val out = spark.table("stream_hh")
+        .as[(String, Seq[(String, Long)])].collect().toMap
+      assert(out("g").head == (("a", 3L)), s"got ${out("g")}")
+      assert(out("g").toMap == Map("a" -> 3L, "b" -> 1L, "c" -> 1L))
+      assert(out("h") == Seq(("z", 1L)))
+    } finally q.stop()
+  }
+
   test("streaming decontam gate drops bloom hits row-locally") {
     import graft.functions.Bloom
     import graft.operators.Dedup
