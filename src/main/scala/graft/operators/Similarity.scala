@@ -384,6 +384,9 @@ object Similarity {
     val tf = df
       .select(col(idCol).as("id"),
         explode(Portable.tokens(col(textCol))).as("token"))
+      // split() of an empty/whitespace doc yields "" tokens — without
+      // this filter every pair of empty docs scores cosine 1.0
+      .filter(length(col("token")) > 0)
       .groupBy("id", "token").agg(count(lit(1)).as("tf"))
     // rare-token postings + per-doc squared norms over the SAME capped
     // token set (norms must match the pairing space or the threshold

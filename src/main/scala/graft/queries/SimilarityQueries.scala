@@ -333,7 +333,7 @@ object SimilarityQueries {
       s"""WITH tf AS (SELECT id, token, count(*) AS tf FROM (
          |    SELECT doc_id AS id,
          |      unnest(${graft.functions.Portable.tokensSql("text")}) AS token
-         |    FROM documents) GROUP BY 1, 2),
+         |    FROM documents) WHERE len(token) > 0 GROUP BY 1, 2),
          |kept AS (SELECT token FROM tf GROUP BY token
          |  HAVING count(*) <= 50),
          |p AS (SELECT tf.* FROM tf JOIN kept USING (token)),

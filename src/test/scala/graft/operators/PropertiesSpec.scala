@@ -285,4 +285,46 @@ class PropertiesSpec extends SparkSpec {
       assert(math.abs(mean - rate) < 0.15, s"rate=$rate mean=$mean")
     }
   }
+
+  test("round-3 text operators tolerate null and empty text rows") {
+    import org.apache.spark.sql.functions.col
+    val d = Seq[(java.lang.Long, String)](
+      (1L, "alpha beta gamma delta epsilon zeta"),
+      (2L, "alpha beta gamma delta epsilon zeta"),
+      (3L, null),
+      (4L, ""),
+      (5L, "   "),
+    ).toDF("doc_id", "text")
+
+    // substring dedup: doc 2 is a full repeat → ""; null/empty docs
+    // come back as "" (no tokens survive a null tokenization)
+    val sub = Dedup.substringDedup(d, "doc_id", "text", k = 3)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(sub(1L) == "alpha beta gamma delta epsilon zeta")
+    assert(sub(2L) == "")
+    assert(sub(3L) == "" && sub(4L) == "" && sub(5L) == "")
+
+    // coverage: null text → 0 shingles, null coverage — never a crash
+    val cov = TextOps.ngramCoverage(d, "doc_id", "text", k = 3, minDf = 1)
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.isNullAt(3)))
+      .toMap
+    assert(cov(3L) == ((0L, true)) && cov(4L) == ((0L, true)))
+    assert(cov(1L)._1 == 4L && !cov(1L)._2)
+
+    // sparse cosine: null/empty rows simply contribute no postings
+    val pairs = Similarity.sparseCosinePairs(d, "doc_id", "text",
+      dfCap = 10, tNum = 1, tDen = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(pairs.toSeq == Seq((1L, 2L)),
+      "empty docs must never pair (empty-token pollution)")
+
+    // retrieval: only docs containing query terms rank
+    val hits = TextOps.searchTopK(d, "doc_id", "text", "alpha", k = 10)
+      .collect().map(_.getLong(1)).toSet
+    assert(hits == Set(1L, 2L))
+
+    // bpe: histogram skips null/empty words entirely
+    val merges = TextOps.bpeTrain(d, "text", numMerges = 2).count()
+    assert(merges == 2L)
+  }
 }
