@@ -192,8 +192,8 @@ object Dedup {
     */
   def estimatedJaccardAcross(pairs: DataFrame, sigsA: DataFrame,
                              sigsB: DataFrame, idCol: String): DataFrame = {
-    val a = sigsA.toDF(sigsA.columns.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
-    val b = sigsB.toDF(sigsB.columns.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
+    val a = sigsA.toDF(sigsA.columns.toIndexedSeq.map(c => if (c == idCol) "id_a" else s"a_$c"): _*)
+    val b = sigsB.toDF(sigsB.columns.toIndexedSeq.map(c => if (c == idCol) "id_b" else s"b_$c"): _*)
     val matches = (0 until NumPerms)
       .map(j => when(col(s"a_mh$j") === col(s"b_mh$j"), 1).otherwise(0))
       .reduce(_ + _)

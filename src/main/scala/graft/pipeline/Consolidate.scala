@@ -154,7 +154,7 @@ object Consolidate {
     val selected = renamed.select(finalCols.map(col): _*)
     val result =
       if (view.esAgua)
-        selected.drop(selected.columns.filter(_.startsWith("DTI_")): _*)
+        selected.drop(selected.columns.toIndexedSeq.filter(_.startsWith("DTI_")): _*)
       else selected
     Some(result.orderBy(view.periodName, "estacion"))
   }

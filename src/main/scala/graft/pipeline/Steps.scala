@@ -119,13 +119,13 @@ object Steps {
         Seq(count(expr(s"try_cast(`$c` as double)")).as(s"__p_$c"),
           count(col(c)).as(s"__n_$c"))
       }
-      val row = df.agg(ratioExprs.head, ratioExprs.tail: _*).collect()(0)
+      val row = df.agg(ratioExprs.head, ratioExprs.tail.toIndexedSeq: _*).collect()(0)
       val toCast = stringCols.filter { c =>
         val parsed = row.getAs[Long](s"__p_$c")
         val total = row.getAs[Long](s"__n_$c")
         total > 0 && parsed.toDouble / total >= threshold
       }.toSet
-      df.select(df.columns.map { c =>
+      df.select(df.columns.toIndexedSeq.map { c =>
         if (toCast(c)) expr(s"try_cast(`$c` as double)").as(c) else col(c)
       }: _*)
     }
