@@ -728,6 +728,32 @@ object Dedup {
       Seq(idCol), "left_semi")
   }
 
+  /** Transitive dedup with a QUALITY-AWARE keeper: cluster near-dups
+    * like [[dedupCorpusTransitive]], but keep the cluster row with the
+    * highest `scoreCol` (ties by min id) instead of the min id. This
+    * is what a production pipeline actually wants — when a scraped
+    * page and its AMP/print twin collide, keep the longer/cleaner one,
+    * not whichever crawled first. Keeper selection is one
+    * row_number-over-component window (GroupedTopK-shaped: bounded
+    * heap, no per-component sort); determinism needs scoreCol ties to
+    * be broken by id, which the window does.
+    */
+  def dedupCorpusKeepBest(df: DataFrame, idCol: String, textCol: String,
+                          scoreCol: String, k: Int = 3,
+                          threshold: Double = 0.5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val input = df.localCheckpoint()
+    val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
+      .select("id_a", "id_b")
+    val comps = connectedComponents(pairs, input.select(idCol), idCol)
+    val w = Window.partitionBy(col("component"))
+      .orderBy(col(scoreCol).desc, col(idCol))
+    input.join(comps, idCol)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn", "component")
+  }
+
   /** EXACT SUBSTRING dedup — span-level, not document-level: every
     * k-token span whose text occurs more than once in the corpus is cut
     * from every occurrence EXCEPT the first (first = smallest

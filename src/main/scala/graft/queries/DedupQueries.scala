@@ -211,6 +211,16 @@ object DedupQueries {
       Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", k = 6)
         .orderBy("doc_id")),
 
+    // quality-aware transitive dedup: each near-dup cluster keeps its
+    // LONGEST doc (ties by id), not its min id
+    "q_dedup_keep_best" -> ((s, d) =>
+      Dedup.dedupCorpusKeepBest(
+        Tables.documents(s, d).select("doc_id", "text", "lang", "source",
+          "n_chars"),
+        "doc_id", "text", "n_chars")
+        .select("doc_id", "lang", "source", "n_chars")
+        .orderBy("doc_id")),
+
     // asymmetric containment (|A∩B|/|A|, /|B|) over LSH candidates —
     // the quote/wrapper signature Jaccard blurs
     "q_containment" -> ((s, d) =>
@@ -468,6 +478,35 @@ object DedupQueries {
          |SELECT d.doc_id, d.lang, d.source FROM documents d
          |JOIN comps c ON c.id = d.doc_id
          |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin
+    },
+
+    // same recursive components as q_dedup_transitive; the keeper is
+    // the per-component (n_chars DESC, doc_id) top-1
+    "q_dedup_keep_best" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+         |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id)
+         |SELECT d.doc_id, d.lang, d.source, d.n_chars
+         |FROM documents d JOIN comps c ON c.id = d.doc_id
+         |QUALIFY row_number() OVER (PARTITION BY c.comp
+         |  ORDER BY d.n_chars DESC, d.doc_id) = 1
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_incremental_dedup" -> {

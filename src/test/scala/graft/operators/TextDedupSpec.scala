@@ -339,6 +339,20 @@ class TextDedupSpec extends SparkSpec {
     assert(got(5L) == ((0L, 0L, None)), "short doc → null coverage")
   }
 
+  test("dedupCorpusKeepBest keeps the highest-score row per cluster") {
+    // docs 1 and 2 are exact dups: the HIGHER-score copy (2) must be
+    // the keeper, where dedupCorpusTransitive would keep min-id 1
+    val d = Seq(
+      (1L, "the quick brown fox jumps over the lazy dog", 10L),
+      (2L, "the quick brown fox jumps over the lazy dog", 99L),
+      (3L, "completely different content about spark engines and shuffles", 5L),
+    ).toDF("doc_id", "text", "len")
+    val kept = Dedup.dedupCorpusKeepBest(d, "doc_id", "text", "len",
+      k = 3, threshold = 0.3)
+      .select("doc_id").as[Long].collect().toSet
+    assert(kept == Set(2L, 3L), s"got $kept")
+  }
+
   test("substringDedup cuts repeated spans everywhere but first occurrence") {
     val d = Seq(
       // keeper: doc 1 holds the first occurrence of the repeated span
