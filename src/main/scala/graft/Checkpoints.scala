@@ -25,12 +25,27 @@ object Checkpoints {
     * "never" — the escape hatch for callers that set a checkpoint dir
     * for OTHER purposes), `localCheckpoint()` otherwise. Both are
     * EAGER — callers rely on single evaluation of expensive subtrees.
+    *
+    * The reliable path persists before checkpointing: an uncached
+    * eager `checkpoint()` runs the materializing count AND the
+    * checkpoint write as two jobs over the full lineage — double
+    * compute per iteration, in exactly the hours-long regime this
+    * mode exists for. The transient cache is dropped once the
+    * checkpoint files are the source of truth. Checkpoint FILES
+    * accumulate per iteration by default — long-running sessions
+    * should set `spark.cleaner.referenceTracking.cleanCheckpoints=
+    * true` (see the README knob table) so superseded snapshots are
+    * GC'd with their datasets.
     */
   def stabilize(df: DataFrame): DataFrame = {
     val session = df.sparkSession
     val wantReliable =
       session.conf.get("spark.graft.reliableCheckpoint", "auto") != "never" &&
         session.sparkContext.getCheckpointDir.isDefined
-    if (wantReliable) df.checkpoint() else df.localCheckpoint()
+    if (wantReliable) {
+      val cached = df.persist()
+      try cached.checkpoint()
+      finally cached.unpersist(blocking = false)
+    } else df.localCheckpoint()
   }
 }

@@ -60,6 +60,21 @@ object Bloom {
     words
   }
 
+  /** Count the keys, size the filter, build it: mBits = the next power
+    * of two ≥ 10 bits/key (capped at 2²⁸ = 32 MB of literal) with 7
+    * hashes — the textbook ~1% fp configuration. Use this instead of
+    * guessing mBits: an undersized filter silently degenerates to
+    * pass-everything (correct results, zero pruning). Returns
+    * (words, mBits, numHashes) for the matching probes.
+    */
+  def buildSized(keys: DataFrame, keyCol: String): (Array[Long], Int, Int) = {
+    val n = math.max(1L, keys.count())
+    var m = 1024L
+    while (m < n * 10 && m < (1L << 28)) m <<= 1
+    val numHashes = 7
+    (build(keys, keyCol, m.toInt, numHashes), m.toInt, numHashes)
+  }
+
   /** Row-local membership probe against a built filter: true iff every
     * seeded bit is set. The bitset rides the plan as one array<bigint>
     * literal (mBits/8 bytes), so the probe broadcasts for free and

@@ -135,24 +135,33 @@ object Curation {
     * semi-join, which de-false-positives the result, so output ==
     * [[decontaminate]] bit-for-bit and the DuckDB oracle is shared.
     *
-    * Size mBits ≈ 10 × |distinct bench shingles| (rounded up to a
-    * power of two) with numHashes ≈ 7 for the textbook 1% fp rate.
+    * The filter is SIZED FROM THE DATA by default
+    * ([[graft.functions.Bloom.buildSized]]: next-pow-2 of 10
+    * bits/shingle, 7 hashes — ~1% fp): a fixed mBits against an
+    * unknown benchmark-set size silently degenerates to
+    * pass-everything when the set outgrows it (results stay exact,
+    * pruning evaporates). Pass explicit mBits/numHashes > 0 only when
+    * you've sized them yourself.
     */
   def decontaminateBloom(train: DataFrame, bench: DataFrame, idCol: String,
                          textCol: String, k: Int = 3,
-                         mBits: Int = 1 << 17,
-                         numHashes: Int = 4): DataFrame = {
+                         mBits: Int = 0,
+                         numHashes: Int = 0): DataFrame = {
     import graft.functions.Bloom
     val benchShingles = Dedup
       .docShingles(bench, idCol, textCol, k, dedup = false)
       .select(col("shingle")).distinct()
-    val bits = Bloom.build(benchShingles, "shingle", mBits, numHashes)
+    val (bits, m, nh) =
+      if (mBits > 0 && numHashes > 0)
+        (Bloom.build(benchShingles, "shingle", mBits, numHashes), mBits,
+          numHashes)
+      else Bloom.buildSized(benchShingles, "shingle")
     // fused native probe straight off the text column: the HOF form
     // re-evaluates the inline split() per shingle (the repo's
     // documented O(tokens²) trap) and every HOF layer is interpreted
     val candidates = train.filter(
       graft.expressions.BloomExpressions.bloomShingleContain(
-        col(textCol), k, bits, mBits, numHashes))
+        col(textCol), k, bits, m, nh))
     train.join(contaminatedIds(candidates, bench, idCol, textCol, k),
       Seq(idCol), "left_anti")
   }
@@ -324,20 +333,27 @@ object Curation {
     * exact ≤-budget prefix — the cheap form you run over 100 TB when
     * ±1% of budget is fine and a per-group window is not.
     *
-    * Deterministic: the keep decision is the same basis-point hash
-    * arithmetic as mixtureSample (rate honored to 0.01%), so the
-    * selection is reproducible on any engine and oracles exactly.
+    * Deterministic: the keep decision is the same hash-bucket
+    * arithmetic as mixtureSample but over 10⁸ buckets — data-dependent
+    * rates can be far smaller than hand-picked mixture rates (a 1 M
+    * budget against a 25 B-token domain is rate 4·10⁻⁵, which a
+    * basis-point space would round to ZERO and silently drop the whole
+    * domain), and the threshold floors at one bucket so an
+    * under-represented rate keeps a trickle rather than nothing. Still
+    * reproducible on any engine and oracled exactly.
     */
   def budgetedSample(df: DataFrame, keyCol: String, groupCol: String,
                      tokensCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
+    val Buckets = 100000000L
     val totals = df.groupBy(col(groupCol))
       .agg(sum(col(tokensCol)).as("__total"))
       .withColumn("__rate",
         least(lit(1.0), lit(budgetTokens.toDouble) / col("__total")))
-    val rateBp = round(col("__rate") * 10000).cast("int")
+    val rateB = greatest(lit(1L),
+      round(col("__rate") * Buckets).cast("long"))
     df.join(broadcast(totals), Seq(groupCol))
-      .filter(hashBucket(col(keyCol), 10000) < rateBp)
+      .filter(hashBucket(col(keyCol), Buckets.toInt) < rateB)
       .drop("__total", "__rate")
   }
 }

@@ -323,17 +323,27 @@ object Dedup {
       .join(sh.select(col(idCol).as("id_b"), col("shingle")),
         Seq("id_b", "shingle"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
-    pairs
+    // sizes attach via LEFT joins: a knownPairs side with < k tokens
+    // has no shingles and no sizes row — an inner join would silently
+    // delete the very pair the caller asked about. Such a side gets a
+    // NULL ratio (containment over an empty set is undefined, not 0),
+    // and a pair where NO ratio is judgeable is kept with both nulls
+    // rather than vanishing.
+    val scored = pairs
       .join(inter, Seq("id_a", "id_b"), "left").na.fill(0L, Seq("n_inter"))
-      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")), "id_a")
-      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")), "id_b")
+      .join(sizes.select(col(idCol).as("id_a"), col("n_sh").as("n_a")),
+        Seq("id_a"), "left")
+      .join(sizes.select(col(idCol).as("id_b"), col("n_sh").as("n_b")),
+        Seq("id_b"), "left")
       .select(col("id_a"), col("id_b"), col("n_inter"),
         round(col("n_inter").cast("double") / col("n_a"), 6)
           .as("contain_a"),
         round(col("n_inter").cast("double") / col("n_b"), 6)
           .as("contain_b"))
-      .filter(col("contain_a") >= minContain ||
-        col("contain_b") >= minContain)
+    scored.filter(
+      coalesce(col("contain_a") >= minContain, lit(false)) ||
+        coalesce(col("contain_b") >= minContain, lit(false)) ||
+        (col("contain_a").isNull && col("contain_b").isNull))
   }
 
   /** Exact n-gram Jaccard over LSH-bounded candidates — the

@@ -104,8 +104,10 @@ object Scale {
     *
     * CALLER CONTRACT: `orderCols` must be a total order (include a
     * unique tie-break column) — ids are then identical on any engine,
-    * any partitioning. Null ordering follows Spark's default
-    * (NULLS FIRST ascending), matched in the oracle.
+    * any partitioning. Null ordering follows Spark's defaults (NULLS
+    * FIRST on ASC, NULLS LAST on DESC); an oracle on another engine
+    * must spell that placement out explicitly — DuckDB's defaults are
+    * the opposite on ASC.
     */
   def denseIds(df: DataFrame, orderCols: Seq[org.apache.spark.sql.Column],
                idCol: String = "id"): DataFrame = {

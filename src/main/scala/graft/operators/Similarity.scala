@@ -187,7 +187,7 @@ object Similarity {
     *
     * Returns (assignments `(id, cluster, dist2)`, centroids
     * `(cluster, cv)`). Lineage per round is truncated with
-    * localCheckpoint on the tiny centroid frame only.
+    * Checkpoints.stabilize on the tiny centroid frame only (reliable when a checkpoint dir is configured).
     */
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): (DataFrame, DataFrame) = {
@@ -197,7 +197,7 @@ object Similarity {
     var cent = v.orderBy("__id").limit(k)
       .withColumn("cluster", row_number().over(seedW) - 1)
       .select(col("cluster"), col("__v").as("cv"))
-      .localCheckpoint(eager = true)
+      .transform(graft.Checkpoints.stabilize)
     for (_ <- 0 until iters) {
       val assign = v.crossJoin(broadcast(cent))
         .withColumn("__d2", l2Sq(col("__v"), col("cv")))
@@ -212,7 +212,7 @@ object Similarity {
         .agg(array_sort(collect_list(struct(col("__dim"), col("__m")))).as("__dm"))
         .select(col("cluster"),
           transform(col("__dm"), s => s.getField("__m")).as("cv"))
-        .localCheckpoint(eager = true)
+        .transform(graft.Checkpoints.stabilize)
     }
     (assignToCentroids(df, idCol, vecCol, cent), cent)
   }
@@ -322,8 +322,10 @@ object Similarity {
       .orderBy(desc("rel"), col(idCol))
       .limit(candidates)
       .localCheckpoint()
-    var selected = List.empty[(Long, Array[Double])]
-    val picks = Seq.newBuilder[(Int, Long, Double)]
+    // ids stay type-generic (Any + the corpus's own id StructField) —
+    // a getLong here would crash for string-keyed corpora
+    var selected = List.empty[(Any, Array[Double])]
+    val picks = Seq.newBuilder[org.apache.spark.sql.Row]
     var r = 1
     var exhausted = false
     while (r <= k && !exhausted) {
@@ -345,13 +347,19 @@ object Similarity {
       else {
         val row = top(0)
         val vec = row.getSeq[Double](2).toArray
-        selected ::= ((row.getLong(0), vec))
-        picks += ((r, row.getLong(0), row.getDouble(1)))
+        selected ::= ((row.get(0), vec))
+        picks += org.apache.spark.sql.Row(r, row.get(0), row.getDouble(1))
         r += 1
       }
     }
-    import spark.implicits._
-    picks.result().toDF("rank", idCol, "mmr")
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("rank",
+        org.apache.spark.sql.types.IntegerType, nullable = false),
+      cand.schema(idCol),
+      org.apache.spark.sql.types.StructField("mmr",
+        org.apache.spark.sql.types.DoubleType, nullable = false)))
+    spark.createDataFrame(
+      spark.sparkContext.parallelize(picks.result(), 1), schema)
       .select(col("rank"), col(idCol), round(col("mmr"), 6).as("mmr"))
   }
 

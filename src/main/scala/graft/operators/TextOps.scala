@@ -470,7 +470,7 @@ object TextOps {
     var seg = words.select(col("word"), col("freq"),
       transform(sequence(lit(1), length(col("word"))),
         i => col("word").substr(i, lit(1))).as("seg"))
-      .localCheckpoint()
+      .transform(graft.Checkpoints.stabilize)
     val merges = Seq.newBuilder[(Int, String, String, Long)]
     var r = 1
     var exhausted = false
@@ -496,7 +496,7 @@ object TextOps {
               element_at(acc, -1) === lit(a) && s === lit(b),
               concat(slice(acc, lit(1), size(acc) - 1), array(lit(ab))))
               .otherwise(concat(acc, array(s)))).as("seg"))
-          .localCheckpoint()
+          .transform(graft.Checkpoints.stabilize)
         r += 1
       }
     }

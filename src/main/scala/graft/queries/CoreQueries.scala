@@ -732,9 +732,12 @@ object CoreQueries {
         |  CAST(rn AS BIGINT) AS rn
         |FROM r WHERE rn <= 3 ORDER BY l_suppkey, rn""".stripMargin,
 
+    // explicit NULLS placement: Spark sorts NULLS FIRST on ASC and
+    // NULLS LAST on DESC; DuckDB's defaults differ, so spell it out
     "q_dense_ids" ->
       """SELECT doc_id, source, n_chars,
-        |  row_number() OVER (ORDER BY source, n_chars DESC, doc_id) AS rid
+        |  row_number() OVER (ORDER BY source ASC NULLS FIRST,
+        |    n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rid
         |FROM documents ORDER BY rid""".stripMargin,
 
     "q_skew_report" ->

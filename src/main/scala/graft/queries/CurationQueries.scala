@@ -224,8 +224,8 @@ object CurationQueries {
          |r AS (SELECT source, least(1.0, 7000.0 / total) AS rate FROM t)
          |SELECT d.doc_id, d.source, d.n_chars
          |FROM documents d JOIN r USING (source)
-         |WHERE ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")} % 10000
-         |      < CAST(round(rate * 10000) AS INT)
+         |WHERE ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100000000
+         |      < GREATEST(1, CAST(round(rate * 100000000) AS BIGINT))
          |ORDER BY d.doc_id""".stripMargin,
 
     "q_decontam" ->

@@ -352,8 +352,13 @@ object Streams {
   def streamingDecontamGate(docs: DataFrame, textCol: String,
                             bloomBits: Array[Long], mBits: Int,
                             numHashes: Int, k: Int = 3): DataFrame =
-    docs.filter(!graft.expressions.BloomExpressions.bloomShingleContain(
-      col(textCol), k, bloomBits, mBits, numHashes))
+    // null text → null probe → filter(null) would silently drop the
+    // row; a null doc has no shingles and is provably clean, so it
+    // passes — matching the batch decontaminate paths
+    docs.filter(coalesce(
+      !graft.expressions.BloomExpressions.bloomShingleContain(
+        col(textCol), k, bloomBits, mBits, numHashes),
+      lit(true)))
 
   // ---- streaming as-of enrichment ----
 

@@ -154,11 +154,14 @@ class StreamsSpec extends SparkSpec {
         // clean doc → survives
         (11L, "an unrelated training document about distributed joins"),
         // short doc (no 3-shingles) → survives
-        (12L, "too short"))
+        (12L, "too short"),
+        // null text: no shingles, provably clean → must survive (a
+        // bare filter(!probe) would silently drop it on null)
+        (13L, null: String))
       q.processAllAvailable()
       val out = spark.table("decontam_gate").select("doc_id").as[Long]
         .collect().toSet
-      assert(out == Set(11L, 12L), s"got $out")
+      assert(out == Set(11L, 12L, 13L), s"got $out")
     } finally q.stop()
   }
 
