@@ -100,4 +100,35 @@ object MergeTable {
           when(col("__in_new").isNull, col(s"__old_$c"))
             .otherwise(col(c)).as(c)): _*)
   }
+
+  /** Incremental AGGREGATE refresh — the materialized-view maintenance
+    * pattern the daily 100 TB refresh needs: given the previous
+    * per-group aggregate, the new fact snapshot, and the CDC diff
+    * ([[diffSnapshots]]), recompute ONLY the groups whose facts
+    * changed and splice them over the old aggregate rows. Groups the
+    * diff never mentions are carried over untouched (zero fact reads);
+    * touched groups recompute from the new snapshot — with the fact
+    * table partitioned/clustered on the group key that read is
+    * partition-pruned to the changed slice, so daily cost scales with
+    * the CHANGE volume, not the table. A touched group whose facts all
+    * vanished drops out (its old row is anti-joined away and the
+    * recompute yields nothing) — the group-deletion case naive
+    * implementations miss.
+    *
+    * `aggOf` must be a PER-GROUP aggregation over exactly `groupCols`
+    * (the recompute substitutes a filtered fact set; anything
+    * cross-group would see partial data). Invariant — spec-pinned and
+    * the oracle contract: the result equals `aggOf(newSnapshot)`.
+    */
+  def incrementalAggRefresh(aggOld: DataFrame, newSnapshot: DataFrame,
+                            diff: DataFrame, groupCols: Seq[String])(
+      aggOf: DataFrame => DataFrame): DataFrame = {
+    require(groupCols.nonEmpty, "refresh needs at least one group column")
+    val touched = diff.select(groupCols.map(col): _*).distinct()
+      .localCheckpoint() // feeds the carry-over anti-join AND the prune
+    val recomputed = aggOf(
+      newSnapshot.join(touched, groupCols, "left_semi"))
+    aggOld.join(touched, groupCols, "left_anti")
+      .unionByName(recomputed)
+  }
 }

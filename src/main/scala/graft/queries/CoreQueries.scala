@@ -311,6 +311,29 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // incremental aggregate refresh (materialized-view maintenance):
+    // old agg + CDC diff → only groups 0,1,5,8,9 (by key%10) recompute,
+    // groups 2,3,4,6,7 carry over untouched; the oracle is the FULL
+    // recompute of the new snapshot — the refresh invariant
+    "q_incr_agg" -> ((s, d) => {
+      val base = Tables.orders(s, d).select("o_orderkey", "o_totalprice")
+        .withColumn("grp", (col("o_orderkey") % 10).cast("int"))
+      val oldSnap = base.filter(col("o_orderkey") % 10 < 8)
+      val newSnap = base.filter(col("o_orderkey") % 10 >= 2)
+        .withColumn("o_totalprice",
+          when(col("o_orderkey") % 10 === 5, col("o_totalprice") + 1.0)
+            .otherwise(col("o_totalprice")))
+      val aggOf = (df: org.apache.spark.sql.DataFrame) => df.groupBy("grp")
+        .agg(count(lit(1)).as("n"),
+          sum(col("o_totalprice").cast("decimal(18,2)"))
+            .cast("double").as("total"))
+      val diff = graft.io.MergeTable.diffSnapshots(oldSnap, newSnap,
+        Seq("o_orderkey"))
+      graft.io.MergeTable.incrementalAggRefresh(
+        aggOf(oldSnap), newSnap, diff, Seq("grp"))(aggOf)
+        .orderBy("grp")
+    }),
+
     // S4 — ORC round-trip: the columnar alternative when the lake
     // standardizes on ORC (Hive shops). Same month-slice shape as the
     // CSV path; values must survive the ORC writer/reader identically.
@@ -692,6 +715,18 @@ object CoreQueries {
         |   OR o.o_orderstatus IS DISTINCT FROM n.o_orderstatus
         |   OR o.o_totalprice IS DISTINCT FROM n.o_totalprice
         |ORDER BY o_orderkey""".stripMargin,
+
+    // the refresh invariant IS the oracle: incremental splice must
+    // equal the full recompute over the new snapshot
+    "q_incr_agg" ->
+      """WITH n AS (SELECT o_orderkey,
+        |    CASE WHEN o_orderkey % 10 = 5 THEN o_totalprice + 1.0
+        |         ELSE o_totalprice END AS p,
+        |    CAST(o_orderkey % 10 AS INT) AS grp
+        |  FROM orders WHERE o_orderkey % 10 >= 2)
+        |SELECT grp, count(*) AS n,
+        |  CAST(sum(CAST(p AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM n GROUP BY grp ORDER BY grp""".stripMargin,
 
     "q_orc_roundtrip" ->
       """SELECT sp.ship_date, sp.l_suppkey, s.s_name

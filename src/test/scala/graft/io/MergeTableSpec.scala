@@ -88,6 +88,26 @@ class MergeTableSpec extends SparkSpec {
     assert(merged == expected, s"merged $merged != new $expected")
   }
 
+  test("incrementalAggRefresh == full recompute, incl. vanished groups") {
+    import org.apache.spark.sql.DataFrame
+    import org.apache.spark.sql.functions.{col, count, lit, sum}
+    // groups: g1 updated (fact changes), g2 untouched, g3 vanishes
+    // entirely (all facts deleted), g4 newly inserted
+    val oldSnap = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 5L),
+      (4L, "g3", 7L)).toDF("k", "grp", "x")
+    val newSnap = Seq((1L, "g1", 11L), (2L, "g1", 20L), (3L, "g2", 5L),
+      (5L, "g4", 9L)).toDF("k", "grp", "x")
+    val aggOf = (df: DataFrame) => df.groupBy("grp")
+      .agg(count(lit(1)).as("n"), sum("x").as("sx"))
+    val diff = MergeTable.diffSnapshots(oldSnap, newSnap, Seq("k"))
+    val refreshed = MergeTable.incrementalAggRefresh(
+      aggOf(oldSnap), newSnap, diff, Seq("grp"))(aggOf)
+      .as[(String, Long, Long)].collect().toSet
+    val full = aggOf(newSnap).as[(String, Long, Long)].collect().toSet
+    assert(refreshed == full, s"refresh $refreshed != full $full")
+    assert(!refreshed.exists(_._1 == "g3"), "vanished group must drop out")
+  }
+
   test("delete of a never-inserted key is a no-op, not an error") {
     val path = freshPath("ghost")
     MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
