@@ -326,6 +326,36 @@ object Streams {
       .start()
   }
 
+  /** The COMPOSED streaming curation pipeline — the streaming twin of
+    * `Curation.curateCorpus`, wiring every ingest gate in the order a
+    * production feed runs them:
+    *   1. quality gate (row-local, stateless);
+    *   2. benchmark decontamination (row-local bloom probe against a
+    *      broadcast sketch — conservative: fp drops are acceptable
+    *      losses, contamination never passes);
+    *   3. incremental near-dup dedup vs the MAINTAINED signature table
+    *      + signature append per micro-batch
+    *      ([[signatureMaintainingIngest]] — batch 1 bootstraps the
+    *      table, every batch dedups against all prior survivors).
+    * Stages 1–2 prune rows BEFORE any signature work, so the expensive
+    * stage only sees docs that could actually be admitted — the same
+    * gate ordering (cheap row-local first) the batch pipeline uses.
+    */
+  def curatedIngest(docs: DataFrame, idCol: String, textCol: String,
+                    sigPath: String, bloomBits: Array[Long], mBits: Int,
+                    numHashes: Int,
+                    options: Map[String, String] = Map.empty,
+                    minTokens: Int = 20, k: Int = 3,
+                    threshold: Double = 0.5)
+                   (survivorSink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val gated = streamingDecontamGate(
+      streamingQualityGate(docs, textCol, minTokens),
+      textCol, bloomBits, mBits, numHashes, k)
+    signatureMaintainingIngest(gated, idCol, textCol, sigPath, options,
+      k, threshold)(survivorSink)
+  }
+
   /** Streaming quality gate: the stateless curation front-door — drop
     * degenerate-repetition docs ([[graft.operators.TextOps
     * .repetitionPassLocal]], the row-local twin of the batch gate) and

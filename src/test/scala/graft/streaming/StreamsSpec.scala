@@ -165,6 +165,49 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curatedIngest: quality → decontam → near-dup gates compose end-to-end") {
+    import graft.functions.Bloom
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def doc(tag: String): String =
+      (1 to 24).map(i => s"${tag}_w$i").mkString(" ")
+    val benchText = doc("bench")
+    val bench = Seq((0L, benchText)).toDF("doc_id", "text")
+    val (bits, m, nh) = Bloom.buildSized(
+      Dedup.docShingles(bench, "doc_id", "text", 3, dedup = false)
+        .select("shingle").distinct(), "shingle")
+
+    val tag = System.nanoTime()
+    val sigPath = s"${sys.props("java.io.tmpdir")}/graft_curated_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_curated_ck_$tag"
+    val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.curatedIngest(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", sigPath,
+      bits, m, nh, Map("checkpointLocation" -> ckpt)) { (survivors, id) =>
+      seen.synchronized {
+        seen(id) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+    try {
+      in.addData(
+        (1L, doc("alpha")), // good, novel → survives
+        (2L, "a b " * 30),  // degenerate repetition → quality gate
+        (3L, benchText + " extra tail tokens here"), // contaminated
+        (4L, doc("beta")))  // good, novel → survives
+      q.processAllAvailable()
+      in.addData(
+        (5L, doc("alpha")), // exact dup of stored doc 1 → near-dup gate
+        (6L, doc("gamma"))) // novel → survives
+      q.processAllAvailable()
+      assert(seen(0L) == Set(1L, 4L), s"batch0: ${seen.get(0L)}")
+      assert(seen(1L) == Set(6L), s"batch1: ${seen.get(1L)}")
+      val sigIds = Dedup.readSignatures(spark, sigPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(sigIds == Set(1L, 4L, 6L), s"sig table: $sigIds")
+    } finally q.stop()
+  }
+
   test("signature-maintaining ingest dedups batch 2 against batch 1's appends") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
