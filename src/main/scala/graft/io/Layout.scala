@@ -32,16 +32,24 @@ object Layout {
   def writeClustered(df: DataFrame, path: String,
                      partitionCols: Seq[String],
                      sortCols: Seq[String],
-                     numFiles: Option[Int] = None): Unit = {
+                     numFiles: Option[Int] = None,
+                     bloomFilterCols: Seq[String] = Nil): Unit = {
     require(partitionCols.nonEmpty && sortCols.nonEmpty,
       "need at least one partition column and one sort column")
     val keys = (partitionCols ++ sortCols).map(col)
-    numFiles.map(n => df.repartitionByRange(n, keys: _*))
-      .getOrElse(df.repartitionByRange(keys: _*))
-      .sortWithinPartitions(keys: _*)
-      .write.mode("overwrite")
-      .partitionBy(partitionCols: _*)
-      .parquet(path)
+    // parquet bloom filters complement the sort: min/max row-group
+    // stats skip on the SORT keys, blooms skip point lookups on
+    // high-cardinality columns the sort doesn't cover (doc ids, url
+    // hashes) — the third data-skipping lever after partition pruning
+    // and clustering, all encoded at write time
+    val writer = bloomFilterCols.foldLeft(
+      numFiles.map(n => df.repartitionByRange(n, keys: _*))
+        .getOrElse(df.repartitionByRange(keys: _*))
+        .sortWithinPartitions(keys: _*)
+        .write.mode("overwrite")) { (w, c) =>
+      w.option(s"parquet.bloom.filter.enabled#$c", "true")
+    }
+    writer.partitionBy(partitionCols: _*).parquet(path)
   }
 
   /** Small-files compaction: rewrite a parquet directory into

@@ -49,4 +49,26 @@ class LayoutSpec extends SparkSpec {
         s"file ${f.getFileName} not sorted on value")
     }
   }
+
+  test("writeClustered encodes parquet bloom filters for requested cols") {
+    val out = s"${sys.props("java.io.tmpdir")}/graft_bloom_${System.nanoTime()}"
+    Layout.writeClustered(
+      Tables.events(spark, sf).select("event_type", "event_id", "value"),
+      out, partitionCols = Seq("event_type"), sortCols = Seq("value"),
+      bloomFilterCols = Seq("event_id"))
+    val file = Files.walk(Paths.get(out)).iterator().asScala
+      .find(_.getFileName.toString.endsWith(".parquet")).get
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(file.toString), conf))
+    try {
+      val cols = reader.getFooter.getBlocks.get(0).getColumns.asScala
+      val byName = cols.map(c => c.getPath.toDotString -> c).toMap
+      assert(byName("event_id").getBloomFilterOffset >= 0,
+        "event_id must carry a bloom filter")
+      assert(byName("value").getBloomFilterOffset < 0,
+        "unrequested column must not pay for a bloom filter")
+    } finally reader.close()
+  }
 }
