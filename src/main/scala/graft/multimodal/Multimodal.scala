@@ -156,4 +156,70 @@ object Multimodal {
           lit("stub").as("codec")).as("meta"))
       .as[MediaAsset]
   }
+
+  /** Perceptual dHash over the decoded luma plane: 33 evenly-spaced
+    * samples, bit i = sample(i+1) > sample(i), packed to 32 bits. The
+    * classic difference-hash image fingerprint — robust to uniform
+    * brightness/scale shifts (only ORDER between neighbors matters),
+    * and 4 bytes per asset at any payload size. Decode is per-row in
+    * mapPartitions (the real-codec batch shape); empty payloads yield
+    * null (no fingerprint, never pairs). 32 bits, not 64: every band/
+    * shift/sum stays in non-negative long range on ANY engine — bit 63
+    * would make the packed value sign-sensitive under >> and SUM.
+    */
+  def dHash(assets: Dataset[MediaAsset],
+            codec: Codec = StubCodec): DataFrame = {
+    import assets.sparkSession.implicits._
+    val Bits = 32
+    assets.mapPartitions { it =>
+      it.map { a =>
+        val luma = codec.decodeLuma(a.content, a.meta)
+        if (luma.isEmpty) (a.asset_id, None: Option[Long])
+        else {
+          val n = luma.length
+          val s = (0 to Bits).map(i =>
+            luma(((i.toLong * (n - 1)) / Bits).toInt))
+          var h = 0L
+          var i = 0
+          while (i < Bits) {
+            if (s(i + 1) > s(i)) h |= (1L << i)
+            i += 1
+          }
+          (a.asset_id, Some(h))
+        }
+      }
+    }.toDF("asset_id", "dhash")
+  }
+
+  /** Media near-dup pairs by banded dHash matching: 4×8-bit bands
+    * propose candidates (pigeonhole-EXACT for hamming < 4 — a pair
+    * differing in ≤3 bits must agree on one full band), exact hamming
+    * via bit_count(xor) verifies. Same scale shape as text SimHash:
+    * the shuffle carries 4 band keys per asset, never payloads, never
+    * asset × asset.
+    */
+  def mediaNearDupPairs(assets: Dataset[MediaAsset], maxDist: Int = 3,
+                        codec: Codec = StubCodec): DataFrame = {
+    require(maxDist < 4, "4x8-bit banding is only exact for hamming < 4")
+    val dh = dHash(assets, codec).filter(col("dhash").isNotNull)
+      .localCheckpoint()
+    val keyed = dh.select(col("asset_id"),
+      explode(array((0 until 4).map(b =>
+        concat_ws("_", lit(b),
+          shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L)))): _*))
+        .as("bk"))
+    val cand = keyed.withColumnRenamed("asset_id", "id_a")
+      .join(keyed.withColumnRenamed("asset_id", "id_b"), "bk")
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b").distinct()
+    cand
+      .join(dh.select(col("asset_id").as("id_a"), col("dhash").as("__ha")),
+        "id_a")
+      .join(dh.select(col("asset_id").as("id_b"), col("dhash").as("__hb")),
+        "id_b")
+      .withColumn("hamming",
+        bit_count(col("__ha").bitwiseXOR(col("__hb"))).cast("int"))
+      .filter(col("hamming") <= maxDist)
+      .select("id_a", "id_b", "hamming")
+  }
 }

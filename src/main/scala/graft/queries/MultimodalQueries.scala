@@ -32,6 +32,14 @@ object MultimodalQueries {
         .orderBy("asset_id")
     }),
 
+    // perceptual near-dup: banded dHash candidates + exact hamming
+    "q_media_neardup" -> ((s, d) => {
+      val assets = Multimodal.asAssets(
+        Tables.documents(s, d), "doc_id", "text", "text_blob")
+      Multimodal.mediaNearDupPairs(assets, maxDist = 3)
+        .orderBy("id_a", "id_b")
+    }),
+
     // resize then re-extract: payload truncated by the stub codec's
     // area ratio (64×64 → 32×32 keeps a quarter, min 1 byte), features
     // recomputed over the resized bytes
@@ -78,6 +86,46 @@ object MultimodalQueries {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE)/n END, 6)
         |    AS luma_mean
         |FROM r WHERE pos = n ORDER BY asset_id""".stripMargin,
+
+    // dHash mirror: the same rolling-luma fold, then 33 sampled
+    // positions, 32 packed greater-than bits, 4x8-bit band candidates,
+    // exact hamming via bit_count(xor)
+    "q_media_neardup" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents),
+        |r AS (
+        |  SELECT doc_id, 0 AS pos, 17 AS acc, n FROM b
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    (r.acc * 31 + CAST('0x' || substr(b.hx, r.pos*2+1, 2) AS INT)) & 255,
+        |    r.n
+        |  FROM r JOIN b USING (doc_id) WHERE r.pos < r.n),
+        |samp AS MATERIALIZED (SELECT b.doc_id, t.i,
+        |    CAST((t.i * (b.n - 1)) // 32 AS INT) AS sj
+        |  FROM b, generate_series(0, 32) t(i) WHERE b.n >= 1),
+        |v AS MATERIALIZED (SELECT s.doc_id, s.i, r.acc AS val
+        |  FROM samp s JOIN r ON r.doc_id = s.doc_id AND r.pos = s.sj + 1),
+        |dh AS MATERIALIZED (SELECT a.doc_id,
+        |    CAST(coalesce(sum(CASE WHEN b2.val > a.val
+        |      THEN CAST(1 AS BIGINT) << a.i ELSE 0 END), 0) AS BIGINT)
+        |      AS dhash
+        |  FROM v a JOIN v b2 ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
+        |  WHERE a.i < 32 GROUP BY 1),
+        |bm AS MATERIALIZED (SELECT doc_id, t.b,
+        |    (dhash >> (8 * t.b)) & 255 AS bk
+        |  FROM dh, generate_series(0, 3) t(b)),
+        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+        |  FROM bm x JOIN bm y ON y.b = x.b AND y.bk = x.bk
+        |    AND x.doc_id < y.doc_id)
+        |SELECT c.id_a, c.id_b,
+        |  CAST(bit_count(xor(ha.dhash, hb.dhash)) AS INT) AS hamming
+        |FROM cand c
+        |JOIN dh ha ON ha.doc_id = c.id_a
+        |JOIN dh hb ON hb.doc_id = c.id_b
+        |WHERE bit_count(xor(ha.dhash, hb.dhash)) <= 3
+        |ORDER BY c.id_a, c.id_b""".stripMargin,
 
     // resize truncates the payload to the area ratio (min 1 byte);
     // the same rolling-luma CTE just stops at the resized length

@@ -70,6 +70,23 @@ class MultimodalSpec extends SparkSpec {
     assert(frames.forall(_.frame_bytes.nonEmpty))
   }
 
+  test("dHash: identical payloads pair at hamming 0, empty never pairs") {
+    val payload = Array.tabulate[Byte](200)(i => (i * 7 % 120).toByte)
+    val other = Array.tabulate[Byte](200)(i => ((i * 13 + 5) % 120).toByte)
+    val ds = Seq(asset(1L, payload), asset(2L, payload.clone()),
+      asset(3L, other), asset(4L, Array.emptyByteArray)).toDS()
+    val pairs = mediaNearDupPairs(ds, maxDist = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
+    assert(pairs((1L, 2L)) == 0, "identical payloads must pair at 0")
+    assert(!pairs.keys.exists(p => p._1 == 4L || p._2 == 4L),
+      "empty payload has no fingerprint and never pairs")
+    // dHash determinism: re-running reproduces bit-identical hashes
+    val h1 = dHash(ds).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    val h2 = dHash(ds).collect().map(r => r.getLong(0) -> r.get(1)).toMap
+    assert(h1 == h2)
+    assert(h1(4L) == null, "empty payload → null hash")
+  }
+
   test("asAssets wraps a text column as typed binary assets") {
     val docs = Seq((10L, "hello world")).toDF("doc_id", "text")
     val a = asAssets(docs, "doc_id", "text", "text_blob").collect().head
