@@ -43,4 +43,19 @@ object Scalars {
     */
   def hasPrefix(c: Column, p: String): Column = c.startsWith(p)
   def hasSuffix(c: Column, s: String): Column = c.endsWith(s)
+
+  /** Deterministic keyed pseudonymization: salted SHA-256, first 16
+    * hex chars — the privacy-pipeline primitive for sharing joinable
+    * data without raw identifiers. Same (salt, id) → same pseudonym on
+    * any engine (so cross-table joins still line up), unsalted
+    * dictionary attacks don't (the salt is the secret; rotate it to
+    * sever linkability between releases). Row-local, codegen'd, no
+    * shuffle — at 100 TB this is a projection on the scan. NOT
+    * reversible and NOT an MAC-grade construction (use HMAC through a
+    * KMS for adversarial settings — needs key infrastructure, not an
+    * engine primitive); null ids stay null.
+    */
+  def pseudonymize(c: Column, salt: String): Column =
+    substring(sha2(concat(lit(salt), lit("|"), c.cast("string")), 256),
+      1, 16)
 }

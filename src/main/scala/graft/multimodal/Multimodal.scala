@@ -157,6 +157,31 @@ object Multimodal {
       .as[MediaAsset]
   }
 
+  /** Scene-change detection over sampled frames: a frame starts a new
+    * scene when its luma mass jumps by more than `threshold` vs the
+    * previous frame (plus frame 0, always a boundary). The frame
+    * statistic is an INTEGER sum of the frame's luma samples — exact,
+    * order-free, engine-portable — so the boundary set oracles
+    * bit-for-bit where a float mean-diff would not. One window per
+    * asset (shuffle keyed on asset id; frames of one asset are
+    * ~duration/everyMs rows, never the corpus).
+    */
+  def sceneChanges(assets: Dataset[MediaAsset], everyMs: Long = 500L,
+                   threshold: Long = 200L,
+                   codec: Codec = StubCodec): DataFrame = {
+    import assets.sparkSession.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val fs = sampleFrames(assets, everyMs, codec)
+      .map(f => (f.asset_id, f.frame_idx, f.ts_ms,
+        f.frame_bytes.map(b => (b & 0xff).toLong).sum))
+      .toDF("asset_id", "frame_idx", "ts_ms", "fsum")
+    val w = Window.partitionBy("asset_id").orderBy("frame_idx")
+    fs.withColumn("__prev", lag("fsum", 1).over(w))
+      .filter(col("__prev").isNull ||
+        abs(col("fsum") - col("__prev")) > threshold)
+      .select("asset_id", "frame_idx", "ts_ms", "fsum")
+  }
+
   /** Perceptual dHash over the decoded luma plane: 33 evenly-spaced
     * samples, bit i = sample(i+1) > sample(i), packed to 32 bits. The
     * classic difference-hash image fingerprint — robust to uniform

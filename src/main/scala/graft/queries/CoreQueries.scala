@@ -230,6 +230,14 @@ object CoreQueries {
             .as("plus_2m"))
         .orderBy("l_orderkey", "l_linenumber")),
 
+    // keyed pseudonymization: joinable, irreversible, engine-portable
+    "q_pseudonymize" -> ((s, d) =>
+      Tables.events(s, d)
+        .select(col("event_id"),
+          graft.functions.Scalars.pseudonymize(col("user_id"), "r3salt")
+            .as("user_pseudo"))
+        .orderBy("event_id")),
+
     // string scalar-function surface incl. edit distance
     "q_string_funcs" -> ((s, d) =>
       Tables.supplier(s, d)
@@ -628,6 +636,12 @@ object CoreQueries {
         |           '%Y-%m-%d') AS plus_2m
         |FROM lineitem WHERE l_orderkey % 50 = 0
         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_pseudonymize" ->
+      """SELECT event_id,
+        |  substr(sha256('r3salt' || '|' || CAST(user_id AS VARCHAR)),
+        |    1, 16) AS user_pseudo
+        |FROM events ORDER BY event_id""".stripMargin,
 
     "q_string_funcs" ->
       """SELECT s_suppkey,

@@ -32,6 +32,15 @@ object MultimodalQueries {
         .orderBy("asset_id")
     }),
 
+    // scene boundaries: integer luma-mass jumps between frames
+    "q_scene_changes" -> ((s, d) => {
+      val assets = Multimodal.asAssets(
+        Tables.documents(s, d).filter(col("doc_id") < 50),
+        "doc_id", "text", "video_stub")
+      Multimodal.sceneChanges(assets, everyMs = 500L, threshold = 200L)
+        .orderBy("asset_id", "frame_idx")
+    }),
+
     // perceptual near-dup: banded dHash candidates + exact hamming
     "q_media_neardup" -> ((s, d) => {
       val assets = Multimodal.asAssets(
@@ -86,6 +95,40 @@ object MultimodalQueries {
         |  round(CASE WHEN n = 0 THEN 0.0 ELSE CAST(s AS DOUBLE)/n END, 6)
         |    AS luma_mean
         |FROM r WHERE pos = n ORDER BY asset_id""".stripMargin,
+
+    // frame i covers luma[off, off+16), off = (i*500) % n; its mass is
+    // an exact integer sum from the same fold rows; boundaries via lag
+    "q_scene_changes" ->
+      """WITH RECURSIVE b AS (
+        |  SELECT doc_id, hex(encode(text)) AS hx,
+        |         octet_length(encode(text)) AS n
+        |  FROM documents WHERE doc_id < 50),
+        |r AS (
+        |  SELECT doc_id, 0 AS pos, 17 AS acc, n FROM b
+        |  UNION ALL
+        |  SELECT r.doc_id, r.pos + 1,
+        |    (r.acc * 31 + CAST('0x' || substr(b.hx, r.pos*2+1, 2) AS INT)) & 255,
+        |    r.n
+        |  FROM r JOIN b USING (doc_id) WHERE r.pos < r.n),
+        |fidx AS (SELECT b.doc_id, b.n, t.i
+        |  FROM b, generate_series(0, 100000) t(i)
+        |  WHERE (b.n * 10) // 500 >= 1 AND t.i < (b.n * 10) // 500),
+        |fr AS (SELECT doc_id, i, i * 500 AS ts,
+        |    CAST((i * 500) % greatest(1, n) AS INT) AS off, n
+        |  FROM fidx),
+        |fsums AS (SELECT f.doc_id, f.i, f.ts,
+        |    CAST(coalesce(sum(r.acc), 0) AS BIGINT) AS fsum
+        |  FROM fr f LEFT JOIN r ON r.doc_id = f.doc_id
+        |    AND r.pos BETWEEN f.off + 1 AND least(f.off + 16, f.n)
+        |  GROUP BY 1, 2, 3),
+        |sc AS (SELECT doc_id, i, ts, fsum,
+        |    lag(fsum) OVER (PARTITION BY doc_id ORDER BY i) AS prev
+        |  FROM fsums)
+        |SELECT doc_id AS asset_id, CAST(i AS INT) AS frame_idx,
+        |  ts AS ts_ms, fsum
+        |FROM sc
+        |WHERE prev IS NULL OR abs(fsum - prev) > 200
+        |ORDER BY asset_id, frame_idx""".stripMargin,
 
     // dHash mirror: the same rolling-luma fold, then 33 sampled
     // positions, 32 packed greater-than bits, 4x8-bit band candidates,
