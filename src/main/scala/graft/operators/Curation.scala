@@ -321,6 +321,25 @@ object Curation {
         .otherwise(array().cast("array<int>"))))
   }
 
+  /** Deterministic source-INTERLEAVED training order: documents are
+    * round-robined across groups (rank 1 of every source, then rank 2
+    * of every source, …) with hash-shuffled order inside each group —
+    * the shard-mixing pass before writing training data, so no shard
+    * is a solid block of one domain and the "shuffle" is reproducible
+    * on any engine (no RNG). One window per group for the intra-group
+    * rank, then [[graft.operators.Scale.denseIds]] stamps the global
+    * order without a single-partition window.
+    */
+  def interleaveBySource(df: DataFrame, keyCol: String,
+                         groupCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(Portable.hash32(col(keyCol).cast("string")), col(keyCol))
+    val ranked = df.withColumn("__grank", row_number().over(w))
+    graft.operators.Scale.denseIds(ranked,
+      Seq(col("__grank"), col(groupCol), col(keyCol)), "rid")
+      .drop("__grank")
+  }
+
   /** Token-BUDGETED domain downsampling: each group is hash-sampled
     * down to ≈ `budgetTokens` of its token mass (groups already under
     * budget pass whole). Unlike [[mixtureSample]] the rates are

@@ -94,6 +94,13 @@ object CurationQueries {
           col("copy_idx").cast("long").as("copy_idx"))
         .orderBy("doc_id", "copy_idx")),
 
+    // deterministic interleaved training order: round-robin across
+    // sources, hash-shuffled within each
+    "q_interleave" -> ((s, d) =>
+      Curation.interleaveBySource(
+        docs(s, d).select("doc_id", "source"), "doc_id", "source")
+        .orderBy("rid")),
+
     // token-budgeted domain downsampling: every source hash-sampled to
     // ≈7000 chars of mass; rates are data-dependent aggregates, not
     // literals
@@ -217,6 +224,16 @@ object CurationQueries {
          |QUALIFY row_number() OVER (
          |  PARTITION BY source ORDER BY n_chars DESC, doc_id) <= 5
          |ORDER BY doc_id""".stripMargin,
+
+    "q_interleave" ->
+      s"""WITH g AS (SELECT doc_id, source, row_number() OVER (
+         |    PARTITION BY source
+         |    ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
+         |             doc_id) AS grank
+         |  FROM documents)
+         |SELECT doc_id, source,
+         |  row_number() OVER (ORDER BY grank, source, doc_id) AS rid
+         |FROM g ORDER BY rid""".stripMargin,
 
     "q_budgeted_sample" ->
       s"""WITH t AS (SELECT source, sum(n_chars) AS total

@@ -150,6 +150,24 @@ class CurationSpec extends SparkSpec {
     assert(viaBloom == Set(2L, 4L), "bloom pruning must not change results")
   }
 
+  test("interleaveBySource round-robins groups deterministically") {
+    val d = Seq((1L, "a"), (2L, "a"), (3L, "a"), (4L, "b"), (5L, "b"),
+      (6L, "c")).toDF("id", "grp")
+    val out = Curation.interleaveBySource(d, "id", "grp")
+      .orderBy("rid").collect()
+      .map(r => (r.getLong(2), r.getString(1)))
+    // first |groups| rows must be one doc from EACH group, the next
+    // wave one from each group that still has docs, etc.
+    assert(out.take(3).map(_._2).toSet == Set("a", "b", "c"),
+      s"wave 1 must cover every group: ${out.toSeq}")
+    assert(out.slice(3, 5).map(_._2).toSet == Set("a", "b"),
+      s"wave 2 covers surviving groups: ${out.toSeq}")
+    assert(out(5)._2 == "a")
+    val again = Curation.interleaveBySource(d, "id", "grp")
+      .orderBy("rid").collect().map(r => (r.getLong(2), r.getString(1)))
+    assert(out.sameElements(again), "interleave must be deterministic")
+  }
+
   test("budgetedSample: under-budget groups whole, heavy groups thinned") {
     import org.apache.spark.sql.functions.col
     // group "small" totals 30 tokens (≤ budget → rate 1, all pass);
