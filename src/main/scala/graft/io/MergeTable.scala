@@ -119,12 +119,26 @@ object MergeTable {
     * (the recompute substitutes a filtered fact set; anything
     * cross-group would see partial data). Invariant — spec-pinned and
     * the oracle contract: the result equals `aggOf(newSnapshot)`.
+    *
+    * Touched groups are taken from the diff rows AND from the OLD
+    * snapshot rows of the diffed keys: an `update` diff row carries
+    * only the NEW payload, so when a fact MIGRATES between groups the
+    * departed group would otherwise never be marked touched and its
+    * stale aggregate (counting the departed fact) would carry over —
+    * the subtle wrongness that motivates needing `oldSnapshot` here.
     */
-  def incrementalAggRefresh(aggOld: DataFrame, newSnapshot: DataFrame,
-                            diff: DataFrame, groupCols: Seq[String])(
+  def incrementalAggRefresh(aggOld: DataFrame, oldSnapshot: DataFrame,
+                            newSnapshot: DataFrame, diff: DataFrame,
+                            keyCols: Seq[String], groupCols: Seq[String])(
       aggOf: DataFrame => DataFrame): DataFrame = {
     require(groupCols.nonEmpty, "refresh needs at least one group column")
-    val touched = diff.select(groupCols.map(col): _*).distinct()
+    require(keyCols.nonEmpty, "refresh needs the diff's key columns")
+    val changedKeys = diff.select(keyCols.map(col): _*)
+    val touched = diff.select(groupCols.map(col): _*)
+      .unionByName(oldSnapshot
+        .join(changedKeys, keyCols, "left_semi")
+        .select(groupCols.map(col): _*))
+      .distinct()
       .localCheckpoint() // feeds the carry-over anti-join AND the prune
     val recomputed = aggOf(
       newSnapshot.join(touched, groupCols, "left_semi"))

@@ -148,11 +148,18 @@ object Curation {
                          mBits: Int = 0,
                          numHashes: Int = 0): DataFrame = {
     import graft.functions.Bloom
+    require((mBits > 0) == (numHashes > 0),
+      "size the bloom fully (mBits AND numHashes) or not at all — a " +
+        "half-specified override would silently fall back to auto-sizing")
+    // localCheckpoint: the sized path reads this plan twice (count to
+    // size, then the bit-position build) — uncached, the bench
+    // tokenize+shingle+distinct shuffle would run twice per call
     val benchShingles = Dedup
       .docShingles(bench, idCol, textCol, k, dedup = false)
       .select(col("shingle")).distinct()
+      .localCheckpoint()
     val (bits, m, nh) =
-      if (mBits > 0 && numHashes > 0)
+      if (mBits > 0)
         (Bloom.build(benchShingles, "shingle", mBits, numHashes), mBits,
           numHashes)
       else Bloom.buildSized(benchShingles, "shingle")
@@ -365,8 +372,11 @@ object Curation {
                      tokensCol: String, budgetTokens: Long): DataFrame = {
     require(budgetTokens > 0, "budget must be positive")
     val Buckets = 100000000L
+    // coalesce: a group whose token column is entirely NULL has no
+    // measurable mass — it passes whole (rate 1.0 via div-by-zero →
+    // +Inf → least) rather than silently vanishing on a NULL rate
     val totals = df.groupBy(col(groupCol))
-      .agg(sum(col(tokensCol)).as("__total"))
+      .agg(coalesce(sum(col(tokensCol)), lit(0L)).as("__total"))
       .withColumn("__rate",
         least(lit(1.0), lit(budgetTokens.toDouble) / col("__total")))
     val rateB = greatest(lit(1L),

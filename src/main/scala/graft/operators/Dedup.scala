@@ -730,10 +730,7 @@ object Dedup {
     // without leaving a CacheManager entry the caller would have to
     // unpersist (the r2-audited leak). Eager is fine: the component
     // loop materializes everything anyway.
-    val input = df.localCheckpoint()
-    val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
-      .select("id_a", "id_b")
-    val comps = connectedComponents(pairs, input.select(idCol), idCol)
+    val (input, comps) = clusteredInput(df, idCol, textCol, k, threshold)
     input.join(comps.filter(col(idCol) === col("component")).select(idCol),
       Seq(idCol), "left_semi")
   }
@@ -752,16 +749,27 @@ object Dedup {
                           scoreCol: String, k: Int = 3,
                           threshold: Double = 0.5): DataFrame = {
     import org.apache.spark.sql.expressions.Window
-    val input = df.localCheckpoint()
-    val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
-      .select("id_a", "id_b")
-    val comps = connectedComponents(pairs, input.select(idCol), idCol)
+    val (input, comps) = clusteredInput(df, idCol, textCol, k, threshold)
     val w = Window.partitionBy(col("component"))
       .orderBy(col(scoreCol).desc, col(idCol))
     input.join(comps, idCol)
       .withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1)
       .drop("__rn", "component")
+  }
+
+  /** Shared clustering prelude of the two transitive-dedup policies:
+    * checkpoint the input (it feeds three consumers), build the
+    * near-dup pair graph, label components. One recipe, so the
+    * min-id and keep-best policies can never silently diverge.
+    */
+  private def clusteredInput(df: DataFrame, idCol: String, textCol: String,
+                             k: Int, threshold: Double)
+      : (DataFrame, DataFrame) = {
+    val input = df.localCheckpoint()
+    val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
+      .select("id_a", "id_b")
+    (input, connectedComponents(pairs, input.select(idCol), idCol))
   }
 
   /** EXACT SUBSTRING dedup — span-level, not document-level: every

@@ -338,7 +338,8 @@ object CoreQueries {
       val diff = graft.io.MergeTable.diffSnapshots(oldSnap, newSnap,
         Seq("o_orderkey"))
       graft.io.MergeTable.incrementalAggRefresh(
-        aggOf(oldSnap), newSnap, diff, Seq("grp"))(aggOf)
+        aggOf(oldSnap), oldSnap, newSnap, diff, Seq("o_orderkey"),
+        Seq("grp"))(aggOf)
         .orderBy("grp")
     }),
 

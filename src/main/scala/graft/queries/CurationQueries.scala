@@ -232,7 +232,8 @@ object CurationQueries {
          |             doc_id) AS grank
          |  FROM documents)
          |SELECT doc_id, source,
-         |  row_number() OVER (ORDER BY grank, source, doc_id) AS rid
+         |  row_number() OVER (ORDER BY grank ASC NULLS FIRST,
+         |    source ASC NULLS FIRST, doc_id ASC NULLS FIRST) AS rid
          |FROM g ORDER BY rid""".stripMargin,
 
     "q_budgeted_sample" ->

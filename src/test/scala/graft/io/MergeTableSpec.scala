@@ -92,20 +92,24 @@ class MergeTableSpec extends SparkSpec {
     import org.apache.spark.sql.DataFrame
     import org.apache.spark.sql.functions.{col, count, lit, sum}
     // groups: g1 updated (fact changes), g2 untouched, g3 vanishes
-    // entirely (all facts deleted), g4 newly inserted
+    // entirely (all facts deleted), g4 newly inserted, and key 6
+    // MIGRATES g5 → g1 (the diff row carries only the NEW group, so
+    // the departed g5 must be marked touched via the old snapshot)
     val oldSnap = Seq((1L, "g1", 10L), (2L, "g1", 20L), (3L, "g2", 5L),
-      (4L, "g3", 7L)).toDF("k", "grp", "x")
+      (4L, "g3", 7L), (6L, "g5", 3L)).toDF("k", "grp", "x")
     val newSnap = Seq((1L, "g1", 11L), (2L, "g1", 20L), (3L, "g2", 5L),
-      (5L, "g4", 9L)).toDF("k", "grp", "x")
+      (5L, "g4", 9L), (6L, "g1", 3L)).toDF("k", "grp", "x")
     val aggOf = (df: DataFrame) => df.groupBy("grp")
       .agg(count(lit(1)).as("n"), sum("x").as("sx"))
     val diff = MergeTable.diffSnapshots(oldSnap, newSnap, Seq("k"))
     val refreshed = MergeTable.incrementalAggRefresh(
-      aggOf(oldSnap), newSnap, diff, Seq("grp"))(aggOf)
+      aggOf(oldSnap), oldSnap, newSnap, diff, Seq("k"), Seq("grp"))(aggOf)
       .as[(String, Long, Long)].collect().toSet
     val full = aggOf(newSnap).as[(String, Long, Long)].collect().toSet
     assert(refreshed == full, s"refresh $refreshed != full $full")
     assert(!refreshed.exists(_._1 == "g3"), "vanished group must drop out")
+    assert(!refreshed.exists(_._1 == "g5"),
+      "group a fact migrated OUT of must not carry a stale aggregate")
   }
 
   test("delete of a never-inserted key is a no-op, not an error") {
