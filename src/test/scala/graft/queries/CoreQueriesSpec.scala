@@ -11,10 +11,17 @@ class CoreQueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  /** Pair-discovery queries can be LEGITIMATELY empty at the 50-doc
+    * smoke SF (no two payloads are near-identical there); their
+    * non-empty behavior is pinned at sf0.01 by the oracle gate and by
+    * operator specs with crafted duplicates.
+    */
+  private val emptyOkAtSmokeSf = Set("q_media_neardup")
+
   test("every query runs and returns rows at sf0.001") {
     SparkEntry.queries.foreach { case (name, fn) =>
       val n = fn(spark, sf).count()
-      assert(n > 0, s"$name returned no rows")
+      assert(n > 0 || emptyOkAtSmokeSf(name), s"$name returned no rows")
     }
   }
 
