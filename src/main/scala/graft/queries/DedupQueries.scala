@@ -211,6 +211,33 @@ object DedupQueries {
       Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", k = 6)
         .orderBy("doc_id")),
 
+    // cross-language near-dup matrix: how many near-dup pairs CROSS a
+    // language boundary, per (lang_a, lang_b) — the machine-translation
+    // / cross-locale-boilerplate contamination diagnostic (same-lang
+    // pairs are ordinary dups; cross-lang pairs mean templated or
+    // mistagged content leaking across locales)
+    "q_crosslang_dups" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+      val langs = docs.select(col("doc_id"), col("lang"))
+      pairs
+        .join(langs.select(col("doc_id").as("id_a"),
+          col("lang").as("__la")), "id_a")
+        .join(langs.select(col("doc_id").as("id_b"),
+          col("lang").as("__lb")), "id_b")
+        .select(least(col("__la"), col("__lb")).as("lang_a"),
+          greatest(col("__la"), col("__lb")).as("lang_b"))
+        .groupBy("lang_a", "lang_b")
+        .agg(count(lit(1)).as("n_pairs"))
+        .withColumn("cross_lang", col("lang_a") =!= col("lang_b"))
+        .orderBy("lang_a", "lang_b")
+    }),
+
     // quality-aware transitive dedup: each near-dup cluster keeps its
     // LONGEST doc (ties by id), not its min id
     "q_dedup_keep_best" -> ((s, d) =>
@@ -479,6 +506,22 @@ object DedupQueries {
          |JOIN comps c ON c.id = d.doc_id
          |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin
     },
+
+    // cross-language matrix mirror: the shared sig/band/pairs CTEs,
+    // langs attached, unordered (lang_a ≤ lang_b) per-pair counting
+    "q_crosslang_dups" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |${pairsCtes(0.5)},
+         |lp AS (SELECT least(da.lang, db.lang) AS lang_a,
+         |    greatest(da.lang, db.lang) AS lang_b
+         |  FROM pairs p
+         |  JOIN documents da ON da.doc_id = p.id_a
+         |  JOIN documents db ON db.doc_id = p.id_b)
+         |SELECT lang_a, lang_b, count(*) AS n_pairs,
+         |  lang_a <> lang_b AS cross_lang
+         |FROM lp GROUP BY 1, 2
+         |ORDER BY lang_a, lang_b""".stripMargin,
 
     // same recursive components as q_dedup_transitive; the keeper is
     // the per-component (n_chars DESC, doc_id) top-1
