@@ -211,6 +211,25 @@ object DedupQueries {
       Dedup.substringDedup(Tables.documents(s, d), "doc_id", "text", k = 6)
         .orderBy("doc_id")),
 
+    // duplication rate per source: which data feeds are paying their
+    // way — docs, near-dup losers (greedy id_b policy), and the loss
+    // share, ranked worst-first (the procurement report a corpus team
+    // actually reads before renewing a feed)
+    "q_dup_rate" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val losers = Dedup.minhashNearDups(docs, "doc_id", "text", K, 0.5)
+        .select(col("id_b").as("doc_id")).distinct()
+        .withColumn("__lost", lit(1L))
+      docs.select(col("doc_id"), col("source"))
+        .join(losers, Seq("doc_id"), "left")
+        .groupBy("source")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(coalesce(col("__lost"), lit(0L))).as("n_dup_losers"))
+        .withColumn("dup_share",
+          round(col("n_dup_losers").cast("double") / col("n_docs"), 6))
+        .orderBy(desc("dup_share"), col("source"))
+    }),
+
     // cross-language near-dup matrix: how many near-dup pairs CROSS a
     // language boundary, per (lang_a, lang_b) — the machine-translation
     // / cross-locale-boilerplate contamination diagnostic (same-lang
@@ -506,6 +525,22 @@ object DedupQueries {
          |JOIN comps c ON c.id = d.doc_id
          |WHERE c.comp = d.doc_id ORDER BY d.doc_id""".stripMargin
     },
+
+    // dup-rate mirror: distinct greedy losers (id_b side of pairs)
+    // left-joined to the doc table, share per source
+    "q_dup_rate" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |${pairsCtes(0.5)},
+         |losers AS (SELECT DISTINCT id_b AS doc_id FROM pairs)
+         |SELECT d.source, count(*) AS n_docs,
+         |  CAST(sum(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    AS BIGINT) AS n_dup_losers,
+         |  round(CAST(sum(CASE WHEN l.doc_id IS NULL THEN 0 ELSE 1 END)
+         |    AS DOUBLE) / count(*), 6) AS dup_share
+         |FROM documents d LEFT JOIN losers l ON l.doc_id = d.doc_id
+         |GROUP BY d.source
+         |ORDER BY dup_share DESC, d.source""".stripMargin,
 
     // cross-language matrix mirror: the shared sig/band/pairs CTEs,
     // langs attached, unordered (lang_a ≤ lang_b) per-pair counting
