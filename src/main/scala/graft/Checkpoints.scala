@@ -39,9 +39,14 @@ object Checkpoints {
     */
   def stabilize(df: DataFrame): DataFrame = {
     val session = df.sparkSession
+    val mode = session.conf.get("spark.graft.reliableCheckpoint", "auto")
+    // fail fast on typos ("false", "off", …): anything unrecognized
+    // would otherwise silently ENABLE reliable checkpointing whenever
+    // a checkpoint dir happens to be set for other purposes
+    require(mode == "auto" || mode == "never",
+      s"spark.graft.reliableCheckpoint must be 'auto' or 'never', got '$mode'")
     val wantReliable =
-      session.conf.get("spark.graft.reliableCheckpoint", "auto") != "never" &&
-        session.sparkContext.getCheckpointDir.isDefined
+      mode != "never" && session.sparkContext.getCheckpointDir.isDefined
     if (wantReliable) {
       val cached = df.persist()
       try cached.checkpoint()

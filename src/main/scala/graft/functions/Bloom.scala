@@ -28,9 +28,11 @@ import org.apache.spark.sql.functions._
   * Contract: NO false negatives ever (an inserted key always passes);
   * false positives at the classic (1-e^{-kn/m})^k rate — callers must
   * treat a pass as "candidate", not "member", and verify exactly
-  * (see `Curation.decontaminateBloom`). Build cost is one distinct on
-  * bit positions, driver memory is mBits/8 bytes (sketch-sized, like
-  * k-means centroids — not a data collect).
+  * (see `Curation.decontaminateBloom`). Bits are packed into 64-bit
+  * words EXECUTOR-side (groupBy word index + bit_or), so at most
+  * mBits/64 one-long rows ever reach the driver — driver memory is
+  * genuinely mBits/8 bytes of sketch (plus Row overhead on ≤ 2²²
+  * words at the 2²⁸ cap), never a function of the key count.
   */
 object Bloom {
 
@@ -43,20 +45,22 @@ object Bloom {
     }: _*)
 
   /** Build the filter from a key frame: one exploded projection, one
-    * distinct on the integer bit position (≤ mBits rows reach the
-    * driver — the sketch, never the keys).
+    * groupBy on the WORD index with a `bit_or` of single-bit masks —
+    * duplicates OR away executor-side (no distinct needed), partial
+    * aggregation combines map-side, and the driver collects at most
+    * mBits/64 `(word_index, word)` rows — the packed sketch itself,
+    * never the keys and never one row per bit.
     */
   def build(keys: DataFrame, keyCol: String, mBits: Int,
             numHashes: Int): Array[Long] = {
     val words = new Array[Long]((mBits + 63) / 64)
     keys
       .select(explode(bitPositions(col(keyCol), mBits, numHashes)).as("p"))
-      .distinct()
+      .groupBy(shiftright(col("p"), 6).as("w"))
+      .agg(bit_or(call_function("shiftleft", lit(1L),
+        pmod(col("p"), lit(64L)).cast("int"))).as("bits"))
       .collect()
-      .foreach { r =>
-        val p = r.getLong(0)
-        words((p / 64).toInt) |= 1L << (p % 64).toInt
-      }
+      .foreach { r => words(r.getLong(0).toInt) = r.getLong(1) }
     words
   }
 
