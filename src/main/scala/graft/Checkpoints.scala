@@ -39,10 +39,12 @@ object Checkpoints {
     */
   def stabilize(df: DataFrame): DataFrame = {
     val session = df.sparkSession
-    val mode = session.conf.get("spark.graft.reliableCheckpoint", "auto")
+    val mode = session.conf
+      .get("spark.graft.reliableCheckpoint", "auto").trim.toLowerCase
     // fail fast on typos ("false", "off", …): anything unrecognized
     // would otherwise silently ENABLE reliable checkpointing whenever
-    // a checkpoint dir happens to be set for other purposes
+    // a checkpoint dir happens to be set for other purposes. Casing /
+    // surrounding whitespace of the two documented values is accepted.
     require(mode == "auto" || mode == "never",
       s"spark.graft.reliableCheckpoint must be 'auto' or 'never', got '$mode'")
     val wantReliable =

@@ -29,15 +29,30 @@ object Sessions {
     .config("spark.sql.legacy.parquet.nanosAsLong", "true")
     .config("spark.ui.enabled", "false")
 
+  /** Master URL for local sessions. Defaults to in-process `local[n]`;
+    * `SPARK_GRAFT_MASTER` overrides — e.g. `local-cluster[2,2,2048]`
+    * spawns two REAL executor JVMs, forcing every custom Expression,
+    * physical operator, and typed Aggregator across a genuine
+    * task-serialization boundary (the failure class `local[*]`
+    * structurally cannot catch). When the master is not in-process the
+    * application classes must ship to executors: set `SPARK_GRAFT_JARS`
+    * to the packaged graft jar (sbt package output).
+    */
+  def master(cores: Int): String =
+    sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
+
+  private def withJars(b: SparkSession.Builder): SparkSession.Builder =
+    sys.env.get("SPARK_GRAFT_JARS").fold(b)(j => b.config("spark.jars", j))
+
   /** Local session for tests / tools. */
   def local(cores: Int = Runtime.getRuntime.availableProcessors().min(32))
       : SparkSession = {
-    val s = tuned(
+    val s = tuned(withJars(
       SparkSession.builder()
-        .master(s"local[$cores]")
+        .master(master(cores))
         .appName("graft")
         .config("spark.sql.shuffle.partitions", cores.toString)
-    ).getOrCreate()
+    )).getOrCreate()
     s.sparkContext.setLogLevel("WARN")
     s
   }

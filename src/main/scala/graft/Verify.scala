@@ -13,12 +13,12 @@ object Verify {
     def keep(name: String): Boolean = only.forall(_.contains(name))
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
-    val spark = Sessions.tuned(
-      SparkSession.builder()
-        .master(s"local[$cpus]")
-        .appName("graft-verify")
-        .config("spark.sql.shuffle.partitions", cpus)
-    ).getOrCreate()
+    val builder = SparkSession.builder()
+      .master(Sessions.master(cpus.toInt))
+      .appName("graft-verify")
+      .config("spark.sql.shuffle.partitions", cpus)
+    sys.env.get("SPARK_GRAFT_JARS").foreach(j => builder.config("spark.jars", j))
+    val spark = Sessions.tuned(builder).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
     SparkEntry.queries.filter(kv => keep(kv._1)).foreach { case (name, fn) =>

@@ -6,7 +6,7 @@ import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
 import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.functions.call_function
-import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
+import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType, FloatType}
 
 /** Native vector arithmetic for the similarity-search path.
   *
@@ -26,16 +26,39 @@ import org.apache.spark.sql.types.{ArrayType, DataType, DoubleType}
 abstract class VectorBinaryExpression extends BinaryExpression
     with Serializable {
   // checkInputDataTypes instead of ExpectsInputTypes: AbstractDataType
-  // is private[sql], so a third-party expression validates manually
+  // is private[sql], so a third-party expression validates manually.
+  // Each side is independently array<double> OR array<float> — the
+  // float leg halves embedding bytes on every ANN / semantic-dedup
+  // scan and shuffle (what embedding models actually emit); arithmetic
+  // always accumulates in double, so float≡double ranking holds to
+  // within per-element widening.
   override def checkInputDataTypes(): TypeCheckResult =
     (left.dataType, right.dataType) match {
-      case (ArrayType(DoubleType, _), ArrayType(DoubleType, _)) =>
+      case (ArrayType(DoubleType | FloatType, _),
+            ArrayType(DoubleType | FloatType, _)) =>
         TypeCheckResult.TypeCheckSuccess
       case (l, r) => TypeCheckResult.TypeCheckFailure(
-        s"$prettyName requires two array<double> arguments, got $l and $r")
+        s"$prettyName requires array<double>/array<float> arguments, got $l and $r")
     }
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  /** Interpreted-path element read, widened to double. */
+  protected def elem(e: Expression, a: ArrayData, i: Int): Double =
+    elemType(e) match {
+      case FloatType => a.getFloat(i).toDouble
+      case _ => a.getDouble(i)
+    }
+
+  /** Codegen element read, widened to double. */
+  protected def elemCode(e: Expression, arr: String, i: String): String =
+    elemType(e) match {
+      case FloatType => s"(double) $arr.getFloat($i)"
+      case _ => s"$arr.getDouble($i)"
+    }
 }
 
 /** Sequential-fold dot product; null if lengths differ or any element
@@ -56,7 +79,7 @@ case class DotProduct(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      acc += x.getDouble(i) * y.getDouble(i)
+      acc += elem(left, x, i) * elem(right, y, i)
       i += 1
     }
     acc
@@ -75,7 +98,7 @@ case class DotProduct(left: Expression, right: Expression)
          |  double $acc = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    $acc += $x.getDouble($i) * $y.getDouble($i);
+         |    $acc += ${elemCode(left, x, i)} * ${elemCode(right, y, i)};
          |  }
          |  if (!${ev.isNull}) { ${ev.value} = $acc; }
          |}
@@ -107,8 +130,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
     var i = 0
     while (i < n) {
       if (x.isNullAt(i) || y.isNullAt(i)) return null
-      val xi = x.getDouble(i)
-      val yi = y.getDouble(i)
+      val xi = elem(left, x, i)
+      val yi = elem(right, y, i)
       dot += xi * yi
       na += xi * xi
       nb += yi * yi
@@ -134,8 +157,8 @@ case class CosineSimilarity(left: Expression, right: Expression)
          |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
          |  for (int $i = 0; $i < $n; $i++) {
          |    if ($x.isNullAt($i) || $y.isNullAt($i)) { ${ev.isNull} = true; break; }
-         |    final double $xi = $x.getDouble($i);
-         |    final double $yi = $y.getDouble($i);
+         |    final double $xi = ${elemCode(left, x, i)};
+         |    final double $yi = ${elemCode(right, y, i)};
          |    $dot += $xi * $yi; $na += $xi * $xi; $nb += $yi * $yi;
          |  }
          |  if (!${ev.isNull}) {

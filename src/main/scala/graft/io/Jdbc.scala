@@ -40,4 +40,106 @@ object Jdbc {
       .option("password", cfg.password)
       .option("driver", cfg.driver)
       .load()
+
+  // ---- driver-local embedded path -----------------------------------
+  //
+  // [[write]]/[[read]] run distributed: every executor opens its own
+  // connection, which is exactly right for a production NETWORK server
+  // (PostgreSQL in the reference). An EMBEDDED database (in-memory
+  // Derby, the only JDBC engine in this sandbox) is per-JVM: under a
+  // multi-JVM master (`local-cluster`, a real cluster) each executor
+  // would boot a private empty instance and the driver-side schema
+  // probe a third — structurally unservable. These helpers keep the
+  // Derby-backed harness query meaningful there: same overwrite
+  // semantics, same `batchSize` batching, one JVM (the driver). Bounded
+  // by construction — callers pass small aggregates; never use for bulk
+  // loads (that is what the distributed [[write]] is for).
+
+  private def sqlTypeName(dt: org.apache.spark.sql.types.DataType): String = {
+    import org.apache.spark.sql.types._
+    dt match {
+      case StringType => "VARCHAR(4096)"
+      case IntegerType => "INTEGER"
+      case LongType => "BIGINT"
+      case DoubleType => "DOUBLE"
+      case FloatType => "REAL"
+      case BooleanType => "BOOLEAN"
+      case DateType => "DATE"
+      case TimestampType => "TIMESTAMP"
+      case d: DecimalType => s"DECIMAL(${d.precision},${d.scale})"
+      case other => sys.error(s"embedded JDBC: unsupported type $other")
+    }
+  }
+
+  def writeEmbedded(df: DataFrame, table: String, cfg: JdbcConfig): Unit = {
+    java.lang.Class.forName(cfg.driver)
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    try {
+      val st = conn.createStatement()
+      try st.executeUpdate(s"DROP TABLE $table")
+      catch { case _: java.sql.SQLException => () } // absent on first run
+      val cols = df.schema.fields
+        .map(f => s"${f.name} ${sqlTypeName(f.dataType)}").mkString(", ")
+      st.executeUpdate(s"CREATE TABLE $table ($cols)")
+      st.close()
+      val ps = conn.prepareStatement(
+        s"INSERT INTO $table VALUES (${df.schema.fields.map(_ => "?").mkString(",")})")
+      var n = 0
+      df.collect().foreach { row =>
+        row.toSeq.zipWithIndex.foreach { case (v, i) =>
+          ps.setObject(i + 1, v.asInstanceOf[AnyRef])
+        }
+        ps.addBatch(); n += 1
+        if (n % cfg.batchSize == 0) ps.executeBatch()
+      }
+      ps.executeBatch(); ps.close()
+    } finally conn.close()
+  }
+
+  def readEmbedded(spark: org.apache.spark.sql.SparkSession, table: String,
+                   cfg: JdbcConfig): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    java.lang.Class.forName(cfg.driver)
+    val conn = java.sql.DriverManager.getConnection(cfg.url)
+    try {
+      val rs = conn.createStatement().executeQuery(s"SELECT * FROM $table")
+      val md = rs.getMetaData
+      // mirror Spark's JDBC read mapping so the embedded path yields the
+      // same schema the distributed JDBCRelation would
+      val fields = (1 to md.getColumnCount).map { i =>
+        val dt = md.getColumnType(i) match {
+          case java.sql.Types.VARCHAR | java.sql.Types.CHAR |
+               java.sql.Types.LONGVARCHAR => StringType
+          case java.sql.Types.INTEGER => IntegerType
+          case java.sql.Types.BIGINT => LongType
+          case java.sql.Types.DOUBLE | java.sql.Types.FLOAT => DoubleType
+          case java.sql.Types.REAL => FloatType
+          case java.sql.Types.BOOLEAN => BooleanType
+          case java.sql.Types.DATE => DateType
+          case java.sql.Types.TIMESTAMP => TimestampType
+          case java.sql.Types.DECIMAL | java.sql.Types.NUMERIC =>
+            DecimalType(md.getPrecision(i), md.getScale(i))
+          case other => sys.error(s"embedded JDBC: unsupported sql type $other")
+        }
+        StructField(md.getColumnName(i).toLowerCase, dt, nullable = true)
+      }
+      val schema = StructType(fields)
+      val buf = scala.collection.mutable.ArrayBuffer.empty[Row]
+      while (rs.next()) {
+        buf += Row.fromSeq(fields.indices.map { i =>
+          val v = schema(i).dataType match {
+            case d: DecimalType =>
+              val bd = rs.getBigDecimal(i + 1)
+              if (bd == null) null else Decimal(bd, d.precision, d.scale).toJavaBigDecimal
+            case _ => rs.getObject(i + 1)
+          }
+          if (rs.wasNull()) null else v
+        })
+      }
+      spark.createDataFrame(
+        new java.util.ArrayList[Row](scala.jdk.CollectionConverters
+          .BufferHasAsJava(buf).asJava), schema)
+    } finally conn.close()
+  }
 }

@@ -61,6 +61,66 @@ object Multimodal {
     }
   }
 
+  /** Real image decoder over the JDK's ImageIO — PNG / BMP / GIF /
+    * JPEG with zero native dependencies. Opt-in: [[StubCodec]] stays
+    * the default/oracle mode (the sf testdata payloads are not real
+    * images), but a user with actual image bytes passes this codec and
+    * every operator below ([[extractFeatures]], [[dHash]],
+    * [[mediaNearDupPairs]], [[resizeAssets]], …) works unchanged.
+    *
+    * `decodeLuma` returns the integer BT.601 luma per pixel, row-major
+    * ((299·R + 587·G + 114·B) / 1000 — integer arithmetic, so the
+    * plane is bit-stable across JVMs). Undecodable bytes yield an
+    * EMPTY plane, which downstream treats as "no fingerprint" (null
+    * dHash, zero-sample features) rather than a task failure — at
+    * corpus scale a corrupt image must never kill the job.
+    *
+    * `resize` re-encodes as PNG (lossless, always writable) at the
+    * target size with bilinear interpolation. ImageIO reader/writer
+    * instances are NOT shared across threads — ImageIO.read/write
+    * create per-call instances, so partition-parallel decode is safe.
+    */
+  object ImageIoCodec extends Codec {
+    def decodeLuma(content: Array[Byte], meta: MediaMeta): Array[Int] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+      if (img == null) Array.empty
+      else {
+        val w = img.getWidth
+        val h = img.getHeight
+        val rgb = img.getRGB(0, 0, w, h, null, 0, w)
+        rgb.map { p =>
+          val r = (p >> 16) & 0xff
+          val g = (p >> 8) & 0xff
+          val b = p & 0xff
+          (299 * r + 587 * g + 114 * b) / 1000
+        }
+      }
+    }
+    def resize(content: Array[Byte], meta: MediaMeta,
+               w: Int, h: Int): Array[Byte] = {
+      val img = try javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(content))
+      catch { case _: java.io.IOException => null }
+      if (img == null) Array.empty
+      else {
+        val out = new java.awt.image.BufferedImage(w, h,
+          java.awt.image.BufferedImage.TYPE_INT_RGB)
+        val g2 = out.createGraphics()
+        try {
+          g2.setRenderingHint(
+            java.awt.RenderingHints.KEY_INTERPOLATION,
+            java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+          g2.drawImage(img, 0, 0, w, h, null)
+        } finally g2.dispose()
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.imageio.ImageIO.write(out, "png", bos)
+        bos.toByteArray
+      }
+    }
+  }
+
   /** Batched feature extraction (luma mean + 16-bin histogram):
     * partition-wise with `batchSize` assets decoded per inner batch —
     * the mapInPandas batch shape. No shuffle; the binary payload is

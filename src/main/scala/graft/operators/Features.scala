@@ -5,11 +5,20 @@ import org.apache.spark.sql.functions._
 
 /** Per-group numeric feature transforms for model-input preparation:
   * standardization and outlier clipping. Both follow the same scale
-  * shape — ONE aggregate over the fact table producing a tiny
-  * per-group stats frame, broadcast back onto the facts — so the
+  * shape — ONE aggregate over the fact table producing a small
+  * per-group stats frame joined back onto the facts — so the
   * fact table is scanned twice but never shuffled on its own rows
   * (the alternative, a window over the group, shuffles and buffers
   * every fact row).
+  *
+  * The stats join deliberately carries NO `broadcast()` hint: a hint
+  * overrides Spark's size check, so at millions of groups it would OOM
+  * the driver instead of degrading. With AQE on (pinned in
+  * [[graft.Sessions]]) the runtime sees the stats frame's TRUE
+  * post-aggregation size and picks broadcast when it fits,
+  * shuffle-hash/sort-merge when it doesn't — FeaturesSpec pins both
+  * behaviors (broadcast chosen at default thresholds; identical
+  * results with broadcast disabled).
   */
 object Features {
 
@@ -28,7 +37,7 @@ object Features {
     val stats = df.groupBy(col(groupCol).as("__grp"))
       .agg(avg(col(valueCol)).as("__mu"),
         stddev_samp(col(valueCol)).as("__sd"))
-    df.join(broadcast(stats), col(groupCol) <=> col("__grp"))
+    df.join(stats, col(groupCol) <=> col("__grp"))
       .withColumn("zscore",
         round(try_divide(col(valueCol) - col("__mu"), col("__sd")), 6))
       .drop("__grp", "__mu", "__sd")
@@ -68,7 +77,7 @@ object Features {
     val stats = df.groupBy(col(groupCol).as("__grp"))
       .agg(expr(s"percentile($valueCol, $lo)").as("__lo"),
         expr(s"percentile($valueCol, $hi)").as("__hi"))
-    df.join(broadcast(stats), col(groupCol) <=> col("__grp"))
+    df.join(stats, col(groupCol) <=> col("__grp"))
       .withColumn("winsorized",
         round(greatest(col("__lo"), least(col("__hi"), col(valueCol))), 6))
       .drop("__grp", "__lo", "__hi")

@@ -504,6 +504,156 @@ object TextOps {
     (merges.result().toDF("rank", "lhs", "rhs", "cnt"), seg)
   }
 
+  // ---- driver-local training twin -----------------------------------
+  //
+  // [[bpeLoop]] runs one full pair-count shuffle + a 1-row collect PER
+  // MERGE — fine for the oracle's 8 rounds, but a production 32–50 k
+  // merge vocabulary would mean ~10⁵ sequential Spark jobs. The scale
+  // observation: after the histogram groupBy the working set is
+  // VOCABULARY-sized (distinct words), no longer corpus-sized — small
+  // enough to collect once. So the production path collects the (word,
+  // freq) histogram in ONE job, trains every merge round driver-local
+  // with incrementally-maintained pair counts (only words containing
+  // the merged pair are touched per round), and hands the finished
+  // merge/segmentation table back as a broadcast-joinable DataFrame.
+  // 100 TB of text still flows through exactly two distributed passes
+  // (histogram build, encode join); the merge LOOP costs zero Spark
+  // jobs. The distributed loop above stays as the oracle/cross-check
+  // mode — BpeLocalSpec pins the two bit-equal.
+
+  /** Spark string ordering is UTF8String binary order: unsigned
+    * byte-wise UTF-8 comparison. Java's String.compareTo differs on
+    * supplementary characters, so tie-breaks go through this.
+    */
+  private def utf8Lt(x: String, y: String): Boolean = {
+    val a = x.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    val b = y.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+    var i = 0
+    val n = math.min(a.length, b.length)
+    while (i < n) {
+      val c = (a(i) & 0xff) - (b(i) & 0xff)
+      if (c != 0) return c < 0
+      i += 1
+    }
+    a.length < b.length
+  }
+
+  /** Greedy left-to-right merge application — the imperative twin of
+    * the `aggregate` fold in [[bpeLoop]] (a merged token is strictly
+    * longer than its left part, so a fresh merge is never re-merged).
+    */
+  private def applyMerge(seg: Array[String], a: String, b: String,
+                         ab: String): Array[String] = {
+    val out = new scala.collection.mutable.ArrayBuffer[String](seg.length)
+    var i = 0
+    while (i < seg.length) {
+      if (i + 1 < seg.length && seg(i) == a && seg(i + 1) == b) {
+        out += ab; i += 2
+      } else { out += seg(i); i += 1 }
+    }
+    out.toArray
+  }
+
+  private def bpeLocalLoop(df: DataFrame, textCol: String, numMerges: Int)
+      : (Seq[(Int, String, String, Long)], Array[(String, Long, Array[String])]) = {
+    import scala.collection.mutable
+    // ONE distributed job: corpus → word histogram (vocabulary-sized)
+    val hist: Array[(String, Long)] = df
+      .select(explode(Portable.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+      .groupBy("word").agg(count(lit(1)).as("freq"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+    val segs: Array[Array[String]] =
+      hist.map { case (w, _) => w.map(_.toString).toArray }
+    val freqs: Array[Long] = hist.map(_._2)
+    // pair → total weighted count; pair → word indices containing it
+    val counts = mutable.HashMap.empty[(String, String), Long]
+    val where = mutable.HashMap.empty[(String, String), mutable.Set[Int]]
+    def addWord(i: Int, sign: Long): Unit = {
+      val s = segs(i)
+      var j = 0
+      while (j + 1 < s.length) {
+        val p = (s(j), s(j + 1))
+        val c = counts.getOrElse(p, 0L) + sign * freqs(i)
+        if (c == 0L) { counts.remove(p); where.get(p).foreach(_.remove(i)) }
+        else {
+          counts(p) = c
+          if (sign > 0) where.getOrElseUpdate(p, mutable.Set.empty) += i
+        }
+        j += 1
+      }
+    }
+    segs.indices.foreach(addWord(_, 1L))
+    val merges = Seq.newBuilder[(Int, String, String, Long)]
+    var r = 1
+    while (r <= numMerges && counts.nonEmpty) {
+      // argmax by (cnt desc, lhs, rhs) — rhs/lhs in UTF-8 byte order,
+      // identical to the distributed orderBy(desc(cnt), a, b)
+      var best: ((String, String), Long) = null
+      counts.foreach { kv =>
+        if (best == null || kv._2 > best._2 ||
+          (kv._2 == best._2 && (utf8Lt(kv._1._1, best._1._1) ||
+            (kv._1._1 == best._1._1 && utf8Lt(kv._1._2, best._1._2)))))
+          best = kv
+      }
+      val ((a, b), cnt) = best
+      merges += ((r, a, b, cnt))
+      val ab = a + b
+      // only words containing (a,b) change; retract their old pairs,
+      // re-add after the merge
+      val touched = where.getOrElse((a, b), mutable.Set.empty).toArray
+      touched.foreach { i =>
+        addWord(i, -1L)
+        segs(i) = applyMerge(segs(i), a, b, ab)
+        addWord(i, 1L)
+      }
+      r += 1
+    }
+    (merges.result(),
+      hist.indices.map(i => (hist(i)._1, freqs(i), segs(i))).toArray)
+  }
+
+  /** Driver-local twin of [[bpeTrain]] — identical merge table (pinned
+    * by BpeLocalSpec), one Spark job total. The production trainer.
+    */
+  def bpeTrainLocal(df: DataFrame, textCol: String,
+                    numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeLocalLoop(df, textCol, numMerges)._1.toDF("rank", "lhs", "rhs", "cnt")
+  }
+
+  /** Driver-local twin of [[bpeSegmentation]] — same (word, freq,
+    * seg_csv) table, zero per-round Spark jobs.
+    */
+  def bpeSegmentationLocal(df: DataFrame, textCol: String,
+                           numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    bpeLocalLoop(df, textCol, numMerges)._2.toSeq
+      .map { case (w, f, s) => (w, f, s.mkString("␟")) }
+      .toDF("word", "freq", "seg_csv")
+  }
+
+  /** Driver-local twin of [[bpeEncodeCounts]]: train locally, then the
+    * ENCODE stays fully distributed — corpus words broadcast-joined
+    * against the vocab-sized segmentation table, one map-side pass.
+    */
+  def bpeEncodeCountsLocal(df: DataFrame, idCol: String, textCol: String,
+                           numMerges: Int): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val seg = bpeLocalLoop(df, textCol, numMerges)._2.toSeq
+      .map { case (w, _, s) => (w, s.length.toLong) }
+      .toDF("word", "n_sub")
+    val words = df.select(col(idCol),
+      explode(Portable.tokens(col(textCol))).as("word"))
+      .filter(length(col("word")) > 0)
+    words.join(broadcast(seg), "word")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
+  }
+
   /** Per-group top-k characteristic terms by a LOG-FREE tf-idf score:
     * score = tf × N / df (tf = term count within the group, df =
     * distinct docs containing the term, N = corpus doc count). The

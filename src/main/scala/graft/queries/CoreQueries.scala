@@ -454,8 +454,17 @@ object CoreQueries {
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_suppliers"),
           moneySum(col("s_acctbal")).as("total_acctbal"))
-      graft.io.Jdbc.write(agg, "jdbc_rt", cfg)
-      graft.io.Jdbc.read(s, "jdbc_rt", cfg).orderBy("n_name")
+      // distributed sink/source for in-process masters (the production
+      // shape — a network DB serves executor connections); driver-local
+      // embedded path under multi-JVM masters, where a per-JVM embedded
+      // Derby structurally cannot serve executor connections
+      if (s.sparkContext.isLocal) {
+        graft.io.Jdbc.write(agg, "jdbc_rt", cfg)
+        graft.io.Jdbc.read(s, "jdbc_rt", cfg).orderBy("n_name")
+      } else {
+        graft.io.Jdbc.writeEmbedded(agg, "jdbc_rt", cfg)
+        graft.io.Jdbc.readEmbedded(s, "jdbc_rt", cfg).orderBy("n_name")
+      }
     }),
 
     // Flagship — pricing summary (TPC-H Q1 shape), exact decimal money.

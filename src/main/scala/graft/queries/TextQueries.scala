@@ -19,20 +19,23 @@ object TextQueries {
   private val toksSql = graft.functions.Portable.tokensSql("text")
 
   val queries: Map[String, Q] = Map(
-    // BPE merge training on the corpus word histogram
+    // BPE merge training on the corpus word histogram — driver-local
+    // trainer (the production path: one histogram job, zero per-merge
+    // Spark jobs); BpeLocalSpec pins it bit-equal to the distributed
+    // loop, and the DuckDB oracle re-derives it independently here
     "q_bpe_merges" -> ((s, d) =>
-      TextOps.bpeTrain(Tables.documents(s, d), "text", numMerges = 8)
+      TextOps.bpeTrainLocal(Tables.documents(s, d), "text", numMerges = 8)
         .orderBy("rank")),
 
     // the trained segmentation table (the encoder lookup at scale)
     "q_bpe_segment" -> ((s, d) =>
-      TextOps.bpeSegmentation(Tables.documents(s, d), "text",
+      TextOps.bpeSegmentationLocal(Tables.documents(s, d), "text",
         numMerges = 8)
         .orderBy("word")),
 
     // corpus encoded through the trained table: per-doc token budget
     "q_bpe_encode" -> ((s, d) =>
-      TextOps.bpeEncodeCounts(Tables.documents(s, d), "doc_id", "text",
+      TextOps.bpeEncodeCountsLocal(Tables.documents(s, d), "doc_id", "text",
         numMerges = 8)
         .orderBy("doc_id")),
 

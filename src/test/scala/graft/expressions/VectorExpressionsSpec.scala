@@ -53,6 +53,66 @@ class VectorExpressionsSpec extends SparkSpec {
     assert(withNull.isNullAt(0), "null element → null")
   }
 
+  test("float32 leg: raw array<float> embeddings ≡ the double cast, bit-for-bit") {
+    // embeddings.parquet stores array<float> — the float path scans and
+    // shuffles HALF the bytes of the historical cast-to-double-at-scan
+    // approach. The expressions widen per ELEMENT (float→double is
+    // exact), so results are bit-identical to the double leg.
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    assert(emb.schema("embedding").dataType ==
+      org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.FloatType, true),
+      "fixture must exercise the genuine float scan")
+    val both = emb.select(
+      VectorExpressions.dotProduct($"embedding", $"embedding").as("f"),
+      VectorExpressions.dotProduct(
+        $"embedding".cast("array<double>"),
+        $"embedding".cast("array<double>")).as("d"),
+      VectorExpressions.cosineSim($"embedding", $"embedding").as("cf"),
+      VectorExpressions.cosineSim(
+        $"embedding".cast("array<double>"),
+        $"embedding".cast("array<double>")).as("cd"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getDouble(0) == r.getDouble(1), "float dot ≡ double dot")
+      assert(r.getDouble(2) == r.getDouble(3), "float cosine ≡ double cosine")
+    }
+  }
+
+  test("float32 leg: mixed float/double sides and SQL registration") {
+    val df = Seq((Seq(1.0f, 2.0f, 3.0f), Seq(4.0, 5.0, 6.0)))
+      .toDF("f", "d")
+    val r = df.select(
+      VectorExpressions.dotProduct($"f", $"d").as("fd"),
+      VectorExpressions.dotProduct($"d", $"f").as("df"),
+      VectorExpressions.cosineSim($"f", $"f").as("ff")).head()
+    assert(r.getDouble(0) == 32.0 && r.getDouble(1) == 32.0)
+    assert(math.abs(r.getDouble(2) - 1.0) < 1e-15)
+  }
+
+  test("float32 leg: brute-force top-k ranking identical on float and double") {
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val queries = emb.filter($"vec_id" < 3)
+      .select($"vec_id".as("query_id"), $"embedding".as("q"))
+    def topk(cast: Boolean) = {
+      val (e, q) = if (cast)
+        (emb.select($"vec_id", $"embedding".cast("array<double>").as("v")),
+          queries.select($"query_id", $"q".cast("array<double>").as("q")))
+      else (emb.select($"vec_id", $"embedding".as("v")), queries)
+      e.crossJoin(broadcast(q))
+        .filter($"vec_id" =!= $"query_id")
+        .select($"query_id", $"vec_id",
+          VectorExpressions.cosineSim($"v", $"q").as("sim"))
+        .withColumn("rank", row_number().over(
+          org.apache.spark.sql.expressions.Window.partitionBy($"query_id")
+            .orderBy($"sim".desc, $"vec_id")))
+        .filter($"rank" <= 10)
+        .select("query_id", "rank", "vec_id", "sim")
+        .collect().map(_.toSeq).toSeq.sortBy(_.toString)
+    }
+    assert(topk(cast = false) == topk(cast = true))
+  }
+
   test("optimizer rule rewrites the HOF pattern to DotProduct") {
     // parquet-backed source: a local relation would be constant-folded
     // before the plan can be inspected

@@ -16,15 +16,39 @@ class JdbcSpec extends SparkSpec {
     numPartitions = 2)
 
   test("write overwrites and reads back intact") {
+    // in-memory Derby is per-JVM: the distributed sink/source (the
+    // production shape — executors connect to a network server) only
+    // reaches it when executors share this JVM; under a multi-JVM
+    // master (local-cluster) exercise the documented driver-local
+    // embedded path instead, mirroring q_jdbc_roundtrip
+    val inProcess = spark.sparkContext.isLocal
+    def write(df: org.apache.spark.sql.DataFrame, t: String): Unit =
+      if (inProcess) Jdbc.write(df, t, cfg)
+      else Jdbc.writeEmbedded(df, t, cfg)
+    def read(t: String): org.apache.spark.sql.DataFrame =
+      if (inProcess) Jdbc.read(spark, t, cfg)
+      else Jdbc.readEmbedded(spark, t, cfg)
     val df = Seq((1L, "Santiago", 30.5), (2L, "Valparaíso", 25.0))
       .toDF("id", "estacion", "valor")
-    Jdbc.write(df, "vista_test", cfg)
+    write(df, "vista_test")
     // overwrite with different content — old rows must vanish
     val df2 = Seq((3L, "Concepción", 18.0)).toDF("id", "estacion", "valor")
-    Jdbc.write(df2, "vista_test", cfg)
-    val back = Jdbc.read(spark, "vista_test", cfg)
-    val rows = back.collect().map(r =>
+    write(df2, "vista_test")
+    val rows = read("vista_test").collect().map(r =>
       (r.getLong(0), r.getString(1), r.getDouble(2)))
     assert(rows.toSeq == Seq((3L, "Concepción", 18.0)))
+  }
+
+  test("embedded driver-local path: overwrite + typed read-back") {
+    // always exercised (both masters): the multi-JVM harness path
+    val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
+    Jdbc.writeEmbedded(df, "emb_test", cfg)
+    Jdbc.writeEmbedded(df.filter($"id" === 2L), "emb_test", cfg)
+    val back = Jdbc.readEmbedded(spark, "emb_test", cfg)
+    assert(back.schema.fields.map(_.dataType.typeName).toSeq ==
+      Seq("long", "string", "double"))
+    assert(back.collect().map(r =>
+      (r.getLong(0), r.getString(1), r.getDouble(2))).toSeq ==
+      Seq((2L, "b", 2.5)))
   }
 }

@@ -1,0 +1,71 @@
+package graft.operators
+
+import graft.SparkSpec
+
+/** Pins the driver-local BPE trainer ([[TextOps.bpeTrainLocal]]) to the
+  * distributed merge loop ([[TextOps.bpeTrain]]) — bit-equal merge
+  * tables and segmentations — and proves the local loop scales to a
+  * production-sized merge count (a regime where the distributed loop
+  * would be ~10³ sequential Spark jobs).
+  */
+class BpeLocalSpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+
+  test("local trainer ≡ distributed loop: merge table (8 merges)") {
+    val dist = TextOps.bpeTrain(docs, "text", numMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = TextOps.bpeTrainLocal(docs, "text", numMerges = 8)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(local.toSeq == dist.toSeq)
+  }
+
+  test("local trainer ≡ distributed loop: segmentation table (8 merges)") {
+    val dist = TextOps.bpeSegmentation(docs, "text", numMerges = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    val local = TextOps.bpeSegmentationLocal(docs, "text", numMerges = 8)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getString(2)))
+      .sortBy(_._1)
+    assert(local.toSeq == dist.toSeq)
+  }
+
+  test("local trainer ≡ distributed loop: encode counts (8 merges)") {
+    val dist = TextOps.bpeEncodeCounts(docs, "doc_id", "text", numMerges = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    val local = TextOps
+      .bpeEncodeCountsLocal(docs, "doc_id", "text", numMerges = 8)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      .sortBy(_._1)
+    assert(local.toSeq == dist.toSeq)
+  }
+
+  test("1000-merge local training completes fast and is well-formed") {
+    // the sf corpora draw from a small fixed word pool and exhaust
+    // after ~90 merges, so build a deterministic 30k-word vocabulary
+    // (hex digests: 16-symbol alphabet, deep pair structure) — the
+    // regime where the distributed loop would be 10³ sequential jobs
+    val bigger = spark.range(30000)
+      .selectExpr("id AS doc_id",
+        "concat(md5(cast(id AS string)), ' ', md5(cast(id + 99991 AS string))) AS text")
+    val t0 = System.nanoTime()
+    val merges = TextOps.bpeTrainLocal(bigger, "text", numMerges = 1000)
+      .collect()
+    val secs = (System.nanoTime() - t0) / 1e9
+    info(f"1000-merge local training: $secs%.1f s, ${merges.length} merges")
+    // corpus may exhaust all pairs before 1000 rounds — that is the
+    // documented stop condition, not a failure
+    assert(merges.nonEmpty && merges.length <= 1000)
+    val ranks = merges.map(_.getInt(0)).sorted
+    assert(ranks.toSeq == (1 to merges.length).toSeq, "dense ranks")
+    // counts never increase with rank within the greedy argmax loop?
+    // NOT guaranteed (a merge can create a pair more frequent than the
+    // current max), so only sanity-check positivity
+    assert(merges.forall(_.getLong(3) > 0))
+    assert(secs < 120, s"1000-merge local training took $secs s")
+  }
+}

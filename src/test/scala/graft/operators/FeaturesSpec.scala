@@ -35,6 +35,40 @@ class FeaturesSpec extends SparkSpec {
     assert(w.filter($"g".isNull).count() == 2)
   }
 
+  test("stats join: AQE broadcasts small stats, degrades without it, same rows") {
+    // the group-stats join carries NO broadcast() hint (an OOM risk at
+    // millions of groups); this pins both halves of the contract:
+    // (a) at default thresholds AQE still picks a broadcast join from
+    //     the stats frame's true runtime size,
+    // (b) with broadcast disabled the plan degrades to a non-broadcast
+    //     join and the RESULT is identical
+    val df = spark.read.parquet(s"$sf/events.parquet")
+      .selectExpr("user_id % 7 AS g", "value")
+    def run(): (Set[Seq[Any]], String) = {
+      val z = Features.zscoreByGroup(df, "value", "g")
+      val rows = z.collect().map(_.toSeq).toSet
+      (rows, z.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head)
+    }
+    val (rowsB, planB) = run()
+    assert(planB.contains("BroadcastHashJoin"),
+      s"AQE should broadcast the tiny stats frame:\n$planB")
+    val saved = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try {
+      val (rowsN, planN) = run()
+      assert(!planN.contains("BroadcastHashJoin"),
+        s"with broadcast disabled the join must degrade, not hint it back:\n$planN")
+      assert(rowsN == rowsB, "join strategy must not change the result")
+      val w = Features.winsorizeByGroup(df, "value", "g")
+      assert(w.count() == df.count(), "winsorize keeps every row without broadcast")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", saved)
+      spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+    }
+  }
+
   test("winsorize clips into the interpolated percentile band") {
     val df = Seq.tabulate(4)(i => ("g", Seq(0.0, 10.0, 20.0, 100.0)(i)))
       .toDF("g", "value")

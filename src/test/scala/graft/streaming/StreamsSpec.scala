@@ -208,6 +208,82 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("curatedIngest restart soak: exactly-once decisions across two kill/restart cycles") {
+    import graft.functions.Bloom
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // RocksDB state store, the production recovery configuration
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    def doc(tag: String): String =
+      (1 to 24).map(i => s"${tag}_w$i").mkString(" ")
+    val bench = Seq((0L, doc("bench"))).toDF("doc_id", "text")
+    val (bits, m, nh) = Bloom.buildSized(
+      Dedup.docShingles(bench, "doc_id", "text", 3, dedup = false)
+        .select("shingle").distinct(), "shingle")
+
+    val tag = System.nanoTime()
+    val sigPath = s"${sys.props("java.io.tmpdir")}/graft_soak_sig_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_soak_ck_$tag"
+    // sink keyed by batchId: a replayed batch OVERWRITES its slot (the
+    // idempotent-sink contract) — so duplicate delivery would surface
+    // as a changed slot, lost delivery as a missing slot
+    val seen = scala.collection.mutable.Map[Long, Set[Long]]()
+    val in = MemoryStream[(Long, String)]
+    def start() = Streams.curatedIngest(
+      in.toDF().toDF("doc_id", "text"), "doc_id", "text", sigPath,
+      bits, m, nh, Map("checkpointLocation" -> ckpt)) { (survivors, id) =>
+      seen.synchronized {
+        seen(id) = survivors.select("doc_id").collect().map(_.getLong(0)).toSet
+      }
+    }
+
+    // ---- life 1: two batches, then KILL ----
+    val q1 = start()
+    try {
+      in.addData((1L, doc("alpha")), (2L, doc("beta")))
+      q1.processAllAvailable()
+      in.addData(
+        (3L, doc("alpha")),          // dup of stored 1 → dropped
+        (4L, doc("bench") + " x"),   // contaminated → dropped
+        (5L, doc("gamma")))          // novel
+      q1.processAllAvailable()
+    } finally q1.stop()
+
+    // data arriving while DOWN — must be picked up by the restart
+    in.addData((6L, doc("beta")), (7L, doc("delta")))
+
+    // ---- life 2: recover, process the backlog, KILL again ----
+    val q2 = start()
+    try q2.processAllAvailable() finally q2.stop()
+
+    // ---- life 3: dedup state must still span every prior life ----
+    in.addData((8L, doc("delta")), (9L, doc("epsilon")))
+    val q3 = start()
+    try q3.processAllAvailable() finally q3.stop()
+
+    // decisions: exactly-once per batch slot, dedup spanning restarts
+    val all = seen.values.flatten.toSet
+    assert(all == Set(1L, 2L, 5L, 7L, 9L),
+      s"survivor set wrong across restarts: $seen")
+    assert(seen.values.map(_.size).sum == 5,
+      s"a survivor was delivered twice: $seen")
+    // signature table: exactly one signature row per admitted doc —
+    // a replayed append would duplicate doc_ids here
+    val sigIds = Dedup.readSignatures(spark, sigPath)
+      .select("doc_id").as[Long].collect().toSeq
+    assert(sigIds.sorted == Seq(1L, 2L, 5L, 7L, 9L),
+      s"signature table not exactly-once: $sigIds")
+    prevProvider match {
+      case Some(p) =>
+        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+      case None =>
+        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    }
+  }
+
   test("signature-maintaining ingest dedups batch 2 against batch 1's appends") {
     import graft.operators.Dedup
     implicit val sqlCtx = spark.sqlContext
