@@ -307,7 +307,13 @@ object Similarity {
     * runs k rounds of a 1-row argmax over that bounded set, with each
     * selected vector riding into the next round's expression as a
     * literal — driver traffic is k rows, like the other argmax-probe
-    * loops (bpeTrain, kmeans). All arithmetic is the deterministic
+    * loops (bpeTrain, kmeans). CONTRACT: driver state and per-round
+    * expression size grow O(k·dim) (the `isin` exclusion list and the
+    * `greatest(sims)` term both carry every prior pick), so k must
+    * stay report-sized — tens to hundreds, never corpus-scale; for
+    * diverse selection of thousands+, run MMR per partition/cluster
+    * (e.g. after [[assignToCentroids]]) so each greedy loop keeps its
+    * small-k shape. All arithmetic is the deterministic
     * IEEE cosine/multiply chain, ties break by id, so the selection
     * oracles exactly (k unrolled rounds in DuckDB).
     */
