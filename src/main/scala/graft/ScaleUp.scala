@@ -11,9 +11,19 @@ import org.apache.spark.sql.functions._
   * tables, so join fan-outs per key are IDENTICAL to the source sf:
   * the data gets bigger, not weirder. Dimension tables with fixed
   * cardinality (region, nation) are copied as-is, exactly like TPC-H
-  * scaling. Document text and embeddings are replicated verbatim
-  * (replica-exact duplicates — at corpus scale exact dups are the
-  * realistic case the dedup operators exist for).
+  * scaling.
+  *
+  * Document TEXT gets a per-replica token prefix (`r3_word`), which
+  * disjoins the replicas' token/shingle spaces: each replica carries
+  * the source corpus's near-dup structure but NO cross-replica
+  * similarity, so dedup/pair queries scale linearly in data volume
+  * instead of quadratically in clone-cluster size (verbatim
+  * replication would make every doc a factor-sized exact-dup cluster
+  * and conflate output explosion with plan regressions). EMBEDDINGS
+  * are replicated verbatim (no text to disjoin) — embedding-pair and
+  * brute-force-ANN queries therefore scale superlinearly BY
+  * CONSTRUCTION at this leg (queries × corpus both grow), which the
+  * bench table calls out rather than hides.
   *
   * Bench-tooling only: correctness always runs against the
   * driver-generated sf directories.
@@ -45,14 +55,15 @@ object ScaleUp {
     df.agg(max(col(col0))).head().getLong(0) + 1L
   }
 
-  def scaleTable(df: DataFrame, cols: Map[String, Long],
-                 factor: Int): DataFrame = {
+  def scaleTable(df: DataFrame, cols: Map[String, Long], factor: Int,
+                 dropReplica: Boolean = true): DataFrame = {
     val rep = df.sparkSession.range(factor.toLong)
       .withColumnRenamed("id", "__r")
     val crossed = df.crossJoin(broadcast(rep))
-    cols.foldLeft(crossed) { case (acc, (c, s)) =>
+    val keyed = cols.foldLeft(crossed) { case (acc, (c, s)) =>
       acc.withColumn(c, col(c) + col("__r") * s)
-    }.drop("__r")
+    }
+    if (dropReplica) keyed.drop("__r") else keyed
   }
 
   def main(args: Array[String]): Unit = {
@@ -93,7 +104,19 @@ object ScaleUp {
     }
     keyCols.foreach { case (t, cols0) =>
       val df = spark.read.parquet(s"$src/$t.parquet")
-      scaleTable(df, cols0.map(c => c -> strideFor(c)).toMap, factor)
+      val scaled0 = scaleTable(df, cols0.map(c => c -> strideFor(c)).toMap,
+        factor, dropReplica = t != "documents")
+      // disjoin replica token spaces (see scaladoc); keep n_chars
+      // consistent with the rewritten text
+      val scaled = if (t == "documents") scaled0
+        .withColumn("text", when(col("text").isNull, col("text"))
+          .otherwise(regexp_replace(col("text"), lit("(^|\\s)"),
+            concat(lit("$1r"), col("__r"), lit("_")))))
+        .withColumn("n_chars", length(coalesce(col("text"), lit("")))
+          .cast(df.schema("n_chars").dataType))
+        .drop("__r")
+      else scaled0
+      scaled
         // spread replicas across output files so downstream scans see
         // balanced splits, not one file per replica of the source order
         .repartition(cpus.toInt * 2)

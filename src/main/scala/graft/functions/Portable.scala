@@ -60,6 +60,23 @@ object Portable {
   def hash32Sql(e: String): String =
     s"CAST('0x' || substr(md5($e), 1, 8) AS BIGINT)"
 
+  // ---- 60-bit md5-prefix hash ----
+  //
+  // 60, not 64: the value stays strictly positive, so every downstream
+  // shift/band/SUM is sign-safe on any engine (bit 63 would flip the
+  // sign under BIGINT). The wide form exists for signature spaces that
+  // must stay sparse at corpus scale — e.g. SimHash bands: 4×8-bit
+  // bands saturate at ~256 values each once the corpus dwarfs the key
+  // space, 4×15-bit bands hold ~32k values each.
+
+  /** Spark: first 15 hex chars of md5 as a bigint in [0, 2^60). */
+  def hash60(c: Column): Column =
+    conv(substring(md5(c), 1, 15), 16, 10).cast("long")
+
+  /** DuckDB SQL for [[hash60]]. */
+  def hash60Sql(e: String): String =
+    s"CAST('0x' || substr(md5($e), 1, 15) AS BIGINT)"
+
   // ---- whitespace tokenization ----
 
   /** Explicit whitespace class instead of `\s`: Java's `\s` includes

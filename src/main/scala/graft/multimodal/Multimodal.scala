@@ -242,31 +242,32 @@ object Multimodal {
       .select("asset_id", "frame_idx", "ts_ms", "fsum")
   }
 
-  /** Perceptual dHash over the decoded luma plane: 33 evenly-spaced
-    * samples, bit i = sample(i+1) > sample(i), packed to 32 bits. The
-    * classic difference-hash image fingerprint — robust to uniform
-    * brightness/scale shifts (only ORDER between neighbors matters),
-    * and 4 bytes per asset at any payload size. Decode is per-row in
-    * mapPartitions (the real-codec batch shape); empty payloads yield
-    * null (no fingerprint, never pairs). 32 bits, not 64: every band/
-    * shift/sum stays in non-negative long range on ANY engine — bit 63
-    * would make the packed value sign-sensitive under >> and SUM.
+  /** Perceptual dHash over the decoded luma plane: `bits`+1
+    * evenly-spaced samples, bit i = sample(i+1) > sample(i), packed to
+    * a long. The classic difference-hash image fingerprint — robust to
+    * uniform brightness/scale shifts (only ORDER between neighbors
+    * matters), and ≤8 bytes per asset at any payload size. Decode is
+    * per-row in mapPartitions (the real-codec batch shape); empty
+    * payloads yield null (no fingerprint, never pairs). bits ≤ 60,
+    * never 64: every band/shift/sum stays in non-negative long range
+    * on ANY engine — bit 63 would make the packed value sign-sensitive
+    * under >> and SUM.
     */
-  def dHash(assets: Dataset[MediaAsset],
-            codec: Codec = StubCodec): DataFrame = {
+  def dHash(assets: Dataset[MediaAsset], codec: Codec = StubCodec,
+            bits: Int = 60): DataFrame = {
+    require(bits > 0 && bits <= 60, s"dHash bits must be in 1..60, got $bits")
     import assets.sparkSession.implicits._
-    val Bits = 32
     assets.mapPartitions { it =>
       it.map { a =>
         val luma = codec.decodeLuma(a.content, a.meta)
         if (luma.isEmpty) (a.asset_id, None: Option[Long])
         else {
           val n = luma.length
-          val s = (0 to Bits).map(i =>
-            luma(((i.toLong * (n - 1)) / Bits).toInt))
+          val s = (0 to bits).map(i =>
+            luma(((i.toLong * (n - 1)) / bits).toInt))
           var h = 0L
           var i = 0
-          while (i < Bits) {
+          while (i < bits) {
             if (s(i + 1) > s(i)) h |= (1L << i)
             i += 1
           }
@@ -276,22 +277,36 @@ object Multimodal {
     }.toDF("asset_id", "dhash")
   }
 
-  /** Media near-dup pairs by banded dHash matching: 4×8-bit bands
-    * propose candidates (pigeonhole-EXACT for hamming < 4 — a pair
-    * differing in ≤3 bits must agree on one full band), exact hamming
-    * via bit_count(xor) verifies. Same scale shape as text SimHash:
-    * the shuffle carries 4 band keys per asset, never payloads, never
-    * asset × asset.
+  /** Media near-dup pairs by banded dHash matching: 4 equal-width
+    * bands propose candidates (pigeonhole-EXACT for hamming < 4 — a
+    * pair differing in ≤3 bits must agree on one full band), exact
+    * hamming via bit_count(xor) verifies. Same scale shape as text
+    * SimHash: the shuffle carries 4 band keys per asset, never
+    * payloads, never asset × asset.
+    *
+    * Default 60-bit hash → 15-bit bands (32768 values each). Band
+    * VALUE SPACE is the corpus-scale lever: with the old 8-bit bands
+    * (256 values) every bucket holds ~corpus/256 assets and the
+    * candidate self-join goes quadratic once the corpus dwarfs the key
+    * space — the sf1 bench leg measured exactly that wall (≈39M
+    * candidate pairs at 50k assets, 18 s). 15-bit bands keep bucket
+    * occupancy ~corpus/32k, restoring ~linear candidate volume well
+    * past millions of assets; beyond that, widen the hash to two longs
+    * before shrinking bands below hamming-exactness.
     */
   def mediaNearDupPairs(assets: Dataset[MediaAsset], maxDist: Int = 3,
-                        codec: Codec = StubCodec): DataFrame = {
-    require(maxDist < 4, "4x8-bit banding is only exact for hamming < 4")
-    val dh = dHash(assets, codec).filter(col("dhash").isNotNull)
+                        codec: Codec = StubCodec,
+                        bits: Int = 60): DataFrame = {
+    require(maxDist < 4, "4-band blocking is only exact for hamming < 4")
+    require(bits % 4 == 0, s"bits must split into 4 equal bands, got $bits")
+    val bandWidth = bits / 4
+    val mask = (1L << bandWidth) - 1L
+    val dh = dHash(assets, codec, bits).filter(col("dhash").isNotNull)
       .localCheckpoint()
     val keyed = dh.select(col("asset_id"),
       explode(array((0 until 4).map(b =>
         concat_ws("_", lit(b),
-          shiftright(col("dhash"), 8 * b).bitwiseAND(lit(255L)))): _*))
+          shiftright(col("dhash"), bandWidth * b).bitwiseAND(lit(mask)))): _*))
         .as("bk"))
     val cand = keyed.withColumnRenamed("asset_id", "id_a")
       .join(keyed.withColumnRenamed("asset_id", "id_b"), "bk")

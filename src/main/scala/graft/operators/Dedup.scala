@@ -112,6 +112,14 @@ object Dedup {
     * Returns (id_a, id_b, edit_dist), id_a < id_b. Tune recall with
     * the shingle size k (smaller k → looser blocking → more
     * candidates verified).
+    *
+    * The verify pass uses the THRESHOLDED levenshtein (banded
+    * O(len·maxDist) with early bail, returns -1 past the bound)
+    * rather than the unbounded O(len_a·len_b) form: candidates that
+    * fail the bound are the common case at corpus scale, and the sf1
+    * bench leg measured the unbounded form ~15× slower on
+    * document-sized strings. Same output: pairs within maxDist carry
+    * their exact distance.
     */
   def fuzzyMatchPairs(df: DataFrame, idCol: String, textCol: String,
                       k: Int = 3, maxDist: Int = 100): DataFrame = {
@@ -124,8 +132,9 @@ object Dedup {
     cand
       .join(texts.select(col(idCol).as("id_a"), col(textCol).as("__ta")), "id_a")
       .join(texts.select(col(idCol).as("id_b"), col(textCol).as("__tb")), "id_b")
-      .withColumn("edit_dist", levenshtein(col("__ta"), col("__tb")))
-      .filter(col("edit_dist") <= maxDist)
+      .withColumn("edit_dist",
+        levenshtein(col("__ta"), col("__tb"), maxDist))
+      .filter(col("edit_dist") >= 0)
       .select(col("id_a"), col("id_b"), col("edit_dist"))
   }
 
@@ -417,26 +426,34 @@ object Dedup {
     exact.join(nearDupLosers, Seq(idCol), "left_anti")
   }
 
-  /** 32-bit SimHash over frequency-weighted tokens: bit b of the
-    * signature is the sign of Σ_tokens (2·bit_b(hash32(token)) − 1).
+  /** `bits`-bit SimHash over frequency-weighted tokens: bit b of the
+    * signature is the sign of Σ_tokens (2·bit_b(hash60(token)) − 1).
     *
-    * ONE groupBy with 32 conditional sums: the shuffle carries one
-    * 32-column partial row per doc per partition (map-side combined)
-    * instead of the naive plan's token×32 exploded bit rows — a 32×
-    * reduction in shuffled rows, same arithmetic bit-for-bit (the
-    * DuckDB oracle keeps the explicit bit-row formulation and must
-    * still hash-match).
+    * ONE groupBy with `bits` conditional sums: the shuffle carries one
+    * bits-column partial row per doc per partition (map-side combined)
+    * instead of the naive plan's token×bits exploded bit rows — a
+    * bits× reduction in shuffled rows, same arithmetic bit-for-bit
+    * (the DuckDB oracle keeps the explicit bit-row formulation and
+    * must still hash-match).
+    *
+    * Default 60 bits (15-bit bands downstream): the signature width
+    * sets the BAND VALUE SPACE of [[simhashBandedPairs]], and 8-bit
+    * bands (the old 32-bit default) saturate once the corpus dwarfs
+    * 256 values per band — candidate volume goes quadratic. Measured
+    * on the sf1 bench leg before widening.
     */
-  def simhash(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+  def simhash(df: DataFrame, idCol: String, textCol: String,
+              bits: Int = 60): DataFrame = {
+    require(bits > 0 && bits <= 60, s"simhash bits must be in 1..60, got $bits")
     val tok = df.select(col(idCol),
       explode(Portable.tokens(col(textCol))).as("tok"))
-    val bitSums = (0 until 32).map { b =>
+    val bitSums = (0 until bits).map { b =>
       sum(shiftright(col("h"), b).bitwiseAND(lit(1L)) * 2 - 1).as(s"s$b")
     }
-    val packed = (0 until 32)
+    val packed = (0 until bits)
       .map(b => when(col(s"s$b") >= 0, lit(1L << b)).otherwise(lit(0L)))
       .reduce(_ + _)
-    tok.select(col(idCol), hash32(col("tok")).as("h"))
+    tok.select(col(idCol), Portable.hash60(col("tok")).as("h"))
       .groupBy(col(idCol))
       .agg(bitSums.head, bitSums.tail: _*)
       .select(col(idCol), packed.as("simhash"))
@@ -472,7 +489,7 @@ object Dedup {
     * approximate, for that regime (hence the `require`).
     */
   def simhashBandedPairs(sims: DataFrame, idCol: String, maxDist: Int,
-                         numBands: Int = 4, sigBits: Int = 32): DataFrame = {
+                         numBands: Int = 4, sigBits: Int = 60): DataFrame = {
     require(maxDist < numBands,
       s"banded recall is only exact for maxDist < numBands " +
         s"(got maxDist=$maxDist, numBands=$numBands); " +

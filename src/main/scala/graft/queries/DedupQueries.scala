@@ -105,12 +105,12 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // per-doc 32-bit SimHash
+    // per-doc 60-bit SimHash (sign-safe BIGINT; 15-bit bands downstream)
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
-    // SimHash near-dup pairs via 4×8-bit banding: candidates share at
+    // SimHash near-dup pairs via 4×15-bit banding: candidates share at
     // least one intact band, which by pigeonhole is EXACT for
     // maxDist 3 < 4 bands — so the all-pairs DuckDB oracle must match
     // bit-for-bit even though the Spark plan never joins all pairs
@@ -339,12 +339,14 @@ object DedupQueries {
        |    FROM ed JOIN r$t ON r$t.v = ed.src GROUP BY ed.dst) c
        |  ON c.v2 = n.doc_id)""".stripMargin
 
+  // 60-bit signature (15-bit bands in the Spark plan) — the bit-row
+  // formulation mirrors Dedup.simhash's conditional-sum arithmetic
   private val simhashCtes =
     s"""tok0 AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
        |tok AS (SELECT doc_id, unnest(t) AS tok FROM tok0),
-       |hh AS (SELECT doc_id, ${Portable.hash32Sql("tok")} AS h FROM tok),
+       |hh AS (SELECT doc_id, ${Portable.hash60Sql("tok")} AS h FROM tok),
        |bits AS (SELECT doc_id, b, ((h >> CAST(b AS INT)) & 1) * 2 - 1 AS w
-       |  FROM hh, generate_series(0, 31) AS gs(b)),
+       |  FROM hh, generate_series(0, 59) AS gs(b)),
        |bsum AS (SELECT doc_id, b, sum(w) AS s FROM bits GROUP BY 1, 2),
        |sim AS (SELECT doc_id,
        |  CAST(sum(CASE WHEN s >= 0 THEN (CAST(1 AS BIGINT) << CAST(b AS INT))

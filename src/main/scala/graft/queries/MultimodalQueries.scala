@@ -41,10 +41,18 @@ object MultimodalQueries {
         .orderBy("asset_id", "frame_idx")
     }),
 
-    // perceptual near-dup: banded dHash candidates + exact hamming
+    // perceptual near-dup: banded dHash candidates + exact hamming.
+    // The corpus is augmented with clones of the 20 lowest doc_ids
+    // (offset +1000000): a 60-bit dHash at hamming ≤ 3 only pairs
+    // near-identical payloads (the 32-bit predecessor paired on random
+    // band collisions), so without seeded clones a dup-free sf dir
+    // would make this oracle vacuously 0-row
     "q_media_neardup" -> ((s, d) => {
+      val docs = Tables.documents(s, d).select("doc_id", "text")
+      val cloned = docs.filter(col("doc_id") < 20)
+        .withColumn("doc_id", col("doc_id") + lit(1000000L))
       val assets = Multimodal.asAssets(
-        Tables.documents(s, d), "doc_id", "text", "text_blob")
+        docs.unionByName(cloned), "doc_id", "text", "text_blob")
       Multimodal.mediaNearDupPairs(assets, maxDist = 3)
         .orderBy("id_a", "id_b")
     }),
@@ -130,14 +138,20 @@ object MultimodalQueries {
         |WHERE prev IS NULL OR abs(fsum - prev) > 200
         |ORDER BY asset_id, frame_idx""".stripMargin,
 
-    // dHash mirror: the same rolling-luma fold, then 33 sampled
-    // positions, 32 packed greater-than bits, 4x8-bit band candidates,
-    // exact hamming via bit_count(xor)
+    // dHash mirror: the same rolling-luma fold, then 61 sampled
+    // positions, 60 packed greater-than bits, 4x15-bit band candidates
+    // (band value space 32768 — see Multimodal.mediaNearDupPairs for
+    // why 8-bit bands saturate at corpus scale), exact hamming via
+    // bit_count(xor)
     "q_media_neardup" ->
-      """WITH RECURSIVE b AS (
+      """WITH RECURSIVE docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n
-        |  FROM documents),
+        |  FROM docs),
         |r AS (
         |  SELECT doc_id, 0 AS pos, 17 AS acc, n FROM b
         |  UNION ALL
@@ -146,8 +160,8 @@ object MultimodalQueries {
         |    r.n
         |  FROM r JOIN b USING (doc_id) WHERE r.pos < r.n),
         |samp AS MATERIALIZED (SELECT b.doc_id, t.i,
-        |    CAST((t.i * (b.n - 1)) // 32 AS INT) AS sj
-        |  FROM b, generate_series(0, 32) t(i) WHERE b.n >= 1),
+        |    CAST((t.i * (b.n - 1)) // 60 AS INT) AS sj
+        |  FROM b, generate_series(0, 60) t(i) WHERE b.n >= 1),
         |v AS MATERIALIZED (SELECT s.doc_id, s.i, r.acc AS val
         |  FROM samp s JOIN r ON r.doc_id = s.doc_id AND r.pos = s.sj + 1),
         |dh AS MATERIALIZED (SELECT a.doc_id,
@@ -155,9 +169,9 @@ object MultimodalQueries {
         |      THEN CAST(1 AS BIGINT) << a.i ELSE 0 END), 0) AS BIGINT)
         |      AS dhash
         |  FROM v a JOIN v b2 ON b2.doc_id = a.doc_id AND b2.i = a.i + 1
-        |  WHERE a.i < 32 GROUP BY 1),
+        |  WHERE a.i < 60 GROUP BY 1),
         |bm AS MATERIALIZED (SELECT doc_id, t.b,
-        |    (dhash >> (8 * t.b)) & 255 AS bk
+        |    (dhash >> (15 * t.b)) & 32767 AS bk
         |  FROM dh, generate_series(0, 3) t(b)),
         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
         |  FROM bm x JOIN bm y ON y.b = x.b AND y.bk = x.bk

@@ -60,12 +60,12 @@ class ImageCodecSpec extends SparkSpec {
       .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getLong(1))))
       .toMap
     assert(rows(2L).isEmpty, "undecodable bytes must fingerprint as null, not fail")
-    // independent reimplementation of the 33-sample difference hash
+    // independent reimplementation of the 61-sample difference hash
     val exp = expectedLuma
     val n = exp.length
-    val s = (0 to 32).map(i => exp(((i.toLong * (n - 1)) / 32).toInt))
+    val s = (0 to 60).map(i => exp(((i.toLong * (n - 1)) / 60).toInt))
     var h = 0L
-    (0 until 32).foreach(i => if (s(i + 1) > s(i)) h |= (1L << i))
+    (0 until 60).foreach(i => if (s(i + 1) > s(i)) h |= (1L << i))
     assert(rows(1L).contains(h))
   }
 

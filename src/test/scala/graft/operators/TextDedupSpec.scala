@@ -77,7 +77,7 @@ class TextDedupSpec extends SparkSpec {
 
   test("simhash: identical docs → hamming 0; near dups closer than unrelated") {
     val sims = Dedup.simhash(docs, "doc_id", "text")
-    val pairs = Dedup.simhashNearDups(sims, "doc_id", maxDist = 32, lit(1))
+    val pairs = Dedup.simhashNearDups(sims, "doc_id", maxDist = 60, lit(1))
       .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getInt(2)).toMap
     assert(pairs((1L, 2L)) == 0)
     assert(pairs((1L, 3L)) < pairs((1L, 4L)),
