@@ -504,6 +504,63 @@ object TextOps {
     (merges.result().toDF("rank", "lhs", "rhs", "cnt"), seg)
   }
 
+  /** Add-one-smoothed bigram language-model quality score in INTEGER
+    * micro-units — the CCNet-style "LM perplexity" filter re-expressed
+    * without a single float, so the score is bit-identical on any
+    * engine (ln/exp differ in final ulps across engines; integer
+    * ratios never do; the RANKING matches a real log-perplexity filter
+    * wherever probability ordering agrees, and rank is what the
+    * curation gate consumes).
+    *
+    * Model: p_ppm(cur | prev) = ⌊10⁶ · (c₂(prev,cur)+1) / (c₁(prev)+V)⌋
+    * with c₂/c₁ the train-corpus bigram/unigram counts and V its
+    * vocabulary size. Doc score: Σ p_ppm over the doc's bigrams (an
+    * integer sum — commutative, partition-order-free) plus
+    * avg_ppm = sum div n. Higher = more fluent under the train corpus;
+    * gate on an avg_ppm band exactly like a perplexity band.
+    *
+    * Scale shape: ONE zip_with bigram explosion per corpus (no
+    * token-pair shuffle — bigrams are built inside the row), two
+    * groupBys for the model tables, then the score pass joins bigrams
+    * against the model keyed on (prev, cur) — vocabulary²-bounded,
+    * corpus-row-bounded in practice — and one integer groupBy per doc.
+    * Vocab size rides the plan as a broadcast 1-row aggregate, not a
+    * collected scalar. Docs with < 2 tokens have no bigrams and are
+    * absent from the output (nothing to score).
+    *
+    * `train` and `score` may differ (the production shape: train on a
+    * clean reference corpus, score the crawl); [[graft.queries
+    * .TextQueries]] self-scores for the oracle. Unseen bigrams get the
+    * +1 numerator; unseen prev tokens get denominator V.
+    */
+  def bigramLmScore(train: DataFrame, score: DataFrame, idCol: String,
+                    textCol: String): DataFrame = {
+    def toksOf(df: DataFrame) = df.select(col(idCol),
+      filter(Portable.tokens(col(textCol)), t => length(t) > 0).as("__t"))
+    def bigramsOf(df: DataFrame) = toksOf(df)
+      .filter(size(col("__t")) >= 2)
+      .select(col(idCol), explode(zip_with(
+        slice(col("__t"), lit(1), size(col("__t")) - 1),
+        slice(col("__t"), lit(2), size(col("__t")) - 1),
+        (a, b) => struct(a.as("prev"), b.as("cur")))).as("__bg"))
+      .select(col(idCol), col("__bg.prev").as("prev"), col("__bg.cur").as("cur"))
+    val trainToks = toksOf(train).select(explode(col("__t")).as("tok"))
+    val c2 = bigramsOf(train).groupBy("prev", "cur")
+      .agg(count(lit(1)).as("__c2"))
+    val c1 = trainToks.groupBy(col("tok").as("prev"))
+      .agg(count(lit(1)).as("__c1"))
+    val vocab = trainToks.agg(countDistinct(col("tok")).as("__v"))
+    bigramsOf(score)
+      .join(c2, Seq("prev", "cur"), "left")
+      .join(c1, Seq("prev"), "left")
+      .crossJoin(broadcast(vocab))
+      .withColumn("__ppm", expr(
+        "(1000000 * (coalesce(__c2, 0) + 1)) div (coalesce(__c1, 0) + __v)"))
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_bigrams"), sum(col("__ppm")).as("sum_ppm"))
+      .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
+  }
+
   // ---- driver-local training twin -----------------------------------
   //
   // [[bpeLoop]] runs one full pair-count shuffle + a 1-row collect PER

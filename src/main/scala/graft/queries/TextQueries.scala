@@ -95,6 +95,14 @@ object TextQueries {
       TextOps.repetitionStats(Tables.documents(s, d), "doc_id", "text")
         .orderBy("doc_id")),
 
+    // CCNet-style bigram-LM quality score (integer micro-units;
+    // self-scored here — production trains on a clean reference corpus)
+    "q_lm_score" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.bigramLmScore(docs, docs, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide boilerplate 3-grams present in ≥ 5 docs
     "q_boilerplate" -> ((s, d) =>
       TextOps.boilerplateNgrams(Tables.documents(s, d), "doc_id", "text",
@@ -261,6 +269,29 @@ object TextQueries {
   }
 
   val oracleSql: Map[String, String] = Map(
+    // add-one bigram LM in integer ppm — mirrors TextOps.bigramLmScore:
+    // p = (10^6*(c2+1)) // (c1+V); doc = (count, sum, sum // count).
+    // Inner joins are exact here because the score corpus IS the train
+    // corpus (every scored bigram exists in the model)
+    "q_lm_score" ->
+      s"""WITH tok0 AS (SELECT doc_id,
+         |    list_filter($toksSql, t -> len(t) > 0) AS t FROM documents),
+         |bg0 AS (SELECT doc_id, t,
+         |    unnest(generate_series(1, len(t) - 1)) AS i
+         |  FROM tok0 WHERE len(t) >= 2),
+         |bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM bg0),
+         |tk AS (SELECT unnest(t) AS tok FROM tok0),
+         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+         |c1 AS (SELECT tok AS prev, count(*) AS c1 FROM tk GROUP BY 1),
+         |v AS (SELECT count(DISTINCT tok) AS v FROM tk),
+         |p AS (SELECT b.doc_id,
+         |    (1000000 * (c2.c2 + 1)) // (c1.c1 + v.v) AS ppm
+         |  FROM bg b JOIN c2 USING (prev, cur) JOIN c1 USING (prev), v)
+         |SELECT doc_id, count(*) AS n_bigrams,
+         |  CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+         |  CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_segment" -> bpeSegOracleSql(8),
     "q_bpe_encode" -> bpeEncodeOracleSql(8),

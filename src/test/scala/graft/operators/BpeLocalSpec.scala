@@ -44,6 +44,25 @@ class BpeLocalSpec extends SparkSpec {
     assert(local.toSeq == dist.toSeq)
   }
 
+  test("bigramLmScore: hand-computed add-one ppm on a tiny fixture") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a"), (2L, "a b"), (3L, "c")).toDF("doc_id", "text")
+    // train corpus: tokens a,b,a,a,b,c → c1: a=3 b=2 c=1; V=3
+    // bigrams: doc1 (a,b),(b,a); doc2 (a,b) → c2: (a,b)=2, (b,a)=1
+    // p(a,b) = 10^6·3 div (3+3) = 500000 ; p(b,a) = 10^6·2 div (2+3) = 400000
+    val r = TextOps.bigramLmScore(d, d, "doc_id", "text")
+      .collect().map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2), x.getLong(3)))
+      .toMap
+    assert(r(1L) == ((2L, 900000L, 450000L)))
+    assert(r(2L) == ((1L, 500000L, 500000L)))
+    assert(!r.contains(3L), "single-token docs have no bigrams to score")
+    // cross-corpus: unseen bigram/prev falls back to +1 / V smoothing
+    val unseen = Seq((9L, "x y")).toDF("doc_id", "text")
+    val u = TextOps.bigramLmScore(d, unseen, "doc_id", "text").collect().head
+    // c2(x,y)=0, c1(x)=0 → 10^6·1 div (0+3) = 333333
+    assert(u.getLong(2) == 333333L)
+  }
+
   test("1000-merge local training completes fast and is well-formed") {
     // the sf corpora draw from a small fixed word pool and exhaust
     // after ~90 merges, so build a deterministic 30k-word vocabulary
