@@ -266,6 +266,65 @@ object Curation {
       .drop("__stratum")
   }
 
+  /** Curation AUDIT trail — [[curateCorpus]] with the filters turned
+    * into verdicts: every input doc comes back with its FATE instead
+    * of silently disappearing. The production "why did my document
+    * vanish" lineage report; at 100 TB, curation decisions must be
+    * explainable per doc or debugging a feed regression means
+    * re-running the pipeline under a microscope.
+    *
+    *   - `fate = 'quality'`  — failed the Gopher repetition gate or
+    *     the minimum token count (blame/split/pack null);
+    *   - `fate = 'near_dup'` — survived quality but lost its near-dup
+    *     cluster; `blame_id` names the cluster keeper it lost to;
+    *   - `fate = 'kept'`     — survived everything; carries the same
+    *     `split`/`pack_id` the pipeline assigns.
+    *
+    * Decisions are guaranteed identical to [[curateCorpus]] because
+    * the stages are THE SAME CODE, not a re-derivation: the quality
+    * predicate is the same repetitionStats semi-join shape, clustering
+    * is [[Dedup.corpusComponents]] (the prelude `dedupCorpusTransitive`
+    * itself runs), and split/pack run the same [[datasetSplit]]/
+    * [[packSequences]] over the survivors — CurationAuditSpec pins
+    * `fate = 'kept'` ≡ the pipeline's output ids. Scale shape matches
+    * the pipeline's (the verdict union adds two row-local branches).
+    */
+  def curationAudit(docs: DataFrame, idCol: String, textCol: String,
+                    sourceCol: String, minTokens: Int = 20,
+                    dedupThreshold: Double = 0.5, trainPct: Int = 80,
+                    valPct: Int = 10, packBudget: Long = 256L): DataFrame = {
+    val withN = docs
+      .withColumn("n_tokens",
+        size(Portable.tokens(col(textCol))).cast("long"))
+      .localCheckpoint() // feeds quality verdicts AND the base branch
+    val pass = TextOps.repetitionStats(withN, idCol, textCol)
+      .filter(col("gopher_pass")).select(col(idCol))
+    val base = withN.filter(col("n_tokens") >= minTokens)
+      .join(pass, Seq(idCol), "left_semi")
+    val (input, comps) =
+      Dedup.corpusComponents(base, idCol, textCol, k = 3, dedupThreshold)
+    val kept = input.join(
+      comps.filter(col(idCol) === col("component")).select(idCol),
+      Seq(idCol), "left_semi")
+    val packed = packSequences(
+      datasetSplit(kept, idCol, trainPct, valPct)
+        .withColumn("__stratum", concat_ws("|", col("split"), col(sourceCol))),
+      idCol, "n_tokens", packBudget, "__stratum")
+      .select(col(idCol), col("split"), col("pack_id"))
+    val labeled = withN.select(col(idCol), col(sourceCol), col("n_tokens"))
+      .join(comps.withColumnRenamed(idCol, "__cid")
+        .select(col("__cid"), col("component")),
+        col(idCol) === col("__cid"), "left")
+      .join(packed, Seq(idCol), "left")
+    labeled.select(col(idCol), col(sourceCol), col("n_tokens"),
+      when(col("__cid").isNull, lit("quality"))
+        .when(col("component") =!= col(idCol), lit("near_dup"))
+        .otherwise(lit("kept")).as("fate"),
+      when(col("__cid").isNotNull && col("component") =!= col(idCol),
+        col("component")).as("blame_id"),
+      col("split"), col("pack_id"))
+  }
+
   /** Fixed-window document chunking with overlap — the pre-embedding
     * step of a retrieval/training pipeline: token windows of
     * `chunkSize` starting every `chunkSize - overlap` tokens. Pure

@@ -789,6 +789,19 @@ object Dedup {
     (input, connectedComponents(pairs, input.select(idCol), idCol))
   }
 
+  /** Public view of the clustering prelude — (checkpointed input,
+    * (id, component) labels for EVERY input doc; component = cluster
+    * min id, singletons label themselves). The same recipe the two
+    * transitive-dedup policies run, exposed for consumers that need
+    * the LABELS rather than the survivors — e.g. the curation audit
+    * trail, which must blame each dropped doc on its cluster keeper
+    * with decisions guaranteed identical to [[dedupCorpusTransitive]].
+    */
+  def corpusComponents(df: DataFrame, idCol: String, textCol: String,
+                       k: Int = 3, threshold: Double = 0.5)
+      : (DataFrame, DataFrame) =
+    clusteredInput(df, idCol, textCol, k, threshold)
+
   /** EXACT SUBSTRING dedup — span-level, not document-level: every
     * k-token span whose text occurs more than once in the corpus is cut
     * from every occurrence EXCEPT the first (first = smallest

@@ -140,6 +140,12 @@ object CurationQueries {
           col("split"), col("pack_id"))
         .orderBy("doc_id")),
 
+    // the audit twin: every input doc with its fate — 'quality' /
+    // 'near_dup' (+ the keeper it lost to) / 'kept' (+ split, pack)
+    "q_curation_audit" -> ((s, d) =>
+      Curation.curationAudit(docs(s, d), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
     // 24-token chunks with 8-token overlap — row-local explode, the
     // pre-embedding fan-out
     "q_chunk" -> ((s, d) =>
@@ -181,6 +187,65 @@ object CurationQueries {
        |sh AS (SELECT DISTINCT doc_id,
        |    unnest(${Portable.shinglesSql("t", K)}) AS s
        |  FROM toks)""".stripMargin
+
+  /** Gopher repetition gate CTEs (rs*-prefixed so the dedup CTE names
+    * stay free) for one shingle size.
+    */
+  private def repStats(n: Int) =
+    s"""rg$n AS (SELECT doc_id,
+       |  unnest(${Portable.shinglesSql("rt", n)}) AS g FROM rtoks),
+       |rc$n AS (SELECT doc_id, g, count(*) AS c FROM rg$n GROUP BY 1, 2),
+       |rs$n AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot,
+       |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
+       |  FROM rc$n GROUP BY 1)""".stripMargin
+
+  /** The full curation-pipeline CTE body (quality gate → near-dup CC →
+    * split → pack), shared by q_corpus_pipeline (the survivors) and
+    * q_curation_audit (the per-doc verdicts) so the two oracles can
+    * never drift apart. Ends at `packed` — callers append the final
+    * SELECT (prefix with RECURSIVE for the `reach` CTE).
+    */
+  private lazy val pipelineCtes =
+    s"""rtoks AS (SELECT doc_id,
+       |    ${Portable.tokensSql("text")} AS rt FROM documents),
+       |${repStats(2)},
+       |${repStats(3)},
+       |${repStats(5)},
+       |qual AS (SELECT d.doc_id FROM documents d
+       |  LEFT JOIN rs2 ON rs2.doc_id = d.doc_id
+       |  LEFT JOIN rs3 ON rs3.doc_id = d.doc_id
+       |  LEFT JOIN rs5 ON rs5.doc_id = d.doc_id
+       |  WHERE coalesce(round(CAST(rs2.mx AS DOUBLE) / rs2.tot, 6), 0.0) <= 0.20
+       |    AND coalesce(round(CAST(rs3.mx AS DOUBLE) / rs3.tot, 6), 0.0) <= 0.18
+       |    AND coalesce(round(CAST(rs5.dup AS DOUBLE) / rs5.tot, 6), 0.0) <= 0.15),
+       |base AS (SELECT d.doc_id, d.text, d.source,
+       |    CAST(len(rt.rt) AS BIGINT) AS n_tokens
+       |  FROM documents d
+       |  JOIN rtoks rt ON rt.doc_id = d.doc_id
+       |  JOIN qual q ON q.doc_id = d.doc_id
+       |  WHERE len(rt.rt) >= 20),
+       |${DedupQueries.sigCteFrom("base")},
+       |${DedupQueries.bandsCteText},
+       |${DedupQueries.pairsCtes(0.5)},
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM base
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+       |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
+       |kept AS (SELECT b.* FROM base b
+       |  JOIN comps c ON c.id = b.doc_id AND c.comp = b.doc_id),
+       |sp AS (SELECT doc_id, source, n_tokens,
+       |    CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
+       |         WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
+       |         ELSE 'test' END AS split
+       |  FROM kept),
+       |packed AS (SELECT doc_id, source, n_tokens, split,
+       |  CAST(floor((sum(n_tokens) OVER (PARTITION BY split, source
+       |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+       |    / 256) AS BIGINT) AS pack_id
+       |  FROM sp)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_hash_sample" ->
@@ -317,57 +382,27 @@ object CurationQueries {
          |  len(toks) > 32 AS was_truncated
          |FROM t ORDER BY doc_id""".stripMargin,
 
-    "q_corpus_pipeline" -> {
-      // stage 1: Gopher repetition gate (rs*-prefixed so the dedup
-      // CTEs' names stay free) + min-token filter
-      def repStats(n: Int) =
-        s"""rg$n AS (SELECT doc_id,
-           |  unnest(${Portable.shinglesSql("rt", n)}) AS g FROM rtoks),
-           |rc$n AS (SELECT doc_id, g, count(*) AS c FROM rg$n GROUP BY 1, 2),
-           |rs$n AS (SELECT doc_id, max(c) AS mx, sum(c) AS tot,
-           |  sum(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup
-           |  FROM rc$n GROUP BY 1)""".stripMargin
-      s"""WITH RECURSIVE rtoks AS (SELECT doc_id,
-         |    ${Portable.tokensSql("text")} AS rt FROM documents),
-         |${repStats(2)},
-         |${repStats(3)},
-         |${repStats(5)},
-         |qual AS (SELECT d.doc_id FROM documents d
-         |  LEFT JOIN rs2 ON rs2.doc_id = d.doc_id
-         |  LEFT JOIN rs3 ON rs3.doc_id = d.doc_id
-         |  LEFT JOIN rs5 ON rs5.doc_id = d.doc_id
-         |  WHERE coalesce(round(CAST(rs2.mx AS DOUBLE) / rs2.tot, 6), 0.0) <= 0.20
-         |    AND coalesce(round(CAST(rs3.mx AS DOUBLE) / rs3.tot, 6), 0.0) <= 0.18
-         |    AND coalesce(round(CAST(rs5.dup AS DOUBLE) / rs5.tot, 6), 0.0) <= 0.15),
-         |base AS (SELECT d.doc_id, d.text, d.source,
-         |    CAST(len(rt.rt) AS BIGINT) AS n_tokens
-         |  FROM documents d
-         |  JOIN rtoks rt ON rt.doc_id = d.doc_id
-         |  JOIN qual q ON q.doc_id = d.doc_id
-         |  WHERE len(rt.rt) >= 20),
-         |${DedupQueries.sigCteFrom("base")},
-         |${DedupQueries.bandsCteText},
-         |${DedupQueries.pairsCtes(0.5)},
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, comp) AS (
-         |  SELECT doc_id, doc_id FROM base
-         |  UNION
-         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
-         |comps AS (SELECT id, min(comp) AS comp FROM reach GROUP BY id),
-         |kept AS (SELECT b.* FROM base b
-         |  JOIN comps c ON c.id = b.doc_id AND c.comp = b.doc_id),
-         |sp AS (SELECT doc_id, source, n_tokens,
-         |    CASE WHEN ${bucketSql("doc_id")} < 80 THEN 'train'
-         |         WHEN ${bucketSql("doc_id")} < 90 THEN 'val'
-         |         ELSE 'test' END AS split
-         |  FROM kept)
-         |SELECT doc_id, source, n_tokens, split,
-         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY split, source
-         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
-         |    / 256) AS BIGINT) AS pack_id
-         |FROM sp ORDER BY doc_id""".stripMargin
-    },
+    "q_corpus_pipeline" ->
+      s"""WITH RECURSIVE $pipelineCtes
+         |SELECT doc_id, source, n_tokens, split, pack_id
+         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // the audit twin: same CTE body, verdicts instead of filters
+    "q_curation_audit" ->
+      s"""WITH RECURSIVE $pipelineCtes
+         |SELECT d.doc_id, d.source, CAST(len(rt.rt) AS BIGINT) AS n_tokens,
+         |  CASE WHEN b.doc_id IS NULL THEN 'quality'
+         |       WHEN c.comp <> d.doc_id THEN 'near_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN b.doc_id IS NOT NULL AND c.comp <> d.doc_id
+         |       THEN c.comp END AS blame_id,
+         |  p.split, p.pack_id
+         |FROM documents d
+         |JOIN rtoks rt ON rt.doc_id = d.doc_id
+         |LEFT JOIN base b ON b.doc_id = d.doc_id
+         |LEFT JOIN comps c ON c.id = d.doc_id
+         |LEFT JOIN packed p ON p.doc_id = d.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_chunk" ->
       s"""WITH t AS (SELECT doc_id, ${Portable.tokensSql("text")} AS toks

@@ -15,6 +15,38 @@ class CurationSpec extends SparkSpec {
     (4L, "totally unrelated words here"),
     (20L, "alpha beta gamma benchmark")).toDF("doc_id", "text")
 
+  test("curationAudit: per-doc fates agree with the pipeline's decisions") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val audit = Curation.curationAudit(corpus, "doc_id", "text", "source")
+      .localCheckpoint() // three reads below
+    // total accounting: every input doc gets exactly one verdict
+    assert(audit.count() == corpus.count())
+    // the kept set must be IDENTICAL to what curateCorpus ships,
+    // including split/pack assignments
+    val keptAudit = audit.filter($"fate" === "kept")
+      .select("doc_id", "split", "pack_id")
+      .collect().map(_.toSeq).toSet
+    val pipeline = Curation.curateCorpus(corpus, "doc_id", "text", "source")
+      .select("doc_id", "split", "pack_id")
+      .collect().map(_.toSeq).toSet
+    assert(keptAudit == pipeline, "audit 'kept' must equal the pipeline output")
+    // near-dup blame points at the cluster keeper: a kept doc, never
+    // itself, always a smaller id (min-id policy)
+    val blamed = audit.filter($"fate" === "near_dup")
+      .select("doc_id", "blame_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val keptIds = keptAudit.map(_.head.asInstanceOf[Long])
+    blamed.foreach { case (id, blame) =>
+      assert(blame < id, s"min-id keeper must have the smaller id ($id → $blame)")
+      assert(keptIds.contains(blame), s"blamed keeper $blame must itself be kept")
+    }
+    // quality-dropped docs carry no blame/split/pack
+    assert(audit.filter($"fate" === "quality" &&
+      ($"blame_id".isNotNull || $"split".isNotNull || $"pack_id".isNotNull))
+      .count() == 0)
+  }
+
   test("hash sampling is deterministic and partition-independent") {
     val a = Curation.hashSample(docs, "doc_id", 50)
       .select("doc_id").as[Long].collect().toSet
