@@ -168,6 +168,21 @@ class PlanAuditSpec extends SparkSpec {
       s"every shuffle must key on shingle/doc_id/pos, got $exchanges")
   }
 
+  test("bigramLmScore: partial aggregation, no cartesian, broadcast vocab") {
+    val docs = Tables.documents(spark, sf).limit(200)
+    val plan = finalPlan(
+      graft.operators.TextOps.bigramLmScore(docs, docs, "doc_id", "text"))
+    assert(!plan.contains("CartesianProduct"),
+      s"model joins must be keyed, never cartesian:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"the 1-row vocab aggregate must ride the plan broadcast:\n$plan")
+    // count tables build with map-side combine: partial_count before
+    // the exchange
+    assert(plan.contains("partial_count"),
+      s"model counts must aggregate partially:\n$plan")
+  }
+
   test("sparseCosinePairs aggregates partially and keys on token/id") {
     val plan = finalPlan(graft.operators.Similarity.sparseCosinePairs(
       Tables.documents(spark, sf), "doc_id", "text", dfCap = 50))
