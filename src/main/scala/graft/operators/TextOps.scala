@@ -561,6 +561,30 @@ object TextOps {
       .withColumn("avg_ppm", expr("sum_ppm div n_bigrams"))
   }
 
+  /** CCNet's head/middle/tail split over the LM score: per group
+    * (source, language, …), rank docs by [[bigramLmScore]]'s `avg_ppm`
+    * (higher = more fluent) and cut the group into `buckets` equal
+    * ntiles — bucket 1 is the head (keep), the last is the tail
+    * (gibberish/templates, drop or down-weight). Deterministic: the
+    * ntile order is (avg_ppm DESC, id), a total order, so bucket
+    * membership is engine-portable. One window over the vocabulary-
+    * bounded score output — the corpus-sized work happened in the
+    * score pass.
+    */
+  def lmQualityBuckets(train: DataFrame, score: DataFrame, idCol: String,
+                       textCol: String, groupCol: String,
+                       buckets: Int = 3): DataFrame = {
+    require(buckets > 0, s"need buckets > 0, got $buckets")
+    import org.apache.spark.sql.expressions.Window
+    val scored = bigramLmScore(train, score, idCol, textCol)
+      .join(score.select(col(idCol), col(groupCol)), Seq(idCol))
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("avg_ppm").desc, col(idCol))
+    scored.withColumn("bucket", ntile(buckets).over(w))
+      .select(col(idCol), col(groupCol), col("n_bigrams"),
+        col("avg_ppm"), col("bucket"))
+  }
+
   // ---- driver-local training twin -----------------------------------
   //
   // [[bpeLoop]] runs one full pair-count shuffle + a 1-row collect PER

@@ -103,6 +103,13 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
+    // CCNet head/middle/tail: tercile-bucket each source by LM fluency
+    "q_lm_buckets" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      TextOps.lmQualityBuckets(docs, docs, "doc_id", "text", "source")
+        .orderBy("doc_id")
+    }),
+
     // corpus-wide boilerplate 3-grams present in ≥ 5 docs
     "q_boilerplate" -> ((s, d) =>
       TextOps.boilerplateNgrams(Tables.documents(s, d), "doc_id", "text",
@@ -268,29 +275,45 @@ object TextQueries {
        |ORDER BY dw.doc_id""".stripMargin
   }
 
+  // add-one bigram LM in integer ppm — mirrors TextOps.bigramLmScore:
+  // p = (10^6*(c2+1)) // (c1+V); doc = (count, sum, sum // count).
+  // Inner joins are exact here because the score corpus IS the train
+  // corpus (every scored bigram exists in the model). Shared by
+  // q_lm_score and q_lm_buckets so the two oracles cannot drift.
+  private val lmCtes =
+    s"""tok0 AS (SELECT doc_id,
+       |    list_filter($toksSql, t -> len(t) > 0) AS t FROM documents),
+       |bg0 AS (SELECT doc_id, t,
+       |    unnest(generate_series(1, len(t) - 1)) AS i
+       |  FROM tok0 WHERE len(t) >= 2),
+       |bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM bg0),
+       |tk AS (SELECT unnest(t) AS tok FROM tok0),
+       |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
+       |c1 AS (SELECT tok AS prev, count(*) AS c1 FROM tk GROUP BY 1),
+       |v AS (SELECT count(DISTINCT tok) AS v FROM tk),
+       |p AS (SELECT b.doc_id,
+       |    (1000000 * (c2.c2 + 1)) // (c1.c1 + v.v) AS ppm
+       |  FROM bg b JOIN c2 USING (prev, cur) JOIN c1 USING (prev), v),
+       |lm AS (SELECT doc_id, count(*) AS n_bigrams,
+       |    CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+       |    CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
+       |  FROM p GROUP BY 1)""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    // add-one bigram LM in integer ppm — mirrors TextOps.bigramLmScore:
-    // p = (10^6*(c2+1)) // (c1+V); doc = (count, sum, sum // count).
-    // Inner joins are exact here because the score corpus IS the train
-    // corpus (every scored bigram exists in the model)
     "q_lm_score" ->
-      s"""WITH tok0 AS (SELECT doc_id,
-         |    list_filter($toksSql, t -> len(t) > 0) AS t FROM documents),
-         |bg0 AS (SELECT doc_id, t,
-         |    unnest(generate_series(1, len(t) - 1)) AS i
-         |  FROM tok0 WHERE len(t) >= 2),
-         |bg AS (SELECT doc_id, t[i] AS prev, t[i+1] AS cur FROM bg0),
-         |tk AS (SELECT unnest(t) AS tok FROM tok0),
-         |c2 AS (SELECT prev, cur, count(*) AS c2 FROM bg GROUP BY 1, 2),
-         |c1 AS (SELECT tok AS prev, count(*) AS c1 FROM tk GROUP BY 1),
-         |v AS (SELECT count(DISTINCT tok) AS v FROM tk),
-         |p AS (SELECT b.doc_id,
-         |    (1000000 * (c2.c2 + 1)) // (c1.c1 + v.v) AS ppm
-         |  FROM bg b JOIN c2 USING (prev, cur) JOIN c1 USING (prev), v)
-         |SELECT doc_id, count(*) AS n_bigrams,
-         |  CAST(sum(ppm) AS BIGINT) AS sum_ppm,
-         |  CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
-         |FROM p GROUP BY 1 ORDER BY doc_id""".stripMargin,
+      s"""WITH $lmCtes
+         |SELECT doc_id, n_bigrams, sum_ppm, avg_ppm
+         |FROM lm ORDER BY doc_id""".stripMargin,
+
+    // CCNet tercile bucketing over the same lm table; the ntile order
+    // (avg_ppm DESC, doc_id) is total, so buckets are engine-portable
+    "q_lm_buckets" ->
+      s"""WITH $lmCtes
+         |SELECT l.doc_id, d.source, l.n_bigrams, l.avg_ppm,
+         |  CAST(ntile(3) OVER (PARTITION BY d.source
+         |    ORDER BY l.avg_ppm DESC, l.doc_id) AS INT) AS bucket
+         |FROM lm l JOIN documents d USING (doc_id)
+         |ORDER BY l.doc_id""".stripMargin,
 
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_segment" -> bpeSegOracleSql(8),

@@ -63,6 +63,17 @@ class BpeLocalSpec extends SparkSpec {
     assert(u.getLong(2) == 333333L)
   }
 
+  test("lmQualityBuckets: CCNet head/middle/tail by descending fluency") {
+    import spark.implicits._
+    val d = Seq((1L, "a b a", "g"), (2L, "a b", "g"), (4L, "b a", "g"))
+      .toDF("doc_id", "text", "source")
+    // c1: a=4 b=3, V=2; p(a,b)=10^6·3 div 6=500000; p(b,a)=10^6·3 div 5=600000
+    // avg: d1=550000, d2=500000, d4=600000 → desc order d4, d1, d2
+    val r = TextOps.lmQualityBuckets(d, d, "doc_id", "text", "source")
+      .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
+    assert(r == Map(4L -> 1, 1L -> 2, 2L -> 3))
+  }
+
   test("1000-merge local training completes fast and is well-formed") {
     // the sf corpora draw from a small fixed word pool and exhaust
     // after ~90 merges, so build a deterministic 30k-word vocabulary
