@@ -563,26 +563,60 @@ object TextOps {
 
   /** CCNet's head/middle/tail split over the LM score: per group
     * (source, language, …), rank docs by [[bigramLmScore]]'s `avg_ppm`
-    * (higher = more fluent) and cut the group into `buckets` equal
-    * ntiles — bucket 1 is the head (keep), the last is the tail
-    * (gibberish/templates, drop or down-weight). Deterministic: the
-    * ntile order is (avg_ppm DESC, id), a total order, so bucket
-    * membership is engine-portable. One window over the vocabulary-
-    * bounded score output — the corpus-sized work happened in the
-    * score pass.
+    * (higher = more fluent) and cut the group into `buckets` tiers —
+    * bucket 1 is the head (keep), the last is the tail
+    * (gibberish/templates, drop or down-weight).
+    *
+    * Two forms, same contract up to boundary placement:
+    *
+    *  - DEFAULT (`exactNtile = false`) — the production shape. CCNet
+    *    itself cuts on score QUANTILES, so compute per-group cutoffs
+    *    with `percentile_approx` (a mergeable GK sketch: partial-agg
+    *    combine, bounded memory per group), broadcast the tiny
+    *    one-row-per-group cutoff table back, and assign buckets with a
+    *    row-local comparison. Zero wide windows — a production crawl
+    *    is dominated by one source, and a per-source ntile window
+    *    funnels ~the whole corpus through a single task's sort.
+    *  - `exactNtile = true` — oracle mode: the original
+    *    `ntile(buckets)` window over (avg_ppm DESC, id), an exact
+    *    equal-count tiling with engine-portable tie order. Used by the
+    *    `q_lm_buckets` oracle for bit-parity with DuckDB's ntile;
+    *    confined to catalog-scale inputs.
+    *
+    * Divergence between the forms is confined to boundaries: the
+    * cutoff form puts every doc with the same `avg_ppm` in the same
+    * bucket (a doc equal to a cutoff lands in the bucket BELOW it),
+    * while ntile splits ties by id to force exact equal counts; bucket
+    * boundaries can also shift by ±1 doc where the sketch rank and the
+    * ntile boundary disagree. Both keep the invariant that every doc
+    * in bucket b scores ≥ every doc in bucket b+1 (up to ties).
     */
   def lmQualityBuckets(train: DataFrame, score: DataFrame, idCol: String,
                        textCol: String, groupCol: String,
-                       buckets: Int = 3): DataFrame = {
+                       buckets: Int = 3,
+                       exactNtile: Boolean = false): DataFrame = {
     require(buckets > 0, s"need buckets > 0, got $buckets")
-    import org.apache.spark.sql.expressions.Window
     val scored = bigramLmScore(train, score, idCol, textCol)
       .join(score.select(col(idCol), col(groupCol)), Seq(idCol))
-    val w = Window.partitionBy(col(groupCol))
-      .orderBy(col("avg_ppm").desc, col(idCol))
-    scored.withColumn("bucket", ntile(buckets).over(w))
-      .select(col(idCol), col(groupCol), col("n_bigrams"),
-        col("avg_ppm"), col("bucket"))
+    val bucketed = if (exactNtile) {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col(groupCol))
+        .orderBy(col("avg_ppm").desc, col(idCol))
+      scored.withColumn("bucket", ntile(buckets).over(w))
+    } else {
+      // descending quantile cutoffs: __cuts[0] ≈ the (1-1/k) quantile
+      // (head floor), …, __cuts[k-2] ≈ the 1/k quantile. bucket =
+      // 1 + #cutoffs the doc does NOT beat (v ≤ cut → deeper bucket)
+      val ps = (1 until buckets).map(b => 1.0 - b.toDouble / buckets)
+      val cuts = scored.groupBy(col(groupCol)).agg(
+        percentile_approx(col("avg_ppm"),
+          array(ps.map(lit(_)): _*), lit(10000)).as("__cuts"))
+      scored.join(broadcast(cuts), Seq(groupCol))
+        .withColumn("bucket", (lit(1) +
+          size(filter(col("__cuts"), c => col("avg_ppm") <= c))).cast("int"))
+    }
+    bucketed.select(col(idCol), col(groupCol), col("n_bigrams"),
+      col("avg_ppm"), col("bucket"))
   }
 
   // ---- driver-local training twin -----------------------------------

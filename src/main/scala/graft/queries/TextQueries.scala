@@ -103,10 +103,14 @@ object TextQueries {
         .orderBy("doc_id")
     }),
 
-    // CCNet head/middle/tail: tercile-bucket each source by LM fluency
+    // CCNet head/middle/tail: tercile-bucket each source by LM fluency.
+    // exactNtile = oracle mode (DuckDB ntile tie-parity); the
+    // production default is the windowless quantile-cutoff form,
+    // spec-pinned against this one in BpeLocalSpec + PlanAuditSpec
     "q_lm_buckets" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      TextOps.lmQualityBuckets(docs, docs, "doc_id", "text", "source")
+      TextOps.lmQualityBuckets(docs, docs, "doc_id", "text", "source",
+        exactNtile = true)
         .orderBy("doc_id")
     }),
 

@@ -69,9 +69,50 @@ class BpeLocalSpec extends SparkSpec {
       .toDF("doc_id", "text", "source")
     // c1: a=4 b=3, V=2; p(a,b)=10^6·3 div 6=500000; p(b,a)=10^6·3 div 5=600000
     // avg: d1=550000, d2=500000, d4=600000 → desc order d4, d1, d2
-    val r = TextOps.lmQualityBuckets(d, d, "doc_id", "text", "source")
+    val ntileForm = TextOps.lmQualityBuckets(d, d, "doc_id", "text",
+      "source", exactNtile = true)
       .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
-    assert(r == Map(4L -> 1, 1L -> 2, 2L -> 3))
+    assert(ntileForm == Map(4L -> 1, 1L -> 2, 2L -> 3))
+    // default (quantile-cutoff) form: same buckets on this fixture
+    val cutoffForm = TextOps.lmQualityBuckets(d, d, "doc_id", "text",
+      "source")
+      .collect().map(x => x.getLong(0) -> x.getInt(4)).toMap
+    assert(cutoffForm == ntileForm)
+  }
+
+  test("lmQualityBuckets cutoff form: monotone tiers, ties share buckets") {
+    // real corpus: the windowless form must (a) keep the tier
+    // invariant — every doc in bucket b scores ≥ every doc in b+1
+    // within its group, (b) never split equal scores across buckets,
+    // (c) populate all k buckets for groups with ≥ k distinct scores
+    val docsWithSource = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val rows = TextOps.lmQualityBuckets(docsWithSource, docsWithSource,
+      "doc_id", "text", "source" /* default form */)
+      .select("source", "avg_ppm", "bucket")
+      .collect().map(x => (x.getString(0), x.getLong(1), x.getInt(2)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (src, g) =>
+      // (b) equal scores never straddle a boundary
+      g.groupBy(_._2).foreach { case (ppm, docs2) =>
+        assert(docs2.map(_._3).distinct.length == 1,
+          s"$src: score $ppm split across buckets")
+      }
+      // (a) bucket floors are monotone: min of bucket b ≥ max of b+1
+      val byBucket = g.groupBy(_._3).view
+        .mapValues(v => (v.map(_._2).min, v.map(_._2).max)).toMap
+      byBucket.keys.toSeq.sorted.sliding(2).foreach {
+        case Seq(hi, lo) =>
+          assert(byBucket(hi)._1 >= byBucket(lo)._2,
+            s"$src: bucket $hi floor ${byBucket(hi)._1} below bucket " +
+              s"$lo ceiling ${byBucket(lo)._2}")
+        case _ => ()
+      }
+      // (c) three tiers materialize on real per-source score spreads
+      if (g.map(_._2).distinct.length >= 3)
+        assert(byBucket.keySet == Set(1, 2, 3),
+          s"$src: expected all 3 buckets, got ${byBucket.keySet}")
+    }
   }
 
   test("1000-merge local training: zero Spark jobs in the merge loop, bounded work") {

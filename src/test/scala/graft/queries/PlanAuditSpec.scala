@@ -183,6 +183,30 @@ class PlanAuditSpec extends SparkSpec {
       s"model counts must aggregate partially:\n$plan")
   }
 
+  test("lmQualityBuckets default form: no window, sketch agg + broadcast cutoffs") {
+    // the production bucket assignment must be quantile-cutoff based:
+    // a per-source ntile window is a one-task-per-source global sort
+    // once one source dominates the crawl
+    val docs = Tables.documents(spark, sf).limit(200)
+    val plan = finalPlan(graft.operators.TextOps.lmQualityBuckets(
+      docs, docs, "doc_id", "text", "source"))
+    assert(!plan.contains("Window"),
+      s"cutoff form must not plan a window:\n$plan")
+    // percentile_approx is a GK sketch: partial ObjectHashAggregate
+    // before the group exchange (mergeable, bounded memory)
+    assert(plan.contains("ObjectHashAggregate") &&
+      plan.contains("partial_percentile_approx"),
+      s"cutoffs must come from a partial-agg sketch:\n$plan")
+    // the one-row-per-group cutoff table broadcasts back
+    assert(plan.contains("BroadcastHashJoin"),
+      s"cutoff table must broadcast, never shuffle the scored corpus:\n$plan")
+    // and oracle mode keeps the window (exact ntile) — sanity-check
+    // the flag actually switches the plan
+    val oracle = finalPlan(graft.operators.TextOps.lmQualityBuckets(
+      docs, docs, "doc_id", "text", "source", exactNtile = true))
+    assert(oracle.contains("Window"), s"oracle mode must ntile:\n$oracle")
+  }
+
   test("sparseCosinePairs aggregates partially and keys on token/id") {
     val plan = finalPlan(graft.operators.Similarity.sparseCosinePairs(
       Tables.documents(spark, sf), "doc_id", "text", dfCap = 50))
