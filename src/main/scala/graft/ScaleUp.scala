@@ -52,7 +52,8 @@ object ScaleUp {
   private def stride(spark: SparkSession, src: String, table: String,
                      col0: String): Long = {
     val df = spark.read.parquet(s"$src/$table.parquet")
-    df.agg(max(col(col0))).head().getLong(0) + 1L
+    // key columns are integral but not necessarily LongType
+    df.agg(max(col(col0))).head().getAs[Number](0).longValue() + 1L
   }
 
   def scaleTable(df: DataFrame, cols: Map[String, Long], factor: Int,
@@ -112,8 +113,10 @@ object ScaleUp {
         .withColumn("text", when(col("text").isNull, col("text"))
           .otherwise(regexp_replace(col("text"), lit("(^|\\s)"),
             concat(lit("$1r"), col("__r"), lit("_")))))
-        .withColumn("n_chars", length(coalesce(col("text"), lit("")))
-          .cast(df.schema("n_chars").dataType))
+        // null text is left null by the rewrite — keep its ORIGINAL
+        // n_chars (possibly null) instead of coercing to 0
+        .withColumn("n_chars", when(col("text").isNull, col("n_chars"))
+          .otherwise(length(col("text")).cast(df.schema("n_chars").dataType)))
         .drop("__r")
       else scaled0
       scaled

@@ -77,7 +77,14 @@ object Jdbc {
     try {
       val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $table")
-      catch { case _: java.sql.SQLException => () } // absent on first run
+      catch {
+        // swallow ONLY table-absent (Derby SQLStates 42Y55 "does not
+        // exist" / 42X05 "no such object") — a lock or permission
+        // failure must surface here, not later as a baffling CREATE
+        // TABLE error
+        case e: java.sql.SQLException
+            if e.getSQLState == "42Y55" || e.getSQLState == "42X05" => ()
+      }
       val cols = df.schema.fields
         .map(f => s"${f.name} ${sqlTypeName(f.dataType)}").mkString(", ")
       st.executeUpdate(s"CREATE TABLE $table ($cols)")

@@ -42,15 +42,19 @@ object MultimodalQueries {
     }),
 
     // perceptual near-dup: banded dHash candidates + exact hamming.
-    // The corpus is augmented with clones of the 20 lowest doc_ids
-    // (offset +1000000): a 60-bit dHash at hamming ≤ 3 only pairs
-    // near-identical payloads (the 32-bit predecessor paired on random
-    // band collisions), so without seeded clones a dup-free sf dir
-    // would make this oracle vacuously 0-row
+    // The corpus is augmented with clones of the 20 lowest doc_ids,
+    // offset by max(doc_id)+1 (derived, not a literal — a fixed offset
+    // silently collides with real docs once a scaled corpus crosses
+    // it, and Spark + oracle would stay hash-equal through the bug):
+    // a 60-bit dHash at hamming ≤ 3 only pairs near-identical payloads
+    // (the 32-bit predecessor paired on random band collisions), so
+    // without seeded clones a dup-free sf dir would make this oracle
+    // vacuously 0-row
     "q_media_neardup" -> ((s, d) => {
       val docs = Tables.documents(s, d).select("doc_id", "text")
+      val off = docs.agg(max(col("doc_id"))).head().getLong(0) + 1L
       val cloned = docs.filter(col("doc_id") < 20)
-        .withColumn("doc_id", col("doc_id") + lit(1000000L))
+        .withColumn("doc_id", col("doc_id") + lit(off))
       val assets = Multimodal.asAssets(
         docs.unionByName(cloned), "doc_id", "text", "text_blob")
       Multimodal.mediaNearDupPairs(assets, maxDist = 3)
@@ -147,7 +151,8 @@ object MultimodalQueries {
       """WITH RECURSIVE docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20),
+        |  SELECT doc_id + (SELECT max(doc_id) + 1 FROM documents), text
+        |  FROM documents WHERE doc_id < 20),
         |b AS (
         |  SELECT doc_id, hex(encode(text)) AS hx,
         |         octet_length(encode(text)) AS n

@@ -84,6 +84,30 @@ class DedupLifecycleSpec extends SparkSpec {
     assert(out.filter($"component" === 0L).count() == n)
   }
 
+  test("reliableCheckpoint conf: whitespace/case variants accepted, typos rejected") {
+    import spark.implicits._
+    val key = "spark.graft.reliableCheckpoint"
+    val prev = spark.conf.getOption(key)
+    val df = Seq(1, 2, 3).toDF("x")
+    try {
+      // normalization (.trim.toLowerCase) must accept ' Never ' et al.
+      spark.conf.set(key, " Never ")
+      assert(graft.Checkpoints.stabilize(df).as[Int].collect().sorted
+        .toSeq == Seq(1, 2, 3))
+      spark.conf.set(key, "NEVER")
+      assert(graft.Checkpoints.stabilize(df).count() == 3)
+      // anything else fails fast — a typo like 'off' must not silently
+      // enable reliable checkpointing when a dir happens to be set
+      spark.conf.set(key, "off")
+      intercept[IllegalArgumentException] {
+        graft.Checkpoints.stabilize(df)
+      }
+    } finally prev match {
+      case Some(p) => spark.conf.set(key, p)
+      case None    => spark.conf.unset(key)
+    }
+  }
+
   test("reliable checkpoint mode: same results, files actually land") {
     // with a checkpoint dir configured, the iterative loops must write
     // RELIABLE checkpoints (cluster-survivable) instead of

@@ -217,6 +217,9 @@ class StreamsSpec extends SparkSpec {
       spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
     spark.conf.set("spark.sql.streaming.stateStore.providerClass",
       "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // restore in finally: an assertion failure must not leak the
+    // RocksDB provider into the shared session's other suites
+    try {
     def doc(tag: String): String =
       (1 to 24).map(i => s"${tag}_w$i").mkString(" ")
     val bench = Seq((0L, doc("bench"))).toDF("doc_id", "text")
@@ -276,11 +279,13 @@ class StreamsSpec extends SparkSpec {
       .select("doc_id").as[Long].collect().toSeq
     assert(sigIds.sorted == Seq(1L, 2L, 5L, 7L, 9L),
       s"signature table not exactly-once: $sigIds")
-    prevProvider match {
-      case Some(p) =>
-        spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
-      case None =>
-        spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+    } finally {
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
     }
   }
 
