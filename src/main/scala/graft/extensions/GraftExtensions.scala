@@ -6,6 +6,7 @@ import org.apache.spark.sql.catalyst.analysis.FunctionRegistry
 import org.apache.spark.sql.catalyst.expressions._
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
+import org.apache.spark.sql.types.DoubleType
 
 import graft.expressions.{BloomAnyContain, BloomShingleContain, CosineSimilarity, DotProduct, NfcNormalize}
 
@@ -15,21 +16,41 @@ import graft.expressions.{BloomAnyContain, BloomShingleContain, CosineSimilarity
   *
   * into the fused, codegen'd [[DotProduct]] — queries stay written
   * against stock Spark HOFs (portable, oracle-mirrorable) and the
-  * optimizer supplies the fast path. Bit-exact: both forms fold
-  * left-to-right in index order, and 0.0 + x == x.
+  * optimizer supplies the fast path.
+  *
+  * Float legs are covered too: when either array is `array<float>`,
+  * the analyzer wraps the lambda variables in `Cast(_, double)` (mixed
+  * sides — inside the multiply; float×float — around the aggregate's
+  * element variable, with the product computed in FLOAT). The rewrite
+  * maps all of these to [[DotProduct]], which widens each ELEMENT to
+  * double before multiplying. For double and mixed inputs that is
+  * bit-exact with the HOF fold; for float×float it deliberately
+  * UPGRADES the per-element product from float to double precision —
+  * the arithmetic every oracle (and the double leg) defines. Keeping
+  * float arrays through the plan while the rule guarantees double
+  * arithmetic is what lets ANN operators shuffle 4-byte elements.
   *
   * Matches only the exact shape (multiply lambda, 0.0 seed, add
   * accumulator, identity finish) — anything else is left alone.
   */
 object NativeDotProductRule extends Rule[LogicalPlan] {
 
+  /** A lambda variable, bare or widened `float → double` by coercion. */
+  private object WidenedVar {
+    def unapply(e: Expression): Option[NamedLambdaVariable] = e match {
+      case v: NamedLambdaVariable => Some(v)
+      case Cast(v: NamedLambdaVariable, DoubleType, _, _) => Some(v)
+      case _ => None
+    }
+  }
+
   private object DotProductPattern {
     def unapply(e: Expression): Option[(Expression, Expression)] = e match {
       case ArrayAggregate(
           ZipWith(a, b,
-            LambdaFunction(Multiply(x1: NamedLambdaVariable, y1: NamedLambdaVariable, _), Seq(x2, y2), _)),
+            LambdaFunction(Multiply(WidenedVar(x1), WidenedVar(y1), _), Seq(x2, y2), _)),
           Literal(0.0, _),
-          LambdaFunction(Add(acc1: NamedLambdaVariable, v1: NamedLambdaVariable, _), Seq(acc2, v2), _),
+          LambdaFunction(Add(acc1: NamedLambdaVariable, WidenedVar(v1), _), Seq(acc2, v2), _),
           LambdaFunction(fin: NamedLambdaVariable, Seq(fin2), _))
           if x1.exprId == x2.asInstanceOf[NamedLambdaVariable].exprId &&
             y1.exprId == y2.asInstanceOf[NamedLambdaVariable].exprId &&

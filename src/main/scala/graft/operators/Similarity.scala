@@ -7,8 +7,21 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 
 /** Approximate-nearest-neighbor / similarity-search operators over an
-  * embedding column (`array<float>` widened to double for exact,
-  * order-deterministic arithmetic).
+  * embedding column (`array<float>` or `array<double>`; arithmetic is
+  * ALWAYS double — per-element widening, which is exact — but the
+  * arrays themselves stay in their stored element type end-to-end, so
+  * a float32 embedding store scans, joins and shuffles 4-byte
+  * elements, half the bytes of a cast-at-scan plan).
+  *
+  * Float contract: every cosine/dot here is either the native
+  * [[graft.expressions.DotProduct]]/[[graft.expressions.CosineSimilarity]]
+  * (widens per element) or the declarative HOF shape that
+  * [[graft.extensions.NativeDotProductRule]] rewrites to it — including
+  * the float×float pattern — so no path computes a float-precision
+  * product. The one HOF with no native twin, [[l2Sq]], is only ever
+  * evaluated float-vs-double (centroid frames are explicitly widened —
+  * they are k-row broadcasts, so the widening is free), where the
+  * analyzer's per-element cast keeps the subtraction in double.
   *
   * Scale design:
   * - brute-force top-k is the correctness baseline: queries × corpus
@@ -60,9 +73,12 @@ object Similarity {
     * (array<int>); row-local, no shuffle.
     */
   def quantizeInt8(df: DataFrame, vecCol: String): DataFrame = {
-    val v = col(vecCol).cast("array<double>")
-    val scale = coalesce(array_max(transform(v, x => abs(x))), lit(0.0)) /
-      127.0
+    // no array cast: abs/max are exact in float, and the division
+    // below widens per element — q_scale/q_vec are bit-identical to
+    // the double leg while the vector column stays 4-byte
+    val v = col(vecCol)
+    val scale = coalesce(array_max(transform(v, x => abs(x)))
+      .cast("double"), lit(0.0)) / 127.0
     df.withColumn("q_scale", scale)
       .withColumn("q_vec",
         when(col("q_scale") === 0.0,
@@ -95,9 +111,9 @@ object Similarity {
   def bruteForceTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                      vecCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"),
-      col(vecCol).cast("array<double>").as("qv"))
+      col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"),
-      col(vecCol).cast("array<double>").as("cv"))
+      col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
     rankTopK(scored, k)
@@ -111,9 +127,9 @@ object Similarity {
   def ivfTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, cellCol: String, k: Int): DataFrame = {
     val q = queries.select(col(idCol).as("query_id"), col(cellCol).as("cell"),
-      col(vecCol).cast("array<double>").as("qv"))
+      col(vecCol).as("qv"))
     val c = corpus.select(col(idCol).as("neighbor_id"), col(cellCol).as("cell"),
-      col(vecCol).cast("array<double>").as("cv"))
+      col(vecCol).as("cv"))
     val scored = c.join(broadcast(q), "cell")
       .filter(col("query_id") =!= col("neighbor_id"))
       .withColumn("cos", cosine(col("qv"), col("cv")))
@@ -160,8 +176,13 @@ object Similarity {
   def assignToCentroids(df: DataFrame, idCol: String, vecCol: String,
                         centroids: DataFrame): DataFrame = {
     val v = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
-    val scored = v.crossJoin(broadcast(centroids))
+      col(vecCol).as("__v"))
+    // widen the k-row centroid frame (free — it is broadcast), so
+    // l2Sq is float-vs-DOUBLE: the analyzer widens the fact element
+    // inside the subtraction and the arithmetic stays exact double
+    // even though the corpus vectors remain 4-byte through the scan
+    val cents = centroids.withColumn("cv", col("cv").cast("array<double>"))
+    val scored = v.crossJoin(broadcast(cents))
       .withColumn("__d2", l2Sq(col("__v"), col("cv")))
     val w = Window.partitionBy("__id")
       .orderBy(col("__d2").asc, col("cluster").asc)
@@ -192,11 +213,13 @@ object Similarity {
   def kmeans(df: DataFrame, idCol: String, vecCol: String,
              k: Int, iters: Int): (DataFrame, DataFrame) = {
     val v = df.select(col(idCol).as("__id"),
-      col(vecCol).cast("array<double>").as("__v"))
+      col(vecCol).as("__v"))
     val seedW = Window.orderBy("__id")
+    // seeds widened to double (k rows): keeps every l2Sq in the loop
+    // float-vs-double; round ≥ 2 centroids are double already (avg)
     var cent = v.orderBy("__id").limit(k)
       .withColumn("cluster", row_number().over(seedW) - 1)
-      .select(col("cluster"), col("__v").as("cv"))
+      .select(col("cluster"), col("__v").cast("array<double>").as("cv"))
       .transform(graft.Checkpoints.stabilize)
     for (_ <- 0 until iters) {
       val assign = v.crossJoin(broadcast(cent))
@@ -242,11 +265,11 @@ object Similarity {
     */
   def lshTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
               vecCol: String, dim: Int, numPlanes: Int, k: Int): DataFrame = {
-    // project the cast array first: the bucket expression references the
-    // vector dim×planes times, and an inline cast would be carried into
-    // every one of those terms
+    // project the array once: the bucket expression references the
+    // vector dim×planes times; the native dot product takes the float
+    // array as-is (plane literals are double, widening is per element)
     val withBucket = (df: DataFrame, id: String, v: String) =>
-      df.select(col(idCol).as(id), col(vecCol).cast("array<double>").as(v))
+      df.select(col(idCol).as(id), col(vecCol).as(v))
         .select(col(id), col(v), lshBucket(col(v), dim, numPlanes).as("bucket"))
     val q = withBucket(queries, "query_id", "qv")
     val c = withBucket(corpus, "neighbor_id", "cv")
@@ -276,12 +299,12 @@ object Similarity {
                       candidates: Int = 10): DataFrame = {
     val q = quantizeInt8(
       queries.select(col(idCol).as("query_id"),
-        col(vecCol).cast("array<double>").as("qv")), "qv")
+        col(vecCol).as("qv")), "qv")
       .select(col("query_id"), col("qv"),
         col("q_scale").as("qs"), col("q_vec").as("qq"))
     val c = quantizeInt8(
       corpus.select(col(idCol).as("neighbor_id"),
-        col(vecCol).cast("array<double>").as("cv")), "cv")
+        col(vecCol).as("cv")), "cv")
       .select(col("neighbor_id"), col("cv"),
         col("q_scale").as("cs"), col("q_vec").as("cq"))
     val idot = aggregate(
@@ -322,11 +345,16 @@ object Similarity {
               candidates: Int = 20): DataFrame = {
     val spark = corpus.sparkSession
     val qv = lit(queryVec.toArray)
+    // score relevance on the stored element type (the corpus-sized
+    // pass); widen to double only AFTER the limit — `candidates` rows
+    // — so the greedy loop and its collect stay double-typed
     val cand = corpus
-      .select(col(idCol), col(vecCol).cast("array<double>").as("v"))
-      .withColumn("rel", cosine(col("v"), qv))
+      .select(col(idCol), col(vecCol).as("v0"))
+      .withColumn("rel", cosine(col("v0"), qv))
       .orderBy(desc("rel"), col(idCol))
       .limit(candidates)
+      .select(col(idCol), col("rel"),
+        col("v0").cast("array<double>").as("v"))
       .localCheckpoint()
     // ids stay type-generic (Any + the corpus's own id StructField) —
     // a getLong here would crash for string-keyed corpora

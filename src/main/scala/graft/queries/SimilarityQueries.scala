@@ -64,10 +64,12 @@ object SimilarityQueries {
       val cent = e.filter(col("vec_id") < NumSeeds)
         .select(col("vec_id").as("cluster"),
           col("embedding").cast("array<double>").as("cv"))
+      // embeddings stay float through the id-join and the cell-blocked
+      // self-join (half the shuffle bytes); the pairwise cosine below
+      // is rewritten to the double-widening native expression
       val assigned = Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
         .select(col("vec_id"), col("cluster"))
-        .join(e.select(col("vec_id"),
-          col("embedding").cast("array<double>").as("v")), "vec_id")
+        .join(e.select(col("vec_id"), col("embedding").as("v")), "vec_id")
         .localCheckpoint() // feeds both pair sides + the survivor anti-join
       val a = assigned.select(col("vec_id").as("id_a"), col("cluster"),
         col("v").as("va"))
@@ -95,7 +97,7 @@ object SimilarityQueries {
 
     "q_embed_neardup" -> ((s, d) => {
       val e = Tables.embeddings(s, d).select(col("vec_id"), col("label"),
-        col("embedding").cast("array<double>").as("v"))
+        col("embedding").as("v"))
       val a = e.select(col("vec_id").as("id_a"), col("label"), col("v").as("va"))
       val b = e.select(col("vec_id").as("id_b"), col("label"), col("v").as("vb"))
       a.join(b, "label").filter(col("id_a") < col("id_b"))

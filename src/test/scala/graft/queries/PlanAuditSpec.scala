@@ -228,4 +228,56 @@ class PlanAuditSpec extends SparkSpec {
     assert(plan.contains("GroupedTopK "),
       s"both rank stages must run the bounded heap, not WindowExec:\n$plan")
   }
+
+  test("ANN plans carry float32 vectors end-to-end: no array<double> cast") {
+    // embeddings.parquet stores array<float>; the scan, broadcast and
+    // every scored-pair row must keep 4-byte elements — widening
+    // happens per ELEMENT inside the native dot product, never as an
+    // array materialization. A cast(... as array<double>) anywhere in
+    // these plans doubles ANN shuffle bytes at corpus scale.
+    val emb = Tables.embeddings(spark, sf)
+    assert(emb.schema("embedding").dataType.simpleString == "array<float>",
+      "fixture must exercise the genuine float scan")
+    val q = emb.filter(expr("vec_id % 50 = 0"))
+    for ((name, df) <- Seq(
+      "bruteForce" -> graft.operators.Similarity.bruteForceTopK(
+        q, emb, "vec_id", "embedding", 3),
+      "lsh" -> graft.operators.Similarity.lshTopK(
+        q, emb, "vec_id", "embedding", 64, 8, 3),
+      "int8" -> graft.operators.Similarity.int8RescoreTopK(
+        q, emb, "vec_id", "embedding", 3, candidates = 10))) {
+      val plan = finalPlan(df)
+      assert(!plan.contains("as array<double>"),
+        s"$name must not widen the array itself:\n$plan")
+      assert(plan.contains("array<float>"),
+        s"$name must scan/carry float vectors:\n$plan")
+      assert(plan.contains("dot_product") || plan.contains("cosine_sim"),
+        s"$name scoring must be the native widening expression:\n$plan")
+    }
+  }
+
+  test("float×float HOF dot is rewritten native — no float-precision fold") {
+    // the rule must catch the analyzed float pattern (product computed
+    // in FLOAT, then cast into the double accumulator) and replace it
+    // with the per-element-widening DotProduct; a plan that keeps the
+    // ZipWith fallback silently diverges from every double-arithmetic
+    // oracle
+    val emb = Tables.embeddings(spark, sf)
+    val df = emb.select(graft.operators.Similarity.dot(
+      col("embedding"), col("embedding")).as("d"))
+    val optimized = df.queryExecution.optimizedPlan
+    val native = optimized.expressions.exists(_.exists {
+      case _: graft.expressions.DotProduct => true
+      case _ => false
+    })
+    assert(native, s"float HOF pattern must rewrite to DotProduct:\n$optimized")
+    // and the value equals the double-cast leg bit-for-bit
+    val both = emb.limit(20).select(
+      graft.operators.Similarity.dot(col("embedding"), col("embedding"))
+        .as("f"),
+      graft.operators.Similarity.dot(
+        col("embedding").cast("array<double>"),
+        col("embedding").cast("array<double>")).as("d")).collect()
+    both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
+  }
 }
