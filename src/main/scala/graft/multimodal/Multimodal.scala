@@ -121,6 +121,119 @@ object Multimodal {
     }
   }
 
+  /** Real audio decoder over `javax.sound.sampled` — WAV/AIFF
+    * containers with 8- or 16-bit integer PCM, zero native deps
+    * (the ffmpeg FFI contract stays documented for compressed codecs;
+    * see README). Mirrors [[ImageIoCodec]]: opt-in behind the same
+    * [[Codec]] seam, [[StubCodec]] remains the default/oracle mode, and
+    * every operator below works unchanged — for audio the "luma plane"
+    * is the channel-averaged amplitude envelope quantized to 0..255,
+    * so [[extractFeatures]] yields amplitude mean/histogram,
+    * [[dHash]] an audio fingerprint, [[sceneChanges]] loudness-jump
+    * segmentation.
+    *
+    * The PCM frames are decoded MANUALLY (sample size / endianness /
+    * channel mixdown) rather than via `AudioSystem.getAudioInputStream
+    * (targetFormat, …)`: the JDK's installed converter set varies by
+    * runtime, and a decode that silently depends on it would not be
+    * bit-stable across JVMs. Integer arithmetic throughout:
+    * 8-bit → value as unsigned; 16-bit → (s + 32768) >> 8; channels
+    * average with floor division. Undecodable/compressed/corrupt bytes
+    * yield an EMPTY plane (no fingerprint, zero-sample features), never
+    * a task failure.
+    *
+    * `resize(w, h)` reinterprets the image contract as "resample to
+    * w·h samples": nearest-neighbor over the decoded envelope,
+    * re-encoded as an 8-bit unsigned mono PCM WAV at the source rate —
+    * the bandwidth-reduction lever a media pipeline wants from resize.
+    */
+  object WavCodec extends Codec {
+    import javax.sound.sampled.{AudioFormat, AudioInputStream, AudioSystem}
+
+    private def decode(content: Array[Byte]): (Array[Int], Float) = {
+      val in = try AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(content))
+      catch {
+        case _: javax.sound.sampled.UnsupportedAudioFileException |
+             _: java.io.IOException => null
+      }
+      if (in == null) (Array.empty, 0f)
+      else try {
+        val fmt = in.getFormat
+        val enc = fmt.getEncoding
+        val bits = fmt.getSampleSizeInBits
+        val ok = (enc == AudioFormat.Encoding.PCM_SIGNED ||
+          enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
+          (bits == 8 || bits == 16) && fmt.getFrameSize > 0
+        if (!ok) (Array.empty, 0f)
+        else {
+          val bytes = in.readAllBytes()
+          val ch = fmt.getChannels
+          val frameSize = fmt.getFrameSize
+          val big = fmt.isBigEndian
+          val signed = enc == AudioFormat.Encoding.PCM_SIGNED
+          val perSample = bits / 8
+          val n = bytes.length / frameSize
+          val out = new Array[Int](n)
+          var f = 0
+          while (f < n) {
+            var sum = 0
+            var c = 0
+            while (c < ch) {
+              val o = f * frameSize + c * perSample
+              val v =
+                if (bits == 8) {
+                  val raw = bytes(o) & 0xff
+                  if (signed) ((bytes(o).toInt) + 128) else raw
+                } else {
+                  val (b0, b1) = if (big) (bytes(o), bytes(o + 1))
+                                 else (bytes(o + 1), bytes(o))
+                  val s = (b0 << 8) | (b1 & 0xff) // b0 carries sign
+                  val u = if (signed) s + 32768 else ((s & 0xffff) )
+                  u >> 8
+                }
+              sum += v
+              c += 1
+            }
+            out(f) = sum / ch
+            f += 1
+          }
+          (out, fmt.getSampleRate)
+        }
+      } finally in.close()
+    }
+
+    def decodeLuma(content: Array[Byte], meta: MediaMeta): Array[Int] =
+      decode(content)._1
+
+    def resize(content: Array[Byte], meta: MediaMeta,
+               w: Int, h: Int): Array[Byte] = {
+      val (plane, rate) = decode(content)
+      if (plane.isEmpty) Array.empty
+      else {
+        val target = math.max(1, w * h)
+        val resampled = new Array[Byte](target)
+        var i = 0
+        while (i < target) {
+          resampled(i) =
+            plane((i.toLong * (plane.length - 1) /
+              math.max(1, target - 1)).toInt).toByte
+          i += 1
+        }
+        val outFmt = new AudioFormat(
+          AudioFormat.Encoding.PCM_UNSIGNED,
+          if (rate > 0) rate else 8000f, 8, 1, 1,
+          if (rate > 0) rate else 8000f, false)
+        val ais = new AudioInputStream(
+          new java.io.ByteArrayInputStream(resampled), outFmt, target.toLong)
+        val bos = new java.io.ByteArrayOutputStream()
+        AudioSystem.write(ais,
+          javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+        bos.toByteArray
+      }
+    }
+  }
+
   /** Batched feature extraction (luma mean + 16-bin histogram):
     * partition-wise with `batchSize` assets decoded per inner batch —
     * the mapInPandas batch shape. No shuffle; the binary payload is
