@@ -1,0 +1,146 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Hashed-feature batch perceptron: train a linear quality classifier
+  * IN the engine, on weak labels the corpus itself provides, and score
+  * every document with it — the fastText-style "model-based quality
+  * filter" stage of a training-data pipeline (CCNet trains a fastText
+  * classifier for exactly this; the reference has no ML surface at
+  * all, this is pure extension).
+  *
+  * Everything is INTEGER arithmetic — features are binary (distinct
+  * hashed-token buckets), labels are ±1, weights are sums of ±1 — so
+  * training is bitwise deterministic under any partitioning and any
+  * aggregation order, and the DuckDB oracle replays the identical
+  * epochs CTE-for-CTE. (A float logistic loss would make per-epoch
+  * gradients partition-order-dependent and unverifiable by hash.)
+  *
+  * Scale shape (the reason this trains at 100 TB):
+  *   - the MODEL is tiny (≤ `buckets` weight rows) and the DATA is
+  *     huge; each epoch is one join of the feature table against the
+  *     weight table (AQE broadcasts the k-row side) + two linear
+  *     groupBys (margins by doc, updates by bucket). No driver-side
+  *     pass ever sees a document.
+  *   - the feature table is built ONCE and reused across epochs
+  *     (lineage truncated through [[graft.Checkpoints.stabilize]],
+  *     reliable-checkpoint-aware like every iterative loop here).
+  *   - weights are re-stabilized per epoch so the plan does not grow
+  *     with epoch count.
+  *
+  * Batch perceptron epoch (w₀ = 0):
+  *   margin_d = Σ_{b ∈ features(d)} w[b]
+  *   mis      = { d : y_d · margin_d ≤ 0 }      (sign(0) counts wrong)
+  *   w[b]    += Σ_{d ∈ mis, b ∈ features(d)} y_d
+  * Epoch 1 therefore learns the class-presence difference per bucket
+  * (every doc is "misclassified" by the zero model); later epochs
+  * correct only what the current model still gets wrong.
+  */
+object Classify {
+
+  /** Weak prose label: +1 when the doc contains ≥ `minStop` distinct
+    * stopwords (English-prose-like), else −1. Integer, engine-portable
+    * — the point is a deterministic supervision signal the pipeline
+    * can compute without human labels, not linguistic truth.
+    */
+  def weakProseLabel(toks: Column, minStop: Int): Column =
+    when(size(filter(array_distinct(toks),
+      x => x.isin(TextOps.stopwords: _*))) >= minStop, lit(1L))
+      .otherwise(lit(-1L))
+
+  /** Distinct hashed-feature rows `(doc id, bucket)` for docs with at
+    * least one token. Binary presence features: dedup makes the doc a
+    * SET of buckets, so a token repeated 1000× carries no more weight
+    * than one occurrence (length-robust, like fastText's cap).
+    */
+  def hashedFeatures(df: DataFrame, idCol: String, textCol: String,
+                     buckets: Int): DataFrame = {
+    val toks = filter(Portable.tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).as("__id"), explode(toks).as("__tok"))
+      .select(col("__id"), (Portable.hash32(col("__tok")) % buckets).as("b"))
+      .distinct()
+  }
+
+  /** Per-doc labels `(doc id, y)` for docs with ≥ 1 token (empty/null
+    * docs are not classifiable and are excluded end-to-end).
+    */
+  def weakLabels(df: DataFrame, idCol: String, textCol: String,
+                 minStop: Int): DataFrame = {
+    val toks = filter(Portable.tokens(col(textCol)), t => length(t) > 0)
+    df.select(col(idCol).as("__id"), toks.as("__t"))
+      .filter(size(col("__t")) >= 1)
+      .select(col("__id"), weakProseLabel(col("__t"), minStop).as("y"))
+  }
+
+  /** Margins of every labeled doc under a weight table `(b, w)`. Docs
+    * whose buckets all carry zero learned weight still appear (left
+    * join, coalesce to 0).
+    */
+  private def margins(feat: DataFrame, labels: DataFrame,
+                      weights: DataFrame): DataFrame =
+    feat.join(weights, Seq("b"), "left")
+      .groupBy("__id")
+      .agg(sum(coalesce(col("w"), lit(0L))).as("margin"))
+      .join(labels, Seq("__id"))
+
+  /** The epoch loop over a prepared (stabilized) feature/label pair —
+    * shared by [[trainPerceptron]] and [[perceptronQuality]] so the
+    * expensive feature extraction is never run twice.
+    */
+  private def trainOnPrepared(feat: DataFrame, labels: DataFrame,
+                              epochs: Int): DataFrame = {
+    // w₀ = 0 represented as an empty weight table
+    var w = feat.sparkSession.range(0)
+      .select(col("id").as("b"), col("id").as("w"))
+    for (_ <- 1 to epochs) {
+      val mis = margins(feat, labels, w)
+        .filter(col("y") * col("margin") <= 0)
+        .select(col("__id"), col("y"))
+      val delta = feat.join(mis, Seq("__id"))
+        .groupBy("b").agg(sum("y").as("dw"))
+      w = graft.Checkpoints.stabilize(
+        w.join(delta, Seq("b"), "full")
+          .select(col("b"),
+            (coalesce(col("w"), lit(0L)) + coalesce(col("dw"), lit(0L)))
+              .as("w")))
+    }
+    w
+  }
+
+  /** Train `epochs` batch-perceptron epochs; returns the weight table
+    * `(b, w)` (≤ `buckets` rows — small enough to broadcast, persist,
+    * or ship to an online scorer).
+    */
+  def trainPerceptron(df: DataFrame, idCol: String, textCol: String,
+                      buckets: Int, epochs: Int,
+                      minStop: Int = 2): DataFrame = {
+    val feat = graft.Checkpoints.stabilize(
+      hashedFeatures(df, idCol, textCol, buckets))
+    val labels = graft.Checkpoints.stabilize(
+      weakLabels(df, idCol, textCol, minStop))
+    trainOnPrepared(feat, labels, epochs)
+  }
+
+  /** End-to-end: train on the corpus's weak labels, score every
+    * labeled doc with the final model. Output per doc: the weak label,
+    * the integer margin, the model's vote (`sign(margin)`, 0 → −1),
+    * and whether the model reproduces its supervision — the per-doc
+    * audit a filter threshold is tuned against.
+    */
+  def perceptronQuality(df: DataFrame, idCol: String, textCol: String,
+                        buckets: Int = 1024, epochs: Int = 3,
+                        minStop: Int = 2): DataFrame = {
+    val feat = graft.Checkpoints.stabilize(
+      hashedFeatures(df, idCol, textCol, buckets))
+    val labels = graft.Checkpoints.stabilize(
+      weakLabels(df, idCol, textCol, minStop))
+    val w = trainOnPrepared(feat, labels, epochs)
+    margins(feat, labels, w)
+      .select(col("__id").as(idCol), col("y").as("label"), col("margin"),
+        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+      .withColumn("agrees", (col("pred") === col("label")).cast("int"))
+  }
+}

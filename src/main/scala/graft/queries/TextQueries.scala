@@ -185,6 +185,16 @@ object TextQueries {
             .as("n_emails"))
         .orderBy("doc_id")
     }),
+
+    // model-based quality filter: 3-epoch batch perceptron on hashed
+    // binary token features, weak prose labels from the corpus itself
+    // (integer arithmetic throughout — the DuckDB oracle replays the
+    // identical epochs, so training itself is hash-verified)
+    "q_quality_classifier" -> ((s, d) =>
+      graft.operators.Classify.perceptronQuality(
+        Tables.documents(s, d), "doc_id", "text",
+        buckets = 1024, epochs = 3, minStop = 2)
+        .orderBy("doc_id")),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -579,5 +589,54 @@ object TextQueries {
          |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },
+
+    "q_quality_classifier" -> perceptronOracleSql(
+      buckets = 1024, epochs = 3, minStop = 2),
   )
+
+  /** DuckDB replay of [[graft.operators.Classify.perceptronQuality]]:
+    * the epoch CTEs are GENERATED (one margins/misclassified/delta/
+    * weights block per epoch) so the oracle unrolls exactly the loop
+    * the Spark trainer runs — same w₀ = 0 empty table, same ≤ 0
+    * misclassification rule, same full-join weight accumulation. All
+    * sums are over ±1 BIGINTs: order-independent on both engines.
+    */
+  private def perceptronOracleSql(buckets: Int, epochs: Int,
+                                  minStop: Int): String = {
+    val stopList = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
+    val hashB = graft.functions.Portable.hash32Sql("tk")
+    val epochCtes = (1 to epochs).map { e =>
+      s"""m$e AS (SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT)
+         |    AS margin
+         |  FROM f LEFT JOIN w${e - 1} w ON f.b = w.b GROUP BY 1),
+         |mis$e AS (SELECT l.doc_id, l.y FROM lab l
+         |  JOIN m$e USING (doc_id) WHERE l.y * m$e.margin <= 0),
+         |d$e AS (SELECT f.b, CAST(sum(mis$e.y) AS BIGINT) AS dw
+         |  FROM f JOIN mis$e USING (doc_id) GROUP BY 1),
+         |w$e AS (SELECT coalesce(pw.b, d.b) AS b,
+         |    coalesce(pw.w, 0) + coalesce(d.dw, 0) AS w
+         |  FROM w${e - 1} pw FULL JOIN d$e d ON pw.b = d.b)""".stripMargin
+    }.mkString(",\n")
+    s"""WITH tok AS (SELECT doc_id,
+       |    list_filter($toksSql, t -> len(t) > 0) AS t FROM documents),
+       |lab AS (SELECT doc_id,
+       |    CAST(CASE WHEN len(list_filter(list_distinct(t),
+       |      x -> x IN ($stopList))) >= $minStop THEN 1 ELSE -1 END
+       |      AS BIGINT) AS y
+       |  FROM tok WHERE len(t) >= 1),
+       |ftok AS (SELECT doc_id, unnest(t) AS tk FROM tok WHERE len(t) >= 1),
+       |f AS (SELECT DISTINCT doc_id, $hashB % $buckets AS b FROM ftok),
+       |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
+       |  LIMIT 0),
+       |$epochCtes,
+       |fm AS (SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT)
+       |    AS margin
+       |  FROM f LEFT JOIN w$epochs w ON f.b = w.b GROUP BY 1)
+       |SELECT l.doc_id, l.y AS label, fm.margin,
+       |  CAST(CASE WHEN fm.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
+       |  CAST(CASE WHEN (CASE WHEN fm.margin > 0 THEN 1 ELSE -1 END) = l.y
+       |    THEN 1 ELSE 0 END AS INT) AS agrees
+       |FROM lab l JOIN fm USING (doc_id)
+       |ORDER BY l.doc_id""".stripMargin
+  }
 }

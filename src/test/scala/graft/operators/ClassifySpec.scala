@@ -1,0 +1,109 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Pins the distributed batch-perceptron trainer ([[Classify]]) to a
+  * sequential in-test replay of the same recurrence: the join/groupBy
+  * formulation must produce bit-identical weights, margins, and votes
+  * to a single-threaded loop over the same feature sets — on real
+  * corpus data, not a toy fixture — plus determinism under
+  * repartitioning and the empty-doc exclusion contract.
+  */
+class ClassifySpec extends SparkSpec {
+
+  private lazy val docs =
+    spark.read.parquet(s"$sf/documents.parquet").select("doc_id", "text")
+
+  private val Buckets = 256
+  private val Epochs = 3
+
+  /** (doc → feature-bucket set, doc → ±1 label) pulled through the
+    * SAME feature/label extraction the trainer uses, so the replay
+    * tests the training recurrence itself, not tokenization.
+    */
+  private lazy val (feat, labels) = {
+    val f = Classify.hashedFeatures(docs, "doc_id", "text", Buckets)
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).map { case (d, bs) => d -> bs.map(_._2).toSet }
+    val l = Classify.weakLabels(docs, "doc_id", "text", minStop = 2)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    (f, l)
+  }
+
+  /** Sequential reference: the literal batch-perceptron recurrence. */
+  private def replayWeights(epochs: Int): Map[Long, Long] = {
+    var w = Map.empty[Long, Long].withDefaultValue(0L)
+    for (_ <- 1 to epochs) {
+      val mis = labels.filter { case (d, y) =>
+        y * feat(d).toSeq.map(w).sum <= 0
+      }
+      val delta = mis.toSeq
+        .flatMap { case (d, y) => feat(d).toSeq.map(b => (b, y)) }
+        .groupBy(_._1).map { case (b, ys) => b -> ys.map(_._2).sum }
+      w = (w.keySet ++ delta.keySet)
+        .map(b => b -> (w(b) + delta.getOrElse(b, 0L))).toMap
+        .withDefaultValue(0L)
+    }
+    w
+  }
+
+  test("trainPerceptron ≡ sequential replay (weights, real corpus)") {
+    assert(labels.nonEmpty && labels.values.toSet == Set(1L, -1L),
+      "fixture must contain both classes for the test to mean anything")
+    val dist = Classify
+      .trainPerceptron(docs, "doc_id", "text", Buckets, Epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val ref = replayWeights(Epochs)
+    // representations may differ in explicit-zero rows; values may not
+    assert(dist.filter(_._2 != 0L) == ref.filter(_._2 != 0L))
+  }
+
+  test("perceptronQuality ≡ sequential replay (margins, votes, agrees)") {
+    val w = replayWeights(Epochs).withDefaultValue(0L)
+    val expected = labels.map { case (d, y) =>
+      val margin = feat(d).toSeq.map(w).sum
+      val pred = if (margin > 0) 1L else -1L
+      (d, y, margin, pred, if (pred == y) 1 else 0)
+    }.toSet
+    val got = Classify
+      .perceptronQuality(docs, "doc_id", "text", Buckets, Epochs)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getInt(4))).toSet
+    assert(got == expected)
+  }
+
+  test("training is partitioning-invariant (integer batch updates)") {
+    val a = Classify
+      .trainPerceptron(docs, "doc_id", "text", Buckets, Epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val b = Classify
+      .trainPerceptron(docs.repartition(7), "doc_id", "text",
+        Buckets, Epochs)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    assert(a.filter(_._2 != 0L) == b.filter(_._2 != 0L))
+  }
+
+  test("null/blank docs are excluded end-to-end") {
+    import spark.implicits._
+    val d = Seq((1L, "the cat is in a hat"), (2L, null.asInstanceOf[String]),
+      (3L, "   \t")).toDF("doc_id", "text")
+    val out = Classify.perceptronQuality(d, "doc_id", "text", 64, 2)
+      .select("doc_id").as[Long].collect().toSet
+    assert(out == Set(1L))
+  }
+
+  test("epoch 1 learns the per-bucket class-presence difference") {
+    // with w0 = 0 every doc is misclassified, so w1[b] must equal
+    // Σ_{docs containing b} y — the analytically known first step
+    val w1 = Classify
+      .trainPerceptron(docs, "doc_id", "text", Buckets, epochs = 1)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toMap
+    val expected = feat.toSeq
+      .flatMap { case (d, bs) => bs.toSeq.map(b => (b, labels(d))) }
+      .groupBy(_._1).map { case (b, ys) => b -> ys.map(_._2).sum }
+    assert(w1.filter(_._2 != 0L) == expected.filter(_._2 != 0L))
+  }
+}
