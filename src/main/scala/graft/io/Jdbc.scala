@@ -78,12 +78,16 @@ object Jdbc {
       val st = conn.createStatement()
       try st.executeUpdate(s"DROP TABLE $table")
       catch {
-        // swallow ONLY table-absent (Derby SQLStates 42Y55 "does not
-        // exist" / 42X05 "no such object") — a lock or permission
-        // failure must surface here, not later as a baffling CREATE
-        // TABLE error
+        // swallow ONLY table-absent — a lock or permission failure
+        // must surface here, not later as a baffling CREATE TABLE
+        // error. Derby reports 42Y55 "does not exist" / 42X05 "no
+        // such object"; H2/HSQLDB and most engines use the X/Open
+        // states 42S02 / S0002. Only Derby is exercised in-tree (the
+        // one embedded engine on the classpath), but the config is
+        // engine-generic so accept the portable states too.
         case e: java.sql.SQLException
-            if e.getSQLState == "42Y55" || e.getSQLState == "42X05" => ()
+            if Set("42Y55", "42X05", "42S02", "S0002")
+              .contains(e.getSQLState) => ()
       }
       val cols = df.schema.fields
         .map(f => s"${f.name} ${sqlTypeName(f.dataType)}").mkString(", ")

@@ -164,7 +164,13 @@ object Multimodal {
         val bits = fmt.getSampleSizeInBits
         val ok = (enc == AudioFormat.Encoding.PCM_SIGNED ||
           enc == AudioFormat.Encoding.PCM_UNSIGNED) &&
-          (bits == 8 || bits == 16) && fmt.getFrameSize > 0
+          (bits == 8 || bits == 16) &&
+          // a frame must hold channels × bytesPerSample bytes, or the
+          // decode loop would index past the buffer — the stock JDK
+          // readers always satisfy this, but the "corrupt bytes yield
+          // an empty plane, never a task failure" contract shouldn't
+          // depend on which SPI parsed the header
+          fmt.getFrameSize >= fmt.getChannels * (bits / 8)
         if (!ok) (Array.empty, 0f)
         else {
           val bytes = in.readAllBytes()

@@ -603,6 +603,10 @@ object TextOps {
       val w = Window.partitionBy(col(groupCol))
         .orderBy(col("avg_ppm").desc, col(idCol))
       scored.withColumn("bucket", ntile(buckets).over(w))
+    } else if (buckets == 1) {
+      // one tier = everything is the head; percentile_approx with an
+      // empty percentage array fails analysis, so short-circuit
+      scored.withColumn("bucket", lit(1))
     } else {
       // descending quantile cutoffs: __cuts[0] ≈ the (1-1/k) quantile
       // (head floor), …, __cuts[k-2] ≈ the 1/k quantile. bucket =
