@@ -26,24 +26,42 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects outright; read the nanos as a long and truncate to
-    * microseconds (integer `div` — the ns epoch exceeds 2^53, so any
-    * double round-trip would corrupt it). The harness data carries no
-    * sub-microsecond precision, so the truncation is lossless.
+  /** Normalize the events `ts` column across testdata generations to
+    * ONE canonical type, `TimestampType` in the UTC session zone:
     *
-    * Requires `spark.sql.legacy.parquet.nanosAsLong=true`, set once at
-    * session build by [[graft.Sessions.tuned]] — NOT mutated here: a
-    * per-read `conf.set` silently changes how every later parquet read
-    * on the shared session interprets nanos timestamps, and races
-    * under the orchestrator's multi-threaded driver.
+    *   - TIMESTAMP(NANOS) layouts (older harness data) are readable
+    *     only as nanos longs (`spark.sql.legacy.parquet.nanosAsLong=
+    *     true`, set once by [[graft.Sessions.tuned]] — never per-read:
+    *     a per-read `conf.set` silently changes every later parquet
+    *     read on the shared session and races under a multi-threaded
+    *     driver); truncate to micros with integer `div` — the ns epoch
+    *     exceeds 2^53, so a double round-trip would corrupt it;
+    *   - plain timestamp[us] layouts (current harness data) arrive as
+    *     `TIMESTAMP_NTZ`; cast to `TimestampType` — wall-clock-
+    *     identical under the UTC session zone, which is also exactly
+    *     how the DuckDB oracle reads the same file.
+    *
+    * Works on batch and streaming frames alike (pure column ops).
     */
+  def normalizeEventTs(df: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType}
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType =>
+        df.withColumn("ts", col("ts").cast(org.apache.spark.sql.types.TimestampType))
+      case _ => df
+    }
+  }
+
   def events(s: SparkSession, d: String): DataFrame = {
-    require(s.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "events needs spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned sets it)")
-    load(s, d, "events")
-      .withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    val raw = try load(s, d, "events") catch {
+      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+        throw new IllegalArgumentException(
+          "events.parquet stores TIMESTAMP(NANOS): set " +
+            "spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned does)", e)
+    }
+    normalizeEventTs(raw)
   }
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")

@@ -840,6 +840,29 @@ object TextOps {
       .toDF("rank", "lhs", "rhs", "cnt")
   }
 
+  /** GUARDED production trainer: [[bpeTrainLocal]] with the histogram
+    * collect ALWAYS bounded. The permissive defaults on the local/
+    * distributed twins exist solely for the spec-pinned bit-equality;
+    * a production crawl must never reach the uncapped collect by
+    * accident, so this entry point makes a real floor and cap
+    * non-optional — `require`d, not defaulted away. The defaults
+    * (minFreq = 2, maxVocab = 1,000,000) bound the driver heap at
+    * ~10⁶ short strings regardless of corpus size: a 100 TB crawl's
+    * distinct-token tail (typos, URLs, unicode junk, ~10⁸ words) is
+    * dropped Spark-side before the collect, which is standard BPE
+    * practice — rare words contribute noise, not merges (contract at
+    * [[bpeHistogram]]).
+    */
+  def bpeTrainProduction(df: DataFrame, textCol: String, numMerges: Int,
+                         minFreq: Long = 2L,
+                         maxVocab: Int = 1000000): DataFrame = {
+    require(maxVocab > 0 && maxVocab != Int.MaxValue,
+      "bpeTrainProduction requires a real vocab cap; " +
+        "use bpeTrainLocal explicitly for an unbounded collect")
+    require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
+    bpeTrainLocal(df, textCol, numMerges, minFreq, maxVocab)
+  }
+
   /** Driver-local twin of [[bpeSegmentation]] — same (word, freq,
     * seg_csv) table, zero per-round Spark jobs. With a floor/cap the
     * table covers the surviving vocabulary only ([[bpeHistogram]]).

@@ -27,17 +27,17 @@ object Streams {
     */
   def fileEventStream(spark: SparkSession, dir: String,
                       maxFilesPerTrigger: Int = 16): DataFrame = {
-    // nanosAsLong is set once at session build (Sessions.tuned) — see
-    // Tables.events for why a per-read conf.set is unacceptable
-    require(
-      spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") == "true",
-      "needs spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned sets it)")
+    // layout-adaptive ts normalization shared with the batch loader
+    // (nanos-as-long legacy layouts AND native timestamp[us]); the
+    // nanosAsLong conf is set once at session build (Sessions.tuned) —
+    // see Tables.normalizeEventTs for why a per-read conf.set is
+    // unacceptable
     val schema = spark.read.parquet(dir).schema
-    spark.readStream
-      .schema(schema)
-      .option("maxFilesPerTrigger", maxFilesPerTrigger)
-      .parquet(dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    graft.model.Tables.normalizeEventTs(
+      spark.readStream
+        .schema(schema)
+        .option("maxFilesPerTrigger", maxFilesPerTrigger)
+        .parquet(dir))
   }
 
   /** Tumbling-window counts/sums per event type, late data bounded by
