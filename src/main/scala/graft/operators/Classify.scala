@@ -143,4 +143,53 @@ object Classify {
         when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
       .withColumn("agrees", (col("pred") === col("label")).cast("int"))
   }
+
+  /** Held-out evaluation — the threshold-tuning artifact a real
+    * CCNet-style filter needs before anyone trusts the model gate:
+    * train on the `split = "train"` docs of the SAME deterministic
+    * hash split [[Curation.datasetSplit]] uses (bucket(id) <
+    * `trainPct`), score the held-out docs the model has never seen,
+    * and report the per-source confusion against the weak labels —
+    * `n_docs`, `tp`/`fp`/`tn`/`fn`, and `correct` (= tp + tn), all
+    * integer counts so the result is hash-verifiable.
+    *
+    * Same scale shape as training: features/labels built once over
+    * the whole corpus (stabilized), the train/eval restriction is a
+    * row-local bucket filter on top, and the confusion is one
+    * per-source groupBy. Held-out docs whose buckets carry no learned
+    * weight score margin 0 → pred −1, exactly like training.
+    */
+  def perceptronEval(df: DataFrame, idCol: String, textCol: String,
+                     sourceCol: String, buckets: Int = 1024,
+                     epochs: Int = 3, minStop: Int = 2,
+                     trainPct: Int = 80): DataFrame = {
+    require(trainPct > 0 && trainPct < 100,
+      s"trainPct must split the corpus both ways, got $trainPct")
+    val feat = graft.Checkpoints.stabilize(
+      hashedFeatures(df, idCol, textCol, buckets))
+    val labels = graft.Checkpoints.stabilize(
+      weakLabels(df, idCol, textCol, minStop))
+    val isTrain = Curation.hashBucket(col("__id")) < trainPct
+    val w = trainOnPrepared(feat.filter(isTrain), labels.filter(isTrain),
+      epochs)
+    val scored = margins(feat.filter(!isTrain), labels.filter(!isTrain), w)
+      .select(col("__id"),
+        col("y"),
+        when(col("margin") > 0, lit(1L)).otherwise(lit(-1L)).as("pred"))
+    scored
+      .join(df.select(col(idCol).as("__id"), col(sourceCol).as("source")),
+        Seq("__id"))
+      .groupBy("source")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("pred") === 1 && col("y") === 1, 1L).otherwise(0L))
+          .as("tp"),
+        sum(when(col("pred") === 1 && col("y") === -1, 1L).otherwise(0L))
+          .as("fp"),
+        sum(when(col("pred") === -1 && col("y") === -1, 1L).otherwise(0L))
+          .as("tn"),
+        sum(when(col("pred") === -1 && col("y") === 1, 1L).otherwise(0L))
+          .as("fn"))
+      .withColumn("correct", col("tp") + col("tn"))
+  }
 }

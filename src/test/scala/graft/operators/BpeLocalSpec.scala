@@ -192,4 +192,28 @@ class BpeLocalSpec extends SparkSpec {
       .select("word").collect().map(_.getString(0)).toSet
     assert(segWords == Set("aa", "ab"))
   }
+
+  test("production trainer: cap is mandatory, result ≡ capped local trainer") {
+    import spark.implicits._
+    val fx = Seq((1L, "aa aa aa ab ab bb"), (2L, "aa aa ab cc"))
+      .toDF("doc_id", "text")
+    // the guarded entry is exactly the local trainer with a real bound
+    val prod = TextOps.bpeTrainProduction(fx, "text", numMerges = 8,
+      minFreq = 1L, maxVocab = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    val local = TextOps.bpeTrainLocal(fx, "text", numMerges = 8,
+      minFreq = 1L, maxVocab = 2).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+    assert(prod.toSeq.sortBy(_._1) == local.toSeq.sortBy(_._1))
+    // the unbounded-collect foot-gun is unreachable through this entry
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrainProduction(fx, "text", 8, maxVocab = Int.MaxValue)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrainProduction(fx, "text", 8, maxVocab = 0)
+    }
+    intercept[IllegalArgumentException] {
+      TextOps.bpeTrainProduction(fx, "text", 8, minFreq = 0L)
+    }
+  }
 }
