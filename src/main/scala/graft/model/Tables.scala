@@ -54,15 +54,20 @@ object Tables {
     }
   }
 
-  def events(s: SparkSession, d: String): DataFrame = {
-    val raw = try load(s, d, "events") catch {
-      case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
-        throw new IllegalArgumentException(
-          "events.parquet stores TIMESTAMP(NANOS): set " +
-            "spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned does)", e)
-    }
-    normalizeEventTs(raw)
+  /** Wrap an events-parquet read so Spark's raw "Illegal Parquet
+    * type: INT64 (TIMESTAMP(NANOS,…))" failure carries the
+    * remediation hint; shared by the batch loader and the streaming
+    * schema-inference read ([[graft.streaming.Streams.fileEventStream]]).
+    */
+  def explainNanos[T](body: => T): T = try body catch {
+    case e: Exception if String.valueOf(e.getMessage).contains("NANOS") =>
+      throw new IllegalArgumentException(
+        "events.parquet stores TIMESTAMP(NANOS): set " +
+          "spark.sql.legacy.parquet.nanosAsLong=true (Sessions.tuned does)", e)
   }
+
+  def events(s: SparkSession, d: String): DataFrame =
+    normalizeEventTs(explainNanos(load(s, d, "events")))
   def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 }

@@ -315,15 +315,24 @@ object Multimodal {
         cc(content, 8) != "AVI ") return None
       val riffEnd = math.min(content.length.toLong, 8L + le32(content, 4)).toInt
       var fmt: Option[VidFmt] = None
+      // stream ordinal of the matched vids stream: movi chunk ids are
+      // prefixed with it ("00dc"…), so in a multi-stream AVI (e.g.
+      // vids+auds) only this stream's frames may be decoded with the
+      // captured geometry
+      var strlIdx = -1
+      var vidsIdx = -1
       val frames = Vector.newBuilder[(Int, Int)]
       def inStrl(from: Int, until: Int): Unit = {
+        strlIdx += 1
         var isVids = false
         walk(content, from, until) { (id, o, sz) =>
           if (id == "strh" && sz >= 8) isVids = cc(content, o) == "vids"
-          else if (id == "strf" && sz >= 40 && isVids && fmt.isEmpty)
+          else if (id == "strf" && sz >= 40 && isVids && fmt.isEmpty) {
+            vidsIdx = strlIdx
             fmt = Some(VidFmt(le32(content, o + 4).toInt,
               le32(content, o + 8).toInt, le16(content, o + 14),
               le32(content, o + 16)))
+          }
         }
       }
       def inList(listType: String, from: Int, until: Int): Unit =
@@ -337,6 +346,7 @@ object Multimodal {
                 }
               else if (listType != "hdrl" && sz > 0 && id.length == 4 &&
                 id(0).isDigit && id(1).isDigit &&
+                (id(0) - '0') * 10 + (id(1) - '0') == vidsIdx &&
                 (id.endsWith("db") || id.endsWith("dc")))
                 frames += ((o, sz))
             }
@@ -379,9 +389,13 @@ object Multimodal {
         fmt.w > 0 && fmt.h != 0) {
         val w = fmt.w
         val h = math.abs(fmt.h)
-        val stride = (w * 3 + 3) / 4 * 4
-        if (sz < stride * h) None
+        // Long arithmetic: a hostile strf width (w ≈ 8e8) overflows an
+        // Int stride*h to negative and slips past the size guard; since
+        // sz ≤ content length this bound also caps the allocation.
+        val strideL = (w.toLong * 3 + 3) / 4 * 4
+        if (strideL * h > sz || w.toLong * h > Int.MaxValue) None
         else {
+          val stride = strideL.toInt
           val out = new Array[Int](w * h)
           var y = 0
           while (y < h) {
@@ -486,9 +500,11 @@ object Multimodal {
         fmt.w > 0 && fmt.h != 0) {
         val w = fmt.w
         val h = math.abs(fmt.h)
-        val stride = (w * 3 + 3) / 4 * 4
-        if (sz < stride * h) None
+        // same Long-arithmetic overflow guard as decodeFrame
+        val strideL = (w.toLong * 3 + 3) / 4 * 4
+        if (strideL * h > sz || w.toLong * h > Int.MaxValue) None
         else {
+          val stride = strideL.toInt
           val img = new java.awt.image.BufferedImage(w, h,
             java.awt.image.BufferedImage.TYPE_INT_RGB)
           var y = 0

@@ -32,7 +32,8 @@ object Streams {
     // nanosAsLong conf is set once at session build (Sessions.tuned) —
     // see Tables.normalizeEventTs for why a per-read conf.set is
     // unacceptable
-    val schema = spark.read.parquet(dir).schema
+    val schema =
+      graft.model.Tables.explainNanos(spark.read.parquet(dir).schema)
     graft.model.Tables.normalizeEventTs(
       spark.readStream
         .schema(schema)
