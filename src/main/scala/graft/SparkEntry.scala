@@ -19,7 +19,8 @@ object SparkEntry {
     CoreQueries.queries ++ TextQueries.queries ++ DedupQueries.queries ++
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ CatalogQueries.queries ++
-      TemporalQueries.queries ++ CurationQueries.queries
+      TemporalQueries.queries ++ CurationQueries.queries ++
+      SketchQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -27,5 +28,6 @@ object SparkEntry {
     CoreQueries.oracleSql ++ TextQueries.oracleSql ++ DedupQueries.oracleSql ++
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
       CatalogQueries.oracleSql ++ MultimodalQueries.oracleSql ++
-      TemporalQueries.oracleSql ++ CurationQueries.oracleSql
+      TemporalQueries.oracleSql ++ CurationQueries.oracleSql ++
+      SketchQueries.oracleSql
 }

@@ -259,6 +259,38 @@ object Similarity {
       when(proj >= 0, lit(1L << i)).otherwise(lit(0L))
     }.reduce(_ + _)
 
+  /** ±1 Rademacher sign of the random-projection matrix (out dim j,
+    * in dim i) — the same multiply-xor-shift mix family as
+    * [[planeComponent]], so the matrix is a reproducible literal on
+    * any engine (oracle SQL interpolates these constants verbatim).
+    */
+  def projComponent(j: Int, i: Int): Int = {
+    val h0 = j * 0x85EBCA6B + (i + 1) * 0x9E3779B9
+    val h1 = (h0 ^ (h0 >>> 13)) * 0xC2B2AE35
+    if (((h1 ^ (h1 >>> 16)) & 1) == 0) 1 else -1
+  }
+
+  /** Johnson–Lindenstrauss random projection dim → outDim:
+    * proj_j = Σ_i v[i]·s(j,i) with Rademacher signs — pairwise
+    * distances/cosines survive within ε for outDim = O(log n / ε²).
+    * Row-local (zero shuffle): each output dim is a codegen'd native
+    * dot product against a LITERAL sign vector, so at 100 TB this cuts
+    * every downstream embedding scan, shuffle, and ANN candidate join
+    * by dim/outDim× (4× here) — generate candidates in projected
+    * space, rerank survivors against the full vectors (the same
+    * two-tier playbook as [[quantizeInt8]]). Output is double: the
+    * sums are exact ±1-weighted folds of float inputs, mirrored by the
+    * oracle's left-associated chain.
+    */
+  def randomProject(df: DataFrame, vecCol: String, dim: Int, outDim: Int,
+                    outCol: String = "proj"): DataFrame = {
+    val dims = (0 until outDim).map { j =>
+      val signs = typedLit((0 until dim).map(i => projComponent(j, i).toDouble))
+      graft.expressions.VectorExpressions.dotProduct(col(vecCol), signs)
+    }
+    df.withColumn(outCol, array(dims: _*))
+  }
+
   /** LSH-bucketed ANN: score only pairs sharing a bucket. Recall is
     * tunable by numPlanes (fewer planes → bigger buckets → higher
     * recall, more compute).

@@ -1,0 +1,122 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.Portable
+
+/** Distributed sketch operators: engine-portable HyperLogLog distinct
+  * counting and Count-Min frequency estimation.
+  *
+  * At 100 TB an exact `count(DISTINCT token)` is a full shuffle of
+  * every distinct key and an exact per-token frequency table is a
+  * corpus-sized aggregation; the sketches below bound both to a few KB
+  * of state per group with one partial-aggregable pass (`max`/`sum`
+  * combine map-side, so the shuffle carries at most
+  * groups × registers rows regardless of corpus size).
+  *
+  * Both sketches are built on [[Portable.hash32]] (md5-prefix), so the
+  * DuckDB oracle reproduces every register and every counter
+  * bit-for-bit — the estimates themselves are hash-checked, not just
+  * spot-tested. No RNG anywhere; same data → same sketch on any
+  * engine.
+  *
+  * (Extension surface: the reference has no sketching at all — its
+  * distinct counts are pandas `nunique` over single-machine frames.)
+  */
+object Sketches {
+
+  // ---- HyperLogLog (Flajolet et al. 2007) ----
+
+  /** 2^6 = 64 registers: ±13 % standard error, 64 bytes of state per
+    * group — the classic space/accuracy point for per-group stats.
+    */
+  val HllB = 6
+  val HllM: Int = 1 << HllB
+  /** alpha_64 from the HLL paper (m = 64 → alpha = 0.709 exactly). */
+  val HllAlpha = 0.709
+  /** Bits left after the bucket index: hash32 ∈ [0,2^32) → 26. */
+  private val HllW = 32 - HllB
+
+  /** Register rank rho: position of the leftmost 1-bit of the
+    * remaining `HllW`-bit word (all-zero word → HllW+1). Uses
+    * `length(bin(w))` = floor(log2 w)+1 — pure integer/string ops, so
+    * Spark and DuckDB agree exactly (no floating log2).
+    */
+  private def rho(word: Column): Column =
+    when(word > 0, lit(HllW + 1) - length(bin(word))).otherwise(lit(HllW + 1))
+
+  /** Per-group HLL registers: one row per (group, bucket) with the max
+    * rank observed. Partial-aggregable (`max`), so the shuffle is
+    * bounded by groups × 64 rows.
+    */
+  def hllRegisters(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val h = Portable.hash32(col(keyCol))
+    df.select(col(groupCol), (h % HllM).as("bucket"),
+        rho(shiftright(h, HllB)).as("r"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(max(col("r")).as("m"))
+  }
+
+  /** Per-group approximate distinct count. The raw HLL estimator
+    * alpha·m²/Σ2^−M (no small-range correction: `ln` is libm-dependent
+    * and would break bit-identical oracles; at m = 64 the raw estimate
+    * is the documented contract, biased high below ~2.5·m distinct
+    * keys). Every 2^−M term is a dyadic rational ≥ 2^−27, so the sum
+    * is EXACT in double under any addition order — the estimate is
+    * deterministic without ordering tricks.
+    */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllRegisters(df, groupCol, keyCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("present"),
+        // SQL-form shiftleft: the Scala wrapper only takes a constant
+        // shift, but register M is a column
+        sum(expr("1.0 / cast(shiftleft(1L, m) as double)")).as("s_present"))
+      // absent buckets hold register 0 → each contributes 2^0 = 1
+      .select(col(groupCol),
+        round(lit(HllAlpha * HllM * HllM) /
+          ((lit(HllM) - col("present")).cast("double") + col("s_present")), 4)
+          .as("hll_estimate"))
+
+  // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----
+
+  /** depth 4 × width 256 = 1024 counters (8 KB): error ≤ 2N/width with
+    * probability 1 − 2^−depth; an always-overestimate for heavy
+    * hitters at corpus scale in one pass.
+    */
+  val CmsDepth = 4
+  val CmsWidth = 256
+
+  /** Row-d bucket of a token: hash32 of "d:token" mod width — the d
+    * prefix makes the rows independent hash functions while staying a
+    * one-line oracle expression.
+    */
+  def cmsBucket(d: Column, token: Column): Column =
+    Portable.hash32(concat(d.cast("string"), lit(":"), token)) % CmsWidth
+
+  /** Build the sketch: ≤ depth×width counter rows. The explode
+    * multiplies rows by `depth` BEFORE the aggregation, but the
+    * groupBy partial-aggregates map-side, so the shuffle carries at
+    * most depth × width × partitions rows — never corpus-sized.
+    */
+  def cmsSketch(df: DataFrame, tokenCol: String): DataFrame =
+    df.select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"),
+        col(tokenCol).as("tok"))
+      .groupBy(col("d"), cmsBucket(col("d"), col("tok")).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Point-estimate the frequency of each candidate token: min over
+    * the depth rows of the counter the token hashes to. The sketch is
+    * ≤ 1024 rows → broadcast; the candidate set never shuffles.
+    */
+  def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
+                  tokenCol: String): DataFrame = {
+    val cand = candidates
+      .select(col("*"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .withColumn("bucket", cmsBucket(col("d"), col(tokenCol)))
+    cand.join(broadcast(sketch), Seq("d", "bucket"))
+      .groupBy(col(tokenCol))
+      .agg(min(col("cnt")).as("n_est"))
+  }
+}

@@ -19,6 +19,7 @@ object SimilarityQueries {
   /** queries = every 50th vector: small, broadcastable query set. */
   private val QueryFilter = "vec_id % 50 = 0"
   private val Dim = 64
+  private val ProjDim = 16
   private val K = 3
   private val NumPlanes = 8
   private val NumSeeds = 10
@@ -132,6 +133,26 @@ object SimilarityQueries {
       Similarity.sparseCosinePairs(Tables.documents(s, d), "doc_id",
         "text", dfCap = 50, tNum = 1, tDen = 2)
         .orderBy("id_a", "id_b")),
+
+    // Johnson–Lindenstrauss 64→16 random projection: every projected
+    // coordinate hash-checked against the oracle's literal sign matrix
+    "q_random_proj" -> ((s, d) =>
+      Similarity.randomProject(Tables.embeddings(s, d), "embedding",
+          Dim, ProjDim)
+        .select(col("vec_id") +: (0 until ProjDim).map(j =>
+          round(element_at(col("proj"), j + 1), 6).as(f"p$j%02d")): _*)
+        .orderBy("vec_id")),
+
+    // brute-force ANN in the PROJECTED space — the 4×-cheaper
+    // candidate-generation tier (rerank against full vectors happens
+    // exactly as in q_ann_int8's rescore stage)
+    "q_ann_proj" -> ((s, d) => {
+      val proj = Similarity.randomProject(Tables.embeddings(s, d),
+        "embedding", Dim, ProjDim).select(col("vec_id"), col("proj"))
+      Similarity.bruteForceTopK(proj.filter(expr(QueryFilter)), proj,
+          "vec_id", "proj", K)
+        .orderBy("query_id", "rank")
+    }),
   )
 
   // ---- oracle SQL ----
@@ -140,11 +161,23 @@ object SimilarityQueries {
     * == Spark's aggregate(zip_with(a,b,*), 0.0, +) fold order
     * (0.0 + x == x exactly for finite x).
     */
-  private def dotSql(a: String, b: String): String =
-    (1 to Dim).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
+  private def dotSqlN(a: String, b: String, n: Int): String =
+    (1 to n).map(i => s"$a[$i]*$b[$i]").mkString(" + ")
 
-  private def cosSql(a: String, b: String): String =
-    s"(${dotSql(a, b)}) / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)}))"
+  private def dotSql(a: String, b: String): String = dotSqlN(a, b, Dim)
+
+  private def cosSqlN(a: String, b: String, n: Int): String =
+    s"(${dotSqlN(a, b, n)}) / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
+
+  private def cosSql(a: String, b: String): String = cosSqlN(a, b, Dim)
+
+  /** Left-associated JL projection chain: v[1]·s(j,0) + v[2]·s(j,1) +
+    * … — mirrors Similarity.randomProject's native dot against the
+    * SAME projComponent sign constants.
+    */
+  private def projChainSql(j: Int, v: String): String =
+    (0 until Dim).map(i =>
+      s"$v[${i + 1}]*(${Similarity.projComponent(j, i)}.0)").mkString(" + ")
 
   private val vecsCte =
     "vecs AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)"
@@ -352,5 +385,32 @@ object SimilarityQueries {
          |WHERE 4 * CAST(dot AS HUGEINT) * dot
          |      >= CAST(na.norm2 AS HUGEINT) * nb.norm2
          |ORDER BY id_a, id_b""".stripMargin,
+
+    "q_random_proj" ->
+      s"""WITH $vecsCte
+         |SELECT vec_id,
+         |  ${(0 until ProjDim).map(j =>
+              s"round(${projChainSql(j, "v")}, 6) AS p${"%02d".format(j)}")
+              .mkString(",\n  ")}
+         |FROM vecs ORDER BY vec_id""".stripMargin,
+
+    "q_ann_proj" ->
+      s"""WITH $vecsCte,
+         |proj AS (SELECT vec_id, list_value(
+         |    ${(0 until ProjDim).map(j => s"(${projChainSql(j, "v")})")
+              .mkString(",\n    ")}) AS pv
+         |  FROM vecs),
+         |q AS (SELECT vec_id AS query_id, pv AS qv
+         |  FROM proj WHERE $QueryFilter),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cosSqlN("q.qv", "c.pv", ProjDim)} AS cos
+         |  FROM q JOIN proj c ON q.query_id <> c.vec_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cos_sim
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin,
   )
 }

@@ -1,0 +1,109 @@
+package graft.operators
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Sketch guarantees the oracle can't express: HLL error bounds on
+  * known cardinalities, CMS one-sided error, JL norm preservation,
+  * and the zero-shuffle plan shape of the row-local projection.
+  */
+class SketchesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def keyed(groups: Int, perGroup: Int) =
+    (0 until groups).flatMap(g =>
+      (0 until perGroup).map(i => (s"g$g", s"key_${g}_$i")))
+      .toDF("grp", "key")
+
+  test("HLL estimate lands within 3 standard errors on known cardinalities") {
+    // sigma = 1.04/sqrt(64) = 13 %; 3 sigma = 39 %
+    val df = keyed(groups = 3, perGroup = 5000)
+      // duplicate every key 3x: cardinality must not change
+      .union(keyed(3, 5000)).union(keyed(3, 5000))
+    val est = Sketches.hllDistinct(df, "grp", "key")
+      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    assert(est.size == 3)
+    est.foreach { case (g, e) =>
+      assert(math.abs(e - 5000) / 5000.0 < 0.39,
+        s"$g: estimate $e vs true 5000 outside 3 sigma")
+    }
+  }
+
+  test("HLL is deterministic and duplicate-insensitive") {
+    val df = keyed(2, 800)
+    val once = Sketches.hllDistinct(df, "grp", "key").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    val dup = Sketches.hllDistinct(df.union(df), "grp", "key").collect()
+      .map(r => (r.getString(0), r.getDouble(1))).sortBy(_._1).toSeq
+    assert(once == dup)
+  }
+
+  test("CMS never underestimates, and is exact for a dominant heavy hitter") {
+    // heavy token appears 2000x, 500 rare tokens once each: the heavy
+    // counter can only be inflated by rare collisions (width 256,
+    // depth 4 -> min over rows removes almost all), never deflated
+    val toks = (Seq.fill(2000)("heavy") ++
+      (0 until 500).map(i => s"rare_$i")).toDF("tok")
+    val sketch = Sketches.cmsSketch(toks, "tok")
+    val truth = toks.groupBy("tok").agg(count(lit(1)).as("n_true"))
+    val est = Sketches.cmsEstimate(sketch, truth, "tok")
+      .join(truth, "tok").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(est.length == 501)
+    est.foreach { case (tok, n_est, n_true) =>
+      assert(n_est >= n_true, s"$tok: CMS underestimated $n_est < $n_true")
+    }
+    // min-over-4-rows estimate error is bounded by the worst row's
+    // collision mass; with 2500 tokens over width 256 that is small
+    val (_, heavyEst, heavyTrue) = est.find(_._1 == "heavy").get
+    assert(heavyEst - heavyTrue <= 40,
+      s"heavy hitter estimate drifted: $heavyEst vs $heavyTrue")
+  }
+
+  test("sketch state is bounded: <= 64 registers/group, <= depth*width counters") {
+    val df = keyed(2, 3000)
+    assert(Sketches.hllRegisters(df, "grp", "key")
+      .groupBy("grp").count().collect().forall(_.getLong(1) <= 64))
+    assert(Sketches.cmsSketch(df.select(col("key").as("tok")), "tok").count()
+      <= Sketches.CmsDepth.toLong * Sketches.CmsWidth)
+  }
+
+  test("random projection: signs are balanced and rows match projComponent") {
+    val signs = for (j <- 0 until 16; i <- 0 until 64)
+      yield Similarity.projComponent(j, i)
+    assert(signs.forall(s => s == 1 || s == -1))
+    val mean = signs.sum.toDouble / signs.length
+    assert(math.abs(mean) < 0.15, s"sign matrix biased: mean $mean")
+    // one-hot input vector e_i projects to column i of the sign matrix
+    val oneHot = Seq((1L, (0 until 64).map(d =>
+      if (d == 5) 1.0f else 0.0f).toArray)).toDF("vec_id", "embedding")
+    val row = Similarity.randomProject(oneHot, "embedding", 64, 16)
+      .select("proj").head().getSeq[Double](0)
+    (0 until 16).foreach(j =>
+      assert(row(j) == Similarity.projComponent(j, 5).toDouble))
+  }
+
+  test("random projection preserves norms within JL tolerance on real embeddings") {
+    val e = graft.model.Tables.embeddings(spark, sf)
+    val proj = Similarity.randomProject(e, "embedding", 64, 16)
+    val ratios = proj.select(
+        (Similarity.dot(col("proj"), col("proj")) / 16.0).as("pn"),
+        Similarity.dot(col("embedding").cast("array<double>"),
+          col("embedding").cast("array<double>")).as("fn"))
+      .filter(col("fn") > 0)
+      .select((col("pn") / col("fn")).as("r")).as[Double].collect()
+    assert(ratios.nonEmpty)
+    // E[|Pv|^2/k] = |v|^2; k=16 gives sqrt(2/16) ~ 35 % std dev —
+    // check the MEAN ratio concentrates near 1 and no pathological rows
+    val mean = ratios.sum / ratios.length
+    assert(math.abs(mean - 1.0) < 0.15, s"mean norm ratio $mean")
+    assert(ratios.forall(r => r > 0.05 && r < 5.0))
+  }
+
+  test("random projection is row-local: no exchange in the plan") {
+    val e = graft.model.Tables.embeddings(spark, sf)
+    val plan = Similarity.randomProject(e, "embedding", 64, 16)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
+  }
+}
