@@ -88,22 +88,27 @@ object Sketches {
   val CmsDepth = 4
   val CmsWidth = 256
 
-  /** Row-d bucket of a token: hash32 of "d:token" mod width — the d
-    * prefix makes the rows independent hash functions while staying a
-    * one-line oracle expression.
+  /** Row-d bucket: 8-bit slice d of ONE 60-bit md5 prefix —
+    * `(h >> 8d) & 255`. The depth rows read DISJOINT bit ranges of the
+    * same digest, so they act as independent hash functions while the
+    * corpus pays exactly one md5 per token occurrence (a "d:token"
+    * re-hash per row would cost depth× the dominant scan work at
+    * 100 TB). SQL-form shift: the Scala shiftright wrapper only takes
+    * a constant, but d is a column after the explode.
     */
-  def cmsBucket(d: Column, token: Column): Column =
-    Portable.hash32(concat(d.cast("string"), lit(":"), token)) % CmsWidth
+  def cmsBucket(dCol: String, h60Col: String): Column =
+    expr(s"shiftright($h60Col, 8 * $dCol) & ${CmsWidth - 1}")
 
-  /** Build the sketch: ≤ depth×width counter rows. The explode
-    * multiplies rows by `depth` BEFORE the aggregation, but the
-    * groupBy partial-aggregates map-side, so the shuffle carries at
-    * most depth × width × partitions rows — never corpus-sized.
+  /** Build the sketch: ≤ depth×width counter rows. The token is
+    * hashed ONCE, then the explode multiplies rows by `depth` BEFORE
+    * the aggregation; the groupBy partial-aggregates map-side, so the
+    * shuffle carries at most depth × width × partitions rows — never
+    * corpus-sized.
     */
   def cmsSketch(df: DataFrame, tokenCol: String): DataFrame =
-    df.select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"),
-        col(tokenCol).as("tok"))
-      .groupBy(col("d"), cmsBucket(col("d"), col("tok")).as("bucket"))
+    df.select(Portable.hash60(col(tokenCol)).as("h"))
+      .select(explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"), col("h"))
+      .groupBy(col("d"), cmsBucket("d", "h").as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
   /** Point-estimate the frequency of each candidate token: min over
@@ -113,8 +118,10 @@ object Sketches {
   def cmsEstimate(sketch: DataFrame, candidates: DataFrame,
                   tokenCol: String): DataFrame = {
     val cand = candidates
-      .select(col("*"), explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
-      .withColumn("bucket", cmsBucket(col("d"), col(tokenCol)))
+      .select(col(tokenCol), Portable.hash60(col(tokenCol)).as("h"))
+      .select(col(tokenCol), col("h"),
+        explode(sequence(lit(0), lit(CmsDepth - 1))).as("d"))
+      .withColumn("bucket", cmsBucket("d", "h"))
     cand.join(broadcast(sketch), Seq("d", "bucket"))
       .groupBy(col(tokenCol))
       .agg(min(col("cnt")).as("n_est"))

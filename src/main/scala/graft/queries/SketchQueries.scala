@@ -79,18 +79,20 @@ object SketchQueries {
     "q_cms_topk" -> {
       val D = Sketches.CmsDepth
       val W = Sketches.CmsWidth
-      def bucket(dExpr: String, tokExpr: String) =
-        s"${Portable.hash32Sql(s"CAST($dExpr AS VARCHAR) || ':' || $tokExpr")} % $W"
+      // disjoint 8-bit slices of one 60-bit digest, like cmsBucket
+      def bucket(dExpr: String, hExpr: String) =
+        s"($hExpr >> (8 * $dExpr)) & ${W - 1}"
       s"""WITH $toksCte,
          |counts AS (SELECT tok, count(*) AS n_true FROM toks GROUP BY tok),
-         |top AS (SELECT tok, n_true FROM counts
-         |  ORDER BY n_true DESC, tok LIMIT $TopN),
-         |sk AS (SELECT r.d, ${bucket("r.d", "toks.tok")} AS bucket,
+         |top AS (SELECT tok, ${Portable.hash60Sql("tok")} AS hv, n_true
+         |  FROM counts ORDER BY n_true DESC, tok LIMIT $TopN),
+         |hashed AS (SELECT ${Portable.hash60Sql("tok")} AS hv FROM toks),
+         |sk AS (SELECT r.d, ${bucket("r.d", "hv")} AS bucket,
          |    count(*) AS cnt
-         |  FROM toks CROSS JOIN range(0, $D) r(d) GROUP BY 1, 2),
+         |  FROM hashed CROSS JOIN range(0, $D) r(d) GROUP BY 1, 2),
          |est AS (SELECT t.tok, min(s.cnt) AS n_est
          |  FROM top t CROSS JOIN range(0, $D) r(d)
-         |  JOIN sk s ON s.d = r.d AND s.bucket = ${bucket("r.d", "t.tok")}
+         |  JOIN sk s ON s.d = r.d AND s.bucket = ${bucket("r.d", "t.hv")}
          |  GROUP BY t.tok)
          |SELECT t.tok, t.n_true, e.n_est
          |FROM top t JOIN est e ON t.tok = e.tok
