@@ -75,6 +75,31 @@ object Scale {
     salted.join(replicated, keys :+ "__salt", joinType).drop("__salt")
   }
 
+  /** Bloom-pruned equi-join: build a [[graft.functions.Bloom]] sketch
+    * of the small side's join keys (bits-per-key, so key sets far past
+    * the broadcast-hash threshold still ride the plan as one literal)
+    * and filter the BIG side row-locally BEFORE its shuffle — the
+    * runtime-filter pattern that turns "shuffle 100 TB, then join
+    * against 1 % of it" into "scan-prune to ~1 %, shuffle that". False
+    * positives pass the filter and are removed by the join itself, so
+    * results are exactly the plain join's (the oracle for the pruned
+    * form IS the plain join). Only join types that cannot keep
+    * unmatched big-side rows are accepted: pruning under left/full
+    * outer would drop rows the join must null-extend.
+    */
+  def bloomPrunedJoin(big: DataFrame, small: DataFrame, bigKey: String,
+                      smallKey: String, joinType: String = "inner"): DataFrame = {
+    require(Set("inner", "left_semi", "leftsemi")
+        .contains(joinType.toLowerCase.replace(" ", "")),
+      s"bloomPrunedJoin under '$joinType' would drop big-side rows the " +
+        "join must keep; use inner or left_semi")
+    val (words, mBits, numHashes) =
+      graft.functions.Bloom.buildSized(small.select(smallKey), smallKey)
+    big.filter(graft.functions.Bloom.mightContain(col(bigKey), words,
+        mBits, numHashes))
+      .join(small, col(bigKey) === col(smallKey), joinType)
+  }
+
   /** Skew diagnostic: the top-N heaviest join/shuffle keys with their
     * row share and a suggested salt factor (⌈key count / mean key
     * count⌉ — the replication needed to level that key's partition to

@@ -402,6 +402,24 @@ object CoreQueries {
         .orderBy("o_orderkey")
     }),
 
+    // bloom-pruned join: lineitem filtered ROW-LOCALLY by a bloom
+    // sketch of the urgent orders' keys before any shuffle; false
+    // positives die in the join, so the oracle is the PLAIN join —
+    // the pruning is invisible to correctness by construction
+    "q_bloom_semijoin" -> ((s, d) => {
+      import graft.operators.Scale
+      Scale.bloomPrunedJoin(
+        Tables.lineitem(s, d)
+          .select("l_orderkey", "l_returnflag", "l_quantity"),
+        Tables.orders(s, d)
+          .filter(col("o_orderpriority") === "1-URGENT")
+          .select("o_orderkey"),
+        "l_orderkey", "o_orderkey")
+        .groupBy("l_returnflag")
+        .agg(count(lit(1)).as("n_items"), sum(col("l_quantity")).as("sum_qty"))
+        .orderBy("l_returnflag")
+    }),
+
     // Per-group top-k through the custom bounded-heap operator: the
     // query is written in the STOCK row_number+filter form; the
     // GroupedTopKRule/Strategy (GraftExtensions) swap in
@@ -780,6 +798,14 @@ object CoreQueries {
         |      FROM lineitem GROUP BY 1) li
         |  ON o.o_orderkey = li.l_orderkey
         |ORDER BY o.o_orderkey""".stripMargin,
+
+    "q_bloom_semijoin" ->
+      """SELECT l_returnflag, count(*) AS n_items, SUM(l_quantity) AS sum_qty
+        |FROM lineitem li
+        |JOIN (SELECT o_orderkey FROM orders
+        |      WHERE o_orderpriority = '1-URGENT') o
+        |  ON li.l_orderkey = o.o_orderkey
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 
     "q_group_topk" ->
       """WITH r AS (SELECT l_suppkey, l_orderkey, l_linenumber, l_quantity,

@@ -129,4 +129,38 @@ class ScaleSpec extends SparkSpec {
       assert(e.getMessage.contains("corrupts"), s"$jt must be rejected")
     }
   }
+
+  test("bloomPrunedJoin == plain join, and the filter actually prunes") {
+    val big = (0L until 20000L).map(i => (i, s"row$i")).toDF("bk", "payload")
+    // small side: 1% of the key space, plus keys with no big-side match
+    val small = ((0L until 20000L by 100) ++ Seq(90001L, 90002L))
+      .map(k => (k, s"dim$k")).toDF("sk", "dim")
+    val pruned = Scale.bloomPrunedJoin(big, small, "bk", "sk")
+      .select("bk", "payload", "dim").orderBy("bk").collect().toSeq
+    val plain = big.join(small, big("bk") === small("sk"))
+      .select("bk", "payload", "dim").orderBy("bk").collect().toSeq
+    assert(pruned == plain)
+    assert(pruned.length == 200)
+    // the gate itself must reject the overwhelming majority of the big
+    // side pre-join (bloom fp rate ~1% at 10 bits/key)
+    val (words, m, k) = graft.functions.Bloom.buildSized(
+      small.select("sk"), "sk")
+    val passed = big.filter(
+      graft.functions.Bloom.mightContain(big("bk"), words, m, k)).count()
+    assert(passed < 1000, s"bloom passed $passed of 20000 — not pruning")
+  }
+
+  test("bloomPrunedJoin left_semi keeps big-side schema; outer types rejected") {
+    val big = Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("bk", "payload")
+    val small = Seq((2L, "x"), (9L, "y")).toDF("sk", "dim")
+    val semi = Scale.bloomPrunedJoin(big, small, "bk", "sk", "left_semi")
+    assert(semi.columns.toSeq == Seq("bk", "payload"))
+    assert(semi.collect().map(_.getLong(0)).toSeq == Seq(2L))
+    for (jt <- Seq("left", "left_outer", "full", "right")) {
+      val e = intercept[IllegalArgumentException] {
+        Scale.bloomPrunedJoin(big, small, "bk", "sk", jt)
+      }
+      assert(e.getMessage.contains("drop big-side rows"), s"$jt")
+    }
+  }
 }
