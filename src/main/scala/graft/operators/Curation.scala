@@ -325,6 +325,66 @@ object Curation {
       col("split"), col("pack_id"))
   }
 
+  /** Ids the trained model-quality gate keeps: docs whose margin under
+    * the corpus-trained discriminant reaches the corpus mean
+    * ([[Classify.marginGate]] — see there for why the threshold, not
+    * the perceptron sign, is the filter). Docs the model cannot score
+    * (null/empty text → no features) are NOT kept — an unscorable doc
+    * is exactly what a model filter must refuse to vouch for.
+    */
+  def modelQualityIds(docs: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 1024, minStop: Int = 2): DataFrame =
+    Classify.marginGate(docs, idCol, textCol, buckets, minStop)
+
+  /** [[curateCorpus]] with the CCNet stage order: MODEL-quality gate
+    * (the corpus-trained perceptron) in front of the heuristic gates —
+    * model filter → Gopher repetition + min tokens → transitive
+    * near-dup dedup → split → pack. The model stage adds the training
+    * epochs (tiny weight table, AQE-broadcast joins) plus ONE
+    * left-semi join on doc id to the pipeline's cost; everything
+    * downstream sees a smaller corpus, which at 100 TB is the point of
+    * gating early.
+    */
+  def curateCorpusModel(docs: DataFrame, idCol: String, textCol: String,
+                        sourceCol: String, minTokens: Int = 20,
+                        dedupThreshold: Double = 0.5, trainPct: Int = 80,
+                        valPct: Int = 10, packBudget: Long = 256L,
+                        buckets: Int = 1024,
+                        minStop: Int = 2): DataFrame = {
+    val keep = modelQualityIds(docs, idCol, textCol, buckets, minStop)
+    curateCorpus(docs.join(keep, Seq(idCol), "left_semi"), idCol, textCol,
+      sourceCol, minTokens, dedupThreshold, trainPct, valPct, packBudget)
+  }
+
+  /** Audit twin of [[curateCorpusModel]]: [[curationAudit]] over the
+    * model-gate survivors, plus a `fate = 'model_filtered'` verdict
+    * row for every doc the perceptron refused — the same
+    * "no document vanishes silently" contract with the model stage
+    * first. The gate id set is stabilized once and feeds both the
+    * semi- and anti-join, so the training epochs run exactly once.
+    */
+  def curationAuditModel(docs: DataFrame, idCol: String, textCol: String,
+                         sourceCol: String, minTokens: Int = 20,
+                         dedupThreshold: Double = 0.5, trainPct: Int = 80,
+                         valPct: Int = 10, packBudget: Long = 256L,
+                         buckets: Int = 1024,
+                         minStop: Int = 2): DataFrame = {
+    val keep = graft.Checkpoints.stabilize(
+      modelQualityIds(docs, idCol, textCol, buckets, minStop))
+    val audited = curationAudit(docs.join(keep, Seq(idCol), "left_semi"),
+      idCol, textCol, sourceCol, minTokens, dedupThreshold, trainPct,
+      valPct, packBudget)
+    val idType = docs.schema(idCol).dataType
+    val dropped = docs.join(keep, Seq(idCol), "left_anti")
+      .select(col(idCol), col(sourceCol),
+        size(Portable.tokens(col(textCol))).cast("long").as("n_tokens"),
+        lit("model_filtered").as("fate"),
+        lit(null).cast(idType).as("blame_id"),
+        lit(null).cast("string").as("split"),
+        lit(null).cast("long").as("pack_id"))
+    audited.unionByName(dropped)
+  }
+
   /** Fixed-window document chunking with overlap — the pre-embedding
     * step of a retrieval/training pipeline: token windows of
     * `chunkSize` starting every `chunkSize - overlap` tokens. Pure

@@ -1,6 +1,7 @@
 package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -125,5 +126,88 @@ object Sketches {
     cand.join(broadcast(sketch), Seq("d", "bucket"))
       .groupBy(col(tokenCol))
       .agg(min(col("cnt")).as("n_est"))
+  }
+
+  // ---- K-minimum-values sketch (Bar-Yossef et al. 2002) ----
+
+  /** k = 64 minimum hash values per group. HLL (above) estimates each
+    * set ALONE; KMV sketches compose — the merged sketch of two groups
+    * estimates their UNION, and the overlap of the retained samples
+    * estimates Jaccard/intersection. That answers "how much does
+    * source A's vocabulary overlap source B's" — the question a
+    * mixture planner or contamination triage asks at 100 TB — without
+    * ever joining two corpus-wide key sets.
+    */
+  val KmvK = 64
+
+  /** Per-group KMV sketch `(group, hv, rk)`: the [[KmvK]] smallest
+    * DISTINCT hash32 values of the key, ranked ascending. The rank
+    * filter is the row_number-over-window shape
+    * [[graft.plans.GroupedTopKRule]] rewrites to the bounded-heap
+    * exec, so per-group state is O(k) — never distinct-count-sized.
+    */
+  def kmvSketch(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val w = Window.partitionBy(col(groupCol)).orderBy(col("hv"))
+    df.select(col(groupCol), Portable.hash32(col(keyCol)).as("hv"))
+      .distinct()
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= KmvK)
+  }
+
+  /** All-pairs overlap report: for every group pair (ga < gb), the KMV
+    * union estimate ((k−1)/U_k, exact below k values), the Jaccard
+    * estimate (fraction of the MERGED k-minimum sample present in both
+    * sides), and the exact common/union/Jaccard as the yardstick —
+    * the sketch error is itself oracle-pinned, like q_hll_distinct.
+    *
+    * Work shape: one corpus pass builds the sketches; everything
+    * pairwise is sketch-sized (≤ groups² × k rows). The exact columns
+    * cost a key-wide self-join and exist only as the pinned truth —
+    * production reads the est columns and drops that join.
+    */
+  def kmvOverlap(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val sk = kmvSketch(df, groupCol, keyCol)
+    val ga = sk.select(col(groupCol).as("ga"), col("hv"))
+    val gb = sk.select(col(groupCol).as("gb"), col("hv"))
+    val pairs = ga.select("ga").distinct()
+      .crossJoin(gb.select("gb").distinct())
+      .filter(col("ga") < col("gb"))
+    // merged value set per pair, with side-membership flags
+    val pv = pairs.join(ga, Seq("ga"))
+      .select(col("ga"), col("gb"), col("hv"),
+        lit(1).as("in_a"), lit(0).as("in_b"))
+      .unionByName(pairs.join(gb, Seq("gb"))
+        .select(col("ga"), col("gb"), col("hv"),
+          lit(0).as("in_a"), lit(1).as("in_b")))
+      .groupBy("ga", "gb", "hv")
+      .agg(max("in_a").as("in_a"), max("in_b").as("in_b"))
+    val wm = Window.partitionBy(col("ga"), col("gb")).orderBy(col("hv"))
+    val merged = pv.withColumn("rk", row_number().over(wm))
+      .filter(col("rk") <= KmvK)
+      .groupBy("ga", "gb")
+      .agg(count(lit(1)).as("n"), max("hv").as("kth"),
+        sum(col("in_a") * col("in_b")).as("in_both"))
+    // exact companion: distinct keys per group, pairwise intersection
+    val dt = df.select(col(groupCol).as("g"), col(keyCol).as("k")).distinct()
+    val sizes = dt.groupBy("g").agg(count(lit(1)).as("sz"))
+    val inter = dt.select(col("g").as("ga"), col("k"))
+      .join(dt.select(col("g").as("gb"), col("k")), Seq("k"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb").agg(count(lit(1)).as("ec"))
+    // (k−1)/U_k with U_k = kth/2^32; exact count below k values
+    val estUnion = when(col("n") < KmvK, col("n").cast("double"))
+      .otherwise(lit((KmvK - 1).toDouble * 4294967296.0) / col("kth"))
+    val exactCommon = coalesce(col("ec"), lit(0L))
+    val exactUnion = col("sza") + col("szb") - exactCommon
+    merged
+      .join(sizes.select(col("g").as("ga"), col("sz").as("sza")), Seq("ga"))
+      .join(sizes.select(col("g").as("gb"), col("sz").as("szb")), Seq("gb"))
+      .join(inter, Seq("ga", "gb"), "left")
+      .select(col("ga"), col("gb"),
+        exactCommon.as("exact_common"),
+        exactUnion.as("exact_union"),
+        round(exactCommon.cast("double") / exactUnion, 6).as("exact_jaccard"),
+        round(col("in_both").cast("double") / col("n"), 6).as("kmv_jaccard"),
+        round(estUnion, 4).as("kmv_union"))
   }
 }

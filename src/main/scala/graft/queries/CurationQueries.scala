@@ -146,6 +146,21 @@ object CurationQueries {
       Curation.curationAudit(docs(s, d), "doc_id", "text", "source")
         .orderBy("doc_id")),
 
+    // the CCNet-ordered twin: MODEL-quality gate (corpus-trained
+    // perceptron, same constants as q_quality_classifier) in front of
+    // the heuristic gate → dedup → split → pack
+    "q_curated_v2" -> ((s, d) =>
+      Curation.curateCorpusModel(docs(s, d), "doc_id", "text", "source")
+        .select(col("doc_id"), col("source"), col("n_tokens"),
+          col("split"), col("pack_id"))
+        .orderBy("doc_id")),
+
+    // its audit twin: every input doc's fate, now including
+    // 'model_filtered' for docs the perceptron refused
+    "q_audit_v2" -> ((s, d) =>
+      Curation.curationAuditModel(docs(s, d), "doc_id", "text", "source")
+        .orderBy("doc_id")),
+
     // 24-token chunks with 8-token overlap — row-local explode, the
     // pre-embedding fan-out
     "q_chunk" -> ((s, d) =>
@@ -200,18 +215,20 @@ object CurationQueries {
        |  FROM rc$n GROUP BY 1)""".stripMargin
 
   /** The full curation-pipeline CTE body (quality gate → near-dup CC →
-    * split → pack), shared by q_corpus_pipeline (the survivors) and
-    * q_curation_audit (the per-doc verdicts) so the two oracles can
-    * never drift apart. Ends at `packed` — callers append the final
-    * SELECT (prefix with RECURSIVE for the `reach` CTE).
+    * split → pack) over an arbitrary documents-shaped relation, shared
+    * by q_corpus_pipeline / q_curation_audit (over `documents`) and the
+    * model-gated twins q_curated_v2 / q_audit_v2 (over the perceptron
+    * survivors `mdocs`) so the oracles can never drift apart. Ends at
+    * `packed` — callers append the final SELECT (prefix with RECURSIVE
+    * for the `reach` CTE).
     */
-  private lazy val pipelineCtes =
+  private def pipelineCtesFrom(rel: String) =
     s"""rtoks AS (SELECT doc_id,
-       |    ${Portable.tokensSql("text")} AS rt FROM documents),
+       |    ${Portable.tokensSql("text")} AS rt FROM $rel),
        |${repStats(2)},
        |${repStats(3)},
        |${repStats(5)},
-       |qual AS (SELECT d.doc_id FROM documents d
+       |qual AS (SELECT d.doc_id FROM $rel d
        |  LEFT JOIN rs2 ON rs2.doc_id = d.doc_id
        |  LEFT JOIN rs3 ON rs3.doc_id = d.doc_id
        |  LEFT JOIN rs5 ON rs5.doc_id = d.doc_id
@@ -220,7 +237,7 @@ object CurationQueries {
        |    AND coalesce(round(CAST(rs5.dup AS DOUBLE) / rs5.tot, 6), 0.0) <= 0.15),
        |base AS (SELECT d.doc_id, d.text, d.source,
        |    CAST(len(rt.rt) AS BIGINT) AS n_tokens
-       |  FROM documents d
+       |  FROM $rel d
        |  JOIN rtoks rt ON rt.doc_id = d.doc_id
        |  JOIN qual q ON q.doc_id = d.doc_id
        |  WHERE len(rt.rt) >= 20),
@@ -246,6 +263,25 @@ object CurationQueries {
        |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
        |    / 256) AS BIGINT) AS pack_id
        |  FROM sp)""".stripMargin
+
+  private lazy val pipelineCtes = pipelineCtesFrom("documents")
+
+  /** Model-gate CTE chain: the epoch-1 training unroll from
+    * [[TextQueries]] (same feature/label constants as
+    * q_quality_classifier), the kept-id set — margin at least the
+    * corpus MEAN margin, the integer-exact HUGEINT cross-multiply
+    * mirroring Classify.marginGate — and `mdocs`, the documents
+    * relation the CCNet-ordered pipeline body runs over.
+    */
+  private def modelGateCtes(buckets: Int, minStop: Int): String =
+    s"""${TextQueries.perceptronBaseCtes(buckets, minStop)},
+       |${TextQueries.perceptronEpochCtes(1, "f", "lab")},
+       |${TextQueries.perceptronMarginCte("fm", "f", "w1")},
+       |mst AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(margin) AS BIGINT) AS s FROM fm),
+       |mkeep AS (SELECT doc_id FROM fm, mst
+       |  WHERE ${TextQueries.aboveMeanSql("fm.margin", "mst.n", "mst.s")}),
+       |mdocs AS (SELECT d.* FROM documents d JOIN mkeep USING (doc_id))""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
     "q_hash_sample" ->
@@ -403,6 +439,40 @@ object CurationQueries {
          |LEFT JOIN comps c ON c.id = d.doc_id
          |LEFT JOIN packed p ON p.doc_id = d.doc_id
          |ORDER BY d.doc_id""".stripMargin,
+
+    "q_curated_v2" ->
+      s"""WITH RECURSIVE ${modelGateCtes(1024, 2)},
+         |${pipelineCtesFrom("mdocs")}
+         |SELECT doc_id, source, n_tokens, split, pack_id
+         |FROM packed ORDER BY doc_id""".stripMargin,
+
+    // audit twin: the pipeline verdicts over the gate survivors, plus
+    // a model_filtered row for every doc outside mkeep
+    "q_audit_v2" ->
+      s"""WITH RECURSIVE ${modelGateCtes(1024, 2)},
+         |${pipelineCtesFrom("mdocs")}
+         |SELECT d.doc_id, d.source, CAST(len(rt.rt) AS BIGINT) AS n_tokens,
+         |  CASE WHEN b.doc_id IS NULL THEN 'quality'
+         |       WHEN c.comp <> d.doc_id THEN 'near_dup'
+         |       ELSE 'kept' END AS fate,
+         |  CASE WHEN b.doc_id IS NOT NULL AND c.comp <> d.doc_id
+         |       THEN c.comp END AS blame_id,
+         |  p.split, p.pack_id
+         |FROM mdocs d
+         |JOIN rtoks rt ON rt.doc_id = d.doc_id
+         |LEFT JOIN base b ON b.doc_id = d.doc_id
+         |LEFT JOIN comps c ON c.id = d.doc_id
+         |LEFT JOIN packed p ON p.doc_id = d.doc_id
+         |UNION ALL
+         |SELECT d.doc_id, d.source,
+         |  CAST(len(${Portable.tokensSql("d.text")}) AS BIGINT) AS n_tokens,
+         |  'model_filtered' AS fate,
+         |  CAST(NULL AS BIGINT) AS blame_id,
+         |  CAST(NULL AS VARCHAR) AS split,
+         |  CAST(NULL AS BIGINT) AS pack_id
+         |FROM documents d
+         |WHERE d.doc_id NOT IN (SELECT doc_id FROM mkeep)
+         |ORDER BY doc_id""".stripMargin,
 
     "q_chunk" ->
       s"""WITH t AS (SELECT doc_id, ${Portable.tokensSql("text")} AS toks

@@ -46,7 +46,14 @@ object SketchQueries {
           "tok")
         .select("tok", "n_true", "n_est")
         .orderBy(col("n_true").desc, col("tok"))
-    })
+    }),
+
+    // KMV pairwise vocabulary overlap: union + Jaccard ESTIMATES for
+    // every source pair next to the exact values — the composable
+    // distinct sketch (HLL can't intersect)
+    "q_kmv_overlap" -> ((s, d) =>
+      Sketches.kmvOverlap(toks(s, d), "source", "tok")
+        .orderBy("ga", "gb"))
   )
 
   private val toksCte =
@@ -97,6 +104,52 @@ object SketchQueries {
          |SELECT t.tok, t.n_true, e.n_est
          |FROM top t JOIN est e ON t.tok = e.tok
          |ORDER BY t.n_true DESC, t.tok""".stripMargin
+    },
+
+    "q_kmv_overlap" -> {
+      val k = Sketches.KmvK
+      s"""WITH $toksCte,
+         |dt AS (SELECT DISTINCT source, tok FROM toks),
+         |hs AS (SELECT DISTINCT source, ${Portable.hash32Sql("tok")} AS hv
+         |  FROM dt),
+         |sk AS (SELECT source, hv,
+         |    row_number() OVER (PARTITION BY source ORDER BY hv) AS rk
+         |  FROM hs QUALIFY rk <= $k),
+         |g AS (SELECT DISTINCT source FROM sk),
+         |prs AS (SELECT a.source AS ga, b.source AS gb
+         |  FROM g a JOIN g b ON a.source < b.source),
+         |pv AS (SELECT p.ga, p.gb, s.hv,
+         |    max(CASE WHEN s.source = p.ga THEN 1 ELSE 0 END) AS in_a,
+         |    max(CASE WHEN s.source = p.gb THEN 1 ELSE 0 END) AS in_b
+         |  FROM prs p JOIN sk s ON s.source = p.ga OR s.source = p.gb
+         |  GROUP BY 1, 2, 3),
+         |mg AS (SELECT ga, gb, hv, in_a, in_b,
+         |    row_number() OVER (PARTITION BY ga, gb ORDER BY hv) AS rk
+         |  FROM pv QUALIFY rk <= $k),
+         |ka AS (SELECT ga, gb, CAST(count(*) AS BIGINT) AS n,
+         |    max(hv) AS kth,
+         |    CAST(sum(in_a * in_b) AS BIGINT) AS in_both
+         |  FROM mg GROUP BY 1, 2),
+         |sz AS (SELECT source, CAST(count(*) AS BIGINT) AS sz
+         |  FROM dt GROUP BY 1),
+         |it AS (SELECT a.source AS ga, b.source AS gb,
+         |    CAST(count(*) AS BIGINT) AS ec
+         |  FROM dt a JOIN dt b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT ka.ga, ka.gb,
+         |  CAST(coalesce(it.ec, 0) AS BIGINT) AS exact_common,
+         |  CAST(sa.sz + sb.sz - coalesce(it.ec, 0) AS BIGINT) AS exact_union,
+         |  round(CAST(coalesce(it.ec, 0) AS DOUBLE)
+         |    / (sa.sz + sb.sz - coalesce(it.ec, 0)), 6) AS exact_jaccard,
+         |  round(CAST(in_both AS DOUBLE) / n, 6) AS kmv_jaccard,
+         |  round(CASE WHEN n < $k THEN CAST(n AS DOUBLE)
+         |    ELSE ${(k - 1).toDouble} * 4294967296.0 / kth END, 4)
+         |    AS kmv_union
+         |FROM ka
+         |JOIN sz sa ON sa.source = ka.ga
+         |JOIN sz sb ON sb.source = ka.gb
+         |LEFT JOIN it ON it.ga = ka.ga AND it.gb = ka.gb
+         |ORDER BY ka.ga, ka.gb""".stripMargin
     }
   )
 }

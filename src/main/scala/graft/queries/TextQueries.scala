@@ -195,6 +195,18 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text",
         buckets = 1024, epochs = 3, minStop = 2)
         .orderBy("doc_id")),
+
+    // held-out evaluation of the model gate: train the epoch-1
+    // discriminant on the hash-split train docs (the same
+    // bucket(doc_id) < 80 predicate q_dataset_split uses), take the
+    // TRAIN mean margin as threshold, score the complement the model
+    // never saw, report the per-source confusion vs the weak labels —
+    // the threshold-tuning artifact a CCNet-style filter is judged by
+    "q_classifier_eval" -> ((s, d) =>
+      graft.operators.Classify.marginGateEval(
+        Tables.documents(s, d), "doc_id", "text", "source",
+        buckets = 1024, minStop = 2, trainPct = 80)
+        .orderBy("source")),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -592,32 +604,27 @@ object TextQueries {
 
     "q_quality_classifier" -> perceptronOracleSql(
       buckets = 1024, epochs = 3, minStop = 2),
+
+    "q_classifier_eval" -> marginGateEvalOracleSql(
+      buckets = 1024, minStop = 2, trainPct = 80),
   )
 
-  /** DuckDB replay of [[graft.operators.Classify.perceptronQuality]]:
-    * the epoch CTEs are GENERATED (one margins/misclassified/delta/
-    * weights block per epoch) so the oracle unrolls exactly the loop
-    * the Spark trainer runs — same w₀ = 0 empty table, same ≤ 0
-    * misclassification rule, same full-join weight accumulation. All
-    * sums are over ±1 BIGINTs: order-independent on both engines.
+  /** Shared perceptron CTE pieces — the tok/lab/f/w0 base tables, the
+    * generated epoch blocks (one margins/misclassified/delta/weights
+    * block per epoch), and the final-margin CTE — so the standalone
+    * oracle (q_quality_classifier), the held-out eval oracle
+    * (q_classifier_eval), and the composed curation oracles
+    * (q_curated_v2 / q_audit_v2 in [[CurationQueries]]) all unroll the
+    * IDENTICAL training loop the Spark trainer runs: same w₀ = 0 empty
+    * table, same ≤ 0 misclassification rule, same full-join weight
+    * accumulation. All sums are over ±1 BIGINTs: order-independent on
+    * both engines.
     */
-  private def perceptronOracleSql(buckets: Int, epochs: Int,
-                                  minStop: Int): String = {
+  private[queries] def perceptronBaseCtes(buckets: Int,
+                                          minStop: Int): String = {
     val stopList = TextOps.stopwords.map(w => s"'$w'").mkString(", ")
     val hashB = graft.functions.Portable.hash32Sql("tk")
-    val epochCtes = (1 to epochs).map { e =>
-      s"""m$e AS (SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT)
-         |    AS margin
-         |  FROM f LEFT JOIN w${e - 1} w ON f.b = w.b GROUP BY 1),
-         |mis$e AS (SELECT l.doc_id, l.y FROM lab l
-         |  JOIN m$e USING (doc_id) WHERE l.y * m$e.margin <= 0),
-         |d$e AS (SELECT f.b, CAST(sum(mis$e.y) AS BIGINT) AS dw
-         |  FROM f JOIN mis$e USING (doc_id) GROUP BY 1),
-         |w$e AS (SELECT coalesce(pw.b, d.b) AS b,
-         |    coalesce(pw.w, 0) + coalesce(d.dw, 0) AS w
-         |  FROM w${e - 1} pw FULL JOIN d$e d ON pw.b = d.b)""".stripMargin
-    }.mkString(",\n")
-    s"""WITH tok AS (SELECT doc_id,
+    s"""tok AS (SELECT doc_id,
        |    list_filter($toksSql, t -> len(t) > 0) AS t FROM documents),
        |lab AS (SELECT doc_id,
        |    CAST(CASE WHEN len(list_filter(list_distinct(t),
@@ -627,16 +634,89 @@ object TextQueries {
        |ftok AS (SELECT doc_id, unnest(t) AS tk FROM tok WHERE len(t) >= 1),
        |f AS (SELECT DISTINCT doc_id, $hashB % $buckets AS b FROM ftok),
        |w0 AS (SELECT CAST(NULL AS BIGINT) AS b, CAST(NULL AS BIGINT) AS w
-       |  LIMIT 0),
-       |$epochCtes,
-       |fm AS (SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT)
+       |  LIMIT 0)""".stripMargin
+  }
+
+  /** One epoch block per round over the given feature/label relations
+    * (the eval oracle trains on the split-filtered pair only). */
+  private[queries] def perceptronEpochCtes(epochs: Int, featRel: String,
+                                           labRel: String): String =
+    (1 to epochs).map { e =>
+      s"""m$e AS (SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT)
+         |    AS margin
+         |  FROM $featRel f LEFT JOIN w${e - 1} w ON f.b = w.b GROUP BY 1),
+         |mis$e AS (SELECT l.doc_id, l.y FROM $labRel l
+         |  JOIN m$e USING (doc_id) WHERE l.y * m$e.margin <= 0),
+         |d$e AS (SELECT f.b, CAST(sum(mis$e.y) AS BIGINT) AS dw
+         |  FROM $featRel f JOIN mis$e USING (doc_id) GROUP BY 1),
+         |w$e AS (SELECT coalesce(pw.b, d.b) AS b,
+         |    coalesce(pw.w, 0) + coalesce(d.dw, 0) AS w
+         |  FROM w${e - 1} pw FULL JOIN d$e d ON pw.b = d.b)""".stripMargin
+    }.mkString(",\n")
+
+  /** Final-model margins of `featRel` docs under weight table `wRel`. */
+  private[queries] def perceptronMarginCte(name: String, featRel: String,
+                                           wRel: String): String =
+    s"""$name AS (SELECT f.doc_id, CAST(sum(coalesce(w.w, 0)) AS BIGINT)
        |    AS margin
-       |  FROM f LEFT JOIN w$epochs w ON f.b = w.b GROUP BY 1)
+       |  FROM $featRel f LEFT JOIN $wRel w ON f.b = w.b GROUP BY 1)""".stripMargin
+
+  /** DuckDB replay of [[graft.operators.Classify.perceptronQuality]]. */
+  private def perceptronOracleSql(buckets: Int, epochs: Int,
+                                  minStop: Int): String =
+    s"""WITH ${perceptronBaseCtes(buckets, minStop)},
+       |${perceptronEpochCtes(epochs, "f", "lab")},
+       |${perceptronMarginCte("fm", "f", s"w$epochs")}
        |SELECT l.doc_id, l.y AS label, fm.margin,
        |  CAST(CASE WHEN fm.margin > 0 THEN 1 ELSE -1 END AS BIGINT) AS pred,
        |  CAST(CASE WHEN (CASE WHEN fm.margin > 0 THEN 1 ELSE -1 END) = l.y
        |    THEN 1 ELSE 0 END AS INT) AS agrees
        |FROM lab l JOIN fm USING (doc_id)
        |ORDER BY l.doc_id""".stripMargin
+
+  /** The gate predicate in oracle form — margin·n ≥ Σ margins in
+    * HUGEINT, the exact mirror of Classify.aboveMean's decimal(38,0)
+    * comparison. */
+  private[queries] def aboveMeanSql(margin: String, n: String,
+                                    s: String): String =
+    s"CAST($margin AS HUGEINT) * $n >= CAST($s AS HUGEINT)"
+
+  /** DuckDB replay of [[graft.operators.Classify.marginGateEval]]: one
+    * epoch trained on the bucket(doc_id) < trainPct features/labels,
+    * threshold = TRAIN mean margin (integer cross-multiply), held-out
+    * margins scored against it, confusion per source. Counts are
+    * BIGINT throughout.
+    */
+  private def marginGateEvalOracleSql(buckets: Int, minStop: Int,
+                                      trainPct: Int): String = {
+    val b =
+      s"${graft.functions.Portable.hash32Sql("CAST(doc_id AS VARCHAR)")} % 100"
+    s"""WITH ${perceptronBaseCtes(buckets, minStop)},
+       |ftr AS (SELECT * FROM f WHERE $b < $trainPct),
+       |labtr AS (SELECT * FROM lab WHERE $b < $trainPct),
+       |${perceptronEpochCtes(1, "ftr", "labtr")},
+       |${perceptronMarginCte("fmtr", "ftr", "w1")},
+       |st AS (SELECT CAST(count(*) AS BIGINT) AS n,
+       |    CAST(sum(margin) AS BIGINT) AS s FROM fmtr),
+       |fev AS (SELECT * FROM f WHERE $b >= $trainPct),
+       |labev AS (SELECT * FROM lab WHERE $b >= $trainPct),
+       |${perceptronMarginCte("fm", "fev", "w1")},
+       |sc AS (SELECT l.doc_id, l.y,
+       |    CAST(CASE WHEN ${aboveMeanSql("fm.margin", "st.n", "st.s")}
+       |      THEN 1 ELSE -1 END AS BIGINT) AS pred
+       |  FROM labev l JOIN fm USING (doc_id), st),
+       |conf AS (SELECT d.source,
+       |    CAST(count(*) AS BIGINT) AS n_docs,
+       |    CAST(sum(CASE WHEN pred = 1 AND y = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tp,
+       |    CAST(sum(CASE WHEN pred = 1 AND y = -1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fp,
+       |    CAST(sum(CASE WHEN pred = -1 AND y = -1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS tn,
+       |    CAST(sum(CASE WHEN pred = -1 AND y = 1 THEN 1 ELSE 0 END)
+       |      AS BIGINT) AS fn
+       |  FROM sc JOIN documents d USING (doc_id) GROUP BY 1)
+       |SELECT source, n_docs, tp, fp, tn, fn, tp + tn AS correct
+       |FROM conf ORDER BY source""".stripMargin
   }
 }

@@ -95,6 +95,93 @@ class ClassifySpec extends SparkSpec {
     assert(out == Set(1L))
   }
 
+  test("marginGateEval ≡ sequential replay: epoch-1 train weights, mean cut, held-out confusion") {
+    val meta = spark.read.parquet(s"$sf/documents.parquet")
+      .select(col("doc_id"), Curation.hashBucket(col("doc_id")).as("b"),
+        col("source"))
+      .collect().map(r => (r.getLong(0), (r.getLong(1), r.getString(2))))
+      .toMap
+    val isTrain = (d: Long) => meta(d)._1 < 80
+    assert(labels.keys.exists(isTrain) && labels.keys.exists(!isTrain(_)),
+      "split must put labeled docs on both sides")
+    // epoch 1 on the train subset: w1[b] = Σ y over train docs with b
+    val w = labels.toSeq.filter(p => isTrain(p._1))
+      .flatMap { case (d, y) => feat(d).toSeq.map(b => (b, y)) }
+      .groupBy(_._1).map { case (b, ys) => b -> ys.map(_._2).sum }
+      .withDefaultValue(0L)
+    // threshold: TRAIN mean margin via integer cross-multiply
+    val trainMargins = labels.keys.filter(isTrain).toSeq
+      .map(d => feat(d).toSeq.map(w).sum)
+    val (n, s) = (trainMargins.size.toLong, trainMargins.sum)
+    val expected = labels.toSeq.collect { case (d, y) if !isTrain(d) =>
+      val m = feat(d).toSeq.map(w).sum
+      val pred = if (BigInt(m) * n >= BigInt(s)) 1L else -1L
+      (meta(d)._2, y, pred)
+    }.groupBy(_._1).map { case (src, rows) =>
+      src -> (rows.size.toLong,
+        rows.count(r => r._3 == 1 && r._2 == 1).toLong,
+        rows.count(r => r._3 == 1 && r._2 == -1).toLong,
+        rows.count(r => r._3 == -1 && r._2 == -1).toLong,
+        rows.count(r => r._3 == -1 && r._2 == 1).toLong)
+    }
+    val withSource = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val got = Classify.marginGateEval(withSource, "doc_id", "text",
+        "source", Buckets, minStop = 2, trainPct = 80)
+      .collect().map { r =>
+        assert(r.getAs[Long]("correct") ==
+          r.getAs[Long]("tp") + r.getAs[Long]("tn"))
+        assert(r.getAs[Long]("n_docs") ==
+          r.getAs[Long]("tp") + r.getAs[Long]("fp") +
+            r.getAs[Long]("tn") + r.getAs[Long]("fn"))
+        r.getAs[String]("source") -> (r.getAs[Long]("n_docs"),
+          r.getAs[Long]("tp"), r.getAs[Long]("fp"),
+          r.getAs[Long]("tn"), r.getAs[Long]("fn"))
+      }.toMap
+    assert(got == expected)
+    // the confusion must not be the degenerate all-one-column shape
+    // the raw perceptron sign produces (the reason the gate exists)
+    val tot = got.values.toSeq
+    assert(tot.map(_._2).sum + tot.map(_._4).sum > 0, "some kept, some cut")
+    assert(tot.map(_._2).sum > 0 && tot.map(_._4).sum > 0,
+      s"gate must keep some and cut some held-out docs: $got")
+  }
+
+  test("per-epoch job count does not grow with corpus size (stabilized lineage)") {
+    import org.apache.spark.scheduler.{SparkListener, SparkListenerJobStart}
+    import java.util.concurrent.atomic.AtomicInteger
+    def countJobs(n: Long): Int = {
+      // distributively generated corpus: no driver-side data
+      val docs = spark.range(n).select(
+        col("id").as("doc_id"),
+        concat_ws(" ", (0 until 10).map(j =>
+          concat(lit("w"), pmod(hash(col("id") * lit(31 + j)), lit(500)))): _*)
+          .as("text"))
+      val counter = new AtomicInteger
+      val l = new SparkListener {
+        override def onJobStart(jobStart: SparkListenerJobStart): Unit = {
+          counter.incrementAndGet(); ()
+        }
+      }
+      spark.sparkContext.addSparkListener(l)
+      try {
+        Classify.trainPerceptron(docs, "doc_id", "text", 64, Epochs).collect()
+        // listener delivery is async: poll until the count stops moving
+        var prev = -1; var cur = counter.get(); var spins = 0
+        while (cur != prev && spins < 100) {
+          Thread.sleep(100); prev = cur; cur = counter.get(); spins += 1
+        }
+        cur
+      } finally spark.sparkContext.removeSparkListener(l)
+    }
+    val small = countJobs(500)
+    val big = countJobs(5000)
+    assert(small > 0)
+    // flat modulo AQE wobble; lineage growth would multiply, not add
+    assert(big <= small + 2,
+      s"job count grew with corpus size: $small -> $big")
+  }
+
   test("epoch 1 learns the per-bucket class-presence difference") {
     // with w0 = 0 every doc is misclassified, so w1[b] must equal
     // Σ_{docs containing b} y — the analytically known first step

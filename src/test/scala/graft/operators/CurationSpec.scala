@@ -47,6 +47,43 @@ class CurationSpec extends SparkSpec {
       .count() == 0)
   }
 
+  test("curationAuditModel: model gate first, fates still partition the corpus") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+    val audit = Curation
+      .curationAuditModel(corpus, "doc_id", "text", "source")
+      .localCheckpoint()
+    assert(audit.count() == corpus.count(),
+      "every input doc gets exactly one verdict")
+    // model_filtered ≡ the complement of the gate's kept-id set
+    val gateIds = Curation.modelQualityIds(corpus, "doc_id", "text")
+      .as[Long].collect().toSet
+    val refused = audit.filter($"fate" === "model_filtered")
+      .select("doc_id").as[Long].collect().toSet
+    val allIds = corpus.select("doc_id").as[Long].collect().toSet
+    assert(refused == allIds -- gateIds)
+    assert(refused.nonEmpty && gateIds.nonEmpty,
+      "fixture must exercise both sides of the model gate")
+    // refused docs carry no downstream verdicts
+    assert(audit.filter($"fate" === "model_filtered" &&
+      ($"blame_id".isNotNull || $"split".isNotNull || $"pack_id".isNotNull))
+      .count() == 0)
+    // kept set ≡ the v2 pipeline's shipped output, split/pack included
+    val keptAudit = audit.filter($"fate" === "kept")
+      .select("doc_id", "split", "pack_id")
+      .collect().map(_.toSeq).toSet
+    val pipeline = Curation
+      .curateCorpusModel(corpus, "doc_id", "text", "source")
+      .select("doc_id", "split", "pack_id")
+      .collect().map(_.toSeq).toSet
+    assert(keptAudit == pipeline)
+    // stage order: every downstream fate (quality/near_dup/kept) is a
+    // gate survivor
+    val downstream = audit.filter($"fate" =!= "model_filtered")
+      .select("doc_id").as[Long].collect().toSet
+    assert(downstream == gateIds)
+  }
+
   test("hash sampling is deterministic and partition-independent") {
     val a = Curation.hashSample(docs, "doc_id", 50)
       .select("doc_id").as[Long].collect().toSet

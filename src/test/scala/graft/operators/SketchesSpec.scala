@@ -106,4 +106,53 @@ class SketchesSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!plan.contains("Exchange"), s"projection shuffled:\n$plan")
   }
+
+  /** Two groups with a KNOWN overlap: a 0..999, b 500..1499 →
+    * union 1500, Jaccard 1/3. Above-k estimator path.
+    */
+  private def overlapped = {
+    val a = (0 until 1000).map(i => ("a", s"key_$i"))
+    val b = (500 until 1500).map(i => ("b", s"key_$i"))
+    (a ++ b).toDF("grp", "key")
+  }
+
+  test("KMV sketch keeps at most k ranked ascending hashes per group") {
+    val sk = Sketches.kmvSketch(overlapped, "grp", "key")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getInt(2)))
+    val byG = sk.groupBy(_._1)
+    assert(byG.keySet == Set("a", "b"))
+    byG.values.foreach { rows =>
+      assert(rows.length == Sketches.KmvK)
+      val sorted = rows.sortBy(_._3)
+      assert(sorted.map(_._2).toSeq == rows.map(_._2).sorted.toSeq,
+        "rank order must equal ascending hash order")
+    }
+  }
+
+  test("KMV overlap: exact columns exact; estimates inside 3-sigma") {
+    val row = Sketches.kmvOverlap(overlapped, "grp", "key").head()
+    assert(row.getAs[String]("ga") == "a" && row.getAs[String]("gb") == "b")
+    assert(row.getAs[Long]("exact_common") == 500L)
+    assert(row.getAs[Long]("exact_union") == 1500L)
+    assert(row.getAs[Double]("exact_jaccard") == 0.333333)
+    // KMV union rel. error ~ 1/sqrt(k-2) = 12.7 %; 3 sigma = 38 %
+    val estU = row.getAs[Double]("kmv_union")
+    assert(math.abs(estU - 1500) / 1500.0 < 0.38, s"union est $estU")
+    // Jaccard sampling error sqrt(J(1-J)/k) = 5.9 %; 3 sigma = 18 %
+    val estJ = row.getAs[Double]("kmv_jaccard")
+    assert(math.abs(estJ - 1.0 / 3) < 0.18, s"jaccard est $estJ")
+  }
+
+  test("KMV overlap is EXACT below k distinct values, and duplicate-insensitive") {
+    val a = (0 until 30).map(i => ("a", s"k$i"))
+    val b = (20 until 50).map(i => ("b", s"k$i"))
+    val df = (a ++ b ++ a ++ b).toDF("grp", "key") // dups must not matter
+    val row = Sketches.kmvOverlap(df, "grp", "key").head()
+    assert(row.getAs[Long]("exact_common") == 10L)
+    assert(row.getAs[Long]("exact_union") == 50L)
+    // union (50) below k=64: the merged sketch holds EVERY value, so
+    // the estimate is the exact count and the sample Jaccard is exact
+    assert(row.getAs[Double]("kmv_union") == 50.0)
+    assert(row.getAs[Double]("kmv_jaccard") == 0.2)
+  }
 }

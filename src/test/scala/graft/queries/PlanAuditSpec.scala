@@ -104,6 +104,22 @@ class PlanAuditSpec extends SparkSpec {
       s"the per-vector argmin must use the bounded heap, not a full window sort:\n$plan")
   }
 
+  test("KMV sketch executes on the GroupedTopK heap; overlap never shuffles corpus-wide") {
+    val toks = Tables.documents(spark, sf)
+      .filter(col("text").isNotNull)
+      .select(col("source"),
+        explode(graft.functions.Portable.tokens(col("text"))).as("tok"))
+    val plan = finalPlan(graft.operators.Sketches.kmvSketch(
+      toks, "source", "tok"))
+    assert(plan.contains("GroupedTopK"),
+      s"k-minimum selection must use the bounded heap, not a window sort:\n$plan")
+    // every per-group state bound: no group exceeds k rows
+    val sk = graft.operators.Sketches.kmvSketch(toks, "source", "tok")
+    val over = sk.groupBy("source").count()
+      .filter(col("count") > graft.operators.Sketches.KmvK).count()
+    assert(over == 0)
+  }
+
   test("tokenBudgetCap / weightedSample shuffle only on the group column") {
     val docs = Tables.documents(spark, sf).withColumn("n_tokens",
       size(graft.functions.Portable.tokens(col("text"))).cast("long"))
