@@ -187,6 +187,30 @@ object Classify {
       .select(col(idCol))
   }
 
+  /** Train the epoch-1 discriminant and package the gate for SERVING:
+    * `(bucket → weight, train doc count n, train margin sum s)`. The
+    * weight table is ≤ `buckets` rows and the stats a single row —
+    * small enough to collect and ship to a streaming scorer
+    * ([[graft.streaming.Streams.streamingModelGate]]), where the
+    * decision `margin · n ≥ s` becomes a stateless row-local
+    * expression over a literal weight array. This is the production
+    * deployment shape of a model filter: train on the batch corpus,
+    * serve every arriving doc without a join or state store.
+    */
+  def trainedGate(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 1024, minStop: Int = 2)
+      : (Map[Long, Long], Long, Long) = {
+    val feat = graft.Checkpoints.stabilize(
+      hashedFeatures(df, idCol, textCol, buckets))
+    val labels = graft.Checkpoints.stabilize(
+      weakLabels(df, idCol, textCol, minStop))
+    val w = trainOnPrepared(feat, labels, epochs = 1)
+    val wm = w.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val st = margins(feat, labels, w)
+      .agg(count(lit(1)).as("n"), sum("margin").as("s")).head()
+    (wm, st.getLong(0), st.getLong(1))
+  }
+
   /** Held-out evaluation of [[marginGate]] — the threshold-tuning
     * artifact a real CCNet-style filter needs before anyone trusts the
     * model gate: train the epoch-1 discriminant on the `bucket(id) <

@@ -369,6 +369,36 @@ object Streams {
       graft.operators.TextOps.repetitionPassLocal(col(textCol)) &&
         size(graft.functions.Portable.tokens(col(textCol))) >= minTokens)
 
+  /** Streaming MODEL-quality gate: score each arriving doc with a
+    * PRE-TRAINED weight table ([[graft.operators.Classify.trainedGate]]
+    * — train on the batch corpus, serve the stream) and keep docs
+    * whose margin clears the trained mean threshold
+    * (`margin · n ≥ s`, the same integer-exact cross-multiply as the
+    * batch gate). The ≤`buckets`-entry weight table rides the plan as
+    * a LITERAL array, so scoring is stateless and row-local — no
+    * stream-static join, no state store — exactly what an ingest
+    * stream wants. Unscorable docs (null text / no tokens after
+    * filtering) are refused, matching the batch gate's "a model must
+    * not vouch for what it cannot score" contract.
+    */
+  def streamingModelGate(docs: DataFrame, textCol: String,
+                         weights: Map[Long, Long], buckets: Int,
+                         n: Long, s: Long): DataFrame = {
+    import graft.functions.Portable
+    val wArr = typedLit((0 until buckets)
+      .map(b => weights.getOrElse(b.toLong, 0L)))
+    val toks = filter(Portable.tokens(col(textCol)), t => length(t) > 0)
+    val bks = array_distinct(
+      transform(toks, t => Portable.hash32(t) % buckets))
+    val margin = aggregate(bks, lit(0L),
+      (acc, b) => acc + element_at(wArr, (b + 1).cast("int")))
+    docs.filter(coalesce(
+      size(bks) >= 1 &&
+        margin.cast("decimal(38,0)") * lit(n) >=
+          lit(s).cast("decimal(38,0)"),
+      lit(false)))
+  }
+
   /** Streaming DECONTAMINATION gate against a benchmark-set bloom
     * sketch: drop any arriving doc sharing a k-shingle that the bloom
     * reports as possibly-benchmark. Because the bitset rides the plan

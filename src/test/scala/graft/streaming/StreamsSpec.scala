@@ -509,6 +509,38 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("streaming model gate ≡ batch marginGate on the same corpus (train batch, serve stream)") {
+    implicit val sqlCtx = spark.sqlContext
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text")
+    val (w, n, s) =
+      graft.operators.Classify.trainedGate(corpus, "doc_id", "text",
+        buckets = 256)
+    val batchKept = graft.operators.Classify
+      .marginGate(corpus, "doc_id", "text", buckets = 256)
+      .as[Long].collect().toSet
+    assert(batchKept.nonEmpty, "gate must keep something on the fixture")
+    val rows = corpus.collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.streamingModelGate(
+        in.toDF().toDF("doc_id", "text"), "text", w, 256, n, s)
+      .writeStream.format("memory").queryName("mgate")
+      .outputMode("append").start()
+    try {
+      in.addData(rows.take(rows.length / 2).toSeq)
+      q.processAllAvailable()
+      in.addData(rows.drop(rows.length / 2).toSeq) // cross-batch too
+      in.addData((999999L, null.asInstanceOf[String])) // unscorable
+      q.processAllAvailable()
+      val streamKept = spark.table("mgate").select("doc_id").as[Long]
+        .collect().toSet
+      assert(streamKept == batchKept,
+        s"stream/batch gate drift: only-stream=${streamKept -- batchKept} " +
+          s"only-batch=${batchKept -- streamKept}")
+    } finally q.stop()
+  }
+
   test("streaming curation chain: gate then dedup, incrementally") {
     implicit val sqlCtx = spark.sqlContext
     val in = MemoryStream[(Long, String, Timestamp)]
