@@ -67,6 +67,11 @@ object ScaleSmoke {
       best2(
         Curation.curateCorpus(gen(spark, rows), "doc_id", "text", "source")
           .count()),
+      // model-gated pipeline: adds the perceptron epochs (model-sized
+      // joins) in front — ratio must stay data-linear, not epoch-bound
+      best2(
+        Curation.curateCorpusModel(gen(spark, rows), "doc_id", "text",
+          "source").count()),
       best2(pagerank(rows)),
       // span-level dedup: shingle-keyed, must scale with token count
       best2(
@@ -77,8 +82,8 @@ object ScaleSmoke {
         graft.operators.Similarity.sparseCosinePairs(
           gen(spark, rows), "doc_id", "text", dfCap = 100).count()))
 
-    val names = Seq("transitive", "pipeline", "pagerank", "substring",
-      "sparse_sim")
+    val names = Seq("transitive", "pipeline", "pipeline_model", "pagerank",
+      "substring", "sparse_sim")
     val tier1 = runTier(n)
     val tier10 = runTier(n * 10)
     val ratios = tier1.zip(tier10).map { case (a, b) => b / a }

@@ -351,6 +351,10 @@ object Curation {
                         valPct: Int = 10, packBudget: Long = 256L,
                         buckets: Int = 1024,
                         minStop: Int = 2): DataFrame = {
+    // not re-stabilized: perceptronQuality already checkpoints the
+    // feature/label/weight tables, so every pipeline subtree consuming
+    // the gated frame shares those; an extra id-set checkpoint here
+    // measured as pure write cost
     val keep = modelQualityIds(docs, idCol, textCol, buckets, minStop)
     curateCorpus(docs.join(keep, Seq(idCol), "left_semi"), idCol, textCol,
       sourceCol, minTokens, dedupThreshold, trainPct, valPct, packBudget)

@@ -104,6 +104,18 @@ class PlanAuditSpec extends SparkSpec {
       s"the per-vector argmin must use the bounded heap, not a full window sort:\n$plan")
   }
 
+  test("model gate: threshold stats ride as a broadcast, never a corpus shuffle") {
+    val docs = Tables.documents(spark, sf).select("doc_id", "text")
+    val plan = finalPlan(
+      graft.operators.Classify.marginGate(docs, "doc_id", "text", 256))
+    // the 1-row (n, s) stats frame must reach the scored corpus via a
+    // broadcast (AQE picks BNLJ/BHJ for the crossJoin), never by
+    // repartitioning the corpus side for a scalar
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"gate stats must broadcast:\n$plan")
+  }
+
   test("KMV sketch executes on the GroupedTopK heap; overlap never shuffles corpus-wide") {
     val toks = Tables.documents(spark, sf)
       .filter(col("text").isNotNull)
