@@ -59,26 +59,44 @@ object Sketches {
       .agg(max(col("r")).as("m"))
   }
 
-  /** Per-group approximate distinct count. The raw HLL estimator
-    * alpha·m²/Σ2^−M (no small-range correction: `ln` is libm-dependent
-    * and would break bit-identical oracles; at m = 64 the raw estimate
-    * is the documented contract, biased high below ~2.5·m distinct
-    * keys). Every 2^−M term is a dyadic rational ≥ 2^−27, so the sum
-    * is EXACT in double under any addition order — the estimate is
-    * deterministic without ordering tricks.
+  /** Estimate from a prepared register table `(groupCols…, bucket, m)`
+    * — shared by the direct per-group path and the merge path. The raw
+    * HLL estimator alpha·m²/Σ2^−M (no small-range correction: `ln` is
+    * libm-dependent and would break bit-identical oracles; at m = 64
+    * the raw estimate is the documented contract, biased high below
+    * ~2.5·m distinct keys). Every 2^−M term is a dyadic rational ≥
+    * 2^−27, so the sum is EXACT in double under any addition order —
+    * the estimate is deterministic without ordering tricks.
     */
-  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
-    hllRegisters(df, groupCol, keyCol)
-      .groupBy(col(groupCol))
+  def hllEstimateFromRegisters(reg: DataFrame,
+                               groupCols: Seq[String]): DataFrame =
+    reg.groupBy(groupCols.map(col): _*)
       .agg(count(lit(1)).as("present"),
         // SQL-form shiftleft: the Scala wrapper only takes a constant
         // shift, but register M is a column
         sum(expr("1.0 / cast(shiftleft(1L, m) as double)")).as("s_present"))
       // absent buckets hold register 0 → each contributes 2^0 = 1
-      .select(col(groupCol),
+      .select(groupCols.map(col) :+
         round(lit(HllAlpha * HllM * HllM) /
           ((lit(HllM) - col("present")).cast("double") + col("s_present")), 4)
-          .as("hll_estimate"))
+          .as("hll_estimate"): _*)
+
+  /** Per-group approximate distinct count. */
+  def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    hllEstimateFromRegisters(hllRegisters(df, groupCol, keyCol),
+      Seq(groupCol))
+
+  /** MERGE per-group register tables into one global estimate —
+    * register-wise max. Mergeability is the property that makes the
+    * sketch matter at 100 TB: per-shard / per-day / per-source
+    * sketches (64 rows each) combine into corpus-level answers with no
+    * re-scan of the data that built them, and `max` is associative +
+    * idempotent, so any merge tree (and re-merging overlapping
+    * sketches) gives the SAME registers as sketching the union
+    * directly — spec-pinned bit-for-bit.
+    */
+  def hllMergeRegisters(reg: DataFrame): DataFrame =
+    reg.groupBy(col("bucket")).agg(max(col("m")).as("m"))
 
   // ---- Count-Min sketch (Cormode & Muthukrishnan 2005) ----
 

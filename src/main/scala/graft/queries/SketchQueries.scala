@@ -53,7 +53,21 @@ object SketchQueries {
     // distinct sketch (HLL can't intersect)
     "q_kmv_overlap" -> ((s, d) =>
       Sketches.kmvOverlap(toks(s, d), "source", "tok")
-        .orderBy("ga", "gb"))
+        .orderBy("ga", "gb")),
+
+    // the shard-merge path: per-source registers merged by max into
+    // ONE corpus-level estimate, next to the exact global distinct —
+    // mergeability is what lets 100 TB of shard sketches answer
+    // corpus questions without a re-scan
+    "q_hll_union" -> ((s, d) => {
+      val t = toks(s, d)
+      val merged = Sketches.hllEstimateFromRegisters(
+        Sketches.hllMergeRegisters(
+          Sketches.hllRegisters(t, "source", "tok")),
+        Seq.empty)
+      t.agg(countDistinct(col("tok")).as("exact_distinct"))
+        .crossJoin(merged)
+    })
   )
 
   private val toksCte =
@@ -150,6 +164,23 @@ object SketchQueries {
          |JOIN sz sb ON sb.source = ka.gb
          |LEFT JOIN it ON it.ga = ka.ga AND it.gb = ka.gb
          |ORDER BY ka.ga, ka.gb""".stripMargin
-    }
+    },
+
+    "q_hll_union" ->
+      s"""WITH $toksCte,
+         |h AS (SELECT source, ${Portable.hash32Sql("tok")} AS hv FROM toks),
+         |reg AS (SELECT source, hv % $M AS bucket,
+         |    max(CASE WHEN hv // $M > 0
+         |        THEN $RhoMax - length(bin(hv // $M)) ELSE $RhoMax END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |mg AS (SELECT bucket, max(m) AS m FROM reg GROUP BY 1),
+         |est AS (SELECT count(*) AS present,
+         |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS s_present
+         |  FROM mg),
+         |ex AS (SELECT count(DISTINCT tok) AS exact_distinct FROM toks)
+         |SELECT ex.exact_distinct,
+         |  round(${Sketches.HllAlpha * M * M} /
+         |    (($M - present) + s_present), 4) AS hll_estimate
+         |FROM est, ex""".stripMargin
   )
 }

@@ -143,6 +143,36 @@ class SketchesSpec extends SparkSpec {
     assert(math.abs(estJ - 1.0 / 3) < 0.18, s"jaccard est $estJ")
   }
 
+  test("sketches are mergeable: shard sketches combine to the whole-data sketch") {
+    val whole = keyed(groups = 4, perGroup = 700)
+    // HLL: per-group registers max-merged == registers of the pooled
+    // data sketched directly, bit-for-bit (max is associative +
+    // idempotent — any merge tree gives the same registers)
+    val perGroup = Sketches.hllMergeRegisters(
+      Sketches.hllRegisters(whole, "grp", "key"))
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toMap
+    val direct = Sketches.hllRegisters(
+      whole.withColumn("one", lit("all")), "one", "key")
+      .collect().map(r => (r.getLong(1), r.getInt(2))).toMap
+    assert(perGroup == direct)
+    // CMS: counters of two halves SUM to the whole-data counters
+    val (h1, h2) = (whole.filter($"key".endsWith("1")),
+      whole.filter(!$"key".endsWith("1")))
+    def cmsMap(df: org.apache.spark.sql.DataFrame) =
+      Sketches.cmsSketch(df, "key").collect()
+        .map(r => ((r.getInt(0), r.getLong(1)), r.getLong(2))).toMap
+    val summed = (cmsMap(h1).keySet ++ cmsMap(h2).keySet).map(k =>
+      k -> (cmsMap(h1).getOrElse(k, 0L) + cmsMap(h2).getOrElse(k, 0L))).toMap
+    assert(summed == cmsMap(whole))
+    // KMV: k smallest of (sketch(h1) ∪ sketch(h2)) == sketch(whole)
+    def kmvSet(df: org.apache.spark.sql.DataFrame) =
+      Sketches.kmvSketch(df.withColumn("one", lit("all")), "one", "key")
+        .select("hv").as[Long].collect().toSet
+    val mergedKmv = (kmvSet(h1) ++ kmvSet(h2)).toSeq.sorted
+      .take(Sketches.KmvK).toSet
+    assert(mergedKmv == kmvSet(whole))
+  }
+
   test("KMV overlap is EXACT below k distinct values, and duplicate-insensitive") {
     val a = (0 until 30).map(i => ("a", s"k$i"))
     val b = (20 until 50).map(i => ("b", s"k$i"))
