@@ -65,6 +65,25 @@ object Curation {
       .drop("__cum")
   }
 
+  /** Pack-utilization report — the ops audit of [[packSequences]]:
+    * per (group, pack) the doc count, token mass, and utilization in
+    * integer basis points of the budget. The streaming-packing policy
+    * deliberately lets the last doc overflow its pack, so utilization
+    * above 10000 bp marks the overflow doc's pack and the TAIL pack of
+    * each group runs light; at 100 TB this report is how a data
+    * engineer sees whether the budget matches the doc-length
+    * distribution (chronic overflow → raise budget or pre-chunk).
+    * One groupBy over the packed frame; integer arithmetic throughout.
+    */
+  def packUtilization(packed: DataFrame, tokenCountCol: String,
+                      budget: Long, groupCol: String): DataFrame =
+    packed.groupBy(col(groupCol), col("pack_id"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col(tokenCountCol)).as("pack_tokens"))
+      // `div`, not `/`: Spark's / widens integrals to double; the
+      // truncating integer form matches DuckDB's // exactly
+      .withColumn("util_bp", expr(s"pack_tokens * 10000 div $budget"))
+
   /** Per-group token-budget cap: keep documents, in deterministic
     * hash order (fair — uncorrelated with id/recency/length), until
     * the group's running token total reaches `budget`; the doc that

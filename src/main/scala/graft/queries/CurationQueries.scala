@@ -46,6 +46,17 @@ object CurationQueries {
         .select("doc_id", "source", "n_tokens", "pack_id")
         .orderBy("doc_id")),
 
+    // pack-utilization audit: per (source, pack) doc count, token
+    // mass, and integer basis-point fill vs the 256-token budget
+    "q_pack_stats" -> ((s, d) =>
+      Curation.packUtilization(
+        Curation.packSequences(
+          docs(s, d).withColumn("n_tokens",
+            size(Portable.tokens(col("text"))).cast("long")),
+          "doc_id", "n_tokens", PackBudget, "source"),
+        "n_tokens", PackBudget, "source")
+        .orderBy("source", "pack_id")),
+
     // 1000-token budget per source, hash-ordered admission — the
     // "N tokens per domain" mixture contract
     "q_token_budget" -> ((s, d) =>
@@ -305,6 +316,22 @@ object CurationQueries {
          |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
          |    / $PackBudget) AS BIGINT) AS pack_id
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_pack_stats" ->
+      s"""WITH t AS (SELECT doc_id, source,
+         |    CAST(len(${Portable.tokensSql("text")}) AS BIGINT) AS n_tokens
+         |  FROM documents),
+         |p AS (SELECT doc_id, source, n_tokens,
+         |  CAST(floor((sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
+         |    / $PackBudget) AS BIGINT) AS pack_id
+         |  FROM t)
+         |SELECT source, pack_id,
+         |  CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(n_tokens) AS BIGINT) AS pack_tokens,
+         |  CAST(sum(n_tokens) * 10000 // $PackBudget AS BIGINT) AS util_bp
+         |FROM p GROUP BY 1, 2
+         |ORDER BY source, pack_id""".stripMargin,
 
     "q_token_budget" ->
       s"""WITH t AS (SELECT doc_id, source,

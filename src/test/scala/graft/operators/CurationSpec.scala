@@ -118,6 +118,23 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("packUtilization: token mass conserved, overflow packs flagged past 10000 bp") {
+    val df = Seq((1L, "a", 4L), (2L, "a", 4L), (3L, "a", 4L),
+      (4L, "b", 12L)).toDF("id", "g", "nt")
+    val util = Curation.packUtilization(
+      Curation.packSequences(df, "id", "nt", 10L, "g"), "nt", 10L, "g")
+      .collect()
+    assert(util.map(_.getAs[Long]("pack_tokens")).sum == 24L)
+    // exclusive-prefix packing puts all three 4-token docs in pack 0
+    // (cum-before 0/4/8 < 10): the overflow pack reads 12000 bp
+    val a0 = util.find(r => r.getAs[String]("g") == "a").get
+    assert(a0.getAs[Long]("pack_id") == 0L &&
+      a0.getAs[Long]("n_docs") == 3L &&
+      a0.getAs[Long]("util_bp") == 12000L)
+    val b0 = util.find(r => r.getAs[String]("g") == "b").get
+    assert(b0.getAs[Long]("util_bp") == 12000L)
+  }
+
   test("packSequences: exclusive-prefix quota arithmetic per group") {
     val df = Seq(
       (1L, "g", 100L), (2L, "g", 100L), (3L, "g", 100L), // cum 0,100,200
