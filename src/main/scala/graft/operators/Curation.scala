@@ -101,6 +101,35 @@ object Curation {
       .filter(col("cum_tokens") <= budget)
   }
 
+  /** QUALITY-ranked token budget — [[tokenBudgetCap]] with the
+    * admission order flipped from fair-hash to BEST-FIRST by the model
+    * score: docs join their epoch-1 discriminant margins
+    * ([[Classify.perceptronQuality]], the stable ranker behind
+    * [[Classify.marginGate]]) and each group admits highest-margin
+    * docs until the token budget is spent (the overflow doc is cut
+    * with it, same contract as tokenBudgetCap). This is the "spend the
+    * token budget on the best data" move a CCNet-style pipeline makes
+    * once it trusts the scorer — fair sampling answers "what does the
+    * corpus look like", this answers "what should training pay for".
+    * Unscorable docs (no tokens) have no margin and are never
+    * admitted. One margins chain + one window per group; ties break by
+    * id so the cut is total-order deterministic.
+    */
+  def qualityBudgetCap(df: DataFrame, idCol: String, textCol: String,
+                       groupCol: String, tokenCountCol: String,
+                       budget: Long, buckets: Int = 1024,
+                       minStop: Int = 2): DataFrame = {
+    val margins = Classify.perceptronQuality(df, idCol, textCol, buckets,
+      epochs = 1, minStop = minStop)
+      .select(col(idCol), col("margin"))
+    val w = Window.partitionBy(groupCol)
+      .orderBy(col("margin").desc, col(idCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    df.join(margins, Seq(idCol))
+      .withColumn("cum_tokens", sum(col(tokenCountCol)).over(w))
+      .filter(col("cum_tokens") <= budget)
+  }
+
   /** Per-group admission CAP — "at most n docs per domain", the other
     * half of a mixture recipe's quota (tokenBudgetCap bounds token
     * mass; this bounds document COUNT, the guard against one domain

@@ -19,6 +19,7 @@ object CurationQueries {
   private val K = 3
   private val PackBudget = 256L
   private val TokenBudget = 1000L
+  private val QualityBudget = 500L
 
   private def docs(s: SparkSession, d: String): DataFrame =
     Tables.documents(s, d)
@@ -56,6 +57,18 @@ object CurationQueries {
           "doc_id", "n_tokens", PackBudget, "source"),
         "n_tokens", PackBudget, "source")
         .orderBy("source", "pack_id")),
+
+    // best-first token budget: each source admits its highest-margin
+    // docs (epoch-1 model score) until 500 tokens — the "spend the
+    // budget on the best data" twin of q_token_budget's fair-hash
+    // admission
+    "q_quality_budget" -> ((s, d) =>
+      Curation.qualityBudgetCap(
+        docs(s, d).withColumn("n_tokens",
+          size(Portable.tokens(col("text"))).cast("long")),
+        "doc_id", "text", "source", "n_tokens", QualityBudget)
+        .select("doc_id", "source", "n_tokens", "margin", "cum_tokens")
+        .orderBy("doc_id")),
 
     // 1000-token budget per source, hash-ordered admission — the
     // "N tokens per domain" mixture contract
@@ -316,6 +329,23 @@ object CurationQueries {
          |      ORDER BY doc_id ROWS UNBOUNDED PRECEDING) - n_tokens)
          |    / $PackBudget) AS BIGINT) AS pack_id
          |FROM t ORDER BY doc_id""".stripMargin,
+
+    "q_quality_budget" ->
+      s"""WITH ${TextQueries.perceptronBaseCtes(1024, 2)},
+         |${TextQueries.perceptronEpochCtes(1, "f", "lab")},
+         |${TextQueries.perceptronMarginCte("fm", "f", "w1")},
+         |t AS (SELECT d.doc_id, d.source,
+         |    CAST(len(${Portable.tokensSql("d.text")}) AS BIGINT) AS n_tokens,
+         |    fm.margin
+         |  FROM documents d JOIN fm ON fm.doc_id = d.doc_id),
+         |c AS (SELECT doc_id, source, n_tokens, margin,
+         |    CAST(sum(n_tokens) OVER (PARTITION BY source
+         |      ORDER BY margin DESC, doc_id ROWS UNBOUNDED PRECEDING)
+         |      AS BIGINT) AS cum_tokens
+         |  FROM t)
+         |SELECT doc_id, source, n_tokens, margin, cum_tokens FROM c
+         |WHERE cum_tokens <= $QualityBudget
+         |ORDER BY doc_id""".stripMargin,
 
     "q_pack_stats" ->
       s"""WITH t AS (SELECT doc_id, source,

@@ -118,6 +118,34 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("qualityBudgetCap ≡ greedy best-first replay per source") {
+    val corpus = spark.read.parquet(s"$sf/documents.parquet")
+      .select("doc_id", "text", "source")
+      .withColumn("n_tokens", org.apache.spark.sql.functions
+        .size(graft.functions.Portable.tokens($"text")).cast("long"))
+    val budget = 300L
+    val got = Curation.qualityBudgetCap(corpus, "doc_id", "text",
+        "source", "n_tokens", budget, buckets = 256)
+      .select("doc_id").as[Long].collect().toSet
+    // replay: margins collected, per source sort (margin desc, id),
+    // admit the prefix strictly before the first budget crossing
+    val m = Classify.perceptronQuality(corpus, "doc_id", "text", 256, 1)
+      .select("doc_id", "margin")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val meta = corpus.select("doc_id", "source", "n_tokens").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+      .filter(t => m.contains(t._1))
+    val expected = meta.groupBy(_._2).values.flatMap { rows =>
+      var cum = 0L
+      rows.sortBy(t => (-m(t._1), t._1)).takeWhile { t =>
+        cum += t._3; cum <= budget
+      }.map(_._1)
+    }.toSet
+    assert(got == expected)
+    assert(got.nonEmpty && got.size < meta.length,
+      "budget must actually cut on the fixture")
+  }
+
   test("packUtilization: token mass conserved, overflow packs flagged past 10000 bp") {
     val df = Seq((1L, "a", 4L), (2L, "a", 4L), (3L, "a", 4L),
       (4L, "b", 12L)).toDF("id", "g", "nt")
