@@ -870,4 +870,81 @@ object Dedup {
       .join(rebuilt, Seq(idCol), "left")
       .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
   }
+
+  /** Cross-corpus SPAN dedup — the CCNet/shard "line dedup" shape for
+    * corpora whose documents carry no line structure: cut each document
+    * into NON-overlapping `span`-token blocks (the pseudo-lines), hash
+    * each block, and keep only the globally-first occurrence of every
+    * repeated block (deterministic keeper: min (doc, block index)
+    * struct, a combinable aggregate — no window). Later occurrences are
+    * cut and each document is rebuilt in order from its surviving
+    * blocks. Blocks shorter than `minTokens` (the ragged tail block)
+    * carry too little signal to call duplicates and are always kept.
+    *
+    * Contrast [[substringDedup]] (overlapping k-gram coverage): that
+    * explodes one row per TOKEN position and catches arbitrary-offset
+    * repeats; this explodes one row per BLOCK — a `span`× smaller
+    * shuffle — and catches the aligned repeats that dominate real
+    * corpora (boilerplate lines, templated paragraphs). At 100 TB this
+    * is the corpus-wide first pass; substringDedup is the fine tail
+    * pass on what survives. Both shuffles key on the block/shingle
+    * content (or its 64-bit hash via `hashSpans = true`, shrinking
+    * shuffle rows to 8 bytes at ~n²/2⁶⁴ collision risk), never doc×doc.
+    *
+    * Returns one row per input doc: (id, text_clean, n_spans, n_cut).
+    */
+  def spanDedup(df: DataFrame, idCol: String, textCol: String,
+                span: Int = 8, minTokens: Int = 4,
+                hashSpans: Boolean = false): DataFrame = {
+    require(span >= 1 && minTokens >= 1, "span and minTokens must be >= 1")
+    val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+    // one row per non-overlapping block: (id, idx, block text, block len)
+    val blocks = base
+      .select(col(idCol),
+        posexplode(
+          transform(
+            sequence(lit(0),
+              greatest(ceil(size(col("__toks")).cast("double") / span)
+                .cast("int") - 1, lit(0))),
+            i => array_join(slice(col("__toks"), i * span + lit(1), lit(span)), " ")))
+          .as(Seq("idx", "block")))
+      .withColumn("blen", size(Portable.tokens(col("block"))))
+    val keyed =
+      if (hashSpans) blocks.withColumn("__key", xxhash64(col("block")))
+      else blocks.withColumn("__key", col("block"))
+    // duplicated full-length blocks and their keeper occurrence
+    val firsts = keyed
+      .filter(col("blen") >= minTokens)
+      .groupBy("__key")
+      .agg(count(lit(1)).as("__cnt"),
+        min(struct(col(idCol), col("idx"))).as("__first"))
+      .filter(col("__cnt") >= 2)
+      .select(col("__key"), col("__first"))
+    val cut = keyed
+      .filter(col("blen") >= minTokens)
+      .join(firsts, "__key")
+      .filter(struct(col(idCol), col("idx")) =!= col("__first"))
+      .select(col(idCol), col("idx"))
+    val rebuilt = keyed
+      .join(cut.withColumn("__cut", lit(1L)), Seq(idCol, "idx"), "left")
+      .groupBy(col(idCol))
+      .agg(
+        array_join(
+          filter(
+            transform(
+              array_sort(collect_list(struct(col("idx"),
+                when(col("__cut").isNull, col("block"))
+                  .otherwise(lit(null)).as("b"))),
+              ),
+              x => x.getField("b")),
+            b => b.isNotNull), " ").as("text_clean"),
+        count(lit(1)).as("n_spans"),
+        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_cut"))
+    df.select(col(idCol))
+      .join(rebuilt, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("text_clean"), lit("")).as("text_clean"),
+        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
+        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+  }
 }

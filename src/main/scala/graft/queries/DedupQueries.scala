@@ -273,6 +273,14 @@ object DedupQueries {
       Dedup.containmentPairs(Tables.documents(s, d), "doc_id", "text", K,
         minContain = 0.3)
         .orderBy("id_a", "id_b")),
+
+    // cross-corpus span dedup: non-overlapping 3-token blocks, keep the
+    // globally-first occurrence of each repeated block (CCNet-style
+    // "line dedup" for a corpus whose docs carry no newlines)
+    "q_span_dedup" -> ((s, d) =>
+      Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text",
+        span = 3, minTokens = 2)
+        .orderBy("doc_id")),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -752,6 +760,41 @@ object DedupQueries {
          |    AS text_clean
          |  FROM kept GROUP BY doc_id)
          |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_span_dedup" -> {
+      val span = 3
+      val minTokens = 2
+      s"""WITH toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+         |blk AS (SELECT doc_id, t,
+         |    unnest(generate_series(0,
+         |      greatest(CAST(ceil(len(t) / ${span}.0) AS INT) - 1, 0))) AS idx
+         |  FROM toks),
+         |blocks AS (SELECT doc_id, idx,
+         |    array_to_string(t[idx * $span + 1 : idx * $span + $span], ' ')
+         |      AS block
+         |  FROM blk),
+         |b2 AS (SELECT doc_id, idx, block,
+         |    len(${Portable.tokensSql("block")}) AS blen
+         |  FROM blocks),
+         |ranked AS (SELECT doc_id, idx, row_number()
+         |    OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+         |  FROM b2 WHERE blen >= $minTokens),
+         |cut AS (SELECT doc_id, idx FROM ranked WHERE rn >= 2),
+         |kept AS (SELECT b.doc_id, b.idx, b.block,
+         |    c.idx IS NOT NULL AS iscut
+         |  FROM b2 b LEFT JOIN cut c
+         |    ON c.doc_id = b.doc_id AND c.idx = b.idx),
+         |rebuilt AS (SELECT doc_id,
+         |    string_agg(CASE WHEN NOT iscut THEN block END, ' ' ORDER BY idx)
+         |      AS text_clean,
+         |    count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN iscut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+         |  coalesce(r.n_spans, 0) AS n_spans, coalesce(r.n_cut, 0) AS n_cut
          |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
     },

@@ -407,4 +407,77 @@ class TextDedupSpec extends SparkSpec {
     assert(got(1L) == "x y z w middle",
       "second intra-doc occurrence cut, keeper span intact")
   }
+
+  test("spanDedup cuts later occurrences of aligned repeated blocks") {
+    // span=3: blocks are non-overlapping 3-token cuts of each doc
+    val d = Seq(
+      // doc 1 blocks: [a b c] [d e f] — both first occurrences
+      (1L, "a b c d e f"),
+      // doc 2 blocks: [a b c] [x y z] — first block is a repeat → cut
+      (2L, "a b c x y z"),
+      // doc 3 blocks: [g h i] [g h i] — intra-doc repeat, first kept
+      (3L, "g h i g h i"),
+      // doc 4: ragged 4-token doc → blocks [p q r] [s]; the 1-token
+      // tail is below minTokens and must never count as a duplicate
+      (4L, "p q r s"),
+      (5L, "t u v s"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, "doc_id", "text", span = 3, minTokens = 2)
+      .collect()
+      .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    assert(got(1L) == (("a b c d e f", 2L, 0L)), s"keeper doc: ${got(1L)}")
+    assert(got(2L) == (("x y z", 2L, 1L)), "repeated first block cut")
+    assert(got(3L) == (("g h i", 2L, 1L)), "intra-doc repeat keeps first")
+    assert(got(4L) == (("p q r s", 2L, 0L)), "short tail block kept")
+    assert(got(5L) == (("t u v s", 2L, 0L)),
+      "sub-minTokens blocks never match each other")
+  }
+
+  test("spanDedup misaligned repeats are NOT cut (substringDedup's job)") {
+    // the repeated run sits at offset 1 in doc 2, so its 3-blocks
+    // differ from doc 1's — span dedup is alignment-sensitive by design
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "z a b c d e"),
+    ).toDF("doc_id", "text")
+    val got = Dedup.spanDedup(d, "doc_id", "text", span = 3, minTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(got(1L) == "a b c d e f")
+    assert(got(2L) == "z a b c d e")
+  }
+
+  test("spanDedup hashSpans mode equals raw-block mode on real docs") {
+    val real = graft.model.Tables.documents(spark, sf)
+    val raw = Dedup.spanDedup(real, "doc_id", "text", span = 3, minTokens = 2)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashed = Dedup.spanDedup(real, "doc_id", "text", span = 3,
+      minTokens = 2, hashSpans = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashed == raw, "64-bit block keying must not change results")
+  }
+
+  test("spanDedup rebuilt text is a subsequence of block-aligned original") {
+    // global invariant on real docs: n_spans = ceil(tokens/span), cuts
+    // are counted, and rebuilt token count = tokens - span-sum of cuts
+    val real = graft.model.Tables.documents(spark, sf)
+    val span = 3
+    val got = Dedup.spanDedup(real, "doc_id", "text", span = span,
+      minTokens = 2)
+    val joined = real.select(col("doc_id"),
+        size(graft.functions.Portable.tokens(col("text"))).as("n_tok"))
+      .join(got, "doc_id")
+      .select(col("doc_id"), col("n_tok"), col("n_spans"), col("n_cut"),
+        size(graft.functions.Portable.tokens(col("text_clean"))).as("n_kept"))
+      .collect()
+    joined.foreach { r =>
+      val (nTok, nSpans, nCut, nKept) =
+        (r.getInt(1), r.getLong(2), r.getLong(3), r.getInt(4))
+      assert(nSpans == (nTok + span - 1) / span, s"doc ${r.getLong(0)}")
+      // every cut block was full-length (minTokens=2 < span only for
+      // the single ragged tail, which can also be cut if >= 2 tokens)
+      assert(nKept >= nTok - nCut * span && nKept <= nTok,
+        s"doc ${r.getLong(0)}: kept $nKept of $nTok with $nCut cuts")
+    }
+  }
 }
