@@ -253,6 +253,48 @@ object Similarity {
     (assignToCentroids(df, idCol, vecCol, cent), cent)
   }
 
+  /** Cluster-balanced diversity sample (the SemDeDup-flavored
+    * "flatten the topic distribution" selection): assign every vector
+    * to its nearest centroid, then keep only the `ceil(sqrt(cluster
+    * size))` most central members of each cluster (capped at
+    * `maxPerCluster`). Square-root budgets over-sample small clusters
+    * relative to big ones, so dominant boilerplate topics stop
+    * swamping the corpus while rare topics keep representation — the
+    * diversity knob a pre-training mixture actually turns.
+    *
+    * Deterministic: rank within a cluster orders by (rounded dist2,
+    * id). Scale shape: the assignment is a broadcast-centroid join
+    * (the vectors never shuffle); the per-cluster rank is a
+    * row_number bounded by the CONSTANT `maxPerCluster`, so the
+    * GroupedTopK heap rewrite executes it without sorting whole
+    * clusters; cluster sizes are a k-row aggregate that AQE
+    * broadcasts back for the row-local sqrt-budget filter. No stage
+    * touches more than top-`maxPerCluster` rows per cluster after the
+    * heap, regardless of corpus size.
+    *
+    * Returns (id, cluster, c_size, rank_in_cluster, dist2).
+    */
+  def diversitySample(df: DataFrame, idCol: String, vecCol: String,
+                      centroids: DataFrame,
+                      maxPerCluster: Int = 64): DataFrame = {
+    require(maxPerCluster >= 1, "maxPerCluster must be >= 1")
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+    val sizes = assigned.groupBy("cluster")
+      .agg(count(lit(1)).as("c_size"))
+    val w = Window.partitionBy("cluster")
+      .orderBy(col("dist2").asc, col(idCol).asc)
+    assigned
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= maxPerCluster) // constant bound → heap exec
+      .join(sizes, "cluster")
+      .withColumn("__budget",
+        least(ceil(sqrt(col("c_size").cast("double"))).cast("bigint"),
+          lit(maxPerCluster.toLong)))
+      .filter(col("rn") <= col("__budget"))
+      .select(col(idCol), col("cluster"), col("c_size"),
+        col("rn").cast("bigint").as("rank_in_cluster"), col("dist2"))
+  }
+
   /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to
     * a long. Vectors in the same bucket are cosine-close candidates.
     *

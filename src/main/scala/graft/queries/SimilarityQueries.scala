@@ -56,6 +56,19 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // cluster-balanced diversity sample: sqrt-budget most-central
+    // members per k-means cell — flattens dominant topics, keeps rare
+    // ones represented (deterministic seed centroids as above)
+    "q_diversity_sample" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      Similarity.diversitySample(e, "vec_id", "embedding", cent,
+        maxPerCluster = 64)
+        .orderBy("vec_id")
+    }),
+
     // semantic dedup: within a k-means cell, drop any vector with a
     // smaller-id neighbor at cosine >= threshold (greedy min-id
     // survivor, same policy as q_dedup_corpus). The cell is the block
@@ -233,6 +246,25 @@ object SimilarityQueries {
          |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
          |  FROM vecs CROSS JOIN cent)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_diversity_sample" ->
+      s"""WITH $vecsCte, $centCte,
+         |asg AS (SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+         |  SELECT vecs.vec_id, cent.cluster,
+         |    ${l2SqSql("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vecs.vec_id
+         |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
+         |  FROM vecs CROSS JOIN cent) WHERE rn = 1),
+         |sizes AS (SELECT cluster, count(*) AS c_size FROM asg
+         |  GROUP BY cluster),
+         |ranked AS (SELECT vec_id, cluster, dist2, row_number()
+         |    OVER (PARTITION BY cluster ORDER BY dist2, vec_id) AS rn
+         |  FROM asg)
+         |SELECT r.vec_id, r.cluster, s.c_size,
+         |  r.rn AS rank_in_cluster, r.dist2
+         |FROM ranked r JOIN sizes s USING (cluster)
+         |WHERE r.rn <= least(CAST(ceil(sqrt(s.c_size)) AS BIGINT), 64)
+         |ORDER BY r.vec_id""".stripMargin,
 
     "q_semantic_dedup" ->
       s"""WITH $vecsCte, $centCte, $assignedCte

@@ -60,6 +60,47 @@ class SimilaritySpec extends SparkSpec {
     assert(worst < 1.0, s"within-cluster dist2 should be tiny, got $worst")
   }
 
+  test("diversitySample keeps sqrt-budget most-central rows per cluster") {
+    // cluster 0: 9 points near (10,0) → budget ceil(sqrt(9)) = 3
+    // cluster 1: 2 points near (0,10) → budget ceil(sqrt(2)) = 2
+    val pts = ((0 until 9).map { i =>
+      (i.toLong, Array(10.0f + i * 0.5f, 0.0f)) // dist2 grows with id
+    } ++ Seq((100L, Array(0.0f, 10.0f)), (101L, Array(0.0f, 10.5f))))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(10.0, 0.0)), (1, Array(0.0, 10.0)))
+      .toDF("cluster", "cv")
+    val got = Similarity.diversitySample(pts, "vec_id", "embedding", cents)
+      .orderBy("vec_id")
+      .select("vec_id", "cluster", "c_size", "rank_in_cluster")
+      .as[(Long, Int, Long, Long)].collect().toSeq
+    // cluster 0 keeps its 3 most-central ids (0,1,2 — dist2 rises with
+    // id); cluster 1 keeps both members
+    assert(got == Seq((0L, 0, 9L, 1L), (1L, 0, 9L, 2L), (2L, 0, 9L, 3L),
+      (100L, 1, 2L, 1L), (101L, 1, 2L, 2L)), s"got $got")
+  }
+
+  test("diversitySample maxPerCluster caps the sqrt budget") {
+    val pts = (0 until 100).map(i => (i.toLong, Array(1.0f, 0.0f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0))).toDF("cluster", "cv")
+    val got = Similarity.diversitySample(pts, "vec_id", "embedding", cents,
+      maxPerCluster = 4)
+    // sqrt budget would be 10; cap wins
+    assert(got.count() == 4)
+  }
+
+  test("diversitySample ranking runs on the GroupedTopK heap, not a sort") {
+    val pts = (0 until 20).map(i => (i.toLong, Array(1.0f, i * 0.1f)))
+      .toDF("vec_id", "embedding")
+    val cents = Seq((0, Array(1.0, 0.0))).toDF("cluster", "cv")
+    val plan = Similarity.diversitySample(pts, "vec_id", "embedding", cents)
+      .queryExecution.executedPlan.toString
+    // two row_numbers in the operator: the argmin (partition by id) and
+    // the per-cluster rank — BOTH must hit the heap rewrite
+    assert(!plan.contains("WindowExec"),
+      s"expected no WindowExec (heap rewrite), got:\n$plan")
+  }
+
   test("int8 quantization: error <= scale/2, extremes hit ±127, zero-safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.27f, 1.27f, 0.001f)),
