@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scale-path join utilities: bucketed co-located joins (no shuffle at
@@ -148,6 +148,73 @@ object Scale {
     }
     spark.createDataFrame(rdd, schema)
   }
+
+  /** Range-shard layout planner: the explicit, auditable form of what
+    * `repartitionByRange` decides by sampling. Builds a per-KEY shard
+    * map so that shard `s` holds keys whose cumulative row count lands
+    * in `[s·N/numShards, (s+1)·N/numShards)` — all rows of one key
+    * always land in one shard (range-partitioning's contract), so
+    * shard sizes are balanced up to the heaviest single key.
+    *
+    * Scale shape: one groupBy(key) histogram with map-side combine,
+    * then a cumulative sum over the DISTINCT-KEY frame only — a
+    * window over key-cardinality rows, not corpus rows. CALLER
+    * CONTRACT: the key must be bounded-cardinality (a length bucket,
+    * a date, a quantized score — the keys one range-partitions
+    * training shards by); for unique keys quantize first or use
+    * repartitionByRange's sampling. Null keys are excluded (Spark and
+    * other engines order nulls differently; a layout key should not
+    * be null anyway). All arithmetic is integer (cum·numShards div
+    * total) — deterministic on any engine.
+    *
+    * Returns the key→shard map: (key, shard, rows for that key).
+    */
+  private def shardedHist(df: DataFrame, keyCol: String, weight: Column,
+                          numShards: Int): DataFrame = {
+    require(numShards >= 1, "numShards must be >= 1")
+    val base = df.filter(col(keyCol).isNotNull)
+      .select(col(keyCol), weight.cast("long").as("__w"))
+    val hist = base.groupBy(col(keyCol))
+      .agg(count(lit(1)).as("__cnt"), sum("__w").as("__wsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .orderBy(col(keyCol))
+    val totals = hist.agg(sum("__cnt").as("__total"))
+    hist
+      .withColumn("__cum", sum(col("__cnt")).over(w))
+      .crossJoin(broadcast(totals))
+      .withColumn("shard",
+        expr(s"((__cum - __cnt) * $numShards) div __total").cast("int"))
+  }
+
+  def keyShardMap(df: DataFrame, keyCol: String,
+                  numShards: Int): DataFrame =
+    shardedHist(df, keyCol, lit(0L), numShards)
+      .select(col(keyCol), col("shard"), col("__cnt").as("key_rows"))
+
+  /** Per-shard stats for a [[keyShardMap]] layout: rows, distinct
+    * keys, key range, and a summed weight column (token counts —
+    * what a training-shard writer balances by eye). One histogram
+    * shuffle; corpus rows are touched exactly once.
+    */
+  def shardPlan(df: DataFrame, keyCol: String, weightCol: String,
+                numShards: Int): DataFrame =
+    shardedHist(df, keyCol, col(weightCol), numShards)
+      .groupBy("shard")
+      .agg(sum("__cnt").as("n_rows"),
+        count(lit(1)).as("n_keys"),
+        min(col(keyCol)).as("min_key"),
+        max(col(keyCol)).as("max_key"),
+        sum("__wsum").as("total_weight"))
+      .orderBy("shard")
+
+  /** Row-local shard assignment: join each row to its key's shard.
+    * The map is key-cardinality-sized — broadcast tier for any
+    * reasonable layout key.
+    */
+  def assignShards(df: DataFrame, keyCol: String,
+                   shardMap: DataFrame): DataFrame =
+    df.join(broadcast(shardMap.select(col(keyCol), col("shard"))),
+      Seq(keyCol), "left")
 
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))

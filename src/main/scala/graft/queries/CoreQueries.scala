@@ -454,6 +454,15 @@ object CoreQueries {
         Seq(col("source"), col("n_chars").desc, col("doc_id")), "rid")
         .orderBy("rid")),
 
+    // range-shard layout plan: the explicit, auditable form of what
+    // repartitionByRange samples — integer-arithmetic shard cutoffs
+    // over the length-key histogram, per-shard row/key/token stats
+    "q_shard_plan" -> ((s, d) =>
+      graft.operators.Scale.shardPlan(
+        Tables.documents(s, d).withColumn("n_tokens",
+          size(graft.functions.Portable.tokens(col("text")))),
+        "n_chars", "n_tokens", 8)),
+
     // S5 — JDBC round-trip through an embedded Derby database (the
     // derby jars ship with Spark): overwrite-mode write with the
     // reference's 1000-row batching, then spark.read.jdbc back. The
@@ -824,6 +833,27 @@ object CoreQueries {
         |  row_number() OVER (ORDER BY source ASC NULLS FIRST,
         |    n_chars DESC NULLS LAST, doc_id ASC NULLS FIRST) AS rid
         |FROM documents ORDER BY rid""".stripMargin,
+
+    "q_shard_plan" -> {
+      val n = 8
+      s"""WITH base AS (SELECT n_chars AS key,
+         |    len(${graft.functions.Portable.tokensSql("text")}) AS w
+         |  FROM documents WHERE n_chars IS NOT NULL),
+         |hist AS (SELECT key, count(*) AS cnt,
+         |    CAST(sum(w) AS BIGINT) AS wsum
+         |  FROM base GROUP BY key),
+         |tot AS (SELECT CAST(sum(cnt) AS BIGINT) AS total FROM hist),
+         |cum AS (SELECT key, cnt, wsum,
+         |    CAST(sum(cnt) OVER (ORDER BY key) AS BIGINT) AS cum
+         |  FROM hist),
+         |sh AS (SELECT key, cnt, wsum,
+         |    CAST(((cum - cnt) * $n) // total AS INT) AS shard
+         |  FROM cum, tot)
+         |SELECT shard, CAST(sum(cnt) AS BIGINT) AS n_rows,
+         |  count(*) AS n_keys, min(key) AS min_key, max(key) AS max_key,
+         |  CAST(sum(wsum) AS BIGINT) AS total_weight
+         |FROM sh GROUP BY shard ORDER BY shard""".stripMargin
+    },
 
     "q_skew_report" ->
       """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1),

@@ -163,4 +163,58 @@ class ScaleSpec extends SparkSpec {
       assert(e.getMessage.contains("drop big-side rows"), s"$jt")
     }
   }
+
+  // deterministic skewed fixture: key k appears k times (keys 1..20),
+  // plus nulls that the planner must exclude
+  private def shardFixture = {
+    val rows = (1 to 20).flatMap(k => Seq.fill(k)((k.toLong, 10L))) ++
+      Seq((-1L, 0L)) // sentinel replaced by null below
+    val df = rows.toDF("key", "w")
+    df.withColumn("key",
+      org.apache.spark.sql.functions.when($"key" === -1L, null)
+        .otherwise($"key"))
+  }
+
+  test("shardPlan: contiguous key ranges, full coverage, balanced") {
+    val numShards = 4
+    val plan = Scale.shardPlan(shardFixture, "key", "w", numShards)
+      .collect()
+    val shards = plan.map(_.getInt(0)).toSeq
+    assert(shards == shards.sorted && shards.toSet.subsetOf(
+      (0 until numShards).toSet), s"shard ids: $shards")
+    // contiguity: each shard's min_key follows the previous max_key
+    val ranges = plan.map(r => (r.getLong(3), r.getLong(4))) // min,max
+    ranges.sliding(2).foreach {
+      case Array((_, hi), (lo2, _)) => assert(lo2 > hi, s"overlap: $ranges")
+      case _ =>
+    }
+    // coverage: all 210 non-null rows land somewhere; weights add up
+    assert(plan.map(_.getLong(1)).sum == 210L)
+    assert(plan.map(_.getLong(5)).sum == 2100L)
+    // balance: no shard exceeds total/numShards + heaviest key (20)
+    assert(plan.map(_.getLong(1)).max <= 210 / numShards + 20)
+  }
+
+  test("keyShardMap is monotone in key and never splits a key") {
+    val m = Scale.keyShardMap(shardFixture, "key", 4)
+      .orderBy("key").collect()
+      .map(r => (r.getLong(0), r.getInt(1)))
+    assert(m.map(_._1).toSeq == (1L to 20L), "one row per non-null key")
+    assert(m.sliding(2).forall {
+      case Array((_, s1), (_, s2)) => s2 >= s1
+      case _ => true
+    }, s"shard must be monotone in key: ${m.toSeq}")
+  }
+
+  test("assignShards stamps every row with its key's shard, null-safe") {
+    val m = Scale.keyShardMap(shardFixture, "key", 4)
+    val assigned = Scale.assignShards(shardFixture, "key", m)
+    assert(assigned.count() == 211, "left join keeps the null-key row")
+    // every non-null row's shard matches the map; the null row gets null
+    val bad = assigned.join(m.withColumnRenamed("shard", "expected"), "key")
+      .filter($"shard" =!= $"expected").count()
+    assert(bad == 0)
+    assert(assigned.filter($"key".isNull).head.isNullAt(
+      assigned.columns.indexOf("shard")))
+  }
 }
