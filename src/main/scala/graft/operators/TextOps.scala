@@ -402,6 +402,57 @@ object TextOps {
       .select(col("rank"), col(idCol), col("score"), col("n_terms"))
   }
 
+  /** BM25 retrieval — [[searchTopK]]'s tf-idf with the two things BM25
+    * actually adds: tf SATURATION (a term's 50th occurrence is worth
+    * almost nothing more than its 10th) and LENGTH NORMALIZATION (long
+    * docs stop winning just by containing everything). Classic
+    * constants k1 = 1.2, b = 0.75 are folded into ONE integer rational
+    * so every per-term score stays in integer milli/micro-units and the
+    * per-doc sum is order-free (hash-stable on any engine, like every
+    * score in this module):
+    *
+    *   tfsat = tf·(k1+1) / (tf + k1·(1 − b + b·dl·N/T))
+    *         = 44·T·tf / (20·T·tf + 6·T + 18·dl·N)     (exact, k1=6/5, b=3/4)
+    *
+    * scaled ×1000 with truncating div; idf is the module's log-free
+    * (N·10⁶ div df). score = Σ_t idf(t) · tfsat_milli(t,d).
+    *
+    * Scale shape: identical to searchTopK — postings for the query's
+    * terms only, df over those postings, broadcast scalars (N, T), one
+    * groupBy per doc, TakeOrdered tail. dl is row-local (no extra
+    * shuffle). UNIT CONTRACT: 44000·T·tf must fit signed 64-bit —
+    * fine to ~10¹³ corpus tokens with tf ≤ ~40; beyond that drop the
+    * milli scale to 10 (same truncation convention as bpe/lm scores).
+    */
+  def bm25TopK(df: DataFrame, idCol: String, textCol: String,
+               query: String, k: Int = 10): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val qTerms = query.trim.split("\\s+").filter(_.nonEmpty).distinct.toSeq
+    require(qTerms.nonEmpty, "empty query")
+    val base = df
+      .select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+      .select(col(idCol), col("__toks"),
+        size(col("__toks")).cast("long").as("__dl"))
+    val stats = base.agg(count(lit(1)).as("__n"), sum("__dl").as("__t"))
+    val tf = base
+      .select(col(idCol), col("__dl"), explode(col("__toks")).as("token"))
+      .filter(col("token").isin(qTerms: _*))
+      .groupBy(col(idCol), col("__dl"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("token").agg(count(lit(1)).as("df"))
+    val scored = tf.join(broadcast(dfreq), "token")
+      .crossJoin(broadcast(stats))
+      .withColumn("__s",
+        expr("((__n * 1000000) div df) * " +
+          "((44000 * __t * tf) div (20 * __t * tf + 6 * __t + 18 * __dl * __n))"))
+      .groupBy(col(idCol))
+      .agg(sum(col("__s")).as("score"), count(lit(1)).as("n_terms"))
+    val top = scored.orderBy(col("score").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("score").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col(idCol), col("score"), col("n_terms"))
+  }
+
   /** Distributed BPE vocabulary induction — tokenizer merge training
     * at corpus scale. The scale move is step 0: collapse the corpus to
     * its WORD HISTOGRAM (one groupBy; 100 TB of text becomes a

@@ -140,6 +140,14 @@ object TextQueries {
         "hash join filter", k = 10)
         .orderBy("rank")),
 
+    // BM25 over the same postings: tf saturation + length
+    // normalization in one integer rational (k1=1.2, b=0.75 folded),
+    // per-doc sums stay order-free integers
+    "q_bm25" -> ((s, d) =>
+      TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        "hash join filter", k = 10)
+        .orderBy("rank")),
+
     // LSH recall diagnostic: ground truth (integer-exact jaccard ≥
     // 1/2) vs the banding candidates, one report row
     "q_lsh_recall" -> ((s, d) =>
@@ -494,6 +502,32 @@ object TextQueries {
          |      AS score,
          |    count(*) AS n_terms
          |  FROM tf JOIN dfq USING (token) CROSS JOIN n GROUP BY 1)
+         |SELECT CAST(row_number() OVER w AS INT) AS rank, doc_id, score,
+         |  n_terms
+         |FROM sc
+         |WINDOW w AS (ORDER BY score DESC, doc_id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY rank""".stripMargin,
+
+    // BM25 in the same integer units: tfsat = 44·T·tf // (20·T·tf +
+    // 6·T + 18·dl·N) ×1000 (k1=6/5, b=3/4 folded), idf log-free
+    "q_bm25" ->
+      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+         |st AS (SELECT count(*) AS nn, CAST(sum(dl) AS BIGINT) AS tt
+         |  FROM dl),
+         |tf AS (SELECT d.doc_id, dl.dl, tok AS token, count(*) AS tf
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs) d
+         |  JOIN dl USING (doc_id)
+         |  WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+         |sc AS (SELECT tf.doc_id,
+         |    CAST(sum(((st.nn * 1000000) // dfq.df) *
+         |      ((44000 * st.tt * tf.tf) //
+         |       (20 * st.tt * tf.tf + 6 * st.tt + 18 * tf.dl * st.nn)))
+         |      AS BIGINT) AS score,
+         |    count(*) AS n_terms
+         |  FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1)
          |SELECT CAST(row_number() OVER w AS INT) AS rank, doc_id, score,
          |  n_terms
          |FROM sc

@@ -243,6 +243,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 1L, 6000000L), (2, 2L, 2000000L)))
   }
 
+  test("bm25TopK: tf saturates (4x occurrences is not 4x score)") {
+    // equal doc lengths isolate the saturation term. N=2, T=8,
+    // df(spark)=2 → idf = 1e6; tfsat = 44000·T·tf // (20·T·tf + 6·T
+    // + 18·dl·N): tf=1 → 352000//352 = 1000, tf=4 → 1408000//832 =
+    // 1692 — 4x the occurrences, 1.69x the score
+    val d = Seq(
+      (1L, "spark a a a"),
+      (2L, "spark spark spark spark"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(d, "doc_id", "text", "spark", k = 5)
+      .collect().map(r => (r.getLong(1), r.getLong(2))).toMap
+    assert(got == Map(1L -> 1000000000L, 2L -> 1692000000L), s"got $got")
+  }
+
+  test("bm25TopK: length normalization favors the shorter doc at equal tf") {
+    // N=2, T=10, idf = 1e6; dl=2 → 440000//332 = 1325, dl=8 →
+    // 440000//548 = 802
+    val d = Seq(
+      (1L, "spark b"),
+      (2L, "spark b b b b b b b"),
+    ).toDF("doc_id", "text")
+    val got = TextOps.bm25TopK(d, "doc_id", "text", "spark", k = 5)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 1L, 1325000000L), (2, 2L, 802000000L)),
+      s"got ${got.toSeq}")
+  }
+
   test("lshRecallReport: exact dups are always recalled") {
     val r = Dedup.lshRecallReport(docs, "doc_id", "text", k = 3)
       .head()
