@@ -1,0 +1,71 @@
+package graft.plans
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SparkPlan
+import org.apache.spark.sql.execution.adaptive.{AdaptiveSparkPlanExec, QueryStageExec}
+import org.apache.spark.sql.execution.exchange.{BroadcastExchangeLike, ReusedExchangeExec, ShuffleExchangeLike}
+
+/** Measured (not guessed) shuffle accounting for a query: execute the
+  * plan, then read the actual SQLMetrics off every exchange node in
+  * the FINAL (post-AQE) executed plan. Plan-string audits
+  * (PlanAuditSpec) pin the plan SHAPE; this pins the plan's runtime
+  * VOLUME — how many records and bytes really crossed the wire.
+  * That's the number that decides whether an operator survives a
+  * 100× scale-up: "one Exchange" is fine, "one Exchange moving the
+  * whole corpus" is not. Run it at sample scale in CI and assert
+  * ceilings (see ShuffleAuditSpec) — a regression that starts
+  * shuffling document text instead of digests fails the bound long
+  * before it fails a cluster.
+  *
+  * Caveats: metrics come from exchange nodes reachable through the
+  * main plan tree (query stages are unwrapped; subquery plans are
+  * not traversed). Reused exchanges are counted separately and their
+  * metrics are not double-summed.
+  */
+object ShuffleAudit {
+
+  /** exchanges = distinct shuffle exchanges executed; broadcasts =
+    * broadcast exchanges; reusedExchanges = reuse references (free at
+    * runtime); shuffleRecords / shuffleBytes = summed write-side
+    * metrics over the distinct shuffles.
+    */
+  case class ShuffleStats(exchanges: Int, broadcasts: Int,
+                          reusedExchanges: Int, shuffleRecords: Long,
+                          shuffleBytes: Long)
+
+  /** Execute `df` and return its measured shuffle stats. The action
+    * drives THIS DataFrame's own QueryExecution (`toRdd.foreach`) —
+    * `df.foreach`/`df.count` would build a fresh QueryExecution and
+    * the metrics would accrue on that invisible copy. No driver
+    * collect: rows are consumed where they are produced.
+    */
+  def measure(df: DataFrame): ShuffleStats = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    stats(df)
+  }
+
+  /** Read stats from an ALREADY-executed DataFrame (metrics are zero
+    * until an action has run).
+    */
+  def stats(df: DataFrame): ShuffleStats = {
+    val nodes = flatten(df.queryExecution.executedPlan)
+    val shuffles = nodes.collect { case s: ShuffleExchangeLike => s }.distinct
+    val reused = nodes.collect { case r: ReusedExchangeExec => r }
+    val bcasts = nodes.collect { case b: BroadcastExchangeLike => b }.distinct
+    def metric(p: SparkPlan, key: String): Long =
+      p.metrics.get(key).map(_.value).getOrElse(0L)
+    ShuffleStats(
+      shuffles.size, bcasts.size, reused.size,
+      shuffles.map(metric(_, "shuffleRecordsWritten")).sum,
+      shuffles.map(metric(_, "shuffleBytesWritten")).sum)
+  }
+
+  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+    val kids = p match {
+      case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
+      case q: QueryStageExec => Seq(q.plan)
+      case other => other.children
+    }
+    p +: kids.flatMap(flatten)
+  }
+}

@@ -1,0 +1,67 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.model.Tables
+
+/** Runtime shuffle-volume ceilings for representative operators —
+  * the measured complement to PlanAuditSpec's shape assertions.
+  * Each bound here encodes the scale contract the operator's
+  * Scaladoc claims: map-side combine keeps agg shuffles key-sized,
+  * dedup shuffles digests instead of document text, broadcast joins
+  * shuffle nothing. A regression that breaks the contract moves
+  * orders of magnitude, so the ceilings are loose enough to never
+  * flake and tight enough to catch the failure mode.
+  */
+class ShuffleAuditSpec extends SparkSpec {
+
+  test("row-local projection/filter shuffles nothing") {
+    val s = ShuffleAudit.measure(
+      Tables.lineitem(spark, sf)
+        .filter(col("l_quantity") > 10)
+        .select("l_orderkey", "l_quantity"))
+    assert(s.exchanges == 0 && s.shuffleBytes == 0L, s"$s")
+  }
+
+  test("groupBy agg shuffle is key-sized, not row-sized (partial agg)") {
+    val li = Tables.lineitem(spark, sf)
+    val rows = li.count()
+    val s = ShuffleAudit.measure(
+      li.groupBy("l_returnflag").agg(sum("l_quantity")))
+    assert(s.exchanges >= 1, s"$s")
+    assert(s.shuffleRecords > 0, s"metrics must be populated: $s")
+    // 3 distinct flags × ≤32 map partitions, far below the row count
+    assert(s.shuffleRecords <= 3 * 32,
+      s"map-side combine must shrink the shuffle to keys: $s")
+    assert(s.shuffleRecords < rows / 10, s"rows=$rows, $s")
+  }
+
+  test("dimension join broadcasts: zero shuffle exchanges") {
+    val s = ShuffleAudit.measure(
+      Tables.supplier(spark, sf)
+        .join(Tables.nation(spark, sf),
+          col("s_nationkey") === col("n_nationkey"))
+        .select("s_name", "n_name"))
+    assert(s.broadcasts >= 1, s"$s")
+    assert(s.exchanges == 0, s"dimension join must not shuffle: $s")
+  }
+
+  test("exact dedup shuffles digests, never document text") {
+    val docs = Tables.documents(spark, sf)
+    val textBytes = docs.agg(sum(length(col("text")))).head.getLong(0)
+    val s = ShuffleAudit.measure(
+      graft.operators.Dedup.exactGroups(docs, "doc_id", "text"))
+    assert(s.exchanges >= 1 && s.shuffleBytes > 0, s"$s")
+    assert(s.shuffleBytes < textBytes,
+      s"dedup must shuffle digests (~48B/doc), not text: " +
+        s"shuffled ${s.shuffleBytes} of $textBytes text bytes: $s")
+  }
+
+  test("stats() before any action reports zero volumes") {
+    val df = Tables.lineitem(spark, sf)
+      .groupBy("l_returnflag").agg(sum("l_quantity"))
+    val s = ShuffleAudit.stats(df)
+    assert(s.shuffleRecords == 0L && s.shuffleBytes == 0L, s"$s")
+  }
+}
