@@ -228,4 +228,59 @@ object Sketches {
         round(col("in_both").cast("double") / col("n"), 6).as("kmv_jaccard"),
         round(estUnion, 4).as("kmv_union"))
   }
+
+  // ---- log₂-histogram quantile sketch ----
+
+  /** Per-group log₂ histogram of a non-negative long column: bucket 0
+    * holds the zeros, bucket b ≥ 1 holds values in [2^(b−1), 2^b).
+    * `length(bin(v))` = floor(log₂ v)+1 — pure integer/string ops
+    * (the [[rho]] trick), so any engine buckets identically; no
+    * floating log. ≤ 65 rows per group, count-mergeable: histograms
+    * from shards SUM into the corpus histogram (same contract as the
+    * HLL register max-merge), which is why this answers quantile
+    * queries over 100 TB with one map-side-combined groupBy where an
+    * exact percentile needs a per-group sort of all values.
+    */
+  def logHistogram(df: DataFrame, groupCol: String,
+                   valueCol: String): DataFrame =
+    df.filter(col(valueCol).isNotNull && col(valueCol) >= 0)
+      .select(col(groupCol),
+        when(col(valueCol) > 0, length(bin(col(valueCol))))
+          .otherwise(lit(0)).as("bucket"))
+      .groupBy(col(groupCol), col("bucket"))
+      .agg(count(lit(1)).as("cnt"))
+
+  /** Quantile BOUNDS from a [[logHistogram]]: for each percentile p,
+    * the smallest bucket whose cumulative count reaches rank
+    * ⌈p·n/100⌉, reported as the bucket's [lo, hi] value range — the
+    * true order statistic provably lies inside (relative error ≤ 2×,
+    * the log-bucket width; spec-pinned against the exact percentile).
+    * The cumulative window partitions by GROUP over ≤ 65 bucket rows
+    * — bounded state, never value-count-sized. Rank comparison is the
+    * exact rational `cum·100 ≥ n·p` (no float division).
+    */
+  def logQuantileBounds(df: DataFrame, groupCol: String, valueCol: String,
+                        pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1,100]")
+    val hist = logHistogram(df, groupCol, valueCol)
+    val wc = Window.partitionBy(col(groupCol)).orderBy(col("bucket"))
+    val wt = Window.partitionBy(col(groupCol))
+    val cum = hist
+      .withColumn("cum", sum(col("cnt")).over(wc))
+      .withColumn("total", sum(col("cnt")).over(wt))
+    val qb = pcts.map(p =>
+      min(when(col("cum") * 100 >= col("total") * p, col("bucket")))
+        .as(s"p${p}_b"))
+    val bounds = pcts.flatMap { p =>
+      val b = col(s"p${p}_b")
+      Seq(
+        when(b > 0, expr(s"shiftleft(cast(1 as bigint), p${p}_b - 1)"))
+          .otherwise(lit(0L)).as(s"p${p}_lo"),
+        (expr(s"shiftleft(cast(1 as bigint), p${p}_b)") - 1)
+          .as(s"p${p}_hi"))
+    }
+    cum.groupBy(col(groupCol)).agg(qb.head, qb.tail: _*)
+      .select(col(groupCol) +: bounds: _*)
+  }
 }

@@ -67,6 +67,29 @@ object SketchQueries {
         Seq.empty)
       t.agg(countDistinct(col("tok")).as("exact_distinct"))
         .crossJoin(merged)
+    }),
+
+    // log₂-histogram quantile bounds per source (p50/p90/p99 of doc
+    // length), next to the exact order statistics — the mergeable
+    // quantile sketch whose answer provably sandwiches the truth
+    // (the exact companion is the oracle yardstick; production reads
+    // the bounds and drops that sort)
+    "q_log_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("n_chars").isNotNull)
+      val bounds = Sketches.logQuantileBounds(docs, "source", "n_chars")
+      val w = Window.partitionBy("source").orderBy("n_chars")
+      val ranked = docs.select(col("source"), col("n_chars"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val exact = ranked.groupBy("source").agg(
+        min(when(col("r") * 100 >= col("n") * 50, col("n_chars")))
+          .as("exact_p50"),
+        min(when(col("r") * 100 >= col("n") * 90, col("n_chars")))
+          .as("exact_p90"),
+        min(when(col("r") * 100 >= col("n") * 99, col("n_chars")))
+          .as("exact_p99"))
+      bounds.join(exact, "source").orderBy("source")
     })
   )
 
@@ -181,6 +204,46 @@ object SketchQueries {
          |SELECT ex.exact_distinct,
          |  round(${Sketches.HllAlpha * M * M} /
          |    (($M - present) + s_present), 4) AS hll_estimate
-         |FROM est, ex""".stripMargin
+         |FROM est, ex""".stripMargin,
+
+    "q_log_quantiles" -> {
+      def qb(p: Int) =
+        s"min(CASE WHEN cum * 100 >= total * $p THEN bucket END) AS p${p}_b"
+      def bound(p: Int) =
+        s"""CASE WHEN p${p}_b > 0
+           |    THEN (CAST(1 AS BIGINT) << (p${p}_b - 1)) ELSE 0 END
+           |    AS p${p}_lo,
+           |  (CAST(1 AS BIGINT) << p${p}_b) - 1 AS p${p}_hi""".stripMargin
+      def ex(p: Int) =
+        s"min(CASE WHEN r * 100 >= n * $p THEN n_chars END) AS exact_p$p"
+      s"""WITH base AS (SELECT source, n_chars FROM documents
+         |  WHERE n_chars IS NOT NULL AND n_chars >= 0),
+         |hist AS (SELECT source,
+         |    CASE WHEN n_chars > 0 THEN length(bin(n_chars)) ELSE 0 END
+         |      AS bucket,
+         |    count(*) AS cnt
+         |  FROM base GROUP BY 1, 2),
+         |c AS (SELECT source, bucket,
+         |    CAST(sum(cnt) OVER (PARTITION BY source ORDER BY bucket)
+         |      AS BIGINT) AS cum,
+         |    CAST(sum(cnt) OVER (PARTITION BY source) AS BIGINT) AS total
+         |  FROM hist),
+         |q AS (SELECT source, ${qb(50)}, ${qb(90)}, ${qb(99)}
+         |  FROM c GROUP BY source),
+         |rk AS (SELECT source, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY source ORDER BY n_chars)
+         |      AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM base),
+         |exq AS (SELECT source, ${ex(50)}, ${ex(90)}, ${ex(99)}
+         |  FROM rk GROUP BY source)
+         |SELECT q.source,
+         |  ${bound(50)},
+         |  ${bound(90)},
+         |  ${bound(99)},
+         |  exact_p50, exact_p90, exact_p99
+         |FROM q JOIN exq USING (source)
+         |ORDER BY q.source""".stripMargin
+    },
   )
 }

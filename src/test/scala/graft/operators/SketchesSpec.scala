@@ -185,4 +185,48 @@ class SketchesSpec extends SparkSpec {
     assert(row.getAs[Double]("kmv_union") == 50.0)
     assert(row.getAs[Double]("kmv_jaccard") == 0.2)
   }
+
+  test("log histogram buckets: 0→0, [2^(b-1),2^b)→b, exact boundaries") {
+    val d = Seq(0L, 1L, 2L, 3L, 4L, 7L, 8L, 1023L, 1024L)
+      .map(("g", _)).toDF("grp", "v")
+    val got = Sketches.logHistogram(d, "grp", "v")
+      .collect().map(r => r.getInt(1) -> r.getLong(2)).toMap
+    // 0→b0; 1→b1; 2,3→b2; 4,7→b3; 8→b4; 1023→b10; 1024→b11
+    assert(got == Map(0 -> 1L, 1 -> 1L, 2 -> 2L, 3 -> 2L, 4 -> 1L,
+      10 -> 1L, 11 -> 1L), s"got $got")
+  }
+
+  test("log quantile bounds sandwich the exact order statistic") {
+    // real doc lengths per source: lo ≤ exact p-th ≤ hi for all p
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select($"source", $"n_chars")
+    val bounds = Sketches.logQuantileBounds(docs, "source", "n_chars")
+      .collect()
+      .map(r => r.getString(0) -> r).toMap
+    val bySource = docs.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted.toIndexedSeq).toMap
+    for ((src, vals) <- bySource; p <- Seq(50, 90, 99)) {
+      val exact = vals((math.ceil(vals.size * p / 100.0) - 1).toInt.max(0))
+      val r = bounds(src)
+      val lo = r.getAs[Long](s"p${p}_lo")
+      val hi = r.getAs[Long](s"p${p}_hi")
+      assert(lo <= exact && exact <= hi,
+        s"$src p$p: exact $exact outside [$lo, $hi]")
+      assert(hi < 2 * lo.max(1) * 2, s"bucket width is one octave: $lo..$hi")
+    }
+  }
+
+  test("log histograms merge by SUM: shard histograms == whole histogram") {
+    val d = (1 to 500).map(i => ("g", (i * 37 % 1000).toLong))
+      .toDF("grp", "v")
+    val whole = Sketches.logHistogram(d, "grp", "v")
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    val shardA = d.filter(pmod(hash($"v"), lit(2)) === 0)
+    val shardB = d.filter(pmod(hash($"v"), lit(2)) === 1)
+    val merged = Sketches.logHistogram(shardA, "grp", "v")
+      .unionByName(Sketches.logHistogram(shardB, "grp", "v"))
+      .groupBy("grp", "bucket").agg(sum("cnt").as("cnt"))
+      .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
+    assert(merged == whole, s"merged $merged != whole $whole")
+  }
 }
