@@ -211,6 +211,42 @@ object Dedup {
         round(matches.cast("double") / NumPerms, 6).as("est_jaccard"))
   }
 
+  /** b-bit MinHash signature compression (b = 1, Li & König 2010):
+    * keep only the LOWEST bit of each of the [[NumPerms]] permutation
+    * minima, packed into one integer — 16 longs become 16 BITS, a 64×
+    * smaller signature. At 100 TB the signature table is the thing
+    * you store, shuffle, and re-join every incremental batch, so its
+    * width is a first-order cost; the price is estimator variance
+    * (each permutation contributes one Bernoulli bit instead of a
+    * 32-bit value), bought back by running more permutations —
+    * storage per permutation falls 64×, so 4× the permutations for
+    * half the variance still nets 16× smaller.
+    */
+  def bbitSignatures(sigs: DataFrame, idCol: String): DataFrame =
+    sigs.select(col(idCol),
+      (0 until NumPerms)
+        .map(j => col(s"mh$j").bitwiseAND(lit(1L)) * (1L << j))
+        .reduce(_ + _).cast("int").as("bsig"))
+
+  /** Jaccard estimate from 1-bit signatures for candidate pairs. For
+    * b = 1 a matching bit happens with probability J + (1−J)/2, so
+    * Ĵ = 2·m − 1 (m = matching-bit fraction) = 1 − diff/8 for 16
+    * bits, clamped at 0 — integer popcount over XOR, dyadic-exact
+    * division, deterministic on any engine.
+    */
+  def bbitJaccard(pairs: DataFrame, sigs: DataFrame,
+                  idCol: String): DataFrame = {
+    val b = bbitSignatures(sigs, idCol)
+    pairs
+      .join(b.select(col(idCol).as("id_a"), col("bsig").as("__ba")), "id_a")
+      .join(b.select(col(idCol).as("id_b"), col("bsig").as("__bb")), "id_b")
+      .withColumn("bbit_est",
+        round(greatest(
+          lit(1.0) - expr("bit_count(__ba ^ __bb)") / lit(8.0),
+          lit(0.0)), 4))
+      .select(pairs.columns.map(col).toIndexedSeq :+ col("bbit_est"): _*)
+  }
+
   /** End-to-end MinHash near-dup pairs above a similarity threshold.
     * The signature table feeds the band join AND both sides of the
     * estimation join; without materialization Spark computes the

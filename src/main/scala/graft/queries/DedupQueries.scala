@@ -281,6 +281,22 @@ object DedupQueries {
       Dedup.spanDedup(Tables.documents(s, d), "doc_id", "text",
         span = 3, minTokens = 2)
         .orderBy("doc_id")),
+
+    // 1-bit signature compression: the 64×-smaller signature's
+    // Jaccard estimate next to the full-signature estimate on the
+    // same LSH candidates — the storage/variance trade a 100 TB
+    // signature store actually makes
+    "q_bbit_minhash" -> ((s, d) => {
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K,
+          dedup = false),
+        "doc_id").localCheckpoint()
+      Dedup.bbitJaccard(
+        Dedup.estimatedJaccard(
+          Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id"),
+        sigs, "doc_id")
+        .orderBy("id_a", "id_b")
+    }),
   )
 
   // ---- oracle SQL, generated from the same constants ----
@@ -797,6 +813,32 @@ object DedupQueries {
          |  coalesce(r.n_spans, 0) AS n_spans, coalesce(r.n_cut, 0) AS n_cut
          |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_bbit_minhash" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val pack = (0 until NumPerms)
+        .map(j => s"(mh$j & 1) * ${1L << j}")
+        .mkString(" + ")
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |bs AS (SELECT doc_id, CAST($pack AS INT) AS bsig FROM sig),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id)
+         |SELECT c.id_a, c.id_b,
+         |  round(CAST(($matches) AS DOUBLE) / $NumPerms, 6) AS est_jaccard,
+         |  round(greatest(
+         |    1.0 - bit_count(CAST(xor(ba.bsig, bb.bsig) AS BIGINT)) / 8.0,
+         |    0.0), 4) AS bbit_est
+         |FROM cand c
+         |JOIN sig a ON a.doc_id = c.id_a
+         |JOIN sig b ON b.doc_id = c.id_b
+         |JOIN bs ba ON ba.doc_id = c.id_a
+         |JOIN bs bb ON bb.doc_id = c.id_b
+         |ORDER BY c.id_a, c.id_b""".stripMargin
     },
   )
 }

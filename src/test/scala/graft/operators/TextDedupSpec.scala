@@ -243,6 +243,53 @@ class TextDedupSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 1L, 6000000L), (2, 2L, 2000000L)))
   }
 
+  test("bbit signatures pack the low bit of each permutation minimum") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // mh_j odd exactly for even j → bsig = 0b0101...01 = 0x5555
+    val row = (0 until 16).map(j => if (j % 2 == 0) 3L else 4L)
+    val sigs = Seq(Tuple1(1L)).toDF("doc_id")
+      .select(col("doc_id") +: row.zipWithIndex.map {
+        case (v, j) => lit(v).as(s"mh$j") }: _*)
+    val got = Dedup.bbitSignatures(sigs, "doc_id").head
+    assert(got.getInt(1) == 0x5555, s"got ${got.getInt(1).toHexString}")
+  }
+
+  test("bbit estimate: 1 for identical sigs, 1 - diff/8 otherwise") {
+    import org.apache.spark.sql.functions.{col, lit}
+    def sig(id: Long, mh: Seq[Long]) =
+      Seq(Tuple1(id)).toDF("doc_id")
+        .select(col("doc_id") +: mh.zipWithIndex.map {
+          case (v, j) => lit(v).as(s"mh$j") }: _*)
+    val base = (0 until 16).map(_ => 2L) // all even → bits 0
+    // doc 2 flips the low bit of 4 permutations → diff 4 → est 0.5
+    val four = base.updated(0, 3L).updated(1, 5L)
+      .updated(2, 7L).updated(3, 9L)
+    val sigs = sig(1L, base).unionByName(sig(2L, base))
+      .unionByName(sig(3L, four))
+    val pairs = Seq((1L, 2L), (1L, 3L)).toDF("id_a", "id_b")
+    val got = Dedup.bbitJaccard(pairs, sigs, "doc_id")
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getDouble(2))
+      .toMap
+    assert(got((1L, 2L)) == 1.0, s"identical bits → 1.0: $got")
+    assert(got((1L, 3L)) == 0.5, s"4 differing bits → 1 - 4/8: $got")
+  }
+
+  test("bbit estimate agrees with the full signature on exact dups") {
+    // real docs: every candidate pair the FULL signatures call exact
+    // (est_jaccard = 1) must also be exact under 1-bit signatures
+    val sigs = Dedup.minhashSignatures(
+      Dedup.docShingles(graft.model.Tables.documents(spark, sf),
+        "doc_id", "text", 3, dedup = false), "doc_id").localCheckpoint()
+    val scored = Dedup.bbitJaccard(
+      Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id"),
+      sigs, "doc_id")
+    val exact = scored.filter($"est_jaccard" === 1.0)
+    assert(exact.count() > 0, "fixture has exact dups")
+    assert(exact.filter($"bbit_est" =!= 1.0).count() == 0,
+      "equal signatures must have equal bits")
+  }
+
   test("bm25TopK: tf saturates (4x occurrences is not 4x score)") {
     // equal doc lengths isolate the saturation term. N=2, T=8,
     // df(spark)=2 → idf = 1e6; tfsat = 44000·T·tf // (20·T·tf + 6·T
