@@ -261,4 +261,35 @@ object Classify {
           .as("fn"))
       .withColumn("correct", col("tp") + col("tn"))
   }
+
+  /** Margin-calibration table: bucket every doc by its integer margin
+    * (signed truncating division by `step`, clamped to ±`clamp`) and
+    * report per-bucket counts — docs, positive weak labels, model
+    * agreements, and the positive-label share. A monotone pos_share
+    * across buckets is what justifies using the margin as a quality
+    * SCORE (ranking, budgets) rather than just a sign — the
+    * calibration check every CCNet-style filter runs before its
+    * threshold is trusted. Sign-aware bucketing (−(−m div step) for
+    * negatives) keeps Spark's truncating `div` and the oracle's
+    * flooring `//` identical on both signs. Row-local bucketing + one
+    * groupBy over ≤ 2·clamp+1 buckets — nothing here is wider than
+    * the scoring pass itself.
+    */
+  def calibration(df: DataFrame, idCol: String, textCol: String,
+                  buckets: Int = 1024, epochs: Int = 1, minStop: Int = 2,
+                  step: Int = 4, clamp: Int = 8): DataFrame = {
+    require(step >= 1 && clamp >= 1, "step and clamp must be >= 1")
+    val q = perceptronQuality(df, idCol, textCol, buckets, epochs, minStop)
+    val signedDiv = expr(s"CASE WHEN margin >= 0 THEN margin div $step " +
+      s"ELSE -((-margin) div $step) END")
+    q.withColumn("bucket",
+        greatest(least(signedDiv, lit(clamp.toLong)), lit(-clamp.toLong)))
+      .groupBy("bucket")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("label") === 1L, 1L).otherwise(0L)).as("n_pos_label"),
+        sum(col("agrees").cast("long")).as("n_agree"))
+      .withColumn("pos_share",
+        round(col("n_pos_label").cast("double") / col("n_docs"), 6))
+      .orderBy("bucket")
+  }
 }

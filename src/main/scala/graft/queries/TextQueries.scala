@@ -215,6 +215,14 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text", "source",
         buckets = 1024, minStop = 2, trainPct = 80)
         .orderBy("source")),
+
+    // calibration of the epoch-1 ranker: per margin-bucket label
+    // shares — monotone pos_share is what justifies treating the
+    // margin as a quality SCORE (budgets, ranking), not just a sign
+    "q_calibration" -> ((s, d) =>
+      graft.operators.Classify.calibration(
+        Tables.documents(s, d), "doc_id", "text",
+        buckets = 1024, epochs = 1, minStop = 2, step = 256, clamp = 16)),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -641,6 +649,29 @@ object TextQueries {
 
     "q_classifier_eval" -> marginGateEvalOracleSql(
       buckets = 1024, minStop = 2, trainPct = 80),
+
+    "q_calibration" -> {
+      val (step, clamp) = (256, 16)
+      s"""WITH ${perceptronBaseCtes(buckets = 1024, minStop = 2)},
+         |${perceptronEpochCtes(1, "f", "lab")},
+         |${perceptronMarginCte("fm", "f", "w1")},
+         |sc AS (SELECT l.doc_id, l.y, fm.margin,
+         |    CAST(CASE WHEN fm.margin > 0 THEN 1 ELSE -1 END AS BIGINT)
+         |      AS pred
+         |  FROM lab l JOIN fm USING (doc_id)),
+         |bk AS (SELECT y, pred,
+         |    greatest(least(CASE WHEN margin >= 0 THEN margin // $step
+         |      ELSE -((-margin) // $step) END, $clamp), -$clamp) AS bucket
+         |  FROM sc)
+         |SELECT bucket, CAST(count(*) AS BIGINT) AS n_docs,
+         |  CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_pos_label,
+         |  CAST(sum(CASE WHEN pred = y THEN 1 ELSE 0 END) AS BIGINT)
+         |    AS n_agree,
+         |  round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+         |    / count(*), 6) AS pos_share
+         |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
   )
 
   /** Shared perceptron CTE pieces — the tok/lab/f/w0 base tables, the

@@ -193,4 +193,25 @@ class ClassifySpec extends SparkSpec {
       .groupBy(_._1).map { case (b, ys) => b -> ys.map(_._2).sum }
     assert(w1.filter(_._2 != 0L) == expected.filter(_._2 != 0L))
   }
+
+  test("calibration: accounts for every labeled doc, pos_share rises with margin") {
+    val d = spark.read.parquet(s"$sf/documents.parquet")
+    val cal = Classify.calibration(d, "doc_id", "text",
+      buckets = 1024, epochs = 1, minStop = 2, step = 256, clamp = 16)
+      .collect()
+    val labeled = Classify.weakLabels(d, "doc_id", "text", 2).count()
+    assert(cal.map(_.getLong(1)).sum == labeled,
+      "every labeled doc lands in exactly one bucket")
+    assert(cal.length >= 3, s"margin spread should fill buckets: ${cal.length}")
+    // the ranker property: high-margin buckets are purer in positive
+    // labels than low-margin buckets (weighted tail means)
+    val sorted = cal.sortBy(_.getLong(0))
+    def share(rows: Seq[org.apache.spark.sql.Row]) =
+      rows.map(_.getLong(2)).sum.toDouble / rows.map(_.getLong(1)).sum
+    val k = sorted.length / 3
+    assert(share(sorted.takeRight(k).toSeq) > share(sorted.take(k).toSeq),
+      "top-margin tercile must be purer than bottom tercile")
+    // n_agree never exceeds n_docs; pos buckets within [0,1]
+    assert(cal.forall(r => r.getLong(3) <= r.getLong(1)))
+  }
 }
