@@ -945,8 +945,20 @@ object Dedup {
             i => array_join(slice(col("__toks"), i * span + lit(1), lit(span)), " ")))
           .as(Seq("idx", "block")))
       .withColumn("blen", size(Portable.tokens(col("block"))))
+    keepFirstBlocks(df, blocks, idCol, minTokens, hashSpans)
+  }
+
+  /** Shared block-dedup tail for [[spanDedup]] and [[cdcDedup]]:
+    * given one row per (id, idx, block, blen), keep the globally-first
+    * occurrence of every repeated block of ≥ minTokens tokens, cut the
+    * rest, rebuild each doc's text in block order. Returns one row per
+    * input doc: (id, text_clean, n_spans, n_cut).
+    */
+  private def keepFirstBlocks(df: DataFrame, blocks: DataFrame,
+                              idCol: String, minTokens: Int,
+                              hashBlocks: Boolean): DataFrame = {
     val keyed =
-      if (hashSpans) blocks.withColumn("__key", xxhash64(col("block")))
+      if (hashBlocks) blocks.withColumn("__key", xxhash64(col("block")))
       else blocks.withColumn("__key", col("block"))
     // duplicated full-length blocks and their keeper occurrence
     val firsts = keyed
@@ -982,5 +994,51 @@ object Dedup {
         coalesce(col("text_clean"), lit("")).as("text_clean"),
         coalesce(col("n_spans"), lit(0L)).as("n_spans"),
         coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+  }
+
+  /** Content-defined chunking dedup — the SHIFT-ROBUST sibling of
+    * [[spanDedup]] (whose fixed blocks miss repeats at a different
+    * token offset; see the alignment spec). Chunk boundaries are
+    * decided by CONTENT, not position: a boundary falls after token i
+    * whenever the hash of the `w`-token window ending at i is ≡ 0
+    * mod `divisor` (the LBFS/rsync rolling-chunk trick, token-level).
+    * Inserting a token early in a doc shifts every fixed block but
+    * only perturbs CDC boundaries whose windows overlap the edit —
+    * repeated content downstream re-synchronizes and still dedups.
+    * Mean chunk length ≈ `divisor` tokens.
+    *
+    * Everything before the keep-first groupBy is row-local array
+    * arithmetic (window hashes, boundary list, chunk slicing — one
+    * projection, no shuffle); the dedup tail is the same
+    * content-keyed shuffle as spanDedup. Same return shape.
+    */
+  def cdcDedup(df: DataFrame, idCol: String, textCol: String,
+               w: Int = 3, divisor: Int = 4,
+               minTokens: Int = 2, hashChunks: Boolean = false): DataFrame = {
+    require(w >= 1 && divisor >= 1 && minTokens >= 1,
+      "w, divisor, minTokens must be >= 1")
+    val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+      .withColumn("__n", size(col("__toks")))
+    // boundary END positions: content-decided cuts (< n), plus n itself
+    val bounds = concat(
+      when(col("__n") >= w,
+        filter(sequence(lit(w), col("__n")),
+          i => Portable.hash32(
+            array_join(slice(col("__toks"), i - (w - 1), lit(w)), " "))
+            % divisor === 0 && i < col("__n")))
+        .otherwise(array().cast("array<int>")),
+      array(col("__n")))
+    val blocks = base
+      .withColumn("__bounds", bounds)
+      .select(col(idCol), col("__toks"), col("__bounds"),
+        posexplode(col("__bounds")).as(Seq("idx", "__end")))
+      .withColumn("__start",
+        when(col("idx") === 0, lit(1))
+          .otherwise(element_at(col("__bounds"), col("idx")) + 1))
+      .select(col(idCol), col("idx"),
+        array_join(slice(col("__toks"), col("__start"),
+          col("__end") - col("__start") + 1), " ").as("block"),
+        (col("__end") - col("__start") + 1).as("blen"))
+    keepFirstBlocks(df, blocks, idCol, minTokens, hashChunks)
   }
 }

@@ -282,6 +282,15 @@ object DedupQueries {
         span = 3, minTokens = 2)
         .orderBy("doc_id")),
 
+    // content-defined chunking dedup: boundaries decided by window
+    // hashes (mean chunk ≈ 4 tokens), so repeated content re-syncs
+    // and dedups even at a shifted offset — the rsync/LBFS trick at
+    // token level, complementing q_span_dedup's fixed blocks
+    "q_cdc_dedup" -> ((s, d) =>
+      Dedup.cdcDedup(Tables.documents(s, d), "doc_id", "text",
+        w = 3, divisor = 4, minTokens = 2)
+        .orderBy("doc_id")),
+
     // 1-bit signature compression: the 64×-smaller signature's
     // Jaccard estimate next to the full-signature estimate on the
     // same LSH candidates — the storage/variance trade a 100 TB
@@ -795,6 +804,52 @@ object DedupQueries {
          |b2 AS (SELECT doc_id, idx, block,
          |    len(${Portable.tokensSql("block")}) AS blen
          |  FROM blocks),
+         |ranked AS (SELECT doc_id, idx, row_number()
+         |    OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
+         |  FROM b2 WHERE blen >= $minTokens),
+         |cut AS (SELECT doc_id, idx FROM ranked WHERE rn >= 2),
+         |kept AS (SELECT b.doc_id, b.idx, b.block,
+         |    c.idx IS NOT NULL AS iscut
+         |  FROM b2 b LEFT JOIN cut c
+         |    ON c.doc_id = b.doc_id AND c.idx = b.idx),
+         |rebuilt AS (SELECT doc_id,
+         |    string_agg(CASE WHEN NOT iscut THEN block END, ' ' ORDER BY idx)
+         |      AS text_clean,
+         |    count(*) AS n_spans,
+         |    CAST(sum(CASE WHEN iscut THEN 1 ELSE 0 END) AS BIGINT) AS n_cut
+         |  FROM kept GROUP BY doc_id)
+         |SELECT d.doc_id, coalesce(r.text_clean, '') AS text_clean,
+         |  coalesce(r.n_spans, 0) AS n_spans, coalesce(r.n_cut, 0) AS n_cut
+         |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
+         |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_cdc_dedup" -> {
+      val (w, dvr, minTokens) = (3, 4, 2)
+      val winHash = Portable.hash32Sql(s"array_to_string(t[i-${w - 1}:i], ' ')")
+      s"""WITH toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t FROM documents),
+         |tb AS (SELECT doc_id, t, len(t) AS n FROM toks),
+         |bp AS (SELECT doc_id, t, n,
+         |    unnest(generate_series($w, n)) AS i
+         |  FROM tb WHERE n >= $w),
+         |bsel AS (SELECT doc_id, i FROM (
+         |    SELECT doc_id, i, n, $winHash AS h FROM bp)
+         |  WHERE h % $dvr = 0 AND i < n),
+         |cuts AS (SELECT doc_id, list(i ORDER BY i) AS cs FROM bsel
+         |  GROUP BY doc_id),
+         |bl AS (SELECT tb.doc_id, tb.t,
+         |    list_append(coalesce(c.cs, []), tb.n) AS bs
+         |  FROM tb LEFT JOIN cuts c USING (doc_id)),
+         |bj AS (SELECT doc_id, t, bs,
+         |    unnest(generate_series(1, len(bs))) AS j FROM bl),
+         |sl AS (SELECT doc_id, j - 1 AS idx,
+         |    CASE WHEN j = 1 THEN 1 ELSE bs[j - 1] + 1 END AS s_,
+         |    bs[j] AS e_, t
+         |  FROM bj),
+         |b2 AS (SELECT doc_id, idx,
+         |    array_to_string(t[s_:e_], ' ') AS block,
+         |    e_ - s_ + 1 AS blen
+         |  FROM sl),
          |ranked AS (SELECT doc_id, idx, row_number()
          |    OVER (PARTITION BY block ORDER BY doc_id, idx) AS rn
          |  FROM b2 WHERE blen >= $minTokens),

@@ -522,6 +522,46 @@ class TextDedupSpec extends SparkSpec {
     assert(got(2L) == "z a b c d e")
   }
 
+  test("cdcDedup re-syncs after an insertion and still cuts the repeat") {
+    // doc 2 is doc 1 with one token PREPENDED: every fixed block
+    // shifts (spanDedup finds nothing), but CDC boundaries are
+    // content-decided, so chunks after the edit re-synchronize
+    val real = graft.model.Tables.documents(spark, sf)
+      .filter($"doc_id" === 1L).head.getAs[String]("text")
+    val d = Seq((1L, real), (2L, "zzz " + real)).toDF("doc_id", "text")
+    val span = Dedup.spanDedup(d, "doc_id", "text", span = 3, minTokens = 2)
+      .filter($"doc_id" === 2L).head
+    val cdc = Dedup.cdcDedup(d, "doc_id", "text", w = 3, divisor = 4,
+      minTokens = 2)
+      .filter($"doc_id" === 2L).head
+    assert(span.getAs[Long]("n_cut") == 0L,
+      s"fixed blocks must all miss under a 1-token shift: $span")
+    assert(cdc.getAs[Long]("n_cut") > 0L,
+      s"content-defined chunks must re-sync and cut: $cdc")
+  }
+
+  test("cdcDedup is a pure segmentation when nothing repeats") {
+    // docs whose chunks are all unique come back VERBATIM — chunk
+    // boundaries never lose or reorder tokens
+    val real = graft.model.Tables.documents(spark, sf).limit(50)
+    val got = Dedup.cdcDedup(real, "doc_id", "text", w = 3, divisor = 4,
+      minTokens = 2)
+    val joined = real.select($"doc_id", $"text").join(got, "doc_id")
+    val unchanged = joined.filter($"n_cut" === 0L)
+    assert(unchanged.count() > 0, "fixture has dup-free docs")
+    assert(unchanged.filter($"text" =!= $"text_clean").count() == 0,
+      "zero-cut docs must reconstruct verbatim")
+  }
+
+  test("cdcDedup hashChunks mode equals raw-chunk mode on real docs") {
+    val real = graft.model.Tables.documents(spark, sf)
+    val raw = Dedup.cdcDedup(real, "doc_id", "text")
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    val hashed = Dedup.cdcDedup(real, "doc_id", "text", hashChunks = true)
+      .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(hashed == raw, "64-bit chunk keying must not change results")
+  }
+
   test("spanDedup hashSpans mode equals raw-block mode on real docs") {
     val real = graft.model.Tables.documents(spark, sf)
     val raw = Dedup.spanDedup(real, "doc_id", "text", span = 3, minTokens = 2)
