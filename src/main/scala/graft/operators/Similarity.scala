@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
@@ -293,6 +293,71 @@ object Similarity {
       .filter(col("rn") <= col("__budget"))
       .select(col(idCol), col("cluster"), col("c_size"),
         col("rn").cast("bigint").as("rank_in_cluster"), col("dist2"))
+  }
+
+  // ---- maintained IVF vector-index lifecycle ----
+  //
+  // The vector sibling of the MinHash signature-table lifecycle
+  // (Dedup.writeSignatures): between batches the corpus's embeddings
+  // live as a CELL-PARTITIONED parquet index — one directory per
+  // coarse k-means cell, centroids frozen at creation (the standard
+  // IVF contract: retrain = rebuild). Appends route new vectors to
+  // their cells; queries touch ONLY their probe cells' files
+  // (partition pruning — a top-k over 10 B vectors reads k_probe
+  // cells, not the corpus). Vectors stay in their stored element
+  // type (float32) end-to-end.
+
+  /** Create (or replace) a vector index at `path`: frozen centroids
+    * + cell-partitioned vectors.
+    */
+  def writeVectorIndex(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    assignToCentroids(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(df.select(col(idCol), col(vecCol)), idCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** Route a new batch to its cells under the index's FROZEN
+    * centroids and append. Batch text/vectors are never re-read after
+    * this ingest.
+    */
+  def appendVectorIndex(df: DataFrame, idCol: String, vecCol: String,
+                        path: String): Unit = {
+    val cent = df.sparkSession.read.parquet(s"$path/centroids")
+    assignToCentroids(df, idCol, vecCol, cent)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(df.select(col(idCol), col(vecCol)), idCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/vectors")
+  }
+
+  /** The stored index: (cell, id, vector). */
+  def readVectorIndex(spark: SparkSession, path: String): DataFrame =
+    spark.read.parquet(s"$path/vectors")
+
+  /** Top-k cosine neighbors from the STORED index: assign each query
+    * to its probe cell under the frozen centroids, prune the index
+    * scan to exactly those cells (the probe-cell id set is bounded by
+    * the centroid count — a scalar-sized driver probe, the same class
+    * as the bench warmup collects), then score cell-locally. The
+    * pruning filter reaches the parquet read as a PartitionFilter
+    * (spec-asserted), so storage I/O is probe-cells-sized.
+    */
+  def queryVectorIndex(spark: SparkSession, path: String,
+                       queries: DataFrame, idCol: String, vecCol: String,
+                       k: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val qCells = assignToCentroids(queries, idCol, vecCol, cent)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(queries.select(col(idCol), col(vecCol)), idCol)
+    val probeCells = qCells.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq
+    val index = readVectorIndex(spark, path)
+      .filter(col("cell").isin(probeCells: _*))
+    ivfTopK(qCells, index, idCol, vecCol, "cell", k)
   }
 
   /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to

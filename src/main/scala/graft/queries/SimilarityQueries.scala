@@ -56,6 +56,26 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // maintained IVF index lifecycle: write even vectors under frozen
+    // centroids, append the odd batch, query the STORED index — the
+    // vector sibling of q_sig_lifecycle (probe-cell partition pruning
+    // is plan-asserted in SimilaritySpec)
+    "q_ann_lifecycle" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_vecindex_").toString + "/idx"
+      Similarity.writeVectorIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cent, path)
+      Similarity.appendVectorIndex(e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", path)
+      Similarity.queryVectorIndex(s, path, queriesDf(s, d),
+        "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
+    }),
+
     // cluster-balanced diversity sample: sqrt-budget most-central
     // members per k-means cell — flattens dominant topics, keeps rare
     // ones represented (deterministic seed centroids as above)
@@ -246,6 +266,22 @@ object SimilarityQueries {
          |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
          |  FROM vecs CROSS JOIN cent)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_ann_lifecycle" ->
+      s"""WITH $vecsCte, $centCte, $assignedCte,
+         |q AS (SELECT a.vec_id AS query_id, a.cluster, a.v AS qv
+         |  FROM assigned a WHERE a.$QueryFilter),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.qv", "c.v")} AS cos
+         |  FROM q JOIN assigned c
+         |    ON c.cluster = q.cluster AND c.vec_id <> q.query_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cos_sim
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_diversity_sample" ->
       s"""WITH $vecsCte, $centCte,

@@ -101,6 +101,47 @@ class SimilaritySpec extends SparkSpec {
       s"expected no WindowExec (heap rewrite), got:\n$plan")
   }
 
+  test("vector index lifecycle: write+append == one-shot write; query prunes") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 4L)
+      .select($"vec_id".cast("int").as("cluster"),
+        $"embedding".cast("array<double>").as("cv"))
+    val p1 = java.nio.file.Files.createTempDirectory("vidx1_").toString + "/i"
+    val p2 = java.nio.file.Files.createTempDirectory("vidx2_").toString + "/i"
+    Similarity.writeVectorIndex(e, "vec_id", "embedding", cent, p1)
+    Similarity.writeVectorIndex(e.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cent, p2)
+    Similarity.appendVectorIndex(e.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", p2)
+    // identical contents: the frozen centroids route the append batch
+    // to the same cells the one-shot write chose
+    val a = Similarity.readVectorIndex(spark, p1)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.get(1)))
+    val b = Similarity.readVectorIndex(spark, p2)
+      .select("vec_id", "cell").collect().map(r => (r.getLong(0), r.get(1)))
+    assert(a.toSet == b.toSet && a.length == b.length)
+    // stored-index query == in-memory ivfTopK over the same cells
+    val queries = e.filter($"vec_id" % 17 === 0)
+    val got = Similarity.queryVectorIndex(spark, p1, queries,
+      "vec_id", "embedding", 3)
+    val cells = Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cluster".as("cell"))
+      .join(e.select($"vec_id", $"embedding"), "vec_id")
+    val want = Similarity.ivfTopK(
+      cells.join(queries.select("vec_id"), Seq("vec_id"), "left_semi"),
+      cells, "vec_id", "embedding", "cell", 3)
+    assert(got.collect().toSet == want.collect().toSet,
+      "stored-index query must match the in-memory IVF result")
+    // the probe filter must reach the INDEX scan as a PartitionFilter
+    val plan = got.queryExecution.executedPlan.toString
+    val indexScan = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("/vectors"))
+      .toSeq
+    assert(indexScan.nonEmpty, s"no index scan found:\n$plan")
+    assert(indexScan.forall(_.contains("PartitionFilters: [cell")),
+      s"cell probe must prune index partitions:\n${indexScan.mkString("\n")}")
+  }
+
   test("int8 quantization: error <= scale/2, extremes hit ±127, zero-safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.27f, 1.27f, 0.001f)),
