@@ -170,6 +170,46 @@ object Curation {
     train.join(contaminatedIds(train, bench, idCol, textCol, k),
       Seq(idCol), "left_anti")
 
+  /** Contamination SEVERITY report — [[contaminatedIds]] tells you
+    * which docs to drop; this tells you how bad each one is and which
+    * benchmark item leaked: per contaminated train doc, its distinct
+    * shingle count, how many of those appear anywhere in the
+    * benchmark, the contamination share, and the single benchmark doc
+    * sharing the most shingles (ties to the lowest id) with its
+    * overlap count — the evidence row a decontam decision is reviewed
+    * against.
+    *
+    * Scale shape: the shingle semi-join becomes an inner join keyed
+    * on the shingle (bench side is benchmark-sized — broadcast tier);
+    * per-doc and per-(doc, bench) counts are partial-aggregable; the
+    * blame pick is a row_number the GroupedTopK heap rewrite executes
+    * with rn = 1.
+    */
+  def contaminationReport(train: DataFrame, bench: DataFrame,
+                          idCol: String, textCol: String,
+                          k: Int = 3): DataFrame = {
+    val t = Dedup.docShingles(train, idCol, textCol, k, dedup = true)
+    val bsh = Dedup.docShingles(bench, idCol, textCol, k, dedup = true)
+      .select(col(idCol).as("bench_id"), col("shingle"))
+    val tot = t.groupBy(col(idCol)).agg(count(lit(1)).as("n_shingles"))
+    val hits = t.join(bsh, "shingle")
+    val perDoc = hits.groupBy(col(idCol))
+      .agg(countDistinct(col("shingle")).as("n_contaminated"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("n_shared").desc, col("bench_id").asc)
+    val blame = hits.groupBy(col(idCol), col("bench_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col(idCol), col("bench_id").as("blame_bench_id"),
+        col("n_shared"))
+    perDoc.join(tot, idCol).join(blame, idCol)
+      .select(col(idCol), col("n_shingles"), col("n_contaminated"),
+        round(col("n_contaminated").cast("double") / col("n_shingles"), 6)
+          .as("contam_share"),
+        col("blame_bench_id"), col("n_shared"))
+  }
+
   /** Bloom-pruned decontamination — same EXACT result as
     * [[decontaminate]], different scaling shape. The plain semi-join
     * shuffles every train shingle; at 100 TB that is the corpus token

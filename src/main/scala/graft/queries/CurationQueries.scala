@@ -98,6 +98,17 @@ object CurationQueries {
         .orderBy("doc_id")
     }),
 
+    // contamination severity: per contaminated doc, overlap counts +
+    // the benchmark item that leaked (max shared shingles, min-id tie)
+    "q_contam_report" -> ((s, d) => {
+      val all = docs(s, d)
+      Curation.contaminationReport(
+        all.filter(col("doc_id") % 20 =!= 0),
+        all.filter(col("doc_id") % 20 === 0),
+        "doc_id", "text", K)
+        .orderBy("doc_id")
+    }),
+
     // bloom-pruned decontamination: same exact result (and oracle SQL)
     // as q_decontam — the broadcast sketch only gates which docs reach
     // the exact semi-join
@@ -413,6 +424,30 @@ object CurationQueries {
          |WHERE doc_id % 20 <> 0
          |  AND doc_id NOT IN (SELECT doc_id FROM contaminated)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_contam_report" ->
+      s"""WITH $shingleSqlOf,
+         |tsh AS (SELECT doc_id, s FROM sh WHERE doc_id % 20 <> 0),
+         |bsh AS (SELECT doc_id AS bench_id, s FROM sh
+         |  WHERE doc_id % 20 = 0),
+         |tot AS (SELECT doc_id, count(*) AS n_shingles FROM tsh
+         |  GROUP BY 1),
+         |hits AS (SELECT t.doc_id, b.bench_id, t.s
+         |  FROM tsh t JOIN bsh b USING (s)),
+         |perdoc AS (SELECT doc_id, count(DISTINCT s) AS n_contaminated
+         |  FROM hits GROUP BY 1),
+         |blame AS (SELECT doc_id, bench_id, count(*) AS n_shared,
+         |    row_number() OVER (PARTITION BY doc_id
+         |      ORDER BY count(*) DESC, bench_id) AS rn
+         |  FROM hits GROUP BY doc_id, bench_id)
+         |SELECT p.doc_id, tot.n_shingles, p.n_contaminated,
+         |  round(CAST(p.n_contaminated AS DOUBLE) / tot.n_shingles, 6)
+         |    AS contam_share,
+         |  b.bench_id AS blame_bench_id, b.n_shared
+         |FROM perdoc p
+         |JOIN tot USING (doc_id)
+         |JOIN (SELECT * FROM blame WHERE rn = 1) b USING (doc_id)
+         |ORDER BY p.doc_id""".stripMargin,
 
     // the bloom gate is pure pruning — the exact-decontam SQL IS the
     // oracle for the bloom-pruned plan (no false negatives, false

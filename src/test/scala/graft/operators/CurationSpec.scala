@@ -396,4 +396,27 @@ class CurationSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(bp == Map("all rights reserved" -> 3L))
   }
+
+  test("contaminationReport: shares, blame doc, min-id tie, clean docs absent") {
+    import spark.implicits._
+    val bench = Seq(
+      (100L, "a b c d e"),   // shingles: "a b c" "b c d" "c d e"
+      (101L, "a b c z z")).toDF("doc_id", "text")
+    val train = Seq(
+      // 2 of 3 shingles hit bench 100 → share 2/3, blame 100
+      (1L, "a b c d x"),
+      // clean — must not appear in the report
+      (2L, "p q r s t"),
+      // only "a b c", shared by BOTH bench docs 1-1 → tie blames 100
+      (3L, "a b c q q q")).toDF("doc_id", "text")
+    val got = Curation.contaminationReport(train, bench, "doc_id", "text",
+      k = 3)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getDouble(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet == Set(1L, 3L), s"clean docs must be absent: $got")
+    assert(got(1L) == ((3L, 2L, 0.666667, 100L, 2L)), s"got ${got(1L)}")
+    assert(got(3L) == ((4L, 1L, 0.25, 100L, 1L)),
+      s"blame tie must break to min bench id: ${got(3L)}")
+  }
 }
