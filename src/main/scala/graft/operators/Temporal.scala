@@ -170,4 +170,65 @@ object Temporal {
       .filter(col(tsCol) >= col(startCol) && col(tsCol) <= col(endCol))
       .drop("__bucket")
   }
+
+  /** Ordered funnel analysis: for each step sequence (e.g. view →
+    * click → purchase), how many users completed step k STRICTLY
+    * AFTER their step k−1 completion — the product-analytics query
+    * every event pipeline runs. Earliest-completion semantics: a user
+    * "reaches" step k at the minimum timestamp of a step-k event
+    * later than their step k−1 reach time (the standard greedy funnel
+    * — earliest reach maximizes downstream conversions under strict
+    * ordering). With `maxGapSeconds > 0`, step k must also land
+    * within that window after step k−1 (the windowed funnel product
+    * analytics actually reports — unbounded funnels saturate on any
+    * long-lived user base).
+    *
+    * Scale shape: one user-keyed min-aggregate per step over ONLY
+    * that step's events (event-type filter pushes to the scan), each
+    * joined to the previous step's user frame — k small user-keyed
+    * shuffles with map-side-combinable mins; never a window over a
+    * user's whole history, never an events×events self-join. Report:
+    * (step, event_type, n_users, pct_of_prev, pct_of_first).
+    */
+  def funnelSteps(events: DataFrame, userCol: String, typeCol: String,
+                  tsCol: String, steps: Seq[String],
+                  maxGapSeconds: Long = 0L): DataFrame = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    val gapped = maxGapSeconds > 0
+    val spark = events.sparkSession
+    // localCheckpoint per step: each step's user frame feeds both the
+    // next step's join and its own count — unmaterialized, step k
+    // would re-run steps 1..k-1 (O(k²) jobs)
+    var reached = events.filter(col(typeCol) === steps.head)
+      .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+      .localCheckpoint()
+    var counts = Vector(reached.count())
+    for (s <- steps.tail) {
+      val inWindow =
+        if (gapped)
+          col(tsCol) > col("__t") &&
+            col(tsCol) <= col("__t") + expr(s"INTERVAL $maxGapSeconds SECONDS")
+        else col(tsCol) > col("__t")
+      reached = events.filter(col(typeCol) === s)
+        .join(reached, userCol)
+        .filter(inWindow)
+        .groupBy(col(userCol)).agg(min(col(tsCol)).as("__t"))
+        .localCheckpoint()
+      counts :+= reached.count()
+    }
+    import spark.implicits._
+    // ratios + rounding stay IN the engine (same round() the other
+    // count-ratio queries use, proven hash-stable vs the oracle)
+    steps.zipWithIndex.map { case (s, i) =>
+      (i + 1, s, counts(i), if (i == 0) counts(0) else counts(i - 1),
+        counts(0))
+    }.toDF("step", "event_type", "n_users", "__prev", "__first")
+      .select(col("step"), col("event_type"), col("n_users"),
+        when(col("__prev") === 0, 0.0)
+          .otherwise(round(col("n_users").cast("double") / col("__prev"), 6))
+          .as("pct_of_prev"),
+        when(col("__first") === 0, 0.0)
+          .otherwise(round(col("n_users").cast("double") / col("__first"), 6))
+          .as("pct_of_first"))
+  }
 }

@@ -54,7 +54,14 @@ object TemporalQueries {
         .select(col("err_id"), col("event_id"), col("user_id"),
           date_format(col("ts"), TsFmt).as("click_ts"))
         .orderBy("err_id", "event_id")
-    }))
+    }),
+
+    // ordered funnel: users completing view → click → purchase with
+    // strictly increasing timestamps (earliest-reach greedy semantics)
+    "q_funnel" -> ((s, d) =>
+      Temporal.funnelSteps(ev(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"), maxGapSeconds = 86400L)
+        .orderBy("step")))
 
   val oracleSql: Map[String, String] = Map(
     "q_asof_join" ->
@@ -80,5 +87,33 @@ object TemporalQueries {
          |FROM clicks c JOIN windows w
          |  ON c.user_id = w.user_id
          |  AND c.ts >= w.w_start AND c.ts <= w.w_end
-         |ORDER BY w.err_id, c.event_id""".stripMargin)
+         |ORDER BY w.err_id, c.event_id""".stripMargin,
+
+    "q_funnel" ->
+      """WITH s1 AS (SELECT user_id, min(ts) AS t FROM events
+        |  WHERE event_type = 'view' GROUP BY 1),
+        |s2 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s1 ON e.user_id = s1.user_id AND e.ts > s1.t
+        |    AND e.ts <= s1.t + INTERVAL 86400 SECONDS
+        |  WHERE e.event_type = 'click' GROUP BY 1),
+        |s3 AS (SELECT e.user_id, min(e.ts) AS t FROM events e
+        |  JOIN s2 ON e.user_id = s2.user_id AND e.ts > s2.t
+        |    AND e.ts <= s2.t + INTERVAL 86400 SECONDS
+        |  WHERE e.event_type = 'purchase' GROUP BY 1),
+        |c AS (SELECT (SELECT count(*) FROM s1) AS c1,
+        |  (SELECT count(*) FROM s2) AS c2,
+        |  (SELECT count(*) FROM s3) AS c3)
+        |SELECT step, event_type, n_users,
+        |  CASE WHEN prv = 0 THEN 0.0
+        |    ELSE round(CAST(n_users AS DOUBLE) / prv, 6) END
+        |    AS pct_of_prev,
+        |  CASE WHEN fst = 0 THEN 0.0
+        |    ELSE round(CAST(n_users AS DOUBLE) / fst, 6) END
+        |    AS pct_of_first
+        |FROM (
+        |  SELECT 1 AS step, 'view' AS event_type, c1 AS n_users,
+        |    c1 AS prv, c1 AS fst FROM c
+        |  UNION ALL SELECT 2, 'click', c2, c1, c1 FROM c
+        |  UNION ALL SELECT 3, 'purchase', c3, c2, c1 FROM c)
+        |ORDER BY step""".stripMargin)
 }

@@ -127,4 +127,30 @@ class TemporalSpec extends SparkSpec {
       .select("pid").as[Long].collect().toSet
     assert(got == Set(1L, 2L))
   }
+
+  test("funnelSteps: strict ordering, gap window, earliest-reach greedy") {
+    def ts(sec: Long) = new Timestamp(1704067200000L + sec * 1000L)
+    val ev = Seq(
+      // user 1: full funnel in order
+      (1L, "view", ts(0)), (1L, "click", ts(10)), (1L, "purchase", ts(20)),
+      // user 2: click BEFORE its view — never reaches step 2
+      (2L, "click", ts(0)), (2L, "view", ts(10)),
+      // user 3: stops after click
+      (3L, "view", ts(0)), (3L, "click", ts(10)),
+      // user 4: click outside the 60 s gap window
+      (4L, "view", ts(0)), (4L, "click", ts(120)),
+      // user 5: purchase before its click doesn't count; the later
+      // one does (earliest reach AFTER step 2)
+      (5L, "view", ts(0)), (5L, "click", ts(10)),
+      (5L, "purchase", ts(5)), (5L, "purchase", ts(30)),
+    ).toDF("user_id", "event_type", "ts")
+    val got = Temporal.funnelSteps(ev, "user_id", "event_type", "ts",
+      Seq("view", "click", "purchase"), maxGapSeconds = 60L)
+      .orderBy("step")
+      .collect().map(r => (r.getInt(0), r.getLong(2), r.getDouble(3)))
+    // views: users 1,2,3,4,5 → 5; clicks in window after view: 1,3,5
+    // → 3; purchases after click: 1,5 → 2
+    assert(got.toSeq == Seq((1, 5L, 1.0), (2, 3L, 0.6), (3, 2L, 0.666667)),
+      s"got ${got.toSeq}")
+  }
 }
