@@ -477,6 +477,24 @@ object Curation {
     audited.unionByName(dropped)
   }
 
+  /** Quality-curriculum training order: every labeled doc stamped with
+    * a global 1..n rank by DESCENDING model quality (epoch-1 margin,
+    * doc-id ties) — highest-confidence prose first, the
+    * curriculum-learning order a data loader consumes directly. The
+    * global stamp is [[Scale.denseIds]] (range-repartition +
+    * zipWithIndex), NOT a single-partition window, so the ordering
+    * pass scales with the cluster.
+    */
+  def curriculumOrder(docs: DataFrame, idCol: String, textCol: String,
+                      buckets: Int = 1024, minStop: Int = 2): DataFrame = {
+    val margins = Classify.perceptronQuality(docs, idCol, textCol,
+      buckets, epochs = 1, minStop = minStop)
+      .select(col(idCol), col("margin"))
+    Scale.denseIds(margins,
+      Seq(col("margin").desc, col(idCol).asc), "rid")
+      .select(col("rid"), col(idCol), col("margin"))
+  }
+
   /** Fixed-window document chunking with overlap — the pre-embedding
     * step of a retrieval/training pipeline: token windows of
     * `chunkSize` starting every `chunkSize - overlap` tokens. Pure

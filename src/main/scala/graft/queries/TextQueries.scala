@@ -223,6 +223,14 @@ object TextQueries {
       graft.operators.Classify.calibration(
         Tables.documents(s, d), "doc_id", "text",
         buckets = 1024, epochs = 1, minStop = 2, step = 256, clamp = 16)),
+
+    // curriculum order: global rank by descending model quality —
+    // stamped by the distributed sort+zipWithIndex, never a
+    // single-partition window
+    "q_curriculum" -> ((s, d) =>
+      graft.operators.Curation.curriculumOrder(
+        Tables.documents(s, d), "doc_id", "text")
+        .orderBy("rid")),
   )
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
@@ -672,6 +680,15 @@ object TextQueries {
          |    / count(*), 6) AS pos_share
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
     },
+
+    "q_curriculum" ->
+      s"""WITH ${perceptronBaseCtes(buckets = 1024, minStop = 2)},
+         |${perceptronEpochCtes(1, "f", "lab")},
+         |${perceptronMarginCte("fm", "f", "w1")}
+         |SELECT CAST(row_number()
+         |    OVER (ORDER BY margin DESC, doc_id) AS BIGINT) AS rid,
+         |  doc_id, margin
+         |FROM fm ORDER BY rid""".stripMargin,
   )
 
   /** Shared perceptron CTE pieces — the tok/lab/f/w0 base tables, the

@@ -419,4 +419,21 @@ class CurationSpec extends SparkSpec {
     assert(got(3L) == ((4L, 1L, 0.25, 100L, 1L)),
       s"blame tie must break to min bench id: ${got(3L)}")
   }
+
+  test("curriculumOrder: dense 1..n permutation, margins non-increasing") {
+    val d = spark.read.parquet(
+      s"/root/testdata/sf0.001/documents.parquet")
+    val rows = Curation.curriculumOrder(d, "doc_id", "text")
+      .orderBy("rid")
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+    assert(rows.map(_._1).toSeq == (1L to rows.length).toSeq,
+      "rid must be a dense permutation")
+    assert(rows.map(_._2).distinct.length == rows.length,
+      "every labeled doc exactly once")
+    rows.sliding(2).foreach {
+      case Array((_, _, m1), (_, id2, m2)) =>
+        assert(m2 <= m1, s"margins must not increase along rid: $id2")
+      case _ =>
+    }
+  }
 }
