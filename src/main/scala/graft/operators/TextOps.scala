@@ -453,6 +453,32 @@ object TextOps {
       .select(col("rank"), col(idCol), col("score"), col("n_terms"))
   }
 
+  /** Reciprocal-rank fusion of two ranked retrieval lists — the
+    * standard hybrid-search combiner (lexical BM25 + vector KNN):
+    * score(d) = Σ_lists 1/(c + rank_list(d)), c = 60 from the RRF
+    * literature, here in integer micro-units (10⁶ div (c + rank)) so
+    * the fusion is order-free and hash-stable like every score in
+    * this module. A doc missing from one list contributes 0 from it
+    * (full outer join on the id). Both inputs are top-k-sized — the
+    * fusion never touches the corpus, so its cost is independent of
+    * corpus scale; ranking is the TakeOrdered + k-row window tail
+    * shared with [[searchTopK]].
+    */
+  def rrfFuse(a: DataFrame, b: DataFrame, idCol: String,
+              aRankCol: String, bRankCol: String, k: Int = 10,
+              c: Int = 60): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val joined = a.join(b, Seq(idCol), "full")
+      .withColumn("rrf_score",
+        coalesce(expr(s"1000000 div ($c + $aRankCol)"), lit(0L)) +
+          coalesce(expr(s"1000000 div ($c + $bRankCol)"), lit(0L)))
+    val top = joined.orderBy(col("rrf_score").desc, col(idCol)).limit(k)
+    val w = Window.orderBy(col("rrf_score").desc, col(idCol))
+    top.withColumn("rank", row_number().over(w).cast("int"))
+      .select(col("rank"), col(idCol), col("rrf_score"),
+        col(aRankCol), col(bRankCol))
+  }
+
   /** Distributed BPE vocabulary induction — tokenizer merge training
     * at corpus scale. The scale move is step 0: collapse the corpus to
     * its WORD HISTOGRAM (one groupBy; 100 TB of text becomes a

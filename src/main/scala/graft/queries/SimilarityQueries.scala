@@ -18,7 +18,7 @@ object SimilarityQueries {
 
   /** queries = every 50th vector: small, broadcastable query set. */
   private val QueryFilter = "vec_id % 50 = 0"
-  private val Dim = 64
+  private[queries] val Dim = 64
   private val ProjDim = 16
   private val K = 3
   private val NumPlanes = 8
@@ -199,7 +199,7 @@ object SimilarityQueries {
 
   private def dotSql(a: String, b: String): String = dotSqlN(a, b, Dim)
 
-  private def cosSqlN(a: String, b: String, n: Int): String =
+  private[queries] def cosSqlN(a: String, b: String, n: Int): String =
     s"(${dotSqlN(a, b, n)}) / (sqrt(${dotSqlN(a, a, n)}) * sqrt(${dotSqlN(b, b, n)}))"
 
   private def cosSql(a: String, b: String): String = cosSqlN(a, b, Dim)

@@ -148,6 +148,22 @@ object TextQueries {
         "hash join filter", k = 10)
         .orderBy("rank")),
 
+    // hybrid retrieval: BM25 top-20 and vector-KNN top-20 (query =
+    // vec 0's embedding; doc_id ≡ vec_id in this corpus) fused by
+    // integer reciprocal-rank fusion (10⁶ div (60 + rank)) — the
+    // standard lexical+semantic combiner
+    "q_hybrid_rrf" -> ((s, d) => {
+      val bm = TextOps.bm25TopK(Tables.documents(s, d), "doc_id", "text",
+        "hash join filter", k = 20)
+        .select(col("doc_id").as("id"), col("rank").as("bm25_rank"))
+      val e = Tables.embeddings(s, d)
+      val knn = graft.operators.Similarity.bruteForceTopK(
+        e.filter(col("vec_id") === 0L), e, "vec_id", "embedding", k = 20)
+        .select(col("neighbor_id").as("id"), col("rank").as("knn_rank"))
+      TextOps.rrfFuse(bm, knn, "id", "bm25_rank", "knn_rank", k = 10)
+        .orderBy("rank")
+    }),
+
     // LSH recall diagnostic: ground truth (integer-exact jaccard ≥
     // 1/2) vs the banding candidates, one report row
     "q_lsh_recall" -> ((s, d) =>
@@ -232,6 +248,28 @@ object TextQueries {
         Tables.documents(s, d), "doc_id", "text")
         .orderBy("rid")),
   )
+
+  /** BM25 scored-docs CTE chain ending in `sc(doc_id, score,
+    * n_terms)` — shared by q_bm25 and the hybrid-RRF oracle so the
+    * scoring formula can only change in one place.
+    */
+  private[queries] val bm25ScCte: String =
+    s"""docs AS (SELECT doc_id, $toksSql AS t FROM documents),
+       |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
+       |st AS (SELECT count(*) AS nn, CAST(sum(dl) AS BIGINT) AS tt
+       |  FROM dl),
+       |tf AS (SELECT d.doc_id, dl.dl, tok AS token, count(*) AS tf
+       |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs) d
+       |  JOIN dl USING (doc_id)
+       |  WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
+       |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
+       |sc AS (SELECT tf.doc_id,
+       |    CAST(sum(((st.nn * 1000000) // dfq.df) *
+       |      ((44000 * st.tt * tf.tf) //
+       |       (20 * st.tt * tf.tf + 6 * st.tt + 18 * tf.dl * st.nn)))
+       |      AS BIGINT) AS score,
+       |    count(*) AS n_terms
+       |  FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1)""".stripMargin
 
   private def langScoreSql(lang: String, markers: Seq[String]): String =
     markers.map { m =>
@@ -528,22 +566,7 @@ object TextQueries {
     // BM25 in the same integer units: tfsat = 44·T·tf // (20·T·tf +
     // 6·T + 18·dl·N) ×1000 (k1=6/5, b=3/4 folded), idf log-free
     "q_bm25" ->
-      s"""WITH docs AS (SELECT doc_id, $toksSql AS t FROM documents),
-         |dl AS (SELECT doc_id, CAST(len(t) AS BIGINT) AS dl FROM docs),
-         |st AS (SELECT count(*) AS nn, CAST(sum(dl) AS BIGINT) AS tt
-         |  FROM dl),
-         |tf AS (SELECT d.doc_id, dl.dl, tok AS token, count(*) AS tf
-         |  FROM (SELECT doc_id, unnest(t) AS tok FROM docs) d
-         |  JOIN dl USING (doc_id)
-         |  WHERE tok IN ('hash', 'join', 'filter') GROUP BY 1, 2, 3),
-         |dfq AS (SELECT token, count(*) AS df FROM tf GROUP BY 1),
-         |sc AS (SELECT tf.doc_id,
-         |    CAST(sum(((st.nn * 1000000) // dfq.df) *
-         |      ((44000 * st.tt * tf.tf) //
-         |       (20 * st.tt * tf.tf + 6 * st.tt + 18 * tf.dl * st.nn)))
-         |      AS BIGINT) AS score,
-         |    count(*) AS n_terms
-         |  FROM tf JOIN dfq USING (token) CROSS JOIN st GROUP BY 1)
+      s"""WITH $bm25ScCte
          |SELECT CAST(row_number() OVER w AS INT) AS rank, doc_id, score,
          |  n_terms
          |FROM sc
@@ -679,6 +702,35 @@ object TextQueries {
          |  round(CAST(sum(CASE WHEN y = 1 THEN 1 ELSE 0 END) AS DOUBLE)
          |    / count(*), 6) AS pos_share
          |FROM bk GROUP BY bucket ORDER BY bucket""".stripMargin
+    },
+
+    "q_hybrid_rrf" -> {
+      val cos = SimilarityQueries.cosSqlN("qv.q", "c.v",
+        SimilarityQueries.Dim)
+      s"""WITH $bm25ScCte,
+         |bmr AS (SELECT doc_id AS id, CAST(row_number()
+         |      OVER (ORDER BY score DESC, doc_id) AS INT) AS bm25_rank
+         |  FROM sc
+         |  QUALIFY row_number() OVER (ORDER BY score DESC, doc_id) <= 20),
+         |vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v
+         |  FROM embeddings),
+         |qv AS (SELECT v AS q FROM vecs WHERE vec_id = 0),
+         |kscored AS (SELECT c.vec_id AS id, $cos AS cos
+         |  FROM vecs c, qv WHERE c.vec_id <> 0),
+         |knn AS (SELECT id, CAST(row_number()
+         |      OVER (ORDER BY cos DESC, id) AS INT) AS knn_rank
+         |  FROM kscored
+         |  QUALIFY row_number() OVER (ORDER BY cos DESC, id) <= 20),
+         |f AS (SELECT coalesce(bmr.id, knn.id) AS id, bm25_rank, knn_rank,
+         |    coalesce(1000000 // (60 + bm25_rank), 0) +
+         |    coalesce(1000000 // (60 + knn_rank), 0) AS rrf_score
+         |  FROM bmr FULL JOIN knn ON bmr.id = knn.id)
+         |SELECT CAST(row_number() OVER w AS INT) AS rank, id,
+         |  CAST(rrf_score AS BIGINT) AS rrf_score, bm25_rank, knn_rank
+         |FROM f
+         |WINDOW w AS (ORDER BY rrf_score DESC, id)
+         |QUALIFY row_number() OVER w <= 10
+         |ORDER BY rank""".stripMargin
     },
 
     "q_curriculum" ->

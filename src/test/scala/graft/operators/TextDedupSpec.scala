@@ -318,6 +318,18 @@ class TextDedupSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("rrfFuse: integer reciprocal-rank fusion, missing list scores 0") {
+    val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "bm25_rank")
+    val b = Seq((2L, 1), (4L, 2)).toDF("id", "knn_rank")
+    val got = TextOps.rrfFuse(a, b, "id", "bm25_rank", "knn_rank", k = 10)
+      .orderBy("rank")
+      .collect().map(r => (r.getInt(0), r.getLong(1), r.getLong(2)))
+    // id2: 10⁶/62 + 10⁶/61 = 16129+16393; id1: 10⁶/61; id4: 10⁶/62;
+    // id3: 10⁶/63 — doc in both lists wins, then by the single rank
+    assert(got.toSeq == Seq((1, 2L, 32522L), (2, 1L, 16393L),
+      (3, 4L, 16129L), (4, 3L, 15873L)), s"got ${got.toSeq}")
+  }
+
   test("lshRecallReport: exact dups are always recalled") {
     val r = Dedup.lshRecallReport(docs, "doc_id", "text", k = 3)
       .head()
