@@ -99,4 +99,38 @@ object Validate {
       }: _*)).as("c"))
       .select("c.*")
   }
+
+  /** Schema evolution diff between two parquet snapshots of a table —
+    * the pre-flight a lake pipeline runs before swapping a new batch
+    * in: per column, its status (`unchanged`/`added`/`removed`/
+    * `retyped`) and a compatibility verdict for readers of the OLD
+    * schema: `ok` (unchanged, or an added nullable column old readers
+    * ignore), `widened` (int→bigint, float→double — value-preserving),
+    * `break` (removed, or any other retype). Schemas are parquet
+    * FOOTER metadata — reading them touches no data files, so this is
+    * a driver-side metadata probe by construction, the same class as
+    * a catalog lookup, at any table size.
+    */
+  def schemaDiff(spark: org.apache.spark.sql.SparkSession,
+                 oldPath: String, newPath: String): DataFrame = {
+    val o = spark.read.parquet(oldPath).schema
+      .map(f => f.name -> f.dataType.catalogString).toMap
+    val n = spark.read.parquet(newPath).schema
+      .map(f => f.name -> f.dataType.catalogString).toMap
+    val widening = Set("tinyint->smallint", "tinyint->int", "tinyint->bigint",
+      "smallint->int", "smallint->bigint", "int->bigint", "float->double")
+    val rows = (o.keySet ++ n.keySet).toSeq.sorted.map { c =>
+      (o.get(c), n.get(c)) match {
+        case (Some(t), Some(t2)) if t == t2 => (c, "unchanged", t, t2, "ok")
+        case (Some(t), Some(t2)) =>
+          (c, "retyped", t, t2,
+            if (widening.contains(s"$t->$t2")) "widened" else "break")
+        case (Some(t), None) => (c, "removed", t, null, "break")
+        case (None, Some(t2)) => (c, "added", null, t2, "ok")
+        case (None, None) => throw new IllegalStateException(c)
+      }
+    }
+    import spark.implicits._
+    rows.toDF("column", "status", "old_type", "new_type", "compat")
+  }
 }

@@ -303,6 +303,28 @@ object CoreQueries {
         graft.operators.Validate.OneOf("o_orderstatus", Seq("F", "O"))))
         .orderBy("constraint")),
 
+    // schema evolution diff: write two snapshot variants (drop a
+    // column, add one, narrow a type), diff their parquet FOOTER
+    // schemas, report per-column status + reader-compat verdict —
+    // the lake pre-flight before swapping a batch in. The expected
+    // diff is fully determined by the constructed mutation, so the
+    // oracle pins it as a constant — the query's job is proving the
+    // write→footer→read round trip reports it faithfully
+    "q_schema_diff" -> ((s, d) => {
+      val out = s"${sys.props("java.io.tmpdir")}/graft_schemadiff_" +
+        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val docs = Tables.documents(s, d)
+      docs.write.mode("overwrite").parquet(s"$out/v1")
+      docs
+        .withColumn("n_tokens",
+          size(graft.functions.Portable.tokens(col("text"))).cast("long"))
+        .drop("lang")
+        .withColumn("n_chars", col("n_chars").cast("int"))
+        .write.mode("overwrite").parquet(s"$out/v2")
+      graft.operators.Validate.schemaDiff(s, s"$out/v1", s"$out/v2")
+        .orderBy("column")
+    }),
+
     // snapshot CDC: diff two deterministic versions of orders — keys
     // %10∈{8,9} exist only in "new" (insert), %10∈{0,1} only in "old"
     // (delete), and %3=0 overlap keys get a price bump (update);
@@ -721,6 +743,17 @@ object CoreQueries {
         .map(row).mkString("", "\nUNION ALL\n",
           "\nORDER BY column_name")
     },
+
+    "q_schema_diff" ->
+      """SELECT * FROM (VALUES
+        |  ('doc_id', 'unchanged', 'bigint', 'bigint', 'ok'),
+        |  ('lang', 'removed', 'string', CAST(NULL AS VARCHAR), 'break'),
+        |  ('n_chars', 'retyped', 'bigint', 'int', 'break'),
+        |  ('n_tokens', 'added', CAST(NULL AS VARCHAR), 'bigint', 'ok'),
+        |  ('source', 'unchanged', 'string', 'string', 'ok'),
+        |  ('text', 'unchanged', 'string', 'string', 'ok'))
+        |  AS t("column", status, old_type, new_type, compat)
+        |ORDER BY "column"""".stripMargin,
 
     "q_validate_check" ->
       """WITH a AS (SELECT

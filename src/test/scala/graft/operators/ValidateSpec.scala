@@ -45,4 +45,21 @@ class ValidateSpec extends SparkSpec {
       Seq(Validate.NotNull("v"), Validate.Unique(Seq("k"))))
     assert(clean.filter(!$"passed").isEmpty)
   }
+
+  test("schemaDiff: statuses + widening vs breaking verdicts") {
+    val dir = java.nio.file.Files.createTempDirectory("sdiff_").toString
+    Seq((1, 1.0f, "a", 2L)).toDF("widens", "alsoWidens", "gone", "narrows")
+      .write.mode("overwrite").parquet(s"$dir/v1")
+    Seq((1L, 1.0, 2, "x")).toDF("widens", "alsoWidens", "narrows", "fresh")
+      .write.mode("overwrite").parquet(s"$dir/v2")
+    val got = Validate.schemaDiff(spark, s"$dir/v1", s"$dir/v2")
+      .collect()
+      .map(r => r.getString(0) -> ((r.getString(1), r.getString(4))))
+      .toMap
+    assert(got("widens") == (("retyped", "widened")), s"int->bigint: $got")
+    assert(got("alsoWidens") == (("retyped", "widened")), "float->double")
+    assert(got("narrows") == (("retyped", "break")), "bigint->int narrows")
+    assert(got("gone") == (("removed", "break")))
+    assert(got("fresh") == (("added", "ok")))
+  }
 }

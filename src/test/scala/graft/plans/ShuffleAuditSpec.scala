@@ -58,6 +58,28 @@ class ShuffleAuditSpec extends SparkSpec {
         s"shuffled ${s.shuffleBytes} of $textBytes text bytes: $s")
   }
 
+  test("bloomPrunedJoin moves ~selectivity of the plain join's shuffle") {
+    import spark.implicits._
+    // 50k-row big side, 0.5% of keys match; broadcast disabled so the
+    // join must shuffle — the regime the runtime filter exists for
+    val big = (1L to 50000L).map(i => (i % 10000, s"p$i")).toDF("bk", "pay")
+    val small = (1L to 50L).map(i => (i, s"d$i")).toDF("sk", "dim")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val plain = ShuffleAudit.measure(
+        big.join(small, col("bk") === col("sk")))
+      val pruned = ShuffleAudit.measure(
+        graft.operators.Scale.bloomPrunedJoin(big, small, "bk", "sk"))
+      assert(plain.shuffleRecords >= 50000L,
+        s"plain join must shuffle the whole big side: $plain")
+      assert(pruned.shuffleRecords < plain.shuffleRecords / 10,
+        s"bloom filter must prune the big side BEFORE its shuffle: " +
+          s"pruned=${pruned.shuffleRecords} plain=${plain.shuffleRecords}")
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+    }
+  }
+
   test("stats() before any action reports zero volumes") {
     val df = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
