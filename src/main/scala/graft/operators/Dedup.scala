@@ -101,6 +101,39 @@ object Dedup {
     sigs.select(col(idCol), explode(bandKeys).as("band_key"))
   }
 
+  /** LSH banding S-curve advisor: for each candidate (bands, rows)
+    * split of the signature's permutations and each Jaccard level s,
+    * the probability the banding proposes the pair —
+    * P = 1 − (1 − s^rows)^bands — plus the threshold band each
+    * configuration centers on. This is the table a dedup deployment
+    * reads BEFORE running at corpus scale: banding is the knob that
+    * trades missed near-dups (recall) against candidate volume
+    * (cost), and the current in-code config is one row of it.
+    * Powers are explicit multiplication chains (no libm pow), so the
+    * doubles are bit-identical on any engine; the frame is
+    * constant-sized (configs × s-grid) — a driver-free literal plan.
+    */
+  def lshCurve(spark: org.apache.spark.sql.SparkSession,
+               numPerms: Int = NumPerms): DataFrame = {
+    import spark.implicits._
+    val configs = (1 to numPerms).filter(numPerms % _ == 0)
+      .map(b => (b, numPerms / b))
+    val rows = for {
+      (b, r) <- configs
+      si <- 1 to 19
+    } yield {
+      val s = si / 20.0
+      val sr = (1 to r).foldLeft(1.0)((acc, _) => acc * s)
+      val miss = (1 to b).foldLeft(1.0)((acc, _) => acc * (1.0 - sr))
+      (b, r, s, 1.0 - miss)
+    }
+    rows.toDF("bands", "rows_per_band", "jaccard", "p_candidate")
+      .withColumn("p_candidate", round(col("p_candidate"), 6))
+      .withColumn("is_current",
+        (col("bands") === NumBands && col("rows_per_band") === RowsPerBand)
+          .cast("int"))
+  }
+
   /** Blocked FUZZY match — entity resolution's two-phase shape:
     * LSH band blocking proposes candidate pairs (shuffle carries band
     * keys, never doc×doc), then Levenshtein edit distance on the raw

@@ -282,6 +282,12 @@ object DedupQueries {
         span = 3, minTokens = 2)
         .orderBy("doc_id")),
 
+    // LSH banding S-curve advisor: P(candidate | jaccard) for every
+    // (bands, rows) split of the 16 permutations — the sizing table a
+    // dedup deployment reads before running at corpus scale
+    "q_lsh_curve" -> ((s, _) =>
+      Dedup.lshCurve(s).orderBy("bands", "jaccard")),
+
     // content-defined chunking dedup: boundaries decided by window
     // hashes (mean chunk ≈ 4 tokens), so repeated content re-syncs
     // and dedups even at a shifted offset — the rsync/LBFS trick at
@@ -822,6 +828,23 @@ object DedupQueries {
          |  coalesce(r.n_spans, 0) AS n_spans, coalesce(r.n_cut, 0) AS n_cut
          |FROM documents d LEFT JOIN rebuilt r USING (doc_id)
          |ORDER BY d.doc_id""".stripMargin
+    },
+
+    "q_lsh_curve" -> {
+      val blocks = (1 to NumPerms).filter(NumPerms % _ == 0).map { b =>
+        val r = NumPerms / b
+        val srChain = (1 to r).map(_ => "s").mkString(" * ")
+        val missChain = (1 to b).map(_ => "(1.0 - sr)").mkString(" * ")
+        val isCur = if (b == Portable.NumBands) 1 else 0
+        s"""SELECT $b AS bands, $r AS rows_per_band, s AS jaccard,
+           |  round(1.0 - $missChain, 6) AS p_candidate,
+           |  $isCur AS is_current
+           |FROM (SELECT s, $srChain AS sr FROM grid)""".stripMargin
+      }
+      s"""WITH grid AS (SELECT CAST(si AS DOUBLE) / 20.0 AS s
+         |  FROM generate_series(1, 19) AS g(si))
+         |${blocks.mkString("\nUNION ALL\n")}
+         |ORDER BY bands, jaccard""".stripMargin
     },
 
     "q_cdc_dedup" -> {

@@ -33,6 +33,40 @@ class PropertiesSpec extends SparkSpec {
     rows.toDF("p", "s", "value")
       .select($"p", $"s", $"value".cast("double").as("value"))
 
+  private val corpusGen: Gen[Seq[(Long, String)]] = {
+    val word = Gen.oneOf("aa", "bb", "cc", "dd", "ee", "ff")
+    val doc = Gen.choose(0, 20).flatMap(n => Gen.listOfN(n, word))
+      .map(_.mkString(" "))
+    Gen.choose(2, 12).flatMap(n => Gen.listOfN(n, doc))
+      .map(_.zipWithIndex.map { case (t, i) => (i.toLong, t) })
+  }
+
+  test("block dedups: every doc accounted, zero-cut docs reconstruct verbatim") {
+    // property over random small-vocab corpora (high dup density) for
+    // BOTH block-dedup forms: output covers every doc exactly once,
+    // n_cut ≤ n_spans, and a doc with zero cuts comes back VERBATIM
+    // (segmentation loses no tokens)
+    samples(corpusGen, 6).foreach { docs =>
+      val d = docs.toDF("doc_id", "text")
+      for (form <- Seq(
+        Dedup.spanDedup(d, "doc_id", "text", span = 3, minTokens = 2),
+        Dedup.cdcDedup(d, "doc_id", "text", w = 2, divisor = 3,
+          minTokens = 2))) {
+        val got = form.collect()
+          .map(r => r.getLong(0) -> ((r.getString(1), r.getLong(2),
+            r.getLong(3)))).toMap
+        assert(got.keySet == docs.map(_._1).toSet, "one row per doc")
+        docs.foreach { case (id, text) =>
+          val (clean, nSpans, nCut) = got(id)
+          assert(nCut <= nSpans, s"doc $id")
+          if (nCut == 0 && text.trim.nonEmpty)
+            assert(clean == text.trim.replaceAll("\\s+", " "),
+              s"zero-cut doc $id must reconstruct: '$text' -> '$clean'")
+        }
+      }
+    }
+  }
+
   test("pivot form ≡ sequential-left-join form on duplicate-free members") {
     samples(Gen.zip(longTableGen, longTableGen), 5).foreach { case (t1, t2) =>
       if (t1.nonEmpty || t2.nonEmpty) {

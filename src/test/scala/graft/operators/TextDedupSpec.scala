@@ -318,6 +318,24 @@ class TextDedupSpec extends SparkSpec {
       s"got ${got.toSeq}")
   }
 
+  test("lshCurve: monotone S-curves, extremes behave, current config flagged") {
+    val rows = Dedup.lshCurve(spark).collect()
+      .map(r => ((r.getInt(0), r.getInt(1)), r.getDouble(2),
+        r.getDouble(3), r.getInt(4)))
+    assert(rows.length == 5 * 19, "5 divisor configs x 19 jaccard levels")
+    // per config, P(candidate) is non-decreasing in jaccard
+    rows.groupBy(_._1).foreach { case (cfg, rs) =>
+      val ps = rs.sortBy(_._2).map(_._3)
+      assert(ps.zip(ps.tail).forall { case (a, b) => b >= a }, s"$cfg")
+    }
+    // b=16,r=1 is the permissive extreme; b=1,r=16 the strict one
+    val at = rows.map(r => (r._1, r._2) -> r._3).toMap
+    assert(at(((16, 1), 0.5)) > 0.99, "single-row bands catch almost all")
+    assert(at(((1, 16), 0.5)) < 0.001, "one 16-row band catches near none")
+    assert(rows.count(_._4 == 1) == 19, "exactly the in-code config flagged")
+    assert(rows.filter(_._4 == 1).forall(_._1 == ((4, 4))))
+  }
+
   test("rrfFuse: integer reciprocal-rank fusion, missing list scores 0") {
     val a = Seq((1L, 1), (2L, 2), (3L, 3)).toDF("id", "bm25_rank")
     val b = Seq((2L, 1), (4L, 2)).toDF("id", "knn_rank")
