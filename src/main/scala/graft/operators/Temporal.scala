@@ -171,6 +171,114 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Cohort retention matrix: users are grouped into cohorts by the
+    * ISO week (Monday-truncated) of their FIRST event; for each
+    * (cohort, week offset) the count of cohort members active that
+    * week, plus the retention ratio vs the cohort size — the
+    * product-analytics table next to [[funnelSteps]].
+    *
+    * Scale shape: two user-keyed aggregates (first-event week, then
+    * distinct active weeks — both map-side combinable) joined on the
+    * user key, re-aggregated on (cohort, offset). The cohort-size
+    * frame is weeks-sized — AQE broadcasts it back. A user appears
+    * once per distinct active week and weeks are offset-unique per
+    * user, so the final count(*) IS the distinct-user count without a
+    * count-distinct shuffle.
+    */
+  def retentionCohorts(events: DataFrame, userCol: String,
+                       tsCol: String): DataFrame = {
+    def week(c: Column): Column = date_trunc("week", c)
+    val firstWeek = events.groupBy(col(userCol))
+      .agg(week(min(col(tsCol))).as("__cohort"))
+    val activeWeeks = events
+      .select(col(userCol), week(col(tsCol)).as("__week")).distinct()
+    val counts = activeWeeks.join(firstWeek, userCol)
+      .withColumn("week_offset",
+        floor(datediff(col("__week"), col("__cohort")) / 7).cast("int"))
+      .groupBy(col("__cohort"), col("week_offset"))
+      .agg(count(lit(1)).as("n_active"))
+    val sizes = firstWeek.groupBy(col("__cohort"))
+      .agg(count(lit(1)).as("cohort_size"))
+    counts.join(sizes, "__cohort")
+      .select(
+        date_format(col("__cohort"), "yyyy-MM-dd").as("cohort_week"),
+        col("week_offset"), col("n_active"), col("cohort_size"),
+        round(col("n_active").cast("double") / col("cohort_size"), 6)
+          .as("retention_pct"))
+  }
+
+  /** Rolling distinct active users: per observed day, the exact
+    * distinct-user count for that day (DAU) and over the trailing
+    * `windowDays` window (the WAU/MAU family). Window COUNT(DISTINCT)
+    * doesn't exist as a window function on either engine — and a
+    * sketch would be approximate — so each distinct (day, user) pair
+    * is fanned out to the `windowDays` report days it contributes to
+    * and re-distinct-counted: exact, and every shuffle is keyed on a
+    * day (bounded cardinality) or (day, user) — never a user's whole
+    * history in one partition.
+    */
+  def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
+                         windowDays: Int = 7): DataFrame = {
+    val daily = events
+      .select(to_date(col(tsCol)).as("__day"), col(userCol).as("__user"))
+      .distinct()
+    val dau = daily.groupBy("__day").agg(count(lit(1)).as("dau"))
+    val rolling = daily
+      .select(explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("__tday"), col("__user"))
+      .distinct()
+      .groupBy("__tday").agg(count(lit(1)).as("rolling_users"))
+    // inner join restricts the report to OBSERVED days (each day
+    // contributes to itself, so no observed day is lost)
+    dau.join(rolling, col("__day") === col("__tday"))
+      .select(date_format(col("__day"), "yyyy-MM-dd").as("day"),
+        col("dau"), col("rolling_users"))
+  }
+
+  /** Time-series gap fill + forward fill: per key, a dense spine of
+    * `stepSeconds`-wide buckets from the key's first to last event;
+    * each bucket carries its event count and the value of its LAST
+    * event (ties broken by `tieCol`), with empty buckets forward-
+    * filled from the most recent observed bucket — the
+    * resample-then-ffill primitive feature pipelines need before
+    * lag/rolling features can assume even spacing.
+    *
+    * Scale shape: one (key, bucket) window pass picks the per-bucket
+    * last event, one key-wise min/max aggregate builds the spine
+    * (explosion factor = span/step, a config knob), and the forward
+    * fill is one key-keyed window — three key-partitioned shuffles,
+    * no self-join. Spine width is bounded by each key's OWN span, so
+    * a short-lived key costs nothing even when the corpus spans years.
+    */
+  def gapFill(events: DataFrame, keyCol: String, tsCol: String,
+              valueCol: String, tieCol: String,
+              stepSeconds: Long = 3600L): DataFrame = {
+    val stepUs = stepSeconds * 1000000L
+    def bucketOf(c: Column): Column =
+      floor(unix_micros(c) / stepUs).cast("long")
+    val perBucket = Window.partitionBy(col(keyCol), col("__h"))
+    val lastInBucket = events.withColumn("__h", bucketOf(col(tsCol)))
+      .withColumn("__rn", row_number().over(
+        perBucket.orderBy(col(tsCol).desc, col(tieCol).desc)))
+      .withColumn("__n", count(lit(1)).over(perBucket))
+      .filter(col("__rn") === 1)
+      .select(col(keyCol), col("__h"), col(valueCol).as("__v"), col("__n"))
+    val spine = events.groupBy(col(keyCol))
+      .agg(bucketOf(min(col(tsCol))).as("__h0"),
+        bucketOf(max(col(tsCol))).as("__h1"))
+      .select(col(keyCol), explode(sequence(col("__h0"), col("__h1"))).as("__h"))
+    val ffill = Window.partitionBy(col(keyCol)).orderBy(col("__h"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine.join(lastInBucket, Seq(keyCol, "__h"), "left")
+      .withColumn("__fv", last(col("__v"), ignoreNulls = true).over(ffill))
+      .select(col(keyCol),
+        date_format(timestamp_seconds(col("__h") * stepSeconds),
+          "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
+        coalesce(col("__n"), lit(0L)).as("n_events"),
+        round(col("__fv"), 6).as("filled_value"),
+        col("__v").isNotNull.as("observed"))
+  }
+
   /** Ordered funnel analysis: for each step sequence (e.g. view →
     * click → purchase), how many users completed step k STRICTLY
     * AFTER their step k−1 completion — the product-analytics query

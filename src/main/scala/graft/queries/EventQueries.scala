@@ -247,6 +247,23 @@ object EventQueries {
         "event_type")
         .select("event_id", "event_type", "winsorized")
         .orderBy("event_id")),
+
+    // cohort retention matrix: first-event week × week offset
+    "q_retention" -> ((s, d) =>
+      graft.operators.Temporal.retentionCohorts(ev(s, d), "user_id", "ts")
+        .orderBy("cohort_week", "week_offset")),
+
+    // exact DAU + trailing-7-day rolling distinct users per day
+    "q_active_users" -> ((s, d) =>
+      graft.operators.Temporal.rollingActiveUsers(ev(s, d), "user_id", "ts",
+        windowDays = 7)
+        .orderBy("day")),
+
+    // dense hourly resample per user with forward fill
+    "q_gap_fill" -> ((s, d) =>
+      graft.operators.Temporal.gapFill(ev(s, d), "user_id", "ts", "value",
+        "event_id", stepSeconds = 3600L)
+        .orderBy("user_id", "bucket_ts")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -450,5 +467,60 @@ object EventQueries {
         |FROM events e
         |JOIN s ON e.event_type IS NOT DISTINCT FROM s.event_type
         |ORDER BY e.event_id""".stripMargin,
+
+    "q_retention" ->
+      """WITH fw AS (SELECT user_id, date_trunc('week', min(ts)) AS cohort
+        |    FROM events GROUP BY 1),
+        |aw AS (SELECT DISTINCT user_id, date_trunc('week', ts) AS wk
+        |    FROM events),
+        |j AS (SELECT a.user_id, f.cohort,
+        |    CAST(date_diff('day', f.cohort, a.wk) // 7 AS INT) AS week_offset
+        |  FROM aw a JOIN fw f USING (user_id)),
+        |n AS (SELECT cohort, week_offset, count(*) AS n_active
+        |  FROM j GROUP BY 1, 2),
+        |cs AS (SELECT cohort, count(*) AS cohort_size FROM fw GROUP BY 1)
+        |SELECT strftime(n.cohort, '%Y-%m-%d') AS cohort_week, n.week_offset,
+        |  n.n_active, cs.cohort_size,
+        |  round(CAST(n.n_active AS DOUBLE) / cs.cohort_size, 6)
+        |    AS retention_pct
+        |FROM n JOIN cs USING (cohort)
+        |ORDER BY cohort_week, week_offset""".stripMargin,
+
+    "q_active_users" ->
+      """WITH daily AS (SELECT DISTINCT CAST(ts AS DATE) AS day, user_id
+        |    FROM events),
+        |dau AS (SELECT day, count(*) AS dau FROM daily GROUP BY 1),
+        |contrib AS (SELECT DISTINCT day + CAST(gs.x AS INTEGER) AS tday,
+        |    user_id
+        |  FROM daily CROSS JOIN
+        |    (SELECT unnest(generate_series(0, 6)) AS x) gs),
+        |rolling AS (SELECT tday, count(*) AS rolling_users
+        |  FROM contrib GROUP BY 1)
+        |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.rolling_users
+        |FROM dau d JOIN rolling r ON r.tday = d.day
+        |ORDER BY day""".stripMargin,
+
+    "q_gap_fill" ->
+      """WITH e AS (SELECT *, epoch_us(ts) // 3600000000 AS h FROM events),
+        |lastb AS (SELECT user_id, h, value AS v, n FROM (
+        |    SELECT user_id, h, value,
+        |      row_number() OVER (PARTITION BY user_id, h
+        |        ORDER BY ts DESC, event_id DESC) AS rn,
+        |      count(*) OVER (PARTITION BY user_id, h) AS n
+        |    FROM e) WHERE rn = 1),
+        |bounds AS (SELECT user_id, min(h) AS h0, max(h) AS h1
+        |  FROM e GROUP BY 1),
+        |sp AS (SELECT user_id, unnest(generate_series(h0, h1)) AS h
+        |  FROM bounds),
+        |f AS (SELECT sp.user_id, sp.h, lastb.v, lastb.n FROM sp
+        |  LEFT JOIN lastb ON lastb.user_id = sp.user_id AND lastb.h = sp.h),
+        |filled AS (SELECT *, last_value(v IGNORE NULLS) OVER (
+        |    PARTITION BY user_id ORDER BY h ROWS UNBOUNDED PRECEDING) AS fv
+        |  FROM f)
+        |SELECT user_id,
+        |  strftime(epoch_ms(h * 3600000), '%Y-%m-%d %H:%M:%S') AS bucket_ts,
+        |  coalesce(n, 0) AS n_events, round(fv, 6) AS filled_value,
+        |  v IS NOT NULL AS observed
+        |FROM filled ORDER BY user_id, bucket_ts""".stripMargin,
   )
 }

@@ -153,4 +153,76 @@ class TemporalSpec extends SparkSpec {
     assert(got.toSeq == Seq((1, 5L, 1.0), (2, 3L, 0.6), (3, 2L, 0.666667)),
       s"got ${got.toSeq}")
   }
+
+  test("retentionCohorts: Monday cohorts, offsets, sizes, ratios") {
+    // 2024-01-01 is a Monday; week 2 starts 01-08, week 3 starts 01-15
+    val ev = Seq(
+      // u1: first event wk1, active wk1 + wk3
+      (1L, ts("2024-01-03 10:00:00")), (1L, ts("2024-01-16 10:00:00")),
+      // u2: first event wk1 only
+      (2L, ts("2024-01-05 10:00:00")),
+      // u3: first event wk2, active wk2 + wk3
+      (3L, ts("2024-01-08 00:00:00")), (3L, ts("2024-01-20 10:00:00")),
+    ).toDF("user_id", "ts")
+    val got = Temporal.retentionCohorts(ev, "user_id", "ts")
+      .orderBy("cohort_week", "week_offset")
+      .collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 0, 2L, 2L, 1.0),   // u1, u2 in their cohort week
+      ("2024-01-01", 2, 1L, 2L, 0.5),   // u1 back in week 3
+      ("2024-01-08", 0, 1L, 1L, 1.0),   // u3 cohort week
+      ("2024-01-08", 1, 1L, 1L, 1.0)),  // u3 back next week
+      s"got ${got.toSeq}")
+  }
+
+  test("rollingActiveUsers: rolling window distinct, not a sum of DAUs") {
+    val ev = Seq(
+      // day 1: u1, u2 — day 2: u1 (twice) — day 9: u1 (window reset)
+      (1L, ts("2024-01-01 09:00:00")), (2L, ts("2024-01-01 10:00:00")),
+      (1L, ts("2024-01-02 09:00:00")), (1L, ts("2024-01-02 10:00:00")),
+      (1L, ts("2024-01-09 09:00:00")),
+    ).toDF("user_id", "ts")
+    val got = Temporal.rollingActiveUsers(ev, "user_id", "ts", windowDays = 7)
+      .orderBy("day").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+    assert(got.toSeq == Seq(
+      ("2024-01-01", 2L, 2L),
+      // u1 deduplicated across days AND within day 2 → rolling stays 2
+      ("2024-01-02", 1L, 2L),
+      // day 9: day 1 (u2) fell out of [03..09]; day 2's u1 remains
+      ("2024-01-09", 1L, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("gapFill: dense spine, per-bucket last value, forward fill") {
+    val ev = Seq(
+      // u1: events in hours 10 and 13 — hours 11, 12 must be filled
+      (1L, 1L, ts("2024-01-01 10:05:00"), 1.5),
+      (2L, 1L, ts("2024-01-01 10:55:00"), 2.5), // later in same hour wins
+      (3L, 1L, ts("2024-01-01 13:01:00"), 9.0),
+      // u2: single event → single bucket, no fill
+      (4L, 2L, ts("2024-01-01 00:30:00"), 7.0),
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.gapFill(ev, "user_id", "ts", "value", "event_id")
+      .orderBy("user_id", "bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4)))
+    assert(got.toSeq == Seq(
+      (1L, "2024-01-01 10:00:00", 2L, 2.5, true),
+      (1L, "2024-01-01 11:00:00", 0L, 2.5, false),
+      (1L, "2024-01-01 12:00:00", 0L, 2.5, false),
+      (1L, "2024-01-01 13:00:00", 1L, 9.0, true),
+      (2L, "2024-01-01 00:00:00", 1L, 7.0, true)), s"got ${got.toSeq}")
+  }
+
+  test("gapFill: tie within a bucket resolved by the tie column") {
+    val ev = Seq(
+      (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
+      (11L, 1L, ts("2024-01-01 10:00:00"), 2.0), // same ts, higher tie
+    ).toDF("event_id", "user_id", "ts", "value")
+    val got = Temporal.gapFill(ev, "user_id", "ts", "value", "event_id")
+      .collect().map(r => r.getDouble(3))
+    assert(got.toSeq == Seq(2.0))
+  }
 }
