@@ -205,6 +205,28 @@ object Similarity {
         round(col("__d2"), 6).as("dist2"))
   }
 
+  /** Embedding outlier detection: vectors whose squared distance to
+    * their assigned centroid exceeds the per-cluster `q`-quantile —
+    * the semantic-quality gate that catches mis-embedded or
+    * off-distribution documents before they pollute training mixes
+    * (the ANN sibling of the text-side quality filters).
+    *
+    * Distances come from [[assignToCentroids]] (broadcast centroids,
+    * no all-pairs); the per-cluster cutoff frame is k rows, broadcast
+    * back for the row-local compare. Both sides of the compare are
+    * pre-rounded to 6 decimals, so the strict `>` is exact decimal
+    * arithmetic on both engines.
+    */
+  def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, q: Double = 0.9): DataFrame = {
+    val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+    val cuts = assigned.groupBy("cluster")
+      .agg(round(expr(s"percentile(dist2, $q)"), 6).as("cutoff"))
+    assigned.join(broadcast(cuts), "cluster")
+      .filter(col("dist2") > col("cutoff"))
+      .select(col(idCol), col("cluster"), col("dist2"), col("cutoff"))
+  }
+
   /** Full Lloyd's k-means over an embedding column. Deterministic
     * throughout: seeds are the k vectors with the smallest ids (no RNG
     * — reproducible across runs and engines), assignment ties break to

@@ -1019,6 +1019,91 @@ object TextOps {
         col("score"), col("rk"))
   }
 
+  /** PMI collocation mining: the corpus-wide top-k adjacent bigrams
+    * by pointwise mutual information — the phrase-mining primitive
+    * that finds multi-word expressions ("hash join", "new york")
+    * worth treating as single tokens downstream.
+    *
+    * Score = n_pair·N²/(M·c_left·c_right), the monotone argument of
+    * PMI (log omitted — it can't change the ranking and ln ulps
+    * differ across engines); ×/÷ in one fixed left-associated order
+    * so the oracle's doubles are bit-identical before the round. A
+    * min-count floor kills the hapax pairs PMI notoriously inflates.
+    *
+    * Scale shape: unigram and bigram counts are token-keyed groupBys
+    * with map-side combine; the scoring joins are vocabulary-keyed;
+    * the two corpus totals are one-row broadcasts. The global top-k
+    * is TakeOrdered (a k-row driver heap), and the final rank window
+    * runs over those ≤k rows only — never a corpus-wide sort.
+    */
+  def collocationsPmi(df: DataFrame, idCol: String, textCol: String,
+                      minPair: Long = 5L, k: Int = 20): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val toksDf = df.select(col(idCol),
+      Portable.tokens(col(textCol)).as("__toks"))
+      .localCheckpoint() // feeds unigrams, bigrams, and both totals
+    val uni = toksDf.select(explode(col("__toks")).as("tok"))
+      .groupBy("tok").agg(count(lit(1)).as("__c"))
+      .localCheckpoint() // joined twice (left and right member)
+    val nTok = uni.agg(sum(col("__c")).as("__n"))
+    val m = toksDf
+      .select(when(size(col("__toks")) > 1, size(col("__toks")) - 1)
+        .otherwise(0).cast("long").as("__b"))
+      .agg(sum(col("__b")).as("__m"))
+    val pairs = toksDf
+      .select(explode(Portable.shingles(col("__toks"), 2)).as("bigram"))
+      .groupBy("bigram").agg(count(lit(1)).as("n_pair"))
+      .filter(col("n_pair") >= minPair)
+    val scored = pairs
+      .withColumn("__lt", substring_index(col("bigram"), " ", 1))
+      .withColumn("__rt", substring_index(col("bigram"), " ", -1))
+      .join(uni.select(col("tok").as("__lt"), col("__c").as("n_left")), "__lt")
+      .join(uni.select(col("tok").as("__rt"), col("__c").as("n_right")), "__rt")
+      .crossJoin(broadcast(nTok))
+      .crossJoin(broadcast(m))
+      .withColumn("score",
+        round(col("n_pair").cast("double") * col("__n") * col("__n")
+          / (col("n_left") * col("n_right")) / col("__m"), 6))
+    val top = scored
+      .orderBy(col("score").desc, col("bigram").asc).limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("score").desc, col("bigram").asc)))
+      .select(col("rk"), col("bigram"), col("n_pair"), col("n_left"),
+        col("n_right"), col("score"))
+  }
+
+  /** Per-document keyword extraction: each doc's top-k terms by the
+    * same log-free tf·idf rational [[topTerms]] ranks with — the
+    * doc-level tagging pass (search snippets, dataset cards, topic
+    * labels) where topTerms is the corpus-level profile.
+    *
+    * Scale shape: one token explosion aggregated to (doc, tok, tf) —
+    * map-side combined and checkpointed because df derives from the
+    * same frame; the idf join is vocabulary-keyed; the corpus size is
+    * a one-row broadcast. Ranking is row_number over (doc, score
+    * desc, tok) — doc-partitioned, so the GroupedTopK heap operator
+    * applies and no global sort exists anywhere.
+    */
+  def docKeywords(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = df.select(col(idCol),
+      explode(Portable.tokens(col(textCol))).as("tok"))
+      .groupBy(col(idCol), col("tok")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint() // feeds both tf and df
+    val dfreq = tf.groupBy("tok").agg(count(lit(1)).as("df"))
+    val n = df.agg(count(lit(1)).as("__n"))
+    val w = Window.partitionBy(col(idCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("__n") / col("df"), 6))
+      .withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(idCol), col("rk"), col("tok"), col("tf"), col("df"),
+        col("score"))
+  }
+
   /** Inverted-index build: token → document frequency + a bounded,
     * sorted posting sample (first `maxPostings` doc ids as a CSV
     * string). The full posting list of a stopword-like token is the

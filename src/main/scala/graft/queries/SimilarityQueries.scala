@@ -56,6 +56,16 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // centroid-distance outliers: vectors beyond their cluster's p90
+    "q_embed_outliers" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      Similarity.centroidOutliers(e, "vec_id", "embedding", cent, q = 0.9)
+        .orderBy("vec_id")
+    }),
+
     // maintained IVF index lifecycle: write even vectors under frozen
     // centroids, append the odd batch, query the STORED index — the
     // vector sibling of q_sig_lifecycle (probe-cell partition pruning
@@ -266,6 +276,20 @@ object SimilarityQueries {
          |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
          |  FROM vecs CROSS JOIN cent)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_embed_outliers" ->
+      s"""WITH $vecsCte, $centCte,
+         |a0 AS (SELECT vec_id, cluster, round(d2, 6) AS dist2 FROM (
+         |  SELECT vecs.vec_id, cent.cluster,
+         |    ${l2SqSql("v", "cv")} AS d2,
+         |    row_number() OVER (PARTITION BY vecs.vec_id
+         |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
+         |  FROM vecs CROSS JOIN cent) WHERE rn = 1),
+         |cuts AS (SELECT cluster, round(quantile_cont(dist2, 0.9), 6)
+         |    AS cutoff FROM a0 GROUP BY 1)
+         |SELECT a.vec_id, a.cluster, a.dist2, c.cutoff
+         |FROM a0 a JOIN cuts c USING (cluster)
+         |WHERE a.dist2 > c.cutoff ORDER BY a.vec_id""".stripMargin,
 
     "q_ann_lifecycle" ->
       s"""WITH $vecsCte, $centCte, $assignedCte,

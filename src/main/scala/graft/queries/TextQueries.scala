@@ -127,6 +127,17 @@ object TextQueries {
         k = 5)
         .orderBy("source", "rk")),
 
+    // corpus top-20 PMI collocations (min pair count 5)
+    "q_pmi" -> ((s, d) =>
+      TextOps.collocationsPmi(Tables.documents(s, d), "doc_id", "text",
+        minPair = 5L, k = 20)
+        .orderBy("rk")),
+
+    // per-doc top-3 tf-idf keywords
+    "q_doc_keywords" -> ((s, d) =>
+      TextOps.docKeywords(Tables.documents(s, d), "doc_id", "text", k = 3)
+        .orderBy("doc_id", "rk")),
+
     // boilerplate REMOVAL: cut every occurrence of a corpus-frequent
     // 3-gram span, rebuild the text from surviving tokens
     "q_strip_boilerplate" -> ((s, d) =>
@@ -644,6 +655,47 @@ object TextQueries {
          |    ORDER BY score DESC, tok) AS rk FROM scored)
          |SELECT source, tok, tf, df, score, CAST(rk AS INT) AS rk
          |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
+
+    // same ×/÷-only discipline as q_top_terms: the PMI log is omitted
+    // (monotone), so the score doubles are bit-identical pre-round
+    "q_pmi" -> {
+      val sh2 = graft.functions.Portable.shinglesSql("t", 2)
+      s"""WITH toks AS (SELECT doc_id, $toksSql AS t FROM documents),
+         |uni AS (SELECT tok, count(*) AS c FROM
+         |    (SELECT unnest(t) AS tok FROM toks) GROUP BY 1),
+         |n AS (SELECT CAST(sum(c) AS BIGINT) AS n FROM uni),
+         |m AS (SELECT CAST(sum(CASE WHEN len(t) > 1 THEN len(t) - 1
+         |    ELSE 0 END) AS BIGINT) AS m FROM toks),
+         |pr AS (SELECT bigram, count(*) AS n_pair FROM
+         |    (SELECT unnest($sh2) AS bigram FROM toks)
+         |  GROUP BY 1 HAVING count(*) >= 5),
+         |sc AS (SELECT p.bigram, p.n_pair, la.c AS n_left, rb.c AS n_right,
+         |    round(CAST(p.n_pair AS DOUBLE) * n.n * n.n
+         |      / (la.c * rb.c) / m.m, 6) AS score
+         |  FROM pr p
+         |  JOIN uni la ON la.tok = split_part(p.bigram, ' ', 1)
+         |  JOIN uni rb ON rb.tok = split_part(p.bigram, ' ', 2)
+         |  CROSS JOIN n CROSS JOIN m),
+         |r AS (SELECT *, row_number() OVER (ORDER BY score DESC, bigram)
+         |    AS rk FROM sc)
+         |SELECT CAST(rk AS INT) AS rk, bigram, n_pair, n_left, n_right,
+         |  score
+         |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin
+    },
+
+    "q_doc_keywords" ->
+      s"""WITH toks AS (SELECT doc_id, unnest($toksSql) AS tok
+         |  FROM documents),
+         |tf AS (SELECT doc_id, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(*) AS df FROM tf GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM documents),
+         |scored AS (SELECT t.doc_id, t.tok, t.tf, d.df,
+         |    round(CAST(t.tf AS DOUBLE) * n.n / d.df, 6) AS score
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY doc_id
+         |    ORDER BY score DESC, tok) AS rk FROM scored)
+         |SELECT doc_id, CAST(rk AS INT) AS rk, tok, tf, df, score
+         |FROM r WHERE rk <= 3 ORDER BY doc_id, rk""".stripMargin,
 
     // token positions are 1-based here vs 0-based in Spark's
     // posexplode — coverage arithmetic is internally consistent per

@@ -142,6 +142,24 @@ class SimilaritySpec extends SparkSpec {
       s"cell probe must prune index partitions:\n${indexScan.mkString("\n")}")
   }
 
+  test("centroidOutliers: per-cluster quantile cutoff, strict exceed") {
+    val cent = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 0.0)))
+      .toDF("cluster", "cv")
+    val vecs = Seq(
+      (1L, Array(0.0f, 0.0f)),   // d2 = 0
+      (2L, Array(0.1f, 0.0f)),   // d2 = 0.01
+      (3L, Array(0.2f, 0.0f)),   // d2 = 0.04
+      (4L, Array(0.3f, 0.0f)),   // d2 = 0.09
+      (5L, Array(3.0f, 0.0f)),   // d2 = 9 → the outlier
+      (6L, Array(10.0f, 0.0f)),  // cluster 1, alone: never an outlier
+    ).toDF("vec_id", "embedding")
+    val got = Similarity.centroidOutliers(vecs, "vec_id", "embedding",
+      cent, q = 0.9)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    // cluster 0 p90 over [0, .01, .04, .09, 9] = .09 + .6·8.91 = 5.436
+    assert(got.toSeq == Seq((5L, 0L, 9.0)), s"got ${got.toSeq}")
+  }
+
   test("int8 quantization: error <= scale/2, extremes hit ±127, zero-safe") {
     val df = Seq(
       (1L, Array(0.5f, -1.27f, 1.27f, 0.001f)),

@@ -164,6 +164,34 @@ class TextDedupSpec extends SparkSpec {
     assert(got(("s2", 1)) == "beta" && got(("s2", 2)) == "delta")
   }
 
+  test("collocationsPmi: exact scores, min-count floor, tie on bigram") {
+    val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
+    // tokens a:3 b:2 c:1 → N=6; bigrams "a b"×2 "b a"×1 "a c"×1 → M=4
+    val got = TextOps.collocationsPmi(d, "doc_id", "text", minPair = 1L,
+      k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1, "a b", 2L, 3.0),  // 2·36/(3·2)/4 — tie at 3.0 breaks on bigram
+      (2, "a c", 1L, 3.0),  // 1·36/(3·1)/4
+      (3, "b a", 1L, 1.5)), s"got ${got.toSeq}")
+    // the floor kills hapax pairs
+    val floored = TextOps.collocationsPmi(d, "doc_id", "text", minPair = 2L,
+      k = 10).collect()
+    assert(floored.map(_.getString(1)).toSeq == Seq("a b"))
+  }
+
+  test("docKeywords: per-doc ranking, df across docs, k bound") {
+    val d = Seq((1L, "x x y"), (2L, "y z")).toDF("doc_id", "text")
+    val got = TextOps.docKeywords(d, "doc_id", "text", k = 2)
+      .orderBy("doc_id", "rk")
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2),
+        r.getDouble(5)))
+    assert(got.toSeq == Seq(
+      (1L, 1, "x", 4.0), (1L, 2, "y", 1.0),   // x: tf2·2/df1; y: tf1·2/df2
+      (2L, 1, "z", 2.0), (2L, 2, "y", 1.0)), s"got ${got.toSeq}")
+  }
+
   test("corpusProfileApprox tracks the exact profile within rank tolerance") {
     val docs = graft.model.Tables.documents(spark, sf)
     val key = (r: org.apache.spark.sql.Row) => r.getString(0)
