@@ -132,6 +132,30 @@ object Similarity {
     rankTopK(scored, k)
   }
 
+  /** Hard-negative mining: for each query vector, the top-k most
+    * similar vectors with a DIFFERENT label — the contrastive-training
+    * counterpart of nearest-neighbor search (the highest-cosine
+    * wrong-label examples are exactly the negatives that carry
+    * gradient signal; random negatives are trivially separable).
+    *
+    * Same broadcast + pre-computed-norm shape as [[bruteForceTopK]];
+    * the label-mismatch predicate rides the broadcast join, so the
+    * blocked/IVF variants compose the same way when the corpus is too
+    * large for a full scan per query.
+    */
+  def hardNegatives(queries: DataFrame, corpus: DataFrame, idCol: String,
+                    vecCol: String, labelCol: String, k: Int): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"),
+      col(labelCol).as("__ql"), col(vecCol).as("qv"),
+      l2Norm(col(vecCol)).as("qn"))
+    val c = corpus.select(col(idCol).as("neighbor_id"),
+      col(labelCol).as("__cl"), col(vecCol).as("cv"),
+      l2Norm(col(vecCol)).as("cn"))
+    val scored = c.join(broadcast(q), col("__ql") =!= col("__cl"))
+      .withColumn("cos", pairCos(col("qv"), col("cv"), col("qn"), col("cn")))
+    rankTopK(scored, k)
+  }
+
   /** IVF-style probed top-k: identical to brute force but the score
     * space is restricted to the query's coarse cell (`cellCol` equal on
     * both sides) — the join becomes an equi-join on the cell id, which

@@ -105,6 +105,21 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // per-vertex triangle counts over the >=0.5-Jaccard pair graph —
+    // the cluster-density diagnostic next to q_dup_clusters
+    "q_triangles" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b")
+        .orderBy("vertex")
+    }),
+
     // per-doc 60-bit SimHash (sign-safe BIGINT; 15-bit bands downstream)
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -479,6 +494,24 @@ object DedupQueries {
          |SELECT v AS doc_id, r AS rank_ppm FROM r3
          |ORDER BY doc_id""".stripMargin
     },
+
+    "q_triangles" ->
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |${pairsCtes(0.5)},
+         |e AS (SELECT id_a AS a, id_b AS b FROM pairs),
+         |deg AS (SELECT v, count(*) AS degree FROM (
+         |    SELECT a AS v FROM e UNION ALL SELECT b FROM e) GROUP BY 1),
+         |tri AS (SELECT e1.a, e1.b, e2.b AS c
+         |  FROM e e1 JOIN e e2 ON e2.a = e1.b
+         |  JOIN e e3 ON e3.a = e1.a AND e3.b = e2.b),
+         |tv AS (SELECT v, count(*) AS n_triangles FROM (
+         |    SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+         |    UNION ALL SELECT c FROM tri) GROUP BY 1)
+         |SELECT deg.v AS vertex, deg.degree,
+         |  coalesce(tv.n_triangles, 0) AS n_triangles
+         |FROM deg LEFT JOIN tv ON tv.v = deg.v
+         |ORDER BY vertex""".stripMargin,
 
     "q_simhash" ->
       s"""WITH $simhashCtes

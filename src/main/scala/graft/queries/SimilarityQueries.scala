@@ -56,6 +56,29 @@ object SimilarityQueries {
         .orderBy("vec_id")
     }),
 
+    // contrastive hard negatives: top-k most-similar WRONG-label
+    // vectors per query (the negatives that carry gradient signal)
+    "q_hard_negatives" -> ((s, d) =>
+      Similarity.hardNegatives(queriesDf(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", "label", K)
+        .orderBy("query_id", "rank")),
+
+    // per-cluster top-3 characteristic terms: k-means assignment over
+    // embeddings joined to the aligned documents, labeled by tf-idf
+    "q_cluster_labels" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      val assigned = Similarity.assignToCentroids(e, "vec_id", "embedding",
+        cent)
+        .select(col("vec_id").as("doc_id"), col("cluster"))
+      val labeled = Tables.documents(s, d).join(assigned, "doc_id")
+      graft.operators.TextOps.topTerms(labeled, "doc_id", "text",
+        "cluster", k = 3)
+        .orderBy("cluster", "rk")
+    }),
+
     // centroid-distance outliers: vectors beyond their cluster's p90
     "q_embed_outliers" -> ((s, d) => {
       val e = Tables.embeddings(s, d)
@@ -276,6 +299,28 @@ object SimilarityQueries {
          |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
          |  FROM vecs CROSS JOIN cent)
          |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+
+    "q_hard_negatives" -> topkSql("q.q_label <> c.label"),
+
+    "q_cluster_labels" -> {
+      val toksSql = graft.functions.Portable.tokensSql("d.text")
+      s"""WITH $vecsCte, $centCte, $assignedCte,
+         |lab AS (SELECT d.doc_id, a.cluster, d.text FROM documents d
+         |  JOIN assigned a ON a.vec_id = d.doc_id),
+         |toks AS (SELECT lab.doc_id, lab.cluster, unnest($toksSql) AS tok
+         |  FROM lab JOIN documents d ON d.doc_id = lab.doc_id),
+         |tf AS (SELECT cluster, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM lab),
+         |scored AS (SELECT t.cluster, t.tok, t.tf, d.df,
+         |    round(CAST(t.tf AS DOUBLE) * n.n / d.df, 6) AS score
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY cluster
+         |    ORDER BY score DESC, tok) AS rk FROM scored)
+         |SELECT cluster, tok, tf, df, score, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 3 ORDER BY cluster, rk""".stripMargin
+    },
 
     "q_embed_outliers" ->
       s"""WITH $vecsCte, $centCte,

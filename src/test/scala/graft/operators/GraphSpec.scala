@@ -33,4 +33,21 @@ class GraphSpec extends SparkSpec {
     assert(r.values.forall(_ >= 150000L), s"ranks below base: $r")
     assert(r(3L) > r(2L), s"downstream accumulates: $r")
   }
+
+  test("triangleCounts: each triangle counted once, chains stay zero") {
+    // K4 on {1,2,3,4} (4 triangles, each vertex in 3) + chain 5-6-7
+    // + duplicate edge rows that must not double-count
+    val pairs = Seq(
+      (1L, 2L), (1L, 3L), (1L, 4L), (2L, 3L), (2L, 4L), (3L, 4L),
+      (5L, 6L), (6L, 7L),
+      (1L, 2L), // duplicate
+    ).toDF("id_a", "id_b")
+    val got = Graph.triangleCounts(pairs, "id_a", "id_b")
+      .collect().map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(got(1L) == (3L, 3L) && got(2L) == (3L, 3L) &&
+      got(3L) == (3L, 3L) && got(4L) == (3L, 3L), s"K4: $got")
+    assert(got(5L) == (1L, 0L) && got(6L) == (2L, 0L) &&
+      got(7L) == (1L, 0L), s"chain: $got")
+  }
 }

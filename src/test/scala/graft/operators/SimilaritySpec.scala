@@ -142,6 +142,21 @@ class SimilaritySpec extends SparkSpec {
       s"cell probe must prune index partitions:\n${indexScan.mkString("\n")}")
   }
 
+  test("hardNegatives: same-label excluded, nearest wrong-label win") {
+    val vecs = Seq(
+      (0L, Array(1.0f, 0.0f), 0),   // query
+      (1L, Array(1.0f, 0.01f), 0),  // same label: nearest but excluded
+      (2L, Array(1.0f, 0.1f), 1),   // wrong label, very close → rank 1
+      (3L, Array(0.0f, 1.0f), 1),   // wrong label, orthogonal → rank 2
+    ).toDF("vec_id", "embedding", "label")
+    val q = vecs.filter($"vec_id" === 0L)
+    val got = Similarity.hardNegatives(q, vecs, "vec_id", "embedding",
+      "label", k = 2)
+      .orderBy("rank").collect()
+      .map(r => (r.getInt(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, 2L), (2, 3L)), s"got ${got.toSeq}")
+  }
+
   test("centroidOutliers: per-cluster quantile cutoff, strict exceed") {
     val cent = Seq((0L, Array(0.0, 0.0)), (1L, Array(10.0, 0.0)))
       .toDF("cluster", "cv")
