@@ -529,6 +529,56 @@ object CoreQueries {
           (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // TPC-H Q3 shape (shipping priority): the classic sel-join-agg-topk
+    // — date filters push to both scans, the filtered BUILDING
+    // customer dim broadcasts, top-10 is TakeOrdered (no global sort)
+    "q_tpch_q3" -> ((s, d) => {
+      val cutoff = lit("1996-03-15").cast("timestamp")
+      val c = Tables.customer(s, d)
+        .filter(col("c_mktsegment") === "BUILDING")
+      val o = Tables.orders(s, d).filter(col("o_orderdate") < cutoff)
+      val li = Tables.lineitem(s, d).filter(col("l_shipdate") > cutoff)
+      li.join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(c), col("o_custkey") === col("c_custkey"))
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(moneyProductSum(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+        .limit(10)
+        .select(col("l_orderkey"), col("revenue"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          col("o_orderpriority"))
+        .orderBy(col("revenue").desc, col("o_orderdate").asc,
+          col("l_orderkey").asc)
+    }),
+
+    // TPC-H Q5 shape (local supplier volume): the 6-way star join —
+    // region/nation broadcast; customer and supplier stay shuffle
+    // joins (at 100 TB those dims are 1e8+ rows, not broadcastable),
+    // with the c_nationkey = s_nationkey locality predicate applied on
+    // co-located rows
+    "q_tpch_q5" -> ((s, d) => {
+      val lo = lit("1996-01-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val asia = Tables.region(s, d).filter(col("r_name") === "ASIA")
+      val n = Tables.nation(s, d)
+        .join(broadcast(asia), col("n_regionkey") === col("r_regionkey"))
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      Tables.lineitem(s, d)
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d),
+          col("l_suppkey") === col("s_suppkey") &&
+            col("c_nationkey") === col("s_nationkey"))
+        .join(broadcast(n), col("s_nationkey") === col("n_nationkey"))
+        .groupBy("n_name")
+        .agg(moneyProductSum(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("n_name").asc)
+    }),
+
     // Headline join-agg — revenue by nation (broadcast dims over fact).
     "q_joinagg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -918,6 +968,41 @@ object CoreQueries {
         |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q3" ->
+      """SELECT l_orderkey,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  o_orderpriority
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1996-03-15'
+        |  AND l_shipdate > TIMESTAMP '1996-03-15'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey
+        |LIMIT 10""".stripMargin,
+
+    "q_tpch_q5" ->
+      """SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM customer
+        |JOIN orders ON c_custkey = o_custkey
+        |JOIN lineitem ON l_orderkey = o_orderkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |  AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin,
 
     "q_joinagg" ->
       """SELECT n_name,

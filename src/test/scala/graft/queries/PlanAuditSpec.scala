@@ -308,4 +308,54 @@ class PlanAuditSpec extends SparkSpec {
         col("embedding").cast("array<double>")).as("d")).collect()
     both.foreach(r => assert(r.getDouble(0) == r.getDouble(1)))
   }
+
+  test("TPC-H Q3: date filters pushed to both scans, top-10 is TakeOrdered") {
+    val plan = finalPlan(CoreQueries.queries("q_tpch_q3")(spark, sf))
+    assert(plan.contains("TakeOrdered"),
+      s"top-10 must be the driver heap, not a global sort:\n$plan")
+    // both date predicates must reach their parquet scans
+    assert(plan.contains("LessThan(o_orderdate") &&
+      plan.contains("GreaterThan(l_shipdate"),
+      s"date filters must push down:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"the BUILDING customer dim must broadcast:\n$plan")
+  }
+
+  test("collocationsPmi: global top-k is TakeOrdered, totals broadcast") {
+    val plan = finalPlan(graft.operators.TextOps.collocationsPmi(
+      Tables.documents(spark, sf), "doc_id", "text", minPair = 5L, k = 20))
+    assert(plan.contains("TakeOrdered"),
+      s"corpus-wide score sort must be a k-row driver heap:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") ||
+      plan.contains("BroadcastExchange"),
+      s"N and M totals must ride as broadcasts:\n$plan")
+  }
+
+  test("docKeywords ranks through the GroupedTopK heap per doc") {
+    val plan = finalPlan(graft.operators.TextOps.docKeywords(
+      Tables.documents(spark, sf), "doc_id", "text", k = 3))
+    assert(plan.contains("GroupedTopK"),
+      s"per-doc rank must route through the heap operator:\n$plan")
+  }
+
+  test("hardNegatives broadcasts the query side like the ANN family") {
+    val q = Tables.embeddings(spark, sf).filter(col("vec_id") % 50 === 0)
+    val plan = finalPlan(graft.operators.Similarity.hardNegatives(
+      q, Tables.embeddings(spark, sf), "vec_id", "embedding", "label", 3))
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"query set must broadcast (label-mismatch theta join):\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"must never plan a cartesian:\n$plan")
+  }
+
+  test("triangleCounts plans equi-joins only — no cartesian, no nested loop") {
+    val pairs = Tables.documents(spark, sf)
+      .select((col("doc_id") % 50).as("id_a"), (col("doc_id") % 97).as("id_b"))
+      .filter(col("id_a") < col("id_b"))
+    val plan = finalPlan(
+      graft.operators.Graph.triangleCounts(pairs, "id_a", "id_b"))
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"),
+      s"closure joins must stay equi-joins:\n$plan")
+  }
 }
