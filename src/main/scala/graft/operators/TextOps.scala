@@ -977,6 +977,26 @@ object TextOps {
       .agg(count(lit(1)).as("n_words"), sum(col("n_sub")).as("n_subwords"))
   }
 
+  /** Tokenizer fertility report: per group (source), the ratio of BPE
+    * subword tokens to whitespace words under the corpus-trained merge
+    * table — the metric that tells a pipeline which sources the
+    * tokenizer serves poorly (fertility ≫ 1 means the vocab fragments
+    * that source's text, inflating training cost per useful byte).
+    *
+    * Rides [[bpeEncodeCountsLocal]]'s broadcast segment table; the
+    * only additional work is one group-keyed aggregate of two longs.
+    */
+  def bpeFertility(df: DataFrame, idCol: String, textCol: String,
+                   groupCol: String, numMerges: Int): DataFrame = {
+    val counts = bpeEncodeCountsLocal(df, idCol, textCol, numMerges)
+    df.select(col(idCol), col(groupCol)).join(counts, idCol)
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),
+        sum(col("n_subwords")).as("n_subwords"))
+      .withColumn("fertility",
+        round(col("n_subwords").cast("double") / col("n_words"), 6))
+  }
+
   /** Per-group top-k characteristic terms by a LOG-FREE tf-idf score:
     * score = tf × N / df (tf = term count within the group, df =
     * distinct docs containing the term, N = corpus doc count). The

@@ -39,6 +39,12 @@ object TextQueries {
         numMerges = 8)
         .orderBy("doc_id")),
 
+    // per-source tokenizer fertility (subwords per whitespace word)
+    "q_bpe_fertility" -> ((s, d) =>
+      TextOps.bpeFertility(Tables.documents(s, d), "doc_id", "text",
+        "source", numMerges = 8)
+        .orderBy("source")),
+
     // n-gram coverage: the LM-lite fluency gate
     "q_ngram_coverage" -> ((s, d) =>
       TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
@@ -374,6 +380,26 @@ object TextQueries {
        |ORDER BY dw.doc_id""".stripMargin
   }
 
+  /** Fertility mirror: per-source subword/word ratio through seg8. */
+  private def bpeFertilityOracleSql(numMerges: Int): String = {
+    val body = bpeOracleSql(numMerges)
+    val withPart = body.substring(0, body.lastIndexOf("SELECT CAST(1 AS INT)"))
+    s"""${withPart.trim.stripSuffix(",")}
+       |, docw AS (SELECT doc_id, source, unnest($toksSql) AS word
+       |    FROM documents),
+       |dw AS (SELECT doc_id, source, word FROM docw WHERE len(word) > 0),
+       |perdoc AS (SELECT dw.doc_id, dw.source, count(*) AS n_words,
+       |    CAST(sum(len(s.seg)) AS BIGINT) AS n_subwords
+       |  FROM dw JOIN seg$numMerges s ON s.word = dw.word
+       |  GROUP BY 1, 2)
+       |SELECT source, count(*) AS n_docs,
+       |  CAST(sum(n_words) AS BIGINT) AS n_words,
+       |  CAST(sum(n_subwords) AS BIGINT) AS n_subwords,
+       |  round(CAST(sum(n_subwords) AS DOUBLE) / sum(n_words), 6)
+       |    AS fertility
+       |FROM perdoc GROUP BY source ORDER BY source""".stripMargin
+  }
+
   // add-one bigram LM in integer ppm — mirrors TextOps.bigramLmScore:
   // p = (10^6*(c2+1)) // (c1+V); doc = (count, sum, sum // count).
   // Inner joins are exact here because the score corpus IS the train
@@ -417,6 +443,7 @@ object TextQueries {
     "q_bpe_merges" -> bpeOracleSql(8),
     "q_bpe_segment" -> bpeSegOracleSql(8),
     "q_bpe_encode" -> bpeEncodeOracleSql(8),
+    "q_bpe_fertility" -> bpeFertilityOracleSql(8),
 
     // mirror of TextOps.ngramCoverage(k=3, minDf=3): known = shingle in
     // ≥ minDf+1 docs total (the doc counts itself once)

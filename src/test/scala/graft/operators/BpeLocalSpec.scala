@@ -216,4 +216,20 @@ class BpeLocalSpec extends SparkSpec {
       TextOps.bpeTrainProduction(fx, "text", 8, minFreq = 0L)
     }
   }
+
+  test("bpeFertility: char-level baseline drops to 1.0 once merges cover") {
+    import spark.implicits._
+    val d = Seq((1L, "ab c", "s1"), (2L, "ab ab", "s2"))
+      .toDF("doc_id", "text", "source")
+    // zero merges → every word splits to characters
+    val base = TextOps.bpeFertility(d, "doc_id", "text", "source", 0)
+      .orderBy("source").collect()
+      .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
+    assert(base.toSeq == Seq(("s1", 2L, 3L, 1.5), ("s2", 2L, 4L, 2.0)),
+      s"got ${base.toSeq}")
+    // enough merges to fuse 'ab' → fertility collapses to 1.0
+    val merged = TextOps.bpeFertility(d, "doc_id", "text", "source", 8)
+      .orderBy("source").collect().map(r => r.getDouble(4))
+    assert(merged.toSeq == Seq(1.0, 1.0), s"got ${merged.toSeq}")
+  }
 }
