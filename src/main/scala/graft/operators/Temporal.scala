@@ -171,6 +171,64 @@ object Temporal {
       .drop("__bucket")
   }
 
+  /** Frequent behavior-pattern mining: the corpus-wide top-k length-3
+    * event-type sequences (per-user, time-ordered, overlapping) — the
+    * "what do users actually do" report that funnels assume an answer
+    * to. Patterns render as `a>b>c`.
+    *
+    * One user-keyed window (two leads share its single shuffle and
+    * sort), one pattern-keyed count with map-side combine, and a
+    * TakeOrdered top-k — the rank window runs over the ≤k survivors
+    * only.
+    */
+  def eventPatterns(events: DataFrame, userCol: String, typeCol: String,
+                    tsCol: String, tieCol: String, k: Int = 20): DataFrame = {
+    val w = Window.partitionBy(userCol).orderBy(col(tsCol), col(tieCol))
+    val counted = events
+      .withColumn("__t1", lead(col(typeCol), 1).over(w))
+      .withColumn("__t2", lead(col(typeCol), 2).over(w))
+      .filter(col("__t2").isNotNull)
+      .select(concat_ws(">", col(typeCol), col("__t1"), col("__t2"))
+        .as("pattern"))
+      .groupBy("pattern").agg(count(lit(1)).as("n"))
+    val top = counted.orderBy(col("n").desc, col("pattern").asc).limit(k)
+    top.withColumn("rk",
+      row_number().over(Window.orderBy(col("n").desc, col("pattern").asc)))
+      .select(col("rk"), col("pattern"), col("n"))
+  }
+
+  /** K-anonymity generalization ladder: for each event, the FINEST
+    * time granularity (hour → day → month) at which its
+    * (type, bucket) group reaches size `k`, reported as a compact
+    * (type, granularity, n_events) matrix — the privacy-engineering
+    * answer to "how much must timestamps be coarsened before release",
+    * with `suppress` counting the rows no ladder rung can save.
+    *
+    * Three (type, bucket)-keyed aggregates with map-side combine,
+    * joined back on their bucket keys (count frames are
+    * bucket-bounded, AQE broadcasts them) — no per-partition window
+    * sort anywhere.
+    */
+  def anonymizationLadder(events: DataFrame, typeCol: String, tsCol: String,
+                          k: Long = 5L): DataFrame = {
+    val e = events
+      .withColumn("__h", date_trunc("hour", col(tsCol)))
+      .withColumn("__d", date_trunc("day", col(tsCol)))
+      .withColumn("__m", date_trunc("month", col(tsCol)))
+    def sizes(c: String, out: String) =
+      e.groupBy(col(typeCol), col(c)).agg(count(lit(1)).as(out))
+    e.join(sizes("__h", "__nh"), Seq(typeCol, "__h"))
+      .join(sizes("__d", "__nd"), Seq(typeCol, "__d"))
+      .join(sizes("__m", "__nm"), Seq(typeCol, "__m"))
+      .withColumn("granularity",
+        when(col("__nh") >= k, "hour")
+          .when(col("__nd") >= k, "day")
+          .when(col("__nm") >= k, "month")
+          .otherwise("suppress"))
+      .groupBy(col(typeCol), col("granularity"))
+      .agg(count(lit(1)).as("n_events"))
+  }
+
   /** Cohort retention matrix: users are grouped into cohorts by the
     * ISO week (Monday-truncated) of their FIRST event; for each
     * (cohort, week offset) the count of cohort members active that

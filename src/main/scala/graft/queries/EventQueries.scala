@@ -264,6 +264,18 @@ object EventQueries {
       graft.operators.Temporal.gapFill(ev(s, d), "user_id", "ts", "value",
         "event_id", stepSeconds = 3600L)
         .orderBy("user_id", "bucket_ts")),
+
+    // top-20 frequent 3-step behavior patterns across users
+    "q_event_patterns" -> ((s, d) =>
+      graft.operators.Temporal.eventPatterns(ev(s, d), "user_id",
+        "event_type", "ts", "event_id", k = 20)
+        .orderBy("rk")),
+
+    // k-anonymity generalization ladder (hour→day→month, k=5)
+    "q_kanon_ladder" -> ((s, d) =>
+      graft.operators.Temporal.anonymizationLadder(ev(s, d), "event_type",
+        "ts", k = 5L)
+        .orderBy("event_type", "granularity")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -499,6 +511,42 @@ object EventQueries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.rolling_users
         |FROM dau d JOIN rolling r ON r.tday = d.day
         |ORDER BY day""".stripMargin,
+
+    "q_event_patterns" ->
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type, 1) OVER w AS t1,
+        |    lead(event_type, 2) OVER w AS t2
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id
+        |    ORDER BY ts NULLS FIRST, event_id NULLS FIRST)),
+        |p AS (SELECT event_type || '>' || t1 || '>' || t2 AS pattern
+        |  FROM o WHERE t2 IS NOT NULL),
+        |c AS (SELECT pattern, count(*) AS n FROM p GROUP BY 1),
+        |r AS (SELECT *, row_number() OVER (ORDER BY n DESC, pattern) AS rk
+        |  FROM c)
+        |SELECT CAST(rk AS INT) AS rk, pattern, n
+        |FROM r WHERE rk <= 20 ORDER BY rk""".stripMargin,
+
+    "q_kanon_ladder" ->
+      """WITH e AS (SELECT event_type,
+        |    date_trunc('hour', ts) AS h, date_trunc('day', ts) AS d,
+        |    date_trunc('month', ts) AS m
+        |  FROM events),
+        |hs AS (SELECT event_type, h, count(*) AS nh FROM e GROUP BY 1, 2),
+        |ds AS (SELECT event_type, d, count(*) AS nd FROM e GROUP BY 1, 2),
+        |ms AS (SELECT event_type, m, count(*) AS nm FROM e GROUP BY 1, 2),
+        |lad AS (SELECT e.event_type,
+        |    CASE WHEN hs.nh >= 5 THEN 'hour'
+        |         WHEN ds.nd >= 5 THEN 'day'
+        |         WHEN ms.nm >= 5 THEN 'month'
+        |         ELSE 'suppress' END AS granularity
+        |  FROM e
+        |  JOIN hs ON hs.event_type = e.event_type AND hs.h = e.h
+        |  JOIN ds ON ds.event_type = e.event_type AND ds.d = e.d
+        |  JOIN ms ON ms.event_type = e.event_type AND ms.m = e.m)
+        |SELECT event_type, granularity, count(*) AS n_events
+        |FROM lad GROUP BY 1, 2
+        |ORDER BY event_type, granularity""".stripMargin,
 
     "q_gap_fill" ->
       """WITH e AS (SELECT *, epoch_us(ts) // 3600000000 AS h FROM events),

@@ -216,6 +216,41 @@ class TemporalSpec extends SparkSpec {
       (2L, "2024-01-01 00:00:00", 1L, 7.0, true)), s"got ${got.toSeq}")
   }
 
+  test("eventPatterns: overlapping trigrams per user, global top-k") {
+    val ev = Seq(
+      (1L, 1L, "a", ts("2024-01-01 10:00:00")),
+      (2L, 1L, "b", ts("2024-01-01 10:01:00")),
+      (3L, 1L, "c", ts("2024-01-01 10:02:00")),
+      (4L, 1L, "d", ts("2024-01-01 10:03:00")),
+      (5L, 2L, "a", ts("2024-01-01 11:00:00")),
+      (6L, 2L, "b", ts("2024-01-01 11:01:00")),
+      (7L, 2L, "c", ts("2024-01-01 11:02:00")),
+    ).toDF("event_id", "user_id", "event_type", "ts")
+    val got = Temporal.eventPatterns(ev, "user_id", "event_type", "ts",
+      "event_id", k = 10)
+      .collect().map(r => (r.getInt(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq((1, "a>b>c", 2L), (2, "b>c>d", 1L)),
+      s"got ${got.toSeq}")
+  }
+
+  test("anonymizationLadder: finest rung reaching k, else suppress") {
+    val ev = Seq(
+      // x: 2 events in ONE hour → hour-safe at k=2
+      ("x", ts("2024-01-01 10:05:00")), ("x", ts("2024-01-01 10:45:00")),
+      // y: 2 events same day, different hours → day
+      ("y", ts("2024-01-02 09:00:00")), ("y", ts("2024-01-02 17:00:00")),
+      // z: 2 events same month, different days → month
+      ("z", ts("2024-01-03 09:00:00")), ("z", ts("2024-01-20 09:00:00")),
+      // w: singleton — no rung reaches 2
+      ("w", ts("2024-01-04 09:00:00")),
+    ).toDF("event_type", "ts")
+    val got = Temporal.anonymizationLadder(ev, "event_type", "ts", k = 2L)
+      .orderBy("event_type").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2)))
+    assert(got.toSeq == Seq(("w", "suppress", 1L), ("x", "hour", 2L),
+      ("y", "day", 2L), ("z", "month", 2L)), s"got ${got.toSeq}")
+  }
+
   test("gapFill: tie within a bucket resolved by the tie column") {
     val ev = Seq(
       (10L, 1L, ts("2024-01-01 10:00:00"), 1.0),
