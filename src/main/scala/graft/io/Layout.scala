@@ -52,6 +52,55 @@ object Layout {
     writer.partitionBy(partitionCols: _*).parquet(path)
   }
 
+  /** Z-order (Morton) clustering value for TWO numeric columns: each
+    * value min-max-scales to `bits` bits (one tiny stats pass), then
+    * the bit planes interleave — files sorted by the result stay
+    * narrow in BOTH dimensions, so row-group min/max stats skip for
+    * predicates on EITHER column (a linear sort buys skipping on its
+    * leading key only; the classic OPTIMIZE ZORDER trade). 2·bits ≤ 62
+    * keeps the value sign-safe in a long.
+    */
+  def zOrderValue(a: org.apache.spark.sql.Column,
+                  b: org.apache.spark.sql.Column,
+                  aMin: Long, aMax: Long, bMin: Long, bMax: Long,
+                  bits: Int = 16): org.apache.spark.sql.Column = {
+    import org.apache.spark.sql.functions._
+    require(bits > 0 && bits <= 31, "bits must be in 1..31")
+    val top = (1L << bits) - 1
+    def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
+      if (hi == lo) lit(0L)
+      // integer arithmetic: (x-lo)*top div (hi-lo) ∈ [0, top]
+      else ((c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)).cast("long")
+    val sa = scale(a, aMin, aMax)
+    val sb = scale(b, bMin, bMax)
+    (0 until bits).foldLeft(lit(0L)) { (acc, i) =>
+      acc
+        .bitwiseOR(shiftleft(shiftright(sa, i).bitwiseAND(lit(1L)), 2 * i + 1))
+        .bitwiseOR(shiftleft(shiftright(sb, i).bitwiseAND(lit(1L)), 2 * i))
+    }
+  }
+
+  /** Write `df` as parquet files clustered by the Z-order interleave
+    * of `colA` and `colB`: one 1-row stats aggregate (driver-bounded),
+    * a range shuffle on the z value, per-file sort — after which
+    * selective predicates on EITHER column skip most row groups.
+    * The two-dimensional complement of [[writeClustered]]'s linear
+    * sort; `numFiles` bounds output files exactly like there.
+    */
+  def writeZOrdered(df: DataFrame, path: String, colA: String, colB: String,
+                    numFiles: Int, bits: Int = 16): Unit = {
+    import org.apache.spark.sql.functions._
+    val s = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
+      min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    val z = zOrderValue(col(colA), col(colB),
+      s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), bits)
+    df.withColumn("__z", z)
+      .repartitionByRange(numFiles, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** Small-files compaction: rewrite a parquet directory into
     * ~`targetBytes`-sized files (append-heavy tables accumulate one
     * file per write — at 100 TB the resulting listing/open overhead

@@ -66,6 +66,52 @@ object Features {
       .withColumn("bucket_hi", round(lit(lo) + (col("bucket") + 1) * width, 6))
   }
 
+  /** Pairwise Pearson correlation between per-entity activity counts
+    * of every type pair — "do users who click also buy?" across the
+    * whole type matrix. Built from INTEGER sufficient statistics
+    * (n, Σx, Σy, Σxy, Σx², Σy² over the dense entity×type count
+    * matrix), so the accumulation is order-free and engine-exact; the
+    * closing formula is a fixed-order double expression (sqrt is
+    * IEEE-correctly-rounded on both engines). Spark's builtin `corr`
+    * is a float accumulator whose partition order leaks into the
+    * result — this one is reproducible bit-for-bit.
+    *
+    * Scale shape: one (entity, type) count aggregate; the dense
+    * matrix is counts left-joined onto entity-spine × type-list
+    * (types are enumerable — the list frame broadcasts); the pair
+    * self-join is entity-keyed with ≤T fan-out per side; the final
+    * frame is one row per type pair. Zero-variance types yield null r
+    * (try_divide), the honest answer.
+    */
+  def pairwiseCorrelation(df: DataFrame, entityCol: String,
+                          typeCol: String): DataFrame = {
+    val counts = df.groupBy(col(entityCol).as("__e"), col(typeCol).as("__t"))
+      .agg(count(lit(1)).as("__n"))
+    val entities = df.select(col(entityCol).as("__e")).distinct()
+    val types = df.select(col(typeCol).as("__t")).distinct()
+    val dense = entities.crossJoin(broadcast(types))
+      .join(counts, Seq("__e", "__t"), "left")
+      .select(col("__e"), col("__t"), coalesce(col("__n"), lit(0L)).as("__n"))
+    val pairs = dense.select(col("__e"), col("__t").as("type_a"),
+        col("__n").as("__x"))
+      .join(dense.select(col("__e"), col("__t").as("type_b"),
+        col("__n").as("__y")), "__e")
+      .filter(col("type_a") < col("type_b"))
+    pairs.groupBy("type_a", "type_b")
+      .agg(count(lit(1)).as("n"),
+        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
+        sum(col("__x") * col("__y")).as("__sxy"),
+        sum(col("__x") * col("__x")).as("__sxx"),
+        sum(col("__y") * col("__y")).as("__syy"))
+      .withColumn("r", round(try_divide(
+        (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double"),
+        sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
+          .cast("double")) *
+          sqrt((col("n") * col("__syy") - col("__sy") * col("__sy"))
+            .cast("double"))), 6))
+      .select(col("type_a"), col("type_b"), col("n"), col("r"))
+  }
+
   /** Winsorization: clip each value into its group's
     * [percentile(lo), percentile(hi)] band (exact interpolated
     * percentiles, mirroring DuckDB's quantile_cont). The standard

@@ -276,6 +276,25 @@ object EventQueries {
       graft.operators.Temporal.anonymizationLadder(ev(s, d), "event_type",
         "ts", k = 5L)
         .orderBy("event_type", "granularity")),
+
+    // daily-volume anomaly days: |z| >= 2 vs the type's own day curve
+    "q_volume_anomaly" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"),
+          date_format(col("ts"), "yyyy-MM-dd").as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Features.zscoreByGroup(daily, "n", "event_type")
+        .filter(abs(col("zscore")) >= 2)
+        .select("event_type", "day", "n", "zscore")
+        .orderBy("event_type", "day")
+    }),
+
+    // bit-reproducible Pearson correlation between event-type activity
+    // counts across users (integer sufficient statistics)
+    "q_correlation" -> ((s, d) =>
+      graft.operators.Features.pairwiseCorrelation(ev(s, d), "user_id",
+        "event_type")
+        .orderBy("type_a", "type_b")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -511,6 +530,42 @@ object EventQueries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.rolling_users
         |FROM dau d JOIN rolling r ON r.tday = d.day
         |ORDER BY day""".stripMargin,
+
+    "q_volume_anomaly" ->
+      """WITH dayc AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |s AS (SELECT event_type, avg(n) AS mu, stddev_samp(n) AS sd
+        |  FROM dayc GROUP BY 1)
+        |SELECT d.event_type, d.day, d.n,
+        |  round((d.n - s.mu) / s.sd, 6) AS zscore
+        |FROM dayc d JOIN s USING (event_type)
+        |WHERE abs(round((d.n - s.mu) / s.sd, 6)) >= 2
+        |ORDER BY d.event_type, d.day""".stripMargin,
+
+    "q_correlation" ->
+      """WITH counts AS (SELECT user_id AS e, event_type AS t,
+        |    count(*) AS n
+        |  FROM events GROUP BY 1, 2),
+        |ents AS (SELECT DISTINCT user_id AS e FROM events),
+        |typs AS (SELECT DISTINCT event_type AS t FROM events),
+        |dense AS (SELECT ents.e, typs.t, coalesce(counts.n, 0) AS n
+        |  FROM ents CROSS JOIN typs
+        |  LEFT JOIN counts ON counts.e = ents.e AND counts.t = typs.t),
+        |p AS (SELECT a.e, a.t AS type_a, b.t AS type_b, a.n AS x, b.n AS y
+        |  FROM dense a JOIN dense b ON b.e = a.e WHERE a.t < b.t),
+        |agg AS (SELECT type_a, type_b, count(*) AS n,
+        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
+        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |  FROM p GROUP BY 1, 2)
+        |SELECT type_a, type_b, n,
+        |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN NULL
+        |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
+        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  END AS r
+        |FROM agg ORDER BY type_a, type_b""".stripMargin,
 
     "q_event_patterns" ->
       """WITH o AS (SELECT event_type,

@@ -50,6 +50,41 @@ class LayoutSpec extends SparkSpec {
     }
   }
 
+  test("writeZOrdered: files stay narrow in BOTH dimensions (linear sort doesn't)") {
+    import spark.implicits._
+    // 64×64 grid, shuffled — hash order destroys any natural locality
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .sortBy { case (x, y) => (x * 2654435761L + y * 40503L) % 4099L }
+    val df = grid.toDF("x", "y")
+    val zOut = s"${sys.props("java.io.tmpdir")}/graft_z_${System.nanoTime()}"
+    val linOut = s"${sys.props("java.io.tmpdir")}/graft_lin_${System.nanoTime()}"
+    Layout.writeZOrdered(df, zOut, "x", "y", numFiles = 16, bits = 6)
+    // baseline: linear sort by x only
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linOut)
+    def avgSpan(dir: String, c: String): Double = {
+      val spans = Files.list(Paths.get(dir)).iterator().asScala
+        .filter(_.getFileName.toString.endsWith(".parquet"))
+        .map { f =>
+          val v = spark.read.parquet(f.toString).select(c)
+            .collect().map(_.getInt(0))
+          (v.max - v.min).toDouble
+        }.toSeq
+      spans.sum / spans.size
+    }
+    // rows preserved
+    assert(spark.read.parquet(zOut).count() == 64L * 64L)
+    val (zx, zy) = (avgSpan(zOut, "x"), avgSpan(zOut, "y"))
+    val liny = avgSpan(linOut, "y")
+    // z-order: each 256-row file covers a ~16×16 tile → span ≈ 15-16
+    // per dimension; the x-sorted baseline leaves y spanning the full
+    // 0..63 range in every file
+    assert(zx < 32 && zy < 32,
+      s"z-ordered files must be narrow in both dims: x=$zx y=$zy")
+    assert(zy < liny / 1.5,
+      s"z-order must beat linear sort on the NON-sort dim: $zy vs $liny")
+  }
+
   test("writeClustered encodes parquet bloom filters for requested cols") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_bloom_${System.nanoTime()}"
     Layout.writeClustered(

@@ -80,4 +80,23 @@ class FeaturesSpec extends SparkSpec {
     assert(w(20.0) == 20.0)
     assert(w(100.0) == 40.0)
   }
+
+  test("pairwiseCorrelation: zeros from the dense matrix, exact r, null on zero variance") {
+    // counts: u1 a=2 b=1 z=1 | u2 a=1 b=0 z=1 | u3 a=0 b=2 z=1
+    val ev = Seq(
+      ("u1", "a"), ("u1", "a"), ("u1", "b"), ("u1", "z"),
+      ("u2", "a"), ("u2", "z"),
+      ("u3", "b"), ("u3", "b"), ("u3", "z"),
+    ).toDF("user", "etype")
+    val got = Features.pairwiseCorrelation(ev, "user", "etype")
+      .orderBy("type_a", "type_b").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Double])))
+    // (a,b): n=3 Sx=3 Sy=3 Sxy=2 Sxx=5 Syy=5 → (6-9)/(√6·√6) = -0.5;
+    // z is constant (1,1,1) → zero variance → null r
+    assert(got.toSeq == Seq(
+      (("a", "b"), 3L, Some(-0.5)),
+      (("a", "z"), 3L, None),
+      (("b", "z"), 3L, None)), s"got ${got.toSeq}")
+  }
 }
