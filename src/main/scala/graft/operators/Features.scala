@@ -112,6 +112,40 @@ object Features {
       .select(col("type_a"), col("type_b"), col("n"), col("r"))
   }
 
+  /** A/B experiment readout: units split into two arms by the same
+    * md5 bucket every sampler here uses (deterministic, engine-
+    * portable — never an RNG), then Welch's unequal-variance t on the
+    * metric. Sums are exact decimals (partition-order-free), so the
+    * closing fixed-order double formula — and therefore the verdict —
+    * is bit-reproducible on any engine; `significant` thresholds the
+    * ROUNDED statistic at 1.96 so both engines compare the same
+    * 6-decimal value. One aggregate pass, one output row.
+    */
+  def abTest(df: DataFrame, unitCol: String, valueCol: String): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val arm = graft.operators.Curation.hashBucket(col(unitCol)) % 2
+    val dec = col(valueCol).cast(DecimalType(18, 6))
+    val sq = dec * dec
+    val agg = df.withColumn("__arm", arm).agg(
+      sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("na"),
+      sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("nb"),
+      sum(when(col("__arm") === 0, dec)).cast("double").as("__sa"),
+      sum(when(col("__arm") === 1, dec)).cast("double").as("__sb"),
+      sum(when(col("__arm") === 0, sq)).cast("double").as("__qa"),
+      sum(when(col("__arm") === 1, sq)).cast("double").as("__qb"))
+    val va = (col("__qa") - col("__sa") * col("__sa") / col("na")) /
+      (col("na") - 1)
+    val vb = (col("__qb") - col("__sb") * col("__sb") / col("nb")) /
+      (col("nb") - 1)
+    val t = round((col("__sa") / col("na") - col("__sb") / col("nb")) /
+      sqrt(va / col("na") + vb / col("nb")), 6)
+    agg.select(col("na"), col("nb"),
+      round(col("__sa") / col("na"), 6).as("mean_a"),
+      round(col("__sb") / col("nb"), 6).as("mean_b"),
+      t.as("t"),
+      (abs(t) >= 1.96).as("significant"))
+  }
+
   /** Winsorization: clip each value into its group's
     * [percentile(lo), percentile(hi)] band (exact interpolated
     * percentiles, mirroring DuckDB's quantile_cont). The standard

@@ -295,6 +295,10 @@ object EventQueries {
       graft.operators.Features.pairwiseCorrelation(ev(s, d), "user_id",
         "event_type")
         .orderBy("type_a", "type_b")),
+
+    // hash-armed A/B readout: Welch's t over the value metric
+    "q_abtest" -> ((s, d) =>
+      graft.operators.Features.abTest(ev(s, d), "user_id", "value")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -530,6 +534,36 @@ object EventQueries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.rolling_users
         |FROM dau d JOIN rolling r ON r.tday = d.day
         |ORDER BY day""".stripMargin,
+
+    "q_abtest" -> {
+      val bucket =
+        s"${graft.functions.Portable.hash32Sql("CAST(user_id AS VARCHAR)")} % 100"
+      s"""WITH e AS (SELECT ($bucket) % 2 AS arm, value FROM events),
+         |a AS (SELECT
+         |    CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS na,
+         |    CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS nb,
+         |    CAST(sum(CASE WHEN arm = 0
+         |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sa,
+         |    CAST(sum(CASE WHEN arm = 1
+         |      THEN CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS sb,
+         |    CAST(sum(CASE WHEN arm = 0
+         |      THEN CAST(value AS DECIMAL(18,6))
+         |         * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS qa,
+         |    CAST(sum(CASE WHEN arm = 1
+         |      THEN CAST(value AS DECIMAL(18,6))
+         |         * CAST(value AS DECIMAL(18,6)) END) AS DOUBLE) AS qb
+         |  FROM e)
+         |SELECT na, nb, round(sa / na, 6) AS mean_a,
+         |  round(sb / nb, 6) AS mean_b,
+         |  round((sa / na - sb / nb) / sqrt(
+         |    ((qa - sa * sa / na) / (na - 1)) / na
+         |    + ((qb - sb * sb / nb) / (nb - 1)) / nb), 6) AS t,
+         |  abs(round((sa / na - sb / nb) / sqrt(
+         |    ((qa - sa * sa / na) / (na - 1)) / na
+         |    + ((qb - sb * sb / nb) / (nb - 1)) / nb), 6)) >= 1.96
+         |    AS significant
+         |FROM a""".stripMargin
+    },
 
     "q_volume_anomaly" ->
       """WITH dayc AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,

@@ -81,6 +81,29 @@ class FeaturesSpec extends SparkSpec {
     assert(w(100.0) == 40.0)
   }
 
+  test("abTest: hash arms partition the units; a true effect is detected") {
+    import graft.operators.Curation
+    val units = (1L to 400L).toDF("u")
+    // recover each unit's arm through the SAME portable hash the
+    // operator uses, then plant a real effect: arm0 ≡ 8.0, arm1 ≡ 2.0
+    val arms = units.withColumn("arm", Curation.hashBucket($"u") % 2)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val df = (1L to 400L).map(u =>
+      (u, if (arms(u) == 0L) 8.0 else 2.0)).toDF("u", "value")
+    // per-arm constant values → zero variance → t is NaN; add tiny
+    // deterministic jitter so variances are positive
+    val jittered = (1L to 400L).map(u =>
+      (u, (if (arms(u) == 0L) 8.0 else 2.0) + (u % 7) * 0.01))
+      .toDF("u", "value")
+    val r = Features.abTest(jittered, "u", "value").collect()(0)
+    val (na, nb) = (r.getLong(0), r.getLong(1))
+    assert(na + nb == 400L && na > 100 && nb > 100, s"arm sizes $na/$nb")
+    assert(r.getDouble(2) > r.getDouble(3) + 5.0, "means must separate")
+    assert(r.getDouble(4) > 100.0, s"t must be huge, got ${r.getDouble(4)}")
+    assert(r.getBoolean(5), "effect must be significant")
+    assert(df.count() == 400) // fixture sanity
+  }
+
   test("pairwiseCorrelation: zeros from the dense matrix, exact r, null on zero variance") {
     // counts: u1 a=2 b=1 z=1 | u2 a=1 b=0 z=1 | u3 a=0 b=2 z=1
     val ev = Seq(
