@@ -1,0 +1,135 @@
+package graft.io
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Minimal versioned table log: manifest-listed parquet snapshots with
+  * time travel and vacuum — the single-writer slice of what
+  * Delta/Iceberg give a lakehouse, built from the two primitives HDFS/
+  * S3A actually guarantee (task-side file immutability + atomic
+  * manifest RENAME).
+  *
+  * Layout: `path/data/b<batch>/part-*.parquet` (immutable once
+  * committed — batches are never rewritten) and
+  * `path/_manifests/v<version>.json`, each manifest listing the FULL
+  * file set of its snapshot. Commits write data to a NEW batch
+  * directory, then publish by renaming a temp manifest into place —
+  * readers resolve the latest manifest first, so they see the previous
+  * snapshot until the rename lands and never a half-written one
+  * (snapshot isolation; the zero-gap contract [[StagedSwap]]
+  * documents as out of its reach).
+  *
+  * - append commits carry the previous manifest's files forward, so
+  *   unchanged data is SHARED between versions (no rewrite);
+  * - overwrite commits list only the new batch, leaving old batches on
+  *   disk for time travel;
+  * - [[vacuum]] deletes files unreferenced by the kept manifests.
+  *
+  * Single-writer by contract (like every maintenance op here);
+  * concurrent writers need a real table format's conditional commit.
+  * Scale: manifests hold file PATHS (thousands of entries at 100 TB
+  * with sanely-sized files) — the O(files) driver cost every
+  * manifest-based format pays, far below a listing of the data itself.
+  */
+object Versioned {
+
+  private def fs(spark: SparkSession, path: String) =
+    new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(path: String) = new Path(path, "_manifests")
+
+  /** Versions present, ascending. */
+  def versions(spark: SparkSession, path: String): Seq[Long] = {
+    val f = fs(spark, path)
+    val dir = manifestDir(path)
+    if (!f.exists(dir)) Seq.empty
+    else f.listStatus(dir).toSeq.map(_.getPath.getName)
+      .collect { case n if n.startsWith("v") && n.endsWith(".json") =>
+        n.stripPrefix("v").stripSuffix(".json").toLong }
+      .sorted
+  }
+
+  private def manifestFiles(spark: SparkSession, path: String,
+                            version: Long): Seq[String] = {
+    val f = fs(spark, path)
+    val p = new Path(manifestDir(path), f"v$version%05d.json")
+    val in = f.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    // manifest schema is ours and flat — a full JSON parser would be
+    // the only use of one in the engine; extract the files array
+    "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
+  }
+
+  /** Commit `df` as the next version. `mode` is `overwrite` (snapshot
+    * = this data only) or `append` (snapshot = previous + this).
+    * Returns the committed version.
+    */
+  def commit(spark: SparkSession, path: String, df: DataFrame,
+             mode: String = "overwrite"): Long = {
+    require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    val f = fs(spark, path)
+    val existing = versions(spark, path)
+    val next = existing.lastOption.fold(0L)(_ + 1L)
+    val batchDir = new Path(path, s"data/b$next")
+    df.write.mode("errorifexists").parquet(batchDir.toString)
+    val newFiles = f.listStatus(batchDir).toSeq.map(_.getPath)
+      .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
+    val carried =
+      if (mode == "append" && existing.nonEmpty)
+        manifestFiles(spark, path, existing.last)
+      else Seq.empty
+    val all = carried ++ newFiles
+    val json = all.map(p => "\"" + p + "\"")
+      .mkString(s"""{"version":$next,"mode":"$mode","files":[""", ",", "]}")
+    val mDir = manifestDir(path)
+    f.mkdirs(mDir)
+    val tmp = new Path(mDir, f".v$next%05d.json.tmp")
+    val out = f.create(tmp, true)
+    try out.write(json.getBytes("UTF-8")) finally out.close()
+    // the publish point: atomic rename — readers see the old latest
+    // manifest or the new one, never a partial file
+    require(f.rename(tmp, new Path(mDir, f"v$next%05d.json")),
+      s"manifest publish failed for v$next")
+    next
+  }
+
+  /** Read a snapshot: the latest version, or `asOf` for time travel. */
+  def read(spark: SparkSession, path: String,
+           asOf: Option[Long] = None): DataFrame = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    val files = manifestFiles(spark, path, v)
+    if (files.isEmpty) spark.emptyDataFrame
+    else spark.read.parquet(files: _*)
+  }
+
+  /** Drop manifests older than the newest `keepLast` and delete data
+    * files no kept manifest references. Returns deleted file count.
+    */
+  def vacuum(spark: SparkSession, path: String, keepLast: Int = 1): Int = {
+    require(keepLast >= 1, "must keep at least the latest version")
+    val f = fs(spark, path)
+    val vs = versions(spark, path)
+    val (drop, keep) = vs.splitAt((vs.size - keepLast).max(0))
+    val live = keep.flatMap(manifestFiles(spark, path, _)).toSet
+    val dead = drop.flatMap(manifestFiles(spark, path, _)).toSet -- live
+    dead.foreach(p => f.delete(new Path(p), false))
+    drop.foreach(v =>
+      f.delete(new Path(manifestDir(path), f"v$v%05d.json"), false))
+    // empty batch dirs left behind are cosmetic; clear them if drained
+    val dataDir = new Path(path, "data")
+    if (f.exists(dataDir))
+      f.listStatus(dataDir).foreach { st =>
+        if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+      }
+    dead.size
+  }
+}

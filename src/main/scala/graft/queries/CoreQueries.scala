@@ -529,6 +529,32 @@ object CoreQueries {
           (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // versioned-log time travel: three commits (overwrite, append,
+    // overwrite), every historical snapshot read back and aggregated —
+    // the q_sig_lifecycle of the manifest table log
+    "q_time_travel" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_tt_").toString + "/t"
+      val o = Tables.orders(s, d)
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+      graft.io.Versioned.commit(s, path,
+        o.filter(col("o_orderkey") % 10 < 5))
+      graft.io.Versioned.commit(s, path,
+        o.filter(col("o_orderkey") % 10 >= 5), mode = "append")
+      graft.io.Versioned.commit(s, path,
+        o.filter(col("o_orderstatus") === "F"), mode = "overwrite")
+      graft.io.Versioned.versions(s, path).map { v =>
+        graft.io.Versioned.read(s, path, Some(v))
+          .agg(count(lit(1)).as("n"),
+            sum(col("o_totalprice").cast(DecimalType(18, 2)))
+              .cast("double").as("total"))
+          .withColumn("version", lit(v))
+      }.reduce(_ unionByName _)
+        .select("version", "n", "total")
+        .orderBy("version")
+    }),
+
     // TPC-H Q3 shape (shipping priority): the classic sel-join-agg-topk
     // — date filters push to both scans, the filtered BUILDING
     // customer dim broadcasts, top-10 is TakeOrdered (no global sort)
@@ -968,6 +994,20 @@ object CoreQueries {
         |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_time_travel" ->
+      """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+        |FROM orders WHERE o_orderkey % 10 < 5
+        |UNION ALL
+        |SELECT CAST(1 AS BIGINT), count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders
+        |UNION ALL
+        |SELECT CAST(2 AS BIGINT), count(*),
+        |  CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+        |FROM orders WHERE o_orderstatus = 'F'
+        |ORDER BY version""".stripMargin,
 
     "q_tpch_q3" ->
       """SELECT l_orderkey,
