@@ -66,14 +66,45 @@ object Versioned {
     "\"([^\"]+\\.parquet)\"".r.findAllMatchIn(json).map(_.group(1)).toSeq
   }
 
+  /** Transaction ids already committed (for idempotent re-commits). */
+  def committedTxns(spark: SparkSession, path: String): Set[String] = {
+    val f = fs(spark, path)
+    versions(spark, path).flatMap { v =>
+      val p = new Path(manifestDir(path), f"v$v%05d.json")
+      val in = f.open(p)
+      val head = try {
+        val chunk = new Array[Byte](512) // txn field leads the manifest
+        val n = in.read(chunk)
+        new String(chunk, 0, n.max(0), "UTF-8")
+      } finally in.close()
+      "\"txn\":\"([^\"]*)\"".r.findFirstMatchIn(head).map(_.group(1))
+    }.toSet
+  }
+
   /** Commit `df` as the next version. `mode` is `overwrite` (snapshot
     * = this data only) or `append` (snapshot = previous + this).
     * Returns the committed version.
+    *
+    * `txn`: optional idempotence token. A commit whose token already
+    * appears in a published manifest is SKIPPED (returns the current
+    * latest version) — the contract that makes a replayed streaming
+    * micro-batch (foreachBatch re-delivery after restart) commit
+    * exactly once.
     */
   def commit(spark: SparkSession, path: String, df: DataFrame,
-             mode: String = "overwrite"): Long = {
+             mode: String = "overwrite",
+             txn: Option[String] = None): Long = {
     require(mode == "overwrite" || mode == "append", s"bad mode $mode")
+    require(txn.forall(t => !t.contains("\"")), "txn token must be quote-free")
     val f = fs(spark, path)
+    if (txn.exists(committedTxns(spark, path).contains))
+      versions(spark, path).last // replay: already durable, skip
+    else commitNew(spark, path, df, mode, txn, f)
+  }
+
+  private def commitNew(spark: SparkSession, path: String, df: DataFrame,
+                        mode: String, txn: Option[String],
+                        f: org.apache.hadoop.fs.FileSystem): Long = {
     val existing = versions(spark, path)
     val next = existing.lastOption.fold(0L)(_ + 1L)
     val batchDir = new Path(path, s"data/b$next")
@@ -85,8 +116,10 @@ object Versioned {
         manifestFiles(spark, path, existing.last)
       else Seq.empty
     val all = carried ++ newFiles
+    val txnField = txn.fold("")(t => s""""txn":"$t",""")
     val json = all.map(p => "\"" + p + "\"")
-      .mkString(s"""{"version":$next,"mode":"$mode","files":[""", ",", "]}")
+      .mkString(s"""{$txnField"version":$next,"mode":"$mode","files":[""",
+        ",", "]}")
     val mDir = manifestDir(path)
     f.mkdirs(mDir)
     val tmp = new Path(mDir, f".v$next%05d.json.tmp")

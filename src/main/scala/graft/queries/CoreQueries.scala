@@ -605,6 +605,31 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q18 shape (large-volume customers): aggregate-then-semi-
+    // join-back — the HAVING subquery becomes a map-side-combined
+    // groupBy whose survivors (a tiny frame) semi-join the fact before
+    // the customer join; decimal sums so the threshold cut is
+    // partition-order-free
+    "q_tpch_q18" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d)
+      val big = li.groupBy("l_orderkey")
+        .agg(sum(col("l_quantity").cast(DecimalType(18, 6))).as("__q"))
+        .filter(col("__q") > 300)
+        .select(col("l_orderkey").as("o_orderkey"),
+          col("__q").cast("double").as("sum_qty"))
+      Tables.orders(s, d).join(big, "o_orderkey")
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_name"), col("c_custkey"), col("o_orderkey"),
+          date_format(col("o_orderdate"), "yyyy-MM-dd").as("o_orderdate"),
+          round(col("o_totalprice"), 2).as("o_totalprice"), col("sum_qty"))
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+        .limit(100)
+        .orderBy(col("o_totalprice").desc, col("o_orderdate").asc,
+          col("o_orderkey").asc)
+    }),
+
     // Headline join-agg — revenue by nation (broadcast dims over fact).
     "q_joinagg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -1043,6 +1068,21 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q18" ->
+      """WITH big AS (SELECT l_orderkey AS o_orderkey,
+        |    CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |      AS sum_qty
+        |  FROM lineitem GROUP BY 1
+        |  HAVING sum(CAST(l_quantity AS DECIMAL(18,6))) > 300)
+        |SELECT c_name, c_custkey, o_orderkey,
+        |  strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+        |  round(o_totalprice, 2) AS o_totalprice, sum_qty
+        |FROM orders
+        |JOIN big USING (o_orderkey)
+        |JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
+        |LIMIT 100""".stripMargin,
 
     "q_joinagg" ->
       """SELECT n_name,

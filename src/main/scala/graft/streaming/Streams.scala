@@ -327,6 +327,27 @@ object Streams {
       .start()
   }
 
+  /** Exactly-once streaming sink onto the [[graft.io.Versioned]] table
+    * log: each micro-batch append-commits under the txn token
+    * `stream-<batchId>`, so a batch REPLAYED after a restart (the
+    * standard foreachBatch at-least-once delivery) is skipped at the
+    * manifest — readers of the log see every batch exactly once, with
+    * snapshot isolation and time travel for free. The idempotence
+    * lives in the table, not the checkpoint, so it also survives
+    * checkpoint loss as long as the log itself is intact.
+    */
+  def versionedSink(docs: DataFrame, tablePath: String,
+                    options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
+        graft.io.Versioned.commit(batch.sparkSession, tablePath, batch,
+          mode = "append", txn = Some(s"stream-$batchId")): Unit
+      }
+      .start()
+
   /** The COMPOSED streaming curation pipeline — the streaming twin of
     * `Curation.curateCorpus`, wiring every ingest gate in the order a
     * production feed runs them:

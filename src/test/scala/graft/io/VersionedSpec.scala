@@ -63,6 +63,23 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("txn token makes re-commits idempotent (exactly-once replays)") {
+    val p = freshPath
+    val v0 = Versioned.commit(spark, p, Seq((1L, "a")).toDF("k", "v"),
+      "append", txn = Some("batch-0"))
+    val v1 = Versioned.commit(spark, p, Seq((2L, "b")).toDF("k", "v"),
+      "append", txn = Some("batch-1"))
+    // replay of batch-0 (restart re-delivery): must be a no-op
+    val vReplay = Versioned.commit(spark, p,
+      Seq((1L, "a")).toDF("k", "v"), "append", txn = Some("batch-0"))
+    assert((v0, v1) == (0L, 1L) && vReplay == 1L,
+      s"replay must not mint a version: $vReplay")
+    assert(Versioned.versions(spark, p) == Seq(0L, 1L))
+    assert(Versioned.read(spark, p, None).count() == 2,
+      "no duplicate rows after replay")
+    assert(Versioned.committedTxns(spark, p) == Set("batch-0", "batch-1"))
+  }
+
   test("a stray temp manifest is never visible to readers") {
     val p = freshPath
     Versioned.commit(spark, p, Seq((1L, "a")).toDF("k", "v"))

@@ -595,4 +595,32 @@ class StreamsSpec extends SparkSpec {
         4L -> Some(5.0), 5L -> Some(7.0), 6L -> None))
     } finally q.stop()
   }
+
+  test("versionedSink: micro-batches commit exactly once, replays skip") {
+    implicit val sqlCtx = spark.sqlContext
+    val table =
+      s"${sys.props("java.io.tmpdir")}/graft_vsink_${System.nanoTime()}/t"
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.versionedSink(in.toDF().toDF("k", "v"), table)
+    try {
+      in.addData((1L, "a"), (2L, "b"))
+      q.processAllAvailable()
+      in.addData((3L, "c"))
+      q.processAllAvailable()
+      val vs = graft.io.Versioned.versions(spark, table)
+      assert(vs.size == 2, s"two non-empty batches → two versions: $vs")
+      assert(graft.io.Versioned.read(spark, table, None)
+        .as[(Long, String)].collect().toSet ==
+        Set((1L, "a"), (2L, "b"), (3L, "c")))
+      // simulate foreachBatch re-delivery of batch 0 after a restart:
+      // same txn token → the log must not grow or duplicate
+      graft.io.Versioned.commit(spark, table,
+        Seq((1L, "a"), (2L, "b")).toDF("k", "v"), "append",
+        txn = Some("stream-0"))
+      assert(graft.io.Versioned.versions(spark, table).size == 2,
+        "replayed batch must not mint a version")
+      assert(graft.io.Versioned.read(spark, table, None).count() == 3,
+        "no duplicates after replay")
+    } finally q.stop()
+  }
 }
