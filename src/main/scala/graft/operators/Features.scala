@@ -112,6 +112,31 @@ object Features {
       .select(col("type_a"), col("type_b"), col("n"), col("r"))
   }
 
+  /** Robust (MAD) outlier detection per group: flag rows whose
+    * absolute deviation from the group MEDIAN exceeds k× the median
+    * absolute deviation — the outlier gate that, unlike
+    * [[zscoreByGroup]], is not itself dragged by the outliers it
+    * hunts (mean and stddev both are). Same stats-join scale shape:
+    * two group-keyed percentile aggregates joined back, facts never
+    * shuffled on their own rows. Both compare sides are pre-rounded
+    * to 6 decimals so the strict `>` is exact decimal arithmetic on
+    * both engines.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, groupCol: String,
+                  k: Double = 3.0): DataFrame = {
+    val med = df.groupBy(col(groupCol).as("__g1"))
+      .agg(expr(s"percentile($valueCol, 0.5)").as("__med"))
+    val dev = df.join(med, col(groupCol) <=> col("__g1"))
+      .withColumn("__ad", abs(col(valueCol) - col("__med")))
+    val mad = dev.groupBy(col(groupCol).as("__g2"))
+      .agg(expr("percentile(__ad, 0.5)").as("__mad"))
+    dev.join(mad, col(groupCol) <=> col("__g2"))
+      .withColumn("deviation", round(col("__ad"), 6))
+      .withColumn("cutoff", round(lit(k) * col("__mad"), 6))
+      .filter(col("deviation") > col("cutoff"))
+      .drop("__g1", "__g2", "__med", "__mad", "__ad")
+  }
+
   /** A/B experiment readout: units split into two arms by the same
     * md5 bucket every sampler here uses (deterministic, engine-
     * portable — never an RNG), then Welch's unequal-variance t on the

@@ -299,6 +299,24 @@ object EventQueries {
     // hash-armed A/B readout: Welch's t over the value metric
     "q_abtest" -> ((s, d) =>
       graft.operators.Features.abTest(ev(s, d), "user_id", "value")),
+
+    // robust MAD outliers: |x − median| > 3·MAD per event type
+    "q_mad_outliers" -> ((s, d) =>
+      graft.operators.Features.madOutliers(ev(s, d), "value", "event_type",
+        k = 3.0)
+        .select("event_id", "event_type",
+          "value", "deviation", "cutoff")
+        .withColumn("value", round(col("value"), 6))
+        .orderBy("event_id")),
+
+    // day-of-week seasonality profile per event type (ISO dow)
+    "q_dow_profile" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("event_type"), (weekday(col("ts")) + 1).as("dow"))
+        .agg(count(lit(1)).as("n"),
+          sum(col("value").cast(DecimalType(18, 6))).cast("double")
+            .as("sum_value"))
+        .orderBy("event_type", "dow")),
   )
 
   val oracleSql: Map[String, String] = Map(
@@ -534,6 +552,27 @@ object EventQueries {
         |SELECT strftime(d.day, '%Y-%m-%d') AS day, d.dau, r.rolling_users
         |FROM dau d JOIN rolling r ON r.tday = d.day
         |ORDER BY day""".stripMargin,
+
+    "q_mad_outliers" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS m
+        |  FROM events GROUP BY 1),
+        |dev AS (SELECT e.event_id, e.event_type, e.value,
+        |    abs(e.value - med.m) AS ad
+        |  FROM events e JOIN med USING (event_type)),
+        |mad AS (SELECT event_type, quantile_cont(ad, 0.5) AS mad
+        |  FROM dev GROUP BY 1)
+        |SELECT d.event_id, d.event_type, round(d.value, 6) AS value,
+        |  round(d.ad, 6) AS deviation, round(3.0 * mad.mad, 6) AS cutoff
+        |FROM dev d JOIN mad USING (event_type)
+        |WHERE round(d.ad, 6) > round(3.0 * mad.mad, 6)
+        |ORDER BY d.event_id""".stripMargin,
+
+    "q_dow_profile" ->
+      """SELECT event_type, CAST(isodow(ts) AS INT) AS dow,
+        |  count(*) AS n,
+        |  CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, dow""".stripMargin,
 
     "q_abtest" -> {
       val bucket =

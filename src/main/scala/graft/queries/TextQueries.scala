@@ -75,6 +75,14 @@ object TextQueries {
           TextOps.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // classifier evaluation: labeled lang × predicted lang counts
+    "q_langid_confusion" -> ((s, d) =>
+      Tables.documents(s, d)
+        .select(col("lang"), TextOps.languageId(col("text")).as("lang_pred"))
+        .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
+        .withColumn("correct", col("lang") === col("lang_pred"))
+        .orderBy("lang", "lang_pred")),
+
     // inverted index: token → exact doc_freq + bounded sorted postings
     "q_inverted_index" -> ((s, d) =>
       TextOps.invertedIndex(Tables.documents(s, d), "doc_id", "text", 20)
@@ -506,6 +514,23 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, lang, $langPredSql AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_langid_confusion" -> {
+      val scores = TextOps.langProfiles
+        .map { case (l, ms) => langScoreSql(l, ms) }.mkString(",\n  ")
+      s"""WITH padded AS (SELECT doc_id, lang,
+         |    ' ' || lower(text) || ' ' AS p FROM documents),
+         |scored AS (SELECT doc_id, lang,
+         |  $scores
+         |  FROM padded),
+         |m AS (SELECT *, greatest(${TextOps.langProfiles.map("s_" + _._1).mkString(", ")}) AS mx
+         |  FROM scored),
+         |pred AS (SELECT lang, $langPredSql AS lang_pred FROM m)
+         |SELECT lang, lang_pred, count(*) AS n,
+         |  lang = lang_pred AS correct
+         |FROM pred GROUP BY 1, 2
+         |ORDER BY lang, lang_pred""".stripMargin
     },
 
     "q_inverted_index" ->

@@ -81,6 +81,16 @@ class FeaturesSpec extends SparkSpec {
     assert(w(100.0) == 40.0)
   }
 
+  test("madOutliers: median-anchored cutoff ignores the outlier's own drag") {
+    val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
+      ("g", 100.0)).toDF("grp", "value")
+    // median 3, |dev| = [2,1,0,1,97], MAD = 1 → cutoff 3: only 100
+    // survives (a zscore gate would have σ≈43 dragged by the outlier)
+    val got = Features.madOutliers(df, "value", "grp", k = 3.0)
+      .collect().map(r => (r.getDouble(1), r.getDouble(2), r.getDouble(3)))
+    assert(got.toSeq == Seq((100.0, 97.0, 3.0)), s"got ${got.toSeq}")
+  }
+
   test("abTest: hash arms partition the units; a true effect is detected") {
     import graft.operators.Curation
     val units = (1L to 400L).toDF("u")
