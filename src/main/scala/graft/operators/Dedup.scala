@@ -940,6 +940,50 @@ object Dedup {
       .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
   }
 
+  /** Near-dup pair EVIDENCE: for each candidate pair, the structure of
+    * their exact k-gram agreement — total matched shingle positions,
+    * number of contiguous shared runs, and the longest shared run in
+    * tokens. This is the "why did these two match" row a dedup
+    * decision gets reviewed against (a 90 %-Jaccard pair with one
+    * giant run is a true near-dup; the same estimate spread over 40
+    * two-token fragments is boilerplate contamination).
+    *
+    * Mechanics: positional shingles of only the paired docs (semi-join
+    * before the explode ships any positions), matched on the shingle
+    * key, then contiguous runs found on each DIAGONAL (pa − pb): on a
+    * diagonal, consecutive positions are consecutive matches, so the
+    * classic pos − row_number() grouping labels each run — the
+    * dot-plot alignment trick in two window functions. Shuffles are
+    * keyed on shingle / (pair, diagonal); per-pair work is bounded by
+    * doc length × repetition, never corpus size.
+    */
+  def pairEvidence(df: DataFrame, idCol: String, textCol: String,
+                   pairs: DataFrame, k: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
+    val grams = base.select(col(idCol),
+      posexplode(shingles(col("__toks"), k)).as(Seq("pos", "sh")))
+    val aSide = grams
+      .join(pairs.select(col("id_a").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("id_a"), col("pos").as("pa"), col("sh"))
+    val bSide = grams
+      .join(pairs.select(col("id_b").as(idCol)).distinct(), idCol)
+      .select(col(idCol).as("id_b"), col("pos").as("pb"), col("sh"))
+    val matched = aSide.join(bSide, "sh")
+      .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"))
+    val diag = col("pa") - col("pb")
+    val w = Window.partitionBy(col("id_a"), col("id_b"), diag)
+      .orderBy(col("pa"))
+    val runs = matched
+      .withColumn("__grp", col("pa") - row_number().over(w))
+      .groupBy(col("id_a"), col("id_b"), diag.as("__diag"), col("__grp"))
+      .agg(count(lit(1)).as("__len"))
+    runs.groupBy("id_a", "id_b")
+      .agg(sum(col("__len")).as("n_matches"),
+        count(lit(1)).as("n_runs"),
+        (max(col("__len")) + (k - 1)).as("longest_run_tokens"))
+  }
+
   /** Cross-corpus SPAN dedup — the CCNet/shard "line dedup" shape for
     * corpora whose documents carry no line structure: cut each document
     * into NON-overlapping `span`-token blocks (the pseudo-lines), hash

@@ -120,6 +120,21 @@ object DedupQueries {
         .orderBy("vertex")
     }),
 
+    // per-pair match-structure evidence over the >=0.5 pair graph:
+    // total shared shingle positions, contiguous runs, longest run
+    "q_dup_evidence" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.pairEvidence(docs, "doc_id", "text", pairs, k = K)
+        .orderBy("id_a", "id_b")
+    }),
+
     // per-doc 60-bit SimHash (sign-safe BIGINT; 15-bit bands downstream)
     "q_simhash" -> ((s, d) =>
       Dedup.simhash(Tables.documents(s, d), "doc_id", "text")
@@ -493,6 +508,31 @@ object DedupQueries {
          |${pageRankRoundCte(2)}
          |SELECT v AS doc_id, r AS rank_ppm FROM r3
          |ORDER BY doc_id""".stripMargin
+    },
+
+    "q_dup_evidence" -> {
+      val sh3 = Portable.shinglesSql("t", K)
+      s"""WITH $sigCte,
+         |$bandsCte,
+         |${pairsCtes(0.5)},
+         |egr0 AS (SELECT doc_id, $sh3 AS g FROM toks),
+         |egr AS (SELECT doc_id, unnest(generate_series(1, len(g))) AS pos, g
+         |  FROM egr0),
+         |esh AS (SELECT doc_id, pos, g[pos] AS sh FROM egr),
+         |em AS (SELECT p.id_a, p.id_b, a.pos AS pa, b.pos AS pb
+         |  FROM pairs p
+         |  JOIN esh a ON a.doc_id = p.id_a
+         |  JOIN esh b ON b.doc_id = p.id_b AND b.sh = a.sh),
+         |er AS (SELECT id_a, id_b, pa, pb,
+         |    pa - row_number() OVER (PARTITION BY id_a, id_b, pa - pb
+         |      ORDER BY pa) AS grp
+         |  FROM em),
+         |eruns AS (SELECT id_a, id_b, pa - pb AS diag, grp, count(*) AS len
+         |  FROM er GROUP BY 1, 2, 3, 4)
+         |SELECT id_a, id_b, CAST(sum(len) AS BIGINT) AS n_matches,
+         |  count(*) AS n_runs,
+         |  CAST(max(len) + ${K - 1} AS BIGINT) AS longest_run_tokens
+         |FROM eruns GROUP BY 1, 2 ORDER BY id_a, id_b""".stripMargin
     },
 
     "q_triangles" ->

@@ -164,6 +164,25 @@ class TextDedupSpec extends SparkSpec {
     assert(got(("s2", 1)) == "beta" && got(("s2", 2)) == "delta")
   }
 
+  test("pairEvidence: contiguous runs vs scattered fragments, exact counts") {
+    val d = Seq(
+      (1L, "a b c d e f"),          // shingles abc bcd cde def
+      (2L, "a b c d x e f"),        // shares abc, bcd → one run of 2
+      (3L, "z z a b c z z a b c"),  // abc at pos 2 and 7
+      (4L, "a b c"),                // abc once
+    ).toDF("doc_id", "text")
+    val pairs = Seq((1L, 2L), (3L, 4L)).toDF("id_a", "id_b")
+    val got = Dedup.pairEvidence(d, "doc_id", "text", pairs, k = 3)
+      .orderBy("id_a").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4)))
+    assert(got.toSeq == Seq(
+      // (1,2): 2 shared shingles in ONE contiguous run → 4 tokens
+      (1L, 2L, 2L, 1L, 4L),
+      // (3,4): same 2 matches but on two diagonals → 2 runs, 3 tokens
+      (3L, 4L, 2L, 2L, 3L)), s"got ${got.toSeq}")
+  }
+
   test("collocationsPmi: exact scores, min-count floor, tie on bigram") {
     val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // tokens a:3 b:2 c:1 → N=6; bigrams "a b"×2 "b a"×1 "a c"×1 → M=4
