@@ -112,6 +112,36 @@ object Features {
       .select(col("type_a"), col("type_b"), col("n"), col("r"))
   }
 
+  /** Cross-group quantile normalization: map each row's value to its
+    * percentile WITHIN its group via a fixed grid of exact per-group
+    * percentile cutoffs — the calibration that makes a quality score
+    * comparable across sources whose raw distributions differ (CCNet
+    * thresholds per source for exactly this reason). Output percentile
+    * is a multiple of 100/gridSize.
+    *
+    * Scale shape: ONE percentile aggregate produces a groups×1 frame
+    * whose cutoff ARRAY rides the stats join (AQE broadcasts it);
+    * assignment is a row-local filter over ≤gridSize array elements —
+    * never a per-group window sort over the facts (the ntile
+    * formulation this replaces buffers every fact row per group).
+    * Cutoffs are pre-rounded to 6 decimals so the `<=` compares the
+    * same decimals on both engines.
+    */
+  def quantileNormalize(df: DataFrame, valueCol: String, groupCol: String,
+                        gridSize: Int = 20): DataFrame = {
+    require(gridSize >= 2 && 100 % gridSize == 0,
+      "gridSize must divide 100")
+    val ps = (1 until gridSize).map(i =>
+      (i.toDouble / gridSize).toString).mkString(", ")
+    val cuts = df.groupBy(col(groupCol).as("__g"))
+      .agg(expr(s"percentile($valueCol, array($ps))").as("__cuts"))
+    df.join(cuts, col(groupCol) <=> col("__g"))
+      .withColumn("pct",
+        (size(filter(transform(col("__cuts"), c => round(c, 6)),
+          c => c <= col(valueCol))) * (100 / gridSize)).cast("int"))
+      .drop("__g", "__cuts")
+  }
+
   /** Robust (MAD) outlier detection per group: flag rows whose
     * absolute deviation from the group MEDIAN exceeds k× the median
     * absolute deviation — the outlier gate that, unlike

@@ -75,6 +75,13 @@ object TextQueries {
           TextOps.languageId(col("text")).as("lang_pred"))
         .orderBy("doc_id")),
 
+    // cross-source percentile calibration of doc length (vigintiles)
+    "q_quantile_norm" -> ((s, d) =>
+      graft.operators.Features.quantileNormalize(
+        Tables.documents(s, d).select("doc_id", "source", "n_chars"),
+        "n_chars", "source", gridSize = 20)
+        .orderBy("doc_id")),
+
     // classifier evaluation: labeled lang × predicted lang counts
     "q_langid_confusion" -> ((s, d) =>
       Tables.documents(s, d)
@@ -514,6 +521,19 @@ object TextQueries {
          |  FROM scored)
          |SELECT doc_id, lang, $langPredSql AS lang_pred
          |FROM m ORDER BY doc_id""".stripMargin
+    },
+
+    "q_quantile_norm" -> {
+      val ps = (1 until 20).map(i => (i.toDouble / 20).toString)
+        .mkString(", ")
+      s"""WITH cuts AS (SELECT source,
+         |    quantile_cont(n_chars, [$ps]) AS c
+         |  FROM documents GROUP BY 1)
+         |SELECT d.doc_id, d.source, d.n_chars,
+         |  CAST(len(list_filter(list_transform(cuts.c, x -> round(x, 6)),
+         |    x -> x <= d.n_chars)) * 5 AS INT) AS pct
+         |FROM documents d JOIN cuts USING (source)
+         |ORDER BY d.doc_id""".stripMargin
     },
 
     "q_langid_confusion" -> {

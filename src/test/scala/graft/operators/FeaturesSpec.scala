@@ -81,6 +81,24 @@ class FeaturesSpec extends SparkSpec {
     assert(w(100.0) == 40.0)
   }
 
+  test("quantileNormalize: per-group grid, cross-group comparability") {
+    // group a: 1..4 — group b: 101..104. Same SHAPE, shifted scale:
+    // normalization must give both groups identical pct profiles.
+    val df = (1 to 4).map(i => ("a", i.toDouble)) ++
+      (1 to 4).map(i => ("b", 100.0 + i))
+    val d = df.toDF("grp", "v")
+    val got = Features.quantileNormalize(d, "v", "grp", gridSize = 4)
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+    val byGroup = got.groupBy(_._1).map { case (g, rows) =>
+      g -> rows.sortBy(_._2).map(_._3).toSeq
+    }
+    assert(byGroup("a") == byGroup("b"),
+      s"shifted groups must normalize identically: $byGroup")
+    // quartile cutoffs of [1,2,3,4]: p25=1.75 p50=2.5 p75=3.25 →
+    // 1→0 cutoffs ≤ → 0; 2→25; 3→50; 4→75
+    assert(byGroup("a") == Seq(0, 25, 50, 75), s"got ${byGroup("a")}")
+  }
+
   test("madOutliers: median-anchored cutoff ignores the outlier's own drag") {
     val df = Seq(("g", 1.0), ("g", 2.0), ("g", 3.0), ("g", 4.0),
       ("g", 100.0)).toDF("grp", "value")
