@@ -36,7 +36,10 @@ object Temporal {
     */
   def asofJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                tsCol: String, payloadCols: Seq[String],
-               prefix: String = "asof_"): DataFrame = {
+               prefix: String = "asof_",
+               direction: String = "backward"): DataFrame = {
+    require(direction == "backward" || direction == "forward",
+      s"bad direction $direction")
     val leftCols = left.columns.toSeq
     payloadCols.foreach(c => require(!leftCols.contains(prefix + c),
       s"output column '$prefix$c' collides with a left column; " +
@@ -51,7 +54,10 @@ object Temporal {
     val payloadType = org.apache.spark.sql.types.StructType(
       payloadCols.map(c => org.apache.spark.sql.types.StructField(
         c, right.schema(c).dataType)))
-    // tag: right=0 sorts before left=1 at equal ts, so `<=` holds
+    // tag: right=0 sorts before left=1 at equal ts, so the boundary is
+    // inclusive in BOTH directions (backward `right.ts <= left.ts`,
+    // forward `right.ts >= left.ts` — forward just walks the stream
+    // from the future end, nothing else changes)
     val lTagged = left.withColumn("__side", lit(1))
       .withColumn("__asof", lit(null).cast(payloadType))
     val rTagged = carryCols.foldLeft(
@@ -60,8 +66,10 @@ object Temporal {
         .withColumn("__side", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
+    val tsOrd =
+      if (direction == "forward") col(tsCol).desc else col(tsCol).asc
     val w = Window.partitionBy(keys.map(col): _*)
-      .orderBy(col(tsCol).asc, col("__side").asc)
+      .orderBy(tsOrd, col("__side").asc)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     val filled = lTagged.unionByName(rTagged)
       .withColumn("__asof", last(col("__asof"), ignoreNulls = true).over(w))

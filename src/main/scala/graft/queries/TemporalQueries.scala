@@ -40,6 +40,21 @@ object TemporalQueries {
         .orderBy("event_id")
     }),
 
+    // forward as-of: each click's NEXT view at-or-after its timestamp
+    // (label lookahead — "what happened next")
+    "q_asof_forward" -> ((s, d) => {
+      val clicks = ev(s, d).filter(col("event_type") === "click")
+        .select("event_id", "user_id", "ts", "value")
+      val views = ev(s, d).filter(col("event_type") === "view")
+        .groupBy("user_id", "ts").agg(max(col("value")).as("view_value"))
+      Temporal.asofJoin(clicks, views, Seq("user_id"), "ts",
+        Seq("view_value"), direction = "forward")
+        .select(col("event_id"), col("user_id"),
+          date_format(col("ts"), TsFmt).as("click_ts"), col("value"),
+          col("asof_view_value"))
+        .orderBy("event_id")
+    }),
+
     // range join: clicks falling in the 12 h window after each error
     // of the same user — bucketed equi-join, never an inequality join
     "q_range_join" -> ((s, d) => {
@@ -74,6 +89,18 @@ object TemporalQueries {
         |  v.view_value AS asof_view_value
         |FROM clicks c ASOF LEFT JOIN views v
         |  ON c.user_id = v.user_id AND c.ts >= v.ts
+        |ORDER BY c.event_id""".stripMargin,
+
+    "q_asof_forward" ->
+      """WITH clicks AS (SELECT event_id, user_id, ts, value FROM events
+        |  WHERE event_type = 'click'),
+        |views AS (SELECT user_id, ts, max(value) AS view_value FROM events
+        |  WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT c.event_id, c.user_id,
+        |  strftime(c.ts, '%Y-%m-%d %H:%M:%S.%f') AS click_ts, c.value,
+        |  v.view_value AS asof_view_value
+        |FROM clicks c ASOF LEFT JOIN views v
+        |  ON c.user_id = v.user_id AND c.ts <= v.ts
         |ORDER BY c.event_id""".stripMargin,
 
     "q_range_join" ->

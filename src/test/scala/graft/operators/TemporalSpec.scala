@@ -39,6 +39,28 @@ class TemporalSpec extends SparkSpec {
       (4L, None)))     // no rights for u3
   }
 
+  test("asofJoin forward: earliest right at-or-after each left") {
+    val left = Seq(
+      (1L, "u1", ts("2024-01-01 10:00:00")),
+      (2L, "u1", ts("2024-01-01 12:30:00")), // after all rights → null
+      (3L, "u2", ts("2024-01-01 09:00:00"))
+    ).toDF("id", "user", "ts")
+    val right = Seq(
+      ("u1", ts("2024-01-01 09:00:00"), 1.0), // before left 1: excluded
+      ("u1", ts("2024-01-01 10:00:00"), 2.0), // equal ts → matches id=1
+      ("u1", ts("2024-01-01 11:30:00"), 3.0),
+      ("u2", ts("2024-01-01 10:00:00"), 5.0)
+    ).toDF("user", "ts", "v")
+    val out = Temporal.asofJoin(left, right, Seq("user"), "ts", Seq("v"),
+      direction = "forward")
+      .orderBy("id").collect()
+      .map(r => (r.getLong(0), Option(r.get(3)).map(_.asInstanceOf[Double])))
+    assert(out.toSeq == Seq(
+      (1L, Some(2.0)), // equal ts wins over 11:30's 3.0
+      (2L, None),      // nothing at-or-after 12:30
+      (3L, Some(5.0)))) // u2's only right is later — matched forward
+  }
+
   test("asofJoin: a NULL payload in the latest right row stays NULL") {
     val left = Seq((1L, "u1", ts("2024-01-01 12:00:00")))
       .toDF("id", "user", "ts")
