@@ -361,4 +361,103 @@ class PropertiesSpec extends SparkSpec {
     val merges = TextOps.bpeTrain(d, "text", numMerges = 2).count()
     assert(merges == 2L)
   }
+
+  test("gapFill properties: dense spine, conservation, ffill totality") {
+    val gen = Gen.choose(3, 40).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 4L)
+      m <- Gen.choose(0L, 2L * 24 * 60) // minutes in a 2-day span
+      v <- Gen.choose(-50.0, 50.0)
+    } yield (u, m, v)))
+    samples(gen, 5).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, m, v), i) =>
+        (i.toLong, u, new java.sql.Timestamp(1704067200000L + m * 60000L), v)
+      }.toDF("event_id", "user_id", "ts", "value")
+      val out = Temporal.gapFill(ev, "user_id", "ts", "value", "event_id")
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+          Option(r.get(3)), r.getBoolean(4)))
+      val byUser = out.groupBy(_._1)
+      val users = rows.map(_._1).distinct
+      assert(byUser.keySet == users.toSet, "every key gets a spine")
+      byUser.foreach { case (_, bs) =>
+        val sorted = bs.sortBy(_._2)
+        // spine density: hourly buckets with no holes
+        val hours = sorted.map(_._2)
+        assert(hours.distinct.size == hours.size, "no duplicate buckets")
+        // conservation: per-key event count equals the input's
+        // observed flags ⇒ n_events sums to the key's input rows
+        // and ffill totality: every bucket from the first observed on
+        // has a non-null value (the first bucket is always observed)
+        assert(sorted.head._5, "first bucket must be observed")
+        assert(sorted.forall(_._4.isDefined), "ffill leaves no null")
+      }
+      assert(out.map(_._3).sum == rows.size.toLong, "events conserved")
+    }
+  }
+
+  test("retention/active-user properties: cohort closure and window bounds") {
+    val gen = Gen.choose(3, 40).flatMap(n => Gen.listOfN(n, for {
+      u <- Gen.choose(1L, 6L)
+      day <- Gen.choose(0L, 20L)
+    } yield (u, day)))
+    samples(gen, 5).foreach { rows =>
+      val ev = rows.zipWithIndex.map { case ((u, day), i) =>
+        (i.toLong, u,
+          new java.sql.Timestamp(1704067200000L + day * 86400000L))
+      }.toDF("event_id", "user_id", "ts")
+      val users = rows.map(_._1).distinct.size.toLong
+
+      val ret = Temporal.retentionCohorts(ev, "user_id", "ts")
+        .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+          r.getLong(3)))
+      // offset 0 is every cohort member's first week: full retention
+      ret.filter(_._2 == 0).foreach { case (cw, _, active, size) =>
+        assert(active == size, s"cohort $cw offset-0 must be complete")
+      }
+      // cohort sizes partition the user base
+      assert(ret.filter(_._2 == 0).map(_._4).sum == users)
+      // retention never exceeds the cohort
+      ret.foreach { case (_, _, active, size) => assert(active <= size) }
+
+      val au = Temporal.rollingActiveUsers(ev, "user_id", "ts", 7)
+        .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      au.foreach { case (_, dau, rolling) =>
+        assert(dau <= rolling && rolling <= users,
+          s"dau $dau ≤ rolling $rolling ≤ $users")
+      }
+    }
+  }
+
+  test("triangleCounts properties: handshake and triple-count closure") {
+    val gen = Gen.choose(0, 25).flatMap(n => Gen.listOfN(n, for {
+      a <- Gen.choose(1L, 8L); b <- Gen.choose(1L, 8L)
+    } yield (a.min(b), a.max(b)))).map(_.filter(t => t._1 != t._2).distinct)
+    samples(gen, 6).filter(_.nonEmpty).foreach { edges =>
+      val out = Graph.triangleCounts(edges.toDF("id_a", "id_b"),
+        "id_a", "id_b")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2)))
+      // handshake: Σ degree = 2|E|
+      assert(out.map(_._2).sum == 2L * edges.size)
+      // each triangle contributes exactly 3 vertex-incidences
+      assert(out.map(_._3).sum % 3 == 0, s"triple closure: $out")
+    }
+  }
+
+  test("quantileNormalize properties: range, monotone within group") {
+    val gen = Gen.choose(4, 30).flatMap(n => Gen.listOfN(n, for {
+      g <- Gen.oneOf("a", "b"); v <- Gen.choose(-100.0, 100.0)
+    } yield (g, v)))
+    samples(gen, 5).filter(_.map(_._1).distinct.size == 2).foreach { rows =>
+      val out = Features.quantileNormalize(rows.toDF("grp", "v"), "v",
+        "grp", gridSize = 10)
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getInt(2)))
+      out.foreach { case (_, _, pct) =>
+        assert(pct >= 0 && pct <= 90 && pct % 10 == 0, s"grid: $pct")
+      }
+      out.groupBy(_._1).foreach { case (_, g) =>
+        val sorted = g.sortBy(_._2)
+        assert(sorted.map(_._3).sameElements(sorted.map(_._3).sorted),
+          "pct must be monotone in the value within a group")
+      }
+    }
+  }
 }
