@@ -60,12 +60,42 @@ object ShuffleAudit {
       shuffles.map(metric(_, "shuffleBytesWritten")).sum)
   }
 
-  private def flatten(p: SparkPlan): Seq[SparkPlan] = {
+  private[plans] def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)
       case other => other.children
     }
     p +: kids.flatMap(flatten)
+  }
+}
+
+/** Measured scan accounting — the scan-side sibling of
+  * [[ShuffleAudit]]: execute a query and read how many rows its
+  * parquet scans actually EMITTED. With the vectorized reader, pushed
+  * predicates prune at row-group/page granularity using min/max
+  * stats, so `rowsRead` directly measures whether a layout's
+  * clustering makes the statistics selective — the number that
+  * decides if a 100 TB point query reads gigabytes or terabytes.
+  * Layout changes (sort keys, Z-order) should be justified with THIS
+  * measurement, not a plan string.
+  */
+object ScanAudit {
+
+  case class ScanStats(scans: Int, rowsRead: Long)
+
+  /** Execute `df` (its own QueryExecution, no fresh copy) and sum the
+    * `numOutputRows` metric over its file scans — rows surviving
+    * row-group pruning, BEFORE any post-scan Filter.
+    */
+  def measure(df: DataFrame): ScanStats = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    val nodes = ShuffleAudit.flatten(df.queryExecution.executedPlan)
+    val scans = nodes.collect {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }.distinct
+    ScanStats(scans.size,
+      scans.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum)
   }
 }

@@ -85,6 +85,28 @@ class LayoutSpec extends SparkSpec {
       s"z-order must beat linear sort on the NON-sort dim: $zy vs $liny")
   }
 
+  test("writeZOrdered: MEASURED row-group skipping on the non-sort dimension") {
+    import spark.implicits._
+    val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))
+      .sortBy { case (x, y) => (x * 2654435761L + y * 40503L) % 4099L }
+    val df = grid.toDF("x", "y")
+    val zOut = s"${sys.props("java.io.tmpdir")}/graft_zm_${System.nanoTime()}"
+    val linOut = s"${sys.props("java.io.tmpdir")}/graft_lm_${System.nanoTime()}"
+    Layout.writeZOrdered(df, zOut, "x", "y", numFiles = 16, bits = 6)
+    df.repartitionByRange(16, $"x").sortWithinPartitions("x")
+      .write.mode("overwrite").parquet(linOut)
+    def rowsRead(dir: String) = graft.plans.ScanAudit.measure(
+      spark.read.parquet(dir).filter($"y" >= 10 && $"y" <= 13)).rowsRead
+    val (zRows, linRows) = (rowsRead(zOut), rowsRead(linOut))
+    // x-sorted layout: y spans 0..63 in every row group → stats can't
+    // prune, the scan emits everything. z-order: only the row groups
+    // whose y-tile overlaps [10,13] survive.
+    assert(linRows == 64L * 64L,
+      s"linear layout must read the full table for a y filter: $linRows")
+    assert(zRows <= linRows / 2,
+      s"z-order must skip most row groups on y: $zRows vs $linRows")
+  }
+
   test("writeClustered encodes parquet bloom filters for requested cols") {
     val out = s"${sys.props("java.io.tmpdir")}/graft_bloom_${System.nanoTime()}"
     Layout.writeClustered(
