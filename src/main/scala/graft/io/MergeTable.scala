@@ -127,6 +127,44 @@ object MergeTable {
     * stale aggregate (counting the departed fact) would carry over —
     * the subtle wrongness that motivates needing `oldSnapshot` here.
     */
+  /** Incremental refresh of a JOIN-aggregate materialized view (fact
+    * ⋈ dims → group-by): the star-join sibling of
+    * [[incrementalAggRefresh]], for views whose GROUP columns live on
+    * the DIMENSION side (revenue by nation, tokens by source). The
+    * agg-only form can't mark touched groups there — a fact diff row
+    * carries no dim columns — so the changed keys' old AND new fact
+    * rows are pushed through `enrich` (the dim join, typically
+    * broadcast) first; both sides matter because a fact UPDATE can
+    * migrate between groups (order re-keyed to another customer) and
+    * the departed group must refresh too.
+    *
+    * Cost scales with the change volume: only changed-key facts are
+    * enriched for touch-marking, the recompute semi-joins the
+    * enriched facts down to touched groups before aggregating, and
+    * untouched view rows carry over by anti-join. Invariant
+    * (spec-pinned, oracle contract): result ≡ `aggOf(enrich(newFacts))`.
+    */
+  def incrementalJoinAggRefresh(aggOld: DataFrame, oldFacts: DataFrame,
+                                newFacts: DataFrame, diff: DataFrame,
+                                keyCols: Seq[String], groupCols: Seq[String])(
+      enrich: DataFrame => DataFrame)(
+      aggOf: DataFrame => DataFrame): DataFrame = {
+    require(groupCols.nonEmpty && keyCols.nonEmpty,
+      "refresh needs key and group columns")
+    val changedKeys = diff.select(keyCols.map(col): _*)
+    val touched = enrich(oldFacts.join(changedKeys, keyCols, "left_semi"))
+      .select(groupCols.map(col): _*)
+      .unionByName(
+        enrich(newFacts.join(changedKeys, keyCols, "left_semi"))
+          .select(groupCols.map(col): _*))
+      .distinct()
+      .localCheckpoint() // feeds the carry-over anti-join AND the prune
+    val recomputed = aggOf(
+      enrich(newFacts).join(touched, groupCols, "left_semi"))
+    aggOld.join(touched, groupCols, "left_anti")
+      .unionByName(recomputed)
+  }
+
   def incrementalAggRefresh(aggOld: DataFrame, oldSnapshot: DataFrame,
                             newSnapshot: DataFrame, diff: DataFrame,
                             keyCols: Seq[String], groupCols: Seq[String])(

@@ -529,6 +529,34 @@ object CoreQueries {
           (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
+    // incremental JOIN-agg view refresh: the revenue-by-nation star
+    // view maintained under a fact CDC diff — group column lives on
+    // the DIM side, so changed keys enrich through the join first
+    "q_incr_joinagg" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val keys = Seq("l_orderkey", "l_linenumber")
+      val oldF = li.filter(col("l_orderkey") % 10 < 8)
+      val newF = li.filter(col("l_orderkey") % 10 >= 2)
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 3 === 0, col("l_extendedprice") + 1.0)
+            .otherwise(col("l_extendedprice")))
+      def enrich(f: DataFrame): DataFrame = f
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(broadcast(Tables.customer(s, d)),
+          col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+      def agg(f: DataFrame): DataFrame = f.groupBy("n_name")
+        .agg(moneyProductSum(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"),
+          count(lit(1)).as("n_lines"))
+      val diff = graft.io.MergeTable.diffSnapshots(oldF, newF, keys)
+      graft.io.MergeTable.incrementalJoinAggRefresh(
+        agg(enrich(oldF)), oldF, newF, diff, keys, Seq("n_name"))(
+        enrich)(agg)
+        .orderBy("n_name")
+    }),
+
     // versioned-log time travel: three commits (overwrite, append,
     // overwrite), every historical snapshot read back and aggregated —
     // the q_sig_lifecycle of the manifest table log
@@ -1019,6 +1047,24 @@ object CoreQueries {
         |  SUM(l_quantity) / COUNT(l_quantity) AS avg_qty
         |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    // the oracle IS the invariant: refresh ≡ full recompute over the
+    // new snapshot
+    "q_incr_joinagg" ->
+      """WITH newf AS (SELECT l_orderkey, l_linenumber, l_discount,
+        |    CASE WHEN l_orderkey % 3 = 0 THEN l_extendedprice + 1.0
+        |         ELSE l_extendedprice END AS l_extendedprice
+        |  FROM lineitem WHERE l_orderkey % 10 >= 2)
+        |SELECT n_name,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  COUNT(*) AS n_lines
+        |FROM newf
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
 
     "q_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,

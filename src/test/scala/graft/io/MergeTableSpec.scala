@@ -112,6 +112,35 @@ class MergeTableSpec extends SparkSpec {
       "group a fact migrated OUT of must not carry a stale aggregate")
   }
 
+  test("incrementalJoinAggRefresh: dim-side groups, fact migration refreshes both") {
+    val dims = Seq(("A", "X"), ("B", "Y"), ("C", "Z"))
+      .toDF("dimkey", "grp")
+    def enrich(f: org.apache.spark.sql.DataFrame) = f.join(dims, "dimkey")
+    def agg(f: org.apache.spark.sql.DataFrame) = f.groupBy("grp")
+      .agg(org.apache.spark.sql.functions.count(
+        org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum($"v").as("total"))
+    // old: fact 1 in A(X), fact 2 in A(X), fact 3 in C(Z)
+    val oldF = Seq((1L, "A", 10L), (2L, "A", 20L), (3L, "C", 5L))
+      .toDF("id", "dimkey", "v")
+    // new: fact 1 MIGRATES to B(Y); fact 2 value changes; fact 3 (Z)
+    // untouched — its view row must carry over, not recompute
+    val newF = Seq((1L, "B", 10L), (2L, "A", 25L), (3L, "C", 5L))
+      .toDF("id", "dimkey", "v")
+    val diff = MergeTable.diffSnapshots(oldF, newF, Seq("id"))
+    val out = MergeTable.incrementalJoinAggRefresh(
+      agg(enrich(oldF)), oldF, newF, diff, Seq("id"), Seq("grp"))(
+      enrich)(agg)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // invariant: refresh ≡ full recompute over the new snapshot
+    val full = agg(enrich(newF))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    assert(out == full, s"refresh $out != full $full")
+    assert(out == Map("X" -> (1L, 25L), "Y" -> (1L, 10L), "Z" -> (1L, 5L)))
+  }
+
   test("delete of a never-inserted key is a no-op, not an error") {
     val path = freshPath("ghost")
     MergeTable.merge(spark, path, Seq((1L, "a")).toDF("k", "v"), Seq("k"))
