@@ -35,7 +35,14 @@ object Bench {
     val results = selected.map { case (name, fn) =>
       val times = (1 to Runs).map { _ =>
         val t0 = System.nanoTime()
-        try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+        // toRdd.count(), not count(): a Dataset count lets Catalyst
+        // PRUNE the final projection, so a row-local query (langid,
+        // normalize, fingerprint) benches as a near-no-op scan — the
+        // q_langid_confusion regression hid behind exactly this. The
+        // RDD action demands the query's full output schema, so every
+        // column the user would read is actually computed.
+        try { fn(spark, sfDir).queryExecution.toRdd.count() }
+        catch { case _: Throwable => -1L }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop query-internal persists so a repeat can't shortcut the
         // actual compute through the previous run's cache

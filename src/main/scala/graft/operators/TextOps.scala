@@ -51,17 +51,25 @@ object TextOps {
   def languageId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
     val scores = langScores(padded)
-    // fold best-so-far over (lang, score); strict > keeps the earlier
-    // (alphabetically smaller) language on ties.
-    val (bestLang, bestScore) = scores.tail.foldLeft(
-      (lit(scores.head._1), scores.head._2)) {
-      case ((bl, bs), (lang, sc)) =>
-        (when(sc > bs, lit(lang)).otherwise(bl), when(sc > bs, sc).otherwise(bs))
-    }
+    val n = scores.size
+    // Argmax via ONE struct-greatest, not a best-so-far when-fold: the
+    // fold nests every earlier score inside every later branch —
+    // O(langs²) copies of the marker-count subtrees, which blows the
+    // whole-stage-codegen method limit, and the interpreted fallback
+    // has no subexpression elimination (measured 20-60× slower at
+    // sf0.1). Here each score appears EXACTLY once; structs compare
+    // lexicographically, and the reversed index field breaks score
+    // ties toward the EARLIER profile entry (alphabetically smaller
+    // language) — the same semantics the fold had and the oracle CASE
+    // chain keeps.
+    val best = greatest(scores.zipWithIndex.map { case ((lang, sc), i) =>
+      struct(sc.as("s"), lit(n - 1 - i).as("r"), lit(lang).as("l"))
+    }: _*)
     // null text stays null (the SQL CASE with no ELSE an oracle
     // writes yields NULL there — 'und' would silently diverge)
     when(text.isNull, lit(null).cast("string"))
-      .otherwise(when(bestScore > 0, bestLang).otherwise(lit("und")))
+      .otherwise(when(best.getField("s") > 0, best.getField("l"))
+        .otherwise(lit("und")))
   }
 
   /** Token statistics: n_tokens, n_distinct_tokens, avg token length

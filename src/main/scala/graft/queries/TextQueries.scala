@@ -82,10 +82,17 @@ object TextQueries {
         "n_chars", "source", gridSize = 20)
         .orderBy("doc_id")),
 
-    // classifier evaluation: labeled lang × predicted lang counts
+    // classifier evaluation: labeled lang × predicted lang counts.
+    // The repartition is load-bearing: grouping directly on the
+    // languageId expression inlines its O(langs²) argmax when-chain
+    // into the aggregate's KEY evaluation, where codegen does no
+    // subexpression elimination — measured 20× slower. The exchange
+    // pins the prediction to a Project below it (CSE applies, one
+    // evaluation per row) and the aggregate sees plain attributes.
     "q_langid_confusion" -> ((s, d) =>
       Tables.documents(s, d)
         .select(col("lang"), TextOps.languageId(col("text")).as("lang_pred"))
+        .repartition(col("lang"), col("lang_pred"))
         .groupBy("lang", "lang_pred").agg(count(lit(1)).as("n"))
         .withColumn("correct", col("lang") === col("lang_pred"))
         .orderBy("lang", "lang_pred")),
