@@ -80,6 +80,35 @@ class ShuffleAuditSpec extends SparkSpec {
     }
   }
 
+  test("retention shuffles (user, week) pairs, never raw events") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.count()
+    val users = ev.select("user_id").distinct().count()
+    val s = ShuffleAudit.measure(
+      graft.operators.Temporal.retentionCohorts(ev, "user_id", "ts"))
+    assert(s.exchanges >= 1 && s.shuffleRecords > 0, s"$s")
+    // every shuffle is user- or (user, week)-keyed with map-side
+    // combine: bounded by users × weeks (≤5 weeks in the fixture) ×
+    // the handful of stages — far below the event count
+    assert(s.shuffleRecords < rows,
+      s"retention must never shuffle raw events: rows=$rows $s")
+    assert(s.shuffleRecords <= users * 5 * 6,
+      s"shuffles must stay (user, week)-bounded: users=$users $s")
+  }
+
+  test("quantileNormalize shuffles the cutoff frame, not the facts") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.count()
+    val s = ShuffleAudit.measure(
+      graft.operators.Features.quantileNormalize(
+        ev.select("event_id", "event_type", "value"), "value",
+        "event_type", gridSize = 20))
+    // one percentile aggregate (groups-sized) + the AQE-broadcast
+    // stats join: the facts themselves never enter an exchange
+    assert(s.shuffleRecords < rows / 10,
+      s"facts must not shuffle for the grid join: rows=$rows $s")
+  }
+
   test("stats() before any action reports zero volumes") {
     val df = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
