@@ -271,6 +271,26 @@ object EventQueries {
         "event_type", "ts", "event_id", k = 20)
         .orderBy("rk")),
 
+    // Markov transition matrix: per-user consecutive event-type pairs,
+    // row-normalized in integer ppm (truncating div ≡ both engines) —
+    // the 1-step sibling of q_event_patterns' trigram mining
+    "q_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy("ts", "event_id")
+      val pairs = ev(s, d)
+        .withColumn("__next", lead(col("event_type"), 1).over(w))
+        .filter(col("__next").isNotNull)
+        .groupBy(col("event_type").as("from_type"),
+          col("__next").as("to_type"))
+        .agg(count(lit(1)).as("n"))
+      val totals = pairs.groupBy("from_type")
+        .agg(sum(col("n")).as("__tot"))
+      pairs.join(totals, "from_type")
+        .withColumn("p_ppm", expr("1000000 * n div __tot"))
+        .select("from_type", "to_type", "n", "p_ppm")
+        .orderBy("from_type", "to_type")
+    }),
+
     // k-anonymity generalization ladder (hour→day→month, k=5)
     "q_kanon_ladder" -> ((s, d) =>
       graft.operators.Temporal.anonymizationLadder(ev(s, d), "event_type",
@@ -603,6 +623,21 @@ object EventQueries {
          |    AS significant
          |FROM a""".stripMargin
     },
+
+    "q_transitions" ->
+      """WITH o AS (SELECT event_type,
+        |    lead(event_type, 1) OVER (PARTITION BY user_id
+        |      ORDER BY ts NULLS FIRST, event_id NULLS FIRST) AS nxt
+        |  FROM events),
+        |p AS (SELECT event_type AS from_type, nxt AS to_type,
+        |    count(*) AS n
+        |  FROM o WHERE nxt IS NOT NULL GROUP BY 1, 2),
+        |t AS (SELECT from_type, CAST(sum(n) AS BIGINT) AS tot
+        |  FROM p GROUP BY 1)
+        |SELECT p.from_type, p.to_type, p.n,
+        |  CAST(1000000 * p.n // t.tot AS BIGINT) AS p_ppm
+        |FROM p JOIN t USING (from_type)
+        |ORDER BY p.from_type, p.to_type""".stripMargin,
 
     "q_volume_anomaly" ->
       """WITH dayc AS (SELECT event_type, strftime(ts, '%Y-%m-%d') AS day,
