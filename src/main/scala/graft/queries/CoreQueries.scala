@@ -633,6 +633,33 @@ object CoreQueries {
         .orderBy(col("revenue").desc, col("n_name").asc)
     }),
 
+    // TPC-H Q7 shape (volume shipping): revenue between two nation
+    // PAIRS by ship year — the dual-role dimension join (nation joins
+    // once through customer, once through supplier) with a pair
+    // predicate; both nation legs broadcast, supplier/customer stay
+    // shuffle joins like Q5
+    "q_tpch_q7" -> ((s, d) => {
+      val n1 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("supp_nk"), col("n_name").as("supp_nation"))
+      val n2 = Tables.nation(s, d)
+        .select(col("n_nationkey").as("cust_nk"), col("n_name").as("cust_nation"))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1998-01-01").cast("timestamp"))
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
+        .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
+        .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
+        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
+          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .groupBy(col("supp_nation"), col("cust_nation"),
+          year(col("l_shipdate")).as("l_year"))
+        .agg(moneyProductSum(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"))
+        .orderBy("supp_nation", "cust_nation", "l_year")
+    }),
+
     // TPC-H Q18 shape (large-volume customers): aggregate-then-semi-
     // join-back — the HAVING subquery becomes a map-side-combined
     // groupBy whose survivors (a tiny frame) semi-join the fact before
@@ -1114,6 +1141,25 @@ object CoreQueries {
         |  AND o_orderdate < TIMESTAMP '1997-01-01'
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin,
+
+    "q_tpch_q7" ->
+      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+        |  CAST(year(l_shipdate) AS INT) AS l_year,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+        |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation n1 ON s_nationkey = n1.n_nationkey
+        |JOIN nation n2 ON c_nationkey = n2.n_nationkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1998-01-01'
+        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |GROUP BY 1, 2, 3
+        |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
     "q_tpch_q18" ->
       """WITH big AS (SELECT l_orderkey AS o_orderkey,

@@ -320,6 +320,22 @@ object EventQueries {
     "q_abtest" -> ((s, d) =>
       graft.operators.Features.abTest(ev(s, d), "user_id", "value")),
 
+    // cumulative unique-user growth curve: new users by first-event
+    // day + running total (the global window runs over the days-sized
+    // frame — bounded by the calendar, never by events)
+    "q_user_growth" -> ((s, d) => {
+      val daily = ev(s, d).groupBy("user_id")
+        .agg(to_date(min(col("ts"))).as("__d"))
+        .groupBy("__d").agg(count(lit(1)).as("new_users"))
+      daily
+        .withColumn("cumulative_users",
+          sum(col("new_users")).over(Window.orderBy("__d")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+        .select(date_format(col("__d"), "yyyy-MM-dd").as("day"),
+          col("new_users"), col("cumulative_users"))
+        .orderBy("day")
+    }),
+
     // robust MAD outliers: |x − median| > 3·MAD per event type
     "q_mad_outliers" -> ((s, d) =>
       graft.operators.Features.madOutliers(ev(s, d), "value", "event_type",
@@ -623,6 +639,15 @@ object EventQueries {
          |    AS significant
          |FROM a""".stripMargin
     },
+
+    "q_user_growth" ->
+      """WITH fd AS (SELECT user_id, CAST(min(ts) AS DATE) AS d
+        |  FROM events GROUP BY 1),
+        |daily AS (SELECT d, count(*) AS new_users FROM fd GROUP BY 1)
+        |SELECT strftime(d, '%Y-%m-%d') AS day, new_users,
+        |  CAST(sum(new_users) OVER (ORDER BY d
+        |    ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cumulative_users
+        |FROM daily ORDER BY day""".stripMargin,
 
     "q_transitions" ->
       """WITH o AS (SELECT event_type,
