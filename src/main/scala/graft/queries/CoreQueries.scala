@@ -651,8 +651,8 @@ object CoreQueries {
         .join(Tables.supplier(s, d), col("l_suppkey") === col("s_suppkey"))
         .join(broadcast(n1), col("s_nationkey") === col("supp_nk"))
         .join(broadcast(n2), col("c_nationkey") === col("cust_nk"))
-        .filter((col("supp_nation") === "NATION_1" && col("cust_nation") === "NATION_2") ||
-          (col("supp_nation") === "NATION_2" && col("cust_nation") === "NATION_1"))
+        .filter((col("supp_nation") === "NATION_12" && col("cust_nation") === "NATION_10") ||
+          (col("supp_nation") === "NATION_10" && col("cust_nation") === "NATION_12"))
         .groupBy(col("supp_nation"), col("cust_nation"),
           year(col("l_shipdate")).as("l_year"))
         .agg(moneyProductSum(col("l_extendedprice"),
@@ -1156,8 +1156,8 @@ object CoreQueries {
         |JOIN nation n2 ON c_nationkey = n2.n_nationkey
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
         |  AND l_shipdate < TIMESTAMP '1998-01-01'
-        |  AND ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        |    OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+        |  AND ((n1.n_name = 'NATION_12' AND n2.n_name = 'NATION_10')
+        |    OR (n1.n_name = 'NATION_10' AND n2.n_name = 'NATION_12'))
         |GROUP BY 1, 2, 3
         |ORDER BY supp_nation, cust_nation, l_year""".stripMargin,
 
