@@ -69,8 +69,12 @@ object Layout {
     val top = (1L << bits) - 1
     def scale(c: org.apache.spark.sql.Column, lo: Long, hi: Long) =
       if (hi == lo) lit(0L)
-      // integer arithmetic: (x-lo)*top div (hi-lo) ∈ [0, top]
-      else ((c.cast("long") - lit(lo)) * lit(top) / lit(hi - lo)).cast("long")
+      // scale in double: (x-lo)*top in LONG silently wraps once the
+      // column range exceeds ~2^47 at bits=16 (epoch-micros easily
+      // does); top fits in 31 bits so the double round-trip is exact
+      else least(lit(top), greatest(lit(0L),
+        ((c.cast("double") - lit(lo.toDouble)) * lit(top.toDouble)
+          / lit((hi - lo).toDouble)).cast("long")))
     val sa = scale(a, aMin, aMax)
     val sb = scale(b, bMin, bMax)
     (0 until bits).foldLeft(lit(0L)) { (acc, i) =>

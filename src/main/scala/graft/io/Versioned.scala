@@ -108,6 +108,12 @@ object Versioned {
     val existing = versions(spark, path)
     val next = existing.lastOption.fold(0L)(_ + 1L)
     val batchDir = new Path(path, s"data/b$next")
+    // crash safety: a writer that died between its batch write and the
+    // manifest rename leaves data/b<next> with NO published manifest
+    // referencing it (manifests list only batches <= their version, and
+    // v<next> does not exist — that is why `next` was chosen). Clear the
+    // orphan so the replayed commit does not trip errorifexists forever.
+    if (f.exists(batchDir)) f.delete(batchDir, true)
     df.write.mode("errorifexists").parquet(batchDir.toString)
     val newFiles = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
@@ -117,8 +123,14 @@ object Versioned {
       else Seq.empty
     val all = carried ++ newFiles
     val txnField = txn.fold("")(t => s""""txn":"$t",""")
+    // persist the snapshot schema so an empty snapshot (0-partition
+    // commit) still reads back as a typed empty frame; base64 keeps the
+    // schema JSON's quotes/field names out of the regex-parsed manifest
+    val schemaB64 = java.util.Base64.getEncoder.encodeToString(
+      df.schema.json.getBytes("UTF-8"))
     val json = all.map(p => "\"" + p + "\"")
-      .mkString(s"""{$txnField"version":$next,"mode":"$mode","files":[""",
+      .mkString(
+        s"""{$txnField"version":$next,"mode":"$mode","schemaB64":"$schemaB64","files":[""",
         ",", "]}")
     val mDir = manifestDir(path)
     f.mkdirs(mDir)
@@ -140,8 +152,31 @@ object Versioned {
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val files = manifestFiles(spark, path, v)
-    if (files.isEmpty) spark.emptyDataFrame
-    else spark.read.parquet(files: _*)
+    if (files.nonEmpty) spark.read.parquet(files: _*)
+    else manifestSchema(spark, path, v) match {
+      case Some(schema) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+      case None => spark.emptyDataFrame // pre-schema manifest
+    }
+  }
+
+  private def manifestSchema(spark: SparkSession, path: String,
+                             version: Long): Option[org.apache.spark.sql.types.StructType] = {
+    val f = fs(spark, path)
+    val p = new Path(manifestDir(path), f"v$version%05d.json")
+    val in = f.open(p)
+    val json = try {
+      val buf = new java.io.ByteArrayOutputStream()
+      val chunk = new Array[Byte](8192)
+      var n = in.read(chunk)
+      while (n >= 0) { buf.write(chunk, 0, n); n = in.read(chunk) }
+      new String(buf.toByteArray, "UTF-8")
+    } finally in.close()
+    "\"schemaB64\":\"([^\"]+)\"".r.findFirstMatchIn(json).map { m =>
+      org.apache.spark.sql.types.DataType.fromJson(new String(
+        java.util.Base64.getDecoder.decode(m.group(1)), "UTF-8"))
+        .asInstanceOf[org.apache.spark.sql.types.StructType]
+    }
   }
 
   /** Drop manifests older than the newest `keepLast` and delete data

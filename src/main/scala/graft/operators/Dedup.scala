@@ -969,8 +969,11 @@ object Dedup {
     val bSide = grams
       .join(pairs.select(col("id_b").as(idCol)).distinct(), idCol)
       .select(col(idCol).as("id_b"), col("pos").as("pb"), col("sh"))
+    // distinct here too: duplicate (id_a,id_b) rows in the caller's
+    // pairs frame would otherwise multiply every match row, inflating
+    // n_matches/n_runs for that pair
     val matched = aSide.join(bSide, "sh")
-      .join(pairs.select("id_a", "id_b"), Seq("id_a", "id_b"))
+      .join(pairs.select("id_a", "id_b").distinct(), Seq("id_a", "id_b"))
     val diag = col("pa") - col("pb")
     val w = Window.partitionBy(col("id_a"), col("id_b"), diag)
       .orderBy(col("pa"))

@@ -103,12 +103,17 @@ object Features {
         sum(col("__x") * col("__y")).as("__sxy"),
         sum(col("__x") * col("__x")).as("__sxx"),
         sum(col("__y") * col("__y")).as("__syy"))
+      // cast each sufficient statistic to double BEFORE the products:
+      // long products (n*sxy, sx*sy, ...) silently wrap at corpus scale
+      // while DuckDB widens to HUGEINT — double keeps both engines on
+      // identical IEEE arithmetic
       .withColumn("r", round(try_divide(
-        (col("n") * col("__sxy") - col("__sx") * col("__sy")).cast("double"),
-        sqrt((col("n") * col("__sxx") - col("__sx") * col("__sx"))
-          .cast("double")) *
-          sqrt((col("n") * col("__syy") - col("__sy") * col("__sy"))
-            .cast("double"))), 6))
+        col("n").cast("double") * col("__sxy").cast("double")
+          - col("__sx").cast("double") * col("__sy").cast("double"),
+        sqrt(col("n").cast("double") * col("__sxx").cast("double")
+          - col("__sx").cast("double") * col("__sx").cast("double")) *
+          sqrt(col("n").cast("double") * col("__syy").cast("double")
+            - col("__sy").cast("double") * col("__sy").cast("double"))), 6))
       .select(col("type_a"), col("type_b"), col("n"), col("r"))
   }
 

@@ -692,11 +692,16 @@ object EventQueries {
         |    sum(x * x) AS sxx, sum(y * y) AS syy
         |  FROM p GROUP BY 1, 2)
         |SELECT type_a, type_b, n,
-        |  CASE WHEN sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |         * sqrt(CAST(n * syy - sy * sy AS DOUBLE)) = 0 THEN NULL
-        |       ELSE round(CAST(n * sxy - sx * sy AS DOUBLE)
-        |         / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-        |            * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+        |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |         * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)) = 0 THEN NULL
+        |       ELSE round((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |           - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |         / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |             - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |            * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+        |             - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))), 6)
         |  END AS r
         |FROM agg ORDER BY type_a, type_b""".stripMargin,
 

@@ -85,6 +85,26 @@ class LayoutSpec extends SparkSpec {
       s"z-order must beat linear sort on the NON-sort dim: $zy vs $liny")
   }
 
+  test("zOrderValue survives wide column ranges (epoch-micros scale)") {
+    import spark.implicits._
+    // range ~2^50: the old long-arithmetic scaling ((x-lo)*top) wrapped
+    // here at bits=16, producing garbage z-values
+    val lo = 0L
+    val hi = 1L << 50
+    val pts = Seq(lo, hi / 4, hi / 2, (hi / 4) * 3, hi)
+    val df = pts.map(v => (v, v)).toDF("a", "b")
+    val z = Layout.zOrderValue($"a", $"b", lo, hi, lo, hi, bits = 16)
+    val got = df.select(z.as("z"), $"a").orderBy("a")
+      .collect().map(_.getLong(0))
+    val maxZ = (1L << 32) - 1 // Morton of (65535, 65535)
+    assert(got.forall(v => v >= 0L && v <= maxZ),
+      s"z-values out of range: ${got.toSeq}")
+    // on the diagonal, z must be strictly increasing with the inputs
+    assert(got.sameElements(got.sorted) && got.distinct.length == got.length,
+      s"diagonal z-values must be monotone: ${got.toSeq}")
+    assert(got.last == maxZ, s"max point must interleave to all-ones: ${got.last}")
+  }
+
   test("writeZOrdered: MEASURED row-group skipping on the non-sort dimension") {
     import spark.implicits._
     val grid = (0 until 64).flatMap(x => (0 until 64).map(y => (x, y)))

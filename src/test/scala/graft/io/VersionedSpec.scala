@@ -80,6 +80,34 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.committedTxns(spark, p) == Set("batch-0", "batch-1"))
   }
 
+  test("orphaned batch dir from a crashed commit does not block the retry") {
+    val p = freshPath
+    Versioned.commit(spark, p, Seq((1L, "a")).toDF("k", "v")) // v0
+    // simulate a writer that wrote data/b1 but died BEFORE publishing
+    // the v1 manifest — the replayed commit must reclaim the slot
+    Seq((99L, "dead")).toDF("k", "v")
+      .write.parquet(s"$p/data/b1")
+    val v1 = Versioned.commit(spark, p, Seq((2L, "b")).toDF("k", "v"),
+      mode = "append", txn = Some("retry-1"))
+    assert(v1 == 1L, s"retry must mint v1, got $v1")
+    assert(Versioned.read(spark, p, None).as[(Long, String)]
+      .collect().toSet == Set((1L, "a"), (2L, "b")),
+      "the dead writer's rows must NOT leak into the snapshot")
+  }
+
+  test("empty commit reads back as a typed empty frame (schema persisted)") {
+    val p = freshPath
+    val empty = Seq.empty[(Long, String)].toDF("k", "v").where("k < 0")
+      .repartition(1).where("k < -1") // still schema'd, zero rows
+    Versioned.commit(spark, p, empty)
+    val back = Versioned.read(spark, p, None)
+    assert(back.count() == 0)
+    assert(back.columns.toSeq == Seq("k", "v"),
+      s"schema must survive an empty snapshot: ${back.columns.toSeq}")
+    // downstream column references must work
+    assert(back.filter($"k" > 0).count() == 0)
+  }
+
   test("a stray temp manifest is never visible to readers") {
     val p = freshPath
     Versioned.commit(spark, p, Seq((1L, "a")).toDF("k", "v"))

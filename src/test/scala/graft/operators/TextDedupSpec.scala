@@ -183,6 +183,20 @@ class TextDedupSpec extends SparkSpec {
       (3L, 4L, 2L, 2L, 3L)), s"got ${got.toSeq}")
   }
 
+  test("pairEvidence: duplicate rows in the pairs frame do not inflate counts") {
+    val d = Seq(
+      (1L, "a b c d e f"),
+      (2L, "a b c d x e f"),
+    ).toDF("doc_id", "text")
+    // the same pair delivered three times (e.g. from unioned candidate
+    // generators) must yield the SAME evidence row as once
+    val dupPairs = Seq((1L, 2L), (1L, 2L), (1L, 2L)).toDF("id_a", "id_b")
+    val got = Dedup.pairEvidence(d, "doc_id", "text", dupPairs, k = 3)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq((1L, 2L, 2L, 1L, 4L)), s"got ${got.toSeq}")
+  }
+
   test("collocationsPmi: exact scores, min-count floor, tie on bigram") {
     val d = Seq((1L, "a b a b"), (2L, "a c")).toDF("doc_id", "text")
     // tokens a:3 b:2 c:1 → N=6; bigrams "a b"×2 "b a"×1 "a c"×1 → M=4
