@@ -1,0 +1,64 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+
+/** Session-scoped memo for expensive DETERMINISTIC subtrees that more
+  * than one operator in the same session consumes — the trained model
+  * gate, the curation quality stage, the near-dup clustering prelude.
+  * A pipeline and its audit twin are contractually the SAME decisions
+  * over the same corpus; recomputing the training epochs or the
+  * component loop for the twin doubles the dominant cost for zero
+  * semantic gain. At 100 TB this is the difference between "audit is
+  * a cheap verdict join" and "audit re-runs the pipeline".
+  *
+  * Keying: (session identity, CANONICALIZED analyzed plan of the input
+  * frame, operator params). Canonicalized plans compare structurally
+  * (expression ids normalized), so two reads of the same path with the
+  * same transformations hit the same entry, while any differing
+  * param or source misses — no hash-collision risk because the plan
+  * itself is in the key, not a digest of it.
+  *
+  * Contract: within-session reuse of a MATERIALIZED result —
+  * re-reading a path whose files were overwritten mid-session returns
+  * the memoized (pre-overwrite) frame, the same snapshot semantics
+  * every stabilized subtree in the engine already has. Entries are
+  * LRU-bounded so evicted frames' checkpoint blocks can be GC'd.
+  */
+object Memo {
+  private val MaxEntries = 16
+
+  private val cache =
+    new java.util.LinkedHashMap[AnyRef, AnyRef](32, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[AnyRef, AnyRef]): Boolean =
+        size > MaxEntries
+    }
+
+  /** Memo key for an operator over `df`: session + canonical plan +
+    * params. Build it BEFORE any localCheckpoint of `df` (checkpoints
+    * mint fresh RDD-backed plans that never compare equal).
+    */
+  def dfKey(df: DataFrame, parts: Any*): AnyRef =
+    (System.identityHashCode(df.sparkSession),
+      df.queryExecution.analyzed.canonicalized,
+      parts.toList)
+
+  /** Return the memoized value for `key`, computing (and caching) it
+    * on first use. `compute` should return a MATERIALIZED frame
+    * (stabilized / localCheckpointed) so a hit never re-runs the
+    * subtree.
+    */
+  def shared[T <: AnyRef](key: AnyRef)(compute: => T): T =
+    cache.synchronized {
+      Option(cache.get(key)).map(_.asInstanceOf[T]).getOrElse {
+        val v = compute
+        cache.put(key, v)
+        v
+      }
+    }
+
+  /** Drop every entry (tests; sessions that must re-read mutated
+    * inputs).
+    */
+  def clear(): Unit = cache.synchronized(cache.clear())
+}

@@ -336,13 +336,7 @@ object Curation {
                    sourceCol: String, minTokens: Int = 20,
                    dedupThreshold: Double = 0.5, trainPct: Int = 80,
                    valPct: Int = 10, packBudget: Long = 256L): DataFrame = {
-    val pass = TextOps.repetitionStats(docs, idCol, textCol)
-      .filter(col("gopher_pass")).select(col(idCol))
-    val base = docs
-      .withColumn("n_tokens",
-        size(Portable.tokens(col(textCol))).cast("long"))
-      .filter(col("n_tokens") >= minTokens)
-      .join(pass, Seq(idCol), "left_semi")
+    val (_, base) = qualityBase(docs, idCol, textCol, minTokens)
     val kept = Dedup.dedupCorpusTransitive(base, idCol, textCol,
       k = 3, threshold = dedupThreshold)
     val split = datasetSplit(kept, idCol, trainPct, valPct)
@@ -381,14 +375,7 @@ object Curation {
                     sourceCol: String, minTokens: Int = 20,
                     dedupThreshold: Double = 0.5, trainPct: Int = 80,
                     valPct: Int = 10, packBudget: Long = 256L): DataFrame = {
-    val withN = docs
-      .withColumn("n_tokens",
-        size(Portable.tokens(col(textCol))).cast("long"))
-      .localCheckpoint() // feeds quality verdicts AND the base branch
-    val pass = TextOps.repetitionStats(withN, idCol, textCol)
-      .filter(col("gopher_pass")).select(col(idCol))
-    val base = withN.filter(col("n_tokens") >= minTokens)
-      .join(pass, Seq(idCol), "left_semi")
+    val (withN, base) = qualityBase(docs, idCol, textCol, minTokens)
     val (input, comps) =
       Dedup.corpusComponents(base, idCol, textCol, k = 3, dedupThreshold)
     val kept = input.join(
@@ -419,10 +406,50 @@ object Curation {
     * the perceptron sign, is the filter). Docs the model cannot score
     * (null/empty text → no features) are NOT kept — an unscorable doc
     * is exactly what a model filter must refuse to vouch for.
+    *
+    * The gate id set is stabilized and MEMOIZED per (session, input
+    * plan, params): a session that runs both [[curateCorpusModel]] and
+    * [[curationAuditModel]] over the same corpus trains the
+    * discriminant ONCE and both consume the materialized id frame —
+    * at 100 TB the training epochs are the dominant cost of the model
+    * stage and re-deriving them for the audit twin doubles it for no
+    * semantic gain (the gate is deterministic given its input).
+    * Contract: within-session reuse keyed on the ANALYZED plan's
+    * semantic hash — re-reading a path whose files were overwritten
+    * mid-session returns the materialized (pre-overwrite) gate, the
+    * same snapshot semantics every stabilized subtree here has.
     */
   def modelQualityIds(docs: DataFrame, idCol: String, textCol: String,
                       buckets: Int = 1024, minStop: Int = 2): DataFrame =
-    Classify.marginGate(docs, idCol, textCol, buckets, minStop)
+    graft.Memo.shared(
+      graft.Memo.dfKey(docs, "modelGate", idCol, textCol, buckets, minStop)) {
+      graft.Checkpoints.stabilize(
+        Classify.marginGate(docs, idCol, textCol, buckets, minStop))
+    }
+
+  /** Shared quality stage of [[curateCorpus]] and [[curationAudit]]:
+    * `(withN, base)` where `withN` is the input with its token count
+    * (checkpointed — it feeds verdicts AND the gate) and `base` the
+    * quality survivors (Gopher repetition pass AND ≥ minTokens).
+    * Memoized per (session, input plan, params) so a pipeline and its
+    * audit twin in one session build the stage once — which also makes
+    * their downstream clustering preludes structurally identical and
+    * therefore shareable ([[Dedup.corpusComponents]]).
+    */
+  private def qualityBase(docs: DataFrame, idCol: String, textCol: String,
+                          minTokens: Int): (DataFrame, DataFrame) =
+    graft.Memo.shared(
+      graft.Memo.dfKey(docs, "qualityBase", idCol, textCol, minTokens)) {
+      val withN = docs
+        .withColumn("n_tokens",
+          size(Portable.tokens(col(textCol))).cast("long"))
+        .localCheckpoint()
+      val pass = TextOps.repetitionStats(withN, idCol, textCol)
+        .filter(col("gopher_pass")).select(col(idCol))
+      val base = withN.filter(col("n_tokens") >= minTokens)
+        .join(pass, Seq(idCol), "left_semi")
+      (withN, base)
+    }
 
   /** [[curateCorpus]] with the CCNet stage order: MODEL-quality gate
     * (the corpus-trained perceptron) in front of the heuristic gates —
@@ -439,10 +466,8 @@ object Curation {
                         valPct: Int = 10, packBudget: Long = 256L,
                         buckets: Int = 1024,
                         minStop: Int = 2): DataFrame = {
-    // not re-stabilized: perceptronQuality already checkpoints the
-    // feature/label/weight tables, so every pipeline subtree consuming
-    // the gated frame shares those; an extra id-set checkpoint here
-    // measured as pure write cost
+    // the gate frame is stabilized + memoized inside modelQualityIds,
+    // so the audit twin running in the same session reuses it
     val keep = modelQualityIds(docs, idCol, textCol, buckets, minStop)
     curateCorpus(docs.join(keep, Seq(idCol), "left_semi"), idCol, textCol,
       sourceCol, minTokens, dedupThreshold, trainPct, valPct, packBudget)
@@ -461,8 +486,7 @@ object Curation {
                          valPct: Int = 10, packBudget: Long = 256L,
                          buckets: Int = 1024,
                          minStop: Int = 2): DataFrame = {
-    val keep = graft.Checkpoints.stabilize(
-      modelQualityIds(docs, idCol, textCol, buckets, minStop))
+    val keep = modelQualityIds(docs, idCol, textCol, buckets, minStop)
     val audited = curationAudit(docs.join(keep, Seq(idCol), "left_semi"),
       idCol, textCol, sourceCol, minTokens, dedupThreshold, trainPct,
       valPct, packBudget)

@@ -851,12 +851,22 @@ object Dedup {
     */
   private def clusteredInput(df: DataFrame, idCol: String, textCol: String,
                              k: Int, threshold: Double)
-      : (DataFrame, DataFrame) = {
-    val input = df.localCheckpoint()
-    val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
-      .select("id_a", "id_b")
-    (input, connectedComponents(pairs, input.select(idCol), idCol))
-  }
+      : (DataFrame, DataFrame) =
+    // memoized per (session, input plan, params): the signature build
+    // + LSH pair graph + component loop is the dominant cost of every
+    // transitive-dedup consumer, and a session running a pipeline AND
+    // its audit twin (or both keeper policies) over the same corpus
+    // must not pay it twice — the decisions are deterministic and
+    // contractually identical ([[graft.Memo]])
+    graft.Memo.shared(
+      graft.Memo.dfKey(df, "clusteredInput", idCol, textCol, k, threshold)) {
+      val input = df.localCheckpoint()
+      val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
+        .select("id_a", "id_b")
+      val comps = graft.Checkpoints.stabilize(
+        connectedComponents(pairs, input.select(idCol), idCol))
+      (input, comps)
+    }
 
   /** Public view of the clustering prelude — (checkpointed input,
     * (id, component) labels for EVERY input doc; component = cluster
@@ -1014,72 +1024,82 @@ object Dedup {
                 hashSpans: Boolean = false): DataFrame = {
     require(span >= 1 && minTokens >= 1, "span and minTokens must be >= 1")
     val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
-    // one row per non-overlapping block: (id, idx, block text, block len)
-    val blocks = base
+    // per-doc block ARRAY (row-local, never exploded with its text):
+    // the keep-first tail explodes only (id, idx, key, len)
+    val perDoc = base
       .select(col(idCol),
-        posexplode(
-          transform(
-            sequence(lit(0),
-              greatest(ceil(size(col("__toks")).cast("double") / span)
-                .cast("int") - 1, lit(0))),
-            i => array_join(slice(col("__toks"), i * span + lit(1), lit(span)), " ")))
-          .as(Seq("idx", "block")))
-      .withColumn("blen", size(Portable.tokens(col("block"))))
-    keepFirstBlocks(df, blocks, idCol, minTokens, hashSpans)
+        transform(
+          sequence(lit(0),
+            greatest(ceil(size(col("__toks")).cast("double") / span)
+              .cast("int") - 1, lit(0))),
+          i => array_join(slice(col("__toks"), i * span + lit(1), lit(span)), " "))
+          .as("__blocks"))
+      .withColumn("__blens",
+        transform(col("__blocks"), b => size(Portable.tokens(b))))
+    keepFirstBlocks(df, perDoc, idCol, minTokens, hashSpans)
   }
 
   /** Shared block-dedup tail for [[spanDedup]] and [[cdcDedup]]:
-    * given one row per (id, idx, block, blen), keep the globally-first
+    * given one row per doc with its block ARRAY (`__blocks`) and
+    * block token lengths (`__blens`), keep the globally-first
     * occurrence of every repeated block of ≥ minTokens tokens, cut the
     * rest, rebuild each doc's text in block order. Returns one row per
     * input doc: (id, text_clean, n_spans, n_cut).
+    *
+    * Scale shape: the keep-first decision explodes only
+    * (id, idx, key, len) — 8-byte keys under `hashBlocks`, never block
+    * TEXT — and the rebuild is ROW-LOCAL: the cut indexes come back as
+    * one small array per affected doc (shuffle ∝ cuts, not blocks) and
+    * an indexed `filter` over the already-materialized block array
+    * reconstructs the text. The previous formulation re-shuffled every
+    * block row with its text into a per-doc collect_list sort —
+    * blocks× the necessary shuffle volume (measured 1.9× slower at
+    * sf0.1 on q_cdc_dedup).
     */
-  private def keepFirstBlocks(df: DataFrame, blocks: DataFrame,
+  private def keepFirstBlocks(df: DataFrame, perDoc: DataFrame,
                               idCol: String, minTokens: Int,
                               hashBlocks: Boolean): DataFrame = {
-    // materialized ONCE: the block build above this (boundary HOF +
+    // materialized ONCE: the per-doc block build (boundary HOF +
     // per-block slice/join — the dominant cost for content-defined
-    // chunks) feeds three consumers (firsts, cut, rebuild); without
-    // the checkpoint it re-runs per consumer (measured 3× on
-    // q_cdc_dedup: 16 s → 6 s at sf0.1)
-    val keyed = (
-      if (hashBlocks) blocks.withColumn("__key", xxhash64(col("block")))
-      else blocks.withColumn("__key", col("block"))
-    ).localCheckpoint()
-    // duplicated full-length blocks and their keeper occurrence
-    val firsts = keyed
+    // chunks) feeds the explode AND the row-local rebuild
+    val keyed = perDoc
+      .withColumn("__keys",
+        if (hashBlocks) transform(col("__blocks"), b => xxhash64(b))
+        else col("__blocks"))
+      .localCheckpoint()
+    val exploded = keyed
+      .select(col(idCol),
+        posexplode(arrays_zip(col("__keys").as("k"), col("__blens").as("l")))
+          .as(Seq("idx", "__z")))
+      .select(col(idCol), col("idx"),
+        col("__z.k").as("__key"), col("__z.l").as("blen"))
       .filter(col("blen") >= minTokens)
+    // duplicated full-length blocks and their keeper occurrence
+    val firsts = exploded
       .groupBy("__key")
       .agg(count(lit(1)).as("__cnt"),
         min(struct(col(idCol), col("idx"))).as("__first"))
       .filter(col("__cnt") >= 2)
       .select(col("__key"), col("__first"))
-    val cut = keyed
-      .filter(col("blen") >= minTokens)
+    val cutPerDoc = exploded
       .join(firsts, "__key")
       .filter(struct(col(idCol), col("idx")) =!= col("__first"))
-      .select(col(idCol), col("idx"))
-    val rebuilt = keyed
-      .join(cut.withColumn("__cut", lit(1L)), Seq(idCol, "idx"), "left")
       .groupBy(col(idCol))
-      .agg(
-        array_join(
-          filter(
-            transform(
-              array_sort(collect_list(struct(col("idx"),
-                when(col("__cut").isNull, col("block"))
-                  .otherwise(lit(null)).as("b"))),
-              ),
-              x => x.getField("b")),
-            b => b.isNotNull), " ").as("text_clean"),
-        count(lit(1)).as("n_spans"),
-        sum(when(col("__cut").isNotNull, 1L).otherwise(0L)).as("n_cut"))
-    df.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
+      .agg(collect_set(col("idx")).as("__cutIdx"))
+    keyed
+      .join(cutPerDoc, Seq(idCol), "left")
       .select(col(idCol),
-        coalesce(col("text_clean"), lit("")).as("text_clean"),
-        coalesce(col("n_spans"), lit(0L)).as("n_spans"),
-        coalesce(col("n_cut"), lit(0L)).as("n_cut"))
+        coalesce(array_join(
+          filter(col("__blocks"),
+            (b, i) => !coalesce(
+              array_contains(col("__cutIdx"), i), lit(false))),
+          " "), lit("")).as("text_clean"),
+        // explicit null guards: size(null) is -1 under the legacy
+        // default, so coalesce alone would under-count
+        when(col("__blocks").isNull, lit(0L))
+          .otherwise(size(col("__blocks")).cast("long")).as("n_spans"),
+        when(col("__cutIdx").isNull, lit(0L))
+          .otherwise(size(col("__cutIdx")).cast("long")).as("n_cut"))
   }
 
   /** Content-defined chunking dedup — the SHIFT-ROBUST sibling of
@@ -1114,17 +1134,22 @@ object Dedup {
             % divisor === 0 && i < col("__n")))
         .otherwise(array().cast("array<int>")),
       array(col("__n")))
-    val blocks = base
+    // per-doc chunk ARRAY (row-local): start of chunk i is 1 for the
+    // first, previous boundary + 1 otherwise (element_at is 1-based,
+    // so element_at(bounds, i) IS the previous end for i >= 1)
+    def startOf(i: Column) = when(i === 0, lit(1))
+      .otherwise(element_at(col("__bounds"), i) + 1)
+    val perDoc = base
       .withColumn("__bounds", bounds)
-      .select(col(idCol), col("__toks"), col("__bounds"),
-        posexplode(col("__bounds")).as(Seq("idx", "__end")))
-      .withColumn("__start",
-        when(col("idx") === 0, lit(1))
-          .otherwise(element_at(col("__bounds"), col("idx")) + 1))
-      .select(col(idCol), col("idx"),
-        array_join(slice(col("__toks"), col("__start"),
-          col("__end") - col("__start") + 1), " ").as("block"),
-        (col("__end") - col("__start") + 1).as("blen"))
-    keepFirstBlocks(df, blocks, idCol, minTokens, hashChunks)
+      .select(col(idCol),
+        zip_with(col("__bounds"),
+          sequence(lit(0), size(col("__bounds")) - 1),
+          (end, i) => array_join(
+            slice(col("__toks"), startOf(i), end - startOf(i) + 1), " "))
+          .as("__blocks"),
+        zip_with(col("__bounds"),
+          sequence(lit(0), size(col("__bounds")) - 1),
+          (end, i) => end - startOf(i) + 1).as("__blens"))
+    keepFirstBlocks(df, perDoc, idCol, minTokens, hashChunks)
   }
 }

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** Session memo: plan-keyed hits, param misses, clear, and the
+  * operator-level contract that a pipeline + audit twin share their
+  * expensive subtrees.
+  */
+class MemoSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("shared: same plan + params computes once, returns same instance") {
+    Memo.clear()
+    var computes = 0
+    def frame() = Seq((1L, "a"), (2L, "b")).toDF("id", "t")
+    def gated() = Memo.shared(Memo.dfKey(frame(), "op", 7)) {
+      computes += 1
+      frame().filter($"id" > 1).localCheckpoint()
+    }
+    val a = gated()
+    val b = gated()
+    assert(computes == 1, s"second call must hit, computed $computes times")
+    assert(a eq b, "hit must return the same materialized frame")
+    assert(a.as[(Long, String)].collect().toSeq == Seq((2L, "b")))
+  }
+
+  test("shared: differing params or plans miss") {
+    Memo.clear()
+    var computes = 0
+    def get(df: org.apache.spark.sql.DataFrame, p: Int) =
+      Memo.shared(Memo.dfKey(df, "op", p)) { computes += 1; df }
+    val d1 = Seq(1L).toDF("id")
+    get(d1, 1); get(d1, 2)                      // param miss
+    get(d1.filter($"id" > 0), 1)                // plan miss
+    assert(computes == 3, s"expected 3 computes, got $computes")
+    get(d1, 1)
+    assert(computes == 3, "original key must still hit")
+  }
+
+  test("clear drops entries; two reads of the same data share a key") {
+    Memo.clear()
+    var computes = 0
+    // two structurally identical frames built independently must key
+    // equal (canonicalized plan comparison, not reference identity)
+    def mk() = Seq((1L, "x")).toDF("id", "t").select($"id")
+    Memo.shared(Memo.dfKey(mk(), "op")) { computes += 1; mk() }
+    Memo.shared(Memo.dfKey(mk(), "op")) { computes += 1; mk() }
+    assert(computes == 1, "structurally equal plans must share the entry")
+    Memo.clear()
+    Memo.shared(Memo.dfKey(mk(), "op")) { computes += 1; mk() }
+    assert(computes == 2, "clear must force recompute")
+  }
+
+  test("model gate id frame is shared between pipeline and audit calls") {
+    Memo.clear()
+    val docs = graft.model.Tables.documents(spark, sf).limit(200)
+      .localCheckpoint()
+    val g1 = graft.operators.Curation.modelQualityIds(docs, "doc_id", "text")
+    val g2 = graft.operators.Curation.modelQualityIds(docs, "doc_id", "text")
+    assert(g1 eq g2, "same corpus + params must reuse the trained gate")
+    val other = graft.operators.Curation
+      .modelQualityIds(docs, "doc_id", "text", buckets = 512)
+    assert(!(g1 eq other), "changed params must retrain")
+  }
+}

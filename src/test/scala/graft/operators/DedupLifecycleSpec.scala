@@ -118,6 +118,9 @@ class DedupLifecycleSpec extends SparkSpec {
     val dir = java.nio.file.Files
       .createTempDirectory("graft_ckpt").toString
     spark.sparkContext.setCheckpointDir(dir)
+    // the clustering prelude is session-memoized; drop it so the
+    // reliable-mode run actually recomputes (and checkpoints) it
+    graft.Memo.clear()
     try {
       val reliable = Dedup.dedupCorpusTransitive(docs, "doc_id", "text")
         .select("doc_id").as[Long].collect().toSet
