@@ -46,6 +46,63 @@ object CoreQueries {
                col("l_suppkey"))
       .agg(sum(col("l_quantity")).as(alias))
 
+  /** Temp views for the SQL-text TPC-H shapes (Q17/Q20/Q21) — these
+    * run through `spark.sql` so CATALYST performs the subquery
+    * decorrelation being exercised (a hand-decorrelated DataFrame
+    * would test nothing).
+    */
+  private def registerTpchViews(s: SparkSession, d: String): Unit = {
+    Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
+    Tables.orders(s, d).createOrReplaceTempView("orders")
+    Tables.supplier(s, d).createOrReplaceTempView("supplier")
+    Tables.part(s, d).createOrReplaceTempView("part")
+    Tables.nation(s, d).createOrReplaceTempView("nation")
+  }
+
+  /** Dialect-shared SQL: runs verbatim on Spark AND DuckDB, so the
+    * oracle entry IS the executed text.
+    */
+  private val TpchQ17Sql =
+    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+      |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+      |FROM lineitem l1 JOIN part p ON p_partkey = l_partkey
+      |WHERE p_brand = 'Brand#16'
+      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+      |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+
+  private val TpchQ20Sql =
+    """SELECT s_suppkey, s_name FROM supplier
+      |WHERE s_suppkey IN (
+      |  SELECT l1.l_suppkey FROM lineitem l1
+      |  WHERE l1.l_partkey IN
+      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
+      |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+      |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+      |  GROUP BY l1.l_suppkey, l1.l_partkey
+      |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
+      |    (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
+      |     WHERE l2.l_partkey = l1.l_partkey
+      |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+      |       AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+      |ORDER BY s_suppkey""".stripMargin
+
+  private val TpchQ21Sql =
+    """SELECT s_name, count(*) AS numwait FROM supplier
+      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+      |JOIN orders ON o_orderkey = l1.l_orderkey
+      |JOIN nation ON s_nationkey = n_nationkey
+      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |    WHERE l2.l_orderkey = l1.l_orderkey
+      |      AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |    WHERE l3.l_orderkey = l1.l_orderkey
+      |      AND l3.l_suppkey <> l1.l_suppkey
+      |      AND l3.l_returnflag = 'R')
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name
+      |LIMIT 100""".stripMargin
+
   val queries: Map[String, Q] = Map(
     // S1 — scan + projection; pushed to the parquet reader.
     "q_scan" -> ((s, d) =>
@@ -685,6 +742,42 @@ object CoreQueries {
           col("o_orderkey").asc)
     }),
 
+    // TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
+    // SCALAR SUBQUERY family — written as SQL text on purpose so
+    // Catalyst itself decorrelates the per-part avg into an aggregate
+    // + join (never a per-row subquery; PlanAuditSpec pins it).
+    // Adapted filter: p_brand (the harness part table has no
+    // p_container). All comparison arithmetic is exact (integral
+    // quantities sum exactly in double), so the 0.2·avg boundary cut
+    // is engine-identical.
+    "q_tpch_q17" -> ((s, d) => {
+      registerTpchViews(s, d)
+      s.sql(TpchQ17Sql)
+    }),
+
+    // TPC-H Q20 shape (excess-inventory suppliers): NESTED IN plus a
+    // correlated aggregate in the HAVING — Catalyst must turn both IN
+    // subqueries into semi joins and the correlated per-part total
+    // into an aggregate + join. Adapted to the harness tables (no
+    // partsupp): "suppliers who shipped more than half of a small
+    // part's 1996 volume", which preserves the exact subquery nesting
+    // of the original. Threshold compares 2·sum > sum in BIGINT —
+    // integer-exact on both engines.
+    "q_tpch_q20" -> ((s, d) => {
+      registerTpchViews(s, d)
+      s.sql(TpchQ20Sql)
+    }),
+
+    // TPC-H Q21 shape (suppliers who kept orders waiting): the multi
+    // SEMI/ANTI SELF-JOIN on lineitem — EXISTS (another supplier in
+    // the order) AND NOT EXISTS (another supplier also at fault).
+    // Adapted fault predicate: l_returnflag = 'R' (the harness
+    // lineitem has no commit/receipt dates).
+    "q_tpch_q21" -> ((s, d) => {
+      registerTpchViews(s, d)
+      s.sql(TpchQ21Sql)
+    }),
+
     // Headline join-agg — revenue by nation (broadcast dims over fact).
     "q_joinagg" -> ((s, d) => {
       val li = Tables.lineitem(s, d)
@@ -1175,6 +1268,12 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    // the SQL-text shapes share ONE string with the Spark side — the
+    // oracle runs the very text Catalyst decorrelated
+    "q_tpch_q17" -> TpchQ17Sql,
+    "q_tpch_q20" -> TpchQ20Sql,
+    "q_tpch_q21" -> TpchQ21Sql,
 
     "q_joinagg" ->
       """SELECT n_name,

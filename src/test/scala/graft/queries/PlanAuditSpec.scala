@@ -60,6 +60,29 @@ class PlanAuditSpec extends SparkSpec {
       s"nation is KB-sized and must broadcast:\n$plan")
   }
 
+  test("TPC-H Q17/Q20/Q21 correlated subqueries DECORRELATE to joins") {
+    // the physical plan must contain no per-row subquery evaluation:
+    // correlated scalar subqueries become aggregate+join, IN/EXISTS
+    // become semi joins, NOT EXISTS an anti join
+    val plans = Seq("q_tpch_q17", "q_tpch_q20", "q_tpch_q21").map { q =>
+      q -> finalPlan(graft.SparkEntry.queries(q)(spark, sf))
+    }
+    for ((q, plan) <- plans) {
+      assert(!plan.contains("InSubqueryExec") &&
+        !plan.contains("ScalarSubquery"),
+        s"$q must not evaluate a per-row subquery:\n$plan")
+    }
+    val (_, p17) = plans(0)
+    assert(p17.contains("HashAggregate") && p17.contains("Join"),
+      s"q17's correlated avg must become aggregate+join:\n$p17")
+    val (_, p20) = plans(1)
+    assert(p20.contains("LeftSemi"),
+      s"q20's IN subqueries must become semi joins:\n$p20")
+    val (_, p21) = plans(2)
+    assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
+      s"q21's EXISTS/NOT EXISTS must become semi+anti self-joins:\n$p21")
+  }
+
   test("row-local curation ops plan with ZERO shuffle exchanges") {
     // mixture resampling and token truncation are pure projections —
     // at 100 TB they must ride the corpus scan, not repartition it
