@@ -283,4 +283,79 @@ object Sketches {
     cum.groupBy(col(groupCol)).agg(qb.head, qb.tail: _*)
       .select(col(groupCol) +: bounds: _*)
   }
+
+  // ---- bounded-error mergeable quantile sketch ----
+
+  /** Per-group quantile SKETCH `(group, hv, key, v, rk)`: the `m`
+    * rows whose row-key hashes smallest, i.e. a deterministic uniform
+    * sample selected by HASH ORDER — the order-free analogue of a KLL
+    * compactor level. A classic KLL's buffer content depends on row
+    * INSERTION order, which no distributed engine reproduces across
+    * partitionings (and no oracle can replay); selecting by
+    * (hash32(key), key) instead makes the sketch content an exact
+    * function of the DATA SET — engine-exact, partition-independent,
+    * and SQL-replayable like the KMV/HLL/CMS sketches.
+    *
+    * Error: the m-sample estimate of percentile p is off by rank
+    * ε·n with probability ≤ 2·exp(−2ε²m) (Hoeffding) — e.g. m = 4096
+    * gives ε ≈ 2.4 % at 99 % confidence; m = 64 gives ε ≈ 19 %.
+    * Exact whenever the group has ≤ m rows. Against
+    * [[logQuantileBounds]] (value-relative 2× octave bounds, 65 rows
+    * of state), this trades m rows of state for RANK-relative error —
+    * the two tiers answer different SLAs.
+    *
+    * Scale shape: the rank filter is the row_number-over-window shape
+    * [[graft.plans.GroupedTopKRule]] rewrites to the bounded-heap
+    * exec — per-group state is O(m), never group-sized.
+    */
+  def quantileSketch(df: DataFrame, groupCol: String, keyCol: String,
+                     valueCol: String, m: Int = 4096): DataFrame = {
+    require(m >= 1, "sample size must be positive")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("hv"), col("key"))
+    df.filter(col(valueCol).isNotNull)
+      .select(col(groupCol),
+        Portable.hash32(col(keyCol).cast("string")).as("hv"),
+        col(keyCol).as("key"), col(valueCol).as("v"))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+  }
+
+  /** MERGE of [[quantileSketch]] shards: bottom-m by hash of the
+    * union. Exactly the direct sketch of the concatenated data —
+    * the global m smallest hashes are each within their shard's m
+    * smallest (spec-pinned merge ≡ direct) — so shard sketches
+    * compose across files, days, or clusters without re-reading data.
+    */
+  def quantileSketchMerge(a: DataFrame, b: DataFrame, groupCol: String,
+                          m: Int = 4096): DataFrame = {
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("hv"), col("key"))
+    a.select(col(groupCol), col("hv"), col("key"), col("v"))
+      .unionByName(b.select(col(groupCol), col("hv"), col("key"), col("v")))
+      .withColumn("rk", row_number().over(w))
+      .filter(col("rk") <= m)
+  }
+
+  /** Percentile ESTIMATES from a [[quantileSketch]]: for each
+    * percentile p, the sample order statistic at rank
+    * ⌈p·|sample|/100⌉ — the exact rational `sr·100 ≥ sm·p`, no float
+    * division. The per-group window sorts ≤ m sketch rows — bounded
+    * state. Estimate columns are `est_p<p>`.
+    */
+  def sketchQuantiles(sketch: DataFrame, groupCol: String,
+                      pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame = {
+    require(pcts.nonEmpty && pcts.forall(p => p >= 1 && p <= 100),
+      "percentiles must be in [1,100]")
+    val wv = Window.partitionBy(col(groupCol))
+      .orderBy(col("v"), col("key"))
+    val wt = Window.partitionBy(col(groupCol))
+    val ranked = sketch
+      .withColumn("sr", row_number().over(wv))
+      .withColumn("sm", count(lit(1)).over(wt))
+    val ests = pcts.map(p =>
+      min(when(col("sr") * 100 >= col("sm") * p, col("v")))
+        .as(s"est_p$p"))
+    ranked.groupBy(col(groupCol)).agg(ests.head, ests.tail: _*)
+  }
 }

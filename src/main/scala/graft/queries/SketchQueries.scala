@@ -90,8 +90,38 @@ object SketchQueries {
         min(when(col("r") * 100 >= col("n") * 99, col("n_chars")))
           .as("exact_p99"))
       bounds.join(exact, "source").orderBy("source")
+    }),
+
+    // bounded-error mergeable quantile sketch (hash-ordered bottom-m
+    // compactor, m = 64 so the sample path is genuinely exercised at
+    // sf0.01): estimates BESIDE the exact order statistics, plus the
+    // group count — the sketch error is itself hash-pinned
+    "q_sketch_quantiles" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val docs = Tables.documents(s, d).filter(col("n_chars").isNotNull)
+      val sk = Sketches.quantileSketch(docs, "source", "doc_id",
+        "n_chars", m = QsM)
+      val est = Sketches.sketchQuantiles(sk, "source")
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val ranked = docs.select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val exact = ranked.groupBy("source").agg(
+        max(col("n")).as("n"),
+        min(when(col("r") * 100 >= col("n") * 50, col("n_chars")))
+          .as("exact_p50"),
+        min(when(col("r") * 100 >= col("n") * 90, col("n_chars")))
+          .as("exact_p90"),
+        min(when(col("r") * 100 >= col("n") * 99, col("n_chars")))
+          .as("exact_p99"))
+      est.join(exact, "source")
+        .select("source", "n", "est_p50", "est_p90", "est_p99",
+          "exact_p50", "exact_p90", "exact_p99")
+        .orderBy("source")
     })
   )
+
+  private val QsM = 64
 
   private val toksCte =
     s"""toks AS (SELECT source, unnest(${Portable.tokensSql("text")}) AS tok
@@ -244,6 +274,39 @@ object SketchQueries {
          |  exact_p50, exact_p90, exact_p99
          |FROM q JOIN exq USING (source)
          |ORDER BY q.source""".stripMargin
+    },
+
+    "q_sketch_quantiles" -> {
+      def est(p: Int) =
+        s"min(CASE WHEN sr * 100 >= sm * $p THEN v END) AS est_p$p"
+      def ex(p: Int) =
+        s"min(CASE WHEN r * 100 >= n * $p THEN n_chars END) AS exact_p$p"
+      s"""WITH qbase AS (SELECT source, doc_id, n_chars FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |qsk AS (SELECT source, doc_id, n_chars AS v FROM (
+         |    SELECT source, doc_id, n_chars,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
+         |          doc_id) AS rk
+         |    FROM qbase) WHERE rk <= $QsM),
+         |qsr AS (SELECT source, v,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY v, doc_id) AS BIGINT) AS sr,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS sm
+         |  FROM qsk),
+         |qest AS (SELECT source, ${est(50)}, ${est(90)}, ${est(99)}
+         |  FROM qsr GROUP BY source),
+         |qrk AS (SELECT source, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM qbase),
+         |qex AS (SELECT source, max(n) AS n, ${ex(50)}, ${ex(90)}, ${ex(99)}
+         |  FROM qrk GROUP BY source)
+         |SELECT source, n, est_p50, est_p90, est_p99,
+         |  exact_p50, exact_p90, exact_p99
+         |FROM qest JOIN qex USING (source)
+         |ORDER BY source""".stripMargin
     },
   )
 }

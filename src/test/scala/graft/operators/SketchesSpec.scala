@@ -229,4 +229,71 @@ class SketchesSpec extends SparkSpec {
       .collect().map(r => (r.getInt(1), r.getLong(2))).toMap
     assert(merged == whole, s"merged $merged != whole $whole")
   }
+
+  test("quantileSketch: shard merge ≡ direct sketch, content and estimates") {
+    val docs = graft.model.Tables.documents(spark, sf)
+      .filter($"n_chars".isNotNull)
+    val direct = Sketches.quantileSketch(docs, "source", "doc_id",
+      "n_chars", m = 32)
+    val shardA = Sketches.quantileSketch(
+      docs.filter($"doc_id" % 2 === 0), "source", "doc_id", "n_chars", m = 32)
+    val shardB = Sketches.quantileSketch(
+      docs.filter($"doc_id" % 2 =!= 0), "source", "doc_id", "n_chars", m = 32)
+    val merged = Sketches.quantileSketchMerge(shardA, shardB, "source", m = 32)
+    def rows(df: org.apache.spark.sql.DataFrame) = df
+      .select("source", "hv", "key", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1),
+        r.get(2).toString, r.get(3).toString)).toSet
+    assert(rows(merged) == rows(direct),
+      "merged sketch content must equal the direct sketch exactly")
+    def ests(sk: org.apache.spark.sql.DataFrame) =
+      Sketches.sketchQuantiles(sk, "source").collect()
+        .map(r => (r.getString(0), r.get(1), r.get(2), r.get(3))).toSet
+    assert(ests(merged) == ests(direct))
+  }
+
+  test("quantileSketch: exact when the group fits in m") {
+    val d = (1 to 100).map(i => ("g", i.toLong, (i * 37 % 1000).toLong))
+      .toDF("grp", "id", "v")
+    val est = Sketches.sketchQuantiles(
+      Sketches.quantileSketch(d, "grp", "id", "v", m = 200), "grp")
+      .head()
+    // with every row sampled, the estimate IS the order statistic
+    val sorted = (1 to 100).map(i => (i * 37 % 1000).toLong).sorted
+    def exact(p: Int) = sorted((p * 100 / 100.0).ceil.toInt - 1)
+    assert((est.getLong(1), est.getLong(2), est.getLong(3)) ==
+      (exact(50), exact(90), exact(99)),
+      s"n <= m must be exact, got $est")
+  }
+
+  test("quantileSketch: rank error within the Hoeffding bound on real data") {
+    // m = 64 → ε = sqrt(ln(2/δ)/(2m)) ≈ 0.215 at δ = 0.01; the data
+    // and hash are fixed so the measured error is deterministic
+    val m = 64
+    val eps = math.sqrt(math.log(2 / 0.01) / (2.0 * m))
+    val docs = graft.model.Tables.documents(spark, sf)
+      .filter($"n_chars".isNotNull)
+    val est = Sketches.sketchQuantiles(
+      Sketches.quantileSketch(docs, "source", "doc_id", "n_chars", m),
+      "source")
+    val all = docs.select($"source", $"n_chars".cast("long"))
+      .collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    est.collect().foreach { r =>
+      val vals = all(r.getString(0))
+      val n = vals.size
+      for ((p, i) <- Seq(50, 90, 99).zipWithIndex) {
+        val v = r.getLong(1 + i)
+        // estimate's rank interval in the full data vs target rank
+        val lo = vals.count(_ < v) + 1
+        val hi = vals.count(_ <= v)
+        val target = math.ceil(n * p / 100.0).toInt
+        val err =
+          if (target >= lo && target <= hi) 0.0
+          else math.min(math.abs(target - lo), math.abs(target - hi)) / n.toDouble
+        assert(err <= eps,
+          s"${r.getString(0)} p$p: rank error $err exceeds ε=$eps (n=$n)")
+      }
+    }
+  }
 }
