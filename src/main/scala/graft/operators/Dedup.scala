@@ -932,23 +932,47 @@ object Dedup {
         min(struct(col(idCol), col("start"))).as("__first"))
       .filter(col("__cnt") >= 2)
       .select(col("shingle"), col("__first"))
-    val cut = grams.join(firsts, "shingle")
+    // INTERVAL cut lists, not exploded positions: each cut gram is one
+    // (start, start+k-1) row — k× fewer shuffle records than the
+    // per-position explode this replaces — collected per doc and
+    // merged row-locally (the array-local analogue of the
+    // [[Temporal]] gaps-and-islands merge); the rebuild is then a
+    // row-local indexed filter over the doc's token array, so no
+    // token-level shuffle remains at all
+    val cutIvs = grams.join(firsts, "shingle")
       .filter(struct(col(idCol), col("start")) =!= col("__first"))
-    val covered = cut
-      .select(col(idCol),
-        explode(sequence(col("start"), col("start") + (k - 1))).as("pos"))
-      .distinct()
-    val toks = base.select(col(idCol),
-      posexplode(col("__toks")).as(Seq("pos", "tok")))
-    val rebuilt = toks.join(covered, Seq(idCol, "pos"), "left_anti")
       .groupBy(col(idCol))
-      .agg(array_join(
-        transform(array_sort(collect_list(struct(col("pos"), col("tok")))),
-          x => x.getField("tok")), " ").as("text_clean"))
-    df.select(col(idCol))
-      .join(rebuilt, Seq(idCol), "left")
-      .withColumn("text_clean", coalesce(col("text_clean"), lit("")))
+      .agg(sort_array(collect_set(struct(col("start").as("s"),
+        (col("start") + (k - 1)).as("e")))).as("__ivs"))
+      .select(col(idCol), mergeIvs(col("__ivs")).as("__merged"))
+    base.join(cutIvs, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(
+          when(col("__merged").isNull, array_join(col("__toks"), " "))
+            .otherwise(array_join(
+              filter(col("__toks"), (t, i) =>
+                !exists(col("__merged"), iv =>
+                  iv.getField("s") <= i && i <= iv.getField("e"))), " ")),
+          lit("")).as("text_clean"))
   }
+
+  /** Row-local merge of an ASCENDING-sorted (s, e) interval array:
+    * one aggregate fold extending or appending the last interval —
+    * adjacent intervals coalesce too (same coverage set). O(|ivs|)
+    * per row, no shuffle.
+    */
+  private def mergeIvs(ivs: org.apache.spark.sql.Column)
+      : org.apache.spark.sql.Column =
+    aggregate(ivs, array().cast("array<struct<s:int,e:int>>"),
+      (acc, x) => {
+        val last = element_at(acc, -1)
+        when(size(acc) === 0, array(x))
+          .when(x.getField("s") <= last.getField("e") + 1,
+            concat(slice(acc, lit(1), size(acc) - 1),
+              array(struct(last.getField("s").as("s"),
+                greatest(last.getField("e"), x.getField("e")).as("e")))))
+          .otherwise(concat(acc, array(x)))
+      })
 
   /** Near-dup pair EVIDENCE: for each candidate pair, the structure of
     * their exact k-gram agreement — total matched shingle positions,

@@ -58,6 +58,25 @@ class ShuffleAuditSpec extends SparkSpec {
         s"shuffled ${s.shuffleBytes} of $textBytes text bytes: $s")
   }
 
+  test("substringDedup shuffles gram rows + interval rows, never k× positions") {
+    val docs = Tables.documents(spark, sf)
+    val k = 8
+    // upper bound on legitimate shuffle records: every gram row visits
+    // the shingle groupBy + the firsts join (≲ 2×grams + firsts), and
+    // every CUT gram is ONE interval row to its doc group — the
+    // pre-interval formulation also exploded k positions per cut gram
+    // and re-shuffled every doc token for the rebuild
+    val nGrams = docs.select(graft.functions.Portable.tokens(col("text"))
+      .as("t")).select(greatest(size(col("t")) - (k - 1), lit(0)).as("g"))
+      .agg(sum("g")).head.getLong(0)
+    val s = ShuffleAudit.measure(
+      graft.operators.Dedup.substringDedup(docs, "doc_id", "text", k))
+    assert(s.shuffleRecords > 0, s"$s")
+    assert(s.shuffleRecords <= 3 * nGrams + nGrams / 2,
+      s"interval cut lists must keep shuffle ≤ ~3×grams " +
+        s"(${s.shuffleRecords} vs $nGrams grams): $s")
+  }
+
   test("bloomPrunedJoin moves ~selectivity of the plain join's shuffle") {
     import spark.implicits._
     // 50k-row big side, 0.5% of keys match; broadcast disabled so the
