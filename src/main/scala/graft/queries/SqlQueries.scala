@@ -1,0 +1,168 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** SQL-first parity surface: pure `spark.sql` texts for declared
+  * queries, addressing the harness tables through the
+  * [[graft.sources.GraftCatalog]] `data` namespace (`graft.data.*`)
+  * — no `spark.read` plumbing anywhere. SqlParitySpec pins each text
+  * row-identical to its DataFrame form, so a SQL-only user of the
+  * engine gets the same answers the programmatic API gives.
+  *
+  * Dialect notes: these are Spark-SQL renderings of the same logic
+  * the DuckDB oracle runs (strftime → date_format is the only
+  * translation the core set needs); the TPC-H correlated-subquery
+  * texts are dialect-shared already.
+  */
+object SqlQueries {
+
+  /** Point the `graft` catalog at a scale-factor directory. The
+    * catalog binds `dir` at FIRST use in a session (Spark caches
+    * catalog instances) — one sfDir per session, same contract as
+    * the memoized subtrees.
+    */
+  def configure(spark: SparkSession, sfDir: String): Unit = {
+    spark.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graft.dir", sfDir)
+  }
+
+  /** Run a parity query by name through the catalog. */
+  def run(spark: SparkSession, sfDir: String, name: String): DataFrame = {
+    configure(spark, sfDir)
+    spark.sql(sql(name))
+  }
+
+  private def t(n: String) = s"graft.data.$n"
+
+  val sql: Map[String, String] = Map(
+    "q_scan" ->
+      s"""SELECT l_orderkey, l_linenumber, l_quantity FROM ${t("lineitem")}
+         |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q_drop" ->
+      s"""SELECT p_partkey, p_name, p_type, p_size FROM ${t("part")}
+         |ORDER BY p_partkey""".stripMargin,
+
+    "q_filter_null" ->
+      s"""SELECT c_custkey, c_name, c_mktsegment FROM ${t("customer")}
+         |WHERE c_mktsegment IS NOT NULL AND c_mktsegment <> ''
+         |ORDER BY c_custkey""".stripMargin,
+
+    "q_having" ->
+      s"""SELECT l_suppkey, l_partkey, COUNT(l_quantity) AS n_obs
+         |FROM ${t("lineitem")} GROUP BY 1, 2
+         |HAVING COUNT(l_quantity) >= 3
+         |ORDER BY l_suppkey, l_partkey""".stripMargin,
+
+    "q_anti" ->
+      s"""WITH sparse AS (
+         |  SELECT l_suppkey, l_partkey FROM ${t("lineitem")}
+         |  GROUP BY 1, 2 HAVING COUNT(l_quantity) < 3)
+         |SELECT l.l_orderkey, l.l_linenumber, l.l_suppkey, l.l_partkey
+         |FROM ${t("lineitem")} l
+         |WHERE NOT EXISTS (SELECT 1 FROM sparse s
+         |  WHERE s.l_suppkey = l.l_suppkey AND s.l_partkey = l.l_partkey)
+         |ORDER BY l.l_orderkey, l.l_linenumber""".stripMargin,
+
+    "q_groupcount" ->
+      s"""SELECT l_suppkey, COUNT(l_extendedprice) AS n_price,
+         |       COUNT(*) AS n_rows
+         |FROM ${t("lineitem")} GROUP BY 1 ORDER BY l_suppkey""".stripMargin,
+
+    "q_distinctcount" ->
+      s"""SELECT COUNT(DISTINCT l_suppkey) AS n_supp,
+         |       COUNT(DISTINCT l_partkey) AS n_part
+         |FROM ${t("lineitem")}""".stripMargin,
+
+    "q_spine" ->
+      s"""SELECT DISTINCT date_format(l_shipdate, 'yyyy-MM-dd') AS ship_date,
+         |       l_suppkey
+         |FROM (SELECT * FROM ${t("lineitem")}
+         |      WHERE l_shipdate < TIMESTAMP '1998-01-01'
+         |      UNION ALL
+         |      SELECT * FROM ${t("lineitem")}
+         |      WHERE l_shipdate >= TIMESTAMP '1998-01-01')
+         |ORDER BY ship_date, l_suppkey""".stripMargin,
+
+    "q_leftjoin" ->
+      s"""SELECT sp.ship_date, sp.l_suppkey, s.s_name
+         |FROM (SELECT DISTINCT date_format(l_shipdate, 'yyyy-MM-dd')
+         |        AS ship_date, l_suppkey FROM ${t("lineitem")}) sp
+         |LEFT JOIN ${t("supplier")} s ON sp.l_suppkey = s.s_suppkey
+         |ORDER BY sp.ship_date, sp.l_suppkey""".stripMargin,
+
+    "q_topk" ->
+      s"""WITH sparse AS (
+         |  SELECT l_suppkey, l_partkey FROM ${t("lineitem")}
+         |  GROUP BY 1, 2 HAVING COUNT(l_quantity) < 3)
+         |SELECT l.l_suppkey, COUNT(*) AS n_eliminated
+         |FROM ${t("lineitem")} l
+         |WHERE EXISTS (SELECT 1 FROM sparse s
+         |  WHERE s.l_suppkey = l.l_suppkey AND s.l_partkey = l.l_partkey)
+         |GROUP BY 1 ORDER BY n_eliminated DESC, l.l_suppkey
+         |LIMIT 5""".stripMargin,
+
+    "q_tpch_q3" ->
+      s"""SELECT l_orderkey,
+         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
+         |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS revenue,
+         |  date_format(o_orderdate, 'yyyy-MM-dd') AS o_orderdate,
+         |  o_orderpriority
+         |FROM ${t("customer")}
+         |JOIN ${t("orders")} ON c_custkey = o_custkey
+         |JOIN ${t("lineitem")} ON l_orderkey = o_orderkey
+         |WHERE c_mktsegment = 'BUILDING'
+         |  AND o_orderdate < TIMESTAMP '1996-03-15'
+         |  AND l_shipdate > TIMESTAMP '1996-03-15'
+         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+         |ORDER BY revenue DESC, o_orderdate, l_orderkey
+         |LIMIT 10""".stripMargin,
+
+    "q_tpch_q17" ->
+      s"""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+         |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+         |FROM ${t("lineitem")} l1 JOIN ${t("part")} p
+         |  ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#16'
+         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+         |    FROM ${t("lineitem")} l2
+         |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
+
+    "q_tpch_q20" ->
+      s"""SELECT s_suppkey, s_name FROM ${t("supplier")}
+         |WHERE s_suppkey IN (
+         |  SELECT l1.l_suppkey FROM ${t("lineitem")} l1
+         |  WHERE l1.l_partkey IN
+         |      (SELECT p_partkey FROM ${t("part")}
+         |       WHERE p_name LIKE 'small%')
+         |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l1.l_suppkey, l1.l_partkey
+         |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
+         |    (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+         |     FROM ${t("lineitem")} l2
+         |     WHERE l2.l_partkey = l1.l_partkey
+         |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+         |       AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+         |ORDER BY s_suppkey""".stripMargin,
+
+    "q_tpch_q21" ->
+      s"""SELECT s_name, count(*) AS numwait FROM ${t("supplier")}
+         |JOIN ${t("lineitem")} l1 ON s_suppkey = l1.l_suppkey
+         |JOIN ${t("orders")} ON o_orderkey = l1.l_orderkey
+         |JOIN ${t("nation")} ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM ${t("lineitem")} l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM ${t("lineitem")} l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_returnflag = 'R')
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 100""".stripMargin,
+  )
+}

@@ -22,18 +22,35 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * generated, the namespace is infinite — `listTables` advertises a
   * few canonical sizes.
   *
-  * Read-only by design: create/alter/drop/rename throw — a synthetic
-  * corpus has no mutable state.
+  * The `data` namespace exposes the harness parquet tables
+  * ([[graft.model.Tables.all]]) of the scale-factor directory named
+  * by the catalog option `dir`:
+  *
+  *   spark.conf: spark.sql.catalog.graft.dir = /root/testdata/sf0.01
+  *   SELECT l_returnflag, sum(l_quantity) FROM graft.data.lineitem …
+  *
+  * Each table is Spark's own DSv2 `ParquetTable`, so the full file-
+  * source pushdown surface (filters, column pruning, partition
+  * pruning, aggregate pushdown) applies identically to the SQL-text
+  * path — SqlParitySpec pins ≥10 declared queries hash-equal between
+  * their DataFrame form and pure `spark.sql` text through this
+  * catalog.
+  *
+  * Read-only by design: create/alter/drop/rename throw — the harness
+  * corpus is immutable input, the synthetic one has no state at all.
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
+  private var dataDir: Option[String] = None
   // ≤18 digits so `.toLong` can't overflow — a longer digit run is
   // "no such table", not a NumberFormatException out of loadTable
   private val DocsName = "docs_(\\d{1,18})".r
 
   override def initialize(name: String,
-                          options: CaseInsensitiveStringMap): Unit =
+                          options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
+    dataDir = Option(options.get("dir"))
+  }
 
   override def name(): String = catalogName
 
@@ -42,6 +59,8 @@ class GraftCatalog extends TableCatalog {
       case Array("synth") =>
         Array(1000L, 100000L, 10000000L).map(n =>
           Identifier.of(namespace, s"docs_$n"))
+      case Array("data") if dataDir.isDefined =>
+        graft.model.Tables.all.toArray.map(Identifier.of(namespace, _))
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
@@ -49,6 +68,16 @@ class GraftCatalog extends TableCatalog {
     (ident.namespace(), ident.name()) match {
       case (Array("synth"), DocsName(n)) =>
         new SyntheticDocs.SynthTable(n.toLong, parts = 8)
+      case (Array("data"), t)
+          if dataDir.isDefined && graft.model.Tables.all.contains(t) =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          s"$catalogName.data.$t",
+          org.apache.spark.sql.SparkSession.active,
+          CaseInsensitiveStringMap.empty(),
+          Seq(s"${dataDir.get}/$t.parquet"),
+          None,
+          classOf[org.apache.spark.sql.execution.datasources
+            .parquet.ParquetFileFormat])
       case _ => throw new NoSuchTableException(ident)
     }
 
