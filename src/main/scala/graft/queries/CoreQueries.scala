@@ -549,28 +549,34 @@ object CoreQueries {
     // the sink+source preserve values (decimal money sums stay
     // bit-exact through Derby's DOUBLE).
     "q_jdbc_roundtrip" -> ((s, d) => {
-      val cfg = graft.io.Jdbc.JdbcConfig(
-        url = "jdbc:derby:memory:graftverify;create=true",
-        user = "", password = "",
-        driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver",
-        numPartitions = 2)
       val agg = Tables.supplier(s, d)
         .join(Tables.nation(s, d),
           col("s_nationkey") === col("n_nationkey"))
         .groupBy("n_name")
         .agg(count(lit(1)).as("n_suppliers"),
           moneySum(col("s_acctbal")).as("total_acctbal"))
-      // distributed sink/source for in-process masters (the production
-      // shape — a network DB serves executor connections); driver-local
-      // embedded path under multi-JVM masters, where a per-JVM embedded
-      // Derby structurally cannot serve executor connections
-      if (s.sparkContext.isLocal) {
+      // the PRODUCTION distributed sink/source under EVERY master:
+      // the remote-JDBC bridge fronts embedded Derby over TCP, so
+      // executor JVMs (in-process or real, under local-cluster) run
+      // Spark's own JDBC write/read against a network endpoint —
+      // retiring the former driver-local embedded fallback
+      graft.io.RemoteJdbc.registerDialect()
+      val server = new graft.io.RemoteJdbc.Server(
+        s"jdbc:derby:memory:graftverify_${scratchTag(d)};create=true")
+      val port = server.start()
+      try {
+        val cfg = graft.io.Jdbc.JdbcConfig(
+          url = s"jdbc:graftremote://localhost:$port/",
+          user = "", password = "",
+          driver = classOf[graft.io.RemoteJdbcDriver].getName,
+          numPartitions = 2)
         graft.io.Jdbc.write(agg, "jdbc_rt", cfg)
-        graft.io.Jdbc.read(s, "jdbc_rt", cfg).orderBy("n_name")
-      } else {
-        graft.io.Jdbc.writeEmbedded(agg, "jdbc_rt", cfg)
-        graft.io.Jdbc.readEmbedded(s, "jdbc_rt", cfg).orderBy("n_name")
-      }
+        // materialize the read-back BEFORE the server stops: the
+        // returned frame must not capture a dead endpoint
+        val back = graft.io.Jdbc.read(s, "jdbc_rt", cfg)
+          .orderBy("n_name").localCheckpoint()
+        back
+      } finally server.stop()
     }),
 
     // Flagship — pricing summary (TPC-H Q1 shape), exact decimal money.

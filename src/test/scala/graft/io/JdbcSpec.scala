@@ -39,6 +39,36 @@ class JdbcSpec extends SparkSpec {
     assert(rows.toSeq == Seq((3L, "Concepción", 18.0)))
   }
 
+  test("PRODUCTION write/read over the wire: executors → remote-JDBC bridge") {
+    // the distributed paths (per-partition executor connections, batch
+    // inserts, driver-side schema probe) against a NETWORK endpoint —
+    // the remote-JDBC bridge fronting embedded Derby, since Spark
+    // ships derby.jar but not the derbynet server. Under the
+    // local-cluster gate the connecting JVMs are real executor
+    // processes; the JDBC code running is Spark's own.
+    RemoteJdbc.registerDialect()
+    val server = new RemoteJdbc.Server(
+      "jdbc:derby:memory:graftnet;create=true")
+    val port = server.start()
+    try {
+      val netCfg = Jdbc.JdbcConfig(
+        url = s"jdbc:graftremote://localhost:$port/",
+        user = "", password = "",
+        driver = classOf[RemoteJdbcDriver].getName,
+        batchSize = 100, numPartitions = 2)
+      val df = (1L to 500L).map(i => (i, s"name_$i", i * 1.5))
+        .toDF("id", "name", "v").repartition(2)
+      Jdbc.write(df, "net_roundtrip", netCfg)
+      // overwrite semantics across the wire too
+      Jdbc.write(df.filter($"id" <= 200L), "net_roundtrip", netCfg)
+      val back = Jdbc.read(spark, "net_roundtrip", netCfg)
+        .collect().map(r => (r.getLong(0), r.getString(1), r.getDouble(2)))
+      assert(back.length == 200, s"got ${back.length} rows")
+      assert(back.sortBy(_._1).toSeq ==
+        (1L to 200L).map(i => (i, s"name_$i", i * 1.5)))
+    } finally server.stop()
+  }
+
   test("embedded driver-local path: overwrite + typed read-back") {
     // always exercised (both masters): the multi-JVM harness path
     val df = Seq((1L, "a", 1.5), (2L, "b", 2.5)).toDF("id", "name", "v")
