@@ -151,6 +151,87 @@ object Streams {
 
   // ---- custom stateful sessionization ----
 
+  final case class FunnelEvent(user_id: Long, event_type: String,
+                               ts: Timestamp)
+  final case class FunnelReach(user_id: Long, step: Int,
+                               event_type: String, ts: Timestamp)
+  final case class FunnelState(reach: Seq[Long])
+
+  /** Streaming FUNNEL — the stateful twin of
+    * [[graft.operators.Temporal.funnelSteps]]: per user, a
+    * `transformWithState` processor tracks the earliest time each
+    * ordered step was reached (strictly after the previous step's
+    * reach time, within `maxGapSeconds` when gapped — the exact batch
+    * chain condition) and EMITS one `FunnelReach` row per new step
+    * completion. Step counts / conversion ratios are then a plain
+    * downstream aggregation of the emitted rows.
+    *
+    * Equality contract (spec-pinned): for events delivered in
+    * timestamp order, the emitted reaches aggregate to EXACTLY the
+    * batch funnel's per-step counts — in-order delivery makes each
+    * reach time final the moment it is set (a later event can never
+    * lower an earlier min), which is the same argument the batch
+    * min-chain rests on. Out-of-order events within the watermark are
+    * still processed (sorted within each micro-batch) and may emit an
+    * improved reach for a step; consumers needing batch-exact numbers
+    * on disordered feeds should aggregate on min(ts) per (user, step).
+    *
+    * State per user is `|steps|` longs — bounded, independent of
+    * event volume. Requires the RocksDB state store provider like the
+    * other `transformWithState` operators.
+    */
+  def streamingFunnel(events: Dataset[FunnelEvent], steps: Seq[String],
+                      maxGapSeconds: Long = 0L): Dataset[FunnelReach] = {
+    require(steps.nonEmpty, "funnel needs at least one step")
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Enc}
+
+    val stepIdx = steps.zipWithIndex.toMap
+    val gapMicros = maxGapSeconds * 1000000L
+    val Unreached = Long.MaxValue
+    def micros(t: Timestamp): Long =
+      t.getTime * 1000L + (t.getNanos / 1000L) % 1000L
+
+    class FunnelProcessor
+        extends StatefulProcessor[Long, FunnelEvent, FunnelReach] {
+      @transient private var st: ValueState[FunnelState] = _
+      override def init(outputMode: OutputMode,
+                        timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[FunnelState]("reach",
+          Enc.product[FunnelState], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[FunnelEvent],
+                                   timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[FunnelReach] = {
+        val reach: Array[Long] =
+          if (st.exists()) st.get().reach.toArray
+          else Array.fill(steps.size)(Unreached)
+        val out = Vector.newBuilder[FunnelReach]
+        // ts-sort within the batch: the chain condition is an
+        // event-time statement, not an arrival-order one
+        rows.toVector.sortBy(e => micros(e.ts)).foreach { e =>
+          stepIdx.get(e.event_type).foreach { i =>
+            val t = micros(e.ts)
+            val qualifies =
+              if (i == 0) t < reach(0)
+              else reach(i - 1) != Unreached && t > reach(i - 1) &&
+                (gapMicros == 0L || t <= reach(i - 1) + gapMicros) &&
+                t < reach(i)
+            if (qualifies) {
+              reach(i) = t
+              out += FunnelReach(key, i + 1, e.event_type, e.ts)
+            }
+          }
+        }
+        st.update(FunnelState(reach.toSeq)) // eager before returning
+        out.result().iterator
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(new FunnelProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class Ev(user_id: Long, ts: Timestamp, value: Double)
   final case class SessionState(start: Timestamp, last: Timestamp,
                                 n: Long, total: Double)

@@ -392,6 +392,97 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingFunnel ≡ batch funnelSteps on the real events (in-order feed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val steps = Seq("view", "click", "purchase")
+    val gap = 86400L
+    val events = graft.model.Tables.events(spark, sf)
+      .select(col("user_id"), col("event_type"), col("ts"))
+    val batch = graft.operators.Temporal.funnelSteps(events, "user_id",
+      "event_type", "ts", steps, gap)
+      .select("step", "n_users")
+      .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+    // ts-ordered feed, split across TWO micro-batches so the reach
+    // state genuinely persists across batch boundaries
+    val ordered = events.as[(Long, String, Timestamp)].collect()
+      .sortBy(e => (e._3.getTime, e._1))
+      .map(e => Streams.FunnelEvent(e._1, e._2, e._3))
+    val in = MemoryStream[Streams.FunnelEvent]
+    val q = Streams.streamingFunnel(in.toDS(), steps, gap)
+      .writeStream.format("memory").queryName("tws_funnel")
+      .outputMode("append").start()
+    try {
+      val (first, second) = ordered.splitAt(ordered.length / 2)
+      in.addData(first.toSeq); q.processAllAvailable()
+      in.addData(second.toSeq); q.processAllAvailable()
+      val streamed = spark.table("tws_funnel")
+        .groupBy("step").agg(countDistinct("user_id").as("n"))
+        .collect().map(r => (r.getInt(0), r.getLong(1))).toMap
+      assert(streamed == batch.filter(_._2 > 0),
+        s"stream $streamed != batch $batch")
+      // append-mode discipline: one reach row per (user, step)
+      val dups = spark.table("tws_funnel")
+        .groupBy("user_id", "step").count().filter(col("count") > 1).count()
+      assert(dups == 0, s"$dups duplicate reach emissions")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
+  test("streamingFunnel: chain gating and gap window, exact rows") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val in = MemoryStream[Streams.FunnelEvent]
+    // gap 60 s: u1 converts fully; u2's purchase is outside the gap;
+    // u3 clicks BEFORE viewing (same ts is not strictly after either)
+    val q = Streams.streamingFunnel(in.toDS(),
+      Seq("view", "click", "purchase"), maxGapSeconds = 60L)
+      .writeStream.format("memory").queryName("tws_funnel2")
+      .outputMode("append").start()
+    try {
+      in.addData(
+        Streams.FunnelEvent(1L, "view", ts(0)),
+        Streams.FunnelEvent(1L, "click", ts(1)),
+        Streams.FunnelEvent(2L, "view", ts(0)),
+        Streams.FunnelEvent(2L, "click", ts(1)),
+        Streams.FunnelEvent(3L, "click", ts(0)),
+        Streams.FunnelEvent(3L, "view", ts(0)))
+      q.processAllAvailable()
+      in.addData(
+        Streams.FunnelEvent(1L, "purchase", ts(2)),  // within 60s of click
+        Streams.FunnelEvent(2L, "purchase", ts(5)))  // 4 min after: out
+      q.processAllAvailable()
+      val got = spark.table("tws_funnel2")
+        .select("user_id", "step", "event_type")
+        .collect().map(r => (r.getLong(0), r.getInt(1), r.getString(2))).toSet
+      assert(got == Set(
+        (1L, 1, "view"), (1L, 2, "click"), (1L, 3, "purchase"),
+        (2L, 1, "view"), (2L, 2, "click"),
+        (3L, 1, "view")), s"got $got")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streaming dedup state survives a checkpointed restart") {
     implicit val sqlCtx = spark.sqlContext
     val tag = System.nanoTime()
