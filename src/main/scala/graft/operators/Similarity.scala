@@ -542,6 +542,13 @@ object Similarity {
   def mmrTopK(corpus: DataFrame, idCol: String, vecCol: String,
               queryVec: Seq[Double], k: Int, lambda: Double = 0.5,
               candidates: Int = 20): DataFrame = {
+    // hard-enforce the documented report-sized contract: the greedy
+    // loop drives k driver rounds and builds a growing isin/greatest
+    // expression — a thousands-sized k would silently plan a huge
+    // expression tree instead of failing fast
+    require(k >= 1 && k <= 256, s"mmrTopK is a report-sized op: k=$k (max 256)")
+    require(candidates >= k && candidates <= 4096,
+      s"candidates=$candidates must be in [k, 4096]")
     val spark = corpus.sparkSession
     val qv = lit(queryVec.toArray)
     // score relevance on the stored element type (the corpus-sized

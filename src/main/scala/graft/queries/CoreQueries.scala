@@ -57,53 +57,131 @@ object CoreQueries {
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
     Tables.part(s, d).createOrReplaceTempView("part")
     Tables.nation(s, d).createOrReplaceTempView("nation")
+    Tables.customer(s, d).createOrReplaceTempView("customer")
   }
 
-  /** Dialect-shared SQL: runs verbatim on Spark AND DuckDB, so the
-    * oracle entry IS the executed text.
+  /** Dialect-shared TPC-H SQL texts, parameterized on a table-name
+    * renderer so ONE string serves three consumers: the Spark query
+    * (bare temp-view names), the DuckDB oracle (same bare names), and
+    * the catalog-parity path (`graft.data.*` —
+    * [[SqlQueries]]). Runs verbatim on both engines.
     */
-  private val TpchQ17Sql =
-    """SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-      |    AS DOUBLE) / 7.0, 2) AS avg_yearly
-      |FROM lineitem l1 JOIN part p ON p_partkey = l_partkey
-      |WHERE p_brand = 'Brand#16'
-      |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
-      |    FROM lineitem l2 WHERE l2.l_partkey = p.p_partkey)""".stripMargin
+  private[queries] def tpchTextSql(name: String,
+                                   t: String => String): String = name match {
+    case "q_tpch_q17" =>
+      s"""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
+         |    AS DOUBLE) / 7.0, 2) AS avg_yearly
+         |FROM ${t("lineitem")} l1 JOIN ${t("part")} p
+         |  ON p_partkey = l_partkey
+         |WHERE p_brand = 'Brand#16'
+         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
+         |    FROM ${t("lineitem")} l2
+         |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
 
-  private val TpchQ20Sql =
-    """SELECT s_suppkey, s_name FROM supplier
-      |WHERE s_suppkey IN (
-      |  SELECT l1.l_suppkey FROM lineitem l1
-      |  WHERE l1.l_partkey IN
-      |      (SELECT p_partkey FROM part WHERE p_name LIKE 'small%')
-      |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
-      |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
-      |  GROUP BY l1.l_suppkey, l1.l_partkey
-      |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
-      |    (SELECT sum(CAST(l2.l_quantity AS BIGINT)) FROM lineitem l2
-      |     WHERE l2.l_partkey = l1.l_partkey
-      |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-      |       AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
-      |ORDER BY s_suppkey""".stripMargin
+    case "q_tpch_q20" =>
+      s"""SELECT s_suppkey, s_name FROM ${t("supplier")}
+         |WHERE s_suppkey IN (
+         |  SELECT l1.l_suppkey FROM ${t("lineitem")} l1
+         |  WHERE l1.l_partkey IN
+         |      (SELECT p_partkey FROM ${t("part")}
+         |       WHERE p_name LIKE 'small%')
+         |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
+         |  GROUP BY l1.l_suppkey, l1.l_partkey
+         |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
+         |    (SELECT sum(CAST(l2.l_quantity AS BIGINT))
+         |     FROM ${t("lineitem")} l2
+         |     WHERE l2.l_partkey = l1.l_partkey
+         |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
+         |       AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
+         |ORDER BY s_suppkey""".stripMargin
 
-  private val TpchQ21Sql =
-    """SELECT s_name, count(*) AS numwait FROM supplier
-      |JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-      |JOIN orders ON o_orderkey = l1.l_orderkey
-      |JOIN nation ON s_nationkey = n_nationkey
-      |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-      |  AND EXISTS (SELECT 1 FROM lineitem l2
-      |    WHERE l2.l_orderkey = l1.l_orderkey
-      |      AND l2.l_suppkey <> l1.l_suppkey)
-      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
-      |    WHERE l3.l_orderkey = l1.l_orderkey
-      |      AND l3.l_suppkey <> l1.l_suppkey
-      |      AND l3.l_returnflag = 'R')
-      |GROUP BY s_name
-      |ORDER BY numwait DESC, s_name
-      |LIMIT 100""".stripMargin
+    case "q_tpch_q21" =>
+      s"""SELECT s_name, count(*) AS numwait FROM ${t("supplier")}
+         |JOIN ${t("lineitem")} l1 ON s_suppkey = l1.l_suppkey
+         |JOIN ${t("orders")} ON o_orderkey = l1.l_orderkey
+         |JOIN ${t("nation")} ON s_nationkey = n_nationkey
+         |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
+         |  AND EXISTS (SELECT 1 FROM ${t("lineitem")} l2
+         |    WHERE l2.l_orderkey = l1.l_orderkey
+         |      AND l2.l_suppkey <> l1.l_suppkey)
+         |  AND NOT EXISTS (SELECT 1 FROM ${t("lineitem")} l3
+         |    WHERE l3.l_orderkey = l1.l_orderkey
+         |      AND l3.l_suppkey <> l1.l_suppkey
+         |      AND l3.l_returnflag = 'R')
+         |GROUP BY s_name
+         |ORDER BY numwait DESC, s_name
+         |LIMIT 100""".stripMargin
 
-  val queries: Map[String, Q] = Map(
+    // Q4 (order-priority checking): the plain EXISTS semi-join shape.
+    // Adapted late-line predicate: l_returnflag = 'R' (no
+    // commit/receipt dates in the harness lineitem).
+    case "q_tpch_q4" =>
+      s"""SELECT o_orderpriority, count(*) AS order_count
+         |FROM ${t("orders")}
+         |WHERE o_orderdate >= TIMESTAMP '1996-07-01'
+         |  AND o_orderdate < TIMESTAMP '1996-10-01'
+         |  AND EXISTS (SELECT 1 FROM ${t("lineitem")}
+         |    WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+         |GROUP BY o_orderpriority
+         |ORDER BY o_orderpriority""".stripMargin
+
+    // Q13 (customer distribution): LEFT OUTER join with a filtered ON
+    // clause + two stacked aggregations — the outer-join-then-
+    // histogram shape.
+    case "q_tpch_q13" =>
+      s"""SELECT c_count, count(*) AS custdist
+         |FROM (SELECT c_custkey, count(o_orderkey) AS c_count
+         |  FROM ${t("customer")} LEFT OUTER JOIN ${t("orders")}
+         |    ON c_custkey = o_custkey AND o_orderpriority <> '1-URGENT'
+         |  GROUP BY c_custkey) c_orders
+         |GROUP BY c_count
+         |ORDER BY custdist DESC, c_count DESC""".stripMargin
+
+    // Q16 (parts/supplier relationship): NOT IN subquery (null-aware
+    // anti join) + COUNT(DISTINCT) over the join. Adapted complaint
+    // predicate: s_acctbal < 0 (no s_comment in the harness supplier).
+    case "q_tpch_q16" =>
+      s"""SELECT p_brand, p_type, p_size,
+         |  count(DISTINCT l_suppkey) AS supplier_cnt
+         |FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
+         |WHERE p_brand <> 'Brand#16'
+         |  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
+         |  AND l_suppkey NOT IN
+         |    (SELECT s_suppkey FROM ${t("supplier")} WHERE s_acctbal < 0)
+         |GROUP BY p_brand, p_type, p_size
+         |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
+         |LIMIT 50""".stripMargin
+
+    // Q22 (global sales opportunity): scalar avg subquery + NOT EXISTS
+    // anti join inside a derived table. Adapted: country code from
+    // c_nationkey (no phone column), "never ordered" narrowed to
+    // "never placed an URGENT order" so the shape stays populated.
+    case "q_tpch_q22" =>
+      s"""SELECT cntrycode, count(*) AS numcust,
+         |  CAST(sum(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE)
+         |    AS totacctbal
+         |FROM (SELECT CAST(c_nationkey % 10 AS STRING) AS cntrycode,
+         |    c_acctbal
+         |  FROM ${t("customer")}
+         |  WHERE CAST(c_nationkey % 10 AS STRING)
+         |      IN ('1', '2', '3', '4', '5')
+         |    AND c_acctbal > (SELECT avg(c_acctbal) FROM ${t("customer")}
+         |      WHERE c_acctbal > 0
+         |        AND CAST(c_nationkey % 10 AS STRING)
+         |          IN ('1', '2', '3', '4', '5'))
+         |    AND NOT EXISTS (SELECT 1 FROM ${t("orders")}
+         |      WHERE o_custkey = c_custkey
+         |        AND o_orderpriority = '1-URGENT')) custsale
+         |GROUP BY cntrycode
+         |ORDER BY cntrycode""".stripMargin
+  }
+
+  private[queries] val tpchTextNames: Seq[String] = Seq(
+    "q_tpch_q4", "q_tpch_q13", "q_tpch_q16", "q_tpch_q17",
+    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")
+
+  val queries: Map[String, Q] = Map[String, Q](
     // S1 — scan + projection; pushed to the parquet reader.
     "q_scan" -> ((s, d) =>
       Tables.lineitem(s, d)
@@ -748,41 +826,13 @@ object CoreQueries {
           col("o_orderkey").asc)
     }),
 
-    // TPC-H Q17 shape (small-quantity-order revenue): the CORRELATED
-    // SCALAR SUBQUERY family — written as SQL text on purpose so
-    // Catalyst itself decorrelates the per-part avg into an aggregate
-    // + join (never a per-row subquery; PlanAuditSpec pins it).
-    // Adapted filter: p_brand (the harness part table has no
-    // p_container). All comparison arithmetic is exact (integral
-    // quantities sum exactly in double), so the 0.2·avg boundary cut
-    // is engine-identical.
-    "q_tpch_q17" -> ((s, d) => {
-      registerTpchViews(s, d)
-      s.sql(TpchQ17Sql)
-    }),
-
-    // TPC-H Q20 shape (excess-inventory suppliers): NESTED IN plus a
-    // correlated aggregate in the HAVING — Catalyst must turn both IN
-    // subqueries into semi joins and the correlated per-part total
-    // into an aggregate + join. Adapted to the harness tables (no
-    // partsupp): "suppliers who shipped more than half of a small
-    // part's 1996 volume", which preserves the exact subquery nesting
-    // of the original. Threshold compares 2·sum > sum in BIGINT —
-    // integer-exact on both engines.
-    "q_tpch_q20" -> ((s, d) => {
-      registerTpchViews(s, d)
-      s.sql(TpchQ20Sql)
-    }),
-
-    // TPC-H Q21 shape (suppliers who kept orders waiting): the multi
-    // SEMI/ANTI SELF-JOIN on lineitem — EXISTS (another supplier in
-    // the order) AND NOT EXISTS (another supplier also at fault).
-    // Adapted fault predicate: l_returnflag = 'R' (the harness
-    // lineitem has no commit/receipt dates).
-    "q_tpch_q21" -> ((s, d) => {
-      registerTpchViews(s, d)
-      s.sql(TpchQ21Sql)
-    }),
+    // The SQL-TEXT TPC-H family (Q4/Q13/Q16/Q17/Q20/Q21/Q22) is
+    // appended programmatically below the Map literal: each runs
+    // through `spark.sql` so CATALYST performs the subquery
+    // decorrelation being exercised (correlated scalar avg → agg+join,
+    // IN/EXISTS → semi joins, NOT IN → null-aware anti join, NOT
+    // EXISTS → anti join; PlanAuditSpec pins the plans), and the
+    // oracle runs the SAME string.
 
     // Headline join-agg — revenue by nation (broadcast dims over fact).
     "q_joinagg" -> ((s, d) => {
@@ -799,7 +849,12 @@ object CoreQueries {
              count(lit(1)).as("n_lines"))
         .orderBy("n_name")
     }),
-  )
+  ) ++ tpchTextNames.map { n =>
+    n -> ((s: SparkSession, d: String) => {
+      registerTpchViews(s, d)
+      s.sql(tpchTextSql(n, identity))
+    })
+  }.toMap
 
   val oracleSql: Map[String, String] = Map(
     "q_scan" ->
@@ -1275,12 +1330,6 @@ object CoreQueries {
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
 
-    // the SQL-text shapes share ONE string with the Spark side — the
-    // oracle runs the very text Catalyst decorrelated
-    "q_tpch_q17" -> TpchQ17Sql,
-    "q_tpch_q20" -> TpchQ20Sql,
-    "q_tpch_q21" -> TpchQ21Sql,
-
     "q_joinagg" ->
       """SELECT n_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -1292,5 +1341,5 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1 ORDER BY n_name""".stripMargin,
-  )
+  ) ++ tpchTextNames.map(n => n -> tpchTextSql(n, identity)).toMap
 }

@@ -11,8 +11,10 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   *
   * Dialect notes: these are Spark-SQL renderings of the same logic
   * the DuckDB oracle runs (strftime → date_format is the only
-  * translation the core set needs); the TPC-H correlated-subquery
-  * texts are dialect-shared already.
+  * translation the core set needs); the seven TPC-H subquery texts
+  * are dialect-shared already and render from the SAME
+  * [[CoreQueries.tpchTextSql]] strings the declared queries and the
+  * oracle execute — 18 parity texts in all.
   */
 object SqlQueries {
 
@@ -120,49 +122,6 @@ object SqlQueries {
          |ORDER BY revenue DESC, o_orderdate, l_orderkey
          |LIMIT 10""".stripMargin,
 
-    "q_tpch_q17" ->
-      s"""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
-         |    AS DOUBLE) / 7.0, 2) AS avg_yearly
-         |FROM ${t("lineitem")} l1 JOIN ${t("part")} p
-         |  ON p_partkey = l_partkey
-         |WHERE p_brand = 'Brand#16'
-         |  AND l_quantity < (SELECT 0.2 * avg(l_quantity)
-         |    FROM ${t("lineitem")} l2
-         |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin,
-
-    "q_tpch_q20" ->
-      s"""SELECT s_suppkey, s_name FROM ${t("supplier")}
-         |WHERE s_suppkey IN (
-         |  SELECT l1.l_suppkey FROM ${t("lineitem")} l1
-         |  WHERE l1.l_partkey IN
-         |      (SELECT p_partkey FROM ${t("part")}
-         |       WHERE p_name LIKE 'small%')
-         |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
-         |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
-         |  GROUP BY l1.l_suppkey, l1.l_partkey
-         |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
-         |    (SELECT sum(CAST(l2.l_quantity AS BIGINT))
-         |     FROM ${t("lineitem")} l2
-         |     WHERE l2.l_partkey = l1.l_partkey
-         |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
-         |       AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
-         |ORDER BY s_suppkey""".stripMargin,
-
-    "q_tpch_q21" ->
-      s"""SELECT s_name, count(*) AS numwait FROM ${t("supplier")}
-         |JOIN ${t("lineitem")} l1 ON s_suppkey = l1.l_suppkey
-         |JOIN ${t("orders")} ON o_orderkey = l1.l_orderkey
-         |JOIN ${t("nation")} ON s_nationkey = n_nationkey
-         |WHERE o_orderstatus = 'F' AND l1.l_returnflag = 'R'
-         |  AND EXISTS (SELECT 1 FROM ${t("lineitem")} l2
-         |    WHERE l2.l_orderkey = l1.l_orderkey
-         |      AND l2.l_suppkey <> l1.l_suppkey)
-         |  AND NOT EXISTS (SELECT 1 FROM ${t("lineitem")} l3
-         |    WHERE l3.l_orderkey = l1.l_orderkey
-         |      AND l3.l_suppkey <> l1.l_suppkey
-         |      AND l3.l_returnflag = 'R')
-         |GROUP BY s_name
-         |ORDER BY numwait DESC, s_name
-         |LIMIT 100""".stripMargin,
-  )
+  ) ++ CoreQueries.tpchTextNames
+    .map(n => n -> CoreQueries.tpchTextSql(n, t)).toMap
 }

@@ -132,6 +132,10 @@ class DedupLifecycleSpec extends SparkSpec {
       // the dir can't be unset on a live context — flip the escape
       // hatch so the shared session's other suites keep localCheckpoint
       spark.conf.set("spark.graft.reliableCheckpoint", "never")
+      // and drop anything memoized during the reliable window: those
+      // frames are backed by the checkpoint files deleted below, and a
+      // later suite hitting the same memo key would read a ghost
+      graft.Memo.clear()
       org.apache.commons.io.FileUtils.deleteQuietly(new java.io.File(dir))
     }
   }

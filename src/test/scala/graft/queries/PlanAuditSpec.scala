@@ -64,23 +64,36 @@ class PlanAuditSpec extends SparkSpec {
     // the physical plan must contain no per-row subquery evaluation:
     // correlated scalar subqueries become aggregate+join, IN/EXISTS
     // become semi joins, NOT EXISTS an anti join
-    val plans = Seq("q_tpch_q17", "q_tpch_q20", "q_tpch_q21").map { q =>
+    val plans = Seq("q_tpch_q4", "q_tpch_q13", "q_tpch_q16", "q_tpch_q17",
+      "q_tpch_q20", "q_tpch_q21", "q_tpch_q22").map { q =>
       q -> finalPlan(graft.SparkEntry.queries(q)(spark, sf))
     }
     for ((q, plan) <- plans) {
-      assert(!plan.contains("InSubqueryExec") &&
-        !plan.contains("ScalarSubquery"),
-        s"$q must not evaluate a per-row subquery:\n$plan")
+      // dynamic per-row IN evaluation must never survive anywhere
+      assert(!plan.contains("InSubqueryExec"),
+        s"$q must not evaluate a per-row IN subquery:\n$plan")
+      // CORRELATED scalar subqueries must decorrelate to agg+join;
+      // an UNCORRELATED scalar (q22's global avg) legitimately stays
+      // a once-executed ScalarSubquery pushed into the scan filter
+      if (q == "q_tpch_q17" || q == "q_tpch_q20")
+        assert(!plan.contains("ScalarSubquery"),
+          s"$q's correlated scalar must decorrelate:\n$plan")
     }
-    val (_, p17) = plans(0)
+    val byName = plans.toMap
+    assert(byName("q_tpch_q4").contains("LeftSemi"),
+      s"q4's EXISTS must become a semi join:\n${byName("q_tpch_q4")}")
+    val p17 = byName("q_tpch_q17")
     assert(p17.contains("HashAggregate") && p17.contains("Join"),
       s"q17's correlated avg must become aggregate+join:\n$p17")
-    val (_, p20) = plans(1)
-    assert(p20.contains("LeftSemi"),
-      s"q20's IN subqueries must become semi joins:\n$p20")
-    val (_, p21) = plans(2)
+    assert(byName("q_tpch_q20").contains("LeftSemi"),
+      s"q20's IN subqueries must become semi joins:\n${byName("q_tpch_q20")}")
+    val p21 = byName("q_tpch_q21")
     assert(p21.contains("LeftSemi") && p21.contains("LeftAnti"),
       s"q21's EXISTS/NOT EXISTS must become semi+anti self-joins:\n$p21")
+    assert(byName("q_tpch_q16").contains("LeftAnti"),
+      s"q16's NOT IN must become a (null-aware) anti join:\n${byName("q_tpch_q16")}")
+    assert(byName("q_tpch_q22").contains("LeftAnti"),
+      s"q22's NOT EXISTS must become an anti join:\n${byName("q_tpch_q22")}")
   }
 
   test("row-local curation ops plan with ZERO shuffle exchanges") {
