@@ -126,6 +126,10 @@ object RemoteJdbc {
     }
 
     private def serve(sock: Socket): Unit = {
+      // small request/reply frames: without NODELAY, Nagle + delayed
+      // ACK turn every JDBC call into a ~40 ms stall (measured: a
+      // 25-row write took seconds)
+      sock.setTcpNoDelay(true)
       val objects = new ConcurrentHashMap[Long, AnyRef]()
       val ids = new AtomicLong(1)
       val out = new ObjectOutputStream(sock.getOutputStream)
@@ -189,6 +193,7 @@ object RemoteJdbc {
 
   private final class Session(host: String, port: Int) {
     private val sock = new Socket(host, port)
+    sock.setTcpNoDelay(true)
     private val out = new ObjectOutputStream(sock.getOutputStream)
     out.flush()
     private val in = new ObjectInputStream(sock.getInputStream)
