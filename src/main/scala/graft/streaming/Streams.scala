@@ -151,6 +151,75 @@ object Streams {
 
   // ---- custom stateful sessionization ----
 
+  final case class QuantileDoc(source: String, doc_key: String, v: Long)
+  final case class QSketchEntry(hv: Long, k: String, v: Long)
+  final case class QSketchState(entries: Seq[QSketchEntry])
+  final case class QuantileEstimate(source: String, n_sample: Int,
+                                    est_p50: Long, est_p90: Long,
+                                    est_p99: Long)
+
+  /** JVM twin of [[graft.functions.Portable.hash32]] (md5-prefix
+    * long) so streaming state holds EXACTLY the hashes the batch
+    * sketch computes — the equality the stream ≡ batch spec pins.
+    */
+  private def hash32Jvm(s: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8"))
+    java.lang.Long.parseLong(
+      d.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16)
+  }
+
+  /** Streaming QUANTILE SKETCH — the stateful twin of
+    * [[graft.operators.Sketches.quantileSketch]]: per group, the
+    * bottom-m rows by (hash32(key), key) are maintained as one
+    * ValueState and the current p50/p90/p99 estimates are emitted
+    * every micro-batch the group changes (update semantics).
+    *
+    * Because the batch sketch is a MERGEABLE bottom-m (merge ≡ direct,
+    * exact set equality — SketchesSpec), the streaming state after any
+    * prefix of batches IS the batch sketch of the rows seen so far, so
+    * the final streamed estimates equal the batch estimates exactly
+    * (spec-pinned on the documents table across two micro-batches).
+    * State per group is m entries — bounded, independent of stream
+    * volume; no watermark needed (the sketch never evicts by time).
+    */
+  def streamingQuantileSketch(docs: Dataset[QuantileDoc], m: Int = 64)
+      : Dataset[QuantileEstimate] = {
+    require(m >= 1, "sample size must be positive")
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Enc}
+
+    class QSketchProcessor
+        extends StatefulProcessor[String, QuantileDoc, QuantileEstimate] {
+      @transient private var st: ValueState[QSketchState] = _
+      override def init(outputMode: OutputMode,
+                        timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[QSketchState]("sketch",
+          Enc.product[QSketchState], TTLConfig.NONE)
+      override def handleInputRows(key: String,
+                                   rows: Iterator[QuantileDoc],
+                                   timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[QuantileEstimate] = {
+        val prev = if (st.exists()) st.get().entries else Seq.empty
+        val merged = (prev ++ rows.map(d =>
+            QSketchEntry(hash32Jvm(d.doc_key), d.doc_key, d.v)))
+          .sortBy(e => (e.hv, e.k))
+          .take(m)
+        st.update(QSketchState(merged))
+        val byV = merged.map(e => (e.v, e.k)).sorted.map(_._1)
+        val sm = byV.size
+        def est(p: Int): Long =
+          byV(((sm.toLong * p + 99) / 100).toInt.max(1) - 1)
+        Iterator.single(
+          QuantileEstimate(key, sm, est(50), est(90), est(99)))
+      }
+    }
+    docs.groupByKey(_.source)
+      .transformWithState(new QSketchProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
                                ts: Timestamp)
   final case class FunnelReach(user_id: Long, step: Int,

@@ -439,6 +439,53 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingQuantileSketch ≡ batch sketch estimates on the documents") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val m = 32
+    val docs = graft.model.Tables.documents(spark, sf)
+      .filter(col("n_chars").isNotNull)
+    val batchEst = graft.operators.Sketches.sketchQuantiles(
+      graft.operators.Sketches.quantileSketch(docs, "source", "doc_id",
+        "n_chars", m), "source")
+      .collect().map(r => (r.getString(0),
+        (r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val rows = docs.select("source", "doc_id", "n_chars")
+      .collect().map(r => Streams.QuantileDoc(r.getString(0),
+        r.getLong(1).toString, r.getLong(2)))
+    val in = MemoryStream[Streams.QuantileDoc]
+    val q = Streams.streamingQuantileSketch(in.toDS(), m)
+      .writeStream.format("memory").queryName("tws_qsk")
+      .outputMode("update").start()
+    try {
+      val (a, b) = rows.splitAt(rows.length / 2)
+      in.addData(a.toSeq); q.processAllAvailable()
+      in.addData(b.toSeq); q.processAllAvailable()
+      // LAST emitted estimate per group must equal the batch estimate
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("source").orderBy(col("emit_order").desc)
+      val streamed = spark.table("tws_qsk")
+        .withColumn("emit_order", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .collect().map(r => (r.getString(0),
+          (r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+      assert(streamed == batchEst,
+        s"streamed $streamed != batch $batchEst")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingFunnel: chain gating and gap window, exact rows") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
