@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.expressions.{BloomAnyContain, BloomShingleContain, CosineSimilarity, DotProduct, NfcNormalize}
+import graft.expressions.{BloomAnyContain, BloomShingleContain, CosineSimilarity, DotProduct, MultiOccCount, NfcNormalize}
 
 /** Catalyst rule: rewrite the declarative dot-product pattern
   *
@@ -88,6 +88,22 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("nfc_normalize"),
       new ExpressionInfo(classOf[NfcNormalize].getName, "nfc_normalize"),
       (args: Seq[Expression]) => NfcNormalize(args.head)))
+    ext.injectFunction((
+      new FunctionIdentifier("multi_occ_count"),
+      new ExpressionInfo(classOf[MultiOccCount].getName, "multi_occ_count"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        import org.apache.spark.sql.catalyst.util.ArrayData
+        args(1) match {
+          case Literal(a: ArrayData, _) =>
+            MultiOccCount(args(0),
+              a.toObjectArray(org.apache.spark.sql.types.StringType)
+                .map(_.toString))
+          case other => throw new IllegalArgumentException(
+            s"multi_occ_count(text, needles) needs a literal needle " +
+              s"array, got $other")
+        }
+      }))
     ext.injectFunction((
       new FunctionIdentifier("bloom_any_contain"),
       new ExpressionInfo(classOf[BloomAnyContain].getName,

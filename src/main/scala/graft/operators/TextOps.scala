@@ -50,7 +50,21 @@ object TextOps {
     */
   def languageId(text: Column): Column = {
     val padded = concat(lit(" "), lower(text), lit(" "))
-    val scores = langScores(padded)
+    // ONE single-pass multi-needle count (native expression) instead
+    // of 25 replace-based copies of the text per row — counts are
+    // contract-identical to occCount, so no oracle changes; per-lang
+    // scores are element sums over the shared counts array (one
+    // evaluation under codegen subexpression elimination)
+    val markers = langProfiles.flatMap(_._2)
+    val counts = graft.expressions.TextExpressions
+      .multiOccCount(padded, markers)
+    val offsets = langProfiles.map(_._2.size).scanLeft(0)(_ + _)
+    val scores: Seq[(String, Column)] =
+      langProfiles.zip(offsets).map { case ((lang, ms), off) =>
+        lang -> ms.indices
+          .map(j => element_at(counts, off + j + 1))
+          .reduce(_ + _)
+      }
     val n = scores.size
     // Argmax via ONE struct-greatest, not a best-so-far when-fold: the
     // fold nests every earlier score inside every later branch —

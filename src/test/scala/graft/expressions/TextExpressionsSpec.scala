@@ -50,4 +50,32 @@ class TextExpressionsSpec extends SparkSpec {
       .select(TextOps.piiCount($"s", TextOps.emailPattern)).as[Int].head()
     assert(n == 2)
   }
+
+  test("multiOccCount == the replace-based occCount formula, per needle") {
+    val texts = Seq("aaa bb the the cat", "的的的 und sch", "", "xyz",
+      "ababab")
+    val needles = Seq("aa", "the", "的", "ab", " und ", "zz")
+    val df = texts.toDF("s")
+      .select(TextExpressions.multiOccCount(
+        concat(lit(" "), $"s", lit(" ")), needles).as("m") +:
+        needles.zipWithIndex.map { case (nd, i) =>
+          TextOps.occCount(concat(lit(" "), $"s", lit(" ")), nd)
+            .cast("int").as(s"o$i")
+        }: _*)
+    df.collect().foreach { r =>
+      val fused = r.getSeq[Int](0)
+      val refs = needles.indices.map(i => r.getInt(i + 1))
+      assert(fused == refs, s"fused $fused != replace-based $refs")
+    }
+    // null text stays null
+    val n = Seq[Option[String]](None).toDF("s")
+      .select(TextExpressions.multiOccCount($"s", Seq("x")).as("m"))
+      .head()
+    assert(n.isNullAt(0))
+    // greedy non-overlapping: "aaa" has ONE "aa" (like replace)
+    val g = Seq("aaa").toDF("s")
+      .select(TextExpressions.multiOccCount($"s", Seq("aa")))
+      .head().getSeq[Int](0)
+    assert(g == Seq(1), s"got $g")
+  }
 }
