@@ -34,12 +34,20 @@ object Memo {
         size > MaxEntries
     }
 
+  // stable per-session identity that cannot collide across GC'd
+  // sessions (identityHashCode is reusable once a stopped session is
+  // collected); weak keys let dead sessions drop out
+  private val sessionIds = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
+      java.util.UUID]())
+
   /** Memo key for an operator over `df`: session + canonical plan +
     * params. Build it BEFORE any localCheckpoint of `df` (checkpoints
     * mint fresh RDD-backed plans that never compare equal).
     */
   def dfKey(df: DataFrame, parts: Any*): AnyRef =
-    (System.identityHashCode(df.sparkSession),
+    (sessionIds.computeIfAbsent(df.sparkSession,
+      _ => java.util.UUID.randomUUID()),
       df.queryExecution.analyzed.canonicalized,
       parts.toList)
 
@@ -47,15 +55,25 @@ object Memo {
     * on first use. `compute` should return a MATERIALIZED frame
     * (stabilized / localCheckpointed) so a hit never re-runs the
     * subtree.
+    *
+    * Concurrency: `compute` runs OUTSIDE the cache lock — a
+    * multi-second training job must not serialize unrelated callers.
+    * Two threads racing the SAME key may both compute; the first
+    * writer wins and both results are equivalent (the contract is
+    * deterministic subtrees), so the loser's frame is simply dropped.
     */
-  def shared[T <: AnyRef](key: AnyRef)(compute: => T): T =
-    cache.synchronized {
-      Option(cache.get(key)).map(_.asInstanceOf[T]).getOrElse {
-        val v = compute
-        cache.put(key, v)
-        v
+  def shared[T <: AnyRef](key: AnyRef)(compute: => T): T = {
+    val hit = cache.synchronized(Option(cache.get(key)))
+    hit.map(_.asInstanceOf[T]).getOrElse {
+      val v = compute
+      cache.synchronized {
+        Option(cache.get(key)).map(_.asInstanceOf[T]).getOrElse {
+          cache.put(key, v)
+          v
+        }
       }
     }
+  }
 
   /** Drop every entry (tests; sessions that must re-read mutated
     * inputs).

@@ -78,8 +78,16 @@ case class NfcNormalize(child: Expression) extends UnaryExpression
   * code is one static call, keeping the codegen method tiny no matter
   * how many needles.
   */
-case class MultiOccCount(child: Expression, needles: Array[String])
+case class MultiOccCount(child: Expression, needles: Seq[String])
     extends UnaryExpression with Serializable {
+  // Seq, not Array: case-class equality must be STRUCTURAL or two
+  // separately-built instances never canonicalize equal — killing
+  // subexpression elimination, exchange reuse, and plan-keyed memo
+  // hits for any plan containing this expression
+  require(needles.nonEmpty && needles.forall(_.nonEmpty),
+    "multi_occ_count needles must be non-empty strings")
+
+  private lazy val needleArr: Array[String] = needles.toArray
 
   override def prettyName: String = "multi_occ_count"
 
@@ -95,11 +103,11 @@ case class MultiOccCount(child: Expression, needles: Array[String])
   override def nullable: Boolean = child.nullable
 
   override protected def nullSafeEval(input: Any): Any =
-    MultiOccCount.count(input.asInstanceOf[UTF8String], needles)
+    MultiOccCount.count(input.asInstanceOf[UTF8String], needleArr)
 
   override def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, c => {
-      val ref = ctx.addReferenceObj("needles", needles,
+      val ref = ctx.addReferenceObj("needles", needleArr,
         "java.lang.String[]")
       s"${ev.value} = graft.expressions.MultiOccCount.count($c, $ref);"
     })
@@ -117,7 +125,8 @@ object MultiOccCount {
     var i = 0
     while (i < needles.length) {
       val n = needles(i)
-      var idx = str.indexOf(n)
+      // defense in depth: an empty needle would never advance idx
+      var idx = if (n.isEmpty) -1 else str.indexOf(n)
       var c = 0
       while (idx >= 0) {
         c += 1

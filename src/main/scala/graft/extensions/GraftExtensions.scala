@@ -98,7 +98,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case Literal(a: ArrayData, _) =>
             MultiOccCount(args(0),
               a.toObjectArray(org.apache.spark.sql.types.StringType)
-                .map(_.toString))
+                .map(_.toString).toSeq)
           case other => throw new IllegalArgumentException(
             s"multi_occ_count(text, needles) needs a literal needle " +
               s"array, got $other")

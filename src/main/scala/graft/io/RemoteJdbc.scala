@@ -112,7 +112,18 @@ object RemoteJdbc {
             val t = new Thread(() => serve(sock), "graft-rjdbc-session")
             t.setDaemon(true)
             t.start()
-          } catch { case _: Throwable if !running => () }
+          } catch {
+            case _: Throwable if !running => () // stop(): normal exit
+            case e: Throwable =>
+              // transient accept failure (EMFILE, interrupt): log and
+              // keep accepting — a dead acceptor with a still-bound
+              // socket turns every later connect into a silent hang
+              System.err.println(
+                s"[remote-jdbc] accept failed, continuing: $e")
+              try Thread.sleep(50) catch {
+                case _: InterruptedException => ()
+              }
+          }
         }
       }, "graft-rjdbc-accept")
       acceptor.setDaemon(true)

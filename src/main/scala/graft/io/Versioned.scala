@@ -108,13 +108,24 @@ object Versioned {
     val existing = versions(spark, path)
     val next = existing.lastOption.fold(0L)(_ + 1L)
     val batchDir = new Path(path, s"data/b$next")
-    // crash safety: a writer that died between its batch write and the
-    // manifest rename leaves data/b<next> with NO published manifest
-    // referencing it (manifests list only batches <= their version, and
-    // v<next> does not exist — that is why `next` was chosen). Clear the
-    // orphan so the replayed commit does not trip errorifexists forever.
-    if (f.exists(batchDir)) f.delete(batchDir, true)
-    df.write.mode("errorifexists").parquet(batchDir.toString)
+    // crash safety without a stalled-writer window: the parquet write
+    // goes to a PRIVATE uniquely-named temp dir, then renames into the
+    // b<next> slot. A writer that died mid-write leaves only its temp
+    // dir (vacuum sweeps those); one that died between rename and
+    // manifest publish leaves an orphaned b<next> that NO manifest
+    // references (manifests list only batches <= their version, and
+    // v<next> does not exist — that is why `next` was chosen), which
+    // the replayed commit clears. A merely STALLED writer still
+    // mid-write can never collide with the retry's files (its dir is
+    // private); the race is narrowed to the instant between its rename
+    // and the retry's orphan check — the single-writer contract this
+    // module already declares covers that metadata-level window.
+    val tmpDir = new Path(path,
+      s"data/.b$next.tmp-${java.util.UUID.randomUUID().toString}")
+    df.write.mode("errorifexists").parquet(tmpDir.toString)
+    if (f.exists(batchDir)) f.delete(batchDir, true) // unpublished orphan
+    require(f.rename(tmpDir, batchDir),
+      s"batch publish rename failed for b$next")
     val newFiles = f.listStatus(batchDir).toSeq.map(_.getPath)
       .filter(_.getName.endsWith(".parquet")).map(_.toString).sorted
     val carried =
@@ -192,11 +203,17 @@ object Versioned {
     dead.foreach(p => f.delete(new Path(p), false))
     drop.foreach(v =>
       f.delete(new Path(manifestDir(path), f"v$v%05d.json"), false))
-    // empty batch dirs left behind are cosmetic; clear them if drained
+    // empty batch dirs left behind are cosmetic; clear them if
+    // drained. Dead writers' private temp dirs (.b*.tmp-*) are
+    // unreferenced by construction — sweep them too.
     val dataDir = new Path(path, "data")
     if (f.exists(dataDir))
       f.listStatus(dataDir).foreach { st =>
-        if (f.listStatus(st.getPath).isEmpty) f.delete(st.getPath, false)
+        if (st.getPath.getName.startsWith(".b") &&
+            st.getPath.getName.contains(".tmp-"))
+          f.delete(st.getPath, true)
+        else if (f.listStatus(st.getPath).isEmpty)
+          f.delete(st.getPath, false)
       }
     dead.size
   }

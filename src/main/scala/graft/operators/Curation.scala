@@ -440,10 +440,19 @@ object Curation {
                           minTokens: Int): (DataFrame, DataFrame) =
     graft.Memo.shared(
       graft.Memo.dfKey(docs, "qualityBase", idCol, textCol, minTokens)) {
-      val withN = docs
-        .withColumn("n_tokens",
-          size(Portable.tokens(col(textCol))).cast("long"))
-        .localCheckpoint()
+      // the tokenized frame feeds the repetition gate, the base
+      // branch, AND (via the memo) the audit twin's verdict join —
+      // materializing it once beats re-tokenizing the corpus per
+      // consumer. A session that runs ONLY the bare pipeline and
+      // wants to avoid the full-corpus executor-disk write can set
+      // spark.graft.shareQualityBase=false (frames stay lazy; the
+      // downstream memos still share because the PLAN objects are
+      // shared).
+      val share = docs.sparkSession.conf
+        .get("spark.graft.shareQualityBase", "true").toBoolean
+      val withNLazy = docs.withColumn("n_tokens",
+        size(Portable.tokens(col(textCol))).cast("long"))
+      val withN = if (share) withNLazy.localCheckpoint() else withNLazy
       val pass = TextOps.repetitionStats(withN, idCol, textCol)
         .filter(col("gopher_pass")).select(col(idCol))
       val base = withN.filter(col("n_tokens") >= minTokens)

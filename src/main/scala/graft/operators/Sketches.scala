@@ -313,10 +313,14 @@ object Sketches {
     require(m >= 1, "sample size must be positive")
     val w = Window.partitionBy(col(groupCol))
       .orderBy(col("hv"), col("key"))
+    // key carried AS STRING: hv ties (32-bit hash collisions — real at
+    // corpus scale) must break identically in the batch sketch, the
+    // SQL oracle, and the streaming state (whose key is a string), or
+    // the pinned merge/stream equalities fail exactly when it matters
     df.filter(col(valueCol).isNotNull)
       .select(col(groupCol),
         Portable.hash32(col(keyCol).cast("string")).as("hv"),
-        col(keyCol).as("key"), col(valueCol).as("v"))
+        col(keyCol).cast("string").as("key"), col(valueCol).as("v"))
       .withColumn("rk", row_number().over(w))
       .filter(col("rk") <= m)
   }

@@ -37,12 +37,6 @@ object TextOps {
   def occCount(c: Column, needle: String): Column =
     (length(c) - length(replace(c, lit(needle), lit("")))) / lit(needle.length)
 
-  /** Per-language marker score columns for a padded text column. */
-  def langScores(padded: Column): Seq[(String, Column)] =
-    langProfiles.map { case (lang, markers) =>
-      lang -> markers.map(m => occCount(padded, m)).reduce(_ + _)
-    }
-
   /** Language-ID: argmax marker score with deterministic tie-break
     * (language code ascending = profile order), "und" when no marker
     * hits. Text is space-padded so word-boundary markers match at the

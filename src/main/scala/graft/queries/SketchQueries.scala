@@ -287,11 +287,11 @@ object SketchQueries {
          |    SELECT source, doc_id, n_chars,
          |      row_number() OVER (PARTITION BY source
          |        ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
-         |          doc_id) AS rk
+         |          CAST(doc_id AS VARCHAR)) AS rk
          |    FROM qbase) WHERE rk <= $QsM),
          |qsr AS (SELECT source, v,
          |    CAST(row_number() OVER (PARTITION BY source
-         |      ORDER BY v, doc_id) AS BIGINT) AS sr,
+         |      ORDER BY v, CAST(doc_id AS VARCHAR)) AS BIGINT) AS sr,
          |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS sm
          |  FROM qsk),
          |qest AS (SELECT source, ${est(50)}, ${est(90)}, ${est(99)}

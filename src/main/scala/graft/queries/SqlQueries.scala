@@ -18,12 +18,23 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   */
 object SqlQueries {
 
+  // first-bound dir per session: Spark instantiates a catalog ONCE
+  // and ignores later conf changes, so silently accepting a different
+  // sfDir would return data from the old one
+  private val boundDirs = java.util.Collections.synchronizedMap(
+    new java.util.WeakHashMap[SparkSession, String]())
+
   /** Point the `graft` catalog at a scale-factor directory. The
     * catalog binds `dir` at FIRST use in a session (Spark caches
     * catalog instances) — one sfDir per session, same contract as
-    * the memoized subtrees.
+    * the memoized subtrees. A different sfDir in the same session
+    * fails LOUDLY instead of silently serving the old directory.
     */
   def configure(spark: SparkSession, sfDir: String): Unit = {
+    val prev = boundDirs.putIfAbsent(spark, sfDir)
+    require(prev == null || prev == sfDir,
+      s"graft catalog already bound to $prev in this session; " +
+        s"cannot rebind to $sfDir (one sfDir per session)")
     spark.conf.set("spark.sql.catalog.graft",
       classOf[graft.sources.GraftCatalog].getName)
     spark.conf.set("spark.sql.catalog.graft.dir", sfDir)
