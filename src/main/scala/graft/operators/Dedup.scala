@@ -293,13 +293,22 @@ object Dedup {
     * loss forces a job re-run instead of a partition recompute.
     */
   def minhashNearDups(df: DataFrame, idCol: String, textCol: String,
-                      k: Int = 3, threshold: Double = 0.5): DataFrame = {
-    val sigs = minhashSignatures(
-      docShingles(df, idCol, textCol, k, dedup = false), idCol)
-      .localCheckpoint()
-    estimatedJaccard(lshCandidatePairs(sigs, idCol), sigs, idCol)
-      .filter(col("est_jaccard") >= threshold)
-  }
+                      k: Int = 3, threshold: Double = 0.5): DataFrame =
+    // memoized + materialized per (session, input plan, params): the
+    // signature build + LSH banding + Jaccard scoring is the shared
+    // prelude of the whole near-dup family (transitive dedup,
+    // canonical docs, dup-rate, evidence) — one pair graph per corpus
+    // per session, not one per consumer ([[graft.Memo]])
+    graft.Memo.shared(
+      graft.Memo.dfKey(df, "minhashNearDups", idCol, textCol, k,
+        threshold)) {
+      val sigs = minhashSignatures(
+        docShingles(df, idCol, textCol, k, dedup = false), idCol)
+        .localCheckpoint()
+      graft.Checkpoints.stabilize(
+        estimatedJaccard(lshCandidatePairs(sigs, idCol), sigs, idCol)
+          .filter(col("est_jaccard") >= threshold))
+    }
 
   /** Blocked exact n-gram Jaccard: all same-block pairs with at least
     * one shared shingle, scored |A ∩ B| / |A ∪ B|. The plan is
@@ -860,9 +869,12 @@ object Dedup {
     // contractually identical ([[graft.Memo]])
     graft.Memo.shared(
       graft.Memo.dfKey(df, "clusteredInput", idCol, textCol, k, threshold)) {
-      val input = df.localCheckpoint()
-      val pairs = minhashNearDups(input, idCol, textCol, k, threshold)
+      // pair graph built from the RAW plan so it shares the
+      // minhashNearDups memo entry with the direct consumers
+      // (canonical docs, dup-rate, evidence) of the same corpus
+      val pairs = minhashNearDups(df, idCol, textCol, k, threshold)
         .select("id_a", "id_b")
+      val input = df.localCheckpoint()
       val comps = graft.Checkpoints.stabilize(
         connectedComponents(pairs, input.select(idCol), idCol))
       (input, comps)

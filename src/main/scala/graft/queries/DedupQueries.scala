@@ -52,13 +52,10 @@ object DedupQueries {
     // both integer-deterministic, so the whole composition oracles
     "q_canonical_docs" -> ((s, d) => {
       val docs = Tables.documents(s, d)
-      val sigs = Dedup.minhashSignatures(
-        Dedup.docShingles(docs, "doc_id", "text", K, dedup = false),
-        "doc_id").localCheckpoint()
-      // pairs feed BOTH the component labels and the rank edges
-      val pairs = Dedup.estimatedJaccard(
-        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
-        .filter(col("est_jaccard") >= 0.5)
+      // pairs feed BOTH the component labels and the rank edges — the
+      // memoized shared pair graph (same entry as q_dedup_transitive
+      // and the dup-rate/evidence queries over this corpus)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", K, 0.5)
         .select(col("id_a"), col("id_b")).localCheckpoint()
       val comps = Dedup.connectedComponents(pairs,
         docs.select(col("doc_id").as("id")), "id")
