@@ -322,13 +322,18 @@ object Temporal {
     val stepUs = stepSeconds * 1000000L
     def bucketOf(c: Column): Column =
       floor(unix_micros(c) / stepUs).cast("long")
-    val perBucket = Window.partitionBy(col(keyCol), col("__h"))
+    // last-in-bucket via a combinable max-struct aggregate, not a
+    // per-(key, bucket) window: the struct max (ts, tie, value)
+    // partial-aggregates map-side — no per-partition sort, no window
+    // state over the raw events; deterministic because (ts, tie) is
+    // the same total order the window form sorted by
     val lastInBucket = events.withColumn("__h", bucketOf(col(tsCol)))
-      .withColumn("__rn", row_number().over(
-        perBucket.orderBy(col(tsCol).desc, col(tieCol).desc)))
-      .withColumn("__n", count(lit(1)).over(perBucket))
-      .filter(col("__rn") === 1)
-      .select(col(keyCol), col("__h"), col(valueCol).as("__v"), col("__n"))
+      .groupBy(col(keyCol), col("__h"))
+      .agg(max(struct(col(tsCol).as("t"), col(tieCol).as("tb"),
+          col(valueCol).as("v"))).as("__m"),
+        count(lit(1)).as("__n"))
+      .select(col(keyCol), col("__h"),
+        col("__m").getField("v").as("__v"), col("__n"))
     val spine = events.groupBy(col(keyCol))
       .agg(bucketOf(min(col(tsCol))).as("__h0"),
         bucketOf(max(col(tsCol))).as("__h1"))
