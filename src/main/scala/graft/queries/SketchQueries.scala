@@ -118,6 +118,49 @@ object SketchQueries {
         .select("source", "n", "est_p50", "est_p90", "est_p99",
           "exact_p50", "exact_p90", "exact_p99")
         .orderBy("source")
+    }),
+
+    // stored-sketch LIFECYCLE — the production shape of the mergeable
+    // quantile sketch at 100 TB: ingest batch 1's sketch is COMMITTED
+    // to a versioned table, batch 2 arrives, the stored sketch is read
+    // back, merged with batch 2's sketch, and re-committed; estimates
+    // come from the STORE, never from re-scanning earlier batches.
+    // Because merge ≡ direct is exact set equality, the oracle simply
+    // replays the direct sketch over the whole corpus (plus the
+    // per-source sample size, pinning the store content's shape).
+    "q_sketch_lifecycle" -> ((s, d) => {
+      import org.apache.spark.sql.expressions.Window
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_skl_").toString + "/sk"
+      val docs = Tables.documents(s, d).filter(col("n_chars").isNotNull)
+      val b1 = docs.filter(col("doc_id") % 2 === 0)
+      val b2 = docs.filter(col("doc_id") % 2 =!= 0)
+      graft.io.Versioned.commit(s, path,
+        Sketches.quantileSketch(b1, "source", "doc_id", "n_chars", QsM))
+      val stored = graft.io.Versioned.read(s, path)
+      val merged = Sketches.quantileSketchMerge(stored,
+        Sketches.quantileSketch(b2, "source", "doc_id", "n_chars", QsM),
+        "source", QsM)
+      graft.io.Versioned.commit(s, path, merged, mode = "overwrite")
+      val finalSk = graft.io.Versioned.read(s, path)
+      val est = Sketches.sketchQuantiles(finalSk, "source")
+      val ns = finalSk.groupBy("source").agg(count(lit(1)).as("n_sample"))
+      val w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+      val ranked = docs.select(col("source"), col("doc_id"), col("n_chars"))
+        .withColumn("r", row_number().over(w))
+        .withColumn("n", count(lit(1)).over(Window.partitionBy("source")))
+      val exact = ranked.groupBy("source").agg(
+        max(col("n")).as("n"),
+        min(when(col("r") * 100 >= col("n") * 50, col("n_chars")))
+          .as("exact_p50"),
+        min(when(col("r") * 100 >= col("n") * 90, col("n_chars")))
+          .as("exact_p90"),
+        min(when(col("r") * 100 >= col("n") * 99, col("n_chars")))
+          .as("exact_p99"))
+      est.join(ns, "source").join(exact, "source")
+        .select("source", "n", "n_sample", "est_p50", "est_p90",
+          "est_p99", "exact_p50", "exact_p90", "exact_p99")
+        .orderBy("source")
     })
   )
 
@@ -306,6 +349,43 @@ object SketchQueries {
          |SELECT source, n, est_p50, est_p90, est_p99,
          |  exact_p50, exact_p90, exact_p99
          |FROM qest JOIN qex USING (source)
+         |ORDER BY source""".stripMargin
+    },
+
+    // lifecycle ≡ direct: the merge property is the contract, so the
+    // oracle replays the DIRECT sketch over the whole corpus and adds
+    // the per-source sample size the store must hold
+    "q_sketch_lifecycle" -> {
+      def est(p: Int) =
+        s"min(CASE WHEN sr * 100 >= sm * $p THEN v END) AS est_p$p"
+      def ex(p: Int) =
+        s"min(CASE WHEN r * 100 >= n * $p THEN n_chars END) AS exact_p$p"
+      s"""WITH qbase AS (SELECT source, doc_id, n_chars FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |qsk AS (SELECT source, doc_id, n_chars AS v FROM (
+         |    SELECT source, doc_id, n_chars,
+         |      row_number() OVER (PARTITION BY source
+         |        ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
+         |          CAST(doc_id AS VARCHAR)) AS rk
+         |    FROM qbase) WHERE rk <= $QsM),
+         |qns AS (SELECT source, count(*) AS n_sample FROM qsk GROUP BY 1),
+         |qsr AS (SELECT source, v,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY v, CAST(doc_id AS VARCHAR)) AS BIGINT) AS sr,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS sm
+         |  FROM qsk),
+         |qest AS (SELECT source, ${est(50)}, ${est(90)}, ${est(99)}
+         |  FROM qsr GROUP BY source),
+         |qrk AS (SELECT source, n_chars,
+         |    CAST(row_number() OVER (PARTITION BY source
+         |      ORDER BY n_chars, doc_id) AS BIGINT) AS r,
+         |    CAST(count(*) OVER (PARTITION BY source) AS BIGINT) AS n
+         |  FROM qbase),
+         |qex AS (SELECT source, max(n) AS n, ${ex(50)}, ${ex(90)}, ${ex(99)}
+         |  FROM qrk GROUP BY source)
+         |SELECT source, n, n_sample, est_p50, est_p90, est_p99,
+         |  exact_p50, exact_p90, exact_p99
+         |FROM qest JOIN qns USING (source) JOIN qex USING (source)
          |ORDER BY source""".stripMargin
     },
   )

@@ -67,6 +67,43 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("substringDedup ≡ brute-force covered-position reference on random corpora") {
+    // reference implementation: enumerate every k-shingle occurrence,
+    // keep the global min (id, start) of each duplicated shingle, mark
+    // all other occurrences' k positions covered, rebuild — the
+    // semantics the interval-based distributed form must reproduce
+    val k = 3
+    def reference(docs: Seq[(Long, String)]): Map[Long, String] = {
+      val toks = docs.map { case (id, t) =>
+        id -> t.trim.split("\\s+").filter(_.nonEmpty).toSeq
+      }.toMap
+      val occ = for {
+        (id, ts) <- toks.toSeq
+        start <- 0 to (ts.length - k) if ts.length >= k
+      } yield (ts.slice(start, start + k).mkString(" "), id, start)
+      val dup = occ.groupBy(_._1).filter(_._2.size >= 2)
+      val cut = dup.values.flatMap { os =>
+        val keeper = os.map(o => (o._2, o._3)).min
+        os.filter(o => (o._2, o._3) != keeper)
+      }
+      val covered = cut.toSeq.flatMap(o =>
+        (o._3 until o._3 + k).map(p => (o._2, p))).toSet
+      toks.map { case (id, ts) =>
+        id -> ts.zipWithIndex
+          .filter { case (_, p) => !covered((id, p)) }
+          .map(_._1).mkString(" ")
+      }
+    }
+    samples(corpusGen, 8).filter(_.nonEmpty).foreach { docs =>
+      val d = docs.toDF("doc_id", "text")
+      val got = Dedup.substringDedup(d, "doc_id", "text", k)
+        .collect().map(r => r.getLong(0) -> r.getString(1)).toMap
+      val want = reference(docs)
+      assert(got == want,
+        s"interval form diverged from reference on $docs:\n$got\nvs\n$want")
+    }
+  }
+
   test("pivot form ≡ sequential-left-join form on duplicate-free members") {
     samples(Gen.zip(longTableGen, longTableGen), 5).foreach { case (t1, t2) =>
       if (t1.nonEmpty || t2.nonEmpty) {
