@@ -96,6 +96,17 @@ object Layout {
     import org.apache.spark.sql.functions._
     val s = df.agg(min(col(colA)).cast("long"), max(col(colA)).cast("long"),
       min(col(colB)).cast("long"), max(col(colB)).cast("long")).head()
+    // empty input or a column whose long cast is NULL (e.g. a uuid
+    // string) yields NULL stats — fail with the cause, not a bare NPE
+    // from Row.getLong; an empty frame is written as-is (nothing to
+    // cluster)
+    if (s.isNullAt(0) && df.isEmpty) {
+      df.write.mode("overwrite").parquet(path)
+      return
+    }
+    require((0 to 3).forall(i => !s.isNullAt(i)),
+      s"writeZOrdered: min/max of '$colA'/'$colB' not castable to " +
+        "long (non-numeric column?) — cannot compute z-values")
     val z = zOrderValue(col(colA), col(colB),
       s.getLong(0), s.getLong(1), s.getLong(2), s.getLong(3), bits)
     df.withColumn("__z", z)

@@ -47,6 +47,10 @@ object MergeTable {
     // upserts by the fresh copy in the union
     val touchedKeys = updates.select(keyCols.map(col): _*).distinct()
 
+    // a crashed swap leaves the table at path__old and nothing at
+    // path — restore BEFORE the bootstrap check, or this branch would
+    // silently replace the whole table with just the update batch
+    StagedSwap.recover(spark, path)
     if (!fs.exists(target)) {
       upserts.write.mode("overwrite").parquet(path)
       return
@@ -101,32 +105,6 @@ object MergeTable {
             .otherwise(col(c)).as(c)): _*)
   }
 
-  /** Incremental AGGREGATE refresh — the materialized-view maintenance
-    * pattern the daily 100 TB refresh needs: given the previous
-    * per-group aggregate, the new fact snapshot, and the CDC diff
-    * ([[diffSnapshots]]), recompute ONLY the groups whose facts
-    * changed and splice them over the old aggregate rows. Groups the
-    * diff never mentions are carried over untouched (zero fact reads);
-    * touched groups recompute from the new snapshot — with the fact
-    * table partitioned/clustered on the group key that read is
-    * partition-pruned to the changed slice, so daily cost scales with
-    * the CHANGE volume, not the table. A touched group whose facts all
-    * vanished drops out (its old row is anti-joined away and the
-    * recompute yields nothing) — the group-deletion case naive
-    * implementations miss.
-    *
-    * `aggOf` must be a PER-GROUP aggregation over exactly `groupCols`
-    * (the recompute substitutes a filtered fact set; anything
-    * cross-group would see partial data). Invariant — spec-pinned and
-    * the oracle contract: the result equals `aggOf(newSnapshot)`.
-    *
-    * Touched groups are taken from the diff rows AND from the OLD
-    * snapshot rows of the diffed keys: an `update` diff row carries
-    * only the NEW payload, so when a fact MIGRATES between groups the
-    * departed group would otherwise never be marked touched and its
-    * stale aggregate (counting the departed fact) would carry over —
-    * the subtle wrongness that motivates needing `oldSnapshot` here.
-    */
   /** Incremental refresh of a JOIN-aggregate materialized view (fact
     * ⋈ dims → group-by): the star-join sibling of
     * [[incrementalAggRefresh]], for views whose GROUP columns live on
@@ -160,11 +138,37 @@ object MergeTable {
       .distinct()
       .localCheckpoint() // feeds the carry-over anti-join AND the prune
     val recomputed = aggOf(
-      enrich(newFacts).join(touched, groupCols, "left_semi"))
-    aggOld.join(touched, groupCols, "left_anti")
+      nullSafeGroupJoin(enrich(newFacts), touched, groupCols, "left_semi"))
+    nullSafeGroupJoin(aggOld, touched, groupCols, "left_anti")
       .unionByName(recomputed)
   }
 
+  /** Incremental AGGREGATE refresh — the materialized-view maintenance
+    * pattern the daily 100 TB refresh needs: given the previous
+    * per-group aggregate, the new fact snapshot, and the CDC diff
+    * ([[diffSnapshots]]), recompute ONLY the groups whose facts
+    * changed and splice them over the old aggregate rows. Groups the
+    * diff never mentions are carried over untouched (zero fact reads);
+    * touched groups recompute from the new snapshot — with the fact
+    * table partitioned/clustered on the group key that read is
+    * partition-pruned to the changed slice, so daily cost scales with
+    * the CHANGE volume, not the table. A touched group whose facts all
+    * vanished drops out (its old row is anti-joined away and the
+    * recompute yields nothing) — the group-deletion case naive
+    * implementations miss.
+    *
+    * `aggOf` must be a PER-GROUP aggregation over exactly `groupCols`
+    * (the recompute substitutes a filtered fact set; anything
+    * cross-group would see partial data). Invariant — spec-pinned and
+    * the oracle contract: the result equals `aggOf(newSnapshot)`.
+    *
+    * Touched groups are taken from the diff rows AND from the OLD
+    * snapshot rows of the diffed keys: an `update` diff row carries
+    * only the NEW payload, so when a fact MIGRATES between groups the
+    * departed group would otherwise never be marked touched and its
+    * stale aggregate (counting the departed fact) would carry over —
+    * the subtle wrongness that motivates needing `oldSnapshot` here.
+    */
   def incrementalAggRefresh(aggOld: DataFrame, oldSnapshot: DataFrame,
                             newSnapshot: DataFrame, diff: DataFrame,
                             keyCols: Seq[String], groupCols: Seq[String])(
@@ -179,8 +183,25 @@ object MergeTable {
       .distinct()
       .localCheckpoint() // feeds the carry-over anti-join AND the prune
     val recomputed = aggOf(
-      newSnapshot.join(touched, groupCols, "left_semi"))
-    aggOld.join(touched, groupCols, "left_anti")
+      nullSafeGroupJoin(newSnapshot, touched, groupCols, "left_semi"))
+    nullSafeGroupJoin(aggOld, touched, groupCols, "left_anti")
       .unionByName(recomputed)
+  }
+
+  /** Semi/anti join on the group columns with NULL-SAFE equality: a
+    * changed fact whose group is NULL (or whose dim enrich missed)
+    * must mark the NULL group touched like any other — name-list
+    * joins use null-unsafe equality, which would leave the NULL
+    * group's aggregate permanently stale, breaking the
+    * refresh ≡ full-recompute invariant exactly where it is hardest
+    * to notice.
+    */
+  private def nullSafeGroupJoin(df: DataFrame, touched: DataFrame,
+                                groupCols: Seq[String],
+                                joinType: String): DataFrame = {
+    val renamed = touched.toDF(groupCols.map("__t_" + _): _*)
+    val cond = groupCols.map(g => col(g) <=> col("__t_" + g))
+      .reduce(_ && _)
+    df.join(renamed, cond, joinType)
   }
 }

@@ -34,8 +34,14 @@ object StagedSwap {
     val stage = new Path(path + "__stage")
     val old = new Path(path + "__old")
     val fs = target.getFileSystem(conf)
-    // leftovers from a writer that died mid-swap; the live table is
-    // whatever sits at `path`, so both side paths are garbage
+    // a writer that died BETWEEN its two renames left the live table
+    // at __old and nothing at `path` — restore it before anything is
+    // deleted (deleting __old in that state would destroy the last
+    // copy, the exact loss the rename-aside design exists to prevent)
+    recover(spark, path)
+    // remaining leftovers from a writer that died mid-swap; with the
+    // restore above done, the live table is whatever sits at `path`,
+    // so both side paths are garbage
     fs.delete(stage, true)
     fs.delete(old, true)
     write(stage.toString)
@@ -47,5 +53,24 @@ object StagedSwap {
         s"staged swap: cannot move staging into place for $path (restored)")
     }
     fs.delete(old, true)
+  }
+
+  /** Complete a crashed swap: if the table is MISSING at `path` but a
+    * `path__old` copy exists (death between the two renames), move it
+    * back. Returns true if a restore happened. Callers that branch on
+    * table existence (e.g. [[MergeTable.merge]]'s bootstrap path) MUST
+    * run this first, or a crashed swap masquerades as an empty table.
+    */
+  def recover(spark: SparkSession, path: String): Boolean = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val target = new Path(path)
+    val old = new Path(path + "__old")
+    val fs = target.getFileSystem(conf)
+    if (!fs.exists(target) && fs.exists(old)) {
+      if (!fs.rename(old, target))
+        throw new java.io.IOException(
+          s"staged swap: cannot restore $path from __old")
+      true
+    } else false
   }
 }

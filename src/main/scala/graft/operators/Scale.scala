@@ -24,6 +24,11 @@ object Scale {
     // while this session's in-memory catalog has no such table —
     // saveAsTable(Overwrite) then fails with LOCATION_ALREADY_EXISTS;
     // drop both the entry and any stale directory first
+    // unqualified names only: Spark lowercases the managed location
+    // and a db-qualified name lives under <db>.db/ — both would break
+    // the stale-dir computation below, so fail loudly instead
+    require(!table.contains(".") && table == table.toLowerCase,
+      s"writeBucketed needs an unqualified lowercase table name, got '$table'")
     spark.sql(s"DROP TABLE IF EXISTS `$table`")
     val loc = new org.apache.hadoop.fs.Path(
       spark.conf.get("spark.sql.warehouse.dir"), table)
@@ -45,13 +50,6 @@ object Scale {
                    keys: Seq[String], joinType: String = "inner"): DataFrame =
     spark.table(leftTable).join(spark.table(rightTable), keys, joinType)
 
-  /** Salted equi-join for a skewed LEFT side: the left's hot keys are
-    * spread over `saltFactor` sub-keys; the (small) right side is
-    * replicated `saltFactor`× via an exploded salt column, so every
-    * sub-key finds its match. Use when AQE's skew-join splitting isn't
-    * enough (e.g. one key is >> a single partition). Right side grows
-    * by saltFactor — keep it the dimension side.
-    */
   /** Join types whose semantics survive right-side replication: a
     * replicated right row only ever MATCHES (inner/left/semi) or
     * PROVES EXISTENCE (anti) — it is never emitted unmatched. Under
@@ -62,6 +60,13 @@ object Scale {
     Set("inner", "left", "left_outer", "leftouter", "left_semi", "leftsemi",
       "left_anti", "leftanti", "cross")
 
+  /** Salted equi-join for a skewed LEFT side: the left's hot keys are
+    * spread over `saltFactor` sub-keys; the (small) right side is
+    * replicated `saltFactor`× via an exploded salt column, so every
+    * sub-key finds its match. Use when AQE's skew-join splitting isn't
+    * enough (e.g. one key is >> a single partition). Right side grows
+    * by saltFactor — keep it the dimension side.
+    */
   def saltedJoin(left: DataFrame, right: DataFrame, keys: Seq[String],
                  saltFactor: Int, joinType: String = "inner"): DataFrame = {
     require(saltSafeJoinTypes.contains(joinType.toLowerCase.replace(" ", "")),
@@ -95,22 +100,14 @@ object Scale {
         "join must keep; use inner or left_semi")
     val (words, mBits, numHashes) =
       graft.functions.Bloom.buildSized(small.select(smallKey), smallKey)
-    big.filter(graft.functions.Bloom.mightContain(col(bigKey), words,
-        mBits, numHashes))
-      .join(small, col(bigKey) === col(smallKey), joinType)
+    // qualify the join keys via their own frames: bare col(name) on
+    // both sides resolves ambiguously when bigKey == smallKey (the
+    // natural same-name call), failing analysis
+    val pruned = big.filter(graft.functions.Bloom.mightContain(
+      col(bigKey), words, mBits, numHashes))
+    pruned.join(small, pruned(bigKey) === small(smallKey), joinType)
   }
 
-  /** Skew diagnostic: the top-N heaviest join/shuffle keys with their
-    * row share and a suggested salt factor (⌈key count / mean key
-    * count⌉ — the replication needed to level that key's partition to
-    * the average). Run this BEFORE picking [[saltedJoin]]'s
-    * saltFactor or trusting AQE to split a hot partition.
-    *
-    * Cost: one groupBy on the key (map-side combinable) + a scalar
-    * aggregate broadcast back over the counts — no driver collect, so
-    * it is safe to point at a 100 TB fact table. Ties order by key
-    * ascending for a deterministic report.
-    */
   /** Global dense row numbers (1..n in `orderCols` order) WITHOUT the
     * single-partition global window. `row_number() OVER (ORDER BY …)`
     * moves the whole table through one task — the classic 100 TB
@@ -216,6 +213,17 @@ object Scale {
     df.join(broadcast(shardMap.select(col(keyCol), col("shard"))),
       Seq(keyCol), "left")
 
+  /** Skew diagnostic: the top-N heaviest join/shuffle keys with their
+    * row share and a suggested salt factor (⌈key count / mean key
+    * count⌉ — the replication needed to level that key's partition to
+    * the average). Run this BEFORE picking [[saltedJoin]]'s
+    * saltFactor or trusting AQE to split a hot partition.
+    *
+    * Cost: one groupBy on the key (map-side combinable) + a scalar
+    * aggregate broadcast back over the counts — no driver collect, so
+    * it is safe to point at a 100 TB fact table. Ties order by key
+    * ascending for a deterministic report.
+    */
   def skewReport(df: DataFrame, keyCol: String, topN: Int = 10): DataFrame = {
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
     val stats = counts.agg(sum("cnt").as("__total"),

@@ -61,7 +61,12 @@ object Temporal {
     val lTagged = left.withColumn("__side", lit(1))
       .withColumn("__asof", lit(null).cast(payloadType))
     val rTagged = carryCols.foldLeft(
-      right.select((keys :+ tsCol).map(col) :+
+      // a NULL right ts can match nothing ("right.ts <= left.ts" is
+      // never true for NULL) — but asc ordering sorts NULLS FIRST, so
+      // an unfiltered null-ts row's payload would leak into every left
+      // row before the first real right row
+      right.filter(col(tsCol).isNotNull)
+        .select((keys :+ tsCol).map(col) :+
           struct(payloadCols.map(col): _*).as("__asof"): _*)
         .withColumn("__side", lit(0))) { (df, c) =>
       df.withColumn(c, lit(null).cast(left.schema(c).dataType))
@@ -223,11 +228,21 @@ object Temporal {
       .withColumn("__h", date_trunc("hour", col(tsCol)))
       .withColumn("__d", date_trunc("day", col(tsCol)))
       .withColumn("__m", date_trunc("month", col(tsCol)))
+    // NULL-SAFE group joins: a privacy report must not silently DROP
+    // rows it cannot classify — a NULL event type (or NULL ts bucket)
+    // groups and joins as its own value instead of vanishing through
+    // null-unsafe equality, the worst failure direction for a
+    // suppression report
     def sizes(c: String, out: String) =
-      e.groupBy(col(typeCol), col(c)).agg(count(lit(1)).as(out))
-    e.join(sizes("__h", "__nh"), Seq(typeCol, "__h"))
-      .join(sizes("__d", "__nd"), Seq(typeCol, "__d"))
-      .join(sizes("__m", "__nm"), Seq(typeCol, "__m"))
+      e.groupBy(col(typeCol).as("__t"), col(c).as("__c"))
+        .agg(count(lit(1)).as(out))
+    def joinSz(df: DataFrame, sz: DataFrame, c: String) =
+      df.join(sz, col(typeCol) <=> col("__t") && col(c) <=> col("__c"))
+        .drop("__t", "__c")
+    joinSz(joinSz(joinSz(e,
+        sizes("__h", "__nh"), "__h"),
+        sizes("__d", "__nd"), "__d"),
+        sizes("__m", "__nm"), "__m")
       .withColumn("granularity",
         when(col("__nh") >= k, "hour")
           .when(col("__nd") >= k, "day")
@@ -285,6 +300,9 @@ object Temporal {
     */
   def rollingActiveUsers(events: DataFrame, userCol: String, tsCol: String,
                          windowDays: Int = 7): DataFrame = {
+    // windowDays <= 0 would make sequence() run DESCENDING, silently
+    // counting users from FUTURE days
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
     val daily = events
       .select(to_date(col(tsCol)).as("__day"), col(userCol).as("__user"))
       .distinct()
@@ -347,7 +365,10 @@ object Temporal {
           "yyyy-MM-dd HH:mm:ss").as("bucket_ts"),
         coalesce(col("__n"), lit(0L)).as("n_events"),
         round(col("__fv"), 6).as("filled_value"),
-        col("__v").isNotNull.as("observed"))
+        // observed = the bucket HAD events (spine hit), not "the last
+        // event's value was non-null" — a latest-row NULL value is
+        // still an observation (the asofJoin latest-row contract)
+        col("__n").isNotNull.as("observed"))
   }
 
   /** Ordered funnel analysis: for each step sequence (e.g. view →

@@ -61,6 +61,48 @@ class MergeTableSpec extends SparkSpec {
     assert(!fs.exists(new org.apache.hadoop.fs.Path(path + "__old")))
   }
 
+  test("merge after a mid-swap crash RECOVERS the table (no silent loss)") {
+    val path = freshPath("crash")
+    MergeTable.merge(spark, path,
+      Seq((1L, "a"), (2L, "b")).toDF("k", "v"), Seq("k"))
+    // simulate death BETWEEN the two swap renames: table moved aside,
+    // nothing live at path
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    assert(fs.rename(new org.apache.hadoop.fs.Path(path),
+      new org.apache.hadoop.fs.Path(path + "__old")))
+    // the next merge must restore the previous table FIRST — the old
+    // behavior took the bootstrap branch and kept only the batch
+    MergeTable.merge(spark, path,
+      Seq((3L, "c", false)).toDF("k", "v", "del"), Seq("k"), Some("del"))
+    val out = spark.read.parquet(path).as[(Long, String)].collect().toMap
+    assert(out == Map(1L -> "a", 2L -> "b", 3L -> "c"),
+      s"pre-crash rows must survive: $out")
+  }
+
+  test("incremental refreshes keep the NULL group honest") {
+    // a changed fact whose group is NULL must mark the NULL group
+    // touched — null-unsafe joins would leave its old aggregate stale
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.DataFrame
+    def aggOf(df: DataFrame) = df.groupBy("g")
+      .agg(sum("x").as("sx"), count(lit(1)).as("n"))
+    val oldSnap = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 5L),
+      (3L, Option.empty[String], 7L)).toDF("k", "g", "x")
+    // k=2's value changes INSIDE the null group
+    val newSnap = Seq((1L, Option("a"), 10L), (2L, Option.empty[String], 50L),
+      (3L, Option.empty[String], 7L)).toDF("k", "g", "x")
+    val diff = MergeTable.diffSnapshots(oldSnap, newSnap, Seq("k"))
+    val got = MergeTable.incrementalAggRefresh(aggOf(oldSnap), oldSnap,
+      newSnap, diff, Seq("k"), Seq("g"))(aggOf)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    val want = aggOf(newSnap)
+      .collect().map(r => (Option(r.getString(0)), r.getLong(1), r.getLong(2)))
+      .toSet
+    assert(got == want, s"refresh $got != full recompute $want")
+  }
+
   test("diffSnapshots classifies changes and is merge's inverse") {
     val path = freshPath("diff")
     val oldSnap = Seq(1L -> Some("a"), 2L -> Some("b"), 3L -> Some("c"),

@@ -217,4 +217,23 @@ class ScaleSpec extends SparkSpec {
     assert(assigned.filter($"key".isNull).head.isNullAt(
       assigned.columns.indexOf("shard")))
   }
+
+  test("bloomPrunedJoin works when both keys share a name") {
+    val big = (1L to 100L).map(i => (i % 20, s"p$i")).toDF("k", "pay")
+    val small = Seq((3L, "d3"), (7L, "d7")).toDF("k", "dim")
+    // same-name keys previously failed analysis with an ambiguous
+    // reference; disambiguation must come from the frames themselves
+    val joined = Scale.bloomPrunedJoin(big, small, "k", "k")
+    assert(joined.count() == 10, s"got ${joined.count()}")
+  }
+
+  test("writeBucketed rejects qualified or mixed-case table names") {
+    val df = Seq((1L, "a")).toDF("k", "v")
+    intercept[IllegalArgumentException] {
+      Scale.writeBucketed(df, "MyTable", Seq("k"), 4)
+    }
+    intercept[IllegalArgumentException] {
+      Scale.writeBucketed(df, "db.tbl", Seq("k"), 4)
+    }
+  }
 }

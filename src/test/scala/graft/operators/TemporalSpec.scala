@@ -282,4 +282,49 @@ class TemporalSpec extends SparkSpec {
       .collect().map(r => r.getDouble(3))
     assert(got.toSeq == Seq(2.0))
   }
+
+  test("asofJoin: a NULL right timestamp matches nothing (no payload leak)") {
+    import java.sql.Timestamp
+    val left = Seq((1L, Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("k", "ts")
+    val right = Seq(
+      (1L, Option.empty[Timestamp], "ghost"),   // NULL ts: unmatched ever
+      (1L, Option(Timestamp.valueOf("2024-01-01 09:00:00")), "real"))
+      .toDF("k", "ts", "p")
+    val got = Temporal.asofJoin(left, right, Seq("k"), "ts", Seq("p"))
+      .select("asof_p").head().getString(0)
+    assert(got == "real", s"null-ts right row leaked: got $got")
+    // and with ONLY the null-ts row, the left row gets NULL
+    val onlyGhost = Temporal.asofJoin(left,
+      right.filter($"p" === "ghost"), Seq("k"), "ts", Seq("p"))
+      .select("asof_p").head()
+    assert(onlyGhost.isNullAt(0), "no matchable right row must yield NULL")
+  }
+
+  test("rollingActiveUsers rejects windowDays < 1") {
+    val ev = Seq((1L, java.sql.Timestamp.valueOf("2024-01-01 10:00:00")))
+      .toDF("user_id", "ts")
+    intercept[IllegalArgumentException] {
+      Temporal.rollingActiveUsers(ev, "user_id", "ts", windowDays = 0)
+    }
+  }
+
+  test("anonymizationLadder counts NULL-type events instead of dropping them") {
+    import java.sql.Timestamp
+    val ev = Seq(
+      (Option("click"), Timestamp.valueOf("2024-01-01 10:00:00")),
+      (Option("click"), Timestamp.valueOf("2024-01-01 10:10:00")),
+      (Option.empty[String], Timestamp.valueOf("2024-01-01 11:00:00")),
+      (Option.empty[String], Timestamp.valueOf("2024-01-01 11:30:00")))
+      .toDF("event_type", "ts")
+    val got = Temporal.anonymizationLadder(ev, "event_type", "ts", k = 2L)
+      .collect().map(r => (Option(r.getString(0)), r.getString(1),
+        r.getLong(2)))
+    // the 2 NULL-type rows share a day bucket → day rung at k=2;
+    // previously they vanished entirely from the report
+    assert(got.map(_._3).sum == 4,
+      s"every event must be accounted: $got")
+    assert(got.exists(r => r._1.isEmpty && r._3 == 2L),
+      s"NULL-type rows must appear in the ladder: ${got.toSeq}")
+  }
 }
