@@ -59,7 +59,12 @@ object Features {
     val bucket = least(greatest(
       floor((col(valueCol) - lo) / width), lit(0.0)), lit(nBuckets - 1.0))
       .cast("int")
-    df.withColumn("bucket", bucket)
+    // least/greatest SKIP nulls: an unfiltered NULL would count into
+    // bucket 0 and NaN (sorting largest) into the top bucket — a
+    // histogram counts observed values only
+    df.filter(col(valueCol).isNotNull &&
+        !isnan(col(valueCol).cast("double")))
+      .withColumn("bucket", bucket)
       .groupBy(col(groupCol), col("bucket"))
       .agg(count(lit(1)).as("n"))
       .withColumn("bucket_lo", round(lit(lo) + col("bucket") * width, 6))
@@ -97,12 +102,18 @@ object Features {
       .join(dense.select(col("__e"), col("__t").as("type_b"),
         col("__n").as("__y")), "__e")
       .filter(col("type_a") < col("type_b"))
+    // accumulate in decimal(38,0) (HUGEINT on the oracle side): the
+    // per-pair Σx·y over corpus-scale counts wraps a long silently,
+    // and the closing-product double cast can only be as good as the
+    // sums it consumes
+    def d38(c: org.apache.spark.sql.Column) =
+      c.cast(org.apache.spark.sql.types.DecimalType(38, 0))
     pairs.groupBy("type_a", "type_b")
       .agg(count(lit(1)).as("n"),
-        sum(col("__x")).as("__sx"), sum(col("__y")).as("__sy"),
-        sum(col("__x") * col("__y")).as("__sxy"),
-        sum(col("__x") * col("__x")).as("__sxx"),
-        sum(col("__y") * col("__y")).as("__syy"))
+        sum(d38(col("__x"))).as("__sx"), sum(d38(col("__y"))).as("__sy"),
+        sum(d38(col("__x")) * col("__y")).as("__sxy"),
+        sum(d38(col("__x")) * col("__x")).as("__sxx"),
+        sum(d38(col("__y")) * col("__y")).as("__syy"))
       // cast each sufficient statistic to double BEFORE the products:
       // long products (n*sxy, sx*sy, ...) silently wrap at corpus scale
       // while DuckDB widens to HUGEINT — double keeps both engines on
@@ -141,9 +152,11 @@ object Features {
     val cuts = df.groupBy(col(groupCol).as("__g"))
       .agg(expr(s"percentile($valueCol, array($ps))").as("__cuts"))
     df.join(cuts, col(groupCol) <=> col("__g"))
-      .withColumn("pct",
-        (size(filter(transform(col("__cuts"), c => round(c, 6)),
-          c => c <= col(valueCol))) * (100 / gridSize)).cast("int"))
+      .withColumn("pct", when(col(valueCol).isNull ||
+          isnan(col(valueCol).cast("double")), lit(null).cast("int"))
+        .otherwise(
+          (size(filter(transform(col("__cuts"), c => round(c, 6)),
+            c => c <= col(valueCol))) * (100 / gridSize)).cast("int")))
       .drop("__g", "__cuts")
   }
 
@@ -186,7 +199,10 @@ object Features {
     val arm = graft.operators.Curation.hashBucket(col(unitCol)) % 2
     val dec = col(valueCol).cast(DecimalType(18, 6))
     val sq = dec * dec
-    val agg = df.withColumn("__arm", arm).agg(
+    // count EXACTLY the rows the sums include: a NULL metric (or a
+    // value past decimal(18,6), which non-ANSI cast nulls) must drop
+    // from count and sum together, or the means skew silently
+    val agg = df.withColumn("__arm", arm).filter(dec.isNotNull).agg(
       sum(when(col("__arm") === 0, 1L).otherwise(0L)).as("na"),
       sum(when(col("__arm") === 1, 1L).otherwise(0L)).as("nb"),
       sum(when(col("__arm") === 0, dec)).cast("double").as("__sa"),
@@ -219,7 +235,11 @@ object Features {
         expr(s"percentile($valueCol, $hi)").as("__hi"))
     df.join(stats, col(groupCol) <=> col("__grp"))
       .withColumn("winsorized",
-        round(greatest(col("__lo"), least(col("__hi"), col(valueCol))), 6))
+        // least/greatest SKIP nulls — an unguarded NULL value would
+        // come back as the hi cutoff, a fabricated observation
+        when(col(valueCol).isNull, lit(null).cast("double"))
+          .otherwise(round(
+            greatest(col("__lo"), least(col("__hi"), col(valueCol))), 6)))
       .drop("__grp", "__lo", "__hi")
   }
 }

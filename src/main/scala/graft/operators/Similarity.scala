@@ -84,8 +84,12 @@ object Similarity {
         when(col("q_scale") === 0.0,
           transform(v, _ => lit(0)))
           .otherwise(transform(v, x =>
-            greatest(lit(-127), least(lit(127),
-              floor(x / col("q_scale") + 0.5).cast("int"))))))
+            // least/greatest SKIP nulls: an unguarded NULL element
+            // would clamp to +127 (max magnitude); a missing
+            // component must contribute 0 to every integer dot
+            when(x.isNull, lit(0)).otherwise(
+              greatest(lit(-127), least(lit(127),
+                floor(x / col("q_scale") + 0.5).cast("int")))))))
   }
 
   /** Brute-force cosine top-k: for each row of `queries`, the k most
@@ -243,7 +247,10 @@ object Similarity {
     */
   def centroidOutliers(df: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, q: Double = 0.9): DataFrame = {
+    // materialized once: the corpus-wide argmin assignment feeds the
+    // percentile aggregate AND the final join
     val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+      .localCheckpoint()
     val cuts = assigned.groupBy("cluster")
       .agg(round(expr(s"percentile(dist2, $q)"), 6).as("cutoff"))
     assigned.join(broadcast(cuts), "cluster")
@@ -324,7 +331,10 @@ object Similarity {
                       centroids: DataFrame,
                       maxPerCluster: Int = 64): DataFrame = {
     require(maxPerCluster >= 1, "maxPerCluster must be >= 1")
+    // materialized once: the corpus-wide argmin assignment feeds the
+    // size aggregate AND the ranked selection
     val assigned = assignToCentroids(df, idCol, vecCol, centroids)
+      .localCheckpoint()
     val sizes = assigned.groupBy("cluster")
       .agg(count(lit(1)).as("c_size"))
     val w = Window.partitionBy("cluster")
@@ -496,6 +506,9 @@ object Similarity {
   def int8RescoreTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
                       vecCol: String, k: Int,
                       candidates: Int = 10): DataFrame = {
+    require(candidates >= k,
+      s"int8RescoreTopK: candidates=$candidates < k=$k would silently " +
+        "return fewer than k neighbors; raise candidates")
     val q = quantizeInt8(
       queries.select(col(idCol).as("query_id"),
         col(vecCol).as("qv")), "qv")
@@ -578,7 +591,11 @@ object Similarity {
         case one :: Nil => col("rel") - lit(lambda) * one
         case many => col("rel") - lit(lambda) * greatest(many: _*)
       }
+      // a zero-norm query or candidate yields NULL rel/mmr (cosine's
+      // declared policy); filter them or the argmax row could be a
+      // null-mmr row once only those remain — an NPE at getDouble
       val top = base.withColumn("mmr", mmr)
+        .filter(col("mmr").isNotNull)
         .orderBy(desc("mmr"), col(idCol))
         .limit(1)
         .select(col(idCol), col("mmr"), col("v"))
@@ -663,7 +680,11 @@ object Similarity {
         col("dot") >=
         lit(tNum * tNum) * col("na").cast("decimal(38,0)") * col("nb"))
       .select(col("id_a"), col("id_b"), col("dot"),
-        round(col("dot") / sqrt((col("na") * col("nb")).cast("double")), 6)
-          .as("cos"))
+        // cast BEFORE the product: na*nb in long wraps at corpus
+        // scale (sqrt of a wrapped negative is NaN) — the threshold
+        // filter above was already decimal-widened, the report leg
+        // must match
+        round(col("dot") / sqrt(col("na").cast("double")
+          * col("nb").cast("double")), 6).as("cos"))
   }
 }

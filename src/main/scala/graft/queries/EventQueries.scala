@@ -688,8 +688,10 @@ object EventQueries {
         |p AS (SELECT a.e, a.t AS type_a, b.t AS type_b, a.n AS x, b.n AS y
         |  FROM dense a JOIN dense b ON b.e = a.e WHERE a.t < b.t),
         |agg AS (SELECT type_a, type_b, count(*) AS n,
-        |    sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy,
-        |    sum(x * x) AS sxx, sum(y * y) AS syy
+        |    sum(CAST(x AS HUGEINT)) AS sx, sum(CAST(y AS HUGEINT)) AS sy,
+        |    sum(CAST(x AS HUGEINT) * y) AS sxy,
+        |    sum(CAST(x AS HUGEINT) * x) AS sxx,
+        |    sum(CAST(y AS HUGEINT) * y) AS syy
         |  FROM p GROUP BY 1, 2)
         |SELECT type_a, type_b, n,
         |  CASE WHEN sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
