@@ -76,8 +76,26 @@ object RemoteJdbc {
     "boolean" -> classOf[Boolean], "double" -> classOf[Double],
     "float" -> classOf[Float], "char" -> classOf[Char])
 
+  /** Parameter-type resolution for forwarded calls. JDBC method
+    * signatures only ever mention primitives, `java.*` types, and
+    * arrays of those — anything else in a Call frame is not a JDBC
+    * call, so refuse to load it (defense-in-depth beside the
+    * loopback bind and the stream filter: no client-chosen class
+    * name reaches Class.forName).
+    */
   private def classFor(n: String): Class[_] =
-    primitives.getOrElse(n, Class.forName(n))
+    primitives.getOrElse(n, {
+      val elem = n.dropWhile(_ == '[')
+      val ok = n.forall(_ != ';') match {
+        case _ => // array encodings: [B, [I…, [Ljava.lang.String;
+          elem.length == 1 ||                       // primitive array code
+            elem.startsWith("Ljava.") ||            // object array
+            (elem == n && n.startsWith("java."))    // plain class name
+      }
+      require(ok, s"remote-jdbc: refusing non-JDBC parameter type $n")
+      // initialize=false: resolving a signature must not run static code
+      Class.forName(n, false, getClass.getClassLoader)
+    })
 
   /** All java.sql / javax.sql interfaces a class implements — the
     * proxy surface for a returned JDBC object.
