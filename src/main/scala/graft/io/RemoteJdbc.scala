@@ -1,8 +1,8 @@
 package graft.io
 
-import java.io.{EOFException, ObjectInputStream, ObjectOutputStream}
+import java.io.{EOFException, ObjectInputFilter, ObjectInputStream, ObjectOutputStream}
 import java.lang.reflect.{InvocationHandler, InvocationTargetException, Method, Proxy}
-import java.net.{ServerSocket, Socket}
+import java.net.{InetAddress, ServerSocket, Socket}
 import java.sql.DriverManager
 import java.util.concurrent.ConcurrentHashMap
 import java.util.concurrent.atomic.AtomicLong
@@ -31,10 +31,14 @@ import java.util.concurrent.atomic.AtomicLong
   * One TCP session per Connection (JDBC contract: a connection is
   * single-threaded — Spark uses one per task); the server runs a
   * thread per session, each with its own embedded connection.
-  * Loopback-oriented test infrastructure: no auth, java serialization
-  * — NOT a production endpoint (production talks to a real network
-  * database; this exists to validate the engine's side of that
-  * conversation).
+  * Same-host test infrastructure, hardened accordingly: the server
+  * binds the LOOPBACK interface only, both stream ends install a
+  * JEP-290 [[frameFilter]] allowlisting exactly the frame classes +
+  * JDBC value types (with depth/reference/array bounds), and errors
+  * are re-serialized as portable `java.sql.SQLException`s. Still no
+  * auth — NOT a production endpoint (production talks to a real
+  * network database; this exists to validate the engine's side of
+  * that conversation).
   */
 object RemoteJdbc {
 
@@ -77,25 +81,85 @@ object RemoteJdbc {
     "float" -> classOf[Float], "char" -> classOf[Char])
 
   /** Parameter-type resolution for forwarded calls. JDBC method
-    * signatures only ever mention primitives, `java.*` types, and
-    * arrays of those — anything else in a Call frame is not a JDBC
-    * call, so refuse to load it (defense-in-depth beside the
-    * loopback bind and the stream filter: no client-chosen class
-    * name reaches Class.forName).
+    * signatures only ever mention primitives, `java.*`/`javax.sql.*`
+    * types, and arrays of those — anything else in a Call frame is
+    * not a JDBC call, so refuse to load it. This is defense-in-depth
+    * on top of the two transport layers that DO exist below: the
+    * loopback-only bind in [[Server.start]] and the
+    * [[frameFilter]] `ObjectInputFilter` installed on both stream
+    * ends — no client-chosen class name reaches Class.forName.
     */
   private def classFor(n: String): Class[_] =
     primitives.getOrElse(n, {
+      // array encodings: [B, [I…, [Ljava.lang.String;
       val elem = n.dropWhile(_ == '[')
-      val ok = n.forall(_ != ';') match {
-        case _ => // array encodings: [B, [I…, [Ljava.lang.String;
-          elem.length == 1 ||                       // primitive array code
-            elem.startsWith("Ljava.") ||            // object array
-            (elem == n && n.startsWith("java."))    // plain class name
-      }
+      val ok =
+        elem.length == 1 ||                        // primitive array code
+        elem.startsWith("Ljava.") ||               // object array
+        elem.startsWith("Ljavax.sql.") ||          // javax.sql array
+        (elem == n && (n.startsWith("java.") ||    // plain class name
+          n.startsWith("javax.sql.")))             // (jdbcIfaces proxies javax.sql)
       require(ok, s"remote-jdbc: refusing non-JDBC parameter type $n")
       // initialize=false: resolving a signature must not run static code
       Class.forName(n, false, getClass.getClassLoader)
     })
+
+  /** Deserialization allowlist for BOTH wire directions (JEP 290).
+    * A frame is only ever a [[Call]] (client→server) or a [[Reply]]
+    * (server→client); their transitive serial graphs are the frame
+    * case classes themselves, JDBC value types (`java.sql.*` dates,
+    * `java.math.BigDecimal`…), `java.lang` boxes/String/Throwable
+    * internals, `java.util` collections inside Throwable, and arrays
+    * of those. Anything else — or a frame nested/self-referencing
+    * beyond sane bounds — is rejected before `readObject` allocates
+    * it.
+    */
+  private[io] val frameFilter: ObjectInputFilter = info => {
+    import ObjectInputFilter.Status
+    // depth + array bounds are PER-FRAME gadget limits; references()
+    // is deliberately unbounded — it accumulates over the stream's
+    // whole life (TC_RESET does not clear it), so any cap would trip
+    // on a legitimate long batch session, not on an attack
+    if (info.depth() > 16 || info.arrayLength() > (1 << 20)) Status.REJECTED
+    else {
+      var c = info.serialClass()
+      if (c == null) Status.UNDECIDED // non-class metadata in the stream
+      else {
+        while (c.isArray) c = c.getComponentType
+        val n = c.getName
+        val ok = c.isPrimitive ||
+          n.startsWith("graft.io.RemoteJdbc$") ||
+          n.startsWith("java.lang.") ||
+          n.startsWith("java.sql.") ||
+          n.startsWith("java.math.") ||
+          n.startsWith("java.util.") ||
+          n.startsWith("java.time.")
+        if (ok) Status.ALLOWED else Status.REJECTED
+      }
+    }
+  }
+
+  /** Server errors cross the wire as plain `java.sql.SQLException`
+    * (embedded-engine subclasses would be rejected by the client's
+    * [[frameFilter]], and their serial graphs can drag in arbitrary
+    * engine internals). Original class name is preserved in the
+    * message, SQLState/errorCode/stack/cause-chain are carried over.
+    */
+  private def portableError(e: Throwable): Throwable =
+    if (e == null) null
+    else {
+      val n = e.getClass.getName
+      val copy = e match {
+        case sq: java.sql.SQLException =>
+          new java.sql.SQLException(s"$n: ${e.getMessage}",
+            sq.getSQLState, sq.getErrorCode)
+        case _ => new java.sql.SQLException(s"$n: ${e.getMessage}")
+      }
+      copy.setStackTrace(e.getStackTrace)
+      if (e.getCause != null && (e.getCause ne e))
+        copy.initCause(portableError(e.getCause))
+      copy
+    }
 
   /** All java.sql / javax.sql interfaces a class implements — the
     * proxy surface for a returned JDBC object.
@@ -114,14 +178,16 @@ object RemoteJdbc {
   // ---- server --------------------------------------------------------
 
   /** In-process server fronting `embeddedUrl`. `start()` binds an
-    * ephemeral loopback port and returns it.
+    * ephemeral LOOPBACK-ONLY port and returns it — the bridge is
+    * same-host test infrastructure; nothing off-box may reach the
+    * unauthenticated endpoint.
     */
   final class Server(embeddedUrl: String) {
     private var ss: ServerSocket = _
     @volatile private var running = false
 
     def start(): Int = {
-      ss = new ServerSocket(0)
+      ss = new ServerSocket(0, 50, InetAddress.getLoopbackAddress)
       running = true
       val acceptor = new Thread(() => {
         while (running) {
@@ -164,6 +230,7 @@ object RemoteJdbc {
       val out = new ObjectOutputStream(sock.getOutputStream)
       out.flush()
       val in = new ObjectInputStream(sock.getInputStream)
+      in.setObjectInputFilter(frameFilter)
       try {
         var open = true
         while (open) {
@@ -192,16 +259,20 @@ object RemoteJdbc {
                   s"remote-jdbc: unsupported return ${r.getClass}"))
               }
             } catch {
-              case e: InvocationTargetException => Err(e.getCause)
-              case e: Throwable => Err(e)
+              case e: InvocationTargetException => Err(portableError(e.getCause))
+              case e: Throwable => Err(portableError(e))
             }
           out.writeObject(reply)
           out.flush()
           out.reset() // mutable JDBC objects must not be cached by ref
-          // a closed root connection ends the session
-          if (call.method == "close" &&
-              objects.get(call.target).isInstanceOf[java.sql.Connection])
-            open = false
+          // successful close: a root connection ends the session; any
+          // other handle (Statement/ResultSet/metadata…) is released
+          // from the registry so long sessions don't pin dead objects
+          if (call.method == "close" && !reply.isInstanceOf[Err]) {
+            if (objects.get(call.target).isInstanceOf[java.sql.Connection])
+              open = false
+            else objects.remove(call.target)
+          }
         }
       } catch {
         case _: EOFException => () // client went away: normal teardown
@@ -226,6 +297,7 @@ object RemoteJdbc {
     private val out = new ObjectOutputStream(sock.getOutputStream)
     out.flush()
     private val in = new ObjectInputStream(sock.getInputStream)
+    in.setObjectInputFilter(RemoteJdbc.frameFilter)
 
     def invoke(target: Long, m: Method, args: Array[AnyRef]): AnyRef =
       this.synchronized {

@@ -83,6 +83,88 @@ class RemoteJdbcSpec extends SparkSpec {
     }
   }
 
+  test("frame filter rejects non-allowlisted serialized classes") {
+    // A serializable class outside the allowlist (frame classes,
+    // java.lang/sql/math/util/time) must be rejected BEFORE readObject
+    // allocates it — JEP 290, not post-hoc type checks.
+    val bos = new java.io.ByteArrayOutputStream()
+    val oos = new java.io.ObjectOutputStream(bos)
+    oos.writeObject(EvilFrame("payload")); oos.flush()
+    val in = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos.toByteArray))
+    in.setObjectInputFilter(RemoteJdbc.frameFilter)
+    intercept[java.io.InvalidClassException] { in.readObject() }
+    // sanity: a legitimate Reply frame passes the same filter
+    val bos2 = new java.io.ByteArrayOutputStream()
+    new java.io.ObjectOutputStream(bos2)
+      .writeObject(RemoteJdbc.Value(java.lang.Long.valueOf(7L)))
+    val in2 = new java.io.ObjectInputStream(
+      new java.io.ByteArrayInputStream(bos2.toByteArray))
+    in2.setObjectInputFilter(RemoteJdbc.frameFilter)
+    assert(in2.readObject().asInstanceOf[RemoteJdbc.Value].v == 7L)
+  }
+
+  test("server drops a session that sends a non-allowlisted frame") {
+    withServer { (_, port) =>
+      val sock = new java.net.Socket("localhost", port)
+      try {
+        val out = new java.io.ObjectOutputStream(sock.getOutputStream)
+        out.flush()
+        val in = new java.io.ObjectInputStream(sock.getInputStream)
+        out.writeObject(EvilFrame("gadget")); out.flush()
+        // the filter kills the session before dispatch: no reply, EOF
+        intercept[java.io.IOException] { in.readObject() }
+      } finally sock.close()
+      // the server must still accept fresh, well-behaved sessions
+      val c = new RemoteJdbcDriver()
+        .connect(s"jdbc:graftremote://localhost:$port/", null)
+      try assert(c.getMetaData.getDatabaseProductName.nonEmpty)
+      finally c.close()
+    }
+  }
+
+  test("server binds the loopback interface only") {
+    withServer { (_, port) =>
+      import scala.jdk.CollectionConverters._
+      val external = java.net.NetworkInterface.getNetworkInterfaces.asScala
+        .flatMap(_.getInetAddresses.asScala)
+        .find(a => !a.isLoopbackAddress && a.isInstanceOf[java.net.Inet4Address])
+      external.foreach { addr =>
+        intercept[java.io.IOException] {
+          val s = new java.net.Socket()
+          try s.connect(new java.net.InetSocketAddress(addr, port), 2000)
+          finally s.close()
+        }
+      }
+      // loopback still connects
+      val c = new RemoteJdbcDriver()
+        .connect(s"jdbc:graftremote://localhost:$port/", null)
+      c.close()
+    }
+  }
+
+  test("closing a statement releases its server-side handle") {
+    withServer { (_, port) =>
+      val conn = new RemoteJdbcDriver()
+        .connect(s"jdbc:graftremote://localhost:$port/", null)
+      try {
+        val st = conn.createStatement()
+        st.executeUpdate("CREATE TABLE th (x INT)")
+        st.close()
+        // the handle is gone from the session registry: a further call
+        // through the stale proxy fails server-side, not silently
+        val e = intercept[java.sql.SQLException] {
+          st.executeQuery("SELECT * FROM th")
+        }
+        assert(e.getMessage.contains("stale handle"),
+          s"expected stale-handle rejection, got: ${e.getMessage}")
+        // and the connection itself remains usable
+        val st2 = conn.createStatement()
+        assert(!st2.executeQuery("SELECT * FROM th").next())
+      } finally conn.close()
+    }
+  }
+
   test("driver URL contract: foreign URLs yield null, ours parse") {
     val d = new RemoteJdbcDriver()
     assert(d.acceptsURL("jdbc:graftremote://h:1/"))
@@ -91,3 +173,8 @@ class RemoteJdbcSpec extends SparkSpec {
       "JDBC contract: a foreign URL returns null, not an error")
   }
 }
+
+/** Serializable but deliberately OUTSIDE the bridge's deserialization
+  * allowlist — stands in for an attacker-chosen gadget class.
+  */
+private case class EvilFrame(s: String)
