@@ -25,13 +25,19 @@ import org.apache.spark.sql.DataFrame
   * LRU-bounded so evicted frames' checkpoint blocks can be GC'd.
   */
 object Memo {
-  private val MaxEntries = 16
+  /** Capacity knob: `spark.graft.memo.maxEntries` (default 16), read
+    * from the calling session at [[dfKey]] time (same user surface as
+    * `spark.graft.groupTopK.maxK`). The cache is JVM-global, so with
+    * several concurrent sessions the most recently keying session's
+    * setting wins — sizing is a resource bound, not a semantic knob.
+    */
+  @volatile private var maxEntries = 16
 
   private val cache =
     new java.util.LinkedHashMap[AnyRef, AnyRef](32, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[AnyRef, AnyRef]): Boolean =
-        size > MaxEntries
+        this.size > maxEntries
     }
 
   // stable per-session identity that cannot collide across GC'd
@@ -41,15 +47,39 @@ object Memo {
     new java.util.WeakHashMap[org.apache.spark.sql.SparkSession,
       java.util.UUID]())
 
+  /** Evict entries whose session is gone: once a session is GC'd its
+    * WeakHashMap row disappears, so its UUID can never be looked up
+    * again — those entries would otherwise pin checkpointed RDD
+    * lineage until 16 later entries happened to churn them out.
+    * Called on every cache write; O(entries), entries ≤ maxEntries.
+    */
+  private def pruneDeadSessions(): Unit = {
+    val live = {
+      val s = new java.util.HashSet[java.util.UUID]()
+      sessionIds.synchronized {
+        sessionIds.values.forEach(u => { s.add(u); () })
+      }
+      s
+    }
+    val it = cache.entrySet().iterator()
+    while (it.hasNext) it.next().getKey match {
+      case (u: java.util.UUID, _, _) if !live.contains(u) => it.remove()
+      case _ => ()
+    }
+  }
+
   /** Memo key for an operator over `df`: session + canonical plan +
     * params. Build it BEFORE any localCheckpoint of `df` (checkpoints
     * mint fresh RDD-backed plans that never compare equal).
     */
-  def dfKey(df: DataFrame, parts: Any*): AnyRef =
+  def dfKey(df: DataFrame, parts: Any*): AnyRef = {
+    maxEntries = df.sparkSession.conf
+      .get("spark.graft.memo.maxEntries", "16").toInt.max(1)
     (sessionIds.computeIfAbsent(df.sparkSession,
       _ => java.util.UUID.randomUUID()),
       df.queryExecution.analyzed.canonicalized,
       parts.toList)
+  }
 
   /** Return the memoized value for `key`, computing (and caching) it
     * on first use. `compute` should return a MATERIALIZED frame
@@ -67,6 +97,7 @@ object Memo {
     hit.map(_.asInstanceOf[T]).getOrElse {
       val v = compute
       cache.synchronized {
+        pruneDeadSessions()
         Option(cache.get(key)).map(_.asInstanceOf[T]).getOrElse {
           cache.put(key, v)
           v
@@ -79,4 +110,7 @@ object Memo {
     * inputs).
     */
   def clear(): Unit = cache.synchronized(cache.clear())
+
+  /** Current entry count (tests pin eviction behavior). */
+  private[graft] def size: Int = cache.synchronized(cache.size)
 }

@@ -92,16 +92,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new FunctionIdentifier("multi_occ_count"),
       new ExpressionInfo(classOf[MultiOccCount].getName, "multi_occ_count"),
       (args: Seq[Expression]) => {
-        import org.apache.spark.sql.catalyst.expressions.Literal
         import org.apache.spark.sql.catalyst.util.ArrayData
+        import org.apache.spark.sql.types.{ArrayType, StringType}
+        // any FOLDABLE string-array works: a Literal from the Scala
+        // API, or the CreateArray that SQL text `array('a','b')`
+        // parses to — both eval() to ArrayData at resolution time
         args(1) match {
-          case Literal(a: ArrayData, _) =>
+          case e if e.foldable && (e.dataType match {
+            case ArrayType(StringType, _) => true
+            case _ => false
+          }) =>
+            val a = e.eval()
+            require(a != null,
+              "multi_occ_count: needle array must not be null")
             MultiOccCount(args(0),
-              a.toObjectArray(org.apache.spark.sql.types.StringType)
+              a.asInstanceOf[ArrayData].toObjectArray(StringType)
                 .map(_.toString).toSeq)
           case other => throw new IllegalArgumentException(
-            s"multi_occ_count(text, needles) needs a literal needle " +
-              s"array, got $other")
+            s"multi_occ_count(text, needles) needs a foldable string " +
+              s"needle array, got $other")
         }
       }))
     ext.injectFunction((

@@ -331,6 +331,13 @@ object Curation {
     * from straddling train/test (the leakage a split-then-dedup order
     * permits); packing last, within each split×source stratum.
     * Everything before the dedup self-join is row-local.
+    *
+    * Snapshot semantics: the quality/dedup subtrees are memoized per
+    * (session, input plan, params) via [[graft.Memo]], so a SECOND
+    * call in the same session over the same logical input reuses the
+    * materialized stages — if the underlying files were overwritten
+    * in between, the memoized (pre-overwrite) decisions are returned;
+    * call [[graft.Memo.clear]] to force a re-read of mutated inputs.
     */
   def curateCorpus(docs: DataFrame, idCol: String, textCol: String,
                    sourceCol: String, minTokens: Int = 20,
@@ -467,7 +474,10 @@ object Curation {
     * epochs (tiny weight table, AQE-broadcast joins) plus ONE
     * left-semi join on doc id to the pipeline's cost; everything
     * downstream sees a smaller corpus, which at 100 TB is the point of
-    * gating early.
+    * gating early. Same [[graft.Memo]] snapshot semantics as
+    * [[curateCorpus]]: same-session re-calls over the same logical
+    * input reuse materialized stages even if files changed on disk
+    * ([[graft.Memo.clear]] forces re-reads).
     */
   def curateCorpusModel(docs: DataFrame, idCol: String, textCol: String,
                         sourceCol: String, minTokens: Int = 20,

@@ -816,6 +816,12 @@ object Dedup {
     * Exact duplicates need no separate pass: identical texts have
     * identical signatures, so they are always LSH candidates with
     * estimated Jaccard 1.0 and land in one cluster.
+    *
+    * Snapshot semantics: the clustering prelude is memoized per
+    * (session, input plan, params) via [[graft.Memo]] — a same-session
+    * re-call over the same logical input returns the materialized
+    * (possibly pre-file-overwrite) clustering; [[graft.Memo.clear]]
+    * forces a re-read of mutated inputs.
     */
   def dedupCorpusTransitive(df: DataFrame, idCol: String, textCol: String,
                             k: Int = 3, threshold: Double = 0.5): DataFrame = {

@@ -169,6 +169,24 @@ object Streams {
       d.take(4).map(b => "%02x".format(b & 0xff)).mkString, 16)
   }
 
+  /** Sketch-entry order: (hv, key) with the KEY tie broken on UTF-8
+    * BYTES — exactly how Spark SQL (`UTF8String.compareTo`) and the
+    * DuckDB oracle order strings. Scala's default String ordering
+    * compares UTF-16 code units, which ranks supplementary-plane
+    * characters (surrogate pairs, 0xD800–0xDFFF units) BELOW
+    * U+E000–U+FFFF — the opposite of byte order — so a 32-bit hash
+    * collision between such keys would silently break the
+    * stream ≡ batch equality under the default ordering.
+    */
+  private[streaming] val sketchEntryOrder: Ordering[QSketchEntry] =
+    (a: QSketchEntry, b: QSketchEntry) => {
+      val c = java.lang.Long.compare(a.hv, b.hv)
+      if (c != 0) c
+      else java.util.Arrays.compareUnsigned(
+        a.k.getBytes(java.nio.charset.StandardCharsets.UTF_8),
+        b.k.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    }
+
   /** Streaming QUANTILE SKETCH — the stateful twin of
     * [[graft.operators.Sketches.quantileSketch]]: per group, the
     * bottom-m rows by (hash32(key), key) are maintained as one
@@ -204,7 +222,7 @@ object Streams {
         val prev = if (st.exists()) st.get().entries else Seq.empty
         val merged = (prev ++ rows.map(d =>
             QSketchEntry(hash32Jvm(d.doc_key), d.doc_key, d.v)))
-          .sortBy(e => (e.hv, e.k))
+          .sorted(sketchEntryOrder)
           .take(m)
         st.update(QSketchState(merged))
         val byV = merged.map(e => (e.v, e.k)).sorted.map(_._1)

@@ -51,6 +51,50 @@ class MemoSpec extends SparkSpec {
     assert(computes == 2, "clear must force recompute")
   }
 
+  test("spark.graft.memo.maxEntries bounds the cache (LRU eviction)") {
+    Memo.clear()
+    spark.conf.set("spark.graft.memo.maxEntries", "2")
+    try {
+      var computes = 0
+      def get(p: Int) =
+        Memo.shared(Memo.dfKey(spark.range(1).toDF(), "cap", p)) {
+          computes += 1; java.lang.Integer.valueOf(p)
+        }
+      get(1); get(2); get(3) // capacity 2: inserting 3 evicts LRU (=1)
+      assert(Memo.size == 2, s"expected 2 entries, got ${Memo.size}")
+      get(3); get(2)
+      assert(computes == 3, "2 and 3 must still hit")
+      get(1)
+      assert(computes == 4, "evicted key must recompute")
+    } finally {
+      spark.conf.set("spark.graft.memo.maxEntries", "16")
+      Memo.clear()
+    }
+  }
+
+  test("entries of a GC'd session are pruned on the next cache write") {
+    Memo.clear()
+    var s2: org.apache.spark.sql.SparkSession = spark.newSession()
+    var d2: org.apache.spark.sql.DataFrame = s2.range(1).toDF()
+    Memo.shared(Memo.dfKey(d2, "dead")) { java.lang.Integer.valueOf(1) }
+    assert(Memo.size == 1)
+    val ref = new java.lang.ref.WeakReference(s2)
+    s2 = null; d2 = null
+    var tries = 0
+    while (ref.get() != null && tries < 100) {
+      System.gc(); Thread.sleep(20); tries += 1
+    }
+    assume(ref.get() == null,
+      "JVM did not collect the dropped session; cannot exercise pruning")
+    // the next WRITE prunes the dead session's entry
+    Memo.shared(Memo.dfKey(spark.range(1).toDF(), "alive")) {
+      java.lang.Integer.valueOf(2)
+    }
+    assert(Memo.size == 1,
+      s"dead-session entry must be pruned, cache has ${Memo.size}")
+    Memo.clear()
+  }
+
   test("model gate id frame is shared between pipeline and audit calls") {
     Memo.clear()
     val docs = graft.model.Tables.documents(spark, sf).limit(200)

@@ -27,6 +27,29 @@ class SqlParitySpec extends SparkSpec {
     }
   }
 
+  test("multi_occ_count is callable from pure SQL text") {
+    // SQL text `array('a','b')` parses to a foldable CreateArray, not
+    // a Literal — the registered builder must accept it (r9 advice:
+    // a Literal-only match made the function unusable from SQL)
+    SqlQueries.configure(spark, sf)
+    val got = spark.sql(
+      "SELECT multi_occ_count('the cat and the dog and the cat', " +
+        "array('the', 'cat')) AS n").collect().head.getSeq[Int](0)
+    assert(got == Seq(3, 2), s"expected [3, 2] per-needle counts, got $got")
+    // and over a real column, same result as the expression API
+    val viaSql = spark.sql(
+      "SELECT doc_id, multi_occ_count(text, array('the', 'a')) AS n " +
+        "FROM graft.data.documents ORDER BY doc_id LIMIT 50")
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    val docs = graft.model.Tables.documents(spark, sf)
+    val viaExpr = docs.select(docs("doc_id"),
+      graft.expressions.TextExpressions
+        .multiOccCount(docs("text"), Seq("the", "a")).as("n"))
+      .orderBy("doc_id").limit(50)
+      .collect().map(r => (r.getLong(0), r.getSeq[Int](1))).toSeq
+    assert(viaSql == viaExpr, "SQL path diverged from expression API")
+  }
+
   test("catalog data tables list and keep filter pushdown") {
     SqlQueries.configure(spark, sf)
     val listed = spark.sql("SHOW TABLES IN graft.data")

@@ -486,6 +486,39 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("sketch tie-break is UTF-8 byte order, matching Spark and the oracle") {
+    // Supplementary-plane key (surrogate pair: UTF-16 units
+    // 0xD800 0xDC00) vs a high-BMP key (U+FFFD): Scala's default
+    // String ordering ranks the surrogate pair FIRST (0xD800 <
+    // 0xFFFD), while UTF-8 bytes / code points rank it LAST
+    // (U+10000 > U+FFFD). A 32-bit hash collision between such keys
+    // must break the tie the way Spark SQL and DuckDB do.
+    val astral = new String(Character.toChars(0x10000)) // "𐀀"
+    val bmp = "�"
+    assert(Ordering.String.lt(astral, bmp),
+      "precondition: UTF-16 order ranks the surrogate pair first")
+    val e1 = Streams.QSketchEntry(7L, astral, 1L)
+    val e2 = Streams.QSketchEntry(7L, bmp, 2L)
+    assert(Streams.sketchEntryOrder.compare(e2, e1) < 0,
+      "equal-hash tie must rank U+FFFD before U+10000 (byte order)")
+    // pin against Spark's own string comparator on assorted keys
+    import org.apache.spark.unsafe.types.UTF8String
+    val keys = Seq(astral, bmp, "", "a", "Z", "é", new String(Character.toChars(0xE000)),
+      new String(Character.toChars(0x1F600)), "abc", "ab")
+    for (a <- keys; b <- keys) {
+      val ours = Streams.sketchEntryOrder.compare(
+        Streams.QSketchEntry(0L, a, 0L), Streams.QSketchEntry(0L, b, 0L))
+      val sparks = UTF8String.fromString(a).compareTo(UTF8String.fromString(b))
+      assert(Integer.signum(ours) == Integer.signum(sparks),
+        s"order mismatch vs Spark for (${a.codePoints().toArray.toSeq}, " +
+          s"${b.codePoints().toArray.toSeq})")
+    }
+    // hv dominates: a smaller hash wins regardless of key bytes
+    assert(Streams.sketchEntryOrder.compare(
+      Streams.QSketchEntry(1L, bmp, 0L),
+      Streams.QSketchEntry(2L, "", 0L)) < 0)
+  }
+
   test("streamingFunnel: chain gating and gap window, exact rows") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
