@@ -58,6 +58,7 @@ object CoreQueries {
     Tables.part(s, d).createOrReplaceTempView("part")
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.customer(s, d).createOrReplaceTempView("customer")
+    Tables.region(s, d).createOrReplaceTempView("region")
   }
 
   /** Dialect-shared TPC-H SQL texts, parameterized on a table-name
@@ -153,6 +154,94 @@ object CoreQueries {
          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
          |LIMIT 50""".stripMargin
 
+    // Q2 (minimum-cost supplier): correlated scalar MIN over a 4-way
+    // dimension join, with the part-supplier relation referenced from
+    // BOTH the outer query and the subquery (CTE reuse). Adapted: no
+    // partsupp table in the harness — the relation derives from
+    // lineitem as min unit price per (part, supplier); min of an IEEE
+    // division is exact on both engines (no float-sum order risk).
+    case "q_tpch_q2" =>
+      s"""WITH ps AS (
+         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+         |    min(l_extendedprice / l_quantity) AS ps_supplycost
+         |  FROM ${t("lineitem")} GROUP BY 1, 2)
+         |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
+         |FROM ${t("part")}, ps, ${t("supplier")}, ${t("nation")},
+         |  ${t("region")}
+         |WHERE p_partkey = ps_partkey AND s_suppkey = ps_suppkey
+         |  AND p_size <= 15 AND p_type = 'LARGE'
+         |  AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+         |  AND r_name = 'EUROPE'
+         |  AND ps_supplycost = (
+         |    SELECT min(ps2.ps_supplycost)
+         |    FROM ps ps2, ${t("supplier")} s2, ${t("nation")} n2,
+         |      ${t("region")} r2
+         |    WHERE ps2.ps_partkey = p_partkey
+         |      AND s2.s_suppkey = ps2.ps_suppkey
+         |      AND s2.s_nationkey = n2.n_nationkey
+         |      AND n2.n_regionkey = r2.r_regionkey
+         |      AND r2.r_name = 'EUROPE')
+         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+         |LIMIT 100""".stripMargin
+
+    // Q9 (product-type profit): the multi-FACT join-agg with
+    // EXPRESSION group keys (nation name x extracted year). Adapted
+    // profit: p_retailprice stands in for ps_supplycost at a 0.5
+    // cost ratio (no partsupp table).
+    case "q_tpch_q9" =>
+      s"""SELECT n_name AS nation,
+         |  CAST(year(o_orderdate) AS INT) AS o_year,
+         |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         |        * CAST(1 - l_discount AS DECIMAL(18,2))
+         |      - CAST(p_retailprice AS DECIMAL(18,2))
+         |        * CAST(l_quantity AS DECIMAL(18,2))
+         |        * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+         |FROM ${t("lineitem")}
+         |JOIN ${t("orders")} ON o_orderkey = l_orderkey
+         |JOIN ${t("part")} ON p_partkey = l_partkey
+         |JOIN ${t("supplier")} ON s_suppkey = l_suppkey
+         |JOIN ${t("nation")} ON n_nationkey = s_nationkey
+         |WHERE p_name LIKE '%widget%'
+         |GROUP BY 1, 2
+         |ORDER BY nation, o_year DESC""".stripMargin
+
+    // Q11 (important stock): per-group aggregate compared against a
+    // GLOBAL aggregate of the same derived table (scalar subquery over
+    // a reused CTE). The comparison is kept in exact decimals
+    // (v * 1000 > sum(v)) — no float threshold edge. Adapted: part
+    // value from lineitem (no partsupp).
+    case "q_tpch_q11" =>
+      s"""WITH val AS (
+         |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * CAST(l_quantity AS DECIMAL(18,2))) AS v
+         |  FROM ${t("lineitem")}
+         |  JOIN ${t("supplier")} ON l_suppkey = s_suppkey
+         |  JOIN ${t("nation")} ON s_nationkey = n_nationkey
+         |  WHERE n_name = 'NATION_7'
+         |  GROUP BY 1)
+         |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+         |FROM val
+         |WHERE v * 1000 > (SELECT sum(v) FROM val)
+         |ORDER BY part_value DESC, l_partkey""".stripMargin
+
+    // Q15 (top supplier): max-over-view self-comparison — the revenue
+    // view feeds both the join and the scalar MAX subquery; decimal
+    // revenue so the equality is exact on both engines.
+    case "q_tpch_q15" =>
+      s"""WITH revenue AS (
+         |  SELECT l_suppkey AS supplier_no,
+         |    sum(CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * CAST(1 - l_discount AS DECIMAL(18,2))) AS total_revenue
+         |  FROM ${t("lineitem")}
+         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+         |    AND l_shipdate < TIMESTAMP '1996-04-01'
+         |  GROUP BY 1)
+         |SELECT s_suppkey, s_name,
+         |  CAST(total_revenue AS DOUBLE) AS total_revenue
+         |FROM ${t("supplier")} JOIN revenue ON s_suppkey = supplier_no
+         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
+         |ORDER BY s_suppkey""".stripMargin
+
     // Q22 (global sales opportunity): scalar avg subquery + NOT EXISTS
     // anti join inside a derived table. Adapted: country code from
     // c_nationkey (no phone column), "never ordered" narrowed to
@@ -178,8 +267,9 @@ object CoreQueries {
   }
 
   private[queries] val tpchTextNames: Seq[String] = Seq(
-    "q_tpch_q4", "q_tpch_q13", "q_tpch_q16", "q_tpch_q17",
-    "q_tpch_q20", "q_tpch_q21", "q_tpch_q22")
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q9", "q_tpch_q11", "q_tpch_q13",
+    "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20",
+    "q_tpch_q21", "q_tpch_q22")
 
   val queries: Map[String, Q] = Map[String, Q](
     // S1 — scan + projection; pushed to the parquet reader.
@@ -826,8 +916,132 @@ object CoreQueries {
           col("o_orderkey").asc)
     }),
 
-    // The SQL-TEXT TPC-H family (Q4/Q13/Q16/Q17/Q20/Q21/Q22) is
-    // appended programmatically below the Map literal: each runs
+    // TPC-H Q1 shape (pricing summary): the canonical full-scan
+    // agg — 4 decimal money sums + 3 averages + count over 2 group
+    // keys; averages computed as exact-decimal-sum ÷ count in DOUBLE
+    // (identical operands on both engines → identical IEEE result),
+    // never a float running sum. Map-side partial agg does ~all the
+    // work; the exchange carries ≤ |flag×status| rows per partition.
+    "q_tpch_q1" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val li = Tables.lineitem(s, d)
+        .filter(col("l_shipdate") <= lit("1998-09-01").cast("timestamp"))
+      val dq = col("l_quantity").cast(DecimalType(18, 6))
+      val dp = col("l_extendedprice").cast(DecimalType(18, 2))
+      val dd = (lit(1) - col("l_discount")).cast(DecimalType(18, 2))
+      val dt = (lit(1) + col("l_tax")).cast(DecimalType(18, 2))
+      li.groupBy("l_returnflag", "l_linestatus")
+        .agg(sum(dq).as("__sq"), sum(dp).as("__sp"),
+          sum(dp * dd).as("__sdp"), sum(dp * dd * dt).as("__sc"),
+          sum(col("l_discount").cast(DecimalType(18, 2))).as("__sd"),
+          count(lit(1)).as("count_order"))
+        .select(col("l_returnflag"), col("l_linestatus"),
+          col("__sq").cast("double").as("sum_qty"),
+          col("__sp").cast("double").as("sum_base_price"),
+          col("__sdp").cast("double").as("sum_disc_price"),
+          col("__sc").cast("double").as("sum_charge"),
+          (col("__sq").cast("double") / col("count_order")).as("avg_qty"),
+          (col("__sp").cast("double") / col("count_order")).as("avg_price"),
+          (col("__sd").cast("double") / col("count_order")).as("avg_disc"),
+          col("count_order"))
+        .orderBy("l_returnflag", "l_linestatus")
+    }),
+
+    // TPC-H Q6 shape (forecast revenue): pure scan-filter-agg; all
+    // three predicates push to the parquet reader, the agg is one
+    // decimal product sum — the cheapest possible full-table shape.
+    "q_tpch_q6" -> ((s, d) =>
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp") &&
+          col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+          col("l_quantity") < 24)
+        .agg(moneyProductSum(col("l_extendedprice"), col("l_discount"))
+          .as("revenue"))),
+
+    // TPC-H Q10 shape (returned items): fact-side filters first, one
+    // quarter of orders, returnflag'd lineitem, customer stays a
+    // shuffle join (1e8+ rows at scale), nation broadcasts; top-20 by
+    // lost revenue is TakeOrdered.
+    "q_tpch_q10" -> ((s, d) => {
+      val lo = lit("1996-10-01").cast("timestamp")
+      val hi = lit("1997-01-01").cast("timestamp")
+      val o = Tables.orders(s, d)
+        .filter(col("o_orderdate") >= lo && col("o_orderdate") < hi)
+      Tables.lineitem(s, d).filter(col("l_returnflag") === "R")
+        .join(o, col("l_orderkey") === col("o_orderkey"))
+        .join(Tables.customer(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(Tables.nation(s, d)),
+          col("c_nationkey") === col("n_nationkey"))
+        .groupBy("c_custkey", "c_name", "c_acctbal", "n_name")
+        .agg(moneyProductSum(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+        .limit(20)
+        .select(col("c_custkey"), col("c_name"), col("revenue"),
+          col("c_acctbal"), col("n_name"))
+        .orderBy(col("revenue").desc, col("c_custkey").asc)
+    }),
+
+    // TPC-H Q12 shape (shipping priority histogram): join + dual
+    // conditional counts. Adapted: no ship mode / commit dates in the
+    // harness — "late" is shipdate > orderdate + 90 days, split by
+    // line status.
+    "q_tpch_q12" -> ((s, d) => {
+      val urgent = col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+      Tables.lineitem(s, d)
+        .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
+        .filter(col("l_shipdate") > col("o_orderdate") +
+          expr("INTERVAL 90 DAYS"))
+        .filter(col("l_shipdate") >= lit("1996-01-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy("l_linestatus")
+        .agg(sum(when(urgent, 1L).otherwise(0L)).as("high_line_count"),
+          sum(when(urgent, 0L).otherwise(1L)).as("low_line_count"))
+        .orderBy("l_linestatus")
+    }),
+
+    // TPC-H Q14 shape (promotion effect): join + ratio of two
+    // conditional decimal sums; the division happens once in DOUBLE
+    // on two exact operands (same values both engines).
+    "q_tpch_q14" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dp = col("l_extendedprice").cast(DecimalType(18, 2)) *
+        (lit(1) - col("l_discount")).cast(DecimalType(18, 2))
+      Tables.lineitem(s, d)
+        .filter(col("l_shipdate") >= lit("1996-09-01").cast("timestamp") &&
+          col("l_shipdate") < lit("1996-10-01").cast("timestamp"))
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .agg(
+          sum(when(col("p_type") === "PROMO", dp)
+            .otherwise(lit(0).cast(DecimalType(18, 2)))).as("__promo"),
+          sum(dp).as("__total"))
+        .select((lit(100.0) * col("__promo").cast("double") /
+          col("__total").cast("double")).as("promo_revenue"))
+    }),
+
+    // TPC-H Q19 shape (discounted revenue): the OR-of-ANDs join
+    // predicate across both sides — Catalyst extracts the common
+    // l_partkey = p_partkey equi-key so this stays an equi-join with
+    // a residual filter, never a cartesian (PlanAuditSpec pins it).
+    "q_tpch_q19" -> ((s, d) => {
+      val li = Tables.lineitem(s, d)
+      val p = Tables.part(s, d)
+      val cond = col("l_partkey") === col("p_partkey") && (
+        (col("p_brand") === "Brand#1" && col("p_size").between(1, 10) &&
+          col("l_quantity").between(1, 11)) ||
+        (col("p_brand") === "Brand#13" && col("p_size").between(1, 20) &&
+          col("l_quantity").between(10, 20)) ||
+        (col("p_brand") === "Brand#20" && col("p_size").between(1, 30) &&
+          col("l_quantity").between(20, 30)))
+      li.join(broadcast(p), cond)
+        .agg(moneyProductSum(col("l_extendedprice"),
+          lit(1) - col("l_discount")).as("revenue"))
+    }),
+
+    // The SQL-TEXT TPC-H family (Q2/Q4/Q9/Q11/Q13/Q15/Q16/Q17/Q20/
+    // Q21/Q22) is appended programmatically below the Map literal:
+    // each runs
     // through `spark.sql` so CATALYST performs the subquery
     // decorrelation being exercised (correlated scalar avg → agg+join,
     // IN/EXISTS → semi joins, NOT IN → null-aware anti join, NOT
@@ -1329,6 +1543,91 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |ORDER BY o_totalprice DESC, o_orderdate, o_orderkey
         |LIMIT 100""".stripMargin,
+
+    "q_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    AS sum_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_base_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS sum_disc_price,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))
+        |    * CAST(1 + l_tax AS DECIMAL(18,2))) AS DOUBLE) AS sum_charge,
+        |  CAST(sum(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+        |    / count(*) AS avg_qty,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_price,
+        |  CAST(sum(CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    / count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+        |GROUP BY 1, 2
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_tpch_q6" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07
+        |  AND l_quantity < 24""".stripMargin,
+
+    "q_tpch_q10" ->
+      """SELECT c_custkey, c_name,
+        |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |    AS revenue,
+        |  c_acctbal, n_name
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |WHERE l_returnflag = 'R'
+        |  AND o_orderdate >= TIMESTAMP '1996-10-01'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01'
+        |GROUP BY c_custkey, c_name, c_acctbal, n_name
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin,
+
+    "q_tpch_q12" ->
+      """SELECT l_linestatus,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |  CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |    THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate > o_orderdate + INTERVAL 90 DAY
+        |  AND l_shipdate >= TIMESTAMP '1996-01-01'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01'
+        |GROUP BY 1 ORDER BY l_linestatus""".stripMargin,
+
+    "q_tpch_q14" ->
+      """SELECT 100.0 * CAST(sum(CASE WHEN p_type = 'PROMO'
+        |    THEN CAST(l_extendedprice AS DECIMAL(18,2))
+        |      * CAST(1 - l_discount AS DECIMAL(18,2))
+        |    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+        |  / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |    * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+        |  AS promo_revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-09-01'
+        |  AND l_shipdate < TIMESTAMP '1996-10-01'""".stripMargin,
+
+    "q_tpch_q19" ->
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |  * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 10
+        |    AND l_quantity BETWEEN 1 AND 11)
+        |  OR (p_brand = 'Brand#13' AND p_size BETWEEN 1 AND 20
+        |    AND l_quantity BETWEEN 10 AND 20)
+        |  OR (p_brand = 'Brand#20' AND p_size BETWEEN 1 AND 30
+        |    AND l_quantity BETWEEN 20 AND 30)""".stripMargin,
 
     "q_joinagg" ->
       """SELECT n_name,

@@ -96,6 +96,69 @@ class PlanAuditSpec extends SparkSpec {
       s"q22's NOT EXISTS must become an anti join:\n${byName("q_tpch_q22")}")
   }
 
+  test("TPC-H Q2/Q9/Q11/Q15 subquery shapes decorrelate / stay single-pass") {
+    val plans = Seq("q_tpch_q2", "q_tpch_q9", "q_tpch_q11", "q_tpch_q15")
+      .map(q => q -> finalPlan(graft.SparkEntry.queries(q)(spark, sf)))
+      .toMap
+    for ((q, plan) <- plans)
+      assert(!plan.contains("InSubqueryExec") &&
+        !plan.contains("CartesianProduct") &&
+        !plan.contains("BroadcastNestedLoop"),
+        s"$q must plan equi-joins, no per-row subqueries:\n$plan")
+    // Q2's correlated min over the 4-way dim join must become an
+    // aggregate joined back on the correlation key, not a per-row
+    // scalar evaluation
+    assert(!plans("q_tpch_q2").contains("ScalarSubquery"),
+      s"q2's correlated min must decorrelate:\n${plans("q_tpch_q2")}")
+    assert(plans("q_tpch_q2").contains("HashAggregate") &&
+      plans("q_tpch_q2").contains("Join"),
+      s"q2 must be agg+join:\n${plans("q_tpch_q2")}")
+    // Q9: 4 dimension joins over one fact — every join broadcasts
+    // (part/supplier/nation are dims; orders arrives filtered) or
+    // shuffles on an equi key; the name LIKE filter must reach the
+    // part scan
+    assert(plans("q_tpch_q9").contains("BroadcastHashJoin"),
+      s"q9's dims must broadcast:\n${plans("q_tpch_q9")}")
+    assert(plans("q_tpch_q9").contains("StringContains(p_name"),
+      s"q9's part-name filter must push down:\n${plans("q_tpch_q9")}")
+    // Q11/Q15: the global agg over the derived table is UNCORRELATED —
+    // it legitimately executes once as a scalar subquery; what must
+    // NOT happen is a join-shaped re-evaluation per row (no nested
+    // loop; asserted above for all four)
+    assert(plans("q_tpch_q11").contains("Subquery") ||
+      plans("q_tpch_q11").contains("ReusedSubquery"),
+      s"q11's global sum executes once:\n${plans("q_tpch_q11")}")
+    assert(plans("q_tpch_q15").contains("Subquery") ||
+      plans("q_tpch_q15").contains("ReusedSubquery"),
+      s"q15's max-over-view executes once:\n${plans("q_tpch_q15")}")
+  }
+
+  test("TPC-H Q1/Q6/Q19: pushdown + partial aggregation on the scan shapes") {
+    val p1 = finalPlan(CoreQueries.queries("q_tpch_q1")(spark, sf))
+    // map-side partial agg: two HashAggregates around one exchange
+    assert("HashAggregate".r.findAllIn(p1).size >= 2 &&
+      p1.contains("Exchange"),
+      s"q1 must aggregate partially before the exchange:\n$p1")
+    assert(p1.contains("LessThanOrEqual(l_shipdate"),
+      s"q1's date cut must push to the scan:\n$p1")
+    val p6 = finalPlan(CoreQueries.queries("q_tpch_q6")(spark, sf))
+    // the rendered PushedFilters list truncates, so assert the date
+    // cut (first in the pushed list) plus the full residual Filter
+    // conditions — all three ranges evaluated before the agg
+    assert(p6.contains("GreaterThanOrEqual(l_shipda"),
+      s"q6's date predicate must push to the scan:\n$p6")
+    assert(p6.contains(">= 0.05)") && p6.contains("<= 0.07)") &&
+      p6.contains("< 24.0)"),
+      s"q6's discount/quantity ranges must filter before the agg:\n$p6")
+    val p19 = finalPlan(CoreQueries.queries("q_tpch_q19")(spark, sf))
+    // Catalyst must extract the common equi-key from the OR-of-ANDs —
+    // an equi hash join with residual condition, never a cartesian
+    assert(p19.contains("BroadcastHashJoin") &&
+      !p19.contains("BroadcastNestedLoop") &&
+      !p19.contains("CartesianProduct"),
+      s"q19's OR-of-ANDs must stay an equi join:\n$p19")
+  }
+
   test("row-local curation ops plan with ZERO shuffle exchanges") {
     // mixture resampling and token truncation are pure projections —
     // at 100 TB they must ride the corpus scan, not repartition it
