@@ -667,4 +667,119 @@ object Streams {
       .flatMapGroupsWithState(OutputMode.Append,
         GroupStateTimeout.NoTimeout)(fn)
   }
+
+  /** Streaming ROLLING ACTIVE USERS — the stateful twin of
+    * [[graft.operators.Temporal.rollingActiveUsers]]: per covered
+    * day, the exact distinct-user count over the trailing
+    * `windowDays` window, emitted append-mode once the watermark
+    * finalizes the day.
+    *
+    * Same scale shape as the batch operator, streamed: a ROW-LOCAL
+    * fan-out of each event to the `windowDays` report days it
+    * contributes to, ONE dedup on (report day, user) — state is
+    * exactly the batch fan-out-distinct's cardinality, evicted by the
+    * watermark — then a 1-day-window count. Chained stateful
+    * operators in append mode under a single watermark (Spark
+    * disallows redefining watermarks between stateful operators, so
+    * the watermark rides the FANNED-OUT event time; it runs up to
+    * `windowDays − 1` days ahead of source time, so the effective
+    * lateness tolerance for a source event is
+    * `watermark − (windowDays − 1) days` — size the delay with the
+    * window length included).
+    *
+    * Contract difference vs batch: batch reports OBSERVED days only;
+    * the stream emits every day a trailing window covers (a
+    * superset). On observed days the counts are equal — spec-pinned;
+    * `windowDays = 1` is exactly streaming DAU.
+    */
+  def streamingRollingActiveUsers(events: DataFrame, userCol: String,
+                                  tsCol: String, windowDays: Int = 7,
+                                  watermark: String = "10 days")
+      : DataFrame = {
+    require(windowDays >= 1, s"windowDays must be >= 1, got $windowDays")
+    events
+      .select(to_date(col(tsCol)).as("__day"), col(userCol).as("__user"))
+      .select(explode(sequence(col("__day"),
+        date_add(col("__day"), windowDays - 1))).as("__tday"),
+        col("__user"))
+      .withColumn("__tday_ts", col("__tday").cast("timestamp"))
+      .withWatermark("__tday_ts", watermark)
+      .dropDuplicates("__tday_ts", "__user")
+      .groupBy(window(col("__tday_ts"), "1 day"))
+      .agg(count(lit(1)).as("rolling_users"))
+      .select(date_format(col("window.start"), "yyyy-MM-dd").as("day"),
+        col("rolling_users"))
+  }
+
+  final case class RetEvent(user_id: Long, ts: Timestamp)
+  /** Per-user retention snapshot: the user's cohort week (Monday-
+    * truncated week of their FIRST event) and the week offsets they
+    * have been active in so far. `offsets` always contains 0.
+    */
+  final case class RetUserWeeks(user_id: Long, cohort_week: String,
+                                offsets: Seq[Int])
+  final case class RetState(cohortEpochDay: Long,
+                            weekEpochDays: Seq[Long])
+
+  /** Streaming RETENTION — the stateful twin of
+    * [[graft.operators.Temporal.retentionCohorts]]: per user, a
+    * transformWithState snapshot of (cohort week, active week
+    * offsets), re-emitted (update semantics) whenever the user's
+    * activity changes it. The cohort matrix is then a trivial
+    * count over the latest snapshots — n_active(cohort, k) =
+    * |users with offset k|, cohort_size = |users with offset 0| —
+    * which the spec pins against the batch matrix exactly.
+    *
+    * Out-of-order robust: if an EARLIER first event arrives late, the
+    * state re-bases (new cohort week, all seen offsets recomputed)
+    * and the fresh snapshot supersedes prior emissions — the reason
+    * this emits whole snapshots rather than per-activation deltas
+    * (append deltas could never retract a mis-based cohort). State
+    * per user is the cohort day plus one epoch-day per DISTINCT
+    * active week — weeks-scale, not event-scale.
+    */
+  def streamingRetention(events: Dataset[RetEvent])
+      : Dataset[RetUserWeeks] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Enc}
+
+    // Monday-truncated week as epoch day — the JVM twin of
+    // date_trunc("week", ts) under the engine's session convention
+    // (UTC, set by Sessions.tuned; explicit here so a JVM running in
+    // another zone cannot skew the twin)
+    def weekEpochDay(t: Timestamp): Long = {
+      val ld = t.toInstant.atZone(java.time.ZoneOffset.UTC).toLocalDate
+      ld.minusDays((ld.getDayOfWeek.getValue + 6) % 7).toEpochDay
+    }
+
+    class RetentionProcessor
+        extends StatefulProcessor[Long, RetEvent, RetUserWeeks] {
+      @transient private var st: ValueState[RetState] = _
+      override def init(outputMode: OutputMode,
+                        timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[RetState]("ret",
+          Enc.product[RetState], TTLConfig.NONE)
+      override def handleInputRows(key: Long, rows: Iterator[RetEvent],
+                                   timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[RetUserWeeks] = {
+        val weeks = rows.map(e => weekEpochDay(e.ts)).toSet
+        val prev = if (st.exists())
+          Some(st.get()) else None
+        val seen = prev.map(_.weekEpochDays.toSet).getOrElse(Set.empty)
+        val all = seen ++ weeks
+        if (all == seen && prev.nonEmpty) Iterator.empty // no change
+        else {
+          val cohort = all.min // re-bases if an earlier week arrived
+          st.update(RetState(cohort, all.toSeq.sorted))
+          val cw = java.time.LocalDate.ofEpochDay(cohort).toString
+          Iterator.single(RetUserWeeks(key, cw,
+            all.toSeq.sorted.map(w => ((w - cohort) / 7).toInt)))
+        }
+      }
+    }
+    events.groupByKey(_.user_id)
+      .transformWithState(new RetentionProcessor, TimeMode.None(),
+        OutputMode.Update())
+  }
 }

@@ -519,6 +519,104 @@ class StreamsSpec extends SparkSpec {
       Streams.QSketchEntry(2L, "", 0L)) < 0)
   }
 
+  test("streamingRollingActiveUsers ≡ batch on observed days; windowDays=1 is DAU") {
+    implicit val sqlCtx = spark.sqlContext
+    val ev = graft.model.Tables.events(spark, sf)
+      .select("user_id", "ts").limit(3000).collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1)))
+    val maxTs = ev.map(_._2.getTime).max
+    // flush event far past watermark(3d) + window(7d): every real
+    // day's window finalizes in append mode
+    val flush = (-1L, new Timestamp(maxTs + 40L * 86400 * 1000))
+    val batchDf = spark.createDataFrame(ev.toSeq).toDF("user_id", "ts")
+    for (win <- Seq(7, 1)) {
+      val batch = graft.operators.Temporal
+        .rollingActiveUsers(batchDf, "user_id", "ts", win)
+        .collect().map(r => (r.getString(0), r.getLong(2))).toMap
+      val in = MemoryStream[(Long, Timestamp)]
+      val q = Streams.streamingRollingActiveUsers(
+        in.toDF().toDF("user_id", "ts"), "user_id", "ts", win)
+        .writeStream.format("memory").queryName(s"rau_$win")
+        .outputMode("append").start()
+      try {
+        val (a, b) = ev.splitAt(ev.length / 2)
+        in.addData(a.toSeq); q.processAllAvailable()
+        in.addData(b.toSeq :+ flush); q.processAllAvailable()
+        val streamed = spark.table(s"rau_$win")
+          .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+        // batch reports observed days; the stream's covered-day
+        // superset must agree on every one of them
+        for ((day, n) <- batch)
+          assert(streamed.get(day).contains(n),
+            s"win=$win day $day: stream ${streamed.get(day)} != batch $n")
+        if (win == 1)
+          assert(streamed.filter(_._1 <= batch.keys.max).keySet ==
+            batch.keySet,
+            "windowDays=1 must emit exactly the observed days (DAU)")
+      } finally q.stop()
+    }
+  }
+
+  test("streamingRetention snapshots aggregate to the batch cohort matrix") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    val ev = graft.model.Tables.events(spark, sf)
+      .select("user_id", "ts").limit(3000).collect()
+      .map(r => Streams.RetEvent(r.getLong(0), r.getTimestamp(1)))
+    val batchDf = spark.createDataFrame(
+      ev.toSeq.map(e => (e.user_id, e.ts))).toDF("user_id", "ts")
+    val batch = graft.operators.Temporal
+      .retentionCohorts(batchDf, "user_id", "ts")
+      .collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4))).toSet
+    val in = MemoryStream[Streams.RetEvent]
+    val q = Streams.streamingRetention(in.toDS())
+      .writeStream.format("memory").queryName("ret_snap")
+      .outputMode("update").start()
+    try {
+      // REVERSED halves: late-arriving earlier events force cohort
+      // re-basing; the final snapshots must still match the batch
+      val (a, b) = ev.sortBy(_.ts.getTime).splitAt(ev.length / 2)
+      in.addData(b.toSeq); q.processAllAvailable()
+      in.addData(a.toSeq); q.processAllAvailable()
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("user_id").orderBy(col("emit_order").desc)
+      val last = spark.table("ret_snap")
+        .withColumn("emit_order", monotonically_increasing_id())
+        .withColumn("rn", row_number().over(w))
+        .filter(col("rn") === 1)
+        .select(col("user_id"), col("cohort_week"),
+          explode(col("offsets")).as("week_offset"))
+      val counts = last.groupBy("cohort_week", "week_offset")
+        .agg(count(lit(1)).as("n_active"))
+        .collect().map(r => ((r.getString(0), r.getInt(1)), r.getLong(2)))
+        .toMap
+      val sizes = counts.collect { case ((cw, 0), n) => cw -> n }
+      val streamed = counts.map { case ((cw, off), n) =>
+        val size = sizes(cw)
+        // Spark's round(double) goes through BigDecimal.valueOf —
+        // mirror it exactly so boundary halves round identically
+        (cw, off, n, size,
+          java.math.BigDecimal.valueOf(n.toDouble / size)
+            .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue())
+      }.toSet
+      assert(streamed == batch,
+        s"stream matrix diverged: only-stream=${streamed -- batch}, " +
+          s"only-batch=${batch -- streamed}")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("streamingFunnel: chain gating and gap window, exact rows") {
     implicit val sqlCtx = spark.sqlContext
     val prevProvider =
