@@ -699,6 +699,31 @@ object Dedup {
   def readSignatures(spark: SparkSession, path: String): DataFrame =
     spark.read.parquet(path).drop("sig_part")
 
+  /** Point/subset read of a maintained signature table: the
+    * signatures of exactly the ids in `ids`, scanning ONLY the hash
+    * partitions those ids can live in. The table's layout key is
+    * `hash32(id) % SigParts`, so each requested id's `sig_part` is
+    * recomputable reader-side: the distinct touched parts (≤
+    * [[SigParts]] values — bounded driver work, broadcast-sized by
+    * construction) become a static partition filter, and a broadcast
+    * semi-join on (sig_part, id) finishes the exact cut. At 100 TB
+    * (~1.2 TB signature table) a reconciliation fetch of one batch's
+    * signatures reads touched/SigParts of the table instead of all of
+    * it — spec-measured via ScanAudit, mirroring the Z-order
+    * evidence.
+    */
+  def readSignaturesFor(spark: SparkSession, path: String,
+                        ids: DataFrame, idCol: String): DataFrame = {
+    val keyed = withSigPart(ids.select(col(idCol)).distinct(), idCol)
+      .localCheckpoint() // ids subtree evaluates once (parts + semi)
+    val parts = keyed.select("sig_part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    spark.read.parquet(path)
+      .filter(col("sig_part").isin(parts: _*))
+      .join(broadcast(keyed), Seq("sig_part", idCol), "left_semi")
+      .drop("sig_part")
+  }
+
   /** Rewrite a signature table to one file per partition, collapsing
     * the per-append small files. Swap semantics (reader visibility,
     * crash recovery, single-writer): [[graft.io.StagedSwap]].

@@ -209,7 +209,9 @@ object CoreQueries {
     // GLOBAL aggregate of the same derived table (scalar subquery over
     // a reused CTE). The comparison is kept in exact decimals
     // (v * 1000 > sum(v)) — no float threshold edge. Adapted: part
-    // value from lineitem (no partsupp).
+    // value from lineitem (no partsupp); NATION_8 is the nation with
+    // supplier presence at every harness sf including the sf0.001
+    // smoke leg.
     case "q_tpch_q11" =>
       s"""WITH val AS (
          |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
@@ -217,7 +219,7 @@ object CoreQueries {
          |  FROM ${t("lineitem")}
          |  JOIN ${t("supplier")} ON l_suppkey = s_suppkey
          |  JOIN ${t("nation")} ON s_nationkey = n_nationkey
-         |  WHERE n_name = 'NATION_7'
+         |  WHERE n_name = 'NATION_8'
          |  GROUP BY 1)
          |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
          |FROM val

@@ -43,6 +43,39 @@ class DedupLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("readSignaturesFor prunes the scan to the touched hash partitions") {
+    val table = Files.createTempDirectory("graft_sig_prune_").toString + "/t"
+    val all = sigsOf(lit(true))
+    Dedup.writeSignatures(all, "doc_id", table)
+    Dedup.compactSignatures(spark, table)
+    val total = all.count()
+
+    // a handful of ids touches a strict subset of the 16 sig_part dirs
+    val wanted = Tables.documents(spark, sf)
+      .select("doc_id").orderBy("doc_id").limit(3)
+    val pruned = Dedup.readSignaturesFor(spark, table, wanted, "doc_id")
+
+    // correctness: exactly the requested signatures
+    val full = Dedup.readSignatures(spark, table)
+      .join(wanted, Seq("doc_id"), "left_semi")
+    assert(pruned.orderBy("doc_id").collect().toSeq ==
+      full.orderBy("doc_id").collect().toSeq)
+    assert(pruned.count() == 3)
+
+    // MEASURED pruning: the scan must emit only the touched
+    // partitions' rows, not the table (the Z-order evidence pattern —
+    // ScanAudit numbers, not plan prose)
+    val read = graft.plans.ScanAudit.measure(
+      Dedup.readSignaturesFor(spark, table, wanted, "doc_id")).rowsRead
+    assert(read < total / 2,
+      s"3 ids must not scan the whole table: read $read of $total")
+    // and the pruning is the STATIC partition filter, visible in plan
+    val plan = Dedup.readSignaturesFor(spark, table, wanted, "doc_id")
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters") && plan.contains("sig_part"),
+      s"sig_part must prune at the partition level:\n$plan")
+  }
+
   test("dedup operators leave the CacheManager empty (no persist leaks)") {
     spark.sharedState.cacheManager.clearCache()
     val docs = Tables.documents(spark, sf)
