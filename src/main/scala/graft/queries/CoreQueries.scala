@@ -184,6 +184,38 @@ object CoreQueries {
          |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
          |LIMIT 100""".stripMargin
 
+    // Q8 (national market share): the 8-way star with nation in DUAL
+    // roles — once through the customer side (region-restricted) and
+    // once through the supplier side (the share dimension) — plus a
+    // conditional-ratio aggregate. The share is a division of two
+    // EXACT decimal sums cast to double, so both engines compute the
+    // identical quotient bit-for-bit (the Q9/Q15 money pattern).
+    // NATION_8 as the share nation: populated at every harness sf
+    // including the sf0.001 smoke leg (the Q11 lesson).
+    case "q_tpch_q8" =>
+      s"""SELECT o_year,
+         |  CAST(sum(CASE WHEN nation = 'NATION_8' THEN volume
+         |                ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
+         |    / CAST(sum(volume) AS DOUBLE) AS mkt_share
+         |FROM (
+         |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
+         |    CAST(l_extendedprice AS DECIMAL(18,2))
+         |      * CAST(1 - l_discount AS DECIMAL(18,2)) AS volume,
+         |    n2.n_name AS nation
+         |  FROM ${t("part")}, ${t("supplier")}, ${t("lineitem")},
+         |    ${t("orders")}, ${t("customer")},
+         |    ${t("nation")} n1, ${t("nation")} n2, ${t("region")}
+         |  WHERE p_partkey = l_partkey AND s_suppkey = l_suppkey
+         |    AND l_orderkey = o_orderkey AND o_custkey = c_custkey
+         |    AND c_nationkey = n1.n_nationkey
+         |    AND n1.n_regionkey = r_regionkey
+         |    AND r_name = 'AMERICA' AND s_nationkey = n2.n_nationkey
+         |    AND o_orderdate >= TIMESTAMP '1995-01-01'
+         |    AND o_orderdate < TIMESTAMP '1997-01-01'
+         |    AND p_type = 'ECONOMY') all_nations
+         |GROUP BY o_year
+         |ORDER BY o_year""".stripMargin
+
     // Q9 (product-type profit): the multi-FACT join-agg with
     // EXPRESSION group keys (nation name x extracted year). Adapted
     // profit: p_retailprice stands in for ps_supplycost at a 0.5
@@ -269,7 +301,7 @@ object CoreQueries {
   }
 
   private[queries] val tpchTextNames: Seq[String] = Seq(
-    "q_tpch_q2", "q_tpch_q4", "q_tpch_q9", "q_tpch_q11", "q_tpch_q13",
+    "q_tpch_q2", "q_tpch_q4", "q_tpch_q8", "q_tpch_q9", "q_tpch_q11", "q_tpch_q13",
     "q_tpch_q15", "q_tpch_q16", "q_tpch_q17", "q_tpch_q20",
     "q_tpch_q21", "q_tpch_q22")
 

@@ -133,6 +133,25 @@ class PlanAuditSpec extends SparkSpec {
       s"q15's max-over-view executes once:\n${plans("q_tpch_q15")}")
   }
 
+  test("TPC-H Q8: dual-role nation broadcasts on both legs, no cartesian") {
+    val p8 = finalPlan(graft.SparkEntry.queries("q_tpch_q8")(spark, sf))
+    assert(!p8.contains("CartesianProduct") &&
+      !p8.contains("BroadcastNestedLoop"),
+      s"q8's 8-way star must stay equi joins:\n$p8")
+    // nation appears twice (customer-side region walk + supplier-side
+    // share dim) — both legs plus region/part/supplier are dims and
+    // must broadcast; only fact-fact (lineitem-orders / -customer)
+    // may shuffle
+    assert("BroadcastHashJoin".r.findAllIn(p8).size >= 4,
+      s"q8's dimension legs (nation x2, region, part, supplier) must " +
+        s"broadcast:\n$p8")
+    // the date window and part-type cut must reach the scans
+    assert(p8.contains("GreaterThanOrEqual(o_orderdate"),
+      s"q8's date window must push to the orders scan:\n$p8")
+    assert(p8.contains("EqualTo(p_type"),
+      s"q8's part-type cut must push to the part scan:\n$p8")
+  }
+
   test("TPC-H Q1/Q6/Q19: pushdown + partial aggregation on the scan shapes") {
     val p1 = finalPlan(CoreQueries.queries("q_tpch_q1")(spark, sf))
     // map-side partial agg: two HashAggregates around one exchange
