@@ -98,4 +98,20 @@ object ScanAudit {
     ScanStats(scans.size,
       scans.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum)
   }
+
+  /** Like [[measure]], but counts only file scans whose Location
+    * contains `pathPart` — for plans reading several tables where the
+    * pruning evidence is about ONE of them (e.g. a stored-index probe
+    * whose plan also scans the query batch and the centroids).
+    */
+  def measureFor(df: DataFrame, pathPart: String): ScanStats = {
+    df.queryExecution.toRdd.foreach(_ => ())
+    val scans = ShuffleAudit.flatten(df.queryExecution.executedPlan)
+      .collect {
+        case s: org.apache.spark.sql.execution.FileSourceScanExec
+          if s.metadata.get("Location").exists(_.contains(pathPart)) => s
+      }.distinct
+    ScanStats(scans.size,
+      scans.map(_.metrics.get("numOutputRows").map(_.value).getOrElse(0L)).sum)
+  }
 }

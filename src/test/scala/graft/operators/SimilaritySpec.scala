@@ -140,6 +140,21 @@ class SimilaritySpec extends SparkSpec {
     assert(indexScan.nonEmpty, s"no index scan found:\n$plan")
     assert(indexScan.forall(_.contains("PartitionFilters: [cell")),
       s"cell probe must prune index partitions:\n${indexScan.mkString("\n")}")
+
+    // MEASURED pruning, not just plan prose (the signature-table
+    // evidence pattern): one query vector probes ONE of the 4 cells,
+    // so the INDEX scan node must emit well under the full index —
+    // the pruned cells' rows are never read. Measured on the index
+    // scan's own numOutputRows (the query/centroid side reads are
+    // separate scan nodes).
+    val one = e.filter($"vec_id" === 0L)
+    val indexRows = Similarity.readVectorIndex(spark, p1).count()
+    val probedIndexRows = graft.plans.ScanAudit.measureFor(
+      Similarity.queryVectorIndex(spark, p1, one, "vec_id", "embedding", 3),
+      "/vectors").rowsRead
+    assert(probedIndexRows > 0 && probedIndexRows < indexRows / 2,
+      s"1-cell probe must not scan the index: read $probedIndexRows " +
+        s"of $indexRows index rows")
   }
 
   test("hardNegatives: same-label excluded, nearest wrong-label win") {
