@@ -121,6 +121,75 @@ object TextOps {
           + lit(0.3) * (lit(1.0) - nonAlnumRatio), 6))
   }
 
+  /** Lexical-diversity profile: per-doc type-token ratio, hapax
+    * ratio, Yule's K, and inverse-Simpson effective vocabulary — the
+    * classic lexical-richness statistics used as corpus-quality
+    * signals beside [[withQuality]]'s ratio features (templated or
+    * machine-generated text shows low effective vocabulary and low
+    * hapax mass even at an ordinary distinct-token ratio).
+    *
+    * Everything derives from the per-doc token-count multiset {c}:
+    * n = Σc, V = |types|, V1 = |{c = 1}|, S2 = Σc². Then
+    * ttr = V/n, hapax_ratio = V1/V, yule_k = 10⁴·(S2−n)/n²,
+    * eff_vocab = n²/S2 — all ratios of EXACT integers (the house
+    * log-free rule: no cross-engine libm drift), so the DuckDB oracle
+    * matches bit-for-bit after the shared round(·,6).
+    *
+    * ZERO-SHUFFLE: the multiset folds row-locally over the SORTED
+    * token array (equal tokens are adjacent, so run boundaries yield
+    * the counts) — no explode, no (doc, token) exchange. At 100 TB
+    * the profile rides the document scan like the other row-local
+    * scorers: per-partition CPU, zero network.
+    */
+  def lexicalDiversity(df: DataFrame, idCol: String,
+                       textCol: String): DataFrame = {
+    // materialized once; both size() and the fold read the attribute
+    val withToks = df.select(col(idCol),
+      array_sort(filter(Portable.tokens(col(textCol)),
+        x => length(x) > lit(0))).as("__lx_toks"))
+    val toks = col("__lx_toks")
+    val folded = aggregate(
+      toks,
+      struct(lit(null).cast("string").as("prev"), lit(0L).as("run"),
+        lit(0L).as("types"), lit(0L).as("hapax"), lit(0L).as("sumsq")),
+      (acc, x) => {
+        val run = acc.getField("run")
+        when(acc.getField("prev") <=> x,
+          struct(x.as("prev"), (run + lit(1L)).as("run"),
+            acc.getField("types").as("types"),
+            acc.getField("hapax").as("hapax"),
+            acc.getField("sumsq").as("sumsq")))
+          .otherwise(struct(x.as("prev"), lit(1L).as("run"),
+            (acc.getField("types") + lit(1L)).as("types"),
+            (acc.getField("hapax")
+              + when(run === 1L, 1L).otherwise(0L)).as("hapax"),
+            (acc.getField("sumsq") + run * run).as("sumsq")))
+      },
+      // close the final run; an empty array stays all-zero (run = 0)
+      acc => struct(
+        acc.getField("types").as("types"),
+        (acc.getField("hapax")
+          + when(acc.getField("run") === 1L, 1L).otherwise(0L)).as("hapax"),
+        (acc.getField("sumsq")
+          + acc.getField("run") * acc.getField("run")).as("sumsq")))
+    val base = withToks.select(col(idCol),
+      size(toks).cast("long").as("n_tokens"), folded.as("__lx"))
+    val n = col("n_tokens")
+    val v = col("__lx.types")
+    val v1 = col("__lx.hapax")
+    val s2 = col("__lx.sumsq")
+    // try_divide: n = 0 (or V = 0 / S2 = 0) → null, not an ANSI error
+    base.select(col(idCol), n,
+      v.as("n_types"), v1.as("n_hapax"),
+      round(try_divide(v.cast("double"), n.cast("double")), 6).as("ttr"),
+      round(try_divide(v1.cast("double"), v.cast("double")), 6)
+        .as("hapax_ratio"),
+      round(try_divide(lit(10000.0) * (s2 - n).cast("double"),
+        (n * n).cast("double")), 6).as("yule_k"),
+      round(try_divide((n * n).cast("double"), s2.cast("double")), 6)
+        .as("eff_vocab"))
+  }
+
   /** BPE-ish subword-boundary tokenization (GPT-2-style pattern:
     * contraction suffixes, space-prefixed letter runs, digit runs,
     * punctuation runs). A real BPE merges pairs against a vocab; this

@@ -60,6 +60,11 @@ object TextQueries {
           round(col("avg_token_len"), 6).as("avg_token_len"))
         .orderBy("doc_id")),
 
+    // lexical-richness profile — zero-shuffle sorted-run fold
+    "q_lexical_diversity" -> ((s, d) =>
+      TextOps.lexicalDiversity(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
     // quality scoring — ratio features + weighted composite
     "q_text_quality" -> ((s, d) =>
       TextOps.withQuality(Tables.documents(s, d), "text")
@@ -498,6 +503,38 @@ object TextQueries {
          |  round(CAST(list_sum(list_transform(t, x -> len(x))) AS DOUBLE)
          |        / CAST(len(t) AS DOUBLE), 6) AS avg_token_len
          |FROM toks ORDER BY doc_id""".stripMargin,
+
+    // the oracle derives the same multiset statistics through the
+    // orthodox unnest+group shape — counts are counts whichever way
+    // they're folded, and every compared ratio is exact-integer math
+    "q_lexical_diversity" ->
+      s"""WITH lx AS (SELECT doc_id,
+         |    list_filter($toksSql, t -> len(t) > 0) AS t FROM documents),
+         |lxc AS (SELECT doc_id, tok, count(*) AS c
+         |  FROM (SELECT doc_id, unnest(t) AS tok FROM lx) GROUP BY 1, 2),
+         |lxa AS (SELECT doc_id, CAST(sum(c) AS BIGINT) AS n,
+         |    CAST(count(*) AS BIGINT) AS v,
+         |    CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS v1,
+         |    CAST(sum(c * c) AS BIGINT) AS s2
+         |  FROM lxc GROUP BY 1)
+         |SELECT d.doc_id,
+         |  coalesce(a.n, 0) AS n_tokens,
+         |  coalesce(a.v, 0) AS n_types,
+         |  coalesce(a.v1, 0) AS n_hapax,
+         |  CASE WHEN coalesce(a.n, 0) = 0 THEN NULL
+         |    ELSE round(CAST(a.v AS DOUBLE) / CAST(a.n AS DOUBLE), 6)
+         |    END AS ttr,
+         |  CASE WHEN coalesce(a.v, 0) = 0 THEN NULL
+         |    ELSE round(CAST(a.v1 AS DOUBLE) / CAST(a.v AS DOUBLE), 6)
+         |    END AS hapax_ratio,
+         |  CASE WHEN coalesce(a.n, 0) = 0 THEN NULL
+         |    ELSE round(10000.0 * CAST(a.s2 - a.n AS DOUBLE)
+         |      / CAST(a.n * a.n AS DOUBLE), 6) END AS yule_k,
+         |  CASE WHEN coalesce(a.s2, 0) = 0 THEN NULL
+         |    ELSE round(CAST(a.n * a.n AS DOUBLE) / CAST(a.s2 AS DOUBLE), 6)
+         |    END AS eff_vocab
+         |FROM documents d LEFT JOIN lxa a ON d.doc_id = a.doc_id
+         |ORDER BY d.doc_id""".stripMargin,
 
     "q_text_quality" -> {
       val stopList = TextOps.stopwords.map(w => s"'$w'").mkString(", ")

@@ -42,6 +42,35 @@ class TextDedupSpec extends SparkSpec {
     assert(math.abs(row.getDouble(3) - 1.0 / 12) < 1e-6)
   }
 
+  test("lexicalDiversity: exact multiset statistics on known docs") {
+    val r = TextOps.lexicalDiversity(
+      Seq((1L, "a b b c c c"),   // n=6 V=3 V1=1 S2=14
+          (2L, "x"),             // n=1 V=1 V1=1 S2=1
+          (3L, "  "),            // empty after tokenize
+      ).toDF("doc_id", "text"), "doc_id", "text")
+      .collect().map(row => row.getLong(0) -> row).toMap
+    val d1 = r(1L)
+    assert((d1.getLong(1), d1.getLong(2), d1.getLong(3)) == ((6L, 3L, 1L)))
+    assert(d1.getDouble(4) == 0.5)                  // ttr = 3/6
+    assert(d1.getDouble(5) == 0.333333)             // hapax = 1/3
+    assert(d1.getDouble(6) == 2222.222222)          // 10^4 * 8/36
+    assert(d1.getDouble(7) == 2.571429)             // 36/14
+    val d2 = r(2L)
+    assert((d2.getLong(1), d2.getLong(2), d2.getLong(3)) == ((1L, 1L, 1L)))
+    assert(d2.getDouble(4) == 1.0 && d2.getDouble(5) == 1.0)
+    assert(d2.getDouble(6) == 0.0 && d2.getDouble(7) == 1.0)
+    val d3 = r(3L)
+    assert((d3.getLong(1), d3.getLong(2), d3.getLong(3)) == ((0L, 0L, 0L)))
+    assert((4 to 7).forall(d3.isNullAt), "empty doc → null ratios")
+  }
+
+  test("lexicalDiversity plans zero exchanges (row-local fold)") {
+    val out = TextOps.lexicalDiversity(docs, "doc_id", "text")
+    val n = graft.plans.ShuffleAudit.measure(out)
+    assert(n.exchanges == 0,
+      s"lexical diversity must not shuffle: ${n.exchanges} exchanges")
+  }
+
   test("exact dedup keeps the min-id row per distinct text") {
     val kept = Dedup.exactDedup(docs, "doc_id", "text")
       .select("doc_id").as[Long].collect().sorted
