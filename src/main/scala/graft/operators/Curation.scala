@@ -46,6 +46,34 @@ object Curation {
         .otherwise("test"))
   }
 
+  /** LEAKAGE-SAFE train/val/test split: assignment is by near-dup
+    * CLUSTER, not by document. Every member of a component receives
+    * the bucket of the component label, so near-duplicates can never
+    * straddle train and test — the eval-contamination channel a
+    * per-doc hash split ([[datasetSplit]]) leaves open (a duplicated
+    * document has ~2·p·(1−p) probability of landing on both sides of
+    * the cut, and at web-corpus dup rates that is millions of leaked
+    * eval documents).
+    *
+    * `clusters` is (idCol, component) — [[Dedup.connectedComponents]]
+    * output, or any other grouping worth isolating (URL/site groups,
+    * embedding clusters). Docs without a cluster row split on their
+    * own id (singleton component). Cost: ONE join against the cluster
+    * map (broadcast when small, shuffle-on-id otherwise — both sides
+    * already keyed on idCol); the bucketing itself is row-local.
+    */
+  def leakageSafeSplit(df: DataFrame, idCol: String, clusters: DataFrame,
+                       trainPct: Int = 80, valPct: Int = 10): DataFrame = {
+    val comp = clusters.select(col(idCol), col("component"))
+    val b = hashBucket(coalesce(col("component"), col(idCol)))
+    df.join(comp, Seq(idCol), "left")
+      .withColumn("component", coalesce(col("component"), col(idCol)))
+      .withColumn("split",
+        when(b < trainPct, "train")
+          .when(b < trainPct + valPct, "val")
+          .otherwise("test"))
+  }
+
   /** Cumulative-quota sequence packing: within each `groupCol`
     * partition ordered by `idCol`, documents are assigned to packs of
     * ~`budget` tokens by exclusive prefix sum — pack =

@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.functions.Portable._
 import graft.model.Tables
-import graft.operators.Dedup
+import graft.operators.{Curation, Dedup}
 
 /** Deduplication queries over `documents`: exact, MinHash+LSH,
   * SimHash, and exact n-gram Jaccard. The MinHash/SimHash oracles are
@@ -172,6 +172,19 @@ object DedupQueries {
       val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", K,
         threshold = 0.5).select("id_a", "id_b")
       Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
+    // leakage-safe split: near-dup components share a split, so no
+    // near-duplicate pair can straddle train/test (eval contamination)
+    "q_leakage_split" -> ((s, d) => {
+      val docs = Tables.documents(s, d)
+      val pairs = Dedup.minhashNearDups(docs, "doc_id", "text", K,
+        threshold = 0.5).select("id_a", "id_b")
+      val clusters = Dedup.connectedComponents(pairs,
+        docs.select("doc_id"), "doc_id")
+      Curation.leakageSafeSplit(docs.select("doc_id"), "doc_id", clusters)
+        .select("doc_id", "component", "split")
         .orderBy("doc_id")
     }),
 
@@ -610,6 +623,36 @@ object DedupQueries {
          |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
          |SELECT id AS doc_id, min(comp) AS component
          |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+    },
+
+    "q_leakage_split" -> {
+      val matches = (0 until NumPerms)
+        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+        .mkString(" + ")
+      val bucket =
+        s"${Portable.hash32Sql("CAST(c.component AS VARCHAR)")} % 100"
+      s"""WITH RECURSIVE $sigCte,
+         |$bandsCte,
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+         |  JOIN sig a ON a.doc_id = c.id_a
+         |  JOIN sig b ON b.doc_id = c.id_b
+         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+         |  UNION SELECT id_b, id_a FROM pairs),
+         |reach(id, comp) AS (
+         |  SELECT doc_id, doc_id FROM documents
+         |  UNION
+         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst),
+         |lscomp AS (SELECT id AS doc_id, min(comp) AS component
+         |  FROM reach GROUP BY id)
+         |SELECT c.doc_id, c.component,
+         |  CASE WHEN $bucket < 80 THEN 'train'
+         |       WHEN $bucket < 90 THEN 'val'
+         |       ELSE 'test' END AS split
+         |FROM lscomp c ORDER BY c.doc_id""".stripMargin
     },
 
     "q_dedup_transitive" -> {

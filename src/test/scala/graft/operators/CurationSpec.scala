@@ -118,6 +118,31 @@ class CurationSpec extends SparkSpec {
     assert(again == first)
   }
 
+  test("leakageSafeSplit: near-dup cluster members never straddle splits") {
+    // two 2-doc clusters + two singletons; cluster map as
+    // connectedComponents would label it (min id per component)
+    val docs2 = Seq(1L, 2L, 3L, 4L, 5L, 6L)
+      .map(i => (i, s"doc $i")).toDF("doc_id", "text")
+    val clusters = Seq((1L, 1L), (4L, 1L), (2L, 2L), (5L, 2L))
+      .toDF("doc_id", "component")
+    val split = Curation.leakageSafeSplit(docs2, "doc_id", clusters)
+      .select("doc_id", "component", "split").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val byDoc = split.map(t => t._1 -> t._3).toMap
+    // THE invariant: same component ⇒ same split
+    assert(byDoc(1L) == byDoc(4L), "cluster {1,4} must share a split")
+    assert(byDoc(2L) == byDoc(5L), "cluster {2,5} must share a split")
+    // singletons fall back to their own id = the datasetSplit bucket
+    val solo = Curation.datasetSplit(docs2.filter($"doc_id" >= 3L)
+        .filter($"doc_id" =!= 4L && $"doc_id" =!= 5L), "doc_id")
+      .select("doc_id", "split").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(byDoc(3L) == solo(3L) && byDoc(6L) == solo(6L),
+      "singleton docs keep the per-doc hash split")
+    // clustered docs bucket on the COMPONENT label, not their own id
+    assert(split.filter(_._2 == 1L).map(_._3).distinct.length == 1)
+  }
+
   test("qualityBudgetCap ≡ greedy best-first replay per source") {
     val corpus = spark.read.parquet(s"$sf/documents.parquet")
       .select("doc_id", "text", "source")
