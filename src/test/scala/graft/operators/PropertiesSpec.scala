@@ -497,4 +497,57 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("lexicalDiversity ≡ brute-force multiset reference on random corpora") {
+    samples(corpusGen, 6).filter(_.nonEmpty).foreach { docs =>
+      val got = TextOps.lexicalDiversity(docs.toDF("doc_id", "text"),
+        "doc_id", "text")
+        .collect().map(r => r.getLong(0) -> r).toMap
+      docs.foreach { case (id, text) =>
+        val counts = text.split("\\s+").filter(_.nonEmpty)
+          .groupBy(identity).values.map(_.length.toLong).toSeq
+        val (n, v) = (counts.sum, counts.size.toLong)
+        val v1 = counts.count(_ == 1L).toLong
+        val s2 = counts.map(c => c * c).sum
+        val r = got(id)
+        assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((n, v, v1)),
+          s"doc $id '$text': got ${(r.getLong(1), r.getLong(2), r.getLong(3))}, want ${(n, v, v1)}")
+        if (n == 0) assert((4 to 7).forall(r.isNullAt))
+        else {
+          assert(math.abs(r.getDouble(4) - v.toDouble / n) < 1e-6)
+          assert(math.abs(r.getDouble(5) - v1.toDouble / v) < 1e-6)
+          assert(math.abs(r.getDouble(6)
+            - 1e4 * (s2 - n).toDouble / (n.toDouble * n)) < 1e-4)
+          assert(math.abs(r.getDouble(7)
+            - n.toDouble * n / s2) < 1e-6)
+          // bounds: 1 ≤ eff_vocab ≤ V; V1 ≤ V ≤ n; S2 ≥ n
+          assert(r.getDouble(7) >= 1.0 - 1e-9
+            && r.getDouble(7) <= v.toDouble + 1e-9)
+        }
+      }
+    }
+  }
+
+  test("leakageSafeSplit: component ⇒ split, corpus partitioned, on random cluster maps") {
+    val gen = for {
+      n <- Gen.choose(5, 40)
+      comps <- Gen.listOfN(n, Gen.choose(1L, 6L))
+    } yield comps.zipWithIndex.map { case (c, i) => (i.toLong, c) }
+    samples(gen, 6).filter(_.nonEmpty).foreach { rows =>
+      val docs = rows.map { case (id, _) => (id, s"doc $id") }
+        .toDF("doc_id", "text")
+      // label components the connectedComponents way: min member id
+      val label = rows.groupBy(_._2).values
+        .flatMap(g => g.map(t => (t._1, g.map(_._1).min))).toSeq
+      val out = Curation.leakageSafeSplit(docs, "doc_id",
+        label.toDF("doc_id", "component"))
+        .select("doc_id", "component", "split").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+      assert(out.length == rows.length, "split must partition the corpus")
+      out.groupBy(_._2).foreach { case (c, members) =>
+        assert(members.map(_._3).distinct.length == 1,
+          s"component $c split across ${members.map(_._3).distinct.toSeq}")
+      }
+    }
+  }
 }
