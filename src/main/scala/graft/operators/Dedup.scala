@@ -834,6 +834,59 @@ object Dedup {
     } finally edges.unpersist(blocking = false)
   }
 
+  /** Incrementally MERGE a batch's near-dup edges into a maintained
+    * component labeling — the lifecycle sibling of
+    * [[connectedComponents]]: between ingests the corpus's clustering
+    * lives as its (id, component) label table, and a new batch
+    * updates it WITHOUT re-running the closure over the corpus.
+    *
+    * Correctness is the star-contraction argument: a stored labeling
+    * is connectivity-equivalent to the pair graph it summarizes (each
+    * component is a star rooted at its min-member label), so
+    * CC(star edges ∪ new edges) ≡ CC(old pairs ∪ new pairs), with the
+    * same min-id canonical labels. The oracle replays the FULL
+    * closure over all pairs — refresh ≡ full recompute, the
+    * [[graft.io.MergeTable]] contract.
+    *
+    * Cost ∝ the batch: the iterative closure runs only over TOUCHED
+    * components' stars plus the new edges (stars have diameter ≤ 2,
+    * so pre-merged structure converges in one hop); an untouched
+    * component never enters a job — its rows carry over through one
+    * anti-join on the label column. At 100 TB the label table is
+    * ~16 bytes/doc and the per-ingest closure is batch-sized.
+    *
+    * `newEdges`: (id_a, id_b) batch–batch and batch–corpus pairs,
+    * either orientation. `newVertices`: the batch's ids (edgeless
+    * docs become singletons; ids already labeled are ignored, so
+    * re-ingest is idempotent).
+    */
+  def mergeComponents(labels: DataFrame, newEdges: DataFrame,
+                      newVertices: DataFrame, idCol: String): DataFrame = {
+    // the edge list feeds the touched-set probe AND the closure —
+    // materialized so the (expensive: band-join) pairs subtree runs
+    // once
+    val edges = newEdges.select(col("id_a"), col("id_b")).localCheckpoint()
+    val ends = edges
+      .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
+      .distinct()
+    val touched = labels.join(ends, Seq(idCol), "left_semi")
+      .select("component").distinct().localCheckpoint()
+    // members of touched components: leave the carry-over, enter the
+    // closure as their component's star
+    val touchedLabels = labels
+      .join(touched, Seq("component"), "left_semi").localCheckpoint()
+    val starEdges = touchedLabels.filter(col(idCol) =!= col("component"))
+      .select(col(idCol).as("id_a"), col("component").as("id_b"))
+    val freshVerts = newVertices.select(col(idCol)).distinct()
+      .join(labels, Seq(idCol), "left_anti")
+    val subVerts = touchedLabels.select(idCol).union(freshVerts).distinct()
+    val sub = connectedComponents(starEdges.union(edges), subVerts, idCol)
+    // the anti-join keys on component, which reorders columns — put
+    // the output back in (id, component) shape
+    labels.join(touched, Seq("component"), "left_anti").unionByName(sub)
+      .select(col(idCol), col("component"))
+  }
+
   /** Transitive-closure corpus dedup: cluster near-dup pairs into
     * connected components and keep exactly the min-id document of each
     * cluster. Unlike [[dedupCorpus]]'s greedy policy, every cluster

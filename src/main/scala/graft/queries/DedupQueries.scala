@@ -175,6 +175,38 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // incremental component maintenance: base labeling (even docs) +
+    // batch edges (odd docs: intra + cross vs base signatures) merged
+    // via the star-contraction identity — output must EQUAL the full
+    // closure over the whole corpus, which is exactly what the oracle
+    // computes (refresh ≡ full recompute)
+    "q_incr_components" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val base = all.filter(col("doc_id") % 2 === 0)
+      val batch = all.filter(col("doc_id") % 2 =!= 0)
+      val baseSigs = Dedup.minhashSignatures(
+        Dedup.docShingles(base, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val basePairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(baseSigs, "doc_id"), baseSigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      val baseLabels = Dedup.connectedComponents(basePairs,
+        base.select("doc_id"), "doc_id")
+      val newSigs = Dedup.minhashSignatures(
+        Dedup.docShingles(batch, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val cross = Dedup.estimatedJaccardAcross(
+        Dedup.lshCrossPairs(newSigs, baseSigs, "doc_id"),
+        newSigs, baseSigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      val intra = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(newSigs, "doc_id"), newSigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      Dedup.mergeComponents(baseLabels, cross.unionByName(intra),
+        batch.select("doc_id"), "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // leakage-safe split: near-dup components share a split, so no
     // near-duplicate pair can straddle train/test (eval contamination)
     "q_leakage_split" -> ((s, d) => {
@@ -401,6 +433,36 @@ object DedupQueries {
 
   private val bandsCte = bandsCteText
 
+  /** Full-corpus transitive closure by recursive CTE: reach(id, comp)
+    * holds every component-member id reachable from `id`; min over it
+    * is exactly the min-label fixpoint the Spark loop converges to.
+    * Serves BOTH q_dup_clusters (direct closure) and
+    * q_incr_components (incremental merge — refresh ≡ full recompute
+    * IS the contract, so the two queries share one oracle).
+    */
+  private lazy val fullClosureSql: String = {
+    val matches = (0 until NumPerms)
+      .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    s"""WITH RECURSIVE $sigCte,
+       |$bandsCte,
+       |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+       |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+       |  WHERE x.doc_id < y.doc_id),
+       |pairs AS (SELECT c.id_a, c.id_b FROM cand c
+       |  JOIN sig a ON a.doc_id = c.id_a
+       |  JOIN sig b ON b.doc_id = c.id_b
+       |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
+       |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
+       |  UNION SELECT id_b, id_a FROM pairs),
+       |reach(id, comp) AS (
+       |  SELECT doc_id, doc_id FROM documents
+       |  UNION
+       |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
+       |SELECT id AS doc_id, min(comp) AS component
+       |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
+  }
+
   /** One unrolled PageRank-round CTE (`r{t+1}` from `r{t}`) — the same
     * split-product integer micro-unit formula as
     * [[graft.operators.Graph.pageRank]] (`//` truncates like Spark's
@@ -599,31 +661,11 @@ object DedupQueries {
          |ORDER BY d.doc_id""".stripMargin
     },
 
-    "q_dup_clusters" -> {
-      val matches = (0 until NumPerms)
-        .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
-        .mkString(" + ")
-      // transitive closure by recursive CTE: reach(id, comp) holds
-      // every component-member id reachable from `id`; min over it is
-      // exactly the min-label fixpoint the Spark loop converges to
-      s"""WITH RECURSIVE $sigCte,
-         |$bandsCte,
-         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
-         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
-         |  WHERE x.doc_id < y.doc_id),
-         |pairs AS (SELECT c.id_a, c.id_b FROM cand c
-         |  JOIN sig a ON a.doc_id = c.id_a
-         |  JOIN sig b ON b.doc_id = c.id_b
-         |  WHERE CAST(($matches) AS DOUBLE) / $NumPerms >= 0.5),
-         |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
-         |  UNION SELECT id_b, id_a FROM pairs),
-         |reach(id, comp) AS (
-         |  SELECT doc_id, doc_id FROM documents
-         |  UNION
-         |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
-         |SELECT id AS doc_id, min(comp) AS component
-         |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
-    },
+    "q_dup_clusters" -> fullClosureSql,
+
+    // refresh ≡ full recompute: the incrementally-merged labeling must
+    // be INDISTINGUISHABLE from the full-corpus closure — same oracle
+    "q_incr_components" -> fullClosureSql,
 
     "q_leakage_split" -> {
       val matches = (0 until NumPerms)

@@ -528,6 +528,42 @@ class PropertiesSpec extends SparkSpec {
     }
   }
 
+  test("mergeComponents ≡ full closure on random graphs split into batches") {
+    val gen = for {
+      nOld <- Gen.choose(1L, 10L)
+      nNew <- Gen.choose(1L, 6L)
+      oldEdges <- Gen.listOf(for {
+        a <- Gen.choose(1L, nOld); b <- Gen.choose(1L, nOld)
+      } yield (a.min(b), a.max(b)))
+      // batch edges may touch old vertices (cross) or stay intra-batch
+      newEdges <- Gen.listOf(for {
+        a <- Gen.choose(1L, nOld + nNew); b <- Gen.choose(nOld + 1L, nOld + nNew)
+      } yield (a.min(b), a.max(b)))
+    } yield (nOld, nNew,
+      oldEdges.filter(t => t._1 != t._2).distinct,
+      newEdges.filter(t => t._1 != t._2).distinct)
+    samples(gen, 8).foreach { case (nOld, nNew, oldE, newE) =>
+      val oldVerts = (1L to nOld).toDF("id")
+      val allVerts = (1L to (nOld + nNew)).toDF("id")
+      val edgesDf = (e: Seq[(Long, Long)]) =>
+        e.toDF("id_a", "id_b")
+      val base = Dedup.connectedComponents(edgesDf(oldE), oldVerts, "id")
+      val merged = Dedup.mergeComponents(base, edgesDf(newE),
+        ((nOld + 1L) to (nOld + nNew)).toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val full = Dedup.connectedComponents(edgesDf(oldE ++ newE),
+        allVerts, "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(merged == full,
+        s"nOld=$nOld nNew=$nNew old=$oldE new=$newE:\n$merged\nvs\n$full")
+      // re-ingesting an already-labeled batch is a no-op
+      val again = Dedup.mergeComponents(full.toDF("id", "component"),
+        edgesDf(newE), ((nOld + 1L) to (nOld + nNew)).toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      assert(again == full, s"re-ingest must be idempotent:\n$again")
+    }
+  }
+
   test("leakageSafeSplit: component ⇒ split, corpus partitioned, on random cluster maps") {
     val gen = for {
       n <- Gen.choose(5, 40)
