@@ -869,12 +869,16 @@ object Dedup {
     val ends = edges
       .select(explode(array(col("id_a"), col("id_b"))).as(idCol))
       .distinct()
+    // touched/touchedLabels are NOT checkpointed: their upstreams
+    // (labels, edges) are already materialized, so a re-evaluation is
+    // one cheap join — an extra localCheckpoint would only add a
+    // scheduling barrier (composed lifecycles are job-count-bound)
     val touched = labels.join(ends, Seq(idCol), "left_semi")
-      .select("component").distinct().localCheckpoint()
+      .select("component").distinct()
     // members of touched components: leave the carry-over, enter the
     // closure as their component's star
     val touchedLabels = labels
-      .join(touched, Seq("component"), "left_semi").localCheckpoint()
+      .join(touched, Seq("component"), "left_semi")
     val starEdges = touchedLabels.filter(col(idCol) =!= col("component"))
       .select(col(idCol).as("id_a"), col("component").as("id_b"))
     val freshVerts = newVertices.select(col(idCol)).distinct()

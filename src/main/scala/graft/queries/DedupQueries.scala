@@ -175,23 +175,29 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
-    // incremental component maintenance: base labeling (even docs) +
-    // batch edges (odd docs: intra + cross vs base signatures) merged
-    // via the star-contraction identity — output must EQUAL the full
-    // closure over the whole corpus, which is exactly what the oracle
-    // computes (refresh ≡ full recompute)
+    // incremental component maintenance: base labeling (90% of docs)
+    // + one ingest batch (10%: intra + cross edges vs base
+    // signatures) merged via the star-contraction identity — output
+    // must EQUAL the full closure over the whole corpus, which is
+    // exactly what the oracle computes (refresh ≡ full recompute).
+    // The batch fraction mirrors the lifecycle's real shape: the
+    // merge leg's closure is batch-sized, the base labeling is the
+    // stored state the query must (once) construct.
     "q_incr_components" -> ((s, d) => {
       val all = Tables.documents(s, d)
-      val base = all.filter(col("doc_id") % 2 === 0)
-      val batch = all.filter(col("doc_id") % 2 =!= 0)
+      val base = all.filter(col("doc_id") % 10 =!= 9)
+      val batch = all.filter(col("doc_id") % 10 === 9)
       val baseSigs = Dedup.minhashSignatures(
         Dedup.docShingles(base, "doc_id", "text", K, dedup = false),
         "doc_id").localCheckpoint()
       val basePairs = Dedup.estimatedJaccard(
         Dedup.lshCandidatePairs(baseSigs, "doc_id"), baseSigs, "doc_id")
         .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      // the stored-state stand-in: labels feed three consumers inside
+      // mergeComponents (touched probe, member expansion, carry-over)
+      // — materialized once, as the real lifecycle's parquet read is
       val baseLabels = Dedup.connectedComponents(basePairs,
-        base.select("doc_id"), "doc_id")
+        base.select("doc_id"), "doc_id").localCheckpoint()
       val newSigs = Dedup.minhashSignatures(
         Dedup.docShingles(batch, "doc_id", "text", K, dedup = false),
         "doc_id").localCheckpoint()
