@@ -495,6 +495,105 @@ object Streams {
       .start()
   }
 
+  /** Streaming component-labeling maintenance — the CLUSTERING
+    * lifecycle twin of [[signatureMaintainingIngest]]: between
+    * micro-batches the corpus's near-dup clustering lives as two
+    * stored tables, the MinHash signature table (candidate
+    * generation) and the (id, component) LABEL table. Each batch
+    *   1. builds the batch's signatures;
+    *   2. derives its near-dup edges — batch–corpus via an LSH cross
+    *      join against the STORED signatures, batch–batch via the
+    *      banded self-join (the corpus text is never re-read);
+    *   3. merges the edges into the STORED labels with
+    *      [[graft.operators.Dedup.mergeComponents]] — closure cost ∝
+    *      batch + touched component stars, never the corpus — and
+    *      swaps the label table atomically
+    *      ([[graft.io.StagedSwap]]: readers see old or new, never a
+    *      torn table; a crash mid-swap recovers);
+    *   4. appends the batch's signatures.
+    * Unlike the dedup ingest no document is dropped: this maintains
+    * the labeling OF every ingested doc — canonical-doc selection,
+    * leakage-safe splits ([[graft.operators.Curation
+    * .leakageSafeSplit]]) and cluster caps all read it between
+    * batches.
+    *
+    * Stream ≡ batch: by the star-contraction identity applied
+    * inductively over batches, the final label table equals the
+    * full-corpus closure REGARDLESS of how docs are batched
+    * (spec-pinned, including a different batch order).
+    *
+    * Exactly-once caveat (same shape as [[signatureMaintainingIngest]],
+    * opposite benignity): the label swap and the signature append are
+    * not one atomic commit. The swap runs FIRST — labels merged twice
+    * (a replay after a crash between the steps) are a no-op
+    * (mergeComponents is idempotent on already-labeled ids), while a
+    * replayed signature append only duplicates signature rows, which
+    * candidate-DISTINCT absorbs; compaction removes the dead weight.
+    */
+  def componentMaintainingIngest(docs: DataFrame, idCol: String,
+                                 textCol: String, sigPath: String,
+                                 labelPath: String,
+                                 options: Map[String, String] = Map.empty,
+                                 k: Int = 3, threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val sigP = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = sigP.getFileSystem(conf)
+        val b = batch.localCheckpoint()
+        // streaming can fire an empty batch (e.g. at start) — a no-op
+        // here, and skipping it keeps bootstrap tied to REAL data
+        if (!b.isEmpty) {
+          val bootstrap = !fs.exists(sigP)
+          val newSigs = Dedup.minhashSignatures(
+            Dedup.docShingles(b, idCol, textCol, k, dedup = false), idCol)
+            .localCheckpoint()
+          val intra = Dedup.estimatedJaccard(
+            Dedup.lshCandidatePairs(newSigs, idCol), newSigs, idCol)
+            .filter(col("est_jaccard") >= threshold).select("id_a", "id_b")
+          val edges =
+            if (bootstrap) intra
+            else {
+              val existing = Dedup.readSignatures(spark, sigPath)
+              Dedup.estimatedJaccardAcross(
+                Dedup.lshCrossPairs(newSigs, existing, idCol),
+                newSigs, existing, idCol)
+                .filter(col("est_jaccard") >= threshold)
+                .select("id_a", "id_b")
+                .unionByName(intra)
+            }
+          // label-table existence is decided AFTER crash recovery, and
+          // independently of the signature bootstrap — the two steps
+          // are not atomic, so a crash can leave one table a batch
+          // ahead of the other
+          graft.io.StagedSwap.recover(spark, labelPath)
+          val labelP = new org.apache.hadoop.fs.Path(labelPath)
+          val haveLabels = labelP.getFileSystem(conf).exists(labelP)
+          val labels =
+            if (haveLabels) spark.read.parquet(labelPath)
+            else b.select(col(idCol), col(idCol).as("component")).limit(0)
+          val merged = Dedup.mergeComponents(labels, edges,
+            b.select(col(idCol)), idCol)
+          // the swap's staged write materializes `merged` while the
+          // old label table is still intact, THEN renames — no
+          // read-your-own-overwrite hazard; first batch writes direct
+          // (swap's move-aside needs an existing table)
+          if (haveLabels)
+            graft.io.StagedSwap.swap(spark, labelPath)(tmp =>
+              merged.write.parquet(tmp))
+          else merged.write.parquet(labelPath)
+          if (bootstrap) Dedup.writeSignatures(newSigs, idCol, sigPath)
+          else Dedup.appendSignatures(newSigs, idCol, sigPath)
+        }
+      }
+      .start()
+  }
+
   /** Exactly-once streaming sink onto the [[graft.io.Versioned]] table
     * log: each micro-batch append-commits under the txn token
     * `stream-<batchId>`, so a batch REPLAYED after a restart (the

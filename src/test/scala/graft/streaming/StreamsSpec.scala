@@ -341,6 +341,47 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("component-maintaining ingest: stored labels ≡ full closure, any batch order") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    val docs = graft.model.Tables.documents(spark, sf)
+      .select("doc_id", "text").as[(Long, String)]
+      .collect().toSeq.sortBy(_._1).take(120)
+    // the ground truth: one-shot closure over the whole corpus
+    val full = {
+      val df = docs.toDF("doc_id", "text")
+      val pairs = Dedup.minhashNearDups(df, "doc_id", "text", 3,
+        threshold = 0.5).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, df.select("doc_id"), "doc_id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    assert(full.exists(t => t._1 != t._2),
+      "fixture must contain at least one non-trivial cluster")
+    def run(order: Seq[Seq[(Long, String)]]): Seq[(Long, Long)] = {
+      val tag = System.nanoTime()
+      val base = sys.props("java.io.tmpdir")
+      val sigPath = s"$base/graft_cmi_sig_$tag"
+      val labelPath = s"$base/graft_cmi_lbl_$tag"
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.componentMaintainingIngest(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        sigPath, labelPath,
+        Map("checkpointLocation" -> s"$base/graft_cmi_ckpt_$tag"))
+      try order.foreach { b => in.addData(b: _*); q.processAllAvailable() }
+      finally q.stop()
+      spark.read.parquet(labelPath).collect()
+        .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("component")))
+        .sorted.toSeq
+    }
+    // three forward batches, then a different cut in reverse order —
+    // the star-contraction identity makes both equal the one-shot
+    // closure (min-id labels and all)
+    assert(run(docs.grouped(40).toSeq) == full,
+      "stream ≠ batch for forward batching")
+    assert(run(docs.reverse.grouped(50).toSeq) == full,
+      "stream ≠ batch for reversed batching")
+  }
+
   test("row-local minhash signature is bit-identical to the batch form") {
     import graft.operators.Dedup
     import graft.functions.Portable
