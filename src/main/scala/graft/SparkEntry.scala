@@ -20,7 +20,7 @@ object SparkEntry {
       SimilarityQueries.queries ++ EventQueries.queries ++
       MultimodalQueries.queries ++ CatalogQueries.queries ++
       TemporalQueries.queries ++ CurationQueries.queries ++
-      SketchQueries.queries
+      SketchQueries.queries ++ MiningQueries.queries
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
@@ -29,5 +29,5 @@ object SparkEntry {
       SimilarityQueries.oracleSql ++ EventQueries.oracleSql ++
       CatalogQueries.oracleSql ++ MultimodalQueries.oracleSql ++
       TemporalQueries.oracleSql ++ CurationQueries.oracleSql ++
-      SketchQueries.oracleSql
+      SketchQueries.oracleSql ++ MiningQueries.oracleSql
 }

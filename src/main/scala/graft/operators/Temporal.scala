@@ -431,4 +431,97 @@ object Temporal {
           .otherwise(round(col("n_users").cast("double") / col("__first"), 6))
           .as("pct_of_first"))
   }
+
+  /** Per-key exponential moving average (EWMA) over a daily series, in
+    * INTEGER micro-units so the recurrence is bit-exact on any engine:
+    *
+    *   s₀ = v₀·10⁶;  sₜ = (p·vₜ·10⁶ + (q−p)·sₜ₋₁) div q
+    *
+    * with α = p/q rational (default 3/10). The recurrence is inherently
+    * sequential per key, so each key's series is gathered into ONE
+    * sorted array (`sort_array(collect_list(...))`) and folded
+    * row-locally with the `aggregate` higher-order function — state is
+    * bounded by CALENDAR DAYS per key (30–365), never corpus rows, and
+    * keys process in parallel after a single group shuffle. Also flags
+    * spike days: vₜ·10⁶ > spikeNum/spikeDen · sₜ₋₁ (default 2×).
+    *
+    * Returns (key, day, v, ewma_ppm, spike).
+    */
+  def ewmaDaily(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, alphaNum: Long = 3L, alphaDen: Long = 10L,
+      spikeNum: Long = 2L, spikeDen: Long = 1L): DataFrame = {
+    val p = alphaNum; val q = alphaDen
+    val folded = daily
+      .groupBy(col(keyCol).as("key"))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("day"),
+        col(valueCol).cast("long").as("v")))).as("series"))
+      .withColumn("acc", expr(
+        s"""aggregate(series,
+           |  CAST(array() AS array<struct<day:date,v:bigint,s:bigint,prev:bigint>>),
+           |  (acc, x) -> array_append(acc, named_struct(
+           |    'day', x.day, 'v', x.v,
+           |    's', CASE WHEN size(acc) = 0 THEN x.v * 1000000L
+           |         ELSE ($p * x.v * 1000000L
+           |               + (${q - p}) * element_at(acc, -1).s) div $q END,
+           |    'prev', CASE WHEN size(acc) = 0 THEN CAST(NULL AS BIGINT)
+           |         ELSE element_at(acc, -1).s END)))""".stripMargin))
+      .select(col("key"), explode(col("acc")).as("e"))
+    folded.select(col("key"), col("e.day").as("day"), col("e.v").as("v"),
+      col("e.s").as("ewma_ppm"),
+      (col("e.prev").isNotNull &&
+        col("e.v") * lit(1000000L * spikeDen) > lit(spikeNum) * col("e.prev"))
+        .as("spike"))
+  }
+
+  /** Multi-touch attribution: every conversion event credits the
+    * touch events of the same user that precede it within
+    * `lookbackSeconds`, under three standard models at once —
+    * first-touch, last-touch, and linear (equal split). Credits are
+    * INTEGER micro-units (each conversion distributes 10⁶ ppm), so
+    * sums are order-free exact; linear's integer division remainder
+    * goes to the EARLIEST touch so each conversion's credit sums to
+    * exactly 10⁶.
+    *
+    * Scale shape: one user-keyed join between the (filtered)
+    * conversion and touch frames — both filters push to the scan, the
+    * shuffle key is the user id, and per-conversion state is the
+    * user's touches inside the lookback window (bounded by the
+    * window, not history). Ranking inside a conversion's touch set
+    * uses a window over (conversion, ts) — partition-bounded by that
+    * same window. Returns per-channel (touch event_type) credit
+    * totals: (channel, n_touches, first_ppm, last_ppm, linear_ppm).
+    */
+  def attribution(events: DataFrame, userCol: String, typeCol: String,
+      tsCol: String, idCol: String, conversionType: String,
+      touchTypes: Seq[String], lookbackSeconds: Long): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val conv = events.filter(col(typeCol) === conversionType)
+      .select(col(userCol).as("user"), col(idCol).as("conv_id"),
+        col(tsCol).as("conv_ts"))
+    val touch = events.filter(col(typeCol).isin(touchTypes: _*))
+      .select(col(userCol).as("user"), col(idCol).as("touch_id"),
+        col(typeCol).as("channel"), col(tsCol).as("touch_ts"))
+    val within = conv.join(touch, "user")
+      .filter(col("touch_ts") < col("conv_ts") &&
+        col("touch_ts") >= col("conv_ts") -
+          expr(s"INTERVAL $lookbackSeconds SECONDS"))
+    val w = Window.partitionBy("conv_id").orderBy("touch_ts", "touch_id")
+    val ranked = within
+      .withColumn("rk", row_number().over(w))
+      .withColumn("n", count(lit(1)).over(
+        Window.partitionBy("conv_id")))
+    val credited = ranked.select(col("channel"),
+      when(col("rk") === 1, 1000000L).otherwise(0L).as("first_ppm"),
+      when(col("rk") === col("n"), 1000000L).otherwise(0L).as("last_ppm"),
+      // equal split; remainder to the earliest touch so the per-
+      // conversion total is exactly 10⁶
+      (expr("1000000L div n") +
+        when(col("rk") === 1, expr("1000000L % n")).otherwise(0L))
+        .as("linear_ppm"))
+    credited.groupBy("channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum(col("first_ppm")).as("first_ppm"),
+        sum(col("last_ppm")).as("last_ppm"),
+        sum(col("linear_ppm")).as("linear_ppm"))
+  }
 }

@@ -353,9 +353,73 @@ object EventQueries {
           sum(col("value").cast(DecimalType(18, 6))).cast("double")
             .as("sum_value"))
         .orderBy("event_type", "dow")),
+
+    // integer EWMA trend per event type over the daily count series,
+    // with 2x spike flags (sequential recurrence folded row-locally
+    // per key — state bounded by calendar days, never corpus rows)
+    "q_ewma" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Temporal.ewmaDaily(daily, "event_type", "day", "n")
+        .select(col("key"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v"), col("ewma_ppm"), col("spike"))
+        .orderBy("key", "day")
+    }),
+
+    // multi-touch attribution: purchases credit view/click touches in
+    // the trailing 7 days under first/last/linear models (ppm units)
+    "q_attribution" -> ((s, d) =>
+      graft.operators.Temporal.attribution(ev(s, d), "user_id",
+        "event_type", "ts", "event_id", conversionType = "purchase",
+        touchTypes = Seq("view", "click"), lookbackSeconds = 7L * 86400L)
+        .orderBy("channel")),
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ewma" ->
+      """WITH RECURSIVE d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |i AS (SELECT key, day, v,
+        |    row_number() OVER (PARTITION BY key ORDER BY day) AS rn
+        |  FROM d),
+        |r AS (
+        |  SELECT key, day, v, rn, CAST(v * 1000000 AS BIGINT) AS s,
+        |    CAST(NULL AS BIGINT) AS prev
+        |  FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.key, i.day, i.v, i.rn,
+        |    CAST((3 * i.v * 1000000 + 7 * r.s) // 10 AS BIGINT) AS s,
+        |    r.s AS prev
+        |  FROM i JOIN r ON i.key = r.key AND i.rn = r.rn + 1)
+        |SELECT key, strftime(day, '%Y-%m-%d') AS day, v, s AS ewma_ppm,
+        |  prev IS NOT NULL AND v * 1000000 > 2 * prev AS spike
+        |FROM r ORDER BY key, day""".stripMargin,
+
+    "q_attribution" ->
+      """WITH c AS (SELECT user_id AS u, event_id AS conv_id, ts AS cts
+        |    FROM events WHERE event_type = 'purchase'),
+        |t AS (SELECT user_id AS u, event_id AS tid, event_type AS channel,
+        |    ts AS tts
+        |  FROM events WHERE event_type IN ('view', 'click')),
+        |w AS (SELECT c.conv_id, t.tid, t.channel, t.tts
+        |  FROM c JOIN t USING (u)
+        |  WHERE t.tts < c.cts AND t.tts >= c.cts - INTERVAL 7 DAY),
+        |r AS (SELECT conv_id, channel,
+        |    row_number() OVER (PARTITION BY conv_id
+        |      ORDER BY tts, tid) AS rk,
+        |    count(*) OVER (PARTITION BY conv_id) AS n
+        |  FROM w)
+        |SELECT channel, CAST(count(*) AS BIGINT) AS n_touches,
+        |  CAST(sum(CASE WHEN rk = 1 THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS first_ppm,
+        |  CAST(sum(CASE WHEN rk = n THEN 1000000 ELSE 0 END) AS BIGINT)
+        |    AS last_ppm,
+        |  CAST(sum(1000000 // n
+        |    + CASE WHEN rk = 1 THEN 1000000 % n ELSE 0 END) AS BIGINT)
+        |    AS linear_ppm
+        |FROM r GROUP BY 1 ORDER BY channel""".stripMargin,
     "q_sessionize" ->
       s"""WITH ordered AS (
          |  SELECT *, lag(epoch_us(ts)) OVER w AS prev_us,
