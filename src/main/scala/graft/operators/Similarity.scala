@@ -687,4 +687,138 @@ object Similarity {
         round(col("dot") / sqrt(col("na").cast("double")
           * col("nb").cast("double")), 6).as("cos"))
   }
+
+  // ---- product quantization (PQ) --------------------------------------
+
+  /** Product quantization splits each `numSub·subDim`-dim vector into
+    * `numSub` subvectors and stores, per vector, only the id of the
+    * nearest codeword in each subspace — `numSub` small ints instead of
+    * `numSub·subDim` floats (8 bytes vs 256 for the 64-dim corpus: a
+    * 32× memory/bandwidth cut, THE storage tier between int8 and raw
+    * floats for 100 TB-scale vector search). Queries score candidates
+    * with an asymmetric-distance (ADC) lookup table: the query's exact
+    * distance to every codeword is computed ONCE (numSub·numCodes
+    * entries), then each candidate's approximate distance is a
+    * row-local sum of `numSub` table lookups — no float vector is ever
+    * read at scoring time.
+    *
+    * Codebook layout: `(m, code, cv)` with `cv` the subDim-length
+    * codeword of subspace `m` (double). [[pqSeedCodebook]] derives a
+    * DETERMINISTIC codebook from the numCodes smallest-id vectors (the
+    * oracle-replayable convention the kmeans seeds use);
+    * [[pqTrainCodebook]] refines per-subspace codebooks with Lloyd
+    * iterations for real recall (float-mean order dependence makes it
+    * spec-territory, like [[kmeans]]).
+    */
+  def pqSeedCodebook(df: DataFrame, idCol: String, vecCol: String,
+                     numSub: Int, subDim: Int, numCodes: Int): DataFrame = {
+    val seedW = Window.orderBy("__sid")
+    val seeds = df.select(col(idCol).as("__sid"),
+        col(vecCol).cast("array<double>").as("__v"))
+      .orderBy("__sid").limit(numCodes)
+      .withColumn("code", row_number().over(seedW) - 1)
+    seeds.select(col("code"),
+        explode(expr(s"sequence(0, ${numSub - 1})")).as("m"), col("__v"))
+      .select(col("m"), col("code"),
+        expr(s"slice(__v, m * $subDim + 1, $subDim)").as("cv"))
+  }
+
+  /** Per-subspace Lloyd-refined codebook: [[kmeans]] over each
+    * subvector slice (numSub independent small k-means runs — the
+    * centroid frames are k×subDim, the corpus is scanned once per
+    * round per subspace). Deterministic given the deterministic seeds;
+    * float-mean order dependence is inherited from [[kmeans]], so this
+    * is the spec/recall path while [[pqSeedCodebook]] is the oracle
+    * path.
+    */
+  def pqTrainCodebook(df: DataFrame, idCol: String, vecCol: String,
+                      numSub: Int, subDim: Int, numCodes: Int,
+                      iters: Int): DataFrame = {
+    (0 until numSub).map { m =>
+      val sub = df.select(col(idCol).as("__id"),
+        expr(s"slice(cast($vecCol as array<double>), ${m * subDim + 1}, $subDim)")
+          .as("__sv"))
+      val (_, cent) = kmeans(sub, "__id", "__sv", numCodes, iters)
+      cent.select(lit(m).as("m"), col("cluster").as("code"), col("cv"))
+    }.reduce(_.union(_))
+  }
+
+  /** One-row broadcastable nested-array form of a codebook:
+    * `__cb[m+1][code+1][i]` = component i of subspace m's codeword. */
+  private def packCodebook(codebook: DataFrame): DataFrame =
+    codebook
+      .groupBy("m")
+      .agg(sort_array(collect_list(struct(col("code"), col("cv")))).as("cws"))
+      .select(col("m"), expr("transform(cws, x -> x.cv)").as("cvs"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("m"), col("cvs")))).as("t"))
+      .select(expr("transform(t, x -> x.cvs)").as("__cb"))
+
+  /** Left-fold squared L2 between subspace `m` of vector column `vn`
+    * and codeword `c` of the packed codebook — identical fold order to
+    * [[l2Sq]], so the oracle's left-associated SQL chain reproduces the
+    * doubles bit-for-bit. Free variables `m` and `c` are lambda
+    * bindings supplied by the caller's surrounding expression.
+    */
+  private def pqSubDist(vn: String, subDim: Int): String =
+    s"""aggregate(sequence(1, $subDim), cast(0.0 as double), (a, i) ->
+       |  a + (element_at($vn, m * $subDim + i)
+       |        - element_at(element_at(element_at(__cb, m+1), c+1), i))
+       |     * (element_at($vn, m * $subDim + i)
+       |        - element_at(element_at(element_at(__cb, m+1), c+1), i)))""".stripMargin
+
+  /** Encode every vector as its per-subspace nearest-codeword ids.
+    * Scale shape: ONE broadcast cross join with the 1-row packed
+    * codebook, then the whole argmin runs ROW-LOCALLY (per subspace,
+    * fold over codewords keeping the strictly smaller distance — ties
+    * to the lowest code). No shuffle of the vectors, no per-code row
+    * blowup. Returns (idCol, codes: array<int>).
+    */
+  def pqEncode(df: DataFrame, idCol: String, vecCol: String,
+               codebook: DataFrame, numSub: Int, subDim: Int): DataFrame = {
+    val v = df.select(col(idCol), col(vecCol).as("__v"))
+    v.crossJoin(broadcast(packCodebook(codebook)))
+      .withColumn("codes", expr(
+        s"""transform(sequence(0, ${numSub - 1}), m ->
+           |  aggregate(
+           |    transform(sequence(0, size(element_at(__cb, m+1)) - 1), c ->
+           |      named_struct('c', c, 'd', ${pqSubDist("__v", subDim)})),
+           |    named_struct('c', -1, 'd', cast('Infinity' as double)),
+           |    (acc, x) -> IF(x.d < acc.d, x, acc)).c)""".stripMargin))
+      .select(col(idCol), col("codes"))
+  }
+
+  /** ADC top-k over PQ codes: each query computes its exact distance
+    * to every codeword once (the numSub×numCodes lookup table, rounded
+    * to DECIMAL(18,6) micro-units so the per-candidate sum is
+    * order-free INTEGER arithmetic — bit-stable on any engine), then
+    * candidates are scored by summing numSub table lookups row-locally
+    * and ranked per query (approximate distance asc, id tie-break)
+    * through the GroupedTopK heap. The codes frame streams; queries ×
+    * LUTs broadcast. Returns (query_id, rank, neighbor_id, adc_micro).
+    */
+  def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+             vecCol: String, codebook: DataFrame, numSub: Int, subDim: Int,
+             k: Int): DataFrame = {
+    val qlut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+      .crossJoin(broadcast(packCodebook(codebook)))
+      .withColumn("__lut", expr(
+        s"""transform(sequence(0, ${numSub - 1}), m ->
+           |  transform(sequence(0, size(element_at(__cb, m+1)) - 1), c ->
+           |    cast(cast(${pqSubDist("__qv", subDim)} as decimal(18,6))
+           |         * 1000000 as bigint)))""".stripMargin))
+      .select(col("query_id"), col("__lut"))
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
+      .withColumn("adc_micro", expr(
+        s"""aggregate(sequence(0, ${numSub - 1}), cast(0 as bigint), (a, m) ->
+           |  a + element_at(element_at(__lut, m+1),
+           |                 element_at(codes, m+1) + 1))""".stripMargin))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+      .select(col("query_id"), col("rank"), col("neighbor_id"),
+        col("adc_micro"))
+  }
 }

@@ -24,6 +24,9 @@ object SimilarityQueries {
   private val NumPlanes = 8
   private val NumSeeds = 10
   private val SemThreshold = 0.35
+  private val PqSub = 8      // PQ subspaces
+  private val PqSubDim = 8   // dims per subspace (8×8 = Dim)
+  private val PqCodes = 16   // codewords per subspace
 
   private def queriesDf(s: SparkSession, d: String): DataFrame =
     Tables.embeddings(s, d).filter(expr(QueryFilter))
@@ -43,6 +46,21 @@ object SimilarityQueries {
       Similarity.lshTopK(queriesDf(s, d), Tables.embeddings(s, d),
         "vec_id", "embedding", Dim, NumPlanes, K)
         .orderBy("query_id", "rank")),
+
+    // product-quantization ADC top-k with the deterministic seed
+    // codebook (codeword c of subspace m = subvector of vec_id c) —
+    // the oracle-checkable PQ path; Lloyd-refined codebooks and their
+    // recall are spec territory, like the kmeans loop
+    "q_ann_pq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqSeedCodebook(e, "vec_id", "embedding",
+        PqSub, PqSubDim, PqCodes)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb,
+        PqSub, PqSubDim)
+      Similarity.pqTopK(queriesDf(s, d), codes, "vec_id", "embedding",
+          cb, PqSub, PqSubDim, K)
+        .orderBy("query_id", "rank")
+    }),
 
     // k-means assignment step against deterministic seed centroids
     // (the k smallest vec_ids) — the exact, oracle-checkable half of
@@ -278,6 +296,18 @@ object SimilarityQueries {
   private def l2SqSql(a: String, b: String): String =
     (1 to Dim).map(i => s"($a[$i]-$b[$i])*($a[$i]-$b[$i])").mkString(" + ")
 
+  /** Per-subspace squared-L2 chain: subspace `m` of full vector `a`
+    * vs the SAME offsets of codeword-source vector `b` (the seed
+    * codebook stores whole seed vectors; subspace m reads components
+    * m·subDim+1 … m·subDim+subDim). Left-associated — mirrors
+    * Similarity.pqSubDist's fold order exactly.
+    */
+  private def pqL2Sql(a: String, b: String, m: Int): String =
+    (1 to PqSubDim).map { i =>
+      val j = m * PqSubDim + i
+      s"($a[$j]-$b[$j])*($a[$j]-$b[$j])"
+    }.mkString(" + ")
+
   private val centCte =
     s"cent AS (SELECT vec_id AS cluster, v AS cv FROM vecs WHERE vec_id < $NumSeeds)"
 
@@ -397,6 +427,38 @@ object SimilarityQueries {
     "q_cosine_topk" -> topkSql("q.query_id <> c.vec_id"),
 
     "q_ann_ivf" -> topkSql("q.q_label = c.label AND q.query_id <> c.vec_id"),
+
+    "q_ann_pq" -> {
+      val seeds =
+        s"pqseeds AS (SELECT vec_id AS code, v FROM vecs WHERE vec_id < $PqCodes)"
+      val enc = (0 until PqSub).map { m =>
+        s"""SELECT vec_id, $m AS m, code FROM (
+           |  SELECT e.vec_id, s.code, row_number() OVER (
+           |      PARTITION BY e.vec_id
+           |      ORDER BY ${pqL2Sql("e.v", "s.v", m)}, s.code) AS rn
+           |  FROM vecs e CROSS JOIN pqseeds s) WHERE rn = 1""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      val lut = (0 until PqSub).map { m =>
+        s"""SELECT q.vec_id AS query_id, $m AS m, s.code,
+           |  CAST(CAST(${pqL2Sql("q.v", "s.v", m)} AS DECIMAL(18,6))
+           |       * 1000000 AS BIGINT) AS d
+           |FROM vecs q CROSS JOIN pqseeds s WHERE q.$QueryFilter""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $vecsCte,
+         |$seeds,
+         |enc AS ($enc),
+         |qlut AS ($lut),
+         |scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+         |    CAST(SUM(l.d) AS BIGINT) AS adc_micro
+         |  FROM enc e JOIN qlut l ON l.m = e.m AND l.code = e.code
+         |  WHERE l.query_id <> e.vec_id GROUP BY 1, 2)
+         |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, adc_micro
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY adc_micro, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin
+    },
 
     "q_embed_neardup" ->
       s"""WITH $vecsCte

@@ -272,4 +272,80 @@ class SimilaritySpec extends SparkSpec {
       dfCap = 1, tNum = 1, tDen = 2).count()
     assert(capped == 0, "df-capped tokens must not pair")
   }
+
+  // ---- product quantization ------------------------------------------
+
+  test("pqEncode/pqTopK: hand-checked codes and ADC on a tiny case") {
+    // 2 subspaces × 1 dim, codebook from the 2 smallest ids:
+    // codewords per subspace = {v0's, v1's} components
+    val d = Seq(
+      (0L, Array(0.0f, 0.0f)),
+      (1L, Array(10.0f, 10.0f)),
+      (2L, Array(9.0f, 1.0f)),   // sub0 → code 1 (9 vs 10), sub1 → code 0
+      (3L, Array(2.0f, 8.0f))    // sub0 → code 0, sub1 → code 1
+    ).toDF("vec_id", "embedding")
+    val cb = Similarity.pqSeedCodebook(d, "vec_id", "embedding", 2, 1, 2)
+    val codes = Similarity.pqEncode(d, "vec_id", "embedding", cb, 2, 1)
+      .collect().map(r => r.getLong(0) -> r.getSeq[Int](1)).toMap
+    assert(codes(0L) == Seq(0, 0) && codes(1L) == Seq(1, 1))
+    assert(codes(2L) == Seq(1, 0) && codes(3L) == Seq(0, 1))
+    // query = v2; ADC(v3) = d2(9, cw0=0)+d2(1, cw1=10) = 81+81=162 vs
+    // ADC via codes of v3 (0,1): d2(9,0)+d2(1,10) = 81+81
+    val top = Similarity.pqTopK(d.filter($"vec_id" === 2L),
+      Similarity.pqEncode(d, "vec_id", "embedding", cb, 2, 1),
+      "vec_id", "embedding", cb, 2, 1, k = 3)
+      .orderBy("rank").collect()
+    // neighbor reconstructions: v0→(0,0): 81+1=82e6; v1→(10,10):
+    // 1+81=82e6 (tie → lower id first); v3→(0,10): 81+81=162e6
+    assert(top.map(_.getLong(2)).toSeq == Seq(0L, 1L, 3L))
+    assert(top.map(_.getLong(3)).toSeq ==
+      Seq(82000000L, 82000000L, 162000000L))
+  }
+
+  test("pq ties in encode break to the lowest code") {
+    // both codewords identical → every vector must take code 0
+    val d = Seq((0L, Array(1.0f)), (1L, Array(1.0f)), (2L, Array(5.0f)))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqSeedCodebook(d, "vec_id", "embedding", 1, 1, 2)
+    val codes = Similarity.pqEncode(d, "vec_id", "embedding", cb, 1, 1)
+      .collect().map(r => r.getSeq[Int](1).head)
+    assert(codes.forall(_ == 0))
+  }
+
+  test("pq trained codebook: recall vs exact L2 top-k on real embeddings") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Similarity.pqTrainCodebook(e, "vec_id", "embedding",
+      8, 8, 32, iters = 3)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, 8, 8)
+    val qs = e.filter($"vec_id" % 50 === 0)
+    val K = 10
+    val Cand = 50 // ADC candidate-set size for the rescore tier
+    val pq = Similarity.pqTopK(qs, codes, "vec_id", "embedding", cb, 8, 8,
+        k = Cand)
+      .select("query_id", "rank", "neighbor_id").collect()
+      .groupBy(_.getLong(0)).map { case (q, rs) =>
+        q -> rs.sortBy(_.getInt(1)).map(_.getLong(2)) }
+    // exact squared-L2 top-K per query (driver-side brute force over
+    // the small sf0.01 corpus — the ground truth, not the operator)
+    val all = e.select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) -> r.getSeq[Float](1).toArray)
+    def l2(a: Array[Float], b: Array[Float]): Double =
+      a.indices.map(i => (a(i) - b(i)).toDouble * (a(i) - b(i))).sum
+    val queries = all.filter(_._1 % 50 == 0)
+    val (direct, cand) = queries.map { case (qid, qv) =>
+      val exact = all.filter(_._1 != qid)
+        .sortBy { case (id, v) => (l2(qv, v), id) }.take(K).map(_._1).toSet
+      ((pq(qid).take(K).toSet & exact).size.toDouble / K,
+        (pq(qid).toSet & exact).size.toDouble / K)
+    }.unzip
+    val meanDirect = direct.sum / direct.length
+    val meanCand = cand.sum / cand.length
+    // 8-byte codes on 64-dim noise-heavy synthetic embeddings: direct
+    // ADC recall@10 is modest (measured ~0.35; random floor 10/499 ≈
+    // 0.02) — at scale PQ is the CANDIDATE tier before exact rescore
+    // (cf int8Rescore), so the load-bearing number is recall of the
+    // exact top-10 inside the ADC top-50 candidate set.
+    assert(meanDirect >= 0.25, s"mean direct recall@10 = $meanDirect")
+    assert(meanCand >= 0.6, s"mean recall@10-in-top-$Cand = $meanCand")
+  }
 }
