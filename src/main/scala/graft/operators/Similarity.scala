@@ -800,23 +800,64 @@ object Similarity {
   def pqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
              vecCol: String, codebook: DataFrame, numSub: Int, subDim: Int,
              k: Int): DataFrame = {
-    val qlut = queries.select(col(idCol).as("query_id"), col(vecCol).as("__qv"))
+    val qlut = pqLut(queries, idCol, vecCol, Nil, codebook, numSub, subDim)
+    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
+      .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
+    pqRank(scored, numSub, k)
+  }
+
+  /** IVFADC: the 100 TB composition of the two ANN tiers — the coarse
+    * cell (`cellCol`, e.g. [[assignToCentroids]] output) prunes the
+    * candidate set to the query's cell via an EQUI-join, then PQ codes
+    * score only those candidates. The join key makes the shuffle
+    * cell-partitioned, so a corpus laid out by cell (the stored-IVF
+    * lifecycle) serves each query from its probed cells' files only,
+    * and the ADC scan cost drops from Q×N to Q×N/cells — plain
+    * [[pqTopK]] is by construction a (compressed) full scan.
+    * `codes` must carry (idCol, codes, cellCol); `queries`
+    * (idCol, vecCol, cellCol). Returns the [[pqTopK]] schema.
+    */
+  def ivfPqTopK(queries: DataFrame, codes: DataFrame, idCol: String,
+                vecCol: String, cellCol: String, codebook: DataFrame,
+                numSub: Int, subDim: Int, k: Int): DataFrame = {
+    val qlut = pqLut(queries, idCol, vecCol, Seq(cellCol), codebook,
+      numSub, subDim)
+    val scored = codes
+      .select(col(idCol).as("neighbor_id"), col(cellCol), col("codes"))
+      .join(broadcast(qlut), Seq(cellCol))
+      .filter(col("query_id") =!= col("neighbor_id"))
+    pqRank(scored, numSub, k)
+  }
+
+  /** Per-query ADC lookup table: exact query→codeword distances in
+    * DECIMAL(18,6) micro-units (order-free integer sums downstream).
+    * `carry` columns (e.g. the IVF cell) ride along for the join.
+    */
+  private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
+                    carry: Seq[String], codebook: DataFrame,
+                    numSub: Int, subDim: Int): DataFrame =
+    queries.select(col(idCol).as("query_id") +: col(vecCol).as("__qv") +:
+        carry.map(col): _*)
       .crossJoin(broadcast(packCodebook(codebook)))
       .withColumn("__lut", expr(
         s"""transform(sequence(0, ${numSub - 1}), m ->
            |  transform(sequence(0, size(element_at(__cb, m+1)) - 1), c ->
            |    cast(cast(${pqSubDist("__qv", subDim)} as decimal(18,6))
            |         * 1000000 as bigint)))""".stripMargin))
-      .select(col("query_id"), col("__lut"))
-    val scored = codes.select(col(idCol).as("neighbor_id"), col("codes"))
-      .join(broadcast(qlut), col("query_id") =!= col("neighbor_id"))
-      .withColumn("adc_micro", expr(
-        s"""aggregate(sequence(0, ${numSub - 1}), cast(0 as bigint), (a, m) ->
-           |  a + element_at(element_at(__lut, m+1),
-           |                 element_at(codes, m+1) + 1))""".stripMargin))
+      .select(col("query_id") +: carry.map(col) :+ col("__lut"): _*)
+
+  /** Shared ADC scoring + ranking tail of the PQ tiers: approximate
+    * distance = row-local sum of numSub LUT lookups, per-query top-k
+    * (distance asc, id tie-break) through the GroupedTopK heap.
+    */
+  private def pqRank(scored: DataFrame, numSub: Int, k: Int): DataFrame = {
+    val adc = scored.withColumn("adc_micro", expr(
+      s"""aggregate(sequence(0, ${numSub - 1}), cast(0 as bigint), (a, m) ->
+         |  a + element_at(element_at(__lut, m+1),
+         |                 element_at(codes, m+1) + 1))""".stripMargin))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
-    scored.withColumn("rank", row_number().over(w))
+    adc.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
       .select(col("query_id"), col("rank"), col("neighbor_id"),
         col("adc_micro"))

@@ -62,6 +62,21 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // IVFADC: coarse cell (the table's label column, as q_ann_ivf)
+    // prunes candidates via an equi-join, PQ codes score the survivors
+    // — the composition that keeps ADC off the full corpus at scale
+    "q_ann_ivfpq" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cb = Similarity.pqSeedCodebook(e, "vec_id", "embedding",
+        PqSub, PqSubDim, PqCodes)
+      val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb,
+          PqSub, PqSubDim)
+        .join(e.select("vec_id", "label"), "vec_id")
+      Similarity.ivfPqTopK(queriesDf(s, d), codes, "vec_id", "embedding",
+          "label", cb, PqSub, PqSubDim, K)
+        .orderBy("query_id", "rank")
+    }),
+
     // k-means assignment step against deterministic seed centroids
     // (the k smallest vec_ids) — the exact, oracle-checkable half of
     // Similarity.kmeans; the iterative loop is spec-verified
@@ -308,6 +323,44 @@ object SimilarityQueries {
       s"($a[$j]-$b[$j])*($a[$j]-$b[$j])"
     }.mkString(" + ")
 
+  /** Shared PQ oracle: encode every vector (per-subspace nearest seed
+    * codeword, ties to the lowest code), build each query's
+    * micro-unit ADC LUT, score candidates by the integer LUT sum.
+    * `cellJoin` restricts the candidate set (the IVFADC variant adds
+    * `AND l.q_label = e.label`); "" is the plain compressed full scan.
+    */
+  private def pqSql(cellJoin: String): String = {
+    val seeds =
+      s"pqseeds AS (SELECT vec_id AS code, v FROM vecs WHERE vec_id < $PqCodes)"
+    val enc = (0 until PqSub).map { m =>
+      s"""SELECT vec_id, label, $m AS m, code FROM (
+         |  SELECT e.vec_id, e.label, s.code, row_number() OVER (
+         |      PARTITION BY e.vec_id
+         |      ORDER BY ${pqL2Sql("e.v", "s.v", m)}, s.code) AS rn
+         |  FROM vecs e CROSS JOIN pqseeds s) WHERE rn = 1""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    val lut = (0 until PqSub).map { m =>
+      s"""SELECT q.vec_id AS query_id, q.label AS q_label, $m AS m, s.code,
+         |  CAST(CAST(${pqL2Sql("q.v", "s.v", m)} AS DECIMAL(18,6))
+         |       * 1000000 AS BIGINT) AS d
+         |FROM vecs q CROSS JOIN pqseeds s WHERE q.$QueryFilter""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    s"""WITH $vecsCte,
+       |$seeds,
+       |enc AS ($enc),
+       |qlut AS ($lut),
+       |scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
+       |    CAST(SUM(l.d) AS BIGINT) AS adc_micro
+       |  FROM enc e JOIN qlut l ON l.m = e.m AND l.code = e.code
+       |  WHERE l.query_id <> e.vec_id $cellJoin GROUP BY 1, 2)
+       |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank,
+       |  neighbor_id, adc_micro
+       |FROM scored
+       |WINDOW w AS (PARTITION BY query_id ORDER BY adc_micro, neighbor_id)
+       |QUALIFY row_number() OVER w <= $K
+       |ORDER BY query_id, rank""".stripMargin
+  }
+
   private val centCte =
     s"cent AS (SELECT vec_id AS cluster, v AS cv FROM vecs WHERE vec_id < $NumSeeds)"
 
@@ -428,37 +481,9 @@ object SimilarityQueries {
 
     "q_ann_ivf" -> topkSql("q.q_label = c.label AND q.query_id <> c.vec_id"),
 
-    "q_ann_pq" -> {
-      val seeds =
-        s"pqseeds AS (SELECT vec_id AS code, v FROM vecs WHERE vec_id < $PqCodes)"
-      val enc = (0 until PqSub).map { m =>
-        s"""SELECT vec_id, $m AS m, code FROM (
-           |  SELECT e.vec_id, s.code, row_number() OVER (
-           |      PARTITION BY e.vec_id
-           |      ORDER BY ${pqL2Sql("e.v", "s.v", m)}, s.code) AS rn
-           |  FROM vecs e CROSS JOIN pqseeds s) WHERE rn = 1""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      val lut = (0 until PqSub).map { m =>
-        s"""SELECT q.vec_id AS query_id, $m AS m, s.code,
-           |  CAST(CAST(${pqL2Sql("q.v", "s.v", m)} AS DECIMAL(18,6))
-           |       * 1000000 AS BIGINT) AS d
-           |FROM vecs q CROSS JOIN pqseeds s WHERE q.$QueryFilter""".stripMargin
-      }.mkString("\nUNION ALL\n")
-      s"""WITH $vecsCte,
-         |$seeds,
-         |enc AS ($enc),
-         |qlut AS ($lut),
-         |scored AS (SELECT l.query_id, e.vec_id AS neighbor_id,
-         |    CAST(SUM(l.d) AS BIGINT) AS adc_micro
-         |  FROM enc e JOIN qlut l ON l.m = e.m AND l.code = e.code
-         |  WHERE l.query_id <> e.vec_id GROUP BY 1, 2)
-         |SELECT query_id, CAST(row_number() OVER w AS INT) AS rank,
-         |  neighbor_id, adc_micro
-         |FROM scored
-         |WINDOW w AS (PARTITION BY query_id ORDER BY adc_micro, neighbor_id)
-         |QUALIFY row_number() OVER w <= $K
-         |ORDER BY query_id, rank""".stripMargin
-    },
+    "q_ann_pq" -> pqSql(""),
+
+    "q_ann_ivfpq" -> pqSql("AND l.q_label = e.label"),
 
     "q_embed_neardup" ->
       s"""WITH $vecsCte

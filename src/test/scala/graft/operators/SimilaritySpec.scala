@@ -312,6 +312,37 @@ class SimilaritySpec extends SparkSpec {
     assert(codes.forall(_ == 0))
   }
 
+  test("ivfPqTopK ≡ pqTopK restricted to the query's cell, equi-join plan") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cb = Similarity.pqSeedCodebook(e, "vec_id", "embedding", 8, 8, 16)
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, 8, 8)
+      .join(e.select("vec_id", "label"), "vec_id")
+    val qs = e.filter($"vec_id" % 50 === 0)
+    val ivf = Similarity.ivfPqTopK(qs, codes, "vec_id", "embedding",
+      "label", cb, 8, 8, k = 5)
+    // independent restriction: ADC-score ALL candidates with a huge k,
+    // then keep same-cell pairs and re-rank driver-side
+    val cells = e.select($"vec_id", $"label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val full = Similarity.pqTopK(qs, codes, "vec_id", "embedding",
+        cb, 8, 8, k = 100000)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(2), r.getLong(3)))
+      .filter { case (q, n, _) => cells(q) == cells(n) }
+      .groupBy(_._1).toSeq.flatMap { case (q, rs) =>
+        rs.sortBy { case (_, n, d) => (d, n) }.take(5).zipWithIndex
+          .map { case ((_, n, d), i) => (q, i + 1, n, d) }
+      }.sortBy(r => (r._1, r._2))
+    val got = ivf.orderBy("query_id", "rank").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+      .toSeq
+    assert(got == full)
+    // the candidate join must be the broadcast EQUI-join on the cell,
+    // never a nested-loop over the whole corpus
+    val plan = ivf.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+  }
+
   test("pq trained codebook: recall vs exact L2 top-k on real embeddings") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cb = Similarity.pqTrainCodebook(e, "vec_id", "embedding",
