@@ -524,4 +524,69 @@ object Temporal {
         sum(col("last_ppm")).as("last_ppm"),
         sum(col("linear_ppm")).as("linear_ppm"))
   }
+
+  /** Per-key two-sided CUSUM changepoint detection over a daily series
+    * — the sequential-analysis complement of [[ewmaDaily]]'s trend
+    * smoothing: EWMA tracks the level, CUSUM accumulates small
+    * persistent deviations until they cross a decision threshold, so
+    * it catches a sustained 20 % volume shift that never trips a
+    * single-day spike or |z|≥2 rule (the failure mode of
+    * per-day anomaly checks on drifting pipelines).
+    *
+    * All state is INTEGER micro-units — bit-exact on any engine:
+    *
+    *   μ = 10⁶·Σv div n              (the key's own mean level)
+    *   slack = μ·slackNum div slackDen,  h = μ·hNum div hDen
+    *   s⁺ₜ = max(0, s⁺ₜ₋₁ + (vₜ·10⁶ − μ − slack))
+    *   s⁻ₜ = max(0, s⁻ₜ₋₁ + (μ − slack − vₜ·10⁶))
+    *   changepoint when s⁺ₜ > h or s⁻ₜ > h; both sides RESET to 0 on
+    *   the day after an alarm (the standard restart, so a long shift
+    *   reports each sustained excursion once, not every day).
+    *
+    * Scale shape: the recurrence is inherently sequential per key, so
+    * it folds ROW-LOCALLY over one `sort_array(collect_list)` array
+    * exactly like [[ewmaDaily]] — state is bounded by calendar days
+    * per key, keys parallel after a single group shuffle, and the mean
+    * rides the same aggregate (no second pass over the fact table).
+    *
+    * Returns (key, day, v, cusum_pos, cusum_neg, changepoint).
+    */
+  def cusumChangepoints(daily: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String, slackNum: Long = 1L, slackDen: Long = 4L,
+      hNum: Long = 2L, hDen: Long = 1L): DataFrame = {
+    val folded = daily
+      .groupBy(col(keyCol).as("key"))
+      .agg(sort_array(collect_list(struct(col(dayCol).as("day"),
+          col(valueCol).cast("long").as("v")))).as("series"),
+        expr(s"1000000L * sum(cast($valueCol as bigint)) div count(1)")
+          .as("mu"))
+      .withColumn("slack", expr(s"mu * $slackNum div $slackDen"))
+      .withColumn("h", expr(s"mu * $hNum div $hDen"))
+      .withColumn("acc", expr(
+        """aggregate(series,
+          |  CAST(array() AS
+          |    array<struct<day:date,v:bigint,sp:bigint,sn:bigint,cp:boolean>>),
+          |  (acc, x) -> array_append(acc, named_struct(
+          |    'day', x.day, 'v', x.v,
+          |    'sp', greatest(0L,
+          |      CASE WHEN size(acc) = 0 OR element_at(acc, -1).cp THEN 0L
+          |           ELSE element_at(acc, -1).sp END
+          |      + (x.v * 1000000L - mu - slack)),
+          |    'sn', greatest(0L,
+          |      CASE WHEN size(acc) = 0 OR element_at(acc, -1).cp THEN 0L
+          |           ELSE element_at(acc, -1).sn END
+          |      + (mu - slack - x.v * 1000000L)),
+          |    'cp', greatest(0L,
+          |      CASE WHEN size(acc) = 0 OR element_at(acc, -1).cp THEN 0L
+          |           ELSE element_at(acc, -1).sp END
+          |      + (x.v * 1000000L - mu - slack)) > h
+          |      OR greatest(0L,
+          |      CASE WHEN size(acc) = 0 OR element_at(acc, -1).cp THEN 0L
+          |           ELSE element_at(acc, -1).sn END
+          |      + (mu - slack - x.v * 1000000L)) > h)))""".stripMargin))
+      .select(col("key"), explode(col("acc")).as("e"))
+    folded.select(col("key"), col("e.day").as("day"), col("e.v").as("v"),
+      col("e.sp").as("cusum_pos"), col("e.sn").as("cusum_neg"),
+      col("e.cp").as("changepoint"))
+  }
 }

@@ -367,6 +367,21 @@ object EventQueries {
         .orderBy("key", "day")
     }),
 
+    // two-sided CUSUM changepoints per event type over the daily count
+    // series: sustained small shifts accumulate until they cross
+    // h = 2μ (catches drifts that never trip a spike or z-score rule);
+    // integer micro-unit recurrence folded row-locally per key
+    "q_changepoint" -> ((s, d) => {
+      val daily = ev(s, d)
+        .groupBy(col("event_type"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      graft.operators.Temporal.cusumChangepoints(daily, "event_type",
+          "day", "n")
+        .select(col("key"), date_format(col("day"), "yyyy-MM-dd").as("day"),
+          col("v"), col("cusum_pos"), col("cusum_neg"), col("changepoint"))
+        .orderBy("key", "day")
+    }),
+
     // multi-touch attribution: purchases credit view/click touches in
     // the trailing 7 days under first/last/linear models (ppm units)
     "q_attribution" -> ((s, d) =>
@@ -377,6 +392,41 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_changepoint" ->
+      """WITH RECURSIVE d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
+        |    CAST(count(*) AS BIGINT) AS v
+        |  FROM events GROUP BY 1, 2),
+        |p AS (SELECT key,
+        |    CAST(1000000 * sum(v) // count(*) AS BIGINT) AS mu,
+        |    CAST((1000000 * sum(v) // count(*)) * 1 // 4 AS BIGINT) AS slack,
+        |    CAST((1000000 * sum(v) // count(*)) * 2 // 1 AS BIGINT) AS h
+        |  FROM d GROUP BY 1),
+        |i AS (SELECT d.key, day, v, mu, slack, h,
+        |    row_number() OVER (PARTITION BY d.key ORDER BY day) AS rn
+        |  FROM d JOIN p ON d.key = p.key),
+        |r AS (
+        |  SELECT key, day, v, rn, mu, slack, h,
+        |    greatest(0, v * 1000000 - mu - slack) AS sp,
+        |    greatest(0, mu - slack - v * 1000000) AS sn,
+        |    (greatest(0, v * 1000000 - mu - slack) > h
+        |     OR greatest(0, mu - slack - v * 1000000) > h) AS cp
+        |  FROM i WHERE rn = 1
+        |  UNION ALL
+        |  SELECT i.key, i.day, i.v, i.rn, i.mu, i.slack, i.h,
+        |    greatest(0, CASE WHEN r.cp THEN 0 ELSE r.sp END
+        |      + (i.v * 1000000 - i.mu - i.slack)) AS sp,
+        |    greatest(0, CASE WHEN r.cp THEN 0 ELSE r.sn END
+        |      + (i.mu - i.slack - i.v * 1000000)) AS sn,
+        |    (greatest(0, CASE WHEN r.cp THEN 0 ELSE r.sp END
+        |      + (i.v * 1000000 - i.mu - i.slack)) > i.h
+        |     OR greatest(0, CASE WHEN r.cp THEN 0 ELSE r.sn END
+        |      + (i.mu - i.slack - i.v * 1000000)) > i.h) AS cp
+        |  FROM i JOIN r ON i.key = r.key AND i.rn = r.rn + 1)
+        |SELECT key, strftime(day, '%Y-%m-%d') AS day, v,
+        |  CAST(sp AS BIGINT) AS cusum_pos, CAST(sn AS BIGINT) AS cusum_neg,
+        |  cp AS changepoint
+        |FROM r ORDER BY key, day""".stripMargin,
+
     "q_ewma" ->
       """WITH RECURSIVE d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS v

@@ -309,6 +309,38 @@ class TemporalSpec extends SparkSpec {
     }
   }
 
+  test("cusumChangepoints: sustained shift fires both sides, resets after alarm") {
+    import java.sql.Date
+    // 6 days at 100 then 6 at 140 → μ = 120M micro; slack 0, h = μ/2 =
+    // 60M. Low side accumulates +20M/day (mean sits above the first
+    // half): 20,40,60 (not >h, strict),80 → alarm d4, reset, 20,40.
+    // High side from d7: +20M/day → 20,40,60,80 → alarm d10, reset.
+    val rows = (1 to 12).map { i =>
+      ("a", Date.valueOf(f"2024-01-$i%02d"), if (i <= 6) 100L else 140L)
+    }.toDF("key", "day", "v")
+    val got = Temporal.cusumChangepoints(rows, "key", "day", "v",
+        slackNum = 0L, slackDen = 1L, hNum = 1L, hDen = 2L)
+      .orderBy("day").collect()
+      .map(r => (r.getDate(1).toString, r.getLong(3), r.getLong(4),
+        r.getBoolean(5)))
+    val cps = got.filter(_._4).map(_._1)
+    assert(cps.toSeq == Seq("2024-01-04", "2024-01-10"), got.mkString(", "))
+    assert(got(3)._3 == 80000000L)  // d4 cusum_neg at alarm
+    assert(got(4)._3 == 20000000L)  // d5 reset → one-day increment only
+    assert(got(9)._2 == 80000000L)  // d10 cusum_pos at alarm
+  }
+
+  test("cusumChangepoints: a single-day spike never alarms at defaults") {
+    import java.sql.Date
+    val rows = (1 to 30).map { i =>
+      ("a", Date.valueOf(f"2024-01-$i%02d"), if (i == 15) 200L else 100L)
+    }.toDF("key", "day", "v")
+    val got = Temporal.cusumChangepoints(rows, "key", "day", "v")
+      .collect()
+    assert(got.forall(!_.getBoolean(5)),
+      "isolated spike must not trip CUSUM (that's the spike rule's job)")
+  }
+
   test("anonymizationLadder counts NULL-type events instead of dropping them") {
     import java.sql.Timestamp
     val ev = Seq(
