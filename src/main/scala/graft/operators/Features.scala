@@ -242,4 +242,52 @@ object Features {
             greatest(col("__lo"), least(col("__hi"), col(valueCol))), 6)))
       .drop("__grp", "__lo", "__hi")
   }
+
+  /** Pearson chi-square drift over a slice × category contingency
+    * table — the distribution-shift monitor a training pipeline runs
+    * between ingestion batches, sources, or time windows: does the
+    * categorical mix (language, quality bucket, length bucket, domain)
+    * differ across slices more than sampling noise allows?
+    *
+    * Per cell: observed n, expected e = rowTotal·colTotal/total, and
+    * the χ² contribution (n−e)²/e — the per-cell breakdown is the
+    * actionable part (WHICH language drifted in WHICH source), the
+    * total χ² is one `sum` away. Cells absent from the data are
+    * structural zeros and still contribute (n=0, e>0): dropping them
+    * understates drift exactly when a category vanishes from a slice —
+    * the strongest possible shift signal.
+    *
+    * Scale shape: ONE groupBy(slice, category) over the facts; the
+    * dense grid is marginals×marginals (slices × categories, a
+    * bounded analytic frame, AQE-broadcast), never fact-sized. The
+    * closing arithmetic is double over exact integer counts in a
+    * fixed operation order, so any engine replays it bit-for-bit
+    * (the [[pairwiseCorrelation]] discipline).
+    *
+    * Returns (slice, category, n, expected, chi2_term), both derived
+    * columns rounded to 6 decimals.
+    */
+  def categoricalDrift(df: DataFrame, sliceCol: String, catCol: String)
+      : DataFrame = {
+    val cells = df
+      .groupBy(col(sliceCol).as("slice"), col(catCol).as("category"))
+      .agg(count(lit(1)).as("n"))
+    val rowTot = cells.groupBy("category").agg(sum("n").as("__rt"))
+    val colTot = cells.groupBy("slice").agg(sum("n").as("__ct"))
+    val total = cells.select(sum("n").as("__tot"))
+    val dense = rowTot.crossJoin(colTot)
+      .join(cells, Seq("slice", "category"), "left")
+      .select(col("slice"), col("category"),
+        coalesce(col("n"), lit(0L)).as("n"), col("__rt"), col("__ct"))
+    // fixed order: e = (rt·ct)/tot, dev = n − e, term = (dev·dev)/e —
+    // all double over exact integer counts; the oracle mirrors the
+    // exact expression tree
+    val e = col("__rt").cast("double") * col("__ct").cast("double") /
+      col("__tot").cast("double")
+    val dev = col("n").cast("double") - e
+    dense.crossJoin(total)
+      .select(col("slice"), col("category"), col("n"),
+        round(e, 6).as("expected"),
+        round(dev * dev / e, 6).as("chi2_term"))
+  }
 }

@@ -45,6 +45,14 @@ object TextQueries {
         "source", numMerges = 8)
         .orderBy("source")),
 
+    // chi-square language-mix drift across sources: per (source, lang)
+    // cell observed/expected/χ²-term, structural zeros included — the
+    // batch-over-batch distribution-shift monitor
+    "q_drift" -> ((s, d) =>
+      graft.operators.Features.categoricalDrift(Tables.documents(s, d),
+          "source", "lang")
+        .orderBy("slice", "category")),
+
     // n-gram coverage: the LM-lite fluency gate
     "q_ngram_coverage" -> ((s, d) =>
       TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
@@ -452,6 +460,30 @@ object TextQueries {
        |  FROM p GROUP BY 1)""".stripMargin
 
   val oracleSql: Map[String, String] = Map(
+    "q_drift" ->
+      """WITH cells AS (SELECT source AS slice, lang AS category,
+        |    CAST(count(*) AS BIGINT) AS n
+        |  FROM documents GROUP BY 1, 2),
+        |rt AS (SELECT category, CAST(sum(n) AS BIGINT) AS rt
+        |  FROM cells GROUP BY 1),
+        |ct AS (SELECT slice, CAST(sum(n) AS BIGINT) AS ct
+        |  FROM cells GROUP BY 1),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+        |dense AS (SELECT ct.slice, rt.category,
+        |    COALESCE(c.n, 0) AS n, rt.rt, ct.ct
+        |  FROM rt CROSS JOIN ct
+        |  LEFT JOIN cells c ON c.slice = ct.slice AND c.category = rt.category)
+        |SELECT slice, category, CAST(n AS BIGINT) AS n,
+        |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |    / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS expected,
+        |  round((CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
+        |    * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
+        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+        |      / (SELECT CAST(tot AS DOUBLE) FROM tot)), 6) AS chi2_term
+        |FROM dense ORDER BY slice, category""".stripMargin,
+
     "q_lm_score" ->
       s"""WITH $lmCtes
          |SELECT doc_id, n_bigrams, sum_ppm, avg_ppm

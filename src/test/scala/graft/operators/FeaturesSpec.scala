@@ -150,4 +150,30 @@ class FeaturesSpec extends SparkSpec {
       (("a", "z"), 3L, None),
       (("b", "z"), 3L, None)), s"got ${got.toSeq}")
   }
+
+  test("categoricalDrift: hand-computed chi-square cells") {
+    // A: 30x 10y, B: 10x 30y → every e = 20, every term (±10)²/20 = 5
+    val df = (Seq.fill(30)(("A", "x")) ++ Seq.fill(10)(("A", "y")) ++
+      Seq.fill(10)(("B", "x")) ++ Seq.fill(30)(("B", "y")))
+      .toDF("slice", "cat")
+    val got = Features.categoricalDrift(df, "slice", "cat")
+      .orderBy("slice", "category").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      ("A", "x", 30L, 20.0, 5.0), ("A", "y", 10L, 20.0, 5.0),
+      ("B", "x", 10L, 20.0, 5.0), ("B", "y", 30L, 20.0, 5.0)),
+      got.mkString(", "))
+  }
+
+  test("categoricalDrift: structural zeros contribute (n=0, e>0)") {
+    val df = (Seq.fill(10)(("A", "x")) ++ Seq.fill(5)(("B", "x")) ++
+      Seq.fill(5)(("B", "y"))).toDF("slice", "cat")
+    val got = Features.categoricalDrift(df, "slice", "cat")
+      .filter($"slice" === "A" && $"category" === "y").collect()
+    assert(got.length == 1, "the absent (A,y) cell must be present")
+    assert(got(0).getLong(2) == 0L)
+    assert(got(0).getDouble(3) == 2.5)  // e = 5·10/20
+    assert(got(0).getDouble(4) == 2.5)  // (0-2.5)²/2.5
+  }
 }
