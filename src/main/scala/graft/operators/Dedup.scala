@@ -891,6 +891,61 @@ object Dedup {
       .select(col(idCol), col("component"))
   }
 
+  /** Deletion propagation through the maintained component labeling —
+    * the right-to-be-forgotten counterpart of [[mergeComponents]]:
+    * removing documents must remove them from the clustering AND
+    * repair the components they leave behind.
+    *
+    * Deletion is strictly harder than insertion: a star labeling is
+    * connectivity-equivalent to its pair graph only while edges are
+    * ADDED. Removing a doc can SPLIT its component (delete the bridge
+    * B of A≈B≈C and {A},{C} must separate — but the stored stars say
+    * A—label, C—label, which stays connected), so the stars are NOT
+    * sufficient evidence. The repair therefore re-derives the edges of
+    * the touched components from the maintained SIGNATURE table (the
+    * same banded-LSH + estimated-Jaccard rule that built them — edges
+    * are a pure function of signatures, so the re-derived subgraph is
+    * exactly the original minus the deleted endpoints) and re-runs the
+    * closure over the touched components' SURVIVORS only.
+    *
+    * Exactness: a surviving member of a touched component can never
+    * join an untouched component — such an edge would be
+    * signature-implied and would have merged the two components before
+    * the deletion. So untouched components carry over through one
+    * anti-join, and the output equals the full closure over the
+    * surviving corpus (the oracle recomputes exactly that).
+    *
+    * Cost ∝ deletion impact: the band self-join and closure run over
+    * touched components' members only; at 100 TB a forget batch
+    * touches thousands of components, not the corpus. `signatures` is
+    * the maintained [[minhashSignatures]]-shaped table (the same one
+    * [[incrementalDedup]]/the ingest lifecycles keep); remember to
+    * also drop the deleted ids from it and from the doc store — this
+    * operator returns the repaired (id, component) labeling.
+    */
+  def forgetDocs(labels: DataFrame, signatures: DataFrame,
+                 deleteIds: DataFrame, idCol: String,
+                 threshold: Double = 0.5): DataFrame = {
+    val del = deleteIds.select(col(idCol)).distinct().localCheckpoint()
+    val touched = labels.join(del, Seq(idCol), "left_semi")
+      .select("component").distinct()
+    val touchedLabels = labels.join(touched, Seq("component"), "left_semi")
+    val survivors = touchedLabels.select(idCol)
+      .join(del, Seq(idCol), "left_anti")
+    // touched-survivor signatures feed the band join AND the scoring
+    // join — materialize once (the incrementalDedup caller contract)
+    val survSigs = signatures.join(survivors, Seq(idCol), "left_semi")
+      .localCheckpoint()
+    val pairs = estimatedJaccard(lshCandidatePairs(survSigs, idCol),
+        survSigs, idCol)
+      .filter(col("est_jaccard") >= threshold)
+      .select("id_a", "id_b")
+    val repaired = connectedComponents(pairs, survivors, idCol)
+    labels.join(touched, Seq("component"), "left_anti")
+      .unionByName(repaired.select(col(idCol), col("component")))
+      .select(col(idCol), col("component"))
+  }
+
   /** Transitive-closure corpus dedup: cluster near-dup pairs into
     * connected components and keep exactly the min-id document of each
     * cluster. Unlike [[dedupCorpus]]'s greedy policy, every cluster

@@ -213,6 +213,27 @@ object DedupQueries {
         .orderBy("doc_id")
     }),
 
+    // deletion propagation (right to be forgotten): forget ~6% of the
+    // corpus and repair the component labeling from the maintained
+    // signature table — must EQUAL the full closure over the surviving
+    // corpus (deletes can SPLIT components, which stars can't answer)
+    "q_forget" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(all, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      // the stored-state stand-ins: labels + signatures would be
+      // parquet reads in the real lifecycle
+      val labels = Dedup.connectedComponents(pairs,
+        all.select("doc_id"), "doc_id").localCheckpoint()
+      val del = all.filter(col("doc_id") % 17 === 3).select("doc_id")
+      Dedup.forgetDocs(labels, sigs, del, "doc_id")
+        .orderBy("doc_id")
+    }),
+
     // leakage-safe split: near-dup components share a split, so no
     // near-duplicate pair can straddle train/test (eval contamination)
     "q_leakage_split" -> ((s, d) => {
@@ -446,11 +467,11 @@ object DedupQueries {
     * q_incr_components (incremental merge — refresh ≡ full recompute
     * IS the contract, so the two queries share one oracle).
     */
-  private lazy val fullClosureSql: String = {
+  private def closureSqlFrom(base: String, prelude: String = ""): String = {
     val matches = (0 until NumPerms)
       .map(j => s"CASE WHEN a.mh$j = b.mh$j THEN 1 ELSE 0 END")
       .mkString(" + ")
-    s"""WITH RECURSIVE $sigCte,
+    s"""WITH RECURSIVE $prelude${sigCteFrom(base)},
        |$bandsCte,
        |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
        |  FROM bands x JOIN bands y ON x.band_key = y.band_key
@@ -462,12 +483,14 @@ object DedupQueries {
        |edges AS (SELECT id_a AS src, id_b AS dst FROM pairs
        |  UNION SELECT id_b, id_a FROM pairs),
        |reach(id, comp) AS (
-       |  SELECT doc_id, doc_id FROM documents
+       |  SELECT doc_id, doc_id FROM $base
        |  UNION
        |  SELECT e.src, r.comp FROM edges e JOIN reach r ON r.id = e.dst)
        |SELECT id AS doc_id, min(comp) AS component
        |FROM reach GROUP BY id ORDER BY doc_id""".stripMargin
   }
+
+  private lazy val fullClosureSql: String = closureSqlFrom("documents")
 
   /** One unrolled PageRank-round CTE (`r{t+1}` from `r{t}`) — the same
     * split-product integer micro-unit formula as
@@ -672,6 +695,10 @@ object DedupQueries {
     // refresh ≡ full recompute: the incrementally-merged labeling must
     // be INDISTINGUISHABLE from the full-corpus closure — same oracle
     "q_incr_components" -> fullClosureSql,
+
+    // forget ≡ full recompute over the surviving corpus
+    "q_forget" -> closureSqlFrom("surv",
+      "surv AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),\n"),
 
     "q_leakage_split" -> {
       val matches = (0 until NumPerms)

@@ -186,4 +186,54 @@ class DedupLifecycleSpec extends SparkSpec {
     assert(sigs.join(direct, Seq("doc_id", "mh0", "mh15"), "left_semi")
       .count() == sigIds.size)
   }
+
+  // hand-crafted signature fixture for forgetDocs: A≈B on perms 0-7
+  // (bands 0,1), B≈C on perms 8-15 (bands 2,3), A and C share nothing
+  // — a bridge chain; plus an untouched pair D≈E and a singleton F
+  private def forgetFixture = {
+    def sig(id: Long, lo: Long, hi: Long) =
+      (id, (0 until 8).map(lo + _) ++ (0 until 8).map(hi + _))
+    val rows = Seq(sig(1L, 100, 200), sig(2L, 100, 300), sig(3L, 400, 300),
+      sig(10L, 500, 600), sig(11L, 500, 600), sig(20L, 700, 800))
+    val cols = "doc_id" +: (0 until 16).map(j => s"mh$j")
+    val sigs = rows.map { case (id, vs) => Row.fromSeq(id +: vs) }
+    val schema = org.apache.spark.sql.types.StructType(
+      cols.map(c => org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(sigs), schema)
+    val labels = Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L),
+      (20L, 20L)).toDF("doc_id", "component")
+    (df, labels)
+  }
+  private val Row = org.apache.spark.sql.Row
+
+  test("forgetDocs splits a component when the deleted doc was the bridge") {
+    val (sigs, labels) = forgetFixture
+    // sanity: the fixture's pair graph is the chain 1—2—3 plus 10—11
+    val pairs = Dedup.estimatedJaccard(
+      Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+      .filter($"est_jaccard" >= 0.5)
+      .select("id_a", "id_b").collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pairs == Set((1L, 2L), (2L, 3L), (10L, 11L)), pairs)
+    val got = Dedup.forgetDocs(labels, sigs,
+        Seq(2L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // the stored stars (1—1, 2—1, 3—1) would keep 3 attached to 1;
+    // the signature-derived repair must split them
+    assert(got == Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L), got.toString)
+  }
+
+  test("forgetDocs relabels when the deleted doc was the min-id label") {
+    val (sigs, labels) = forgetFixture
+    val got = Dedup.forgetDocs(labels, sigs,
+        Seq(1L).toDF("doc_id"), "doc_id")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // 2—3 stay connected (perms 8-15), new min label 2; untouched
+    // components carry over byte-identically
+    assert(got == Map(2L -> 2L, 3L -> 2L, 10L -> 10L, 11L -> 10L,
+      20L -> 20L), got.toString)
+  }
 }
