@@ -829,6 +829,80 @@ object Similarity {
     pqRank(scored, numSub, k)
   }
 
+  // ---- maintained PQ (IVFADC) index lifecycle ----
+  //
+  // The compressed sibling of the IVF vector index
+  // ([[writeVectorIndex]]): between batches the corpus lives as a
+  // CELL-PARTITIONED parquet table of PQ CODES — numSub small ints per
+  // vector instead of the float array (32× smaller for the 64-dim
+  // corpus), under centroids AND codebook frozen at creation (retrain
+  // = rebuild, the standard IVF/PQ contract). Appends encode and
+  // route new vectors; queries read ONLY their probe cells' files and
+  // never touch a float vector of the corpus — the storage profile
+  // that makes 10 B-vector search a partition-pruned scan of bytes.
+
+  /** Create (or replace) a PQ index at `path`: frozen centroids +
+    * codebook, cell-partitioned codes.
+    */
+  def writePqIndex(df: DataFrame, idCol: String, vecCol: String,
+                   centroids: DataFrame, codebook: DataFrame,
+                   numSub: Int, subDim: Int, path: String): Unit = {
+    centroids.write.mode("overwrite").parquet(s"$path/centroids")
+    codebook.write.mode("overwrite").parquet(s"$path/codebook")
+    assignToCentroids(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(pqEncode(df, idCol, vecCol, codebook, numSub, subDim), idCol)
+      .write.mode("overwrite").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** numSub/subDim of a stored codebook — a bounded driver probe over
+    * the (small-by-contract) codebook frame.
+    */
+  private def pqDims(codebook: DataFrame): (Int, Int) = {
+    val r = codebook.agg(max(col("m")), max(size(col("cv")))).head()
+    (r.getInt(0) + 1, r.getInt(1))
+  }
+
+  /** Encode a new batch under the index's FROZEN centroids + codebook
+    * and append its codes to their cells. Batch vectors are never
+    * re-read after this ingest.
+    */
+  def appendPqIndex(df: DataFrame, idCol: String, vecCol: String,
+                    path: String): Unit = {
+    val spark = df.sparkSession
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val (numSub, subDim) = pqDims(cb)
+    assignToCentroids(df, idCol, vecCol, cent)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(pqEncode(df, idCol, vecCol, cb, numSub, subDim), idCol)
+      .write.mode("append").partitionBy("cell")
+      .parquet(s"$path/codes")
+  }
+
+  /** IVFADC top-k from the STORED index: assign each query to its
+    * probe cell under the frozen centroids, prune the codes scan to
+    * exactly those cells (partition pruning — the probe-cell id set
+    * is centroid-bounded, the same scalar-sized driver probe as
+    * [[queryVectorIndex]]), then ADC-score the probed cells' codes.
+    * Only the QUERY vectors are ever read as floats.
+    */
+  def queryPqIndex(spark: SparkSession, path: String, queries: DataFrame,
+                   idCol: String, vecCol: String, k: Int): DataFrame = {
+    val cent = spark.read.parquet(s"$path/centroids")
+    val cb = spark.read.parquet(s"$path/codebook")
+    val (numSub, subDim) = pqDims(cb)
+    val qCells = assignToCentroids(queries, idCol, vecCol, cent)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(queries.select(col(idCol), col(vecCol)), idCol)
+    val probeCells = qCells.select("cell").distinct()
+      .collect().map(_.get(0)).toSeq
+    val codes = spark.read.parquet(s"$path/codes")
+      .filter(col("cell").isin(probeCells: _*))
+    ivfPqTopK(qCells, codes, idCol, vecCol, "cell", cb, numSub, subDim, k)
+  }
+
   /** Per-query ADC lookup table: exact query→codeword distances in
     * DECIMAL(18,6) micro-units (order-free integer sums downstream).
     * `carry` columns (e.g. the IVF cell) ride along for the join.

@@ -142,6 +142,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // stored IVFADC (PQ) index lifecycle: create from half the corpus
+    // under frozen seed centroids + seed codebook, append the other
+    // half, query the STORE — probe cells' code files only, no corpus
+    // float vector ever read at query time
+    "q_pq_lifecycle" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      val cb = Similarity.pqSeedCodebook(e, "vec_id", "embedding",
+        PqSub, PqSubDim, PqCodes)
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_pqindex_").toString + "/idx"
+      Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cent, cb, PqSub, PqSubDim, path)
+      Similarity.appendPqIndex(e.filter(col("vec_id") % 2 =!= 0),
+        "vec_id", "embedding", path)
+      Similarity.queryPqIndex(s, path, queriesDf(s, d),
+        "vec_id", "embedding", K)
+        .orderBy("query_id", "rank")
+    }),
+
     // cluster-balanced diversity sample: sqrt-budget most-central
     // members per k-means cell — flattens dominant topics, keeps rare
     // ones represented (deterministic seed centroids as above)
@@ -329,23 +351,25 @@ object SimilarityQueries {
     * `cellJoin` restricts the candidate set (the IVFADC variant adds
     * `AND l.q_label = e.label`); "" is the plain compressed full scan.
     */
-  private def pqSql(cellJoin: String): String = {
+  private def pqSql(cellJoin: String, rel: String = "vecs",
+                    cellExpr: String = "label",
+                    extraCtes: String = ""): String = {
     val seeds =
       s"pqseeds AS (SELECT vec_id AS code, v FROM vecs WHERE vec_id < $PqCodes)"
     val enc = (0 until PqSub).map { m =>
       s"""SELECT vec_id, label, $m AS m, code FROM (
-         |  SELECT e.vec_id, e.label, s.code, row_number() OVER (
+         |  SELECT e.vec_id, e.$cellExpr AS label, s.code, row_number() OVER (
          |      PARTITION BY e.vec_id
          |      ORDER BY ${pqL2Sql("e.v", "s.v", m)}, s.code) AS rn
-         |  FROM vecs e CROSS JOIN pqseeds s) WHERE rn = 1""".stripMargin
+         |  FROM $rel e CROSS JOIN pqseeds s) WHERE rn = 1""".stripMargin
     }.mkString("\nUNION ALL\n")
     val lut = (0 until PqSub).map { m =>
-      s"""SELECT q.vec_id AS query_id, q.label AS q_label, $m AS m, s.code,
+      s"""SELECT q.vec_id AS query_id, q.$cellExpr AS q_label, $m AS m, s.code,
          |  CAST(CAST(${pqL2Sql("q.v", "s.v", m)} AS DECIMAL(18,6))
          |       * 1000000 AS BIGINT) AS d
-         |FROM vecs q CROSS JOIN pqseeds s WHERE q.$QueryFilter""".stripMargin
+         |FROM $rel q CROSS JOIN pqseeds s WHERE q.$QueryFilter""".stripMargin
     }.mkString("\nUNION ALL\n")
-    s"""WITH $vecsCte,
+    s"""WITH $vecsCte,$extraCtes
        |$seeds,
        |enc AS ($enc),
        |qlut AS ($lut),
@@ -484,6 +508,16 @@ object SimilarityQueries {
     "q_ann_pq" -> pqSql(""),
 
     "q_ann_ivfpq" -> pqSql("AND l.q_label = e.label"),
+
+    // stored IVFADC index ≡ recompute: k-means cell assignment under
+    // the frozen centroids + PQ encode under the frozen codebook, ADC
+    // within the query's cell. assigned is MATERIALIZED: the per-
+    // subspace UNION ALL branches reference it 16×, and inlining the
+    // cross-join-of-64-term-chains that many times OOMs the oracle
+    "q_pq_lifecycle" -> pqSql("AND l.q_label = e.label",
+      rel = "assigned", cellExpr = "cluster",
+      extraCtes = s" $centCte, ${assignedCte.replaceFirst(
+        "assigned AS \\(", "assigned AS MATERIALIZED (")},"),
 
     "q_embed_neardup" ->
       s"""WITH $vecsCte

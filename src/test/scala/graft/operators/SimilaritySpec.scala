@@ -157,6 +157,59 @@ class SimilaritySpec extends SparkSpec {
         s"of $indexRows index rows")
   }
 
+  test("PQ index lifecycle: write+append == one-shot; query prunes and " +
+      "never scans floats") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 4L)
+      .select($"vec_id".cast("int").as("cluster"),
+        $"embedding".cast("array<double>").as("cv"))
+    val cb = Similarity.pqSeedCodebook(e, "vec_id", "embedding", 8, 8, 16)
+      .localCheckpoint()
+    val p1 = java.nio.file.Files.createTempDirectory("pqidx1_").toString + "/i"
+    val p2 = java.nio.file.Files.createTempDirectory("pqidx2_").toString + "/i"
+    Similarity.writePqIndex(e, "vec_id", "embedding", cent, cb, 8, 8, p1)
+    Similarity.writePqIndex(e.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cent, cb, 8, 8, p2)
+    Similarity.appendPqIndex(e.filter($"vec_id" % 2 =!= 0),
+      "vec_id", "embedding", p2)
+    // identical contents: frozen centroids+codebook make the append
+    // batch land exactly where the one-shot write put it
+    def codesOf(p: String) = spark.read.parquet(s"$p/codes")
+      .collect().map(r => (r.getAs[Long]("vec_id"),
+        r.getAs[scala.collection.Seq[Int]]("codes"), r.getAs[Int]("cell")))
+    assert(codesOf(p1).toSet == codesOf(p2).toSet &&
+      codesOf(p1).length == codesOf(p2).length)
+    // stored-index query == in-memory ivfPqTopK over the same frames
+    val queries = e.filter($"vec_id" % 17 === 0)
+    val got = Similarity.queryPqIndex(spark, p1, queries,
+      "vec_id", "embedding", 3)
+    val cells = Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cluster".as("cell"))
+    val codes = Similarity.pqEncode(e, "vec_id", "embedding", cb, 8, 8)
+      .join(cells, "vec_id")
+    val want = Similarity.ivfPqTopK(
+      cells.join(e.select("vec_id", "embedding"), "vec_id")
+        .join(queries.select("vec_id"), Seq("vec_id"), "left_semi"),
+      codes, "vec_id", "embedding", "cell", cb, 8, 8, 3)
+    assert(got.collect().toSet == want.collect().toSet,
+      "stored-index query must match the in-memory IVFADC result")
+    // probe filter must prune codes partitions, measured not asserted
+    val plan = got.queryExecution.executedPlan.toString
+    val codesScan = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("/codes"))
+      .toSeq
+    assert(codesScan.nonEmpty, s"no codes scan found:\n$plan")
+    assert(codesScan.forall(_.contains("PartitionFilters: [cell")),
+      s"cell probe must prune codes partitions:\n${codesScan.mkString("\n")}")
+    val one = e.filter($"vec_id" === 0L)
+    val allCodes = spark.read.parquet(s"$p1/codes").count()
+    val probed = graft.plans.ScanAudit.measureFor(
+      Similarity.queryPqIndex(spark, p1, one, "vec_id", "embedding", 3),
+      "/codes").rowsRead
+    assert(probed > 0 && probed < allCodes / 2,
+      s"1-cell probe must not scan the codes table: $probed of $allCodes")
+  }
+
   test("hardNegatives: same-label excluded, nearest wrong-label win") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // query
