@@ -586,4 +586,67 @@ class PropertiesSpec extends SparkSpec {
       }
     }
   }
+
+  test("forgetDocs ≡ full recompute over survivors on random signatures") {
+    // random 16-perm signatures from a SMALL value pool so band
+    // collisions (and thus edges, bridges, splits) actually occur
+    val gen = for {
+      n <- Gen.choose(4, 16)
+      sigs <- Gen.listOfN(n, Gen.listOfN(16, Gen.choose(0L, 2L)))
+      delMask <- Gen.listOfN(n, Gen.choose(0, 3))
+    } yield (sigs.zipWithIndex.map { case (s, i) => (i.toLong, s) },
+      delMask.zipWithIndex.collect { case (0, i) => i.toLong })
+    val cols = "id" +: (0 until 16).map(j => s"mh$j")
+    def sigDf(rows: Seq[(Long, Seq[Long])]) = {
+      val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+        org.apache.spark.sql.types.StructField(c,
+          org.apache.spark.sql.types.LongType)))
+      spark.createDataFrame(spark.sparkContext.parallelize(
+        rows.map { case (id, s) =>
+          org.apache.spark.sql.Row.fromSeq(id +: s) }), schema)
+    }
+    def closure(rows: Seq[(Long, Seq[Long])]) = {
+      val sigs = sigDf(rows).localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "id"), sigs, "id")
+        .filter($"est_jaccard" >= 0.5).select("id_a", "id_b")
+      Dedup.connectedComponents(pairs, rows.map(_._1).toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+    }
+    samples(gen, 6).foreach { case (rows, del) =>
+      val labels = closure(rows).toDF("id", "component")
+      val got = Dedup.forgetDocs(labels, sigDf(rows), del.toDF("id"), "id")
+        .collect().map(r => (r.getLong(0), r.getLong(1))).sorted.toSeq
+      val want = closure(rows.filterNot(r => del.contains(r._1)))
+      assert(got == want,
+        s"del=$del over ${rows.map(_._1)}:\n$got\nvs\n$want")
+    }
+  }
+
+  test("cusumChangepoints ≡ driver-side recurrence replay on random series") {
+    val gen = for {
+      n <- Gen.choose(1, 25)
+      vs <- Gen.listOfN(n, Gen.choose(0L, 50L))
+    } yield vs
+    samples(gen, 8).filter(_.nonEmpty).foreach { vs =>
+      val rows = vs.zipWithIndex.map { case (v, i) =>
+        ("k", java.sql.Date.valueOf(f"2024-01-${i + 1}%02d"), v) }
+      val got = Temporal.cusumChangepoints(
+        rows.toDF("key", "day", "v"), "key", "day", "v")
+        .orderBy("day").collect()
+        .map(r => (r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+      // independent replay with plain Scala longs
+      val mu = 1000000L * vs.sum / vs.length
+      val slack = mu / 4; val h = mu * 2
+      val want = vs.scanLeft((0L, 0L, false)) {
+        case ((sp, sn, cp), v) =>
+          val psp = if (cp) 0L else sp
+          val psn = if (cp) 0L else sn
+          val nsp = math.max(0L, psp + (v * 1000000L - mu - slack))
+          val nsn = math.max(0L, psn + (mu - slack - v * 1000000L))
+          (nsp, nsn, nsp > h || nsn > h)
+      }.tail
+      assert(got == want, s"vs=$vs mu=$mu:\n$got\nvs\n$want")
+    }
+  }
 }
