@@ -268,10 +268,20 @@ object Features {
     * columns rounded to 6 decimals.
     */
   def categoricalDrift(df: DataFrame, sliceCol: String, catCol: String)
-      : DataFrame = {
-    val cells = df
+      : DataFrame =
+    categoricalDriftFromCounts(df
       .groupBy(col(sliceCol).as("slice"), col(catCol).as("category"))
-      .agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("n")))
+
+  /** [[categoricalDrift]] over PRE-AGGREGATED cells (slice, category,
+    * n) — the entry the streaming monitor uses, where the reference
+    * slice arrives as a stored count table rather than raw rows.
+    */
+  def categoricalDriftFromCounts(cellsIn: DataFrame): DataFrame = {
+    // re-aggregate defensively: an appended/merged count table may
+    // carry several rows per cell
+    val cells = cellsIn.groupBy("slice", "category")
+      .agg(sum("n").as("n"))
     val rowTot = cells.groupBy("category").agg(sum("n").as("__rt"))
     val colTot = cells.groupBy("slice").agg(sum("n").as("__ct"))
     val total = cells.select(sum("n").as("__tot"))

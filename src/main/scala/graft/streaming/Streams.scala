@@ -594,6 +594,53 @@ object Streams {
       .start()
   }
 
+  /** Streaming distribution-drift monitor — the serving-time twin of
+    * [[graft.operators.Features.categoricalDrift]]: the FIRST
+    * non-empty micro-batch freezes the reference categorical
+    * distribution at `refPath` (the "training mix"); every later
+    * batch's mix is chi-squared against that frozen reference and the
+    * per-cell report (slice ∈ {reference, batch}, category, n,
+    * expected, chi2_term) is handed to `onReport` with the batch id —
+    * the standard train/serve skew check, run continuously.
+    *
+    * The reference is FROZEN, not drifting: comparing each batch to
+    * an accumulating history would let slow drift ratchet itself into
+    * the baseline (each step insignificant vs the polluted mix).
+    * Retrain = delete the table, next batch re-freezes. State is the
+    * categories-sized count table on storage — no stream state store
+    * at all; empty batches are skipped so the freeze binds to real
+    * data.
+    */
+  def driftMonitoringIngest(docs: DataFrame, catCol: String,
+                            refPath: String,
+                            options: Map[String, String] = Map.empty)
+                           (onReport: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val spark = batch.sparkSession
+        val p = new org.apache.hadoop.fs.Path(refPath)
+        val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val b = batch.localCheckpoint()
+        if (!b.isEmpty) {
+          val counts = b.groupBy(col(catCol).as("category"))
+            .agg(count(lit(1)).as("n"))
+          if (!fs.exists(p)) counts.write.parquet(refPath)
+          else {
+            val ref = spark.read.parquet(refPath)
+            val cells = ref
+              .select(lit("reference").as("slice"), col("category"), col("n"))
+              .unionByName(counts
+                .select(lit("batch").as("slice"), col("category"), col("n")))
+            onReport(
+              graft.operators.Features.categoricalDriftFromCounts(cells), id)
+          }
+        }
+      }
+      .start()
+
   /** Exactly-once streaming sink onto the [[graft.io.Versioned]] table
     * log: each micro-batch append-commits under the txn token
     * `stream-<batchId>`, so a batch REPLAYED after a restart (the

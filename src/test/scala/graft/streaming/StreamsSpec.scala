@@ -933,4 +933,50 @@ class StreamsSpec extends SparkSpec {
         "no duplicates after replay")
     } finally q.stop()
   }
+
+  test("driftMonitoringIngest: frozen reference, report ≡ batch categoricalDrift") {
+    implicit val sqlCtx = spark.sqlContext
+    val tag = System.nanoTime()
+    val refPath = s"${sys.props("java.io.tmpdir")}/graft_drift_ref_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_drift_ck_$tag"
+    val reports = scala.collection.mutable.Map[Long, Seq[
+      (String, String, Long, Double, Double)]]()
+    val in = MemoryStream[(Long, String)]
+    val q = Streams.driftMonitoringIngest(
+      in.toDF().toDF("doc_id", "lang"), "lang", refPath,
+      Map("checkpointLocation" -> ckpt)) { (report, id) =>
+      reports.synchronized {
+        reports(id) = report
+          .orderBy("slice", "category").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+            r.getDouble(3), r.getDouble(4))).toSeq
+      }
+    }
+    try {
+      val ref = Seq.tabulate(30)(i => (i.toLong, if (i % 3 == 0) "en" else "de"))
+      val drifted = Seq.tabulate(30)(i => (100L + i, if (i % 3 == 0) "de" else "en"))
+      in.addData(ref: _*)
+      q.processAllAvailable()
+      assert(reports.isEmpty, "bootstrap batch must freeze, not report")
+      in.addData(drifted: _*)
+      q.processAllAvailable()
+      // stream report ≡ batch categoricalDrift over the two slices
+      val want = graft.operators.Features.categoricalDrift(
+        (ref.map(t => ("reference", t._2)) ++
+          drifted.map(t => ("batch", t._2))).toDF("slice", "lang"),
+        "slice", "lang")
+        .orderBy("slice", "category").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+          r.getDouble(3), r.getDouble(4))).toSeq
+      assert(reports(1L) == want, s"${reports.get(1L)}\nvs\n$want")
+      // batch 3 still compares against the FROZEN batch-1 reference
+      in.addData(ref.map { case (i, l) => (200L + i, l) }: _*)
+      q.processAllAvailable()
+      val refN = reports(2L).filter(_._1 == "reference").map(_._3).sum
+      assert(refN == 30L, s"reference must stay frozen at 30 rows: $refN")
+      // an identical mix drifts ~zero: every chi2 term is 0 exactly
+      // (same counts → observed == expected cellwise)
+      assert(reports(2L).forall(_._5 == 0.0), reports(2L).toString)
+    } finally q.stop()
+  }
 }
