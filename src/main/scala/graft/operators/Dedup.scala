@@ -724,6 +724,45 @@ object Dedup {
       .drop("sig_part")
   }
 
+  /** Remove ids from a maintained signature table — the deletion
+    * counterpart of [[appendSignatures]]. Rewrites ONLY the hash
+    * partitions the deleted ids can live in (their `sig_part` is
+    * recomputable reader-side, the [[readSignaturesFor]] trick):
+    * touched partitions' survivors are materialized FIRST
+    * (localCheckpoint — dynamic partition overwrite would otherwise
+    * read the very files it replaces), written back under dynamic
+    * partition-overwrite, and a partition whose every row was deleted
+    * is removed explicitly (an empty partition produces no output
+    * files, so the dynamic overwrite alone would leave it stale). At
+    * 100 TB a forget batch rewrites touched/[[SigParts]] of the
+    * table, not all of it. Idempotent: re-deleting absent ids is a
+    * no-op rewrite.
+    */
+  def deleteSignatures(spark: SparkSession, path: String, ids: DataFrame,
+                       idCol: String): Unit = {
+    val keyed = withSigPart(ids.select(col(idCol)).distinct(), idCol)
+      .localCheckpoint()
+    val parts = keyed.select("sig_part").distinct()
+      .collect().map(_.getInt(0)).toSeq
+    if (parts.nonEmpty) {
+      val survivors = spark.read.parquet(path)
+        .filter(col("sig_part").isin(parts: _*))
+        .join(broadcast(keyed.select(idCol)), Seq(idCol), "left_anti")
+        .localCheckpoint()
+      val survivedParts = survivors.select("sig_part").distinct()
+        .collect().map(_.getInt(0)).toSet
+      if (survivedParts.nonEmpty)
+        survivors.write.mode("overwrite")
+          .option("partitionOverwriteMode", "dynamic")
+          .partitionBy("sig_part").parquet(path)
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      parts.filterNot(survivedParts).foreach { p =>
+        fs.delete(new org.apache.hadoop.fs.Path(s"$path/sig_part=$p"), true)
+      }
+    }
+  }
+
   /** Rewrite a signature table to one file per partition, collapsing
     * the per-append small files. Swap semantics (reader visibility,
     * crash recovery, single-writer): [[graft.io.StagedSwap]].

@@ -594,6 +594,54 @@ object Streams {
       .start()
   }
 
+  /** Streaming deletion propagation — the right-to-be-forgotten twin
+    * of [[componentMaintainingIngest]]: each micro-batch of delete
+    * requests (rows of `idCol`) is applied to the SAME stored state
+    * that ingest maintains — the component labels are repaired via
+    * [[graft.operators.Dedup.forgetDocs]] (signature-derived edges, so
+    * bridge deletions SPLIT components correctly) and the deleted ids'
+    * signatures are removed with a touched-partition-scoped rewrite
+    * ([[graft.operators.Dedup.deleteSignatures]]).
+    *
+    * Labels swap first, signatures second: the two steps are not
+    * atomic (the componentMaintainingIngest caveat), but either crash
+    * order re-applies cleanly — forgetting an id that is already
+    * gone from labels touches no component, and re-deleting absent
+    * signatures is a no-op rewrite — so at-least-once batch
+    * re-delivery converges to the same state. Missing tables (nothing
+    * ingested yet) make the batch a no-op.
+    */
+  def forgetMaintainingIngest(deletes: DataFrame, idCol: String,
+                              sigPath: String, labelPath: String,
+                              options: Map[String, String] = Map.empty,
+                              threshold: Double = 0.5)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    import graft.operators.Dedup
+    deletes.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+        val spark = batch.sparkSession
+        val conf = spark.sparkContext.hadoopConfiguration
+        val sigP = new org.apache.hadoop.fs.Path(sigPath)
+        val fs = sigP.getFileSystem(conf)
+        val del = batch.select(col(idCol)).distinct().localCheckpoint()
+        graft.io.StagedSwap.recover(spark, labelPath)
+        val labelP = new org.apache.hadoop.fs.Path(labelPath)
+        if (!del.isEmpty && fs.exists(sigP) &&
+            labelP.getFileSystem(conf).exists(labelP)) {
+          val labels = spark.read.parquet(labelPath)
+          val sigs = Dedup.readSignatures(spark, sigPath)
+          val repaired = Dedup.forgetDocs(labels, sigs, del, idCol,
+            threshold)
+          graft.io.StagedSwap.swap(spark, labelPath)(tmp =>
+            repaired.write.parquet(tmp))
+          Dedup.deleteSignatures(spark, sigPath, del, idCol)
+        }
+      }
+      .start()
+  }
+
   /** Streaming distribution-drift monitor — the serving-time twin of
     * [[graft.operators.Features.categoricalDrift]]: the FIRST
     * non-empty micro-batch freezes the reference categorical

@@ -934,6 +934,53 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("forgetMaintainingIngest: bridge delete splits, state tables shrink") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    // hand-crafted signatures: 1≈2 on perms 0-7, 2≈3 on perms 8-15
+    // (chain with bridge 2), 10≈11 identical, 20 alone
+    def sig(id: Long, lo: Long, hi: Long) =
+      (id, (0 until 8).map(lo + _) ++ (0 until 8).map(hi + _))
+    val rows = Seq(sig(1L, 100, 200), sig(2L, 100, 300), sig(3L, 400, 300),
+      sig(10L, 500, 600), sig(11L, 500, 600), sig(20L, 700, 800))
+    val cols = "doc_id" +: (0 until 16).map(j => s"mh$j")
+    val schema = org.apache.spark.sql.types.StructType(cols.map(c =>
+      org.apache.spark.sql.types.StructField(c,
+        org.apache.spark.sql.types.LongType)))
+    val sigs = spark.createDataFrame(spark.sparkContext.parallelize(
+      rows.map { case (id, s) =>
+        org.apache.spark.sql.Row.fromSeq(id +: s) }), schema)
+    val tag = System.nanoTime()
+    val sigPath = s"${sys.props("java.io.tmpdir")}/graft_forget_sig_$tag"
+    val labelPath = s"${sys.props("java.io.tmpdir")}/graft_forget_lab_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_forget_ck_$tag"
+    Dedup.writeSignatures(sigs, "doc_id", sigPath)
+    Seq((1L, 1L), (2L, 1L), (3L, 1L), (10L, 10L), (11L, 10L), (20L, 20L))
+      .toDF("doc_id", "component").write.parquet(labelPath)
+    def labelsNow = spark.read.parquet(labelPath).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val in = MemoryStream[Long]
+    val q = Streams.forgetMaintainingIngest(
+      in.toDF().toDF("doc_id"), "doc_id", sigPath, labelPath,
+      Map("checkpointLocation" -> ckpt))
+    try {
+      in.addData(2L) // the bridge: component {1,2,3} must SPLIT
+      q.processAllAvailable()
+      assert(labelsNow == Map(1L -> 1L, 3L -> 3L, 10L -> 10L, 11L -> 10L,
+        20L -> 20L), labelsNow.toString)
+      val sigIds1 = Dedup.readSignatures(spark, sigPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(sigIds1 == Set(1L, 3L, 10L, 11L, 20L), sigIds1.toString)
+      in.addData(10L, 20L) // min-label of a pair + a singleton
+      q.processAllAvailable()
+      assert(labelsNow == Map(1L -> 1L, 3L -> 3L, 11L -> 11L),
+        labelsNow.toString)
+      val sigIds2 = Dedup.readSignatures(spark, sigPath)
+        .select("doc_id").as[Long].collect().toSet
+      assert(sigIds2 == Set(1L, 3L, 11L), sigIds2.toString)
+    } finally q.stop()
+  }
+
   test("driftMonitoringIngest: frozen reference, report ≡ batch categoricalDrift") {
     implicit val sqlCtx = spark.sqlContext
     val tag = System.nanoTime()
