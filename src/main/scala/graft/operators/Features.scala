@@ -300,4 +300,55 @@ object Features {
         round(e, 6).as("expected"),
         round(dev * dev / e, 6).as("chi2_term"))
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift per group — the CONTINUOUS
+    * complement of [[categoricalDrift]]: for each group, the KS
+    * statistic D = max over values of |F_a(v) − F_b(v)| between the
+    * two slices' empirical CDFs of `valueCol` (did the VALUE
+    * distribution — latency, quality score, doc length — shift
+    * between two batches/periods?).
+    *
+    * Exact integer arithmetic throughout: D's candidate at value v is
+    * |ca·nb − cb·na| with ca/cb the cumulative ≤v counts, so
+    * ks_ppm = 10⁶·max|ca·nb − cb·na| div (na·nb) — no float ECDFs, so
+    * any engine replays it bit-for-bit. The sup of the CDF difference
+    * over ℝ is attained at a sample point, and evaluating at every
+    * DISTINCT value with ≤ semantics covers ties exactly.
+    *
+    * Scale shape: one groupBy(group, slice, value) collapses the
+    * facts, then the cumulative window runs per group over DISTINCT
+    * VALUES (value-cardinality-bounded, not fact-bounded) — the same
+    * discipline as the exact-percentile family. A group missing a
+    * slice has no defined KS → null (guarded; a div-by-zero would
+    * error on the oracle engine).
+    *
+    * Returns (group, n_a, n_b, ks_ppm).
+    */
+  def ksDrift(df: DataFrame, groupCol: String, sliceCol: String,
+              aSlice: String, bSlice: String, valueCol: String)
+      : DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val pts = df
+      .filter(col(sliceCol).isin(aSlice, bSlice) &&
+        col(valueCol).isNotNull)
+      .groupBy(col(groupCol).as("group"), col(valueCol).as("__v"))
+      .agg(sum(when(col(sliceCol) === aSlice, 1L).otherwise(0L)).as("__na"),
+        sum(when(col(sliceCol) === bSlice, 1L).otherwise(0L)).as("__nb"))
+    val w = Window.partitionBy("group").orderBy("__v")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wall = Window.partitionBy("group")
+    pts
+      .withColumn("__ca", sum(col("__na")).over(w))
+      .withColumn("__cb", sum(col("__nb")).over(w))
+      .withColumn("n_a", sum(col("__na")).over(wall))
+      .withColumn("n_b", sum(col("__nb")).over(wall))
+      .groupBy(col("group"), col("n_a"), col("n_b"))
+      .agg(max(abs(col("__ca") * col("n_b") - col("__cb") * col("n_a")))
+        .as("__d"))
+      .select(col("group"), col("n_a"), col("n_b"),
+        when(col("n_a") === 0L || col("n_b") === 0L,
+          lit(null).cast("long"))
+          .otherwise(expr("1000000L * __d div (n_a * n_b)"))
+          .as("ks_ppm"))
+  }
 }

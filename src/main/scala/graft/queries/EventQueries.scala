@@ -367,6 +367,16 @@ object EventQueries {
         .orderBy("key", "day")
     }),
 
+    // two-sample Kolmogorov–Smirnov drift per event type: did the
+    // VALUE distribution shift between the month's halves? Exact
+    // integer ECDF arithmetic (10⁶·max|ca·nb − cb·na| div na·nb)
+    "q_ks_drift" -> ((s, d) =>
+      graft.operators.Features.ksDrift(
+        ev(s, d).withColumn("half",
+          when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2")),
+        "event_type", "half", "h1", "h2", "value")
+        .orderBy("group")),
+
     // two-sided CUSUM changepoints per event type over the daily count
     // series: sustained small shifts accumulate until they cross
     // h = 2μ (catches drifts that never trip a spike or z-score rule);
@@ -392,6 +402,28 @@ object EventQueries {
   )
 
   val oracleSql: Map[String, String] = Map(
+    "q_ks_drift" ->
+      """WITH pts AS (SELECT event_type AS grp, value AS v,
+        |    CAST(sum(CASE WHEN date_part('day', ts) <= 15
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS na,
+        |    CAST(sum(CASE WHEN date_part('day', ts) > 15
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS nb
+        |  FROM events WHERE value IS NOT NULL GROUP BY 1, 2),
+        |c AS (SELECT grp, v,
+        |    sum(na) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS ca,
+        |    sum(nb) OVER (PARTITION BY grp ORDER BY v
+        |      ROWS UNBOUNDED PRECEDING) AS cb,
+        |    sum(na) OVER (PARTITION BY grp) AS ta,
+        |    sum(nb) OVER (PARTITION BY grp) AS tb
+        |  FROM pts)
+        |SELECT grp AS "group", CAST(ta AS BIGINT) AS n_a,
+        |  CAST(tb AS BIGINT) AS n_b,
+        |  CASE WHEN ta = 0 OR tb = 0 THEN NULL
+        |    ELSE CAST(1000000 * max(abs(ca * tb - cb * ta)) // (ta * tb)
+        |      AS BIGINT) END AS ks_ppm
+        |FROM c GROUP BY grp, ta, tb ORDER BY "group"""".stripMargin,
+
     "q_changepoint" ->
       """WITH RECURSIVE d AS (SELECT event_type AS key, CAST(ts AS DATE) AS day,
         |    CAST(count(*) AS BIGINT) AS v

@@ -166,6 +166,42 @@ class FeaturesSpec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("ksDrift: hand-computed D, identical slices zero, missing slice null") {
+    // a={1,2,3}, b={2,3,4}: D attained at v∈{1,2,3} = 3/9 → 333333 ppm
+    val df = (Seq(1, 2, 3).map(v => ("g", "a", v.toDouble)) ++
+      Seq(2, 3, 4).map(v => ("g", "b", v.toDouble)) ++
+      Seq(5, 6).map(v => ("same", "a", v.toDouble)) ++
+      Seq(5, 6).map(v => ("same", "b", v.toDouble)) ++
+      Seq(7).map(v => ("lone", "a", v.toDouble)))
+      .toDF("grp", "slice", "value")
+    val got = Features.ksDrift(df, "grp", "slice", "a", "b", "value")
+      .orderBy("group").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        Option(r.get(3)).map(_.asInstanceOf[Long])))
+    assert(got.toSeq == Seq(
+      ("g", 3L, 3L, Some(333333L)),
+      ("lone", 1L, 0L, None),
+      ("same", 2L, 2L, Some(0L))), got.mkString(", "))
+  }
+
+  test("ksDrift ≡ driver-side two-sample KS on random samples") {
+    val rnd = new scala.util.Random(7)
+    (1 to 5).foreach { _ =>
+      val a = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(10).toDouble)
+      val b = Seq.fill(rnd.nextInt(30) + 1)(rnd.nextInt(10).toDouble)
+      val df = (a.map(("g", "a", _)) ++ b.map(("g", "b", _)))
+        .toDF("grp", "slice", "value")
+      val got = Features.ksDrift(df, "grp", "slice", "a", "b", "value")
+        .collect().head.getLong(3)
+      val vs = (a ++ b).distinct.sorted
+      val d = vs.map(v => math.abs(
+        a.count(_ <= v).toLong * b.length -
+          b.count(_ <= v).toLong * a.length)).max
+      assert(got == 1000000L * d / (a.length.toLong * b.length),
+        s"a=$a b=$b")
+    }
+  }
+
   test("categoricalDrift: structural zeros contribute (n=0, e>0)") {
     val df = (Seq.fill(10)(("A", "x")) ++ Seq.fill(5)(("B", "x")) ++
       Seq.fill(5)(("B", "y"))).toDF("slice", "cat")
