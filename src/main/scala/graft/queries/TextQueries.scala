@@ -53,6 +53,21 @@ object TextQueries {
           "source", "lang")
         .orderBy("slice", "category")),
 
+    // term-level drift: WHICH tokens shifted between two sources —
+    // chi-square over the exploded token mix, top cells by
+    // contribution (the actionable readout of a vocabulary shift)
+    "q_term_drift" -> ((s, d) => {
+      val toks = Tables.documents(s, d)
+        .filter(col("source").isin("src0", "src1"))
+        .select(col("source").as("slice"),
+          explode(graft.functions.Portable.tokens(col("text")))
+            .as("category"))
+        .filter(length(col("category")) > 0)
+      graft.operators.Features.categoricalDrift(toks, "slice", "category")
+        .orderBy(col("chi2_term").desc, col("slice"), col("category"))
+        .limit(40)
+    }),
+
     // n-gram coverage: the LM-lite fluency gate
     "q_ngram_coverage" -> ((s, d) =>
       TextOps.ngramCoverage(Tables.documents(s, d), "doc_id", "text",
@@ -459,30 +474,47 @@ object TextQueries {
        |    CAST(sum(ppm) // count(*) AS BIGINT) AS avg_ppm
        |  FROM p GROUP BY 1)""".stripMargin
 
+  /** Chi-square drift oracle over a `cells` CTE (slice, category, n)
+    * — mirrors Features.categoricalDriftFromCounts' expression tree
+    * exactly; `tail` is the consumer's ORDER BY / LIMIT.
+    */
+  private def driftSql(cellsSql: String, tail: String): String =
+    s"""WITH $cellsSql,
+       |rt AS (SELECT category, CAST(sum(n) AS BIGINT) AS rt
+       |  FROM cells GROUP BY 1),
+       |ct AS (SELECT slice, CAST(sum(n) AS BIGINT) AS ct
+       |  FROM cells GROUP BY 1),
+       |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
+       |dense AS (SELECT ct.slice, rt.category,
+       |    COALESCE(c.n, 0) AS n, rt.rt, ct.ct
+       |  FROM rt CROSS JOIN ct
+       |  LEFT JOIN cells c ON c.slice = ct.slice AND c.category = rt.category)
+       |SELECT slice, category, CAST(n AS BIGINT) AS n,
+       |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |    / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS expected,
+       |  round((CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
+       |    * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
+       |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+       |      / (SELECT CAST(tot AS DOUBLE) FROM tot)), 6) AS chi2_term
+       |FROM dense $tail""".stripMargin
+
   val oracleSql: Map[String, String] = Map(
-    "q_drift" ->
-      """WITH cells AS (SELECT source AS slice, lang AS category,
+    "q_drift" -> driftSql(
+      """cells AS (SELECT source AS slice, lang AS category,
         |    CAST(count(*) AS BIGINT) AS n
-        |  FROM documents GROUP BY 1, 2),
-        |rt AS (SELECT category, CAST(sum(n) AS BIGINT) AS rt
-        |  FROM cells GROUP BY 1),
-        |ct AS (SELECT slice, CAST(sum(n) AS BIGINT) AS ct
-        |  FROM cells GROUP BY 1),
-        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tot FROM cells),
-        |dense AS (SELECT ct.slice, rt.category,
-        |    COALESCE(c.n, 0) AS n, rt.rt, ct.ct
-        |  FROM rt CROSS JOIN ct
-        |  LEFT JOIN cells c ON c.slice = ct.slice AND c.category = rt.category)
-        |SELECT slice, category, CAST(n AS BIGINT) AS n,
-        |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-        |    / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS expected,
-        |  round((CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-        |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
-        |    * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-        |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
-        |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
-        |      / (SELECT CAST(tot AS DOUBLE) FROM tot)), 6) AS chi2_term
-        |FROM dense ORDER BY slice, category""".stripMargin,
+        |  FROM documents GROUP BY 1, 2)""".stripMargin,
+      "ORDER BY slice, category"),
+
+    "q_term_drift" -> driftSql(
+      s"""dtoks AS (SELECT source AS slice,
+         |    unnest(${graft.functions.Portable.tokensSql("text")})
+         |      AS category
+         |  FROM documents WHERE source IN ('src0', 'src1')),
+         |cells AS (SELECT slice, category, CAST(count(*) AS BIGINT) AS n
+         |  FROM dtoks WHERE len(category) > 0 GROUP BY 1, 2)""".stripMargin,
+      "ORDER BY chi2_term DESC, slice, category LIMIT 40"),
 
     "q_lm_score" ->
       s"""WITH $lmCtes
