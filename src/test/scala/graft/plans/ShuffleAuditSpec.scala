@@ -128,6 +128,50 @@ class ShuffleAuditSpec extends SparkSpec {
       s"facts must not shuffle for the grid join: rows=$rows $s")
   }
 
+  test("pqEncode never shuffles the corpus vectors") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val rows = e.count()
+    val cb = graft.operators.Similarity.pqSeedCodebook(
+      e, "vec_id", "embedding", 8, 8, 16).localCheckpoint()
+    val s = ShuffleAudit.measure(
+      graft.operators.Similarity.pqEncode(e, "vec_id", "embedding", cb, 8, 8))
+    // the only exchanges pack the 8×16-cell codebook into its 1-row
+    // broadcast form; the vectors meet it in a broadcast cross join
+    // and the argmin is row-local
+    assert(s.shuffleRecords <= 4L * 8 * 16 + 16,
+      s"only codebook cells may shuffle: rows=$rows $s")
+    assert(s.broadcasts >= 1, s"codebook must broadcast: $s")
+  }
+
+  test("ksDrift shuffles distinct value points, never raw facts") {
+    val ev = Tables.events(spark, sf)
+      .withColumn("half",
+        when(dayofmonth(col("ts")) <= 15, "h1").otherwise("h2"))
+    val points = ev.select("event_type", "value").distinct().count()
+    val s = ShuffleAudit.measure(
+      graft.operators.Features.ksDrift(ev, "event_type", "half",
+        "h1", "h2", "value"))
+    // facts collapse to (group, value) cells in a partial agg BEFORE
+    // any exchange; the window + final agg re-shuffle those cells only
+    assert(s.shuffleRecords <= 4L * points,
+      s"shuffles must stay point-bounded: points=$points $s")
+  }
+
+  test("cusumChangepoints shuffles the daily frame, never raw events") {
+    val ev = Tables.events(spark, sf)
+    val rows = ev.count()
+    val daily = ev.groupBy(col("event_type"), to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n"))
+    val days = daily.count()
+    val s = ShuffleAudit.measure(
+      graft.operators.Temporal.cusumChangepoints(daily, "event_type",
+        "day", "n"))
+    // calendar-bounded: a couple of day-cell-sized exchanges (the
+    // daily agg + the per-key gather), never the event rows
+    assert(s.shuffleRecords <= 4L * days,
+      s"state must stay calendar-bounded: days=$days rows=$rows $s")
+  }
+
   test("stats() before any action reports zero volumes") {
     val df = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
