@@ -14,7 +14,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * translation the core set needs); the seven TPC-H subquery texts
   * are dialect-shared already and render from the SAME
   * [[CoreQueries.tpchTextSql]] strings the declared queries and the
-  * oracle execute — 18 parity texts in all.
+  * oracle execute — 20 parity texts in all.
   */
 object SqlQueries {
 
@@ -115,6 +115,47 @@ object SqlQueries {
          |  WHERE s.l_suppkey = l.l_suppkey AND s.l_partkey = l.l_partkey)
          |GROUP BY 1 ORDER BY n_eliminated DESC, l.l_suppkey
          |LIMIT 5""".stripMargin,
+
+    "q_drift" ->
+      s"""WITH cells AS (SELECT source AS slice, lang AS category,
+         |    CAST(count(*) AS BIGINT) AS n
+         |  FROM ${t("documents")} GROUP BY 1, 2),
+         |rt AS (SELECT category, sum(n) AS rt FROM cells GROUP BY 1),
+         |ct AS (SELECT slice, sum(n) AS ct FROM cells GROUP BY 1),
+         |tot AS (SELECT sum(n) AS tot FROM cells),
+         |dense AS (SELECT ct.slice, rt.category,
+         |    COALESCE(c.n, 0L) AS n, rt.rt, ct.ct
+         |  FROM rt CROSS JOIN ct
+         |  LEFT JOIN cells c ON c.slice = ct.slice AND c.category = rt.category)
+         |SELECT slice, category, n,
+         |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+         |    / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS expected,
+         |  round((CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+         |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
+         |    * (CAST(n AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+         |      / (SELECT CAST(tot AS DOUBLE) FROM tot))
+         |    / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
+         |      / (SELECT CAST(tot AS DOUBLE) FROM tot)), 6) AS chi2_term
+         |FROM dense ORDER BY slice, category""".stripMargin,
+
+    "q_ks_drift" ->
+      s"""WITH pts AS (SELECT event_type AS grp, value AS v,
+         |    sum(CASE WHEN dayofmonth(ts) <= 15 THEN 1L ELSE 0L END) AS na,
+         |    sum(CASE WHEN dayofmonth(ts) > 15 THEN 1L ELSE 0L END) AS nb
+         |  FROM ${t("events")} WHERE value IS NOT NULL GROUP BY 1, 2),
+         |c AS (SELECT grp, v,
+         |    sum(na) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS ca,
+         |    sum(nb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cb,
+         |    sum(na) OVER (PARTITION BY grp) AS ta,
+         |    sum(nb) OVER (PARTITION BY grp) AS tb
+         |  FROM pts)
+         |SELECT grp AS `group`, ta AS n_a, tb AS n_b,
+         |  CASE WHEN ta = 0 OR tb = 0 THEN CAST(NULL AS BIGINT)
+         |    ELSE 1000000L * max(abs(ca * tb - cb * ta)) div (ta * tb)
+         |  END AS ks_ppm
+         |FROM c GROUP BY grp, ta, tb ORDER BY `group`""".stripMargin,
 
     "q_tpch_q3" ->
       s"""SELECT l_orderkey,
