@@ -233,6 +233,36 @@ object Similarity {
         round(col("__d2"), 6).as("dist2"))
   }
 
+  /** Multi-probe cell assignment: each vector's `nprobe` NEAREST
+    * centroids (squared L2, ties to the lowest cluster id) — the
+    * recall knob of IVF search: a query near a cell boundary misses
+    * neighbors filed just across it, and probing the next-nearest
+    * cells recovers them for nprobe× scan cost instead of a full
+    * scan. Returns one row per (vector, probed cell):
+    * (idCol, cell, probe_rank, dist2). Compose with [[ivfTopK]] /
+    * [[ivfPqTopK]] by passing the expanded frame as the query side —
+    * their per-query ranking already merges candidates across the
+    * probed cells. Corpus rows keep single-cell assignment
+    * ([[assignToCentroids]]); only queries fan out.
+    *
+    * Same scale shape as assignment: broadcast centroids, row-local
+    * distances, the top-nprobe window executes as a bounded heap.
+    */
+  def assignProbeCells(df: DataFrame, idCol: String, vecCol: String,
+                       centroids: DataFrame, nprobe: Int): DataFrame = {
+    require(nprobe >= 1, "nprobe must be >= 1")
+    val v = df.select(col(idCol).as("__id"), col(vecCol).as("__v"))
+    val cents = centroids.withColumn("cv", col("cv").cast("array<double>"))
+    val scored = v.crossJoin(broadcast(cents))
+      .withColumn("__d2", l2Sq(col("__v"), col("cv")))
+    val w = Window.partitionBy("__id")
+      .orderBy(col("__d2").asc, col("cluster").asc)
+    scored.withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") <= nprobe)
+      .select(col("__id").as(idCol), col("cluster").as("cell"),
+        col("__rn").as("probe_rank"), round(col("__d2"), 6).as("dist2"))
+  }
+
   /** Embedding outlier detection: vectors whose squared distance to
     * their assigned centroid exceeds the per-cluster `q`-quantile —
     * the semantic-quality gate that catches mis-embedded or

@@ -142,6 +142,27 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // multi-probe IVF: queries probe their 2 nearest k-means cells
+    // (the recall knob — boundary queries recover neighbors filed
+    // just across the cell line for 2× scan cost, never a full scan);
+    // corpus stays single-cell, ivfTopK merges candidates per query
+    "q_ann_multiprobe" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      val corpus = Similarity.assignToCentroids(e, "vec_id", "embedding",
+          cent)
+        .select(col("vec_id"), col("cluster").as("cell"))
+        .join(e.select("vec_id", "embedding"), "vec_id")
+      val probes = Similarity.assignProbeCells(queriesDf(s, d), "vec_id",
+          "embedding", cent, nprobe = 2)
+        .select(col("vec_id"), col("cell"))
+        .join(e.select("vec_id", "embedding"), "vec_id")
+      Similarity.ivfTopK(probes, corpus, "vec_id", "embedding", "cell", K)
+        .orderBy("query_id", "rank")
+    }),
+
     // stored IVFADC (PQ) index lifecycle: create from half the corpus
     // under frozen seed centroids + seed codebook, append the other
     // half, query the STORE — probe cells' code files only, no corpus
@@ -504,6 +525,28 @@ object SimilarityQueries {
     "q_cosine_topk" -> topkSql("q.query_id <> c.vec_id"),
 
     "q_ann_ivf" -> topkSql("q.q_label = c.label AND q.query_id <> c.vec_id"),
+
+    "q_ann_multiprobe" ->
+      s"""WITH $vecsCte, $centCte, $assignedCte,
+         |probe AS (SELECT vec_id, cluster FROM (
+         |  SELECT vecs.vec_id, cent.cluster,
+         |    row_number() OVER (PARTITION BY vecs.vec_id
+         |      ORDER BY ${l2SqSql("v", "cv")}, cent.cluster) AS rn
+         |  FROM vecs CROSS JOIN cent WHERE vecs.$QueryFilter)
+         |  WHERE rn <= 2),
+         |q AS (SELECT p.vec_id AS query_id, p.cluster, v.v AS qv
+         |  FROM probe p JOIN vecs v ON v.vec_id = p.vec_id),
+         |scored AS (SELECT q.query_id, c.vec_id AS neighbor_id,
+         |    ${cosSql("q.qv", "c.v")} AS cos
+         |  FROM q JOIN assigned c
+         |    ON c.cluster = q.cluster AND c.vec_id <> q.query_id)
+         |SELECT query_id,
+         |  CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, round(cos, 6) AS cos_sim
+         |FROM scored
+         |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin,
 
     "q_ann_pq" -> pqSql(""),
 

@@ -210,6 +210,37 @@ class SimilaritySpec extends SparkSpec {
       s"1-cell probe must not scan the codes table: $probed of $allCodes")
   }
 
+  test("multi-probe IVF: rank-1 ≡ assignment, full probe ≡ brute force") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 6L)
+      .select($"vec_id".as("cluster"),
+        $"embedding".cast("array<double>").as("cv"))
+    val qs = e.filter($"vec_id" % 25 === 0)
+    // probe_rank = 1 of the multi-probe frame is exactly the
+    // single-cell assignment
+    val p1 = Similarity.assignProbeCells(qs, "vec_id", "embedding", cent, 3)
+      .filter($"probe_rank" === 1)
+      .select($"vec_id", $"cell".as("cluster"), $"dist2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    val a1 = Similarity.assignToCentroids(qs, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cluster", $"dist2").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+    assert(p1 == a1)
+    // probing EVERY cell makes IVF exhaustive: result ≡ brute force
+    val corpus = Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
+      .select($"vec_id", $"cluster".as("cell"))
+      .join(e.select("vec_id", "embedding"), "vec_id")
+    val probes = Similarity.assignProbeCells(qs, "vec_id", "embedding",
+        cent, nprobe = 6)
+      .select($"vec_id", $"cell")
+      .join(e.select("vec_id", "embedding"), "vec_id")
+    val ivf = Similarity.ivfTopK(probes, corpus, "vec_id", "embedding",
+      "cell", 5).collect().map(_.toSeq).toSet
+    val bf = Similarity.bruteForceTopK(qs, e, "vec_id", "embedding", 5)
+      .collect().map(_.toSeq).toSet
+    assert(ivf == bf, "full-probe IVF must equal the exhaustive scan")
+  }
+
   test("hardNegatives: same-label excluded, nearest wrong-label win") {
     val vecs = Seq(
       (0L, Array(1.0f, 0.0f), 0),   // query
