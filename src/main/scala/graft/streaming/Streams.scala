@@ -238,6 +238,70 @@ object Streams {
         OutputMode.Update())
   }
 
+  final case class CusumPoint(key: String, day: java.sql.Date, v: Long,
+                              mu: Long)
+  final case class CusumOut(key: String, day: java.sql.Date, v: Long,
+                            cusum_pos: Long, cusum_neg: Long,
+                            changepoint: Boolean)
+  final case class CusumState(sp: Long, sn: Long, cp: Boolean)
+
+  /** Streaming CUSUM — the stateful twin of
+    * [[graft.operators.Temporal.cusumChangepoints]]: per key, a
+    * `transformWithState` processor carries the two one-sided sums
+    * (s⁺, s⁻) and the restart flag across micro-batches and emits one
+    * row per arriving point with the same integer recurrence
+    * (slack = μ·slackNum div slackDen, h = μ·hNum div hDen).
+    *
+    * μ arrives ON the point (the caller enriches from a FROZEN
+    * reference level, e.g. the stored training-period mean — the
+    * [[driftMonitoringIngest]] philosophy): a stream cannot know its
+    * own series mean without seeing the future, so the batch
+    * operator's self-mean is exactly the part that must become a
+    * stored artifact in the streaming shape. Points are processed in
+    * day order within each batch; across batches the feed must be
+    * in order per key (the daily-aggregate replay shape), the same
+    * in-order contract as [[streamingFunnel]].
+    *
+    * State per key is two longs + a flag — bounded, independent of
+    * stream volume.
+    */
+  def streamingCusum(points: Dataset[CusumPoint],
+                     slackNum: Long = 1L, slackDen: Long = 4L,
+                     hNum: Long = 2L, hDen: Long = 1L)
+      : Dataset[CusumOut] = {
+    import points.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.{StatefulProcessor, TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.{Encoders => Enc}
+
+    class CusumProcessor
+        extends StatefulProcessor[String, CusumPoint, CusumOut] {
+      @transient private var st: ValueState[CusumState] = _
+      override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+        st = getHandle.getValueState[CusumState]("cusum",
+          Enc.product[CusumState], TTLConfig.NONE)
+      override def handleInputRows(key: String, rows: Iterator[CusumPoint],
+                                   timerValues: org.apache.spark.sql.streaming.TimerValues)
+          : Iterator[CusumOut] = {
+        var s = if (st.exists()) st.get() else CusumState(0L, 0L, false)
+        val out = rows.toSeq.sortBy(_.day.getTime).map { p =>
+          val slack = p.mu * slackNum / slackDen
+          val h = p.mu * hNum / hDen
+          val psp = if (s.cp) 0L else s.sp
+          val psn = if (s.cp) 0L else s.sn
+          val sp = math.max(0L, psp + (p.v * 1000000L - p.mu - slack))
+          val sn = math.max(0L, psn + (p.mu - slack - p.v * 1000000L))
+          s = CusumState(sp, sn, sp > h || sn > h)
+          CusumOut(key, p.day, p.v, sp, sn, s.cp)
+        }
+        st.update(s)
+        out.iterator
+      }
+    }
+    points.groupByKey(_.key)
+      .transformWithState(new CusumProcessor, TimeMode.None(),
+        OutputMode.Append())
+  }
+
   final case class FunnelEvent(user_id: Long, event_type: String,
                                ts: Timestamp)
   final case class FunnelReach(user_id: Long, step: Int,

@@ -527,6 +527,59 @@ class StreamsSpec extends SparkSpec {
     }
   }
 
+  test("streamingCusum ≡ batch cusumChangepoints on an in-order feed") {
+    implicit val sqlCtx = spark.sqlContext
+    val prevProvider =
+      spark.conf.getOption("spark.sql.streaming.stateStore.providerClass")
+    spark.conf.set("spark.sql.streaming.stateStore.providerClass",
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    // two keys with different levels; the batch operator's self-mean
+    // becomes the stream's frozen per-key μ (the stored reference)
+    // key a: 16 low days then a 6× burst — μ=200M, slack 50M, h 400M:
+    // the low side accumulates 50M/day (alarm day 9, restart), the
+    // burst accumulates 350M/day on the high side (alarm day 18)
+    val series = Seq.tabulate(20)(i =>
+      ("a", java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"),
+        if (i < 16) 100L else 600L)) ++
+      Seq.tabulate(20)(i =>
+        ("b", java.sql.Date.valueOf(f"2024-02-${i + 1}%02d"), 50L + i))
+    val daily = series.toDF("key", "day", "v")
+    val batch = graft.operators.Temporal.cusumChangepoints(
+      daily, "key", "day", "v")
+      .orderBy("key", "day").collect()
+      .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+    val mu = series.groupBy(_._1).map { case (k, rs) =>
+      k -> 1000000L * rs.map(_._3).sum / rs.length }
+    val pts = series.map { case (k, d, v) =>
+      Streams.CusumPoint(k, d, v, mu(k)) }
+    val in = MemoryStream[Streams.CusumPoint]
+    val q = Streams.streamingCusum(in.toDS())
+      .writeStream.format("memory").queryName("tws_cusum")
+      .outputMode("append").start()
+    try {
+      val (x, y) = pts.sortBy(p => (p.key, p.day.getTime))
+        .splitAt(pts.length / 2)
+      in.addData(x); q.processAllAvailable()
+      in.addData(y); q.processAllAvailable()
+      val streamed = spark.table("tws_cusum")
+        .orderBy("key", "day").collect()
+        .map(r => (r.getString(0), r.getDate(1).toString, r.getLong(2),
+          r.getLong(3), r.getLong(4), r.getBoolean(5))).toSeq
+      assert(streamed == batch, s"\n$streamed\nvs\n$batch")
+      assert(streamed.count(_._6) >= 2,
+        s"both CUSUM sides must alarm: $streamed")
+    } finally {
+      q.stop()
+      prevProvider match {
+        case Some(p) =>
+          spark.conf.set("spark.sql.streaming.stateStore.providerClass", p)
+        case None =>
+          spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
+      }
+    }
+  }
+
   test("sketch tie-break is UTF-8 byte order, matching Spark and the oracle") {
     // Supplementary-plane key (surrogate pair: UTF-16 units
     // 0xD800 0xDC00) vs a high-BMP key (U+FFFD): Scala's default
