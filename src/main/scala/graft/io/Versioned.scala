@@ -134,11 +134,36 @@ object Versioned {
       else Seq.empty
     val all = carried ++ newFiles
     val txnField = txn.fold("")(t => s""""txn":"$t",""")
+    // snapshot schema: an APPEND's snapshot is carried + new files, so
+    // its schema is the UNION of the previous version's schema and the
+    // batch's — an appended column widens the snapshot (old files
+    // null-fill on read), a column the batch omits keeps existing
+    // (batch files null-fill). Same-name fields must agree on type:
+    // silently coercing would corrupt either side. Overwrites snapshot
+    // exactly the batch schema.
+    val snapshotSchema =
+      if (mode == "append" && existing.nonEmpty)
+        manifestSchema(spark, path, existing.last) match {
+          case Some(prev) =>
+            val byName = df.schema.map(f => f.name -> f).toMap
+            prev.foreach { pf =>
+              byName.get(pf.name).foreach(nf =>
+                require(nf.dataType == pf.dataType,
+                  s"schema evolution type conflict on '${pf.name}': " +
+                    s"${pf.dataType} vs ${nf.dataType}"))
+            }
+            val prevNames = prev.fieldNames.toSet
+            org.apache.spark.sql.types.StructType(
+              prev.fields ++ df.schema.fields.filterNot(f =>
+                prevNames.contains(f.name)))
+          case None => df.schema
+        }
+      else df.schema
     // persist the snapshot schema so an empty snapshot (0-partition
     // commit) still reads back as a typed empty frame; base64 keeps the
     // schema JSON's quotes/field names out of the regex-parsed manifest
     val schemaB64 = java.util.Base64.getEncoder.encodeToString(
-      df.schema.json.getBytes("UTF-8"))
+      snapshotSchema.json.getBytes("UTF-8"))
     val json = all.map(p => "\"" + p + "\"")
       .mkString(
         s"""{$txnField"version":$next,"mode":"$mode","schemaB64":"$schemaB64","files":[""",
@@ -163,10 +188,18 @@ object Versioned {
     val v = asOf.getOrElse(vs.last)
     require(vs.contains(v), s"version $v not in $vs")
     val files = manifestFiles(spark, path, v)
-    if (files.nonEmpty) spark.read.parquet(files: _*)
-    else manifestSchema(spark, path, v) match {
-      case Some(schema) => spark.createDataFrame(
-        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+    val schema = manifestSchema(spark, path, v)
+    if (files.nonEmpty) schema match {
+      // read under the COMMIT-TIME snapshot schema: files predating an
+      // appended column null-fill it, and the column set/order is the
+      // manifest's — never whichever file footer the reader sampled
+      // (the nondeterminism an evolved snapshot would otherwise have)
+      case Some(s) => spark.read.schema(s).parquet(files: _*)
+      case None => spark.read.parquet(files: _*) // pre-schema manifest
+    }
+    else schema match {
+      case Some(s) => spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], s)
       case None => spark.emptyDataFrame // pre-schema manifest
     }
   }

@@ -122,4 +122,33 @@ class VersionedSpec extends SparkSpec {
       "unpublished manifest must stay invisible")
     assert(Versioned.read(spark, p, None).count() == 1)
   }
+
+  test("schema evolution: appended column widens the snapshot, old rows null-fill") {
+    val p = freshPath
+    Versioned.commit(spark, p, Seq((1L, "a")).toDF("k", "v"))
+    // append a batch that ADDS a column and OMITS nothing
+    Versioned.commit(spark, p,
+      Seq((2L, "b", 0.5)).toDF("k", "v", "score"), mode = "append")
+    val snap = Versioned.read(spark, p, None)
+    assert(snap.columns.toSeq == Seq("k", "v", "score"),
+      s"snapshot schema must be the union: ${snap.columns.toSeq}")
+    val rows = snap.collect().map(r => (r.getLong(0), r.getString(1),
+      Option(r.get(2)).map(_.asInstanceOf[Double]))).toSet
+    assert(rows == Set((1L, "a", None), (2L, "b", Some(0.5))), rows)
+    // append a batch that OMITS a column the table has: column stays,
+    // the batch's rows null-fill it
+    Versioned.commit(spark, p, Seq((3L, "c")).toDF("k", "v"),
+      mode = "append")
+    val snap2 = Versioned.read(spark, p, None)
+    assert(snap2.columns.toSeq == Seq("k", "v", "score"))
+    assert(snap2.filter("k = 3").collect().head.isNullAt(2))
+    // time travel still reads each version under ITS schema
+    assert(Versioned.read(spark, p, Some(0L)).columns.toSeq == Seq("k", "v"))
+    // a type conflict on a same-name column must refuse, not coerce
+    intercept[IllegalArgumentException] {
+      Versioned.commit(spark, p,
+        Seq((4L, "d", "not a double")).toDF("k", "v", "score"),
+        mode = "append")
+    }
+  }
 }
