@@ -341,6 +341,25 @@ object Sketches {
       .filter(col("rk") <= m)
   }
 
+  /** KS drift BETWEEN TWO STORED SKETCHES — distribution-shift
+    * monitoring without re-scanning either batch: the hash-ordered
+    * bottom-m sketch is a uniform sample of its batch's distinct
+    * keys, so the exact two-sample KS over the two samples
+    * ([[graft.operators.Features.ksDrift]]'s integer ECDF arithmetic)
+    * estimates the population KS with the sketch family's Hoeffding
+    * error (√(ln(2/δ)/2m) per side). At 100 TB this is how drift
+    * between ingestion batches is actually checked: two m-row tables
+    * from the sketch store, never the corpora. Identical sketches
+    * give EXACTLY 0 (spec-pinned). Returns (group, n_a, n_b, ks_ppm).
+    */
+  def sketchKsDrift(a: DataFrame, b: DataFrame, groupCol: String)
+      : DataFrame =
+    graft.operators.Features.ksDrift(
+      a.select(col(groupCol), lit("a").as("__slice"), col("v"))
+        .unionByName(
+          b.select(col(groupCol), lit("b").as("__slice"), col("v"))),
+      groupCol, "__slice", "a", "b", "v")
+
   /** Percentile ESTIMATES from a [[quantileSketch]]: for each
     * percentile p, the sample order statistic at rank
     * ⌈p·|sample|/100⌉ — the exact rational `sr·100 ≥ sm·p`, no float

@@ -120,6 +120,24 @@ object SketchQueries {
         .orderBy("source")
     }),
 
+    // KS drift BETWEEN SKETCHES: the even/odd doc halves' n_chars
+    // distributions compared through their m-row sketches only — the
+    // batch-over-batch drift check that never re-scans a batch
+    "q_sketch_drift" -> ((s, d) => {
+      val docs = Tables.documents(s, d).filter(col("n_chars").isNotNull)
+      // batch split must be independent of source (source = id mod 20
+      // in the harness data, so id parity is DEGENERATE — one empty
+      // slice per source): alternate BLOCKS of ids instead
+      val ska = Sketches.quantileSketch(
+        docs.filter(expr("(doc_id div 20) % 2 = 0")),
+        "source", "doc_id", "n_chars", m = QsM)
+      val skb = Sketches.quantileSketch(
+        docs.filter(expr("(doc_id div 20) % 2 = 1")),
+        "source", "doc_id", "n_chars", m = QsM)
+      Sketches.sketchKsDrift(ska, skb, "source")
+        .orderBy("group")
+    }),
+
     // stored-sketch LIFECYCLE — the production shape of the mergeable
     // quantile sketch at 100 TB: ingest batch 1's sketch is COMMITTED
     // to a versioned table, batch 2 arrives, the stored sketch is read
@@ -350,6 +368,40 @@ object SketchQueries {
          |  exact_p50, exact_p90, exact_p99
          |FROM qest JOIN qex USING (source)
          |ORDER BY source""".stripMargin
+    },
+
+    "q_sketch_drift" -> {
+      def skCte(name: String, pred: String) =
+        s"""$name AS (SELECT source, n_chars AS v FROM (
+           |    SELECT source, doc_id, n_chars,
+           |      row_number() OVER (PARTITION BY source
+           |        ORDER BY ${Portable.hash32Sql("CAST(doc_id AS VARCHAR)")},
+           |          CAST(doc_id AS VARCHAR)) AS rk
+           |    FROM qbase WHERE $pred) WHERE rk <= $QsM)""".stripMargin
+      s"""WITH qbase AS (SELECT source, doc_id, n_chars FROM documents
+         |  WHERE n_chars IS NOT NULL),
+         |${skCte("ska", "(doc_id // 20) % 2 = 0")},
+         |${skCte("skb", "(doc_id // 20) % 2 = 1")},
+         |kpts AS (SELECT grp, v, CAST(sum(sa) AS BIGINT) AS na,
+         |    CAST(sum(sb) AS BIGINT) AS nb
+         |  FROM (SELECT source AS grp, v, 1 AS sa, 0 AS sb FROM ska
+         |        UNION ALL
+         |        SELECT source AS grp, v, 0 AS sa, 1 AS sb FROM skb)
+         |  GROUP BY 1, 2),
+         |kc AS (SELECT grp, v,
+         |    sum(na) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS ca,
+         |    sum(nb) OVER (PARTITION BY grp ORDER BY v
+         |      ROWS UNBOUNDED PRECEDING) AS cb,
+         |    sum(na) OVER (PARTITION BY grp) AS ta,
+         |    sum(nb) OVER (PARTITION BY grp) AS tb
+         |  FROM kpts)
+         |SELECT grp AS "group", CAST(ta AS BIGINT) AS n_a,
+         |  CAST(tb AS BIGINT) AS n_b,
+         |  CASE WHEN ta = 0 OR tb = 0 THEN NULL
+         |    ELSE CAST(1000000 * max(abs(ca * tb - cb * ta)) // (ta * tb)
+         |      AS BIGINT) END AS ks_ppm
+         |FROM kc GROUP BY grp, ta, tb ORDER BY "group"""".stripMargin
     },
 
     // lifecycle ≡ direct: the merge property is the contract, so the

@@ -296,4 +296,40 @@ class SketchesSpec extends SparkSpec {
       }
     }
   }
+
+  test("sketchKsDrift: identical sketches give exactly 0; estimate tracks exact KS") {
+    val docs = spark.read.parquet(s"$sf/documents.parquet")
+      .filter($"n_chars".isNotNull)
+    val m = 64
+    // block split: source = id mod 20 in the harness data, so id
+    // PARITY is degenerate (one empty slice per source)
+    val ska = Sketches.quantileSketch(
+      docs.filter(expr("(doc_id div 20) % 2 = 0")),
+      "source", "doc_id", "n_chars", m)
+    val skb = Sketches.quantileSketch(
+      docs.filter(expr("(doc_id div 20) % 2 = 1")),
+      "source", "doc_id", "n_chars", m)
+    // self-comparison: observed == expected at every value → D = 0
+    val self = Sketches.sketchKsDrift(ska, ska, "source")
+      .collect().map(_.getLong(3))
+    assert(self.forall(_ == 0L), self.mkString(", "))
+    // sketch estimate vs exact two-sample KS on the raw halves: each
+    // sketch is a uniform m-sample, so the error is bounded by the
+    // two Hoeffding radii (√(ln(2/δ)/2m) each ≈ 0.20 at m=64, δ=1%)
+    // a tiny fixture source can be all-even or all-odd (one slice
+    // empty → null KS on BOTH paths) — compare the defined groups
+    def ksMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .flatMap(r => Option(r.get(3))
+        .map(v => r.getString(0) -> v.asInstanceOf[Long])).toMap
+    val est = ksMap(Sketches.sketchKsDrift(ska, skb, "source"))
+    val exact = ksMap(graft.operators.Features.ksDrift(
+      docs.withColumn("__h",
+        when(expr("(doc_id div 20) % 2 = 0"), "a").otherwise("b")),
+      "source", "__h", "a", "b", "n_chars"))
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (src, e) =>
+      assert(math.abs(e - exact(src)) <= 400000L,
+        s"$src: sketch KS $e vs exact ${exact(src)}")
+    }
+  }
 }
