@@ -285,8 +285,15 @@ object Features {
     val rowTot = cells.groupBy("category").agg(sum("n").as("__rt"))
     val colTot = cells.groupBy("slice").agg(sum("n").as("__ct"))
     val total = cells.select(sum("n").as("__tot"))
+    // null-safe re-attach (the zscoreByGroup rule): a NULL category —
+    // docs with missing lang — IS a category; groupBy kept it and the
+    // marginals count it, so a plain equi-join here would zero its
+    // observed count while leaving it in every expected value
+    val c = cells.select(col("slice").as("__cs"),
+      col("category").as("__cc"), col("n"))
     val dense = rowTot.crossJoin(colTot)
-      .join(cells, Seq("slice", "category"), "left")
+      .join(c, col("slice") <=> col("__cs") &&
+        col("category") <=> col("__cc"), "left")
       .select(col("slice"), col("category"),
         coalesce(col("n"), lit(0L)).as("n"), col("__rt"), col("__ct"))
     // fixed order: e = (rt·ct)/tot, dev = n − e, term = (dev·dev)/e —

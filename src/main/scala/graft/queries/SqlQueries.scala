@@ -126,7 +126,8 @@ object SqlQueries {
          |dense AS (SELECT ct.slice, rt.category,
          |    COALESCE(c.n, 0L) AS n, rt.rt, ct.ct
          |  FROM rt CROSS JOIN ct
-         |  LEFT JOIN cells c ON c.slice = ct.slice AND c.category = rt.category)
+         |  LEFT JOIN cells c ON c.slice <=> ct.slice
+         |    AND c.category <=> rt.category)
          |SELECT slice, category, n,
          |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
          |    / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS expected,

@@ -488,7 +488,8 @@ object TextQueries {
        |dense AS (SELECT ct.slice, rt.category,
        |    COALESCE(c.n, 0) AS n, rt.rt, ct.ct
        |  FROM rt CROSS JOIN ct
-       |  LEFT JOIN cells c ON c.slice = ct.slice AND c.category = rt.category)
+       |  LEFT JOIN cells c ON c.slice IS NOT DISTINCT FROM ct.slice
+       |    AND c.category IS NOT DISTINCT FROM rt.category)
        |SELECT slice, category, CAST(n AS BIGINT) AS n,
        |  round(CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE)
        |    / (SELECT CAST(tot AS DOUBLE) FROM tot), 6) AS expected,

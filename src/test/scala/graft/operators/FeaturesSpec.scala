@@ -166,6 +166,20 @@ class FeaturesSpec extends SparkSpec {
       got.mkString(", "))
   }
 
+  test("categoricalDrift: a NULL category is a category, not a dropped cell") {
+    // slice A: 5 null-lang docs; slice B: 5 "en" — the null cell's
+    // observed count must survive the dense re-attach (a plain
+    // equi-join zeroes it while the marginals still count it)
+    val df = (Seq.fill(5)(("A", Option.empty[String])) ++
+      Seq.fill(5)(("B", Option("en")))).toDF("slice", "cat")
+    val got = Features.categoricalDrift(df, "slice", "cat")
+      .collect().map(r => ((r.getString(0), Option(r.getString(1))),
+        r.getLong(2))).toMap
+    assert(got(("A", None)) == 5L, got.toString)
+    assert(got(("B", None)) == 0L && got(("A", Some("en"))) == 0L)
+    assert(got.values.sum == 10L, "observed counts must total the corpus")
+  }
+
   test("ksDrift: hand-computed D, identical slices zero, missing slice null") {
     // a={1,2,3}, b={2,3,4}: D attained at v∈{1,2,3} = 3/9 → 333333 ppm
     val df = (Seq(1, 2, 3).map(v => ("g", "a", v.toDouble)) ++

@@ -422,9 +422,13 @@ class SimilaritySpec extends SparkSpec {
       .toSeq
     assert(got == full)
     // the candidate join must be the broadcast EQUI-join on the cell,
-    // never a nested-loop over the whole corpus
+    // never a nested-loop over the whole corpus — and the per-query
+    // top-k must execute as the bounded-heap GroupedTopK, not a full
+    // per-partition window sort
     val plan = ivf.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan.take(500))
+    assert(plan.contains("GroupedTopK") && !plan.contains("WindowExec"),
+      s"rank tail must heap-execute:\n${plan.take(800)}")
   }
 
   test("pq trained codebook: recall vs exact L2 top-k on real embeddings") {
