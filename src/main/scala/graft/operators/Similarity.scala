@@ -806,7 +806,12 @@ object Similarity {
     */
   def pqEncode(df: DataFrame, idCol: String, vecCol: String,
                codebook: DataFrame, numSub: Int, subDim: Int): DataFrame = {
-    val v = df.select(col(idCol), col(vecCol).as("__v"))
+    // a NULL vector has no nearest codeword: its fold would yield the
+    // sentinel code -1, which downstream ADC dereferences as
+    // element_at(lut, 0) — an ANSI error. Unencodable rows are
+    // excluded, the multimodal corrupt-bytes convention.
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
     v.crossJoin(broadcast(packCodebook(codebook)))
       .withColumn("codes", expr(
         s"""transform(sequence(0, ${numSub - 1}), m ->
@@ -940,7 +945,8 @@ object Similarity {
   private def pqLut(queries: DataFrame, idCol: String, vecCol: String,
                     carry: Seq[String], codebook: DataFrame,
                     numSub: Int, subDim: Int): DataFrame =
-    queries.select(col(idCol).as("query_id") +: col(vecCol).as("__qv") +:
+    queries.filter(col(vecCol).isNotNull)
+      .select(col(idCol).as("query_id") +: col(vecCol).as("__qv") +:
         carry.map(col): _*)
       .crossJoin(broadcast(packCodebook(codebook)))
       .withColumn("__lut", expr(

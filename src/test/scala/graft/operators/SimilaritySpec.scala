@@ -386,6 +386,20 @@ class SimilaritySpec extends SparkSpec {
       Seq(82000000L, 82000000L, 162000000L))
   }
 
+  test("pq null vectors are excluded, not crashed on") {
+    val d = Seq((0L, Some(Array(1.0f, 2.0f))), (1L, None),
+      (2L, Some(Array(3.0f, 4.0f))))
+      .toDF("vec_id", "embedding")
+    val cb = Similarity.pqSeedCodebook(
+      d.filter($"embedding".isNotNull), "vec_id", "embedding", 2, 1, 2)
+    val codes = Similarity.pqEncode(d, "vec_id", "embedding", cb, 2, 1)
+    assert(codes.select("vec_id").as[Long].collect().toSet == Set(0L, 2L))
+    val top = Similarity.pqTopK(d, codes, "vec_id", "embedding",
+      cb, 2, 1, k = 5)
+    assert(top.select("query_id").distinct().as[Long].collect().toSet ==
+      Set(0L, 2L), "null-vector queries produce no rows, no ANSI error")
+  }
+
   test("pq ties in encode break to the lowest code") {
     // both codewords identical → every vector must take code 0
     val d = Seq((0L, Array(1.0f)), (1L, Array(1.0f)), (2L, Array(5.0f)))
