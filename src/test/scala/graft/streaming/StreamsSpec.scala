@@ -1034,6 +1034,55 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("ingest and forget lifecycles compose: interleaved ≡ closure over survivors") {
+    import graft.operators.Dedup
+    implicit val sqlCtx = spark.sqlContext
+    def doc(tag: String): String =
+      (1 to 24).map(i => s"${tag}_w$i").mkString(" ")
+    val tag = System.nanoTime()
+    val sigPath = s"${sys.props("java.io.tmpdir")}/graft_compose_sig_$tag"
+    val labelPath = s"${sys.props("java.io.tmpdir")}/graft_compose_lab_$tag"
+    // single-writer store: run each lifecycle's batch to completion
+    // before the other touches the tables
+    def runIngest(batch: Seq[(Long, String)]): Unit = {
+      val in = MemoryStream[(Long, String)]
+      val q = Streams.componentMaintainingIngest(
+        in.toDF().toDF("doc_id", "text"), "doc_id", "text",
+        sigPath, labelPath,
+        Map("checkpointLocation" ->
+          s"${sys.props("java.io.tmpdir")}/graft_compose_ck_${System.nanoTime()}"))
+      try { in.addData(batch: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    def runForget(ids: Seq[Long]): Unit = {
+      val in = MemoryStream[Long]
+      val q = Streams.forgetMaintainingIngest(
+        in.toDF().toDF("doc_id"), "doc_id", sigPath, labelPath,
+        Map("checkpointLocation" ->
+          s"${sys.props("java.io.tmpdir")}/graft_compose_ck_${System.nanoTime()}"))
+      try { in.addData(ids: _*); q.processAllAvailable() }
+      finally q.stop()
+    }
+    runIngest(Seq((1L, doc("alpha")), (2L, doc("beta")),
+      (3L, doc("alpha"))))          // {1,3} near-dup, 2 alone
+    runForget(Seq(1L))              // {3} relabels to 3
+    runIngest(Seq((4L, doc("alpha")), (5L, doc("gamma")))) // 4 joins 3
+    val got = spark.read.parquet(labelPath).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    // reference: one-shot closure over exactly the surviving docs
+    val surv = Seq((2L, doc("beta")), (3L, doc("alpha")),
+      (4L, doc("alpha")), (5L, doc("gamma")))
+      .toDF("doc_id", "text")
+    val pairs = Dedup.minhashNearDups(surv, "doc_id", "text", 3,
+      threshold = 0.5).select("id_a", "id_b")
+    val want = Dedup.connectedComponents(pairs, surv.select("doc_id"),
+      "doc_id").collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"$got vs $want")
+    val sigIds = Dedup.readSignatures(spark, sigPath)
+      .select("doc_id").as[Long].collect().toSet
+    assert(sigIds == Set(2L, 3L, 4L, 5L), sigIds.toString)
+  }
+
   test("driftMonitoringIngest: frozen reference, report ≡ batch categoricalDrift") {
     implicit val sqlCtx = spark.sqlContext
     val tag = System.nanoTime()
