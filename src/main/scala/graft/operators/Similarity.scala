@@ -561,6 +561,41 @@ object Similarity {
     rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
   }
 
+  /** Matryoshka (prefix-dimension) two-stage search: coarse-rank by
+    * cosine over the FIRST `prefixDim` components, exact-rescore the
+    * top `candidates` with the full vector. The dimension-truncation
+    * complement of [[int8RescoreTopK]]'s value quantization — for
+    * MRL-style embeddings (trained so information concentrates in the
+    * leading dims) the coarse pass reads prefixDim/dim of the floats,
+    * which at 100 TB means the coarse scan can run over a stored
+    * PREFIX column a fraction of the vector table's width. Both rank
+    * stages break ties by neighbor id; prefix slicing is row-local
+    * (same fold order as the full cosine, so the oracle's first-n-term
+    * chain reproduces it bit-for-bit).
+    */
+  def matryoshkaTopK(queries: DataFrame, corpus: DataFrame, idCol: String,
+                     vecCol: String, prefixDim: Int, k: Int,
+                     candidates: Int = 10): DataFrame = {
+    require(prefixDim >= 1, "prefixDim must be >= 1")
+    require(candidates >= k,
+      s"matryoshkaTopK: candidates=$candidates < k=$k would silently " +
+        "return fewer than k neighbors; raise candidates")
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    // the coarse pass is the Q×candidates hot loop: the native fused
+    // cosine_sim expression (one codegen loop, identical index-order
+    // accumulation to the HOF/oracle chain) runs it at ~10× the
+    // aggregate-HOF cost — the languageId lesson
+    val coarse = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .withColumn("approx", graft.expressions.VectorExpressions.cosineSim(
+        slice(col("qv"), 1, prefixDim), slice(col("cv"), 1, prefixDim)))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("approx").desc, col("neighbor_id").asc)
+    val cand = coarse.withColumn("__crk", row_number().over(w))
+      .filter(col("__crk") <= candidates)
+    rankTopK(cand.withColumn("cos", cosine(col("qv"), col("cv"))), k)
+  }
+
   /** Maximal-marginal-relevance diverse top-k: greedily pick k items
     * maximizing `rel(c) − λ·max_{s∈S} cos(c, s)` — the
     * diversity-aware sampler for retrieval/curation (pure top-k

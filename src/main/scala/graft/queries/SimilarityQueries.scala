@@ -257,6 +257,13 @@ object SimilarityQueries {
         "vec_id", "embedding", K, candidates = 10)
         .orderBy("query_id", "rank")),
 
+    // matryoshka search: coarse rank by the FIRST 16 of 64 dims
+    // (MRL-style prefix), exact full-dim rescore of the top-10
+    "q_ann_matryoshka" -> ((s, d) =>
+      Similarity.matryoshkaTopK(queriesDf(s, d), Tables.embeddings(s, d),
+        "vec_id", "embedding", prefixDim = 16, K, candidates = 10)
+        .orderBy("query_id", "rank")),
+
     // MMR diverse top-5: greedy rel − λ·max-sim-to-selected over the
     // top-20 relevance candidates, query = vec 0
     "q_mmr_select" -> ((s, d) => {
@@ -624,6 +631,24 @@ object SimilarityQueries {
          |QUALIFY row_number() OVER w <= $K
          |ORDER BY query_id, rank""".stripMargin
     },
+
+    "q_ann_matryoshka" ->
+      s"""WITH $vecsCte,
+         |q AS (SELECT vec_id AS query_id, v AS qv
+         |  FROM vecs WHERE $QueryFilter),
+         |cand AS (SELECT q.query_id, c.vec_id AS neighbor_id, q.qv,
+         |    c.v AS cv
+         |  FROM q JOIN vecs c ON q.query_id <> c.vec_id
+         |  QUALIFY row_number() OVER (PARTITION BY q.query_id
+         |    ORDER BY ${cosSqlN("q.qv", "c.v", 16)} DESC, c.vec_id) <= 10)
+         |SELECT query_id,
+         |  CAST(row_number() OVER w AS INT) AS rank,
+         |  neighbor_id, round(${cosSql("qv", "cv")}, 6) AS cos_sim
+         |FROM cand
+         |WINDOW w AS (PARTITION BY query_id
+         |  ORDER BY ${cosSql("qv", "cv")} DESC, neighbor_id)
+         |QUALIFY row_number() OVER w <= $K
+         |ORDER BY query_id, rank""".stripMargin,
 
     // mirror of Similarity.mmrTopK(k=5, λ=0.5, C=20): each greedy
     // round is one MATERIALIZED CTE (1 row), cross-joined into the
