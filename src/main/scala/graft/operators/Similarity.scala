@@ -233,6 +233,28 @@ object Similarity {
         round(col("__d2"), 6).as("dist2"))
   }
 
+  /** Residual frame for residual-quantization tiers: each vector's
+    * assigned coarse cell plus `rv = v − centroid(cell)` as a double
+    * array. The textbook IVFADC refinement — within a probed cell the
+    * residual L2 IS the original L2 (the shared centroid cancels), but
+    * residuals have far smaller spread than raw vectors, so the same
+    * codebook budget quantizes them with less error (spec-measured).
+    * Compose: `pqSeedCodebook`/`pqEncode`/`ivfPqTopK` over
+    * (id, "rv", "cell") exactly as over raw vectors. Broadcast
+    * centroids + one row-local zip_with — no extra shuffle beyond the
+    * assignment argmin.
+    */
+  def residuals(df: DataFrame, idCol: String, vecCol: String,
+                centroids: DataFrame): DataFrame = {
+    val cents = centroids.withColumn("cv", col("cv").cast("array<double>"))
+    assignToCentroids(df, idCol, vecCol, centroids)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(df.select(col(idCol), col(vecCol)), idCol)
+      .join(broadcast(cents), col("cell") === col("cluster"))
+      .select(col(idCol), col("cell"),
+        zip_with(col(vecCol), col("cv"), (x, y) => x - y).as("rv"))
+  }
+
   /** Multi-probe cell assignment: each vector's `nprobe` NEAREST
     * centroids (squared L2, ties to the lowest cluster id) — the
     * recall knob of IVF search: a query near a cell boundary misses

@@ -163,6 +163,28 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // residual IVFADC: PQ over v − centroid(cell) — within a probed
+    // cell the residual L2 IS the original L2 (shared centroid
+    // cancels), but residuals have smaller spread, so the same
+    // codebook budget quantizes with less error (spec-measured)
+    "q_ann_ivfpq_res" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      // residual frame feeds codebook, codes, and queries
+      val res = Similarity.residuals(e, "vec_id", "embedding", cent)
+        .localCheckpoint()
+      val cb = Similarity.pqSeedCodebook(res, "vec_id", "rv",
+        PqSub, PqSubDim, PqCodes)
+      val codes = Similarity.pqEncode(res, "vec_id", "rv", cb,
+          PqSub, PqSubDim)
+        .join(res.select("vec_id", "cell"), "vec_id")
+      Similarity.ivfPqTopK(res.filter(expr(QueryFilter)), codes,
+          "vec_id", "rv", "cell", cb, PqSub, PqSubDim, K)
+        .orderBy("query_id", "rank")
+    }),
+
     // stored IVFADC (PQ) index lifecycle: create from half the corpus
     // under frozen seed centroids + seed codebook, append the other
     // half, query the STORE — probe cells' code files only, no corpus
@@ -379,21 +401,37 @@ object SimilarityQueries {
     * `cellJoin` restricts the candidate set (the IVFADC variant adds
     * `AND l.q_label = e.label`); "" is the plain compressed full scan.
     */
+  /** Per-subspace squared-L2 between RESIDUALS: each term subtracts
+    * both sides' centroid components in place — one-subtraction-per-
+    * element, the same doubles Spark's precomputed zip_with residual
+    * arrays hold.
+    */
+  private def pqResL2Sql(a: String, b: String, m: Int): String =
+    (1 to PqSubDim).map { i =>
+      val j = m * PqSubDim + i
+      s"(($a.v[$j]-$a.cv[$j])-($b.v[$j]-$b.cv[$j]))" +
+        s"*(($a.v[$j]-$a.cv[$j])-($b.v[$j]-$b.cv[$j]))"
+    }.mkString(" + ")
+
   private def pqSql(cellJoin: String, rel: String = "vecs",
                     cellExpr: String = "label",
-                    extraCtes: String = ""): String = {
-    val seeds =
+                    extraCtes: String = "",
+                    seedsSql: String = "",
+                    dist: (String, String, Int) => String = null): String = {
+    val seeds = if (seedsSql.nonEmpty) seedsSql else
       s"pqseeds AS (SELECT vec_id AS code, v FROM vecs WHERE vec_id < $PqCodes)"
+    val d2 = if (dist != null) dist
+      else (a: String, b: String, m: Int) => pqL2Sql(s"$a.v", s"$b.v", m)
     val enc = (0 until PqSub).map { m =>
       s"""SELECT vec_id, label, $m AS m, code FROM (
          |  SELECT e.vec_id, e.$cellExpr AS label, s.code, row_number() OVER (
          |      PARTITION BY e.vec_id
-         |      ORDER BY ${pqL2Sql("e.v", "s.v", m)}, s.code) AS rn
+         |      ORDER BY ${d2("e", "s", m)}, s.code) AS rn
          |  FROM $rel e CROSS JOIN pqseeds s) WHERE rn = 1""".stripMargin
     }.mkString("\nUNION ALL\n")
     val lut = (0 until PqSub).map { m =>
       s"""SELECT q.vec_id AS query_id, q.$cellExpr AS q_label, $m AS m, s.code,
-         |  CAST(CAST(${pqL2Sql("q.v", "s.v", m)} AS DECIMAL(18,6))
+         |  CAST(CAST(${d2("q", "s", m)} AS DECIMAL(18,6))
          |       * 1000000 AS BIGINT) AS d
          |FROM $rel q CROSS JOIN pqseeds s WHERE q.$QueryFilter""".stripMargin
     }.mkString("\nUNION ALL\n")
@@ -558,6 +596,22 @@ object SimilarityQueries {
     "q_ann_pq" -> pqSql(""),
 
     "q_ann_ivfpq" -> pqSql("AND l.q_label = e.label"),
+
+    // residual IVFADC: enc/lut read residual components inline
+    // ((v[j]−cv[j]) per side — the same doubles Spark's zip_with
+    // arrays hold); av joins each vector to its cell's centroid and
+    // is MATERIALIZED (16 UNION-ALL references, the q_pq_lifecycle
+    // lesson)
+    "q_ann_ivfpq_res" -> pqSql("AND l.q_label = e.label",
+      rel = "av", cellExpr = "cluster",
+      extraCtes = s" $centCte, " +
+        assignedCte.replaceFirst(
+          "assigned AS \\(", "assigned AS MATERIALIZED (") +
+        ",\nav AS MATERIALIZED (SELECT a.vec_id, a.cluster, a.v, c.cv\n" +
+        "  FROM assigned a JOIN cent c ON c.cluster = a.cluster),",
+      seedsSql =
+        s"pqseeds AS (SELECT vec_id AS code, v, cv FROM av WHERE vec_id < $PqCodes)",
+      dist = (a, b, m) => pqResL2Sql(a, b, m)),
 
     // stored IVFADC index ≡ recompute: k-means cell assignment under
     // the frozen centroids + PQ encode under the frozen codebook, ADC

@@ -475,6 +475,45 @@ class SimilaritySpec extends SparkSpec {
       s"rank tail must heap-execute:\n${plan.take(800)}")
   }
 
+  test("residual PQ quantizes with less ADC error than raw-vector PQ") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 10L)
+      .select($"vec_id".as("cluster"),
+        $"embedding".cast("array<double>").as("cv"))
+    val res = Similarity.residuals(e, "vec_id", "embedding", cent)
+      .localCheckpoint()
+    val cells = res.select($"vec_id", $"cell")
+    val n = e.count().toInt
+    // both tiers: trained codebooks of the same budget, same cells,
+    // ALL same-cell pairs scored (k = corpus size)
+    def adcOf(frame: org.apache.spark.sql.DataFrame, vc: String) = {
+      val cb = Similarity.pqTrainCodebook(frame, "vec_id", vc,
+        8, 8, 16, iters = 2)
+      val codes = Similarity.pqEncode(frame, "vec_id", vc, cb, 8, 8)
+        .join(cells, "vec_id")
+      Similarity.ivfPqTopK(frame.join(cells, "vec_id")
+          .filter($"vec_id" % 50 === 0),
+          codes, "vec_id", vc, "cell", cb, 8, 8, k = n)
+        .collect().map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3)))
+        .toMap
+    }
+    val adcRes = adcOf(res.select($"vec_id", $"rv"), "rv")
+    val adcRaw = adcOf(e.select($"vec_id", $"embedding"), "embedding")
+    assert(adcRes.keySet == adcRaw.keySet && adcRes.nonEmpty,
+      "same cells must yield the same candidate pairs")
+    // truth: within a shared cell the residual L2 IS the raw L2
+    val vecs = e.collect().map(r =>
+      r.getLong(0) -> r.getSeq[Float](1).map(_.toDouble).toArray).toMap
+    def l2sq(a: Long, b: Long): Double =
+      vecs(a).zip(vecs(b)).map { case (x, y) => (x - y) * (x - y) }.sum
+    def meanErr(adc: Map[(Long, Long), Long]): Double =
+      adc.map { case ((q, x), d) =>
+        math.abs(d / 1e6 - l2sq(q, x)) }.sum / adc.size
+    val (er, ep) = (meanErr(adcRes), meanErr(adcRaw))
+    assert(er <= ep,
+      f"residual ADC error $er%.3f must not exceed raw ADC error $ep%.3f")
+  }
+
   test("pq trained codebook: recall vs exact L2 top-k on real embeddings") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
     val cb = Similarity.pqTrainCodebook(e, "vec_id", "embedding",
