@@ -101,6 +101,80 @@ object Dedup {
     sigs.select(col(idCol), explode(bandKeys).as("band_key"))
   }
 
+  // ---- weighted (multiset) Jaccard ----
+  //
+  // Set Jaccard treats "the same boilerplate shingle repeated 40×"
+  // and "that shingle once" as identical — repetition-heavy near-dups
+  // score the same as a single shared template line. The weighted
+  // variant scores Σ min(tf_a,tf_b) / Σ max(tf_a,tf_b) over shingle
+  // frequencies (capped, so one pathological doc can't blow up the
+  // expansion).
+
+  /** Frequency cap for the weighted family: bounds the virtual-
+    * element expansion at cap× the distinct-shingle table and makes
+    * the score robust to single-shingle spam.
+    */
+  val WtfCap = 8
+
+  /** Capped shingle frequencies `(id, shingle, ctf)`:
+    * ctf = min(tf, cap). One shuffle on (id, shingle) — rows bounded
+    * by the corpus shingle count regardless of doc size.
+    */
+  def cappedShingleFreqs(docs: DataFrame, idCol: String, textCol: String,
+                         k: Int = 3, cap: Int = WtfCap): DataFrame =
+    docShingles(docs, idCol, textCol, k, dedup = false)
+      .groupBy(col(idCol), col("shingle"))
+      .agg(least(count(lit(1)), lit(cap.toLong)).as("ctf"))
+
+  /** Weighted MinHash signatures via tf-capped unary expansion: each
+    * (shingle, ctf) row contributes virtual elements "s@1".."s@ctf",
+    * then the plain [[minhashSignatures]] machinery over that
+    * multiset→set encoding estimates the capped weighted Jaccard
+    * (min over the expansion ≡ min over the union of both docs'
+    * virtual sets, so the standard LSH S-curve applies unchanged).
+    * Expansion cost is Σ ctf ≤ cap × distinct shingles — row-local
+    * (generated inside the projection, never shuffled as text).
+    */
+  def weightedMinhashSignatures(ctf: DataFrame, idCol: String): DataFrame = {
+    val rep = ctf.select(col(idCol),
+      explode(transform(sequence(lit(1L), col("ctf")),
+        i => concat(col("shingle"), lit("@"), i.cast("string")))).as("shingle"))
+    minhashSignatures(rep, idCol)
+  }
+
+  /** Frequency-aware near-dup pairs: banded LSH over the weighted
+    * signatures proposes candidates (shuffle on band keys, never
+    * doc×doc), then the EXACT capped weighted Jaccard verifies each —
+    * returned as an integer fraction (jw_num = Σ min(ctf),
+    * jw_den = Σ max(ctf)) so every engine agrees bit-for-bit. The
+    * verify join is candidate-bounded and keyed on (doc, shingle);
+    * Σ max comes from per-doc totals (ta + tb − Σ min), so only the
+    * shingle INTERSECTION is ever joined.
+    */
+  def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
+                           k: Int = 3, cap: Int = WtfCap): DataFrame = {
+    // ctf feeds the signature build, the verify join (both sides), and
+    // the totals — materialize once, off the CacheManager
+    val ctf = cappedShingleFreqs(docs, idCol, textCol, k, cap)
+      .localCheckpoint()
+    val cands = lshCandidatePairs(weightedMinhashSignatures(ctf, idCol), idCol)
+    val tot = ctf.groupBy(col(idCol)).agg(sum(col("ctf")).as("tot"))
+    val a = ctf.select(col(idCol).as("id_a"), col("shingle"),
+      col("ctf").as("ca"))
+    val b = ctf.select(col(idCol).as("id_b"), col("shingle"),
+      col("ctf").as("cb"))
+    val num = cands.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+      .groupBy("id_a", "id_b")
+      .agg(sum(least(col("ca"), col("cb"))).as("jw_num"))
+    cands
+      .join(num, Seq("id_a", "id_b"), "left")
+      .na.fill(0L, Seq("jw_num"))
+      .join(tot.select(col(idCol).as("id_a"), col("tot").as("__ta")), Seq("id_a"))
+      .join(tot.select(col(idCol).as("id_b"), col("tot").as("__tb")), Seq("id_b"))
+      .select(col("id_a"), col("id_b"), col("jw_num"),
+        (col("__ta") + col("__tb") - col("jw_num")).as("jw_den"))
+  }
+
   /** LSH banding S-curve advisor: for each candidate (bands, rows)
     * split of the signature's permutations and each Jaccard level s,
     * the probability the banding proposes the pair —

@@ -229,6 +229,65 @@ object Sketches {
         round(estUnion, 4).as("kmv_union"))
   }
 
+  // ---- Fast-AGMS join-size sketch (Alon–Matias–Szegedy 1996; the
+  // bucketed Count-Sketch refinement of Cormode & Garofalakis 2005) ----
+
+  /** Sketch width: per-group state is `AmsBuckets` longs. A plain
+    * (unbucketed) AMS tug-of-war with 16 counters was measured at
+    * ±40 % on the documents token stream — zipfian heavy hitters
+    * dominate the variance; bucketing divides it by the width
+    * (err ~ √(F₂(A)·F₂(B)/B)), and 256 longs is still trivially
+    * broadcast/merge-sized.
+    */
+  val AmsBuckets = 256
+
+  /** Per-group Fast-AGMS sketch `(group, b, xv)`: each key row lands
+    * in bucket (h≫1) mod B with sign bit 0 of ONE 60-bit md5-prefix
+    * digest (bucket and sign read disjoint bits), xv = Σ signs.
+    * `sum` combines map-side — the shuffle carries ≤ groups × B rows
+    * regardless of input size — and sketches from shards ADD
+    * bucket-wise into the corpus sketch (same merge contract as the
+    * HLL register max).
+    */
+  def amsSketch(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
+    df.select(col(groupCol), Portable.hash60(col(keyCol)).as("__h"))
+      .select(col(groupCol),
+        (shiftright(col("__h"), 1) % AmsBuckets).as("b"),
+        (col("__h").bitwiseAND(lit(1L)) * lit(2L) - lit(1L)).as("s"))
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum(col("s")).as("xv"))
+
+  /** All-pairs equi-join-size report: for each group pair (ga < gb)
+    * the Fast-AGMS estimate Σ_b X_a[b]·X_b[b] (expectation = the true
+    * Σ_key n_a·n_b — exact integer arithmetic end to end) next to the
+    * exact yardstick.
+    *
+    * This is the 100 TB join PLANNER'S input: the output/shuffle
+    * volume of a planned blocked join (dedup candidate generation,
+    * token-keyed enrichment) priced from groups × [[AmsBuckets]]
+    * longs of mergeable sketch state — the exact column costs the
+    * very join being priced and exists only for the oracle.
+    */
+  def amsJoinSize(df: DataFrame, groupCol: String, keyCol: String): DataFrame = {
+    val sk = amsSketch(df, groupCol, keyCol)
+    val est = sk.select(col(groupCol).as("ga"), col("b"), col("xv").as("xa"))
+      .join(sk.select(col(groupCol).as("gb"), col("b"), col("xv").as("xb")),
+        Seq("b"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(sum(col("xa") * col("xb")).as("ams_est"))
+    val tf = df.groupBy(col(groupCol), col(keyCol)).agg(count(lit(1)).as("n"))
+    val exact = tf.select(col(groupCol).as("ga"), col(keyCol).as("k"),
+        col("n").as("na"))
+      .join(tf.select(col(groupCol).as("gb"), col(keyCol).as("k"),
+        col("n").as("nb")), Seq("k"))
+      .filter(col("ga") < col("gb"))
+      .groupBy("ga", "gb")
+      .agg(sum(col("na") * col("nb")).as("exact_join_size"))
+    est.join(exact, Seq("ga", "gb"), "left")
+      .na.fill(0L, Seq("exact_join_size"))
+  }
+
   // ---- log₂-histogram quantile sketch ----
 
   /** Per-group log₂ histogram of a non-negative long column: bucket 0

@@ -102,6 +102,43 @@ object Validate {
       .select("c.*")
   }
 
+  /** Benford per-mille expectations for first significant digits 1–9:
+    * round(1000·log10(1+1/d)) as fixed integer literals — no libm call
+    * anywhere, so every engine agrees exactly.
+    */
+  val BenfordPermille: Seq[Int] = Seq(301, 176, 125, 97, 79, 67, 58, 51, 46)
+
+  /** First-significant-digit distribution audit (Benford's law) for a
+    * positive monetary column: per (group, digit), the observed count,
+    * the group row count, the expected per-mille, and the ‰-scaled
+    * absolute deviation |1000·obs − n·permille| — all integers, so the
+    * report is bit-exact on any engine. Fabricated or unit-mangled
+    * numeric feeds show up as digit-1 depletion long before any range
+    * constraint fires.
+    *
+    * Digit extraction stays in the exact integer domain: cents =
+    * floor(100·value) (floor of a double is exact IEEE), first char of
+    * the BIGINT's decimal string — never log10 on doubles, whose
+    * boundary rounding differs per libm. One scan, one groupBy on
+    * (group, digit) ≤ 9 rows per group — the shuffle is
+    * report-sized at any input size.
+    */
+  def benford(df: DataFrame, groupCol: String, valueCol: String): DataFrame = {
+    val cents = floor(col(valueCol) * 100).cast("long")
+    val d0 = df.select(col(groupCol), cents.as("__cents"))
+      .filter(col("__cents") > 0)
+      .select(col(groupCol),
+        substring(col("__cents").cast("string"), 1, 1).cast("int").as("digit"))
+    val obs = d0.groupBy(col(groupCol), col("digit"))
+      .agg(count(lit(1)).as("obs"))
+    val n = d0.groupBy(col(groupCol)).agg(count(lit(1)).as("n"))
+    obs.join(n, groupCol)
+      .withColumn("exp_permille",
+        element_at(typedLit(BenfordPermille), col("digit")))
+      .withColumn("dev",
+        abs(lit(1000L) * col("obs") - col("n") * col("exp_permille")))
+  }
+
   /** Schema evolution diff between two parquet snapshots of a table —
     * the pre-flight a lake pipeline runs before swapping a new batch
     * in: per column, its status (`unchanged`/`added`/`removed`/

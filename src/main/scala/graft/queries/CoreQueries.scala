@@ -562,6 +562,14 @@ object CoreQueries {
         graft.operators.Validate.OneOf("o_orderstatus", Seq("F", "O"))))
         .orderBy("constraint")),
 
+    // Benford first-digit audit of order totals per priority class:
+    // observed vs expected-per-mille counts, integer ‰ deviation —
+    // the fabricated-feed detector that fires before range checks do
+    "q_benford" -> ((s, d) =>
+      graft.operators.Validate.benford(Tables.orders(s, d),
+        "o_orderpriority", "o_totalprice")
+        .orderBy("o_orderpriority", "digit")),
+
     // schema evolution diff: write two snapshot variants (drop a
     // column, add one, narrow a type), diff their parquet FOOTER
     // schemas, report per-column status + reader-compat verdict —
@@ -1334,6 +1342,27 @@ object CoreQueries {
         |  ('one_of(o_orderstatus)', a.v_oneof, a.v_oneof = 0))
         |  t("constraint", violations, passed)
         |ORDER BY "constraint"""".stripMargin,
+
+    "q_benford" -> {
+      val vals = graft.operators.Validate.BenfordPermille.zipWithIndex
+        .map { case (p, i) => s"(${i + 1}, $p)" }.mkString(", ")
+      s"""WITH v AS (SELECT o_orderpriority,
+         |    CAST(substr(CAST(CAST(floor(o_totalprice * 100) AS BIGINT)
+         |      AS VARCHAR), 1, 1) AS INT) AS digit
+         |  FROM orders
+         |  WHERE CAST(floor(o_totalprice * 100) AS BIGINT) > 0),
+         |obs AS (SELECT o_orderpriority, digit, count(*) AS obs
+         |  FROM v GROUP BY 1, 2),
+         |n AS (SELECT o_orderpriority, count(*) AS n FROM v GROUP BY 1),
+         |e(digit, exp_permille) AS (VALUES $vals)
+         |SELECT obs.o_orderpriority, obs.digit, obs.obs, n.n,
+         |  e.exp_permille,
+         |  abs(1000 * obs.obs - n.n * e.exp_permille) AS dev
+         |FROM obs
+         |JOIN n USING (o_orderpriority)
+         |JOIN e USING (digit)
+         |ORDER BY obs.o_orderpriority, obs.digit""".stripMargin
+    },
 
     // mirror of diffSnapshots: full-outer on the key, unchanged rows
     // filtered with IS DISTINCT FROM (the SQL spelling of non-<=>)

@@ -47,6 +47,15 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // frequency-aware near-dup: weighted MinHash (tf-capped unary
+    // expansion) proposes candidates, exact capped weighted Jaccard
+    // verifies — reported as an integer fraction (jw_num/jw_den) so
+    // the compare is bit-exact on any engine. Catches boilerplate-
+    // heavy near-dups whose repeated tokens dilute the SET Jaccard
+    "q_weighted_jaccard" -> ((s, d) =>
+      Dedup.weightedJaccardPairs(Tables.documents(s, d), "doc_id", "text")
+        .orderBy("id_a", "id_b")),
+
     // canonical-doc selection: connected components pick the cluster,
     // PageRank picks the representative (max centrality, min-id tie) —
     // both integer-deterministic, so the whole composition oracles
@@ -547,6 +556,47 @@ object DedupQueries {
          |FROM cand c
          |JOIN sig a ON a.doc_id = c.id_a
          |JOIN sig b ON b.doc_id = c.id_b
+         |ORDER BY c.id_a, c.id_b""".stripMargin
+    },
+
+    "q_weighted_jaccard" -> {
+      val wbands = (0 until NumBands).map { bnd =>
+        val cols = (0 until RowsPerBand).map(r => s"mh${bnd * RowsPerBand + r}")
+        s"SELECT doc_id, concat_ws('_', $bnd, ${cols.mkString(", ")}) AS band_key FROM sig"
+      }
+      s"""WITH toks AS (SELECT doc_id, ${Portable.tokensSql("text")} AS t
+         |  FROM documents),
+         |sh0 AS (SELECT doc_id, unnest(${Portable.shinglesSql("t", K)}) AS s0
+         |  FROM toks),
+         |ctf AS (SELECT doc_id, s0 AS s,
+         |    LEAST(count(*), ${graft.operators.Dedup.WtfCap}) AS ctf
+         |  FROM sh0 GROUP BY 1, 2),
+         |rep AS (SELECT doc_id,
+         |    s || '@' || CAST(unnest(generate_series(1, ctf)) AS VARCHAR) AS ws
+         |  FROM ctf),
+         |h AS (SELECT doc_id, ${Portable.hash32Sql("ws")} AS hv FROM rep),
+         |sig AS (SELECT doc_id,
+         |  ${(0 until NumPerms).map(j => s"CAST(min(${Portable.permSql("hv", j)}) AS BIGINT) AS mh$j").mkString(",\n  ")}
+         |  FROM h GROUP BY doc_id),
+         |bands AS (${wbands.mkString(" UNION ALL ")}),
+         |cand AS (SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |  FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |  WHERE x.doc_id < y.doc_id),
+         |tot AS (SELECT doc_id, CAST(sum(ctf) AS BIGINT) AS tot
+         |  FROM ctf GROUP BY 1),
+         |num AS (SELECT c.id_a, c.id_b,
+         |    CAST(sum(LEAST(a.ctf, b.ctf)) AS BIGINT) AS jw_num
+         |  FROM cand c
+         |  JOIN ctf a ON a.doc_id = c.id_a
+         |  JOIN ctf b ON b.doc_id = c.id_b AND b.s = a.s
+         |  GROUP BY 1, 2)
+         |SELECT c.id_a, c.id_b,
+         |  coalesce(n.jw_num, 0) AS jw_num,
+         |  ta.tot + tb.tot - coalesce(n.jw_num, 0) AS jw_den
+         |FROM cand c
+         |LEFT JOIN num n ON n.id_a = c.id_a AND n.id_b = c.id_b
+         |JOIN tot ta ON ta.doc_id = c.id_a
+         |JOIN tot tb ON tb.doc_id = c.id_b
          |ORDER BY c.id_a, c.id_b""".stripMargin
     },
 

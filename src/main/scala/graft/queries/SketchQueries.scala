@@ -55,6 +55,14 @@ object SketchQueries {
       Sketches.kmvOverlap(toks(s, d), "source", "tok")
         .orderBy("ga", "gb")),
 
+    // Fast-AGMS join-size estimate per source pair next to the exact
+    // Σ n_a·n_b — the sketch that prices a planned token-keyed
+    // blocked join's output volume from 256 longs per group instead
+    // of running the join
+    "q_ams_joinsize" -> ((s, d) =>
+      Sketches.amsJoinSize(toks(s, d), "source", "tok")
+        .orderBy("ga", "gb")),
+
     // the shard-merge path: per-source registers merged by max into
     // ONE corpus-level estimate, next to the exact global distinct —
     // mergeability is what lets 100 TB of shard sketches answer
@@ -278,6 +286,29 @@ object SketchQueries {
          |JOIN sz sb ON sb.source = ka.gb
          |LEFT JOIN it ON it.ga = ka.ga AND it.gb = ka.gb
          |ORDER BY ka.ga, ka.gb""".stripMargin
+    },
+
+    "q_ams_joinsize" -> {
+      val bkts = Sketches.AmsBuckets
+      s"""WITH $toksCte,
+         |hh AS (SELECT source, ${Portable.hash60Sql("tok")} AS h FROM toks),
+         |x AS (SELECT source, (h >> 1) % $bkts AS b,
+         |    CAST(sum((h & 1) * 2 - 1) AS BIGINT) AS xv
+         |  FROM hh GROUP BY 1, 2),
+         |est AS (SELECT xa.source AS ga, xb.source AS gb,
+         |    CAST(sum(xa.xv * xb.xv) AS BIGINT) AS ams_est
+         |  FROM x xa JOIN x xb ON xa.b = xb.b AND xa.source < xb.source
+         |  GROUP BY 1, 2),
+         |tf AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+         |ex AS (SELECT a.source AS ga, b.source AS gb,
+         |    CAST(sum(a.n * b.n) AS BIGINT) AS exact_join_size
+         |  FROM tf a JOIN tf b ON a.tok = b.tok AND a.source < b.source
+         |  GROUP BY 1, 2)
+         |SELECT est.ga, est.gb, est.ams_est,
+         |  coalesce(ex.exact_join_size, 0) AS exact_join_size
+         |FROM est
+         |LEFT JOIN ex ON ex.ga = est.ga AND ex.gb = est.gb
+         |ORDER BY est.ga, est.gb""".stripMargin
     },
 
     "q_hll_union" ->

@@ -715,4 +715,46 @@ class TextDedupSpec extends SparkSpec {
         s"doc ${r.getLong(0)}: kept $nKept of $nTok with $nCut cuts")
     }
   }
+
+  test("cappedShingleFreqs: tf counted per shingle and capped") {
+    import spark.implicits._
+    val one = Seq((5L, Seq.fill(12)("a").mkString(" "))).toDF("doc_id", "text")
+    // 12 tokens of "a" -> 10 occurrences of shingle "a a a", capped at 8
+    val ctf = Dedup.cappedShingleFreqs(one, "doc_id", "text")
+      .collect().map(r => r.getString(1) -> r.getLong(2))
+    assert(ctf.toSeq == Seq("a a a" -> 8L))
+  }
+
+  test("weightedJaccardPairs: fraction matches brute-force multiset Jaccard") {
+    import spark.implicits._
+    val sent = "w1 w2 w3 w4 w5 w6 w7"
+    val docsW = Seq(
+      (1L, s"$sent $sent $sent"), // sentence x3
+      (2L, s"$sent $sent $sent"), // identical -> jw = 1 exactly
+      (3L, s"$sent x1 x2 x3"),    // one copy + tail: shares the SET,
+                                  // not the repetition mass
+      (4L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text")
+    val ctf = Dedup.cappedShingleFreqs(docsW, "doc_id", "text")
+      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    def brute(a: Long, b: Long): (Long, Long) = {
+      val keys = ctf.keys.collect { case (d, s) if d == a || d == b => s }.toSet
+      val pairs = keys.toSeq.map(s =>
+        (ctf.getOrElse((a, s), 0L), ctf.getOrElse((b, s), 0L)))
+      (pairs.map(p => math.min(p._1, p._2)).sum,
+        pairs.map(p => math.max(p._1, p._2)).sum)
+    }
+    val got = Dedup.weightedJaccardPairs(docsW, "doc_id", "text")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1)) -> (r.getLong(2), r.getLong(3)))
+      .toMap
+    assert(got.contains((1L, 2L)), "identical docs must band together")
+    got.foreach { case ((a, b), nd) => assert(nd == brute(a, b), s"($a,$b)") }
+    val (n12, d12) = got((1L, 2L))
+    assert(n12 == d12 && n12 > 0, "identical multisets -> jw exactly 1")
+    // if the shared-sentence pair banded, its weighted score must sit
+    // strictly below 1/2: the repeated mass is unshared
+    got.get((1L, 3L)).foreach { case (n, d) => assert(n * 2 < d) }
+    assert(!got.contains((1L, 4L)), "disjoint docs must not pair")
+  }
 }

@@ -62,4 +62,23 @@ class ValidateSpec extends SparkSpec {
     assert(got("gone") == (("removed", "break")))
     assert(got("fresh") == (("added", "ok")))
   }
+
+  test("benford: integer digit extraction, permille table, deviation") {
+    val vals = Seq(
+      ("g", 1.23),   // cents 122  -> digit 1 (1.23 is 1.2299..., floor)
+      ("g", 19.99),  // cents 1998 -> digit 1
+      ("g", 2.50),   // cents 250  -> digit 2
+      ("g", 0.005),  // cents 0    -> filtered (not a positive amount)
+      ("g", -5.0),   // negative   -> filtered
+      ("g", 900.0)   // cents 90000 -> digit 9
+    ).toDF("grp", "v")
+    val rows = Validate.benford(vals, "grp", "v")
+      .collect().map(r => r.getInt(1) ->
+        (r.getLong(2), r.getLong(3), r.getInt(4), r.getLong(5))).toMap
+    // n = 4 positive-cent rows; dev = |1000*obs - n*permille|
+    assert(rows(1) == ((2L, 4L, 301, 796L)))
+    assert(rows(2) == ((1L, 4L, 176, 296L)))
+    assert(rows(9) == ((1L, 4L, 46, 816L)))
+    assert(rows.size == 3, "unobserved digits are absent, not zero rows")
+  }
 }
