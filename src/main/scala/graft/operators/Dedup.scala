@@ -116,29 +116,34 @@ object Dedup {
     */
   val WtfCap = 8
 
-  /** Capped shingle frequencies `(id, shingle, ctf)`:
-    * ctf = min(tf, cap). One shuffle on (id, shingle) — rows bounded
-    * by the corpus shingle count regardless of doc size.
+  /** Capped shingle frequencies `(id, sh, ctf)` keyed by the 60-bit
+    * md5-prefix shingle digest: ctf = min(tf, cap). The tf groupBy
+    * shuffles (id, 8-byte hash) rows — never shingle TEXT — so the
+    * exchange is fixed-width at any shingle length (the exact-dedup
+    * digest discipline; ShuffleAuditSpec pins the byte ceiling).
     */
   def cappedShingleFreqs(docs: DataFrame, idCol: String, textCol: String,
                          k: Int = 3, cap: Int = WtfCap): DataFrame =
     docShingles(docs, idCol, textCol, k, dedup = false)
-      .groupBy(col(idCol), col("shingle"))
+      .select(col(idCol), Portable.hash60(col("shingle")).as("sh"))
+      .groupBy(col(idCol), col("sh"))
       .agg(least(count(lit(1)), lit(cap.toLong)).as("ctf"))
 
   /** Weighted MinHash signatures via tf-capped unary expansion: each
-    * (shingle, ctf) row contributes virtual elements "s@1".."s@ctf",
-    * then the plain [[minhashSignatures]] machinery over that
-    * multiset→set encoding estimates the capped weighted Jaccard
-    * (min over the expansion ≡ min over the union of both docs'
-    * virtual sets, so the standard LSH S-curve applies unchanged).
-    * Expansion cost is Σ ctf ≤ cap × distinct shingles — row-local
-    * (generated inside the projection, never shuffled as text).
+    * (sh, ctf) row contributes virtual elements "sh@1".."sh@ctf"
+    * (decimal digest rendering — engine-portable), then the plain
+    * [[minhashSignatures]] machinery over that multiset→set encoding
+    * estimates the capped weighted Jaccard (min over the expansion ≡
+    * min over the union of both docs' virtual sets, so the standard
+    * LSH S-curve applies unchanged). Expansion cost is
+    * Σ ctf ≤ cap × distinct shingles — row-local (generated inside
+    * the projection, never shuffled).
     */
   def weightedMinhashSignatures(ctf: DataFrame, idCol: String): DataFrame = {
     val rep = ctf.select(col(idCol),
       explode(transform(sequence(lit(1L), col("ctf")),
-        i => concat(col("shingle"), lit("@"), i.cast("string")))).as("shingle"))
+        i => concat(col("sh").cast("string"), lit("@"),
+          i.cast("string")))).as("shingle"))
     minhashSignatures(rep, idCol)
   }
 
@@ -147,9 +152,9 @@ object Dedup {
     * doc×doc), then the EXACT capped weighted Jaccard verifies each —
     * returned as an integer fraction (jw_num = Σ min(ctf),
     * jw_den = Σ max(ctf)) so every engine agrees bit-for-bit. The
-    * verify join is candidate-bounded and keyed on (doc, shingle);
-    * Σ max comes from per-doc totals (ta + tb − Σ min), so only the
-    * shingle INTERSECTION is ever joined.
+    * verify join is candidate-bounded and keyed on (doc, shingle
+    * digest); Σ max comes from per-doc totals (ta + tb − Σ min), so
+    * only the shingle INTERSECTION is ever joined.
     */
   def weightedJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
                            k: Int = 3, cap: Int = WtfCap): DataFrame = {
@@ -159,11 +164,11 @@ object Dedup {
       .localCheckpoint()
     val cands = lshCandidatePairs(weightedMinhashSignatures(ctf, idCol), idCol)
     val tot = ctf.groupBy(col(idCol)).agg(sum(col("ctf")).as("tot"))
-    val a = ctf.select(col(idCol).as("id_a"), col("shingle"),
+    val a = ctf.select(col(idCol).as("id_a"), col("sh"),
       col("ctf").as("ca"))
-    val b = ctf.select(col(idCol).as("id_b"), col("shingle"),
+    val b = ctf.select(col(idCol).as("id_b"), col("sh"),
       col("ctf").as("cb"))
-    val num = cands.join(a, Seq("id_a")).join(b, Seq("id_b", "shingle"))
+    val num = cands.join(a, Seq("id_a")).join(b, Seq("id_b", "sh"))
       .groupBy("id_a", "id_b")
       .agg(sum(least(col("ca"), col("cb"))).as("jw_num"))
     cands

@@ -568,11 +568,12 @@ object DedupQueries {
          |  FROM documents),
          |sh0 AS (SELECT doc_id, unnest(${Portable.shinglesSql("t", K)}) AS s0
          |  FROM toks),
-         |ctf AS (SELECT doc_id, s0 AS s,
+         |ctf AS (SELECT doc_id, ${Portable.hash60Sql("s0")} AS sh,
          |    LEAST(count(*), ${graft.operators.Dedup.WtfCap}) AS ctf
          |  FROM sh0 GROUP BY 1, 2),
          |rep AS (SELECT doc_id,
-         |    s || '@' || CAST(unnest(generate_series(1, ctf)) AS VARCHAR) AS ws
+         |    CAST(sh AS VARCHAR) || '@' ||
+         |      CAST(unnest(generate_series(1, ctf)) AS VARCHAR) AS ws
          |  FROM ctf),
          |h AS (SELECT doc_id, ${Portable.hash32Sql("ws")} AS hv FROM rep),
          |sig AS (SELECT doc_id,
@@ -588,7 +589,7 @@ object DedupQueries {
          |    CAST(sum(LEAST(a.ctf, b.ctf)) AS BIGINT) AS jw_num
          |  FROM cand c
          |  JOIN ctf a ON a.doc_id = c.id_a
-         |  JOIN ctf b ON b.doc_id = c.id_b AND b.s = a.s
+         |  JOIN ctf b ON b.doc_id = c.id_b AND b.sh = a.sh
          |  GROUP BY 1, 2)
          |SELECT c.id_a, c.id_b,
          |  coalesce(n.jw_num, 0) AS jw_num,

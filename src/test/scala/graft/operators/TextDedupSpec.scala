@@ -719,10 +719,11 @@ class TextDedupSpec extends SparkSpec {
   test("cappedShingleFreqs: tf counted per shingle and capped") {
     import spark.implicits._
     val one = Seq((5L, Seq.fill(12)("a").mkString(" "))).toDF("doc_id", "text")
-    // 12 tokens of "a" -> 10 occurrences of shingle "a a a", capped at 8
+    // 12 tokens of "a" -> 10 occurrences of the single shingle
+    // "a a a" (one digest row), capped at 8
     val ctf = Dedup.cappedShingleFreqs(one, "doc_id", "text")
-      .collect().map(r => r.getString(1) -> r.getLong(2))
-    assert(ctf.toSeq == Seq("a a a" -> 8L))
+      .collect().map(r => r.getLong(2))
+    assert(ctf.toSeq == Seq(8L))
   }
 
   test("weightedJaccardPairs: fraction matches brute-force multiset Jaccard") {
@@ -735,7 +736,7 @@ class TextDedupSpec extends SparkSpec {
                                   // not the repetition mass
       (4L, "p1 p2 p3 p4 p5 p6 p7 p8")).toDF("doc_id", "text")
     val ctf = Dedup.cappedShingleFreqs(docsW, "doc_id", "text")
-      .collect().map(r => (r.getLong(0), r.getString(1)) -> r.getLong(2))
+      .collect().map(r => (r.getLong(0), r.getLong(1)) -> r.getLong(2))
       .toMap
     def brute(a: Long, b: Long): (Long, Long) = {
       val keys = ctf.keys.collect { case (d, s) if d == a || d == b => s }.toSet

@@ -172,6 +172,35 @@ class ShuffleAuditSpec extends SparkSpec {
       s"state must stay calendar-bounded: days=$days rows=$rows $s")
   }
 
+  test("amsSketch shuffle is sketch-sized, never the key stream") {
+    // 40k rows, 2 groups × 500 distinct keys: the partial agg must
+    // collapse each map partition to ≤ its (group, bucket) cells
+    val df = spark.range(40000).select(
+      (col("id") % 2).cast("string").as("g"),
+      concat(lit("k"), col("id") % 500).as("k"))
+    val s = ShuffleAudit.measure(
+      graft.operators.Sketches.amsSketch(df, "g", "k"))
+    assert(s.shuffleRecords > 0, s"$s")
+    // ≤ groups × buckets × map partitions (loose), ≪ the 40k rows
+    val ceiling = 2L * graft.operators.Sketches.AmsBuckets * 16
+    assert(s.shuffleRecords <= ceiling,
+      s"sketch shuffle must be (group × bucket)-cell-sized: $s")
+    assert(s.shuffleRecords < 40000 / 4, s"$s")
+  }
+
+  test("cappedShingleFreqs shuffles 8-byte digests, never shingle text") {
+    val docs = Tables.documents(spark, sf)
+    val shingleBytes = graft.operators.Dedup
+      .docShingles(docs, "doc_id", "text", 3, dedup = false)
+      .agg(sum(length(col("shingle")))).head.getLong(0)
+    val s = ShuffleAudit.measure(
+      graft.operators.Dedup.cappedShingleFreqs(docs, "doc_id", "text"))
+    assert(s.exchanges >= 1 && s.shuffleBytes > 0, s"$s")
+    assert(s.shuffleBytes < shingleBytes,
+      s"tf groupBy must key on the digest, not the shingle string: " +
+        s"shuffled ${s.shuffleBytes} of $shingleBytes shingle bytes: $s")
+  }
+
   test("stats() before any action reports zero volumes") {
     val df = Tables.lineitem(spark, sf)
       .groupBy("l_returnflag").agg(sum("l_quantity"))
