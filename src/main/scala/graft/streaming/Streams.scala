@@ -753,6 +753,59 @@ object Streams {
       }
       .start()
 
+  /** Streaming Fast-AGMS join-size sketch maintenance — the SKETCH
+    * lifecycle twin of [[signatureMaintainingIngest]]: between
+    * micro-batches the corpus's per-group join-size sketch
+    * ([[graft.operators.Sketches.amsSketch]]) lives as a stored
+    * partial-sketch table. Each batch sketches ITS OWN rows (one
+    * map-side-combined agg, ≤ groups × 256 cells) and writes the
+    * partial under `batch_id=<id>` — REPLAY-IDEMPOTENT by
+    * construction: sketch merge is bucket-wise SUM, which unlike the
+    * signature appends is NOT idempotent under at-least-once
+    * delivery, so a re-delivered batch must overwrite its own
+    * partition rather than add again. Readers merge with
+    * [[readAmsSketch]] (the sketch's native ADD), so between batches
+    * a join-volume estimate over everything ingested costs one scan
+    * of ≤ batches × groups × 256 rows — the corpus is never re-read.
+    */
+  def amsMaintainingIngest(rows: DataFrame, groupCol: String,
+                           keyCol: String, sketchPath: String,
+                           options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        writeAmsPartial(batch, id, groupCol, keyCol, sketchPath)
+      }
+      .start()
+
+  /** One micro-batch's partial-sketch write (factored out so the
+    * replay-idempotence contract is testable without a stream):
+    * overwrite-in-place of this batch's OWN partition only.
+    */
+  private[streaming] def writeAmsPartial(batch: Dataset[org.apache.spark.sql.Row],
+                                         batchId: Long, groupCol: String,
+                                         keyCol: String,
+                                         sketchPath: String): Unit =
+    if (!batch.isEmpty)
+      graft.operators.Sketches.amsSketch(batch, groupCol, keyCol)
+        .write.mode("overwrite")
+        .parquet(s"$sketchPath/batch_id=$batchId")
+
+  /** Merged view of a [[amsMaintainingIngest]] sketch table: bucket-
+    * wise SUM over the per-batch partials (partition discovery reads
+    * `batch_id=` from the directory names; the merge drops it). The
+    * result is exactly [[graft.operators.Sketches.amsSketch]] of
+    * every row ingested so far (spec-pinned), ready for the pair
+    * estimate in [[graft.operators.Sketches.amsJoinSize]]'s shape.
+    */
+  def readAmsSketch(spark: SparkSession, sketchPath: String,
+                    groupCol: String): DataFrame =
+    spark.read.parquet(sketchPath)
+      .groupBy(col(groupCol), col("b"))
+      .agg(sum(col("xv")).as("xv"))
+
   /** Exactly-once streaming sink onto the [[graft.io.Versioned]] table
     * log: each micro-batch append-commits under the txn token
     * `stream-<batchId>`, so a batch REPLAYED after a restart (the

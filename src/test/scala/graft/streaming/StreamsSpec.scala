@@ -1128,4 +1128,35 @@ class StreamsSpec extends SparkSpec {
       assert(reports(2L).forall(_._5 == 0.0), reports(2L).toString)
     } finally q.stop()
   }
+
+  test("ams-maintaining ingest: merged sketch ≡ batch sketch; replay-idempotent") {
+    implicit val sqlCtx = spark.sqlContext
+    val tag = System.nanoTime()
+    val path = s"${sys.props("java.io.tmpdir")}/graft_ams_ingest_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_ams_ckpt_$tag"
+    val b0 = Seq(("g1", "x"), ("g1", "x"), ("g2", "y"))
+    val b1 = Seq(("g1", "y"), ("g2", "x"), ("g2", "z"))
+    def m(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getLong(1)) -> r.getLong(2))
+      .filter(_._2 != 0L).toMap
+    val in = MemoryStream[(String, String)]
+    val q = Streams.amsMaintainingIngest(
+      in.toDF().toDF("g", "k"), "g", "k", path,
+      Map("checkpointLocation" -> ckpt))
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val direct = m(graft.operators.Sketches.amsSketch(
+        (b0 ++ b1).toDF("g", "k"), "g", "k"))
+      assert(m(Streams.readAmsSketch(spark, path, "g")) == direct,
+        "merged partials must equal the one-shot sketch")
+      // at-least-once replay of batch 1: its partition is OVERWRITTEN,
+      // never summed twice (sketch adds are not idempotent)
+      Streams.writeAmsPartial(b1.toDF("g", "k"), 1L, "g", "k", path)
+      assert(m(Streams.readAmsSketch(spark, path, "g")) == direct,
+        "replayed batch must not double-count")
+    } finally q.stop()
+  }
 }
