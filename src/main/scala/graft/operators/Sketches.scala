@@ -44,7 +44,7 @@ object Sketches {
     * `length(bin(w))` = floor(log2 w)+1 — pure integer/string ops, so
     * Spark and DuckDB agree exactly (no floating log2).
     */
-  private def rho(word: Column): Column =
+  private[operators] def rho(word: Column): Column =
     when(word > 0, lit(HllW + 1) - length(bin(word))).otherwise(lit(HllW + 1))
 
   /** Per-group HLL registers: one row per (group, bucket) with the max
@@ -80,6 +80,55 @@ object Sketches {
         round(lit(HllAlpha * HllM * HllM) /
           ((lit(HllM) - col("present")).cast("double") + col("s_present")), 4)
           .as("hll_estimate"): _*)
+
+  /** 64-register HLL block as ONE typed aggregate — the building
+    * block of [[graft.operators.Validate.profileSketch]]: expressing
+    * a register block as 64 separate `max(when(bucket = b, rho))`
+    * agg expressions pushes a multi-column profile past the
+    * whole-stage-codegen field limit into the interpreted aggregate
+    * path (measured 5.7 s vs 1 s-class at sf0.1 × 4 columns); a
+    * single array-buffered aggregate keeps the agg narrow at any
+    * column count. Input (bucket, rho) as PRIMITIVES with −1 as the
+    * null sentinel (an Option-tuple encoder boxes per row — measured
+    * ~2× on the profile scan); a null value's digest contributes
+    * nothing. Output: the 64 registers in bucket order,
+    * 0 = untouched. Merge is element-wise max — the HLL shard
+    * contract.
+    */
+  final class HllRegisterBlock
+      extends org.apache.spark.sql.expressions.Aggregator[
+        (Long, Int), Array[Int], Seq[Int]] {
+    override def zero: Array[Int] = new Array[Int](HllM)
+    override def reduce(buf: Array[Int], in: (Long, Int)): Array[Int] = {
+      if (in._1 >= 0) {
+        val i = in._1.toInt
+        if (in._2 > buf(i)) buf(i) = in._2
+      }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < HllM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Untyped-callable form: `hllRegisterBlock(bucketCol, rhoCol)` —
+    * callers pass coalesce(bucket, −1)/coalesce(rho, −1).
+    */
+  lazy val hllRegisterBlock
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[(Long, Int)] =
+      org.apache.spark.sql.Encoders.tuple(
+        org.apache.spark.sql.Encoders.scalaLong,
+        org.apache.spark.sql.Encoders.scalaInt)
+    udaf(new HllRegisterBlock)
+  }
 
   /** Per-group approximate distinct count. */
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =

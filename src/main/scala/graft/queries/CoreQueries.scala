@@ -562,6 +562,23 @@ object CoreQueries {
         graft.operators.Validate.OneOf("o_orderstatus", Seq("F", "O"))))
         .orderBy("constraint")),
 
+    // one-pass sketch profile next to the exact per-column-pass
+    // profile: C columns' null counts, HLL distinct estimates (64
+    // register aggs per column), and min/max from a SINGLE scan —
+    // the 100 TB form of q_validate_profile
+    "q_profile_sketch" -> ((s, d) => {
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus")
+      val li = Tables.lineitem(s, d)
+      graft.operators.Validate.profileSketch(li, cols)
+        .join(graft.operators.Validate.profile(li, cols)
+          .select(col("column_name"),
+            col("n_distinct").as("exact_distinct")), "column_name")
+        .select("column_name", "null_count", "exact_distinct",
+          "distinct_est", "min_val", "max_val")
+        .orderBy("column_name")
+    }),
+
     // Benford first-digit audit of order totals per priority class:
     // observed vs expected-per-mille counts, integer ‰ deviation —
     // the fabricated-feed detector that fires before range checks do
@@ -1342,6 +1359,43 @@ object CoreQueries {
         |  ('one_of(o_orderstatus)', a.v_oneof, a.v_oneof = 0))
         |  t("constraint", violations, passed)
         |ORDER BY "constraint"""".stripMargin,
+
+    "q_profile_sketch" -> {
+      import graft.operators.Sketches
+      val m = Sketches.HllM
+      val rhoMax = 32 - Sketches.HllB + 1
+      val alphaM2 = Sketches.HllAlpha * m * m
+      val cols = Seq("l_orderkey", "l_linenumber", "l_returnflag",
+        "l_linestatus")
+      val ctes = cols.map { c =>
+        val hv = graft.functions.Portable.hash32Sql(s"CAST($c AS VARCHAR)")
+        s"""p_$c AS (SELECT
+           |    CAST(sum(CASE WHEN $c IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+           |      AS null_count,
+           |    CAST(count(DISTINCT $c) AS BIGINT) AS exact_distinct,
+           |    CAST(min($c) AS VARCHAR) AS min_val,
+           |    CAST(max($c) AS VARCHAR) AS max_val
+           |  FROM lineitem),
+           |r_$c AS (SELECT hv % $m AS bucket,
+           |    max(CASE WHEN hv // $m > 0
+           |        THEN $rhoMax - length(bin(hv // $m)) ELSE $rhoMax END) AS m
+           |  FROM (SELECT $hv AS hv FROM lineitem WHERE $c IS NOT NULL)
+           |  GROUP BY 1),
+           |e_$c AS (SELECT count(*) AS present,
+           |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS s_present
+           |  FROM r_$c)""".stripMargin
+      }.mkString(",\n")
+      val selects = cols.map { c =>
+        s"""SELECT '$c' AS column_name, p.null_count, p.exact_distinct,
+           |  round($alphaM2 / (($m - coalesce(e.present, 0))
+           |    + coalesce(e.s_present, 0.0)), 4) AS distinct_est,
+           |  p.min_val, p.max_val
+           |FROM p_$c p CROSS JOIN e_$c e""".stripMargin
+      }.mkString("\nUNION ALL\n")
+      s"""WITH $ctes
+         |$selects
+         |ORDER BY column_name""".stripMargin
+    },
 
     "q_benford" -> {
       val vals = graft.operators.Validate.BenfordPermille.zipWithIndex

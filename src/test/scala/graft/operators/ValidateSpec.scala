@@ -63,6 +63,45 @@ class ValidateSpec extends SparkSpec {
     assert(got("fresh") == (("added", "ok")))
   }
 
+  test("profileSketch: exact nulls/min/max, estimate within 3 sigma") {
+    val data = (1 to 5000).map(i =>
+      (i.toLong, s"s${i % 50}", if (i % 10 == 0) None else Some(s"v$i")))
+      .toDF("id", "cat", "maybe")
+    val p = Validate.profileSketch(data, Seq("id", "cat", "maybe"))
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), r.getDouble(2), r.getString(3), r.getString(4)))
+      .toMap
+    assert(p("id")._1 == 0L && p("maybe")._1 == 500L, "null counts exact")
+    assert(p("id")._3 == "1" && p("id")._4 == "5000",
+      "min/max on the native type, stringified after")
+    // 3 sigma at m=64 registers is 39 % (large-n regime)
+    assert(math.abs(p("id")._2 - 5000) < 0.39 * 5000, p("id").toString)
+    assert(math.abs(p("maybe")._2 - 4500) < 0.39 * 4500, p("maybe").toString)
+    assert(p("cat")._2 > 0, "small-cardinality estimate is positive")
+    // the xxhash64 production path: same estimator over different
+    // registers — same exactness for nulls/min/max, same error band
+    val px = Validate.profileSketch(data, Seq("id", "maybe"),
+      portable = false)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    assert(px("maybe")._1 == 500L)
+    assert(math.abs(px("id")._2 - 5000) < 0.39 * 5000, px("id").toString)
+  }
+
+  test("profileSketch plans ONE scan where profile plans one per column") {
+    import org.apache.spark.sql.execution.FileSourceScanExec
+    val li = graft.model.Tables.lineitem(spark, sf)
+    def scans(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.sparkPlan.collect {
+        case s: FileSourceScanExec => s
+      }.size
+    val cols = Seq("l_orderkey", "l_returnflag", "l_linestatus")
+    assert(scans(Validate.profileSketch(li, cols)) == 1,
+      "C columns must profile in a single pass")
+    assert(scans(Validate.profile(li, cols)) == cols.size,
+      "the exact profile is the per-column-branch baseline")
+  }
+
   test("benford: integer digit extraction, permille table, deviation") {
     val vals = Seq(
       ("g", 1.23),   // cents 122  -> digit 1 (1.23 is 1.2299..., floor)
