@@ -337,6 +337,87 @@ object Sketches {
       .na.fill(0L, Seq("exact_join_size"))
   }
 
+  /** Trailing-window distinct via mergeable registers — the
+    * sliding-window form of [[hllDistinct]]: per-day register tables
+    * merge by MAX over the trailing `windowDays` calendar window,
+    * then each day's estimate closes from its 64 merged registers.
+    * The merge runs as a range-frame window over a DENSE day × bucket
+    * grid (days × 64 rows — a bucket untouched today must still
+    * surface its in-window rank from an earlier day, and range frames
+    * only see rows that exist). Exact trailing distinct carries every
+    * (day, key) pair into every window it covers (cost ∝ windowDays ×
+    * distinct facts — how the exact rolling-AU works); the sketch
+    * path carries days × 64 register rows regardless of corpus size —
+    * the 100 TB form of the trailing-distinct dashboard, and the
+    * stored form is per-day registers that any later window width can
+    * re-merge without touching the facts. Keys hash via their STRING
+    * rendering (int/string keys — the [[graft.operators.Validate
+    * .profileSketch]] portability bound).
+    */
+  def hllSlidingDistinct(df: DataFrame, tsCol: String, keyCol: String,
+                         windowDays: Int): DataFrame = {
+    val daily = df.filter(col(tsCol).isNotNull && col(keyCol).isNotNull)
+      .select(to_date(col(tsCol)).as("day"),
+        col(keyCol).cast("string").as("__k"))
+    val reg = hllRegisters(daily, "day", "__k")
+    val days = daily.select("day").distinct()
+    val grid = days.crossJoin(
+      spark_range_buckets(daily.sparkSession))
+      .join(reg, Seq("day", "bucket"), "left")
+      .withColumn("__epoch",
+        datediff(col("day"), to_date(lit("1970-01-01"))))
+    val w = Window.partitionBy(col("bucket")).orderBy(col("__epoch"))
+      .rangeBetween(-(windowDays - 1).toLong, 0L)
+    val merged = grid.withColumn("mw", max(col("m")).over(w))
+    val est = merged.groupBy(col("day"))
+      .agg(
+        sum(when(col("mw").isNotNull, 1).otherwise(0)).as("present"),
+        sum(when(col("mw").isNotNull,
+          expr("1.0 / cast(shiftleft(1L, mw) as double)"))
+          .otherwise(lit(0.0))).as("s_present"))
+      .select(col("day"),
+        round(lit(HllAlpha * HllM * HllM) /
+          ((lit(HllM) - col("present")).cast("double") + col("s_present")),
+          4).as("hll_estimate"))
+    val dk = daily.distinct()
+    val exact = days.as("g")
+      .join(dk.as("f"),
+        datediff(col("g.day"), col("f.day")).between(0, windowDays - 1))
+      .groupBy(col("g.day").as("day"))
+      .agg(countDistinct(col("f.__k")).as("exact_distinct"))
+    est.join(exact, Seq("day"))
+      // day rendered as the ISO string (the engine's report-column
+      // convention for dates; string order ≡ chronological)
+      .select(col("day").cast("string").as("day"),
+        col("exact_distinct"), col("hll_estimate"))
+  }
+
+  /** The 64-bucket dimension frame for the dense sliding grid. */
+  private def spark_range_buckets(
+      spark: org.apache.spark.sql.SparkSession): DataFrame =
+    spark.range(HllM).select(col("id").cast("long").as("bucket"))
+
+  /** Per-group second moment (F₂ = Σ_key n_key²) from the SAME
+    * sketch: E[Σ_b X[b]²] = F₂ exactly — the original AMS statistic.
+    * F₂/n² is the collision mass of a hash-partitioned shuffle on the
+    * key, i.e. THE skew indicator: a group whose F₂ approaches n²
+    * funnels its shuffle into one partition ([[Scale]]'s salting
+    * trigger), and this reads it from 256 longs instead of
+    * [[graft.operators.Scale.skewReport]]'s exact per-key pass.
+    * Exact companion beside the estimate, as everywhere.
+    */
+  def amsSelfJoinSize(df: DataFrame, groupCol: String,
+                      keyCol: String): DataFrame = {
+    val est = amsSketch(df, groupCol, keyCol)
+      .groupBy(col(groupCol))
+      .agg(sum(col("xv") * col("xv")).as("f2_est"))
+    val exact = df.groupBy(col(groupCol), col(keyCol))
+      .agg(count(lit(1)).as("n"))
+      .groupBy(col(groupCol))
+      .agg(sum(col("n") * col("n")).as("f2_exact"))
+    est.join(exact, groupCol)
+  }
+
   // ---- log₂-histogram quantile sketch ----
 
   /** Per-group log₂ histogram of a non-negative long column: bucket 0

@@ -63,6 +63,21 @@ object SketchQueries {
       Sketches.amsJoinSize(toks(s, d), "source", "tok")
         .orderBy("ga", "gb")),
 
+    // trailing-7-day distinct users from window-merged HLL registers:
+    // per-day register tables (the stored artifact any window width
+    // can re-merge) max-merge over the calendar range frame; the
+    // exact rolling distinct sits beside the estimate
+    "q_hll_sliding" -> ((s, d) =>
+      Sketches.hllSlidingDistinct(Tables.events(s, d), "ts", "user_id", 7)
+        .orderBy("day")),
+
+    // per-source F2 (second moment) from the same AMS sketch — the
+    // skew indicator: F2/n² is the collision mass a shuffle keyed on
+    // tok would funnel into one partition
+    "q_ams_f2" -> ((s, d) =>
+      Sketches.amsSelfJoinSize(toks(s, d), "source", "tok")
+        .orderBy("source")),
+
     // the shard-merge path: per-source registers merged by max into
     // ONE corpus-level estimate, next to the exact global distinct —
     // mergeability is what lets 100 TB of shard sketches answer
@@ -309,6 +324,61 @@ object SketchQueries {
          |FROM est
          |LEFT JOIN ex ON ex.ga = est.ga AND ex.gb = est.gb
          |ORDER BY est.ga, est.gb""".stripMargin
+    },
+
+    "q_hll_sliding" -> {
+      val wd = 7
+      s"""WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+         |    CAST(user_id AS VARCHAR) AS k
+         |  FROM events WHERE ts IS NOT NULL AND user_id IS NOT NULL),
+         |h AS (SELECT day, ${Portable.hash32Sql("k")} AS hv FROM daily),
+         |reg AS (SELECT day, hv % $M AS bucket,
+         |    max(CASE WHEN hv // $M > 0
+         |        THEN $RhoMax - length(bin(hv // $M)) ELSE $RhoMax END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |days AS (SELECT DISTINCT day FROM daily),
+         |grid AS (SELECT d.day, b.bucket, r.m,
+         |    date_diff('day', DATE '1970-01-01', d.day) AS epoch
+         |  FROM days d CROSS JOIN range(0, $M) b(bucket)
+         |  LEFT JOIN reg r ON r.day = d.day AND r.bucket = b.bucket),
+         |mg AS (SELECT day, bucket,
+         |    max(m) OVER (PARTITION BY bucket ORDER BY epoch
+         |      RANGE BETWEEN ${wd - 1} PRECEDING AND CURRENT ROW) AS mw
+         |  FROM grid),
+         |est AS (SELECT day,
+         |    sum(CASE WHEN mw IS NOT NULL THEN 1 ELSE 0 END) AS present,
+         |    sum(CASE WHEN mw IS NOT NULL
+         |        THEN 1.0 / CAST(1::BIGINT << mw AS DOUBLE)
+         |        ELSE 0.0 END) AS s_present
+         |  FROM mg GROUP BY 1),
+         |dk AS (SELECT DISTINCT day, k FROM daily),
+         |ex AS (SELECT g.day,
+         |    CAST(count(DISTINCT f.k) AS BIGINT) AS exact_distinct
+         |  FROM days g JOIN dk f
+         |    ON f.day <= g.day AND f.day >= g.day - ${wd - 1}
+         |  GROUP BY 1)
+         |SELECT CAST(est.day AS VARCHAR) AS day, ex.exact_distinct,
+         |  round(${Sketches.HllAlpha * M * M} /
+         |    (($M - present) + s_present), 4) AS hll_estimate
+         |FROM est JOIN ex USING (day)
+         |ORDER BY est.day""".stripMargin
+    },
+
+    "q_ams_f2" -> {
+      val bkts = Sketches.AmsBuckets
+      s"""WITH $toksCte,
+         |hh AS (SELECT source, ${Portable.hash60Sql("tok")} AS h FROM toks),
+         |x AS (SELECT source, (h >> 1) % $bkts AS b,
+         |    CAST(sum((h & 1) * 2 - 1) AS BIGINT) AS xv
+         |  FROM hh GROUP BY 1, 2),
+         |est AS (SELECT source, CAST(sum(xv * xv) AS BIGINT) AS f2_est
+         |  FROM x GROUP BY 1),
+         |tf AS (SELECT source, tok, count(*) AS n FROM toks GROUP BY 1, 2),
+         |ex AS (SELECT source, CAST(sum(n * n) AS BIGINT) AS f2_exact
+         |  FROM tf GROUP BY 1)
+         |SELECT est.source, est.f2_est, ex.f2_exact
+         |FROM est JOIN ex USING (source)
+         |ORDER BY source""".stripMargin
     },
 
     "q_hll_union" ->

@@ -333,6 +333,32 @@ class SketchesSpec extends SparkSpec {
     }
   }
 
+  test("hllSlidingDistinct: window merge ≡ sketching the window's union") {
+    val rows = (0 until 10).flatMap { d =>
+      (0 until 200).map(i =>
+        (java.sql.Timestamp.valueOf(f"2024-01-${d + 1}%02d 12:00:00"),
+          s"u${d * 150 + i}"))
+    }.toDF("ts", "k")
+    val got = Sketches.hllSlidingDistinct(rows, "ts", "k", 3)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getDouble(2)))
+      .toMap
+    // 200 keys/day with 50 overlapping into the next day: a full
+    // 3-day window holds 200 + 150 + 150 = 500 distinct keys
+    assert(got("2024-01-05")._1 == 500L, got("2024-01-05").toString)
+    // ragged leading edge: day 1's window is just itself
+    assert(got("2024-01-01")._1 == 200L)
+    // the mergeability contract: the day's estimate equals hllDistinct
+    // over EXACTLY the window's rows (max-merged registers ≡ registers
+    // of the union)
+    val windowRows = rows
+      .filter(col("ts").between("2024-01-03 00:00:00", "2024-01-05 23:59:59"))
+      .select(lit("g").as("g"), col("k"))
+    val direct = Sketches.hllDistinct(windowRows, "g", "k")
+      .head.getDouble(1)
+    assert(got("2024-01-05")._2 == direct,
+      s"window-merged ${got("2024-01-05")._2} vs direct $direct")
+  }
+
   test("amsJoinSize: exact companion correct; collision-free est is exact") {
     // g1 ⋈ g2 on key: x contributes 2·1, y contributes 1·2 → 4
     val df = Seq(("g1", "x"), ("g1", "x"), ("g1", "y"),
