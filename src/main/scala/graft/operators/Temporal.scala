@@ -589,4 +589,45 @@ object Temporal {
       col("e.sp").as("cusum_pos"), col("e.sn").as("cusum_neg"),
       col("e.cp").as("changepoint"))
   }
+
+  /** Trending items: per (day, item), the trailing-`recentDays` count
+    * against the preceding-`baselineDays` baseline, scored as an
+    * integer rate ratio (score_ppm = 10⁶·recent·baselineDays div
+    * max(baseline,1)·recentDays — cross-multiplied, no float), top-n
+    * risers per day. The detector behind "what's surging today" over
+    * any keyed count stream (query terms, items, document domains).
+    *
+    * Shape: both windows are calendar RANGE frames over the (item,
+    * day) daily-count frame — state ∝ distinct (item, day) cells,
+    * never raw events; gaps need no dense grid because a day with no
+    * row for an item contributes 0 to every covering window by
+    * absence, and only items ACTIVE on the report day (≥ minRecent
+    * in-window) are reported. The per-day top-n is the row_number ≤ n
+    * shape [[graft.plans.GroupedTopKRule]] rewrites to the
+    * bounded-heap exec.
+    */
+  def trendingItems(daily: DataFrame, itemCol: String, dayCol: String,
+                    countCol: String, topN: Int = 5, recentDays: Int = 3,
+                    baselineDays: Int = 7, minRecent: Long = 3L): DataFrame = {
+    val epoch = datediff(col(dayCol), to_date(lit("1970-01-01")))
+    val wr = Window.partitionBy(col(itemCol)).orderBy(epoch)
+      .rangeBetween(-(recentDays - 1).toLong, 0L)
+    val wb = Window.partitionBy(col(itemCol)).orderBy(epoch)
+      .rangeBetween(-(baselineDays + recentDays - 1).toLong,
+        -recentDays.toLong)
+    val scored = daily
+      .withColumn("recent", sum(col(countCol)).over(wr))
+      .withColumn("baseline",
+        coalesce(sum(col(countCol)).over(wb), lit(0L)))
+      .withColumn("score_ppm", expr(
+        s"(recent * $baselineDays * 1000000L) div " +
+          s"(greatest(baseline, 1L) * $recentDays)"))
+      .filter(col("recent") >= minRecent)
+    val wd = Window.partitionBy(col(dayCol))
+      .orderBy(col("score_ppm").desc, col(itemCol))
+    scored.withColumn("rank", row_number().over(wd))
+      .filter(col("rank") <= topN)
+      .select(col(dayCol).cast("string").as(dayCol), col(itemCol),
+        col("recent"), col("baseline"), col("score_ppm"), col("rank"))
+  }
 }

@@ -227,6 +227,20 @@ object EventQueries {
         .orderBy("cohort", "user_id")
     }),
 
+    // trending detector: per day, the top-5 items whose trailing-3-day
+    // count surges over their preceding-7-day baseline — integer rate
+    // ratio over calendar range-frame windows on the (item, day)
+    // daily-count cells, per-day top-k through the GroupedTopK shape
+    "q_trending" -> ((s, d) => {
+      val daily = ev(s, d)
+        .select(to_date(col("ts")).as("day"),
+          get_json_object(col("props"), "$.k").cast("long").as("item"))
+        .filter(col("item").isNotNull)
+        .groupBy("day", "item").agg(count(lit(1)).as("n"))
+      graft.operators.Temporal.trendingItems(daily, "item", "day", "n")
+        .orderBy("day", "rank")
+    }),
+
     // JSON extraction from the props column
     "q_json" -> ((s, d) =>
       ev(s, d)
@@ -681,6 +695,35 @@ object EventQueries {
       """SELECT event_id,
         |  CAST(json_extract_string(props, '$.k') AS BIGINT) AS k
         |FROM events ORDER BY event_id""".stripMargin,
+
+    "q_trending" ->
+      """WITH daily AS (SELECT CAST(ts AS DATE) AS day,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS item,
+        |    count(*) AS n
+        |  FROM events
+        |  WHERE json_extract_string(props, '$.k') IS NOT NULL
+        |  GROUP BY 1, 2),
+        |sc AS (SELECT day, item, n,
+        |    sum(n) OVER (PARTITION BY item
+        |      ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |      RANGE BETWEEN 2 PRECEDING AND CURRENT ROW) AS recent,
+        |    coalesce(sum(n) OVER (PARTITION BY item
+        |      ORDER BY date_diff('day', DATE '1970-01-01', day)
+        |      RANGE BETWEEN 9 PRECEDING AND 3 PRECEDING), 0) AS baseline
+        |  FROM daily),
+        |r AS (SELECT day, item, recent, baseline,
+        |    (recent * 7 * 1000000) // (greatest(baseline, 1) * 3)
+        |      AS score_ppm
+        |  FROM sc WHERE recent >= 3),
+        |rk AS (SELECT *, row_number() OVER (PARTITION BY day
+        |    ORDER BY score_ppm DESC, item) AS rank FROM r)
+        |SELECT CAST(day AS VARCHAR) AS day, item,
+        |  CAST(recent AS BIGINT) AS recent,
+        |  CAST(baseline AS BIGINT) AS baseline,
+        |  CAST(score_ppm AS BIGINT) AS score_ppm,
+        |  CAST(rank AS INT) AS rank
+        |FROM rk WHERE rank <= 5
+        |ORDER BY day, rank""".stripMargin,
 
     "q_zscore" ->
       """WITH s AS (SELECT event_type, avg(value) AS mu,

@@ -359,4 +359,22 @@ class TemporalSpec extends SparkSpec {
     assert(got.exists(r => r._1.isEmpty && r._3 == 2L),
       s"NULL-type rows must appear in the ladder: ${got.toSeq}")
   }
+
+  test("trendingItems: surge outranks steady, integer rate ratio exact") {
+    import org.apache.spark.sql.functions._
+    val days = (1 to 12).map(d => f"2024-03-$d%02d")
+    // A: steady 10/day. B: 1/day baseline, surges to 30/day on the 10th
+    val daily = (days.map(d => (d, "A", 10L)) ++
+      days.map(d => (d, "B", if (d >= "2024-03-10") 30L else 1L)))
+      .toDF("d0", "item", "n")
+      .withColumn("day", to_date(col("d0"))).drop("d0")
+    val got = Temporal.trendingItems(daily, "item", "day", "n", topN = 1)
+      .collect().map(r => r.getString(0) -> (r.getString(1), r.getLong(4)))
+      .toMap
+    // 03-12: B recent = 90, baseline (03-03..03-09) = 7
+    //   -> 90·7·10⁶ div (7·3) = 30,000,000; A scores 10⁶ — B wins
+    assert(got("2024-03-12") == (("B", 30000000L)), got("2024-03-12"))
+    // pre-surge 03-09 both rate-flat at the same score — item tie-break
+    assert(got("2024-03-09")._1 == "A", got("2024-03-09"))
+  }
 }
