@@ -522,6 +522,17 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "text")
         .orderBy("doc_id")),
 
+    // the DSv2 complete-aggregate pushdown: COUNT/MIN/MAX answered
+    // arithmetically from the pruned id range (footer-statistics
+    // analogue) — zero rows generated; SyntheticDocsSpec pins the
+    // MetaScan plan shape, this pins the values vs the mirror
+    "q_synth_agg" -> ((s, _) =>
+      s.read.format("graft.sources.SyntheticDocs")
+        .option("rows", "100000").option("parts", "8").load()
+        .filter(col("doc_id") >= 1000 && col("doc_id") < 2000)
+        .agg(count(lit(1)).as("n"), min(col("doc_id")).as("min_id"),
+          max(col("doc_id")).as("max_id"))),
+
     // MERGE upsert+delete into a keyed parquet table: bootstrap with a
     // subset, then one merge batch that updates (%5), deletes (%10),
     // and inserts (%5 keys missing from the base) — read back and
@@ -1301,6 +1312,12 @@ object CoreQueries {
       s"""SELECT ${graft.sources.SyntheticDocs.oracleSelectList}
          |FROM generate_series(1000, 1999) t(id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_synth_agg" ->
+      """SELECT CAST(count(*) AS BIGINT) AS n,
+        |  CAST(min(id) AS BIGINT) AS min_id,
+        |  CAST(max(id) AS BIGINT) AS max_id
+        |FROM generate_series(1000, 1999) t(id)""".stripMargin,
 
     // final table = (base keys not touched) ∪ (non-deleted updates):
     // kept iff (%7≠0 OR %5=0) AND %10≠0; status 'U' on every %5 key

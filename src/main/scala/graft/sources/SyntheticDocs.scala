@@ -8,7 +8,8 @@ import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
 import org.apache.spark.sql.connector.catalog.{SupportsRead, Table, TableCapability, TableProvider}
 import org.apache.spark.sql.connector.expressions.Transform
-import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar}
+import org.apache.spark.sql.connector.expressions.NamedReference
+import org.apache.spark.sql.connector.expressions.aggregate.{Aggregation, CountStar, Max, Min}
 import org.apache.spark.sql.connector.read.{Batch, InputPartition, PartitionReader, PartitionReaderFactory, Scan, ScanBuilder, SupportsPushDownAggregates, SupportsPushDownFilters, SupportsPushDownRequiredColumns}
 import org.apache.spark.sql.sources.{EqualTo, Filter, GreaterThan, GreaterThanOrEqual, LessThan, LessThanOrEqual}
 import org.apache.spark.sql.types._
@@ -86,21 +87,40 @@ object SyntheticDocs {
     private var hi: Long = rows // exclusive
     private var pushed: Array[Filter] = Array.empty
     private var required: StructType = SyntheticDocs.schema
-    private var countPushed = false
+    private var pushedAggs: Seq[String] = Nil
 
-    /** COUNT(*) with no grouping is answered ARITHMETICALLY from the
-      * pruned range — zero rows generated, zero read: the synthetic
-      * analogue of parquet answering count from footer metadata.
-      * COMPLETE pushdown (not partial): the returned row IS the final
-      * answer.
+    /** COUNT(*) / MIN(doc_id) / MAX(doc_id) with no grouping are
+      * answered ARITHMETICALLY from the pruned range — zero rows
+      * generated, zero read: the synthetic analogue of parquet
+      * answering count/min/max from footer statistics (doc_id is the
+      * monotone generator key, so min = lo and max = hi − 1 by
+      * construction). COMPLETE pushdown (not partial): the returned
+      * row IS the final answer. Any other aggregate, or any grouping,
+      * declines the pushdown and Spark aggregates the generated rows.
       */
     override def supportCompletePushDown(aggregation: Aggregation): Boolean =
       aggregation.groupByExpressions.isEmpty &&
-        aggregation.aggregateExpressions.length == 1 &&
-        aggregation.aggregateExpressions.head.isInstanceOf[CountStar]
+        aggregation.aggregateExpressions.nonEmpty &&
+        aggregation.aggregateExpressions.forall {
+          case _: CountStar => true
+          case m: Min => isDocId(m.column)
+          case m: Max => isDocId(m.column)
+          case _ => false
+        }
+    private def isDocId(
+        e: org.apache.spark.sql.connector.expressions.Expression): Boolean =
+      e match {
+        case f: NamedReference =>
+          f.fieldNames.toSeq == Seq("doc_id")
+        case _ => false
+      }
     override def pushAggregation(aggregation: Aggregation): Boolean = {
       if (!supportCompletePushDown(aggregation)) return false
-      countPushed = true
+      pushedAggs = aggregation.aggregateExpressions.toSeq.map {
+        case _: CountStar => "count"
+        case _: Min => "min"
+        case _: Max => "max"
+      }
       true
     }
 
@@ -126,30 +146,47 @@ object SyntheticDocs {
       required = requiredSchema
 
     override def build(): Scan =
-      if (countPushed) new CountScan(math.max(0L, hi - lo))
+      if (pushedAggs.nonEmpty)
+        new MetaScan(math.max(lo, 0L), math.min(hi, rows), pushedAggs)
       else new SynthScan(rows, lo, hi, parts, required)
   }
 
   final case class SynthPartition(start: Long, end: Long)
       extends InputPartition
 
-  /** Single-row, single-partition scan carrying the precomputed count. */
-  final class CountScan(count: Long) extends Scan with Batch {
+  /** Single-row, single-partition scan carrying the precomputed
+    * aggregate answers for the pruned [lo, hi) range: count = hi − lo,
+    * min = lo, max = hi − 1 (min/max null on an empty range — global
+    * agg semantics).
+    */
+  final class MetaScan(lo: Long, hi: Long, aggs: Seq[String])
+      extends Scan with Batch {
+    private val count = math.max(0L, hi - lo)
     override def readSchema(): StructType =
-      StructType(Seq(StructField("count", LongType, nullable = false)))
+      StructType(aggs.zipWithIndex.map {
+        case ("count", i) => StructField(s"agg$i", LongType, nullable = false)
+        case (_, i) => StructField(s"agg$i", LongType, nullable = true)
+      })
     override def toBatch: Batch = this
     override def description(): String =
-      s"GraftSyntheticDocs pushed-count=$count"
+      s"GraftSyntheticDocs pushed-aggs=${aggs.mkString(",")} " +
+        s"range=[$lo,$hi) count=$count"
     override def planInputPartitions(): Array[InputPartition] =
       Array(SynthPartition(0L, 1L))
-    override def createReaderFactory(): PartitionReaderFactory =
-      new CountReaderFactory(count)
+    override def createReaderFactory(): PartitionReaderFactory = {
+      val cells: Array[Any] = aggs.map {
+        case "count" => count: Any
+        case "min" => if (count > 0) (lo: Any) else null
+        case "max" => if (count > 0) (hi - 1: Any) else null
+      }.toArray
+      new MetaReaderFactory(cells)
+    }
   }
 
   /** Standalone (serializable) factory — an inner anonymous class
     * would capture the non-serializable Scan via `$outer`.
     */
-  final class CountReaderFactory(count: Long)
+  final class MetaReaderFactory(cells: Array[Any])
       extends PartitionReaderFactory {
     override def createReader(p: InputPartition)
         : PartitionReader[InternalRow] =
@@ -158,7 +195,7 @@ object SyntheticDocs {
         override def next(): Boolean =
           if (emitted) false else { emitted = true; true }
         override def get(): InternalRow =
-          new GenericInternalRow(Array[Any](count))
+          new GenericInternalRow(cells)
         override def close(): Unit = ()
       }
   }

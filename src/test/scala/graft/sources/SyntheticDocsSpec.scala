@@ -55,8 +55,33 @@ class SyntheticDocsSpec extends SparkSpec {
       .agg(count(lit(1)))
     assert(df.head().getLong(0) == 1000L)
     val plan = df.queryExecution.executedPlan.toString
-    assert(plan.contains("pushed-count=1000"),
+    assert(plan.contains("pushed-aggs=count") && plan.contains("count=1000"),
       s"count must be answered arithmetically from the pruned range:\n$plan")
+  }
+
+  test("min/max(doc_id) push down complete: answered from the pruned range") {
+    val df = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "100000").option("parts", "8").load()
+      .filter(col("doc_id") >= 1000L && col("doc_id") < 2000L)
+      .agg(count(lit(1)).as("n"), min(col("doc_id")).as("lo"),
+        max(col("doc_id")).as("hi"))
+    val r = df.head()
+    assert((r.getLong(0), r.getLong(1), r.getLong(2)) == ((1000L, 1000L, 1999L)))
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("pushed-aggs=count,min,max"),
+      s"the whole agg triple must be answered from metadata:\n$plan")
+    // empty range: count 0, min/max NULL — global-agg semantics intact
+    val e = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "100").option("parts", "2").load()
+      .filter(col("doc_id") >= 500L)
+      .agg(count(lit(1)), min(col("doc_id"))).head()
+    assert(e.getLong(0) == 0L && e.isNullAt(1))
+    // a non-pushable aggregate declines: Spark aggregates generated
+    // rows and still agrees with the generator arithmetic
+    val s = spark.read.format("graft.sources.SyntheticDocs")
+      .option("rows", "100").option("parts", "2").load()
+      .agg(min(col("n_chars"))).head()
+    assert(s.getLong(0) == (0L until 100L).map(SyntheticDocs.genNChars).min)
   }
 
   test("catalog plugin: pure-SQL access with the provider's pushdowns intact") {
@@ -66,7 +91,7 @@ class SyntheticDocsSpec extends SparkSpec {
     val cnt = spark.sql("SELECT count(*) FROM graft.synth.docs_500")
     assert(cnt.head().getLong(0) == 500L)
     assert(cnt.queryExecution.executedPlan.toString
-      .contains("pushed-count=500"))
+      .contains("count=500"))
     val row = spark.sql(
       """SELECT source, n_chars FROM graft.synth.docs_500
         |WHERE doc_id = 42""".stripMargin).head()
