@@ -793,6 +793,40 @@ object Streams {
         .write.mode("overwrite")
         .parquet(s"$sketchPath/batch_id=$batchId")
 
+  /** Streaming trending readout — the serving twin of
+    * [[graft.operators.Temporal.trendingItems]]: each micro-batch's
+    * (day, item) counts land under `batch_id=<id>` (the
+    * [[amsMaintainingIngest]] partial-table discipline — counts ADD,
+    * so a replayed batch must overwrite its own partition, never sum
+    * twice), and the per-day top-n surge report over EVERYTHING
+    * ingested so far is handed to the caller after each batch. The
+    * stored table is (batches × active day×item cells) rows — the
+    * report never re-reads raw events.
+    */
+  def trendingMaintainingIngest(events: DataFrame, tsCol: String,
+                                itemCol: String, countsPath: String,
+                                options: Map[String, String] = Map.empty)
+                               (onReport: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    events.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        val daily = batch
+          .select(to_date(col(tsCol)).as("day"), col(itemCol).as("item"))
+          .filter(col("item").isNotNull)
+          .groupBy("day", "item").agg(count(lit(1)).as("n"))
+        if (!daily.isEmpty) {
+          daily.write.mode("overwrite")
+            .parquet(s"$countsPath/batch_id=$id")
+          val merged = batch.sparkSession.read.parquet(countsPath)
+            .groupBy("day", "item").agg(sum(col("n")).as("n"))
+          onReport(graft.operators.Temporal
+            .trendingItems(merged, "item", "day", "n"), id)
+        }
+      }
+      .start()
+
   /** Merged view of a [[amsMaintainingIngest]] sketch table: bucket-
     * wise SUM over the per-batch partials (partition discovery reads
     * `batch_id=` from the directory names; the merge drops it). The

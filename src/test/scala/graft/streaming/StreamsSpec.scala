@@ -1129,6 +1129,48 @@ class StreamsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("trending-maintaining ingest: report ≡ batch trendingItems over all ingested") {
+    implicit val sqlCtx = spark.sqlContext
+    val tag = System.nanoTime()
+    val path = s"${sys.props("java.io.tmpdir")}/graft_trend_ingest_$tag"
+    val ckpt = s"${sys.props("java.io.tmpdir")}/graft_trend_ckpt_$tag"
+    def ts(d: Int) = java.sql.Timestamp.valueOf(f"2024-03-$d%02d 10:00:00")
+    // steady A, B surging on the last days — split across two batches
+    val b0 = (1 to 8).flatMap(d =>
+      Seq.fill(10)((ts(d), "A")) ++ Seq.fill(1)((ts(d), "B")))
+    val b1 = (9 to 12).flatMap(d =>
+      Seq.fill(10)((ts(d), "A")) ++
+        Seq.fill(if (d >= 10) 30 else 1)((ts(d), "B")))
+    val reports = scala.collection.mutable.Map[Long, Seq[(String, String, Long)]]()
+    val in = MemoryStream[(java.sql.Timestamp, String)]
+    val q = Streams.trendingMaintainingIngest(
+      in.toDF().toDF("ts", "item"), "ts", "item", path,
+      Map("checkpointLocation" -> ckpt)) { (report, id) =>
+      reports.synchronized {
+        reports(id) = report.orderBy("day", "rank").collect()
+          .map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq
+      }
+    }
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val all = reports.synchronized(reports(1L))
+      // stream report after batch 1 ≡ batch operator over ALL events
+      val want = graft.operators.Temporal.trendingItems(
+        (b0 ++ b1).toDF("ts", "item")
+          .select(to_date(col("ts")).as("day"), col("item"))
+          .groupBy("day", "item").agg(count(lit(1)).as("n")),
+        "item", "day", "n")
+        .orderBy("day", "rank").collect()
+        .map(r => (r.getString(0), r.getString(1), r.getLong(4))).toSeq
+      assert(all == want, s"stream:\n$all\nvs batch:\n$want")
+      // the surge is visible: B tops 03-12
+      assert(all.exists { case (d, i, _) => d == "2024-03-12" && i == "B" })
+    } finally q.stop()
+  }
+
   test("ams-maintaining ingest: merged sketch ≡ batch sketch; replay-idempotent") {
     implicit val sqlCtx = spark.sqlContext
     val tag = System.nanoTime()
