@@ -181,6 +181,21 @@ object Versioned {
   }
 
   /** Read a snapshot: the latest version, or `asOf` for time travel. */
+  /** Snapshot file list + commit-time schema, for external table
+    * surfaces ([[graft.sources.VersionedTable]]) that build their own
+    * scan over the manifest's files. Schema is None only for
+    * pre-schema manifests (none are written anymore).
+    */
+  def snapshot(spark: SparkSession, path: String,
+               asOf: Option[Long] = None)
+      : (Seq[String], Option[org.apache.spark.sql.types.StructType]) = {
+    val vs = versions(spark, path)
+    require(vs.nonEmpty, s"no committed versions at $path")
+    val v = asOf.getOrElse(vs.last)
+    require(vs.contains(v), s"version $v not in $vs")
+    (manifestFiles(spark, path, v), manifestSchema(spark, path, v))
+  }
+
   def read(spark: SparkSession, path: String,
            asOf: Option[Long] = None): DataFrame = {
     val vs = versions(spark, path)

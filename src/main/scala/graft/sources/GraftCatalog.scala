@@ -36,12 +36,21 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * their DataFrame form and pure `spark.sql` text through this
   * catalog.
   *
-  * Read-only by design: create/alter/drop/rename throw — the harness
-  * corpus is immutable input, the synthetic one has no state at all.
+  * The `versioned` namespace is the WRITABLE exception: tables are
+  * [[graft.io.Versioned]] manifest logs under the catalog option
+  * `versionedDir` — `CREATE TABLE` bootstraps an empty v0 commit,
+  * `INSERT INTO`/`INSERT OVERWRITE`/`df.writeTo` commit through the
+  * log (atomic manifest publish, snapshot isolation, time travel),
+  * `DROP TABLE` deletes the log. See [[VersionedTable]].
+  *
+  * Everything else is read-only by design: create/alter/drop/rename
+  * throw — the harness corpus is immutable input, the synthetic one
+  * has no state at all.
   */
 class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var dataDir: Option[String] = None
+  private var versionedDir: Option[String] = None
   // ≤18 digits so `.toLong` can't overflow — a longer digit run is
   // "no such table", not a NumberFormatException out of loadTable
   private val DocsName = "docs_(\\d{1,18})".r
@@ -50,6 +59,14 @@ class GraftCatalog extends TableCatalog {
                           options: CaseInsensitiveStringMap): Unit = {
     catalogName = name
     dataDir = Option(options.get("dir"))
+    versionedDir = Option(options.get("versionedDir"))
+  }
+
+  private def spark = org.apache.spark.sql.SparkSession.active
+  private def vPath(t: String) = s"${versionedDir.get}/$t"
+  private def vExists(t: String): Boolean = versionedDir.isDefined && {
+    val p = new org.apache.hadoop.fs.Path(vPath(t), "_manifests")
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
   }
 
   override def name(): String = catalogName
@@ -61,6 +78,12 @@ class GraftCatalog extends TableCatalog {
           Identifier.of(namespace, s"docs_$n"))
       case Array("data") if dataDir.isDefined =>
         graft.model.Tables.all.toArray.map(Identifier.of(namespace, _))
+      case Array("versioned") if versionedDir.isDefined =>
+        val root = new org.apache.hadoop.fs.Path(versionedDir.get)
+        val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(root)) Array.empty
+        else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+          .filter(vExists).map(Identifier.of(namespace, _))
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
@@ -68,6 +91,8 @@ class GraftCatalog extends TableCatalog {
     (ident.namespace(), ident.name()) match {
       case (Array("synth"), DocsName(n)) =>
         new SyntheticDocs.SynthTable(n.toLong, parts = 8)
+      case (Array("versioned"), t) if vExists(t) =>
+        new VersionedTable(vPath(t), s"$catalogName.versioned.$t")
       case (Array("data"), t)
           if dataDir.isDefined && graft.model.Tables.all.contains(t) =>
         org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
@@ -84,13 +109,40 @@ class GraftCatalog extends TableCatalog {
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
                            properties: util.Map[String, String]): Table =
-    throw new UnsupportedOperationException("graft catalog is read-only")
+    ident.namespace() match {
+      case Array("versioned") if versionedDir.isDefined =>
+        require(partitions.isEmpty,
+          "versioned tables do not support partitioning transforms")
+        require(!vExists(ident.name()),
+          s"versioned table ${ident.name()} already exists")
+        val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
+          org.apache.spark.sql.types.StructField(
+            c.name(), c.dataType(), c.nullable())))
+        // bootstrap: an empty v0 overwrite pins the declared schema in
+        // the manifest, so the first INSERT is an ordinary append
+        val empty = spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
+        graft.io.Versioned.commit(spark, vPath(ident.name()), empty,
+          "overwrite")
+        new VersionedTable(vPath(ident.name()),
+          s"$catalogName.versioned.${ident.name()}")
+      case _ =>
+        throw new UnsupportedOperationException(
+          "only the versioned namespace is writable")
+    }
 
   override def alterTable(ident: Identifier,
                           changes: TableChange*): Table =
     throw new UnsupportedOperationException("graft catalog is read-only")
 
-  override def dropTable(ident: Identifier): Boolean = false
+  override def dropTable(ident: Identifier): Boolean =
+    ident.namespace() match {
+      case Array("versioned") if vExists(ident.name()) =>
+        val p = new org.apache.hadoop.fs.Path(vPath(ident.name()))
+        p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          .delete(p, true)
+      case _ => false
+    }
 
   override def renameTable(oldIdent: Identifier,
                            newIdent: Identifier): Unit =
