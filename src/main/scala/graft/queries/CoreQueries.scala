@@ -522,6 +522,32 @@ object CoreQueries {
         .select("doc_id", "source", "n_chars", "text")
         .orderBy("doc_id")),
 
+    // the writable catalog namespace end to end in PURE SQL: create a
+    // versioned table, land two INSERT INTO ... SELECT batches on the
+    // manifest log, read the snapshot back — the oracle is the source
+    // selection itself, so the whole DDL/DML/commit/scan loop is
+    // hash-checked. Fixed root + DROP-first: the catalog's options are
+    // pinned at first use (CatalogManager caches per name), so the
+    // path must not vary within a session
+    "q_versioned_sql" -> ((s, d) => {
+      val root = s"${sys.props("java.io.tmpdir")}/graft_vsql_catalog"
+      s.conf.set("spark.sql.catalog.graftvq",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftvq.versionedDir", root)
+      s.sql("DROP TABLE IF EXISTS graftvq.versioned.sales")
+      s.sql("CREATE TABLE graftvq.versioned.sales " +
+        "(o_orderkey BIGINT, o_totalprice DOUBLE)")
+      Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
+        .createOrReplaceTempView("__vsql_src")
+      s.sql("INSERT INTO graftvq.versioned.sales " +
+        "SELECT o_orderkey, o_totalprice FROM __vsql_src " +
+        "WHERE o_orderkey % 2 = 0")
+      s.sql("INSERT INTO graftvq.versioned.sales " +
+        "SELECT o_orderkey, o_totalprice FROM __vsql_src " +
+        "WHERE o_orderkey % 2 = 1")
+      s.table("graftvq.versioned.sales").orderBy("o_orderkey")
+    }),
+
     // the DSv2 complete-aggregate pushdown: COUNT/MIN/MAX answered
     // arithmetically from the pruned id range (footer-statistics
     // analogue) — zero rows generated; SyntheticDocsSpec pins the
@@ -1312,6 +1338,11 @@ object CoreQueries {
       s"""SELECT ${graft.sources.SyntheticDocs.oracleSelectList}
          |FROM generate_series(1000, 1999) t(id)
          |ORDER BY doc_id""".stripMargin,
+
+    "q_versioned_sql" ->
+      """SELECT o_orderkey, o_totalprice FROM orders
+        |WHERE o_orderkey % 100 = 0
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q_synth_agg" ->
       """SELECT CAST(count(*) AS BIGINT) AS n,
