@@ -180,7 +180,6 @@ object Versioned {
     next
   }
 
-  /** Read a snapshot: the latest version, or `asOf` for time travel. */
   /** Snapshot file list + commit-time schema, for external table
     * surfaces ([[graft.sources.VersionedTable]]) that build their own
     * scan over the manifest's files. Schema is None only for
@@ -196,14 +195,10 @@ object Versioned {
     (manifestFiles(spark, path, v), manifestSchema(spark, path, v))
   }
 
+  /** Read a snapshot: the latest version, or `asOf` for time travel. */
   def read(spark: SparkSession, path: String,
            asOf: Option[Long] = None): DataFrame = {
-    val vs = versions(spark, path)
-    require(vs.nonEmpty, s"no committed versions at $path")
-    val v = asOf.getOrElse(vs.last)
-    require(vs.contains(v), s"version $v not in $vs")
-    val files = manifestFiles(spark, path, v)
-    val schema = manifestSchema(spark, path, v)
+    val (files, schema) = snapshot(spark, path, asOf)
     if (files.nonEmpty) schema match {
       // read under the COMMIT-TIME snapshot schema: files predating an
       // appended column null-fill it, and the column set/order is the

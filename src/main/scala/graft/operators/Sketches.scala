@@ -368,17 +368,14 @@ object Sketches {
         datediff(col("day"), to_date(lit("1970-01-01"))))
     val w = Window.partitionBy(col("bucket")).orderBy(col("__epoch"))
       .rangeBetween(-(windowDays - 1).toLong, 0L)
+    // close through the ONE estimator implementation — absent-in-
+    // window grid cells (mw null) drop out exactly like absent
+    // register rows in the direct per-group path
     val merged = grid.withColumn("mw", max(col("m")).over(w))
-    val est = merged.groupBy(col("day"))
-      .agg(
-        sum(when(col("mw").isNotNull, 1).otherwise(0)).as("present"),
-        sum(when(col("mw").isNotNull,
-          expr("1.0 / cast(shiftleft(1L, mw) as double)"))
-          .otherwise(lit(0.0))).as("s_present"))
-      .select(col("day"),
-        round(lit(HllAlpha * HllM * HllM) /
-          ((lit(HllM) - col("present")).cast("double") + col("s_present")),
-          4).as("hll_estimate"))
+    val est = hllEstimateFromRegisters(
+      merged.filter(col("mw").isNotNull)
+        .select(col("day"), col("bucket"), col("mw").as("m")),
+      Seq("day"))
     val dk = daily.distinct()
     val exact = days.as("g")
       .join(dk.as("f"),

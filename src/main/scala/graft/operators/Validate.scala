@@ -139,8 +139,12 @@ object Validate {
       val h =
         if (portable)
           graft.functions.Portable.hash32(col(c).cast("string"))
-        else // keep 32 bits so rho's word width matches the md5 path
-          xxhash64(lit(0x5EED), col(c)).bitwiseAND(lit(0xFFFFFFFFL))
+        else // keep 32 bits so rho's word width matches the md5 path;
+          // xxhash64 IGNORES null children (returns the seed hash)
+          // rather than propagating null like md5 — guard explicitly
+          // so a NULL value reaches no register on either path
+          when(col(c).isNotNull,
+            xxhash64(lit(0x5EED), col(c)).bitwiseAND(lit(0xFFFFFFFFL)))
       Seq((h % HllM).as(s"__b_$c"),
         Sketches.rho(shiftright(h, HllB)).as(s"__rho_$c"))
     }: _*)

@@ -526,26 +526,32 @@ object CoreQueries {
     // versioned table, land two INSERT INTO ... SELECT batches on the
     // manifest log, read the snapshot back — the oracle is the source
     // selection itself, so the whole DDL/DML/commit/scan loop is
-    // hash-checked. Fixed root + DROP-first: the catalog's options are
-    // pinned at first use (CatalogManager caches per name), so the
-    // path must not vary within a session
+    // hash-checked
     "q_versioned_sql" -> ((s, d) => {
-      val root = s"${sys.props("java.io.tmpdir")}/graft_vsql_catalog"
-      s.conf.set("spark.sql.catalog.graftvq",
+      // the catalog's options pin at FIRST use (CatalogManager caches
+      // per name), so the catalog NAME carries the scale tag —
+      // concurrent Verify/Bench processes on different sf dirs get
+      // disjoint catalogs AND disjoint roots (the scratch-isolation
+      // contract above); DROP-first keeps same-session re-runs
+      // deterministic
+      val cat = s"graftvq_${scratchTag(d)}"
+      val root =
+        s"${sys.props("java.io.tmpdir")}/graft_vsql_${scratchTag(d)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftvq.versionedDir", root)
-      s.sql("DROP TABLE IF EXISTS graftvq.versioned.sales")
-      s.sql("CREATE TABLE graftvq.versioned.sales " +
+      s.conf.set(s"spark.sql.catalog.$cat.versionedDir", root)
+      s.sql(s"DROP TABLE IF EXISTS $cat.versioned.sales")
+      s.sql(s"CREATE TABLE $cat.versioned.sales " +
         "(o_orderkey BIGINT, o_totalprice DOUBLE)")
       Tables.orders(s, d).filter(col("o_orderkey") % 100 === 0)
         .createOrReplaceTempView("__vsql_src")
-      s.sql("INSERT INTO graftvq.versioned.sales " +
+      s.sql(s"INSERT INTO $cat.versioned.sales " +
         "SELECT o_orderkey, o_totalprice FROM __vsql_src " +
         "WHERE o_orderkey % 2 = 0")
-      s.sql("INSERT INTO graftvq.versioned.sales " +
+      s.sql(s"INSERT INTO $cat.versioned.sales " +
         "SELECT o_orderkey, o_totalprice FROM __vsql_src " +
         "WHERE o_orderkey % 2 = 1")
-      s.table("graftvq.versioned.sales").orderBy("o_orderkey")
+      s.table(s"$cat.versioned.sales").orderBy("o_orderkey")
     }),
 
     // the DSv2 complete-aggregate pushdown: COUNT/MIN/MAX answered

@@ -787,11 +787,16 @@ object Streams {
   private[streaming] def writeAmsPartial(batch: Dataset[org.apache.spark.sql.Row],
                                          batchId: Long, groupCol: String,
                                          keyCol: String,
-                                         sketchPath: String): Unit =
-    if (!batch.isEmpty)
-      graft.operators.Sketches.amsSketch(batch, groupCol, keyCol)
+                                         sketchPath: String): Unit = {
+    // materialize once: isEmpty is an action and write is another —
+    // without the checkpoint the micro-batch source is read twice
+    // (the file's established foreachBatch discipline)
+    val b = batch.localCheckpoint()
+    if (!b.isEmpty)
+      graft.operators.Sketches.amsSketch(b, groupCol, keyCol)
         .write.mode("overwrite")
         .parquet(s"$sketchPath/batch_id=$batchId")
+  }
 
   /** Streaming trending readout — the serving twin of
     * [[graft.operators.Temporal.trendingItems]]: each micro-batch's
@@ -812,10 +817,13 @@ object Streams {
       .outputMode("append")
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        // materialize the daily cells once — isEmpty and write are
+        // separate actions and would otherwise re-aggregate the batch
         val daily = batch
           .select(to_date(col(tsCol)).as("day"), col(itemCol).as("item"))
           .filter(col("item").isNotNull)
           .groupBy("day", "item").agg(count(lit(1)).as("n"))
+          .localCheckpoint()
         if (!daily.isEmpty) {
           daily.write.mode("overwrite")
             .parquet(s"$countsPath/batch_id=$id")
