@@ -42,11 +42,28 @@ object Bench {
         // RDD action demands the query's full output schema, so every
         // column the user would read is actually computed.
         try { fn(spark, sfDir).queryExecution.toRdd.count() }
-        catch { case _: Throwable => -1L }
+        catch { case e: Throwable =>
+          // stderr only — the stdout JSON line's shape is the driver
+          // contract; a silent swallow would let a broken query
+          // masquerade as a fast one (bench times a failure as ~0 s)
+          System.err.println(s"[bench] $name failed: ${e.getMessage}")
+          -1L
+        }
         val dt = (System.nanoTime() - t0) / 1e9
         // drop query-internal persists so a repeat can't shortcut the
         // actual compute through the previous run's cache
         spark.sharedState.cacheManager.clearCache()
+        // and free lingering localCheckpoint blocks: they unpersist
+        // only at RDD GC, so a 200+-query sweep accumulates gigabytes
+        // of dead storage-memory blocks whose eviction/GC pressure
+        // slows LATER queries 4× (q_forget measured 14.8 s late in a
+        // full sweep vs 3.4 s isolated; with this, sweep ≈ isolated).
+        // Memo-held frames are SPARED: their lineage stops at the
+        // checkpoint, so dropping their blocks strands the entry
+        val live = Memo.liveRddIds
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(r => !live.contains(r.id))
+          .foreach(_.unpersist(blocking = false))
         dt
       }
       name -> times.min

@@ -111,6 +111,36 @@ object Memo {
     */
   def clear(): Unit = cache.synchronized(cache.clear())
 
+  /** Ids of every RDD reachable from a live memo entry's frames. The
+    * harness sweeps ([[Bench]]/[[Verify]]) drop lingering
+    * localCheckpoint blocks between queries and must SPARE these:
+    * a memoized frame's lineage is truncated at its checkpoint, so
+    * unpersisting its blocks strands the entry — later memo hits die
+    * with missing-block errors instead of recomputing.
+    */
+  def liveRddIds: Set[Int] = {
+    val values = cache.synchronized {
+      val b = List.newBuilder[AnyRef]
+      cache.values().forEach(v => { b += v; () })
+      b.result()
+    }
+    val frames = values.flatMap {
+      case df: DataFrame => Seq(df)
+      case (a: DataFrame, b: DataFrame) => Seq(a, b)
+      case _ => Seq.empty
+    }
+    val seen = scala.collection.mutable.Set[Int]()
+    def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
+      if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
+    frames.foreach { df =>
+      // building toRdd plans the frame but runs no job; a frame whose
+      // session died can throw — skip it (its blocks are gone anyway)
+      try walk(df.queryExecution.toRdd)
+      catch { case _: Throwable => () }
+    }
+    seen.toSet
+  }
+
   /** Current entry count (tests pin eviction behavior). */
   private[graft] def size: Int = cache.synchronized(cache.size)
 }

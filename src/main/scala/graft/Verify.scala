@@ -26,10 +26,19 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
-      } finally
+      } finally {
         // queries that persist internally (minhash/simhash pairs)
         // must not leave cached plans pressuring later queries
         spark.sharedState.cacheManager.clearCache()
+        // localCheckpoint blocks only free at RDD GC — drop them
+        // explicitly so a 200+-query dump doesn't accumulate dead
+        // storage blocks that slow later queries; Memo-held frames
+        // are spared (lineage stops at their checkpoint — see Bench)
+        val live = Memo.liveRddIds
+        spark.sparkContext.getPersistentRDDs.values
+          .filter(r => !live.contains(r.id))
+          .foreach(_.unpersist(blocking = false))
+      }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the

@@ -106,4 +106,23 @@ class MemoSpec extends SparkSpec {
       .modelQualityIds(docs, "doc_id", "text", buckets = 512)
     assert(!(g1 eq other), "changed params must retrain")
   }
+
+  test("harness sweep spares memo blocks: liveRddIds covers the entry") {
+    Memo.clear()
+    val docs = graft.model.Tables.documents(spark, sf).limit(50)
+    val shared = Memo.shared(Memo.dfKey(docs, "liveTest")) {
+      docs.select("doc_id").localCheckpoint()
+    }
+    val live = Memo.liveRddIds
+    val persisted = spark.sparkContext.getPersistentRDDs.values.toSeq
+    assert(persisted.exists(r => live.contains(r.id)),
+      "the memoized frame's checkpoint RDD must be reported live")
+    // the harness pattern: unpersist everything NOT live, then the
+    // memoized frame must still be fully readable (its blocks intact)
+    persisted.filter(r => !live.contains(r.id))
+      .foreach(_.unpersist(blocking = true))
+    assert(shared.count() == 50,
+      "sweep cleanup must not strand the memo entry")
+    Memo.clear()
+  }
 }
