@@ -124,19 +124,32 @@ object Memo {
       cache.values().forEach(v => { b += v; () })
       b.result()
     }
-    val frames = values.flatMap {
-      case df: DataFrame => Seq(df)
-      case (a: DataFrame, b: DataFrame) => Seq(a, b)
-      case _ => Seq.empty
+    // Recursive value walk: a memo value of ANY shape (frame, tuple,
+    // case class, Seq of frames, nested combinations) yields every
+    // DataFrame inside it. A two-case pattern match here once meant a
+    // novel memo shape silently lost block protection — the exact
+    // stranded-entry failure this function exists to prevent.
+    def frames(v: Any): Seq[DataFrame] = v match {
+      case df: DataFrame     => Seq(df)
+      case it: Iterable[_]   => it.iterator.flatMap(frames).toSeq
+      case p: Product        => p.productIterator.flatMap(frames).toSeq
+      case _                 => Seq.empty
     }
     val seen = scala.collection.mutable.Set[Int]()
     def walk(r: org.apache.spark.rdd.RDD[_]): Unit =
       if (seen.add(r.id)) r.dependencies.foreach(d => walk(d.rdd))
-    frames.foreach { df =>
-      // building toRdd plans the frame but runs no job; a frame whose
-      // session died can throw — skip it (its blocks are gone anyway)
-      try walk(df.queryExecution.toRdd)
-      catch { case _: Throwable => () }
+    values.flatMap(frames).foreach { df =>
+      // Collect persisted lineage from the ANALYZED plan's LogicalRDD
+      // nodes (localCheckpoint roots the frame in one). Never build
+      // toRdd here: under AQE, planning a frame that was left lazy
+      // (e.g. shareQualityBase=false) materializes its shuffle stages
+      // — real jobs inside the between-query cleanup. A lazy frame
+      // holds no checkpoint blocks, so there is nothing to protect.
+      // A frame whose session died can throw — skip it (blocks gone).
+      try df.queryExecution.analyzed.foreach {
+        case l: org.apache.spark.sql.execution.LogicalRDD => walk(l.rdd)
+        case _ => ()
+      } catch { case _: Throwable => () }
     }
     seen.toSet
   }

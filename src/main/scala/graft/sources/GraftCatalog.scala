@@ -64,10 +64,12 @@ class GraftCatalog extends TableCatalog {
 
   private def spark = org.apache.spark.sql.SparkSession.active
   private def vPath(t: String) = s"${versionedDir.get}/$t"
-  private def vExists(t: String): Boolean = versionedDir.isDefined && {
-    val p = new org.apache.hadoop.fs.Path(vPath(t), "_manifests")
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  // A table exists only once a manifest is PUBLISHED: a torn state
+  // where _manifests/ was created but the crash hit before the v0
+  // rename must read as "no such table" (re-creatable), not a listed
+  // table whose every access throws out of Versioned.snapshot.
+  private def vExists(t: String): Boolean = versionedDir.isDefined &&
+    graft.io.Versioned.versions(spark, vPath(t)).nonEmpty
 
   override def name(): String = catalogName
 
@@ -111,10 +113,26 @@ class GraftCatalog extends TableCatalog {
                            properties: util.Map[String, String]): Table =
     ident.namespace() match {
       case Array("versioned") if versionedDir.isDefined =>
-        require(partitions.isEmpty,
-          "versioned tables do not support partitioning transforms")
-        require(!vExists(ident.name()),
-          s"versioned table ${ident.name()} already exists")
+        // Spark's standard DDL exceptions, not bare require: the
+        // analyzer (and IF NOT EXISTS handling) matches on these
+        if (partitions.nonEmpty)
+          throw new UnsupportedOperationException(
+            "versioned tables do not support partitioning transforms")
+        if (vExists(ident.name()))
+          throw new org.apache.spark.sql.catalyst.analysis
+            .TableAlreadyExistsException(ident)
+        // Versioned logs are parquet-backed manifest logs: a `USING
+        // csv` or TBLPROPERTIES we cannot honor must REFUSE, not
+        // appear to succeed. Spark itself injects bookkeeping keys
+        // (owner, comment) on every CREATE — those are benign.
+        properties.forEach { (k, v) =>
+          val kl = k.toLowerCase(java.util.Locale.ROOT)
+          val ok = kl == "owner" || kl == "comment" ||
+            (kl == "provider" && v.equalsIgnoreCase("parquet"))
+          if (!ok) throw new UnsupportedOperationException(
+            s"versioned tables are parquet-backed manifest logs; " +
+              s"unsupported table property: $k=$v")
+        }
         val schema = org.apache.spark.sql.types.StructType(columns.map(c =>
           org.apache.spark.sql.types.StructField(
             c.name(), c.dataType(), c.nullable())))

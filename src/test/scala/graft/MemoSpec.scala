@@ -125,4 +125,44 @@ class MemoSpec extends SparkSpec {
       "sweep cleanup must not strand the memo entry")
     Memo.clear()
   }
+
+  test("liveRddIds walks NOVEL memo value shapes, not just df/(df,df)") {
+    Memo.clear()
+    val docs = graft.model.Tables.documents(spark, sf).limit(40)
+    // a shape no Memo.shared call site uses today: a case class
+    // holding a Seq of frames nested inside a tuple — the recursive
+    // Product/Iterable walk must still find every frame's blocks
+    case class Bundle(label: String, frames: Seq[org.apache.spark.sql
+      .DataFrame], extra: (Int, org.apache.spark.sql.DataFrame))
+    val b = Memo.shared(Memo.dfKey(docs, "novelShape")) {
+      Bundle("x",
+        Seq(docs.select("doc_id").localCheckpoint()),
+        (7, docs.select("lang").localCheckpoint()))
+    }
+    val live = Memo.liveRddIds
+    spark.sparkContext.getPersistentRDDs.values
+      .filter(r => !live.contains(r.id))
+      .foreach(_.unpersist(blocking = true))
+    assert(b.frames.head.count() == 40 && b.extra._2.count() == 40,
+      "a novel memo value shape must not silently lose block protection")
+    Memo.clear()
+  }
+
+  test("liveRddIds never runs jobs for LAZY memo values (AQE-safe)") {
+    Memo.clear()
+    val docs = graft.model.Tables.documents(spark, sf).limit(30)
+    // a memoized frame left lazy (shareQualityBase=false path): the
+    // cleanup must not plan/execute its shuffle stages
+    Memo.shared(Memo.dfKey(docs, "lazyShape")) {
+      docs.groupBy("lang").count() // unexecuted aggregate — has a shuffle
+    }
+    val before = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    Memo.liveRddIds
+    val after = spark.sparkContext.statusTracker.getJobIdsForGroup(null)
+      .length
+    assert(after == before,
+      "between-query cleanup must not execute lazy memo frames' stages")
+    Memo.clear()
+  }
 }

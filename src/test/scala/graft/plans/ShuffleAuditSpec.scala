@@ -175,14 +175,18 @@ class ShuffleAuditSpec extends SparkSpec {
   test("amsSketch shuffle is sketch-sized, never the key stream") {
     // 40k rows, 2 groups × 500 distinct keys: the partial agg must
     // collapse each map partition to ≤ its (group, bucket) cells
-    val df = spark.range(40000).select(
+    // pin the map-partition count (4th range arg) — under a larger
+    // default parallelism (local[32] benches) spark.range would split
+    // into more partitions and a literal partition bound is env-flaky
+    val df = spark.range(0, 40000, 1, 8).select(
       (col("id") % 2).cast("string").as("g"),
       concat(lit("k"), col("id") % 500).as("k"))
     val s = ShuffleAudit.measure(
       graft.operators.Sketches.amsSketch(df, "g", "k"))
     assert(s.shuffleRecords > 0, s"$s")
     // ≤ groups × buckets × map partitions (loose), ≪ the 40k rows
-    val ceiling = 2L * graft.operators.Sketches.AmsBuckets * 16
+    val mapParts = df.rdd.getNumPartitions.toLong
+    val ceiling = 2L * graft.operators.Sketches.AmsBuckets * mapParts
     assert(s.shuffleRecords <= ceiling,
       s"sketch shuffle must be (group × bucket)-cell-sized: $s")
     assert(s.shuffleRecords < 40000 / 4, s"$s")

@@ -73,4 +73,46 @@ class VersionedCatalogSpec extends SparkSpec {
       Versioned.commit(spark, s"$root/e",
         Seq(("oops", 1L)).toDF("k", "n"), "append"))
   }
+
+  test("DDL edge semantics: duplicate CREATE, bad properties, torn state") {
+    root
+    spark.sql("CREATE TABLE graftv.versioned.d (k BIGINT)")
+    // duplicate CREATE throws Spark's standard DDL exception (so the
+    // analyzer's IF NOT EXISTS path can match it) …
+    intercept[org.apache.spark.sql.catalyst.analysis
+      .TableAlreadyExistsException](
+      spark.sql("CREATE TABLE graftv.versioned.d (k BIGINT)"))
+    // … and IF NOT EXISTS is therefore a clean no-op
+    spark.sql("CREATE TABLE IF NOT EXISTS graftv.versioned.d (k BIGINT)")
+    // a provider or property the log cannot honor is REFUSED, not
+    // silently dropped: USING csv must not "succeed" as parquet
+    val csvErr = intercept[Exception](
+      spark.sql("CREATE TABLE graftv.versioned.dcsv (k BIGINT) USING csv"))
+    assert(csvErr.getMessage.contains("unsupported table property"),
+      csvErr.getMessage)
+    val propErr = intercept[Exception](spark.sql(
+      "CREATE TABLE graftv.versioned.dprop (k BIGINT) " +
+        "TBLPROPERTIES ('compression'='zstd')"))
+    assert(propErr.getMessage.contains("unsupported table property"),
+      propErr.getMessage)
+    // the refused creates must not have left half-made tables behind
+    val listed = spark.sql("SHOW TABLES IN graftv.versioned")
+      .select("tableName").as[String].collect().toSet
+    assert(!listed.contains("dcsv") && !listed.contains("dprop"), listed)
+    // explicit USING parquet is the log's native format — accepted
+    spark.sql("CREATE TABLE graftv.versioned.dpq (k BIGINT) USING parquet")
+    assert(spark.table("graftv.versioned.dpq").count() == 0)
+    // torn state: _manifests/ created but the crash hit before the v0
+    // manifest publish — the table must read as nonexistent (not
+    // listed, loads fail as NoSuchTable, CREATE can re-bootstrap it)
+    val torn = new org.apache.hadoop.fs.Path(s"$root/torn/_manifests")
+    torn.getFileSystem(spark.sparkContext.hadoopConfiguration).mkdirs(torn)
+    val listed2 = spark.sql("SHOW TABLES IN graftv.versioned")
+      .select("tableName").as[String].collect().toSet
+    assert(!listed2.contains("torn"), listed2)
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.table("graftv.versioned.torn").collect())
+    spark.sql("CREATE TABLE graftv.versioned.torn (k BIGINT)")
+    assert(spark.table("graftv.versioned.torn").count() == 0)
+  }
 }
