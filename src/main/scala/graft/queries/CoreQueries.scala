@@ -862,32 +862,57 @@ object CoreQueries {
           (sum(col("l_quantity")) / count(col("l_quantity"))).as("avg_qty"))
         .orderBy("l_returnflag", "l_linestatus")),
 
-    // incremental JOIN-agg view refresh: the revenue-by-nation star
-    // view maintained under a fact CDC diff — group column lives on
-    // the DIM side, so changed keys enrich through the join first
+    // incremental JOIN-agg view maintenance against a STORED view:
+    // revenue by (nation, customer) — fine-grained groups on the DIM
+    // side — built once from the old snapshot, laid out
+    // hash-partitioned on the group key (MaintainedAgg.AggParts), then
+    // refreshed from a small CDC batch (updates %499, deletes %701) by
+    // SELF-MAINTAINING deltas: only changed-key rows are enriched, the
+    // stored view is read/rewritten on touched partitions only — no
+    // untouched fact or view row is ever re-read. Oracle = full
+    // recompute over the new snapshot (the MV-maintenance invariant).
     "q_incr_joinagg" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(18, 2)
+      def rev(price: org.apache.spark.sql.Column)
+          : org.apache.spark.sql.Column =
+        (price.cast(dec) * (lit(1) - col("l_discount")).cast(dec))
+          .as("revenue")
       val li = Tables.lineitem(s, d)
-      val keys = Seq("l_orderkey", "l_linenumber")
-      val oldF = li.filter(col("l_orderkey") % 10 < 8)
-      val newF = li.filter(col("l_orderkey") % 10 >= 2)
-        .withColumn("l_extendedprice",
-          when(col("l_orderkey") % 3 === 0, col("l_extendedprice") + 1.0)
-            .otherwise(col("l_extendedprice")))
       def enrich(f: DataFrame): DataFrame = f
         .join(Tables.orders(s, d), col("l_orderkey") === col("o_orderkey"))
         .join(broadcast(Tables.customer(s, d)),
           col("o_custkey") === col("c_custkey"))
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
-      def agg(f: DataFrame): DataFrame = f.groupBy("n_name")
-        .agg(moneyProductSum(col("l_extendedprice"),
-          lit(1) - col("l_discount")).as("revenue"),
-          count(lit(1)).as("n_lines"))
-      val diff = graft.io.MergeTable.diffSnapshots(oldF, newF, keys)
-      graft.io.MergeTable.incrementalJoinAggRefresh(
-        agg(enrich(oldF)), oldF, newF, diff, keys, Seq("n_name"))(
-        enrich)(agg)
-        .orderBy("n_name")
+      val groupCols = Seq("n_name", "c_name")
+      val path = java.nio.file.Files
+        .createTempDirectory("graft_mv_").toString + "/view"
+      // view build: ONE honest pass over the old snapshot
+      val oldView = enrich(li)
+        .select(col("n_name"), col("c_name"), rev(col("l_extendedprice")))
+        .groupBy(groupCols.map(col): _*)
+        .agg(sum("revenue").as("revenue"), count(lit(1)).as("n_lines"))
+      graft.io.MaintainedAgg.write(oldView, groupCols, path,
+        Seq("revenue"), "n_lines")
+      // CDC batch: changed keys only — enriched ONCE, materialized
+      val changed = enrich(li.filter(
+        col("l_orderkey") % 499 === 0 || col("l_orderkey") % 701 === 0))
+        .select(col("n_name"), col("c_name"), col("l_orderkey"),
+          col("l_extendedprice"), col("l_discount"))
+        .localCheckpoint()
+      val removed = changed
+        .select(col("n_name"), col("c_name"), rev(col("l_extendedprice")))
+      val added = changed
+        .filter(col("l_orderkey") % 701 =!= 0)
+        .select(col("n_name"), col("c_name"),
+          rev(col("l_extendedprice") + 1.0))
+      graft.io.MaintainedAgg.deltaRefresh(s, path, removed, added,
+        groupCols, Seq("revenue"), "n_lines")
+      graft.io.MaintainedAgg.read(s, path)
+        .select(col("n_name"), col("c_name"),
+          col("revenue").cast("double").as("revenue"), col("n_lines"))
+        .orderBy("n_name", "c_name")
     }),
 
     // versioned-log time travel: three commits (overwrite, append,
@@ -1614,14 +1639,14 @@ object CoreQueries {
         |FROM lineitem GROUP BY 1, 2
         |ORDER BY l_returnflag, l_linestatus""".stripMargin,
 
-    // the oracle IS the invariant: refresh ≡ full recompute over the
-    // new snapshot
+    // the oracle IS the invariant: maintained view ≡ full recompute
+    // over the new snapshot (updates %499 price-bumped, deletes %701)
     "q_incr_joinagg" ->
-      """WITH newf AS (SELECT l_orderkey, l_linenumber, l_discount,
-        |    CASE WHEN l_orderkey % 3 = 0 THEN l_extendedprice + 1.0
+      """WITH newf AS (SELECT l_orderkey, l_discount,
+        |    CASE WHEN l_orderkey % 499 = 0 THEN l_extendedprice + 1.0
         |         ELSE l_extendedprice END AS l_extendedprice
-        |  FROM lineitem WHERE l_orderkey % 10 >= 2)
-        |SELECT n_name,
+        |  FROM lineitem WHERE l_orderkey % 701 <> 0)
+        |SELECT n_name, c_name,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2))
         |           * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
         |    AS revenue,
@@ -1630,7 +1655,7 @@ object CoreQueries {
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
-        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+        |GROUP BY 1, 2 ORDER BY n_name, c_name""".stripMargin,
 
     "q_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
