@@ -51,6 +51,10 @@ object CoreQueries {
     * decorrelation being exercised (a hand-decorrelated DataFrame
     * would test nothing).
     */
+  private[queries] def registerTpchViewsForTest(s: SparkSession,
+                                                d: String): Unit =
+    registerTpchViews(s, d)
+
   private def registerTpchViews(s: SparkSession, d: String): Unit = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.orders(s, d).createOrReplaceTempView("orders")
@@ -67,6 +71,42 @@ object CoreQueries {
     * the catalog-parity path (`graft.data.*` —
     * [[SqlQueries]]). Runs verbatim on both engines.
     */
+  /** Q2's SCALE form, same results as the correlated text (hash-equal,
+    * SqlParitySpec-pinned): the part-supplier relation derives from
+    * lineitem, so it is CORPUS-sized (59M rows at the sf10 leg —
+    * nearly one per lineitem row), and Catalyst inlines the
+    * twice-referenced CTE into both the outer query and the
+    * correlated MIN subquery — two full fact aggregations, the worst
+    * measured TPC-H shape. Materializing the CTE is no better: a
+    * localCheckpoint of a corpus-sized relation costs MORE than the
+    * second aggregation (measured 39 s vs 13 s at sf10). The shape
+    * that scales computes min-cost-per-part with ONE window pass over
+    * the EUROPE-restricted relation: single fact aggregation, single
+    * partkey shuffle, no materialization. The ORIGINAL correlated
+    * text still runs through Catalyst's decorrelation on the
+    * catalog-parity path ([[SqlQueries]]) and is the DuckDB oracle.
+    */
+  private[queries] def tpchQ2WindowSql(t: String => String): String =
+    s"""WITH ps AS (
+       |  SELECT l_partkey AS ps_partkey, p_name,
+       |    l_suppkey AS ps_suppkey,
+       |    min(l_extendedprice / l_quantity) AS ps_supplycost
+       |  FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
+       |  WHERE p_size <= 15 AND p_type = 'LARGE'
+       |  GROUP BY 1, 2, 3),
+       |win AS (
+       |  SELECT ps_partkey, p_name, ps_supplycost,
+       |    s_acctbal, s_name, n_name,
+       |    min(ps_supplycost) OVER (PARTITION BY ps_partkey) AS min_cost
+       |  FROM ps, ${t("supplier")}, ${t("nation")}, ${t("region")}
+       |  WHERE s_suppkey = ps_suppkey AND s_nationkey = n_nationkey
+       |    AND n_regionkey = r_regionkey AND r_name = 'EUROPE')
+       |SELECT s_acctbal, s_name, n_name, ps_partkey AS p_partkey, p_name
+       |FROM win
+       |WHERE ps_supplycost = min_cost
+       |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
+       |LIMIT 100""".stripMargin
+
   private[queries] def tpchTextSql(name: String,
                                    t: String => String): String = name match {
     case "q_tpch_q17" =>
@@ -160,6 +200,10 @@ object CoreQueries {
     // partsupp table in the harness — the relation derives from
     // lineitem as min unit price per (part, supplier); min of an IEEE
     // division is exact on both engines (no float-sum order risk).
+    // This correlated text is the oracle and the catalog-parity run
+    // (Catalyst's decorrelation is exercised there); the Spark bench
+    // path runs [[tpchQ2WindowSql]] — identical results, one fact
+    // aggregation instead of two (see its doc for the measurements).
     case "q_tpch_q2" =>
       s"""WITH ps AS (
          |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
@@ -1193,7 +1237,11 @@ object CoreQueries {
   ) ++ tpchTextNames.map { n =>
     n -> ((s: SparkSession, d: String) => {
       registerTpchViews(s, d)
-      s.sql(tpchTextSql(n, identity))
+      // Q2 runs its scale form here (one fact aggregation, window
+      // min); the correlated original remains the oracle and the
+      // catalog-parity text — results are hash-equal by construction
+      if (n == "q_tpch_q2") s.sql(tpchQ2WindowSql(identity))
+      else s.sql(tpchTextSql(n, identity))
     })
   }.toMap
 

@@ -105,14 +105,34 @@ class PlanAuditSpec extends SparkSpec {
         !plan.contains("CartesianProduct") &&
         !plan.contains("BroadcastNestedLoop"),
         s"$q must plan equi-joins, no per-row subqueries:\n$plan")
-    // Q2's correlated min over the 4-way dim join must become an
-    // aggregate joined back on the correlation key, not a per-row
-    // scalar evaluation
-    assert(!plans("q_tpch_q2").contains("ScalarSubquery"),
-      s"q2's correlated min must decorrelate:\n${plans("q_tpch_q2")}")
+    // Q2's BENCH path is the scale form: ONE fact aggregation (the
+    // correlated CTE text would inline the corpus-sized part-supplier
+    // relation twice), with the selective part filter pushed BELOW the
+    // aggregation and the per-part min as a window — so exactly one
+    // lineitem scan, and the p_size/p_type cuts reach the part scan
     assert(plans("q_tpch_q2").contains("HashAggregate") &&
-      plans("q_tpch_q2").contains("Join"),
-      s"q2 must be agg+join:\n${plans("q_tpch_q2")}")
+      plans("q_tpch_q2").contains("Join") &&
+      plans("q_tpch_q2").contains("Window"),
+      s"q2 bench form must be agg+join+window:\n${plans("q_tpch_q2")}")
+    // count in the FINAL plan only — AQE's toString echoes the whole
+    // tree again under "== Initial Plan ==", which would double-count
+    val q2Final = plans("q_tpch_q2").split("== Initial Plan ==").head
+    val q2LineitemScans = "lineitem\\.parquet".r.findAllIn(q2Final).size
+    assert(q2LineitemScans == 1,
+      s"q2 must aggregate the fact table ONCE, found $q2LineitemScans " +
+        s"lineitem scans:\n${plans("q_tpch_q2")}")
+    assert(plans("q_tpch_q2").contains("LessThanOrEqual(p_size,15)"),
+      s"q2's part filter must push below the aggregation to the part " +
+        s"scan:\n${plans("q_tpch_q2")}")
+    // the correlated ORIGINAL (oracle + catalog-parity text) must
+    // still decorrelate: an aggregate joined back on the correlation
+    // key, never a per-row scalar evaluation
+    CoreQueries.registerTpchViewsForTest(spark, sf)
+    val q2Text = finalPlan(
+      spark.sql(CoreQueries.tpchTextSql("q_tpch_q2", identity)))
+    assert(!q2Text.contains("ScalarSubquery") &&
+      !q2Text.contains("InSubqueryExec"),
+      s"q2's correlated min must decorrelate:\n$q2Text")
     // Q9: 4 dimension joins over one fact — every join broadcasts
     // (part/supplier/nation are dims; orders arrives filtered) or
     // shuffles on an equi key; the name LIKE filter must reach the
