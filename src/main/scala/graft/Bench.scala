@@ -17,12 +17,15 @@ object Bench {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
-    val spark = Sessions.tuned(
+    // SPARK_GRAFT_MASTER overrides (e.g. local-cluster[2,2,2048] for
+    // the multi-JVM bench record — with SPARK_GRAFT_JARS set so the
+    // engine classes ship to the executor JVMs)
+    val spark = Sessions.tuned(Sessions.withJars(
       SparkSession.builder()
-        .master(s"local[$cpus]")
+        .master(Sessions.master(cpus.toInt))
         .appName("graft-bench")
         .config("spark.sql.shuffle.partitions", cpus)
-    ).getOrCreate()
+    )).getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     // absorb JVM/codegen/scheduler startup so the first measured query
     // isn't charged ~2s of warmup

@@ -28,7 +28,26 @@ import org.apache.spark.sql.functions._
   * Bench-tooling only: correctness always runs against the
   * driver-generated sf directories.
   *
-  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor>
+  * SKEW MODE (4th arg `skew`): real corpora are zipfian, not uniform —
+  * replication alone cannot surface the stragglers a mega-cluster or
+  * head-token distribution causes. Skew mode reshapes DOCUMENTS while
+  * scaling:
+  *   - MEGA-CLUSTER: docs with `doc_id % 100 == 0` get one SHARED
+  *     text across all docs and replicas — a single exact-dup cluster
+  *     of (ndocs/100)·factor members (500 at the sf1-skew leg), the worst case for band-bucket
+  *     fan-out (every member lands in the SAME LSH buckets).
+  *   - CLONE HEAD: docs with `doc_id % 50 == 0` keep their text
+  *     VERBATIM across replicas (no per-replica token prefix) —
+  *     factor-sized exact-dup clusters, a zipf head of cluster sizes.
+  *   - HEAD TOKENS: a third of docs (`doc_id % 3 == 0`) get three
+  *     constant head tokens prepended — token/shingle frequency gets
+  *     the heavy head that breaks uniform-frequency assumptions in
+  *     tf/shingle aggregations.
+  * Everything else scales exactly as the uniform mode, so a skew-leg
+  * regression isolates to the skew machinery (band-bucket caps,
+  * AQE skew joins), not data volume.
+  *
+  * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> <factor> [skew]
   */
 object ScaleUp {
 
@@ -70,6 +89,7 @@ object ScaleUp {
   def main(args: Array[String]): Unit = {
     val Array(src, out, factorStr) = args.take(3)
     val factor = factorStr.toInt
+    val skew = args.length > 3 && args(3) == "skew"
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       Runtime.getRuntime.availableProcessors().min(32).toString)
     val spark = Sessions.tuned(
@@ -109,16 +129,32 @@ object ScaleUp {
         factor, dropReplica = t != "documents")
       // disjoin replica token spaces (see scaladoc); keep n_chars
       // consistent with the rewritten text
-      val scaled = if (t == "documents") scaled0
-        .withColumn("text", when(col("text").isNull, col("text"))
-          .otherwise(regexp_replace(col("text"), lit("(^|\\s)"),
-            concat(lit("$1r"), col("__r"), lit("_")))))
-        // null text is left null by the rewrite — keep its ORIGINAL
-        // n_chars (possibly null) instead of coercing to 0
-        .withColumn("n_chars", when(col("text").isNull, col("n_chars"))
-          .otherwise(length(col("text")).cast(df.schema("n_chars").dataType)))
-        .drop("__r")
-      else scaled0
+      val scaled = if (t == "documents") {
+        // the replica-local doc id BEFORE offsetting decides skew
+        // membership, so the same source docs skew in every replica
+        val srcId = col("doc_id") - col("__r") * strideFor("doc_id")
+        val disjoined = regexp_replace(col("text"), lit("(^|\\s)"),
+          concat(lit("$1r"), col("__r"), lit("_")))
+        val MegaText = "graft mega cluster shared body with enough " +
+          "tokens to shingle repeatably across every member of the " +
+          "single heaviest duplicate cluster in the skewed corpus"
+        val newText =
+          if (!skew) disjoined
+          else when(srcId % 100 === 0, lit(MegaText))           // mega
+            .when(srcId % 50 === 0, col("text"))                // clones
+            .when(srcId % 3 === 0,
+              concat(lit("zzhead zzthe zzof "), disjoined))     // head
+            .otherwise(disjoined)
+        scaled0
+          .withColumn("text", when(col("text").isNull, col("text"))
+            .otherwise(newText))
+          // null text is left null by the rewrite — keep its ORIGINAL
+          // n_chars (possibly null) instead of coercing to 0
+          .withColumn("n_chars", when(col("text").isNull, col("n_chars"))
+            .otherwise(length(col("text"))
+              .cast(df.schema("n_chars").dataType)))
+          .drop("__r")
+      } else scaled0
       scaled
         // spread replicas across output files so downstream scans see
         // balanced splits, not one file per replica of the source order

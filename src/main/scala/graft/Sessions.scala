@@ -41,7 +41,7 @@ object Sessions {
   def master(cores: Int): String =
     sys.env.getOrElse("SPARK_GRAFT_MASTER", s"local[$cores]")
 
-  private def withJars(b: SparkSession.Builder): SparkSession.Builder =
+  private[graft] def withJars(b: SparkSession.Builder): SparkSession.Builder =
     sys.env.get("SPARK_GRAFT_JARS").fold(b)(j => b.config("spark.jars", j))
 
   /** Local session for tests / tools. */

@@ -36,6 +36,16 @@ import org.apache.spark.sql.util.CaseInsensitiveStringMap
   * their DataFrame form and pure `spark.sql` text through this
   * catalog.
   *
+  * The `stored` namespace (catalog option `storedDir`) exposes the
+  * engine's MAINTAINED artifacts — MinHash signature tables
+  * ([[graft.operators.Dedup.writeSignatures]]) and vector/PQ indexes
+  * ([[graft.operators.Similarity.writeVectorIndex]], addressed as
+  * nested namespaces: `graft.stored.vidx.vectors`) — as plain parquet
+  * DSv2 tables with directory-inferred partition columns, so a pure
+  * SQL `WHERE sig_part IN (…)` or `WHERE cell = …` prunes at the
+  * partition level exactly like the DataFrame point-read path
+  * (SqlParitySpec pins band-join and point-read hash parity).
+  *
   * The `versioned` namespace is the WRITABLE exception: tables are
   * [[graft.io.Versioned]] manifest logs under the catalog option
   * `versionedDir` — `CREATE TABLE` bootstraps an empty v0 commit,
@@ -51,6 +61,7 @@ class GraftCatalog extends TableCatalog {
   private var catalogName: String = _
   private var dataDir: Option[String] = None
   private var versionedDir: Option[String] = None
+  private var storedDir: Option[String] = None
   // ≤18 digits so `.toLong` can't overflow — a longer digit run is
   // "no such table", not a NumberFormatException out of loadTable
   private val DocsName = "docs_(\\d{1,18})".r
@@ -60,6 +71,7 @@ class GraftCatalog extends TableCatalog {
     catalogName = name
     dataDir = Option(options.get("dir"))
     versionedDir = Option(options.get("versionedDir"))
+    storedDir = Option(options.get("storedDir"))
   }
 
   private def spark = org.apache.spark.sql.SparkSession.active
@@ -86,6 +98,17 @@ class GraftCatalog extends TableCatalog {
         if (!f.exists(root)) Array.empty
         else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
           .filter(vExists).map(Identifier.of(namespace, _))
+      case ns if ns.headOption.contains("stored") && storedDir.isDefined =>
+        // list the directories one level below graft.stored[.sub…];
+        // a directory is a table if parquet lives directly in it
+        // (partitioned layouts like sig_part=N count), a sub-namespace
+        // if its artifacts nest (a vector index's centroids/vectors)
+        val root = new org.apache.hadoop.fs.Path(
+          (storedDir.get +: ns.tail).mkString("/"))
+        val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        if (!f.exists(root)) Array.empty
+        else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
+          .map(Identifier.of(ns, _))
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 
@@ -105,8 +128,32 @@ class GraftCatalog extends TableCatalog {
           None,
           classOf[org.apache.spark.sql.execution.datasources
             .parquet.ParquetFileFormat])
+      // maintained STORED artifacts — signature tables
+      // (Dedup.writeSignatures: hash-partitioned on sig_part), vector/
+      // PQ indexes (Similarity.writeVectorIndex: centroids + a
+      // cell-partitioned vectors dir, addressed as nested namespaces,
+      // e.g. graft.stored.vidx.vectors) — as plain parquet DSv2
+      // tables: partition columns are directory-inferred, so pure-SQL
+      // WHERE sig_part/cell filters prune at the partition level
+      // exactly like the DataFrame point-read path (SqlParitySpec).
+      case (ns, t) if ns.headOption.contains("stored") &&
+          storedDir.isDefined && storedExists(ns.tail :+ t) =>
+        org.apache.spark.sql.execution.datasources.v2.parquet.ParquetTable(
+          (s"$catalogName" +: ns :+ t).mkString("."),
+          org.apache.spark.sql.SparkSession.active,
+          CaseInsensitiveStringMap.empty(),
+          Seq((storedDir.get +: ns.tail :+ t).mkString("/")),
+          None,
+          classOf[org.apache.spark.sql.execution.datasources
+            .parquet.ParquetFileFormat])
       case _ => throw new NoSuchTableException(ident)
     }
+
+  private def storedExists(rel: Seq[String]): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(
+      (storedDir.get +: rel).mkString("/"))
+    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+  }
 
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],
