@@ -5,7 +5,12 @@
 # Aggregator, and broadcast crosses a genuine task-serialization
 # boundary (the failure class local[*] structurally cannot catch).
 #
-# Usage: scripts/local_cluster.sh [verify|test|all]   (default: all)
+# `bench` mode TIMES the full sweep under the multi-JVM master
+# (sf0.1, 2 executors x 2 cores x 4 GiB) — the record that catches
+# serialization / broadcast-size walls local[32] hides (README
+# "multi-JVM bench record").
+#
+# Usage: scripts/local_cluster.sh [verify|test|bench|all]  (default: all)
 set -euo pipefail
 cd "$(dirname "$0")/.."
 
@@ -31,4 +36,11 @@ fi
 
 if [[ "$MODE" == "test" || "$MODE" == "all" ]]; then
   SPARK_GRAFT_JARS="$MAIN_JAR,$TEST_JAR,$ST_JARS" sbt -batch test
+fi
+
+if [[ "$MODE" == "bench" ]]; then
+  SPARK_GRAFT_MASTER='local-cluster[2,2,4096]' \
+    SPARK_GRAFT_JARS="$MAIN_JAR" \
+    SPARK_GRAFT_SF_DIR="${SPARK_GRAFT_SF_DIR:-/root/testdata/sf0.1}" \
+    sbt -batch "runMain graft.Bench" | grep '"metric"'
 fi
