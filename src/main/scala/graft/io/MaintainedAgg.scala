@@ -150,4 +150,79 @@ object MaintainedAgg {
       fs.delete(new org.apache.hadoop.fs.Path(s"$path/agg_part=$p"), true)
     }
   }
+
+  // ---- streaming ingest: per-batch delta partitions ----
+  //
+  // A micro-batch CANNOT deltaRefresh in place: a replayed batch
+  // (restart after a crash between sink write and offset commit)
+  // would ADD its deltas twice. The engine's established partial-
+  // table discipline (Streams.writeAmsPartial) applies: each batch's
+  // per-group deltas land under `_deltas/batch_id=<id>` with
+  // overwrite-in-place of that batch's OWN partition — replay
+  // rewrites the same bytes, never double-counts. Serving reads
+  // base ⊎ deltas (merge-on-read); periodic [[compactDeltas]] folds
+  // deltas into the base ATOMICALLY (StagedSwap of the whole view
+  // dir, deltas removed in the same rename — a crash anywhere leaves
+  // either the old view+deltas or the folded view, never both).
+
+  private def deltasDir(path: String) = s"$path/_deltas"
+
+  /** One micro-batch's delta write (factored out so replay
+    * idempotence is testable without a stream): `added` rows carry
+    * the per-row measure contributions; the per-group delta lands
+    * under this batch's own partition.
+    */
+  def writeDeltaPartial(added: DataFrame, batchId: Long,
+                        groupCols: Seq[String], measureCols: Seq[String],
+                        countCol: String): String => Unit = path => {
+    val b = added.localCheckpoint()
+    if (!b.isEmpty) {
+      val dAggs = measureCols.map(m =>
+        sum(col(m).cast(MeasureType)).cast(MeasureType).as(m)) :+
+        count(lit(1L)).as(countCol)
+      normalize(b.groupBy(groupCols.map(col): _*)
+        .agg(dAggs.head, dAggs.tail: _*), measureCols, countCol)
+        .write.mode("overwrite")
+        .parquet(s"${deltasDir(path)}/batch_id=$batchId")
+    }
+  }
+
+  /** The served view: stored base merged with every pending batch
+    * delta — merge-on-read, one union + group-by over (base slice +
+    * delta rows). Group-deletion semantics match [[deltaRefresh]]
+    * (count ≤ 0 drops out; ingest deltas are append-only so counts
+    * only grow, but a weighted delta keeps the same contract).
+    */
+  def readWithDeltas(spark: SparkSession, path: String,
+                     groupCols: Seq[String], measureCols: Seq[String],
+                     countCol: String): DataFrame = {
+    val base = read(spark, path)
+    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
+    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dDir) || fs.listStatus(dDir).isEmpty) return base
+    val deltas = spark.read.parquet(deltasDir(path))
+      .select((groupCols ++ measureCols :+ countCol).map(col): _*)
+    val mAggs = measureCols.map(m =>
+      sum(col(m)).cast(MeasureType).as(m)) :+
+      sum(col(countCol)).as(countCol)
+    base.unionByName(deltas)
+      .groupBy(groupCols.map(col): _*)
+      .agg(mAggs.head, mAggs.tail: _*)
+      .filter(col(countCol) > 0)
+  }
+
+  /** Fold pending deltas into the base layout ATOMICALLY: the staged
+    * dir receives the fully merged, re-partitioned view and the swap
+    * replaces base AND `_deltas` in one rename — a crash anywhere
+    * leaves either the old view+deltas or the folded view, never a
+    * state where a delta could be applied twice.
+    */
+  def compactDeltas(spark: SparkSession, path: String,
+                    groupCols: Seq[String], measureCols: Seq[String],
+                    countCol: String): Unit =
+    StagedSwap.swap(spark, path) { stage =>
+      write(readWithDeltas(spark, path, groupCols, measureCols, countCol)
+        .localCheckpoint(), // materialize BEFORE the swap touches files
+        groupCols, stage, measureCols, countCol)
+    }
 }

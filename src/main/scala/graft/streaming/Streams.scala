@@ -780,6 +780,34 @@ object Streams {
       }
       .start()
 
+  /** Streaming twin of the STORED materialized aggregate
+    * ([[graft.io.MaintainedAgg]], q_incr_joinagg's round-12 engine):
+    * each micro-batch's rows — already projected to per-row measure
+    * contributions — fold into a per-group delta written under
+    * `_deltas/batch_id=<id>` (the partial-table discipline: delta
+    * merge is SUM, not idempotent under at-least-once delivery, so a
+    * replayed batch overwrites its OWN partition, never adds twice).
+    * Serving reads base ⊎ deltas ([[graft.io.MaintainedAgg
+    * .readWithDeltas]] — batches × groups rows, the facts are never
+    * re-read); [[graft.io.MaintainedAgg.compactDeltas]] periodically
+    * folds deltas into the hash-partitioned base ATOMICALLY
+    * (StagedSwap — deltas disappear in the same rename that publishes
+    * the folded view, so a crash can never double-apply).
+    */
+  def viewMaintainingIngest(rows: DataFrame, groupCols: Seq[String],
+                            measureCols: Seq[String], countCol: String,
+                            viewPath: String,
+                            options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.io.MaintainedAgg.writeDeltaPartial(batch.toDF(), id,
+          groupCols, measureCols, countCol)(viewPath)
+      }
+      .start()
+
   /** One micro-batch's partial-sketch write (factored out so the
     * replay-idempotence contract is testable without a stream):
     * overwrite-in-place of this batch's OWN partition only.

@@ -1201,4 +1201,59 @@ class StreamsSpec extends SparkSpec {
         "replayed batch must not double-count")
     } finally q.stop()
   }
+
+  test("viewMaintainingIngest: stream ≡ batch view, replay-safe, atomic compact") {
+    import org.apache.spark.sql.types.DecimalType
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_view_ing_").toString
+    val path = s"$dir/view"
+    val ckpt = s"$dir/ckpt"
+    def rows(xs: Seq[(String, Int)]) = xs.toDF("g", "m")
+      .select(col("g"), col("m").cast(DecimalType(18, 2)).as("m"))
+    // base view from a historical batch
+    val hist = Seq(("a", 10), ("b", 5))
+    graft.io.MaintainedAgg.write(
+      rows(hist).groupBy("g").agg(sum("m").as("m"),
+        count(lit(1)).as("n")),
+      Seq("g"), path, Seq("m"), "n")
+    val b0 = Seq(("a", 1), ("c", 7))
+    val b1 = Seq(("b", 2), ("c", 3))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, Int)]
+    val q = Streams.viewMaintainingIngest(
+      in.toDF().toDF("g", "m")
+        .select(col("g"), col("m").cast(DecimalType(18, 2)).as("m")),
+      Seq("g"), Seq("m"), "n", path,
+      Map("checkpointLocation" -> ckpt))
+    def served = graft.io.MaintainedAgg
+      .readWithDeltas(spark, path, Seq("g"), Seq("m"), "n")
+      .collect().map(r => (r.getString(0),
+        r.getDecimal(1).doubleValue(), r.getLong(2))).toSet
+    val expect = (hist ++ b0 ++ b1).groupBy(_._1).map { case (g, xs) =>
+      (g, xs.map(_._2).sum.toDouble, xs.size.toLong) }.toSet
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(served == expect, s"stream view diverged: $served vs $expect")
+      // at-least-once replay of batch 1: own-partition overwrite,
+      // never summed twice (delta merge is SUM, not idempotent)
+      graft.io.MaintainedAgg.writeDeltaPartial(rows(b1), 1L,
+        Seq("g"), Seq("m"), "n")(path)
+      assert(served == expect, "replayed batch must not double-count")
+      // compaction folds deltas into the base atomically and serves
+      // the identical view; the deltas dir is gone, layout intact
+      graft.io.MaintainedAgg.compactDeltas(spark, path,
+        Seq("g"), Seq("m"), "n")
+      assert(served == expect, s"compacted view diverged: $served")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")),
+        "compaction must fold the deltas away")
+      assert(fs.listStatus(new org.apache.hadoop.fs.Path(path))
+        .exists(_.getPath.getName.startsWith("agg_part=")),
+        "compacted view must keep the hash-partitioned layout")
+    } finally q.stop()
+  }
 }
