@@ -174,7 +174,9 @@ object MaintainedAgg {
     */
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCols: Seq[String], measureCols: Seq[String],
-                        countCol: String): String => Unit = path => {
+                        countCol: String, path: String): Unit = {
+    // materialize once: isEmpty is an action and the write is another
+    // — without the checkpoint the micro-batch source is read twice
     val b = added.localCheckpoint()
     if (!b.isEmpty) {
       val dAggs = measureCols.map(m =>

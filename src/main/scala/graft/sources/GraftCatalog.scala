@@ -98,7 +98,8 @@ class GraftCatalog extends TableCatalog {
         if (!f.exists(root)) Array.empty
         else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
           .filter(vExists).map(Identifier.of(namespace, _))
-      case ns if ns.headOption.contains("stored") && storedDir.isDefined =>
+      case ns if ns.headOption.contains("stored") && storedDir.isDefined
+          && ns.tail.forall(safeSegment) =>
         // list the directories one level below graft.stored[.sub…];
         // a directory is a table if parquet lives directly in it
         // (partitioned layouts like sig_part=N count), a sub-namespace
@@ -149,11 +150,21 @@ class GraftCatalog extends TableCatalog {
       case _ => throw new NoSuchTableException(ident)
     }
 
-  private def storedExists(rel: Seq[String]): Boolean = {
-    val p = new org.apache.hadoop.fs.Path(
-      (storedDir.get +: rel).mkString("/"))
-    p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
-  }
+  // Identifier segments become PATH segments under storedDir, and SQL
+  // backtick-quoting admits arbitrary characters — refuse separators
+  // and dot-dot so `graft.stored.`..`.etc` can never resolve outside
+  // the configured root (the RemoteJdbc lesson: validate at the
+  // boundary, not in the happy path).
+  private def safeSegment(s: String): Boolean =
+    s.nonEmpty && s != ".." && s != "." &&
+      !s.contains('/') && !s.contains('\\') && !s.contains(' ')
+
+  private def storedExists(rel: Seq[String]): Boolean =
+    rel.forall(safeSegment) && {
+      val p = new org.apache.hadoop.fs.Path(
+        (storedDir.get +: rel).mkString("/"))
+      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+    }
 
   override def createTable(ident: Identifier, columns: Array[Column],
                            partitions: Array[Transform],

@@ -804,7 +804,7 @@ object Streams {
       .options(options)
       .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
         graft.io.MaintainedAgg.writeDeltaPartial(batch.toDF(), id,
-          groupCols, measureCols, countCol)(viewPath)
+          groupCols, measureCols, countCol, viewPath)
       }
       .start()
 

@@ -179,6 +179,17 @@ class SqlParitySpec extends SparkSpec {
     assert(plan.contains("cell"), s"cell filter must prune:\n$plan")
   }
 
+  test("stored namespace refuses path-traversal identifiers") {
+    storedRoot
+    // backtick-quoting admits arbitrary identifier characters; a
+    // dot-dot segment must read as no-such-table, never resolve a
+    // path OUTSIDE the configured storedDir
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graftst.stored.`..`.`..`.etc").collect())
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graftst.stored.`../sigs`").collect())
+  }
+
   test("catalog data tables list and keep filter pushdown") {
     SqlQueries.configure(spark, sf)
     val listed = spark.sql("SHOW TABLES IN graft.data")

@@ -1240,7 +1240,7 @@ class StreamsSpec extends SparkSpec {
       // at-least-once replay of batch 1: own-partition overwrite,
       // never summed twice (delta merge is SUM, not idempotent)
       graft.io.MaintainedAgg.writeDeltaPartial(rows(b1), 1L,
-        Seq("g"), Seq("m"), "n")(path)
+        Seq("g"), Seq("m"), "n", path)
       assert(served == expect, "replayed batch must not double-count")
       // compaction folds deltas into the base atomically and serves
       // the identical view; the deltas dir is gone, layout intact
