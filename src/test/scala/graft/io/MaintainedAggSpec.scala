@@ -143,6 +143,52 @@ class MaintainedAggSpec extends SparkSpec {
       "untouched agg_part partitions must not be rewritten")
   }
 
+  test("deltaRefresh shuffle is batch-sized, never view-sized") {
+    val li = Tables.lineitem(spark, sf)
+    val path = tmp()
+    graft.io.MaintainedAgg.write(
+      aggOf(enrich(li).select(col("n_name"), col("c_name"),
+        rev(col("l_extendedprice")))),
+      Seq("n_name", "c_name"), path, Seq("revenue"), "n_lines")
+    val viewRows = spark.read.parquet(path).count()
+    val one = enrich(li.limit(4))
+      .select(col("n_name"), col("c_name"), col("l_extendedprice"),
+        col("l_discount")).localCheckpoint()
+    val removed = one.select(col("n_name"), col("c_name"),
+      rev(col("l_extendedprice")))
+    val added = one.select(col("n_name"), col("c_name"),
+      rev(col("l_extendedprice") + 1.0))
+    // the refresh runs its own jobs (collect + write), so measure the
+    // total shuffle WRITE records across them with a stage listener
+    val written = new java.util.concurrent.atomic.AtomicLong(0)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onStageCompleted(
+          s: org.apache.spark.scheduler.SparkListenerStageCompleted)
+          : Unit = {
+        written.addAndGet(
+          s.stageInfo.taskMetrics.shuffleWriteMetrics.recordsWritten)
+        ()
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      graft.io.MaintainedAgg.deltaRefresh(spark, path, removed, added,
+        Seq("n_name", "c_name"), Seq("revenue"), "n_lines")
+      // listener events are async; wait until the count stabilizes
+      var last = -1L
+      var spins = 0
+      while (written.get() != last && spins < 50) {
+        last = written.get(); Thread.sleep(100); spins += 1
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // deltas shuffle ∝ batch groups; the merge shuffles only the
+    // touched partitions' slice — a refresh that shuffled the whole
+    // view (or worse, re-read facts corpus-wide) trips this
+    assert(written.get() > 0 && written.get() < viewRows / 2,
+      s"refresh shuffled ${written.get()} records for a 4-row batch " +
+        s"over a $viewRows-row view")
+  }
+
   private def untouchedFiles(path: String,
                              touched: Set[Int]): Set[String] = {
     val fs = new org.apache.hadoop.fs.Path(path)
