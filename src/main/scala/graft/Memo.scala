@@ -132,6 +132,7 @@ object Memo {
     def frames(v: Any): Seq[DataFrame] = v match {
       case df: DataFrame     => Seq(df)
       case it: Iterable[_]   => it.iterator.flatMap(frames).toSeq
+      case a: Array[_]       => a.iterator.flatMap(frames).toSeq
       case p: Product        => p.productIterator.flatMap(frames).toSeq
       case _                 => Seq.empty
     }

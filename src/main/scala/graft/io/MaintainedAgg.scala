@@ -61,6 +61,16 @@ object MaintainedAgg {
   /** The layout column: reader-side recomputable from the group
     * columns alone, so any batch knows which partitions its groups
     * can live in without consulting the table.
+    *
+    * Hash convention differs from Dedup's `sig_part` ON PURPOSE — do
+    * not port one formula to the other: here `hash()` (Murmur3 over
+    * possibly-many, possibly-null group columns) is signed, so `pmod`
+    * is required for non-negative parts; Dedup.withSigPart uses the
+    * engine's PORTABLE `hash32` (md5 prefix, already non-negative, a
+    * single id column) so a plain `%` is safe there AND the oracle
+    * can recompute it in SQL. This layout never needs oracle-side
+    * recomputation (the partition column is engine-internal), so the
+    * cheaper codegen'd Murmur3 is the right choice.
     */
   def withAggPart(df: DataFrame, groupCols: Seq[String]): DataFrame =
     df.withColumn("agg_part",
@@ -136,6 +146,26 @@ object MaintainedAgg {
       .localCheckpoint() // materialize BEFORE overwriting files it read
     val survived = merged.select("agg_part").distinct()
       .collect().map(_.getInt(0)).toSet
+    // CRASH CONTRACT — the refresh is two table mutations (emptied-
+    // partition deletes + dynamic partition overwrite) and cannot be
+    // atomic without rewriting the whole view. Ordering makes it
+    // CRASH-CONVERGENT under retry-on-FAILURE instead: deletes run
+    // FIRST, so an interruption anywhere leaves either (a) nothing
+    // applied, or (b) emptied partitions gone + surviving partitions
+    // still old — and RE-RUNNING the same batch from state (b) lands
+    // the exact final state (the deleted groups' contributions fold
+    // to negative counts and filter out; surviving partitions merge
+    // old + delta correctly). The reverse order could crash into
+    // resurrected deleted groups that no re-run repairs. Do NOT
+    // re-run a batch that SUCCEEDED (in-place merge is not replay-
+    // idempotent) — unattended at-least-once ingest belongs on the
+    // streaming path ([[writeDeltaPartial]] + [[compactDeltas]]),
+    // which is replay-safe by construction.
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    parts.filterNot(survived).foreach { p =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$path/agg_part=$p"), true)
+    }
     if (survived.nonEmpty)
       // the merge shuffled on (group, agg_part), so every reduce task
       // holds a mix of parts — re-align on agg_part so each touched
@@ -144,11 +174,6 @@ object MaintainedAgg {
         .write.mode("overwrite")
         .option("partitionOverwriteMode", "dynamic")
         .partitionBy("agg_part").parquet(path)
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    parts.filterNot(survived).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/agg_part=$p"), true)
-    }
   }
 
   // ---- streaming ingest: per-batch delta partitions ----
@@ -167,6 +192,33 @@ object MaintainedAgg {
 
   private def deltasDir(path: String) = s"$path/_deltas"
 
+  /** High-water mark of batch ids already FOLDED into the base by
+    * [[compactDeltas]] — published in the same atomic swap as the
+    * folded view, so a batch can never be both in the base and in a
+    * delta partition. `writeDeltaPartial` refuses ids at or below it:
+    * after a crash between compaction and the stream's offset commit,
+    * the replayed batch would otherwise re-create its delta ON TOP of
+    * a base that already contains it.
+    */
+  private def foldedMark(spark: SparkSession, path: String): Long = {
+    val p = new org.apache.hadoop.fs.Path(path, "_folded")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) -1L
+    else {
+      val in = fs.open(p)
+      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
+      finally in.close()
+    }
+  }
+
+  private def writeFoldedMark(spark: SparkSession, dir: String,
+                              mark: Long): Unit = {
+    val p = new org.apache.hadoop.fs.Path(dir, "_folded")
+    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      .create(p, true)
+    try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
+  }
+
   /** One micro-batch's delta write (factored out so replay
     * idempotence is testable without a stream): `added` rows carry
     * the per-row measure contributions; the per-group delta lands
@@ -175,6 +227,10 @@ object MaintainedAgg {
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCols: Seq[String], measureCols: Seq[String],
                         countCol: String, path: String): Unit = {
+    // a batch already FOLDED into the base (compaction published its
+    // id in the _folded mark) must no-op on replay — recreating its
+    // delta would double-count it in every merge-on-read
+    if (batchId <= foldedMark(added.sparkSession, path)) return
     // materialize once: isEmpty is an action and the write is another
     // — without the checkpoint the micro-batch source is read twice
     val b = added.localCheckpoint()
@@ -214,17 +270,36 @@ object MaintainedAgg {
   }
 
   /** Fold pending deltas into the base layout ATOMICALLY: the staged
-    * dir receives the fully merged, re-partitioned view and the swap
-    * replaces base AND `_deltas` in one rename — a crash anywhere
-    * leaves either the old view+deltas or the folded view, never a
-    * state where a delta could be applied twice.
+    * dir receives the fully merged, re-partitioned view plus the
+    * `_folded` high-water mark of every batch id it absorbed, and the
+    * swap publishes them in one rename — a crash anywhere leaves
+    * either the old view+deltas or the folded view+mark, and a
+    * replayed batch at or below the mark no-ops in
+    * [[writeDeltaPartial]], so a delta can never be applied twice.
+    *
+    * WRITER DISCIPLINE (same single-writer contract as every
+    * [[StagedSwap]] table): STOP the maintaining ingest before
+    * compacting — a batch whose delta lands between the staging read
+    * and the swap would be renamed away with the old dir. Restart
+    * REPLAY after the swap is what the mark makes safe; concurrent
+    * NEW writes during the swap are not.
     */
   def compactDeltas(spark: SparkSession, path: String,
                     groupCols: Seq[String], measureCols: Seq[String],
-                    countCol: String): Unit =
+                    countCol: String): Unit = {
+    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
+    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedIds =
+      if (!fs.exists(dDir)) Seq.empty[Long]
+      else fs.listStatus(dDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLong }.toSeq
+    val mark = (foldedIds :+ foldedMark(spark, path)).max
     StagedSwap.swap(spark, path) { stage =>
       write(readWithDeltas(spark, path, groupCols, measureCols, countCol)
         .localCheckpoint(), // materialize BEFORE the swap touches files
         groupCols, stage, measureCols, countCol)
+      writeFoldedMark(spark, stage, mark)
     }
+  }
 }

@@ -51,11 +51,8 @@ object CoreQueries {
     * decorrelation being exercised (a hand-decorrelated DataFrame
     * would test nothing).
     */
-  private[queries] def registerTpchViewsForTest(s: SparkSession,
-                                                d: String): Unit =
-    registerTpchViews(s, d)
-
-  private def registerTpchViews(s: SparkSession, d: String): Unit = {
+  private[queries] def registerTpchViews(s: SparkSession,
+                                         d: String): Unit = {
     Tables.lineitem(s, d).createOrReplaceTempView("lineitem")
     Tables.orders(s, d).createOrReplaceTempView("orders")
     Tables.supplier(s, d).createOrReplaceTempView("supplier")
@@ -930,8 +927,12 @@ object CoreQueries {
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
       val groupCols = Seq("n_name", "c_name")
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_mv_").toString + "/view"
+      // FIXED scratch path keyed by sfDir (not a fresh temp dir):
+      // bench/verify sweeps run this query repeatedly, and a per-run
+      // dir would accumulate a materialized 64-partition view copy
+      // every invocation; overwrite mode bounds it to one copy per sf
+      val path = s"${sys.props("java.io.tmpdir")}/" +
+        s"graft_mv_${scratchTag(d)}/view"
       // view build: ONE honest pass over the old snapshot
       val oldView = enrich(li)
         .select(col("n_name"), col("c_name"), rev(col("l_extendedprice")))

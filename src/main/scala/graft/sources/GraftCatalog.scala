@@ -107,9 +107,21 @@ class GraftCatalog extends TableCatalog {
         val root = new org.apache.hadoop.fs.Path(
           (storedDir.get +: ns.tail).mkString("/"))
         val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
+        // advertise only dirs that READ as parquet tables: parquet
+        // files directly inside, or a partitioned layout (`k=v`
+        // subdirs). A nested-artifact dir (a vector index's
+        // centroids/vectors) is a sub-namespace, not a table — listing
+        // it as one would schema-error at read time.
+        def isTable(d: org.apache.hadoop.fs.Path): Boolean =
+          f.listStatus(d).exists { c =>
+            (c.isFile && c.getPath.getName.endsWith(".parquet")) ||
+              (c.isDirectory && c.getPath.getName.contains("="))
+          }
         if (!f.exists(root)) Array.empty
-        else f.listStatus(root).filter(_.isDirectory).map(_.getPath.getName)
-          .map(Identifier.of(ns, _))
+        else f.listStatus(root).filter(_.isDirectory)
+          .filter(d => !d.getPath.getName.startsWith("_"))
+          .filter(d => isTable(d.getPath))
+          .map(d => Identifier.of(ns, d.getPath.getName))
       case _ => throw new NoSuchNamespaceException(namespace)
     }
 

@@ -127,7 +127,7 @@ class PlanAuditSpec extends SparkSpec {
     // the correlated ORIGINAL (oracle + catalog-parity text) must
     // still decorrelate: an aggregate joined back on the correlation
     // key, never a per-row scalar evaluation
-    CoreQueries.registerTpchViewsForTest(spark, sf)
+    CoreQueries.registerTpchViews(spark, sf)
     val q2Text = finalPlan(
       spark.sql(CoreQueries.tpchTextSql("q_tpch_q2", identity)))
     assert(!q2Text.contains("ScalarSubquery") &&

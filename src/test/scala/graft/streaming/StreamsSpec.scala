@@ -1251,6 +1251,16 @@ class StreamsSpec extends SparkSpec {
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")),
         "compaction must fold the deltas away")
+      // crash between compaction and the stream's offset commit: the
+      // restarted stream REPLAYS a batch the base already absorbed —
+      // the _folded high-water mark makes the replay a no-op instead
+      // of a double count
+      graft.io.MaintainedAgg.writeDeltaPartial(rows(b1), 1L,
+        Seq("g"), Seq("m"), "n", path)
+      assert(served == expect,
+        "a replayed already-folded batch must no-op against the mark")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")),
+        "the folded batch's delta must not be recreated")
       assert(fs.listStatus(new org.apache.hadoop.fs.Path(path))
         .exists(_.getPath.getName.startsWith("agg_part=")),
         "compacted view must keep the hash-partitioned layout")
