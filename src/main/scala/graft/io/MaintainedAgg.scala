@@ -42,9 +42,9 @@ import org.apache.spark.sql.functions._
   * stored schema never widens across refreshes.
   *
   * Reference behavior mirrored: the reference pipeline rebuilds its
-  * consolidated views from scratch each run (`steps/step3_consolidate
-  * .py`); this is the maintained twin a daily-cadence 100 TB corpus
-  * needs.
+  * consolidated views from scratch each run (`steps/step5_create_views
+  * .py` recreates every view per run); this is the maintained twin a
+  * daily-cadence 100 TB corpus needs.
   */
 object MaintainedAgg {
 
@@ -81,16 +81,40 @@ object MaintainedAgg {
     * be a long count of contributing rows (drives group deletion).
     */
   def write(agg: DataFrame, groupCols: Seq[String], path: String,
-            measureCols: Seq[String], countCol: String): Unit =
-    withAggPart(normalize(agg, measureCols, countCol), groupCols)
+            measureCols: Seq[String], countCol: String): Unit = {
+    val keyed = withAggPart(normalize(agg, measureCols, countCol),
+      groupCols)
+    keyed
       // align tasks with the layout: one writer per agg_part → one
       // file per partition dir, not tasks × AggParts small files
       .repartition(AggParts, col("agg_part"))
       .write.mode("overwrite").partitionBy("agg_part").parquet(path)
+    // persist the schema OUT of band: a refresh that deletes every
+    // surviving group leaves the table with zero parquet files, and a
+    // schema-inference read of that state throws instead of returning
+    // the empty view — the stored schema keeps reads total
+    SchemaFile.write(agg.sparkSession, path, keyed.schema)
+  }
 
-  /** Read the full view back (layout column dropped). */
-  def read(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("agg_part")
+  /** Read the full view back (layout column dropped). Completes any
+    * crashed refresh first — a half-applied commit must never be
+    * served.
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    PartCommit.recover(spark, path)
+    readKeyed(spark, path).drop("agg_part")
+  }
+
+  /** Schema-pinned read including the layout column: total on a
+    * fully-emptied view (zero parquet files → empty frame, not a
+    * schema-inference error). Falls back to inference for tables
+    * written before the schema file existed.
+    */
+  private def readKeyed(spark: SparkSession, path: String): DataFrame =
+    SchemaFile.read(spark, path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.parquet(path)
+    }
 
   private def normalize(df: DataFrame, measureCols: Seq[String],
                         countCol: String): DataFrame = {
@@ -111,11 +135,37 @@ object MaintainedAgg {
     *
     * Invariant (spec-pinned and the q_incr_joinagg oracle): after the
     * refresh the view ≡ the same aggregation over the new snapshot.
+    *
+    * CRASH CONTRACT (via [[PartCommit]]): the refresh stages the
+    * merged touched partitions OUT of the table's visible tree,
+    * publishes an atomic commit marker, and only then swaps staged
+    * partitions in one by one — each swap idempotent under the marker.
+    * A crash before the marker leaves the view intact (retry
+    * recomputes); a crash after it is completed by [[PartCommit
+    * .recover]], which every entry point of this object runs first. So
+    * the refresh is EXACTLY-ONCE under retry, keyed by `batchId`: a
+    * replay of a batch at or below the table's applied mark no-ops.
+    * Callers with no natural batch numbering use the id-free overload,
+    * which allocates mark+1 — retry-safe mid-flight (recovery is
+    * marker-driven, not id-driven) but NOT replay-detecting across
+    * successful runs; unattended at-least-once ingest belongs on the
+    * streaming path ([[writeDeltaPartial]] + [[compactDeltas]]).
     */
   def deltaRefresh(spark: SparkSession, path: String,
                    removed: DataFrame, added: DataFrame,
                    groupCols: Seq[String], measureCols: Seq[String],
-                   countCol: String): Unit = {
+                   countCol: String): Unit =
+    deltaRefresh(spark, path, removed, added, groupCols, measureCols,
+      countCol, PartCommit.lastApplied(spark, path) + 1)
+
+  def deltaRefresh(spark: SparkSession, path: String,
+                   removed: DataFrame, added: DataFrame,
+                   groupCols: Seq[String], measureCols: Seq[String],
+                   countCol: String, batchId: Long): Unit = {
+    // finish any predecessor's half-applied commit BEFORE reading the
+    // view — the slice below must see a consistent table
+    PartCommit.recover(spark, path)
+    if (batchId <= PartCommit.lastApplied(spark, path)) return
     def contrib(df: DataFrame, w: Int): DataFrame =
       df.select(groupCols.map(col) ++
         measureCols.map(m =>
@@ -131,10 +181,15 @@ object MaintainedAgg {
       .localCheckpoint() // feeds the part list AND the merge once
     val parts = keyed.select("agg_part").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (parts.isEmpty) return
+    if (parts.isEmpty) {
+      // nothing to merge, but the batch still happened — advance the
+      // mark so a replay of it stays a no-op
+      PartCommit.markApplied(spark, path, batchId)
+      return
+    }
     // touched slice only: static partition filter — the scan reads
     // touched/AggParts of the view, measured in MaintainedAggSpec
-    val slice = spark.read.parquet(path)
+    val slice = readKeyed(spark, path)
       .filter(col("agg_part").isin(parts: _*))
     val mAggs = measureCols.map(m =>
       sum(col(m)).cast(MeasureType).as(m)) :+
@@ -143,37 +198,17 @@ object MaintainedAgg {
       .groupBy((groupCols :+ "agg_part").map(col): _*)
       .agg(mAggs.head, mAggs.tail: _*)
       .filter(col(countCol) > 0)
-      .localCheckpoint() // materialize BEFORE overwriting files it read
-    val survived = merged.select("agg_part").distinct()
-      .collect().map(_.getInt(0)).toSet
-    // CRASH CONTRACT — the refresh is two table mutations (emptied-
-    // partition deletes + dynamic partition overwrite) and cannot be
-    // atomic without rewriting the whole view. Ordering makes it
-    // CRASH-CONVERGENT under retry-on-FAILURE instead: deletes run
-    // FIRST, so an interruption anywhere leaves either (a) nothing
-    // applied, or (b) emptied partitions gone + surviving partitions
-    // still old — and RE-RUNNING the same batch from state (b) lands
-    // the exact final state (the deleted groups' contributions fold
-    // to negative counts and filter out; surviving partitions merge
-    // old + delta correctly). The reverse order could crash into
-    // resurrected deleted groups that no re-run repairs. Do NOT
-    // re-run a batch that SUCCEEDED (in-place merge is not replay-
-    // idempotent) — unattended at-least-once ingest belongs on the
-    // streaming path ([[writeDeltaPartial]] + [[compactDeltas]]),
-    // which is replay-safe by construction.
-    val fs = new org.apache.hadoop.fs.Path(path)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    parts.filterNot(survived).foreach { p =>
-      fs.delete(new org.apache.hadoop.fs.Path(s"$path/agg_part=$p"), true)
+    // stage → commit marker → per-partition swap; the staged write
+    // reads the live slice files and writes OUTSIDE the visible tree,
+    // so no materialization barrier is needed before it
+    PartCommit.replaceParts(spark, path, "agg_part", batchId, parts) {
+      stage =>
+        // the merge shuffled on (group, agg_part), so every reduce
+        // task holds a mix of parts — re-align on agg_part so each
+        // touched partition is staged as ONE file
+        merged.repartition(parts.size, col("agg_part"))
+          .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
     }
-    if (survived.nonEmpty)
-      // the merge shuffled on (group, agg_part), so every reduce task
-      // holds a mix of parts — re-align on agg_part so each touched
-      // partition is rewritten as ONE file
-      merged.repartition(survived.size, col("agg_part"))
-        .write.mode("overwrite")
-        .option("partitionOverwriteMode", "dynamic")
-        .partitionBy("agg_part").parquet(path)
   }
 
   // ---- streaming ingest: per-batch delta partitions ----
@@ -295,11 +330,15 @@ object MaintainedAgg {
         .collect { case n if n.startsWith("batch_id=") =>
           n.stripPrefix("batch_id=").toLong }.toSeq
     val mark = (foldedIds :+ foldedMark(spark, path)).max
+    val applied = PartCommit.lastApplied(spark, path)
     StagedSwap.swap(spark, path) { stage =>
       write(readWithDeltas(spark, path, groupCols, measureCols, countCol)
         .localCheckpoint(), // materialize BEFORE the swap touches files
         groupCols, stage, measureCols, countCol)
       writeFoldedMark(spark, stage, mark)
+      // the whole-dir swap would otherwise drop the refresh replay
+      // mark — carry it so batch-id dedup survives compaction
+      if (applied >= 0) PartCommit.markApplied(spark, stage, applied)
     }
   }
 }

@@ -485,8 +485,7 @@ object CoreQueries {
 
     // S4 — sink round-trip: write parquet, re-read, re-sort.
     "q_roundtrip" -> ((s, d) => {
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_roundtrip_${scratchTag(d)}"
+      val out = Scratch.fresh(s"roundtrip_${scratchTag(d)}")
       attachDim(spineDf(s, d), Tables.supplier(s, d),
         "l_suppkey", "s_suppkey", Seq("s_name"))
         .select("ship_date", "l_suppkey", "s_name")
@@ -499,8 +498,7 @@ object CoreQueries {
     // re-read with an EXPLICIT schema (inference would re-order fields
     // and widen types), values must survive identically.
     "q_jsonl_roundtrip" -> ((s, d) => {
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_jsonl_${scratchTag(d)}"
+      val out = Scratch.fresh(s"jsonl_${scratchTag(d)}")
       Tables.documents(s, d)
         .select("doc_id", "lang", "source", "n_chars")
         .write.mode("overwrite").json(out)
@@ -576,8 +574,7 @@ object CoreQueries {
       // contract above); DROP-first keeps same-session re-runs
       // deterministic
       val cat = s"graftvq_${scratchTag(d)}"
-      val root =
-        s"${sys.props("java.io.tmpdir")}/graft_vsql_${scratchTag(d)}"
+      val root = Scratch.fresh(s"vsql_${scratchTag(d)}")
       s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
       s.conf.set(s"spark.sql.catalog.$cat.versionedDir", root)
@@ -611,11 +608,8 @@ object CoreQueries {
     // and inserts (%5 keys missing from the base) — read back and
     // oracle-check the final table state
     "q_merge_upsert" -> ((s, d) => {
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_merge_${scratchTag(d)}"
       // fresh bootstrap per run — merge is stateful by design
-      val p = new org.apache.hadoop.fs.Path(out)
-      p.getFileSystem(s.sparkContext.hadoopConfiguration).delete(p, true)
+      val out = Scratch.fresh(s"merge_${scratchTag(d)}")
       val orders = Tables.orders(s, d)
         .select("o_orderkey", "o_custkey", "o_orderstatus")
       graft.io.MergeTable.merge(s, out,
@@ -679,8 +673,7 @@ object CoreQueries {
     // oracle pins it as a constant — the query's job is proving the
     // write→footer→read round trip reports it faithfully
     "q_schema_diff" -> ((s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_schemadiff_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = Scratch.fresh(s"schemadiff_${scratchTag(d)}")
       val docs = Tables.documents(s, d)
       docs.write.mode("overwrite").parquet(s"$out/v1")
       docs
@@ -737,8 +730,7 @@ object CoreQueries {
     // standardizes on ORC (Hive shops). Same month-slice shape as the
     // CSV path; values must survive the ORC writer/reader identically.
     "q_orc_roundtrip" -> ((s, d) => {
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_orc_${scratchTag(d)}"
+      val out = Scratch.fresh(s"orc_${scratchTag(d)}")
       attachDim(
         spineDf(s, d).filter(col("ship_date").startsWith("1997-06")),
         Tables.supplier(s, d), "l_suppkey", "s_suppkey", Seq("s_name"))
@@ -755,8 +747,7 @@ object CoreQueries {
     // of the spine: single-file CSV is the small-view layout — the
     // full fact path stays multi-part parquet (q_roundtrip).
     "q_csv_roundtrip" -> ((s, d) => {
-      val out =
-        s"${sys.props("java.io.tmpdir")}/graft_rt_${scratchTag(d)}.csv"
+      val out = Scratch.fresh(s"rt_${scratchTag(d)}.csv")
       graft.io.Csv.write(
         attachDim(
           spineDf(s, d).filter(col("ship_date").startsWith("1997-03")),
@@ -927,12 +918,12 @@ object CoreQueries {
         .join(broadcast(Tables.nation(s, d)),
           col("c_nationkey") === col("n_nationkey"))
       val groupCols = Seq("n_name", "c_name")
-      // FIXED scratch path keyed by sfDir (not a fresh temp dir):
-      // bench/verify sweeps run this query repeatedly, and a per-run
-      // dir would accumulate a materialized 64-partition view copy
-      // every invocation; overwrite mode bounds it to one copy per sf
-      val path = s"${sys.props("java.io.tmpdir")}/" +
-        s"graft_mv_${scratchTag(d)}/view"
+      // FIXED per-(process, sf) scratch path, cleared per invocation:
+      // bench/verify sweeps run this query repeatedly (one live copy,
+      // no accumulation), and the PID-keyed root means two concurrent
+      // harness processes on the SAME sf never interleave stateful
+      // write/refresh cycles on one view (the r12 advice scenario)
+      val path = Scratch.fresh(s"mv_${scratchTag(d)}/view")
       // view build: ONE honest pass over the old snapshot
       val oldView = enrich(li)
         .select(col("n_name"), col("c_name"), rev(col("l_extendedprice")))
@@ -965,8 +956,7 @@ object CoreQueries {
     // the q_sig_lifecycle of the manifest table log
     "q_time_travel" -> ((s, d) => {
       import org.apache.spark.sql.types.DecimalType
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_tt_").toString + "/t"
+      val path = Scratch.fresh(s"tt_${scratchTag(d)}/t")
       val o = Tables.orders(s, d)
         .select("o_orderkey", "o_orderstatus", "o_totalprice")
       graft.io.Versioned.commit(s, path,

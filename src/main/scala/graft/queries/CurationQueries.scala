@@ -213,8 +213,7 @@ object CurationQueries {
     // (a train-set scan must touch train files, never the test dirs;
     // PlanAuditSpec asserts the PartitionFilters prune)
     "q_partitioned_prune" -> ((s, d) => {
-      val out = s"${sys.props("java.io.tmpdir")}/graft_part_" +
-        d.replaceAll("[^a-zA-Z0-9]", "_")
+      val out = Scratch.fresh(s"part_${Scratch.tag(d)}")
       Curation.datasetSplit(docs(s, d), "doc_id")
         .write.mode("overwrite").partitionBy("split").parquet(out)
       s.read.parquet(out)

@@ -289,8 +289,7 @@ object DedupQueries {
     // contain (corpus sigs + surviving-batch sigs) from scratch
     "q_sig_lifecycle" -> ((s, d) => {
       val all = Tables.documents(s, d)
-      val table = java.nio.file.Files
-        .createTempDirectory("graft_sigtable_").toString + "/sigs"
+      val table = Scratch.fresh(s"sigtable_${Scratch.tag(d)}/sigs")
       val corpusSigs = Dedup.minhashSignatures(
         Dedup.docShingles(all.filter(col("doc_id") % 2 === 0),
           "doc_id", "text", K, dedup = false), "doc_id")

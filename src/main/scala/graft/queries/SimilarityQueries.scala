@@ -131,8 +131,7 @@ object SimilarityQueries {
       val cent = e.filter(col("vec_id") < NumSeeds)
         .select(col("vec_id").as("cluster"),
           col("embedding").cast("array<double>").as("cv"))
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_vecindex_").toString + "/idx"
+      val path = Scratch.fresh(s"vecindex_${Scratch.tag(d)}/idx")
       Similarity.writeVectorIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", cent, path)
       Similarity.appendVectorIndex(e.filter(col("vec_id") % 2 =!= 0),
@@ -196,8 +195,7 @@ object SimilarityQueries {
           col("embedding").cast("array<double>").as("cv"))
       val cb = Similarity.pqSeedCodebook(e, "vec_id", "embedding",
         PqSub, PqSubDim, PqCodes)
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_pqindex_").toString + "/idx"
+      val path = Scratch.fresh(s"pqindex_${Scratch.tag(d)}/idx")
       Similarity.writePqIndex(e.filter(col("vec_id") % 2 === 0),
         "vec_id", "embedding", cent, cb, PqSub, PqSubDim, path)
       Similarity.appendPqIndex(e.filter(col("vec_id") % 2 =!= 0),

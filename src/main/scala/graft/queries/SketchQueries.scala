@@ -171,8 +171,7 @@ object SketchQueries {
     // per-source sample size, pinning the store content's shape).
     "q_sketch_lifecycle" -> ((s, d) => {
       import org.apache.spark.sql.expressions.Window
-      val path = java.nio.file.Files
-        .createTempDirectory("graft_skl_").toString + "/sk"
+      val path = Scratch.fresh(s"skl_${Scratch.tag(d)}/sk")
       val docs = Tables.documents(s, d).filter(col("n_chars").isNotNull)
       val b1 = docs.filter(col("doc_id") % 2 === 0)
       val b2 = docs.filter(col("doc_id") % 2 =!= 0)

@@ -107,20 +107,10 @@ class GraftCatalog extends TableCatalog {
         val root = new org.apache.hadoop.fs.Path(
           (storedDir.get +: ns.tail).mkString("/"))
         val f = root.getFileSystem(spark.sparkContext.hadoopConfiguration)
-        // advertise only dirs that READ as parquet tables: parquet
-        // files directly inside, or a partitioned layout (`k=v`
-        // subdirs). A nested-artifact dir (a vector index's
-        // centroids/vectors) is a sub-namespace, not a table — listing
-        // it as one would schema-error at read time.
-        def isTable(d: org.apache.hadoop.fs.Path): Boolean =
-          f.listStatus(d).exists { c =>
-            (c.isFile && c.getPath.getName.endsWith(".parquet")) ||
-              (c.isDirectory && c.getPath.getName.contains("="))
-          }
         if (!f.exists(root)) Array.empty
         else f.listStatus(root).filter(_.isDirectory)
           .filter(d => !d.getPath.getName.startsWith("_"))
-          .filter(d => isTable(d.getPath))
+          .filter(d => isStoredTable(f, d.getPath))
           .map(d => Identifier.of(ns, d.getPath.getName))
       case _ => throw new NoSuchNamespaceException(namespace)
     }
@@ -169,13 +159,28 @@ class GraftCatalog extends TableCatalog {
   // boundary, not in the happy path).
   private def safeSegment(s: String): Boolean =
     s.nonEmpty && s != ".." && s != "." &&
-      !s.contains('/') && !s.contains('\\') && !s.contains(' ')
+      !s.contains('/') && !s.contains('\\') && !s.contains('\u0000')
+
+  /** A stored dir READS as a parquet table: parquet files directly
+    * inside, or a partitioned layout (`k=v` subdirs). A
+    * nested-artifact dir (a vector index's centroids/vectors) is a
+    * sub-namespace, not a table — resolving it as one would only
+    * schema-error later; listTables and loadTable apply the SAME
+    * predicate so a loadable table is exactly a listed one.
+    */
+  private def isStoredTable(f: org.apache.hadoop.fs.FileSystem,
+                            d: org.apache.hadoop.fs.Path): Boolean =
+    f.listStatus(d).exists { c =>
+      (c.isFile && c.getPath.getName.endsWith(".parquet")) ||
+        (c.isDirectory && c.getPath.getName.contains("="))
+    }
 
   private def storedExists(rel: Seq[String]): Boolean =
-    rel.forall(safeSegment) && {
+    rel.forall(safeSegment) && !rel.last.startsWith("_") && {
       val p = new org.apache.hadoop.fs.Path(
         (storedDir.get +: rel).mkString("/"))
-      p.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(p)
+      val f = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      f.exists(p) && f.getFileStatus(p).isDirectory && isStoredTable(f, p)
     }
 
   override def createTable(ident: Identifier, columns: Array[Column],

@@ -179,6 +179,27 @@ class SqlParitySpec extends SparkSpec {
     assert(plan.contains("cell"), s"cell filter must prune:\n$plan")
   }
 
+  test("stored loadTable gates on table SHAPE, not bare existence") {
+    storedRoot
+    val emb = graft.model.Tables.embeddings(spark, sf)
+    val cents = graft.operators.Similarity
+      .kmeans(emb, "vec_id", "embedding", k = 4, iters = 3)._2
+    graft.operators.Similarity.writeVectorIndex(emb, "vec_id",
+      "embedding", cents, s"$storedRoot/gidx")
+    // the index ROOT is a nested namespace (its artifacts nest);
+    // resolving it as a table used to schema-error deep in the scan —
+    // it must be a clean table-not-found at resolution time
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graftst.stored.gidx").collect())
+    // `_`-prefixed internals are never tables, even as leaf segments
+    intercept[org.apache.spark.sql.AnalysisException](
+      spark.sql("SELECT * FROM graftst.stored.gidx.`_nope`").collect())
+    // while its parquet leaves load fine
+    assert(spark.sql(
+      "SELECT count(*) FROM graftst.stored.gidx.vectors")
+      .head().getLong(0) > 0)
+  }
+
   test("stored namespace refuses path-traversal identifiers") {
     storedRoot
     // backtick-quoting admits arbitrary identifier characters; a
