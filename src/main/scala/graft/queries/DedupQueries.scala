@@ -7,7 +7,7 @@ import org.apache.spark.sql.functions._
 import graft.functions.Portable
 import graft.functions.Portable._
 import graft.model.Tables
-import graft.operators.{Curation, Dedup}
+import graft.operators.{Curation, Dedup, MaintainedComponents}
 
 /** Deduplication queries over `documents`: exact, MinHash+LSH,
   * SimHash, and exact n-gram Jaccard. The MinHash/SimHash oracles are
@@ -241,6 +241,55 @@ object DedupQueries {
       val del = all.filter(col("doc_id") % 17 === 3).select("doc_id")
       Dedup.forgetDocs(labels, sigs, del, "doc_id")
         .orderBy("doc_id")
+    }),
+
+    // the STORED component-label lifecycle (q_incr_components/q_forget
+    // keep their state in-memory as the operator-identity stand-ins;
+    // this is the real thing): base labels + signatures persisted as
+    // hash-partitioned parquet, one ingest batch MERGED through the
+    // stored table (partition-pruned member expansion, touched-
+    // partition rewrite under PartCommit), the batch sigs appended,
+    // then a forget batch REPAIRED from the stored signature table —
+    // final labeling read back from disk must equal the full closure
+    // over the surviving corpus (merge∘forget ≡ recompute)
+    "q_comp_lifecycle" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val base = all.filter(col("doc_id") % 10 =!= 9)
+      val batch = all.filter(col("doc_id") % 10 === 9)
+      val labelPath = Scratch.fresh(s"complabels_${Scratch.tag(d)}/labels")
+      val sigPath = Scratch.fresh(s"compsigs_${Scratch.tag(d)}/sigs")
+      val baseSigs = Dedup.minhashSignatures(
+        Dedup.docShingles(base, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val basePairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(baseSigs, "doc_id"), baseSigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      Dedup.writeSignatures(baseSigs, "doc_id", sigPath)
+      MaintainedComponents.write(
+        Dedup.connectedComponents(basePairs, base.select("doc_id"),
+          "doc_id"),
+        "doc_id", labelPath)
+      // ingest: batch edges derived against the STORED signature table
+      val storedSigs = Dedup.readSignatures(s, sigPath)
+      val newSigs = Dedup.minhashSignatures(
+        Dedup.docShingles(batch, "doc_id", "text", K, dedup = false),
+        "doc_id").localCheckpoint()
+      val cross = Dedup.estimatedJaccardAcross(
+        Dedup.lshCrossPairs(newSigs, storedSigs, "doc_id"),
+        newSigs, storedSigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      val intra = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(newSigs, "doc_id"), newSigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      MaintainedComponents.merge(s, labelPath,
+        cross.unionByName(intra), batch.select("doc_id"), "doc_id",
+        batchId = 1L)
+      Dedup.appendSignatures(newSigs, "doc_id", sigPath)
+      // right-to-be-forgotten batch, repaired from the stored sigs
+      MaintainedComponents.forget(s, labelPath, sigPath,
+        all.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id",
+        batchId = 2L)
+      MaintainedComponents.read(s, labelPath).orderBy("doc_id")
     }),
 
     // leakage-safe split: near-dup components share a split, so no
@@ -748,6 +797,11 @@ object DedupQueries {
 
     // forget ≡ full recompute over the surviving corpus
     "q_forget" -> closureSqlFrom("surv",
+      "surv AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),\n"),
+
+    // the stored lifecycle lands on the same final corpus: merge the
+    // whole corpus in, then forget %17 — ≡ closure over survivors
+    "q_comp_lifecycle" -> closureSqlFrom("surv",
       "surv AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),\n"),
 
     "q_leakage_split" -> {
