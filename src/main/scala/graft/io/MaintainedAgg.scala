@@ -211,6 +211,130 @@ object MaintainedAgg {
     }
   }
 
+  // ---- MIN/MAX maintained aggregates ----
+  //
+  // Extrema are NOT self-maintainable under deletes (the r12 verdict's
+  // open gap): sums fold removals arithmetically, but deleting the row
+  // that CARRIED a group's min says nothing about the new min — the
+  // evidence is gone from the view. The classical MV answer is
+  // implemented here: inserts fold (new_min = least(old, batch_min));
+  // a delete makes a group DIRTY only when a removed value ties or
+  // beats the stored extreme (rmin ≤ stored_min or rmax ≥ stored_max —
+  // an interior delete can't move either end), and only dirty groups
+  // are recomputed from the fact side, via a caller-supplied
+  // `recompute(dirtyGroups)` that returns the NEW snapshot's rows for
+  // exactly those groups (the caller owns the fact layout, so it can
+  // push the group semi-join into a bucketed/partitioned scan). At
+  // 100 TB a CDC batch dirties the handful of groups whose extremes it
+  // touched; everything else is arithmetic on the touched view slice.
+
+  private def minMaxAggs(valueCols: Seq[String], countCol: String) =
+    valueCols.flatMap(v => Seq(
+      min(col(v).cast(MeasureType)).as(s"min_$v"),
+      max(col(v).cast(MeasureType)).as(s"max_$v"))) :+
+      count(lit(1L)).cast("long").as(countCol)
+
+  private def minMaxViewCols(groupCols: Seq[String],
+                             valueCols: Seq[String], countCol: String) =
+    groupCols ++ valueCols.flatMap(v => Seq(s"min_$v", s"max_$v")) :+
+      countCol
+
+  /** Materialize the extrema view from PER-ROW input: one
+    * `min_<v>`/`max_<v>` pair per value column (canonical decimals,
+    * order-preserving) plus the row count.
+    */
+  def writeMinMax(rows: DataFrame, groupCols: Seq[String], path: String,
+                  valueCols: Seq[String], countCol: String): Unit = {
+    val a = minMaxAggs(valueCols, countCol)
+    val keyed = withAggPart(
+      rows.groupBy(groupCols.map(col): _*).agg(a.head, a.tail: _*),
+      groupCols)
+    keyed.repartition(AggParts, col("agg_part"))
+      .write.mode("overwrite").partitionBy("agg_part").parquet(path)
+    SchemaFile.write(rows.sparkSession, path, keyed.schema)
+  }
+
+  /** Apply a CDC batch to the extrema view. `removed`/`added` carry
+    * per-row (groupCols ++ valueCols) contributions, exactly as
+    * [[deltaRefresh]]. Same [[PartCommit]] crash/replay contract.
+    * `recompute` receives the distinct DIRTY group keys (materialized,
+    * batch-bounded) and must return the new snapshot's per-row
+    * contributions for those groups.
+    *
+    * Invariant (spec-pinned, q_incr_minmax oracle): after the refresh
+    * the view ≡ min/max/count over the new snapshot.
+    */
+  def deltaRefreshMinMax(spark: SparkSession, path: String,
+                         removed: DataFrame, added: DataFrame,
+                         groupCols: Seq[String], valueCols: Seq[String],
+                         countCol: String, batchId: Long)
+                        (recompute: DataFrame => DataFrame): Unit = {
+    PartCommit.recover(spark, path)
+    if (batchId <= PartCommit.lastApplied(spark, path)) return
+    def side(df: DataFrame, w: Int) =
+      df.select(groupCols.map(col) ++
+        valueCols.map(v => col(v).cast(MeasureType).as(v)) :+
+        lit(w).as("__w"): _*)
+    val bAggs = valueCols.flatMap(v => Seq(
+      min(when(col("__w") === 1, col(v))).as(s"__amin_$v"),
+      max(when(col("__w") === 1, col(v))).as(s"__amax_$v"),
+      min(when(col("__w") === -1, col(v))).as(s"__rmin_$v"),
+      max(when(col("__w") === -1, col(v))).as(s"__rmax_$v"))) ++ Seq(
+      sum(when(col("__w") === 1, 1L).otherwise(0L)).as("__an"),
+      sum(when(col("__w") === -1, 1L).otherwise(0L)).as("__rn"))
+    val batchAgg = side(added, 1).unionByName(side(removed, -1))
+      .groupBy(groupCols.map(col): _*)
+      .agg(bAggs.head, bAggs.tail: _*)
+      .localCheckpoint() // feeds the part list AND the classification
+    val parts = withAggPart(
+      batchAgg.select(groupCols.map(col): _*), groupCols)
+      .select("agg_part").distinct().collect().map(_.getInt(0)).toSeq
+    if (parts.isEmpty) {
+      PartCommit.markApplied(spark, path, batchId)
+      return
+    }
+    val slice = readKeyed(spark, path)
+      .filter(col("agg_part").isin(parts: _*)).drop("agg_part")
+    val joined = slice.join(batchAgg, groupCols, "full_outer")
+      .localCheckpoint() // feeds carry, clean, dirty — one evaluation
+    val viewCols = minMaxViewCols(groupCols, valueCols, countCol)
+    val untouchedInPart = col("__an").isNull && col("__rn").isNull
+    val carry = joined.filter(untouchedInPart)
+      .select(viewCols.map(col): _*)
+    val touched = joined.filter(!untouchedInPart)
+    val rn = coalesce(col("__rn"), lit(0L))
+    val an = coalesce(col("__an"), lit(0L))
+    // a removed value tying the stored extreme may have been its last
+    // witness (duplicates keep the recompute cheap and correct either
+    // way); a missing stored row with removes is defensively dirty
+    val dirtyCond = rn > 0 && (col(countCol).isNull ||
+      valueCols.map(v =>
+        col(s"__rmin_$v") <= col(s"min_$v") ||
+          col(s"__rmax_$v") >= col(s"max_$v")).reduce(_ || _))
+    val cleanSel = groupCols.map(col) ++ valueCols.flatMap(v => Seq(
+      least(col(s"min_$v"), col(s"__amin_$v")).cast(MeasureType)
+        .as(s"min_$v"),
+      greatest(col(s"max_$v"), col(s"__amax_$v")).cast(MeasureType)
+        .as(s"max_$v"))) :+
+      (coalesce(col(countCol), lit(0L)) + an - rn).as(countCol)
+    val clean = touched.filter(!dirtyCond).select(cleanSel: _*)
+      .filter(col(countCol) > 0)
+    val dirtyKeys = touched.filter(dirtyCond)
+      .select(groupCols.map(col): _*).localCheckpoint()
+    val a = minMaxAggs(valueCols, countCol)
+    val dirtyAgg =
+      if (dirtyKeys.isEmpty) clean.limit(0)
+      else recompute(dirtyKeys).groupBy(groupCols.map(col): _*)
+        .agg(a.head, a.tail: _*)
+    val merged = withAggPart(
+      carry.unionByName(clean).unionByName(dirtyAgg), groupCols)
+    PartCommit.replaceParts(spark, path, "agg_part", batchId, parts) {
+      stage =>
+        merged.repartition(parts.size, col("agg_part"))
+          .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
+    }
+  }
+
   // ---- streaming ingest: per-batch delta partitions ----
   //
   // A micro-batch CANNOT deltaRefresh in place: a replayed batch

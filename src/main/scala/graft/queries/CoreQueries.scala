@@ -951,6 +951,52 @@ object CoreQueries {
         .orderBy("n_name", "c_name")
     }),
 
+    // extrema-maintained view (min/max are NOT self-maintainable under
+    // deletes): per-nation min/max price + count stored hash-
+    // partitioned, then one CDC batch — deletes that REMOVE several
+    // nations' extremes (dirty → recompute from the new snapshot's
+    // touched groups only), an update wave, and inserts. The refresh
+    // must land bit-equal to the full recompute the oracle runs.
+    "q_incr_minmax" -> ((s, d) => {
+      import org.apache.spark.sql.types.DecimalType
+      val dec = DecimalType(18, 2)
+      val li = Tables.lineitem(s, d)
+      def rows(f: DataFrame): DataFrame = f
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"),
+          col("l_extendedprice").cast(dec).as("price"))
+      val path = Scratch.fresh(s"mmv_${scratchTag(d)}/view")
+      val oldF = li.filter(col("l_orderkey") % 13 =!= 0)
+      graft.io.MaintainedAgg.writeMinMax(rows(oldF), Seq("nk"), path,
+        Seq("price"), "n")
+      val removed = rows(oldF.filter(
+        col("l_orderkey") % 7 === 0 || col("l_orderkey") % 11 === 0))
+      val added = rows(oldF.filter(col("l_orderkey") % 7 === 0 &&
+          col("l_orderkey") % 11 =!= 0))
+        .select(col("nk"),
+          (col("price") + lit(1).cast(dec)).cast(dec).as("price"))
+        .unionByName(rows(li.filter(col("l_orderkey") % 13 === 0)))
+      val newRows = rows(li.filter(col("l_orderkey") % 11 =!= 0 ||
+          col("l_orderkey") % 13 === 0)
+        .withColumn("l_extendedprice",
+          when(col("l_orderkey") % 7 === 0 && col("l_orderkey") % 11 =!= 0
+              && col("l_orderkey") % 13 =!= 0,
+            col("l_extendedprice") + 1.0)
+            .otherwise(col("l_extendedprice"))))
+      graft.io.MaintainedAgg.deltaRefreshMinMax(s, path, removed, added,
+        Seq("nk"), Seq("price"), "n", batchId = 1L) { dirty =>
+        // fact-side recompute of exactly the dirty groups: the semi-
+        // join pushes into the (broadcast) supplier-joined scan
+        newRows.join(broadcast(dirty), Seq("nk"), "left_semi")
+      }
+      graft.io.MaintainedAgg.read(s, path)
+        .select(col("nk"),
+          col("min_price").cast("double").as("min_price"),
+          col("max_price").cast("double").as("max_price"), col("n"))
+        .orderBy("nk")
+    }),
+
     // versioned-log time travel: three commits (overwrite, append,
     // overwrite), every historical snapshot read back and aggregated —
     // the q_sig_lifecycle of the manifest table log
@@ -1695,6 +1741,20 @@ object CoreQueries {
         |JOIN customer ON o_custkey = c_custkey
         |JOIN nation ON c_nationkey = n_nationkey
         |GROUP BY 1, 2 ORDER BY n_name, c_name""".stripMargin,
+
+    "q_incr_minmax" ->
+      """WITH newf AS (SELECT l_suppkey,
+        |    CASE WHEN l_orderkey % 7 = 0 AND l_orderkey % 11 <> 0
+        |              AND l_orderkey % 13 <> 0
+        |         THEN l_extendedprice + 1.0
+        |         ELSE l_extendedprice END AS price
+        |  FROM lineitem WHERE l_orderkey % 11 <> 0 OR l_orderkey % 13 = 0)
+        |SELECT s_nationkey AS nk,
+        |  CAST(min(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS min_price,
+        |  CAST(max(CAST(price AS DECIMAL(18,2))) AS DOUBLE) AS max_price,
+        |  COUNT(*) AS n
+        |FROM newf JOIN supplier ON l_suppkey = s_suppkey
+        |GROUP BY 1 ORDER BY nk""".stripMargin,
 
     "q_time_travel" ->
       """SELECT CAST(0 AS BIGINT) AS version, count(*) AS n,
