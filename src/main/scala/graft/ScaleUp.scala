@@ -162,6 +162,15 @@ object ScaleUp {
         .write.mode("overwrite").parquet(s"$out/$t.parquet")
       println(s"[scaleup] $t x$factor done")
     }
+    // materialize the partsupp relation over the SCALED lineitem (the
+    // one canonical derivation — graft.model.Tables.partsupp), so the
+    // scale legs run Q2/Q9/Q11/Q16/Q20 in their true stored-table
+    // shapes instead of re-deriving a corpus-sized relation per sweep
+    graft.model.Tables.derivePartsupp(
+      spark.read.parquet(s"$out/lineitem.parquet"))
+      .repartition(cpus.toInt * 2)
+      .write.mode("overwrite").parquet(s"$out/partsupp.parquet")
+    println(s"[scaleup] partsupp derived+stored")
     spark.stop()
   }
 }

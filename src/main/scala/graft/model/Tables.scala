@@ -26,6 +26,60 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame = load(s, d, "part")
   def nation(s: SparkSession, d: String): DataFrame = load(s, d, "nation")
   def region(s: SparkSession, d: String): DataFrame = load(s, d, "region")
+
+  /** Does this sf dir carry a MATERIALIZED partsupp table?
+    * [[graft.ScaleUp]] emits one; the driver-generated testdata dirs
+    * do not.
+    */
+  def hasPartsupp(s: SparkSession, d: String): Boolean = {
+    val p = new org.apache.hadoop.fs.Path(s"$d/partsupp.parquet")
+    p.getFileSystem(s.sparkContext.hadoopConfiguration).exists(p)
+  }
+
+  /** The TPC-H partsupp relation — STORED when the sf dir carries one
+    * (ScaleUp emits it, so the scale legs run Q2/Q9/Q11/Q16/Q20 in
+    * their true stored-table shapes), otherwise DERIVED from lineitem
+    * by the one canonical rule and memoized per (session, sfDir) so a
+    * sweep derives it once, not once per consuming query:
+    *
+    *   ps_supplycost      = min(l_extendedprice / l_quantity)  — the
+    *     min unit price ever charged; min over IEEE divisions is
+    *     order-independent and bit-identical cross-engine.
+    *   ps_supplycost_mils = min(floor(l_extendedprice * 1e6
+    *     / l_quantity)) AS BIGINT — the EXACT-ARITHMETIC twin for
+    *     sum-shaped consumers (Q9 profit, Q11 value): summing the
+    *     double ps_supplycost would be float-order-dependent, summing
+    *     integer millionths in decimals is exact.
+    *   ps_availqty        = sum(l_quantity) AS BIGINT — quantities are
+    *     integer-valued, so the sum is exact in doubles and the cast
+    *     total.
+    *
+    * The derivation is deterministic and order-independent, so stored
+    * ≡ derived value-for-value, and the DuckDB oracle can inline the
+    * same SQL ([[graft.queries.CoreQueries]]'s psDerivedSql).
+    */
+  def partsupp(s: SparkSession, d: String): DataFrame =
+    if (hasPartsupp(s, d)) load(s, d, "partsupp")
+    else {
+      val li = lineitem(s, d)
+      graft.Memo.shared(graft.Memo.dfKey(li, "partsupp", d))(
+        derivePartsupp(li).localCheckpoint())
+    }
+
+  /** The canonical derivation (see [[partsupp]]); ScaleUp materializes
+    * exactly this over the scaled lineitem.
+    */
+  def derivePartsupp(li: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions._
+    li.groupBy(col("l_partkey").as("ps_partkey"),
+        col("l_suppkey").as("ps_suppkey"))
+      .agg(
+        min(col("l_extendedprice") / col("l_quantity"))
+          .as("ps_supplycost"),
+        min(floor(col("l_extendedprice") * lit(1000000L)
+          / col("l_quantity"))).cast("long").as("ps_supplycost_mils"),
+        sum(col("l_quantity")).cast("long").as("ps_availqty"))
+  }
   /** Normalize the events `ts` column across testdata generations to
     * ONE canonical type, `TimestampType` in the UTC session zone:
     *

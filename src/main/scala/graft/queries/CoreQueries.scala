@@ -60,7 +60,25 @@ object CoreQueries {
     Tables.nation(s, d).createOrReplaceTempView("nation")
     Tables.customer(s, d).createOrReplaceTempView("customer")
     Tables.region(s, d).createOrReplaceTempView("region")
+    // stored on ScaleUp dirs, memoized-derived elsewhere — the five
+    // partsupp-shaped TPC-H queries read this ONE relation
+    Tables.partsupp(s, d).createOrReplaceTempView("partsupp")
   }
+
+  /** The partsupp relation as INLINE SQL — the oracle/catalog twin of
+    * [[Tables.partsupp]]'s derivation (DuckDB sees only the harness
+    * parquet dirs, which carry no partsupp file, and the catalog
+    * namespace lists only materialized tables). Column-for-column the
+    * same values as the stored/memoized relation the Spark path reads;
+    * see [[Tables.partsupp]] for the exactness argument.
+    */
+  private[queries] def psDerivedSql(t: String => String): String =
+    s"""(SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+       |    min(l_extendedprice / l_quantity) AS ps_supplycost,
+       |    CAST(min(floor(l_extendedprice * 1000000 / l_quantity))
+       |      AS BIGINT) AS ps_supplycost_mils,
+       |    CAST(sum(l_quantity) AS BIGINT) AS ps_availqty
+       |  FROM ${t("lineitem")} GROUP BY 1, 2)""".stripMargin
 
   /** Dialect-shared TPC-H SQL texts, parameterized on a table-name
     * renderer so ONE string serves three consumers: the Spark query
@@ -69,28 +87,30 @@ object CoreQueries {
     * [[SqlQueries]]). Runs verbatim on both engines.
     */
   /** Q2's SCALE form, same results as the correlated text (hash-equal,
-    * SqlParitySpec-pinned): the part-supplier relation derives from
-    * lineitem, so it is CORPUS-sized (59M rows at the sf10 leg —
-    * nearly one per lineitem row), and Catalyst inlines the
-    * twice-referenced CTE into both the outer query and the
-    * correlated MIN subquery — two full fact aggregations, the worst
-    * measured TPC-H shape. Materializing the CTE is no better: a
-    * localCheckpoint of a corpus-sized relation costs MORE than the
-    * second aggregation (measured 39 s vs 13 s at sf10). The shape
-    * that scales computes min-cost-per-part with ONE window pass over
-    * the EUROPE-restricted relation: single fact aggregation, single
-    * partkey shuffle, no materialization. The ORIGINAL correlated
-    * text still runs through Catalyst's decorrelation on the
-    * catalog-parity path ([[SqlQueries]]) and is the DuckDB oracle.
+    * SqlParitySpec-pinned): the part-supplier relation is CORPUS-sized
+    * (~51M rows at the sf10 leg), and Catalyst inlines the
+    * twice-referenced CTE of the correlated text into both the outer
+    * query and the correlated MIN subquery — two full fact
+    * aggregations, the worst measured TPC-H shape (materializing the
+    * CTE was no better: a corpus-sized localCheckpoint measured 39 s
+    * vs 13 s at sf10). The shape that scales reads the ONE `partsupp`
+    * relation ([[graft.model.Tables.partsupp]] — a STORED table on
+    * ScaleUp dirs, the true TPC-H shape; memoized-derived on the
+    * harness dirs, so a sweep pays its single fact aggregation once)
+    * and computes min-cost-per-part with ONE window pass over the
+    * EUROPE-restricted slice: no per-query fact aggregation, single
+    * partkey shuffle, no per-query materialization. The ORIGINAL
+    * correlated text still runs through Catalyst's decorrelation on
+    * the catalog-parity path ([[SqlQueries]]) and is the DuckDB
+    * oracle.
     */
-  private[queries] def tpchQ2WindowSql(t: String => String): String =
+  private[queries] def tpchQ2WindowSql(t: String => String,
+                                       ps: String = null): String = {
+    val psRel = Option(ps).getOrElse(psDerivedSql(t))
     s"""WITH ps AS (
-       |  SELECT l_partkey AS ps_partkey, p_name,
-       |    l_suppkey AS ps_suppkey,
-       |    min(l_extendedprice / l_quantity) AS ps_supplycost
-       |  FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
-       |  WHERE p_size <= 15 AND p_type = 'LARGE'
-       |  GROUP BY 1, 2, 3),
+       |  SELECT ps_partkey, p_name, ps_suppkey, ps_supplycost
+       |  FROM $psRel ps0 JOIN ${t("part")} ON p_partkey = ps_partkey
+       |  WHERE p_size <= 15 AND p_type = 'LARGE'),
        |win AS (
        |  SELECT ps_partkey, p_name, ps_supplycost,
        |    s_acctbal, s_name, n_name,
@@ -103,9 +123,15 @@ object CoreQueries {
        |WHERE ps_supplycost = min_cost
        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey
        |LIMIT 100""".stripMargin
+  }
 
-  private[queries] def tpchTextSql(name: String,
-                                   t: String => String): String = name match {
+  private[queries] def tpchTextSql(name: String, t: String => String,
+                                   ps: String = null): String = {
+    // the partsupp relation: the registered view on the Spark query
+    // path (stored or memoized-derived), the inline derivation on the
+    // oracle/catalog paths — identical values either way
+    val psRel = Option(ps).getOrElse(psDerivedSql(t))
+    name match {
     case "q_tpch_q17" =>
       s"""SELECT round(CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)))
          |    AS DOUBLE) / 7.0, 2) AS avg_yearly
@@ -116,20 +142,29 @@ object CoreQueries {
          |    FROM ${t("lineitem")} l2
          |    WHERE l2.l_partkey = p.p_partkey)""".stripMargin
 
+    // Q20 (potential part promotion): the TRUE driving table is
+    // partsupp — candidate (part, supplier) pairs come from the stored
+    // relation, with the year's shipment volumes as correlated
+    // aggregates over lineitem. Adapted predicate: the pair shipped
+    // more than half its part's 1996 volume (the literal ps_availqty
+    // comparison degenerates on a lineitem-derived partsupp, where
+    // availqty IS total shipped quantity — every pair would qualify).
     case "q_tpch_q20" =>
       s"""SELECT s_suppkey, s_name FROM ${t("supplier")}
          |WHERE s_suppkey IN (
-         |  SELECT l1.l_suppkey FROM ${t("lineitem")} l1
-         |  WHERE l1.l_partkey IN
+         |  SELECT ps_suppkey FROM $psRel ps0
+         |  WHERE ps_partkey IN
          |      (SELECT p_partkey FROM ${t("part")}
          |       WHERE p_name LIKE 'small%')
-         |    AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
-         |    AND l1.l_shipdate < TIMESTAMP '1997-01-01'
-         |  GROUP BY l1.l_suppkey, l1.l_partkey
-         |  HAVING 2 * sum(CAST(l1.l_quantity AS BIGINT)) >
+         |    AND 2 * (SELECT sum(CAST(l1.l_quantity AS BIGINT))
+         |     FROM ${t("lineitem")} l1
+         |     WHERE l1.l_partkey = ps_partkey
+         |       AND l1.l_suppkey = ps_suppkey
+         |       AND l1.l_shipdate >= TIMESTAMP '1996-01-01'
+         |       AND l1.l_shipdate < TIMESTAMP '1997-01-01') >
          |    (SELECT sum(CAST(l2.l_quantity AS BIGINT))
          |     FROM ${t("lineitem")} l2
-         |     WHERE l2.l_partkey = l1.l_partkey
+         |     WHERE l2.l_partkey = ps_partkey
          |       AND l2.l_shipdate >= TIMESTAMP '1996-01-01'
          |       AND l2.l_shipdate < TIMESTAMP '1997-01-01'))
          |ORDER BY s_suppkey""".stripMargin
@@ -176,36 +211,35 @@ object CoreQueries {
          |GROUP BY c_count
          |ORDER BY custdist DESC, c_count DESC""".stripMargin
 
-    // Q16 (parts/supplier relationship): NOT IN subquery (null-aware
-    // anti join) + COUNT(DISTINCT) over the join. Adapted complaint
-    // predicate: s_acctbal < 0 (no s_comment in the harness supplier).
+    // Q16 (parts/supplier relationship): the TRUE driving table is
+    // partsupp (distinct pairs — same values as the former
+    // lineitem-join form, one row per pair instead of per shipment).
+    // NOT IN subquery (null-aware anti join) + COUNT(DISTINCT) over
+    // the join. Adapted complaint predicate: s_acctbal < 0 (no
+    // s_comment in the harness supplier).
     case "q_tpch_q16" =>
       s"""SELECT p_brand, p_type, p_size,
-         |  count(DISTINCT l_suppkey) AS supplier_cnt
-         |FROM ${t("lineitem")} JOIN ${t("part")} ON p_partkey = l_partkey
+         |  count(DISTINCT ps_suppkey) AS supplier_cnt
+         |FROM $psRel ps0 JOIN ${t("part")} ON p_partkey = ps_partkey
          |WHERE p_brand <> 'Brand#16'
          |  AND p_size IN (1, 7, 14, 21, 28, 35, 42, 49)
-         |  AND l_suppkey NOT IN
+         |  AND ps_suppkey NOT IN
          |    (SELECT s_suppkey FROM ${t("supplier")} WHERE s_acctbal < 0)
          |GROUP BY p_brand, p_type, p_size
          |ORDER BY supplier_cnt DESC, p_brand, p_type, p_size
          |LIMIT 50""".stripMargin
 
     // Q2 (minimum-cost supplier): correlated scalar MIN over a 4-way
-    // dimension join, with the part-supplier relation referenced from
-    // BOTH the outer query and the subquery (CTE reuse). Adapted: no
-    // partsupp table in the harness — the relation derives from
-    // lineitem as min unit price per (part, supplier); min of an IEEE
-    // division is exact on both engines (no float-sum order risk).
+    // dimension join, with the partsupp relation referenced from BOTH
+    // the outer query and the subquery (CTE reuse; min of an IEEE
+    // division is exact on both engines — no float-sum order risk).
     // This correlated text is the oracle and the catalog-parity run
     // (Catalyst's decorrelation is exercised there); the Spark bench
-    // path runs [[tpchQ2WindowSql]] — identical results, one fact
-    // aggregation instead of two (see its doc for the measurements).
+    // path runs [[tpchQ2WindowSql]] — identical results, one pass
+    // over the relation instead of two (see its doc).
     case "q_tpch_q2" =>
       s"""WITH ps AS (
-         |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
-         |    min(l_extendedprice / l_quantity) AS ps_supplycost
-         |  FROM ${t("lineitem")} GROUP BY 1, 2)
+         |  SELECT ps_partkey, ps_suppkey, ps_supplycost FROM $psRel ps0)
          |SELECT s_acctbal, s_name, n_name, p_partkey, p_name
          |FROM ${t("part")}, ps, ${t("supplier")}, ${t("nation")},
          |  ${t("region")}
@@ -258,20 +292,27 @@ object CoreQueries {
          |ORDER BY o_year""".stripMargin
 
     // Q9 (product-type profit): the multi-FACT join-agg with
-    // EXPRESSION group keys (nation name x extracted year). Adapted
-    // profit: p_retailprice stands in for ps_supplycost at a 0.5
-    // cost ratio (no partsupp table).
+    // EXPRESSION group keys (nation name x extracted year) — TRUE
+    // shape: profit = revenue − ps_supplycost · quantity, with the
+    // cost joined in from the partsupp relation on the composite
+    // (part, supplier) key. Exactness: revenue sums in decimals; the
+    // cost side sums the integer-millionths twin (ps_supplycost_mils ·
+    // qty, DECIMAL(38,0) — exact at any scale), and the two exact
+    // totals combine in ONE double expression, bit-identical on both
+    // engines.
     case "q_tpch_q9" =>
       s"""SELECT n_name AS nation,
          |  CAST(year(o_orderdate) AS INT) AS o_year,
          |  CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
-         |        * CAST(1 - l_discount AS DECIMAL(18,2))
-         |      - CAST(p_retailprice AS DECIMAL(18,2))
-         |        * CAST(l_quantity AS DECIMAL(18,2))
-         |        * CAST(0.5 AS DECIMAL(2,1))) AS DOUBLE) AS sum_profit
+         |        * CAST(1 - l_discount AS DECIMAL(18,2))) AS DOUBLE)
+         |    - CAST(sum(CAST(ps_supplycost_mils
+         |        * CAST(l_quantity AS BIGINT) AS DECIMAL(38,0)))
+         |        AS DOUBLE) / 1000000.0 AS sum_profit
          |FROM ${t("lineitem")}
          |JOIN ${t("orders")} ON o_orderkey = l_orderkey
          |JOIN ${t("part")} ON p_partkey = l_partkey
+         |JOIN $psRel ps0
+         |  ON ps_partkey = l_partkey AND ps_suppkey = l_suppkey
          |JOIN ${t("supplier")} ON s_suppkey = l_suppkey
          |JOIN ${t("nation")} ON n_nationkey = s_nationkey
          |WHERE p_name LIKE '%widget%'
@@ -280,21 +321,25 @@ object CoreQueries {
 
     // Q11 (important stock): per-group aggregate compared against a
     // GLOBAL aggregate of the same derived table (scalar subquery over
-    // a reused CTE). The comparison is kept in exact decimals
-    // (v * 1000 > sum(v)) — no float threshold edge. Adapted: part
-    // value from lineitem (no partsupp); NATION_8 is the nation with
-    // supplier presence at every harness sf including the sf0.001
-    // smoke leg.
+    // a reused CTE) — TRUE shape: part value = ps_supplycost ·
+    // ps_availqty summed over the nation's partsupp rows. The
+    // comparison stays exact (integer-millionths in DECIMAL(38,0),
+    // v * 1000 > sum(v)) — no float threshold edge; the output value
+    // converts to money-units double only at the end. NATION_8 is the
+    // nation with supplier presence at every harness sf including the
+    // sf0.001 smoke leg.
     case "q_tpch_q11" =>
       s"""WITH val AS (
-         |  SELECT l_partkey, sum(CAST(l_extendedprice AS DECIMAL(18,2))
-         |      * CAST(l_quantity AS DECIMAL(18,2))) AS v
-         |  FROM ${t("lineitem")}
-         |  JOIN ${t("supplier")} ON l_suppkey = s_suppkey
+         |  SELECT ps_partkey AS l_partkey,
+         |    sum(CAST(ps_supplycost_mils * ps_availqty
+         |      AS DECIMAL(38,0))) AS v
+         |  FROM $psRel ps0
+         |  JOIN ${t("supplier")} ON ps_suppkey = s_suppkey
          |  JOIN ${t("nation")} ON s_nationkey = n_nationkey
          |  WHERE n_name = 'NATION_8'
          |  GROUP BY 1)
-         |SELECT l_partkey, CAST(v AS DOUBLE) AS part_value
+         |SELECT l_partkey,
+         |  CAST(v AS DOUBLE) / 1000000.0 AS part_value
          |FROM val
          |WHERE v * 1000 > (SELECT sum(v) FROM val)
          |ORDER BY part_value DESC, l_partkey""".stripMargin
@@ -339,6 +384,7 @@ object CoreQueries {
          |        AND o_orderpriority = '1-URGENT')) custsale
          |GROUP BY cntrycode
          |ORDER BY cntrycode""".stripMargin
+    }
   }
 
   private[queries] val tpchTextNames: Seq[String] = Seq(
@@ -1274,11 +1320,13 @@ object CoreQueries {
   ) ++ tpchTextNames.map { n =>
     n -> ((s: SparkSession, d: String) => {
       registerTpchViews(s, d)
-      // Q2 runs its scale form here (one fact aggregation, window
-      // min); the correlated original remains the oracle and the
-      // catalog-parity text — results are hash-equal by construction
-      if (n == "q_tpch_q2") s.sql(tpchQ2WindowSql(identity))
-      else s.sql(tpchTextSql(n, identity))
+      // the Spark path reads the registered `partsupp` view (stored on
+      // ScaleUp dirs — the true TPC-H shapes; memoized-derived on the
+      // harness dirs); Q2 additionally runs its scale form (one
+      // relation pass, window min) — the correlated original remains
+      // the oracle and the catalog-parity text, hash-equal results
+      if (n == "q_tpch_q2") s.sql(tpchQ2WindowSql(identity, "partsupp"))
+      else s.sql(tpchTextSql(n, identity, "partsupp"))
     })
   }.toMap
 
