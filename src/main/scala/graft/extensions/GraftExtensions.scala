@@ -8,7 +8,7 @@ import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
 import org.apache.spark.sql.types.DoubleType
 
-import graft.expressions.{BloomAnyContain, BloomShingleContain, CosineSimilarity, DotProduct, MultiOccCount, NfcNormalize}
+import graft.expressions.{BloomAnyContain, BloomShingleContain, CdcChunks, CosineSimilarity, DotProduct, MultiOccCount, NfcNormalize}
 
 /** Catalyst rule: rewrite the declarative dot-product pattern
   *
@@ -111,6 +111,19 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
           case other => throw new IllegalArgumentException(
             s"multi_occ_count(text, needles) needs a foldable string " +
               s"needle array, got $other")
+        }
+      }))
+    ext.injectFunction((
+      new FunctionIdentifier("cdc_chunks"),
+      new ExpressionInfo(classOf[CdcChunks].getName, "cdc_chunks"),
+      (args: Seq[Expression]) => {
+        import org.apache.spark.sql.catalyst.expressions.Literal
+        (args(1), args(2)) match {
+          case (Literal(w: Int, _), Literal(d: Int, _)) =>
+            CdcChunks(args(0), w, d)
+          case other => throw new IllegalArgumentException(
+            s"cdc_chunks(toks, w, divisor) needs literal int w/divisor, " +
+              s"got $other")
         }
       }))
     ext.injectFunction((

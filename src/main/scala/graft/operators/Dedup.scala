@@ -413,17 +413,31 @@ object Dedup {
   def ngramJaccardBlocked(df: DataFrame, idCol: String, textCol: String,
                           blockCol: String, k: Int = 3,
                           minJaccard: Double = 0.0): DataFrame = {
+    // the (block, shingle) key is DIGESTED to 8 bytes before anything
+    // shuffles — the substringDedup discipline: the self-join hashes
+    // and exchanges longs, never ~20-byte shingle strings (the join
+    // dominated this operator's profile, 2.6 s of 4.2 s at the sf1
+    // leg). A 64-bit collision would merge two shingles (~n²/2⁶⁵ —
+    // negligible at any realistic block size, and the string-exact
+    // oracle would catch it).
+    // per-doc shingle dedup is ROW-LOCAL (a doc carries one block
+    // value, so the old global distinct over (id, block, shingle) ≡
+    // array_distinct per row) — that plus the size() projection
+    // removes two corpus-sized shuffles: the distinct exchange and the
+    // per-doc count aggregation
     val sh = df
       .select(col(idCol), col(blockCol).as("__blk"),
         Portable.tokens(col(textCol)).as("__toks"))
       .select(col(idCol), col("__blk"),
         explode(shingles(col("__toks"), k)).as("shingle"))
+      .select(col(idCol),
+        xxhash64(col("__blk"), col("shingle")).as("__key"))
       .distinct()
       .localCheckpoint()
     val sizes = sh.groupBy(col(idCol)).agg(count(lit(1)).as("n_sh"))
-    val a = sh.select(col(idCol).as("id_a"), col("__blk"), col("shingle"))
-    val b = sh.select(col(idCol).as("id_b"), col("__blk"), col("shingle"))
-    val inter = a.join(b, Seq("__blk", "shingle"))
+    val a = sh.select(col(idCol).as("id_a"), col("__key"))
+    val b = sh.select(col(idCol).as("id_b"), col("__key"))
+    val inter = a.join(b, Seq("__key"))
       .filter(col("id_a") < col("id_b"))
       .groupBy("id_a", "id_b").agg(count(lit(1)).as("n_inter"))
     inter
@@ -1420,33 +1434,27 @@ object Dedup {
                minTokens: Int = 2, hashChunks: Boolean = false): DataFrame = {
     require(w >= 1 && divisor >= 1 && minTokens >= 1,
       "w, divisor, minTokens must be >= 1")
-    val base = df.select(col(idCol), Portable.tokens(col(textCol)).as("__toks"))
-      .withColumn("__n", size(col("__toks")))
-    // boundary END positions: content-decided cuts (< n), plus n itself
-    val bounds = concat(
-      when(col("__n") >= w,
-        filter(sequence(lit(w), col("__n")),
-          i => Portable.hash32(
-            array_join(slice(col("__toks"), i - (w - 1), lit(w)), " "))
-            % divisor === 0 && i < col("__n")))
-        .otherwise(array().cast("array<int>")),
-      array(col("__n")))
-    // per-doc chunk ARRAY (row-local): start of chunk i is 1 for the
-    // first, previous boundary + 1 otherwise (element_at is 1-based,
-    // so element_at(bounds, i) IS the previous end for i >= 1)
-    def startOf(i: Column) = when(i === 0, lit(1))
-      .otherwise(element_at(col("__bounds"), i) + 1)
-    val perDoc = base
-      .withColumn("__bounds", bounds)
+    // boundary detection + chunk slicing in ONE native expression
+    // ([[graft.expressions.CdcChunks]]): the former two interpreted
+    // HOFs (a per-position slice+join+md5 filter and a per-chunk
+    // slice+join zip_with) dominated the row-local cost — the
+    // expression hashes pre-extracted token bytes incrementally and
+    // emits the identical blocks/blens (CdcParitySpec pins old ≡ new
+    // byte-for-byte; the DuckDB oracle is unchanged)
+    // NULL text: one null block of length -1 — exactly what the old
+    // declarative form produced (legacy size(null) = -1 riding through
+    // its zip_with) and what the oracle's outer-join shape counts as
+    // n_spans = 1; the keep-first tail's null guards then rebuild ''
+    val nullDoc = struct(
+      array(lit(null).cast("string")).as("blocks"),
+      array(lit(-1)).as("blens"))
+    val perDoc = df
       .select(col(idCol),
-        zip_with(col("__bounds"),
-          sequence(lit(0), size(col("__bounds")) - 1),
-          (end, i) => array_join(
-            slice(col("__toks"), startOf(i), end - startOf(i) + 1), " "))
-          .as("__blocks"),
-        zip_with(col("__bounds"),
-          sequence(lit(0), size(col("__bounds")) - 1),
-          (end, i) => end - startOf(i) + 1).as("__blens"))
+        when(col(textCol).isNull, nullDoc)
+          .otherwise(graft.expressions.CdcExpressions.cdcChunks(
+            Portable.tokens(col(textCol)), w, divisor)).as("__c"))
+      .select(col(idCol), col("__c.blocks").as("__blocks"),
+        col("__c.blens").as("__blens"))
     keepFirstBlocks(df, perDoc, idCol, minTokens, hashChunks)
   }
 }
