@@ -468,6 +468,72 @@ object Similarity {
     ivfTopK(qCells, index, idCol, vecCol, "cell", k)
   }
 
+  /** Deterministic drift-responsive re-seeding for [[reindexVectorIndex]]:
+    * one seed per hash bucket — centroid i is the vector of the MIN id
+    * among ids with `hash32(id) % k = i`. A hash-uniform sample of the
+    * CURRENT corpus (appended batches included), so re-seeding tracks
+    * distribution drift the way a random re-sample does, while staying
+    * bit-deterministic and SQL-expressible (`arg_min` per bucket — the
+    * q_ann_reindex oracle recomputes it exactly; a Lloyd-refined
+    * k-means re-seed is the non-oracle-able alternative — pass its
+    * centroids to [[reindexVectorIndex]] directly). One groupBy over
+    * (bucket, id, vector); no global sort, no window.
+    */
+  def hashSeeds(df: DataFrame, idCol: String, vecCol: String,
+                k: Int): DataFrame =
+    df.select(
+      pmod(Portable.hash32(col(idCol).cast("string")), lit(k.toLong))
+        .cast("int").as("cluster"),
+      col(idCol), col(vecCol))
+      .groupBy("cluster")
+      .agg(min_by(col(vecCol), col(idCol)).as("cv"))
+      .select(col("cluster"), col("cv").cast("array<double>").as("cv"))
+
+  /** Rebuild a stored IVF index under NEW centroids — the answer to
+    * cell drift: append-only ingest under [[appendVectorIndex]]'s
+    * frozen centroids slowly degrades the layout (a drifted batch
+    * piles into few cells, so probe pruning reads ever-larger slices).
+    * The rebuild re-assigns every stored vector to the new centroids
+    * and swaps the WHOLE index (centroids + cell-partitioned vectors)
+    * atomically ([[graft.io.StagedSwap]] — readers see the old index
+    * until the rename; a crash leaves old or new, never a mix of
+    * cells under mismatched centroids). Cost: one pass over the
+    * stored vectors (broadcast-centroid argmin, the assign shape) +
+    * one partitioned write — at 100 TB, schedule it like compaction,
+    * off the ingest path. Pair with [[indexCellStats]] to DECIDE when
+    * (imbalance = max/mean cell size).
+    */
+  def reindexVectorIndex(spark: SparkSession, path: String,
+                         idCol: String, vecCol: String,
+                         centroids: DataFrame): Unit = {
+    // materialize the new layout inputs BEFORE the swap unlinks the
+    // old dir: both read the live index
+    val cents = centroids.localCheckpoint()
+    val reassigned = assignToCentroids(
+      readVectorIndex(spark, path), idCol, vecCol, cents)
+      .select(col(idCol), col("cluster").as("cell"))
+      .join(readVectorIndex(spark, path).select(col(idCol), col(vecCol)),
+        idCol)
+      .localCheckpoint()
+    graft.io.StagedSwap.swap(spark, path) { stage =>
+      cents.write.parquet(s"$stage/centroids")
+      reassigned.write.partitionBy("cell").parquet(s"$stage/vectors")
+    }
+  }
+
+  /** Per-index cell balance: (cells, rows, max cell, imbalance =
+    * max/mean) — the one-row health check that schedules
+    * [[reindexVectorIndex]].
+    */
+  def indexCellStats(spark: SparkSession, path: String): DataFrame =
+    readVectorIndex(spark, path)
+      .groupBy("cell").agg(count(lit(1)).as("n"))
+      .agg(count(lit(1)).as("cells"), sum("n").as("rows"),
+        max("n").as("max_cell"))
+      .select(col("cells"), col("rows"), col("max_cell"),
+        round(col("max_cell") / (col("rows") / col("cells")), 4)
+          .as("imbalance"))
+
   /** Random-hyperplane LSH bucket key: `numPlanes` sign bits packed to
     * a long. Vectors in the same bucket are cosine-close candidates.
     *

@@ -141,6 +141,41 @@ object SimilarityQueries {
         .orderBy("query_id", "rank")
     }),
 
+    // re-index under cell drift: the even half is indexed under the
+    // frozen seed centroids, then a DRIFTED batch (the odd vectors
+    // reversed — same norms, decorrelated directions) is appended and
+    // piles into whatever cells happen to be nearest; the rebuild
+    // re-seeds from the CURRENT corpus (hash-uniform arg-min sample —
+    // deterministic, drift-responsive) and atomically swaps the whole
+    // index. Output = every vector's cell before and after; the oracle
+    // replays both assignments from scratch
+    "q_ann_reindex" -> ((s, d) => {
+      val e = Tables.embeddings(s, d)
+      val cent = e.filter(col("vec_id") < NumSeeds)
+        .select(col("vec_id").as("cluster"),
+          col("embedding").cast("array<double>").as("cv"))
+      val path = Scratch.fresh(s"reidx_${Scratch.tag(d)}/idx")
+      Similarity.writeVectorIndex(e.filter(col("vec_id") % 2 === 0),
+        "vec_id", "embedding", cent, path)
+      Similarity.appendVectorIndex(
+        e.filter(col("vec_id") % 2 =!= 0)
+          .select(col("vec_id"), reverse(col("embedding")).as("embedding")),
+        "vec_id", "embedding", path)
+      // snapshot the pre-rebuild layout: the frame is lazy and the
+      // swap replaces the files it would read
+      val before = Similarity.readVectorIndex(s, path)
+        .select(col("vec_id"), col("cell").as("cell_old"))
+        .localCheckpoint()
+      Similarity.reindexVectorIndex(s, path, "vec_id", "embedding",
+        Similarity.hashSeeds(Similarity.readVectorIndex(s, path),
+          "vec_id", "embedding", NumSeeds))
+      val after = Similarity.readVectorIndex(s, path)
+        .select(col("vec_id"), col("cell").as("cell_new"))
+      before.join(after, "vec_id")
+        .select("vec_id", "cell_old", "cell_new")
+        .orderBy("vec_id")
+    }),
+
     // multi-probe IVF: queries probe their 2 nearest k-means cells
     // (the recall knob — boundary queries recover neighbors filed
     // just across the cell line for 2× scan cost, never a full scan);
@@ -522,6 +557,35 @@ object SimilarityQueries {
          |WINDOW w AS (PARTITION BY query_id ORDER BY cos DESC, neighbor_id)
          |QUALIFY row_number() OVER w <= $K
          |ORDER BY query_id, rank""".stripMargin,
+
+    // replay both layouts from scratch: old cells under the frozen
+    // seed centroids over the drifted corpus (evens + reversed odds),
+    // new cells under the hash-arg-min re-seed of that same corpus
+    "q_ann_reindex" -> {
+      val h = graft.functions.Portable.hash32Sql("CAST(vec_id AS VARCHAR)")
+      s"""WITH $vecsCte,
+         |corpus AS (
+         |  SELECT vec_id, v FROM vecs WHERE vec_id % 2 = 0
+         |  UNION ALL
+         |  SELECT vec_id, list_reverse(v) FROM vecs WHERE vec_id % 2 <> 0),
+         |$centCte,
+         |old AS (SELECT vec_id, CAST(cluster AS INT) AS cell_old FROM (
+         |  SELECT c.vec_id, ct.cluster,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${l2SqSql("c.v", "ct.cv")}, ct.cluster) AS rn
+         |  FROM corpus c CROSS JOIN cent ct) WHERE rn = 1),
+         |seeds AS (SELECT CAST($h % $NumSeeds AS INT) AS cluster,
+         |    arg_min(v, vec_id) AS cv
+         |  FROM corpus GROUP BY 1),
+         |new_ AS (SELECT vec_id, CAST(cluster AS INT) AS cell_new FROM (
+         |  SELECT c.vec_id, sd.cluster,
+         |    row_number() OVER (PARTITION BY c.vec_id
+         |      ORDER BY ${l2SqSql("c.v", "sd.cv")}, sd.cluster) AS rn
+         |  FROM corpus c CROSS JOIN seeds sd) WHERE rn = 1)
+         |SELECT o.vec_id, o.cell_old, n.cell_new
+         |FROM old o JOIN new_ n USING (vec_id)
+         |ORDER BY o.vec_id""".stripMargin
+    },
 
     "q_diversity_sample" ->
       s"""WITH $vecsCte, $centCte,

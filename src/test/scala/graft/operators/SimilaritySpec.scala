@@ -157,6 +157,50 @@ class SimilaritySpec extends SparkSpec {
         s"of $indexRows index rows")
   }
 
+  test("reindex under drift: clumped appends rebalance, pruning survives") {
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter($"vec_id" < 4L)
+      .select($"vec_id".cast("int").as("cluster"),
+        $"embedding".cast("array<double>").as("cv"))
+    val p = java.nio.file.Files.createTempDirectory("vidxr_").toString + "/i"
+    Similarity.writeVectorIndex(e.filter($"vec_id" % 2 === 0),
+      "vec_id", "embedding", cent, p)
+    // worst-case drift: every appended vector is IDENTICAL (cell 0's
+    // own centroid), so the whole batch lands in one cell
+    val clump = e.filter($"vec_id" % 2 =!= 0)
+      .crossJoin(org.apache.spark.sql.functions.broadcast(
+        cent.filter($"cluster" === 0)
+          .select($"cv".cast("array<float>").as("__cv"))))
+      .select($"vec_id", $"__cv".as("embedding"))
+    Similarity.appendVectorIndex(clump, "vec_id", "embedding", p)
+    val before = Similarity.indexCellStats(spark, p).head()
+    // drift detected: the clumped cell dominates
+    assert(before.getDouble(3) > 1.5,
+      s"fixture must be imbalanced, got $before")
+    Similarity.reindexVectorIndex(spark, p, "vec_id", "embedding",
+      Similarity.hashSeeds(Similarity.readVectorIndex(spark, p),
+        "vec_id", "embedding", 4))
+    val after = Similarity.indexCellStats(spark, p).head()
+    // the hash re-seed samples the clump, so identical vectors spread
+    // across every cell seeded FROM the clump; imbalance must drop
+    assert(after.getDouble(3) < before.getDouble(3),
+      s"reindex must rebalance: before=$before after=$after")
+    assert(after.getLong(1) == before.getLong(1), "rows lost in reindex")
+    // the rebuilt index still serves pruned queries
+    val got = Similarity.queryVectorIndex(spark, p,
+      e.filter($"vec_id" === 0L), "vec_id", "embedding", 3)
+    val plan = got.queryExecution.executedPlan.toString
+    val indexScan = plan.linesIterator
+      .filter(l => l.contains("FileScan parquet") && l.contains("/vectors"))
+      .toSeq
+    assert(indexScan.nonEmpty && indexScan.forall(l =>
+      l.contains("PartitionFilters: [") &&
+        l.split("PartitionFilters: ")(1).takeWhile(_ != ']')
+          .contains("cell")),
+      s"rebuilt index must still prune:\n$plan")
+    assert(got.count() == 3)
+  }
+
   test("PQ index lifecycle: write+append == one-shot; query prunes and " +
       "never scans floats") {
     val e = spark.read.parquet(s"$sf/embeddings.parquet")
