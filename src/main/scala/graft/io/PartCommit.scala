@@ -65,10 +65,23 @@ object PartCommit {
     }
   }
 
+  // Written via tmp + rename, never truncate-in-place: a crash mid-write
+  // must not leave an unparseable mark (every later lastApplied would
+  // throw). A crash BETWEEN delete and rename loses the mark entirely,
+  // which is safe: applyCommit writes it before removing `_commit`, so
+  // recovery replays the (idempotent) apply; markApplied's empty-delta
+  // case simply re-marks on retry.
   private def writeApplied(spark: SparkSession, path: String,
                            id: Long): Unit = {
-    val out = fsOf(spark, path).create(new Path(path, "_applied"), true)
+    val fs = fsOf(spark, path)
+    val tmp = new Path(path, "_applied.tmp")
+    val out = fs.create(tmp, true)
     try out.write(id.toString.getBytes("UTF-8")) finally out.close()
+    val live = new Path(path, "_applied")
+    fs.delete(live, false)
+    if (!fs.rename(tmp, live))
+      throw new java.io.IOException(
+        s"part commit: cannot publish applied mark for $path")
   }
 
   /** Record a batch as applied WITHOUT touching any partition — the

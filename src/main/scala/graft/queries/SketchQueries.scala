@@ -201,6 +201,49 @@ object SketchQueries {
         .select("source", "n", "n_sample", "est_p50", "est_p90",
           "est_p99", "exact_p50", "exact_p90", "exact_p99")
         .orderBy("source")
+    }),
+
+    // distinct-count MAINTAINED view (the third stored-aggregate
+    // member, after sum/count and min/max): per-nation distinct parts
+    // supplied as a stored HLL register block, then one CDC batch —
+    // deletes (dirty only the groups whose register witnesses they
+    // remove), a key-update wave, and inserts. Registers are a
+    // deterministic max-fold, so the refresh must land bit-equal to
+    // the oracle's full re-sketch of the new snapshot.
+    "q_incr_distinct" -> ((s, d) => {
+      import graft.operators.MaintainedDistinct
+      val li = Tables.lineitem(s, d)
+      def rows(f: DataFrame): DataFrame = f
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"), col("k"))
+      val path = Scratch.fresh(s"mdv_${Scratch.tag(d)}/view")
+      val oldF = li.filter(col("l_orderkey") % 13 =!= 0)
+        .withColumn("k", col("l_partkey").cast("string"))
+      MaintainedDistinct.write(rows(oldF), Seq("nk"), "k", path)
+      val removed = rows(oldF.filter(
+        col("l_orderkey") % 7 === 0 || col("l_orderkey") % 11 === 0))
+      val added = rows(oldF
+          .filter(col("l_orderkey") % 7 === 0 &&
+            col("l_orderkey") % 11 =!= 0)
+          .withColumn("k", (col("l_partkey") + 5000000L).cast("string")))
+        .unionByName(rows(li.filter(col("l_orderkey") % 13 === 0)
+          .withColumn("k", col("l_partkey").cast("string"))))
+      val newRows = rows(li.filter(col("l_orderkey") % 11 =!= 0 ||
+          col("l_orderkey") % 13 === 0)
+        .withColumn("k",
+          when(col("l_orderkey") % 7 === 0 &&
+              col("l_orderkey") % 11 =!= 0 &&
+              col("l_orderkey") % 13 =!= 0,
+            col("l_partkey") + 5000000L)
+            .otherwise(col("l_partkey")).cast("string")))
+      MaintainedDistinct.deltaRefresh(s, path, removed, added,
+        Seq("nk"), "k", batchId = 1L) { dirty =>
+        // fact-side recompute of exactly the dirty groups
+        newRows.join(broadcast(dirty), Seq("nk"), "left_semi")
+      }
+      MaintainedDistinct.readEstimates(s, path, Seq("nk"))
+        .orderBy("nk")
     })
   )
 
@@ -540,5 +583,32 @@ object SketchQueries {
          |FROM qest JOIN qns USING (source) JOIN qex USING (source)
          |ORDER BY source""".stripMargin
     },
+
+    // full re-sketch of the NEW snapshot — refresh ≡ recompute is the
+    // maintained-distinct contract; register/estimate SQL shared with
+    // q_hll_distinct
+    "q_incr_distinct" ->
+      s"""WITH newf AS (SELECT l_suppkey,
+         |    CAST(CASE WHEN l_orderkey % 7 = 0 AND l_orderkey % 11 <> 0
+         |              AND l_orderkey % 13 <> 0
+         |         THEN l_partkey + 5000000
+         |         ELSE l_partkey END AS VARCHAR) AS k
+         |  FROM lineitem WHERE l_orderkey % 11 <> 0 OR l_orderkey % 13 = 0),
+         |j AS (SELECT s_nationkey AS nk, k
+         |  FROM newf JOIN supplier ON l_suppkey = s_suppkey),
+         |h AS (SELECT nk, ${Portable.hash32Sql("k")} AS hv FROM j),
+         |reg AS (SELECT nk, hv % $M AS bucket,
+         |    max(CASE WHEN hv // $M > 0
+         |        THEN $RhoMax - length(bin(hv // $M)) ELSE $RhoMax END) AS m
+         |  FROM h GROUP BY 1, 2),
+         |est AS (SELECT nk, count(*) AS present,
+         |    sum(1.0 / CAST(1::BIGINT << m AS DOUBLE)) AS s_present
+         |  FROM reg GROUP BY 1),
+         |cnt AS (SELECT nk, count(*) AS n FROM j GROUP BY 1)
+         |SELECT c.nk,
+         |  round(${Sketches.HllAlpha * M * M} /
+         |    (($M - present) + s_present), 4) AS hll_estimate, c.n
+         |FROM cnt c JOIN est e ON c.nk = e.nk
+         |ORDER BY c.nk""".stripMargin,
   )
 }
