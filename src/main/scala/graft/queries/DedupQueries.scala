@@ -47,6 +47,42 @@ object DedupQueries {
         .orderBy("id_a", "id_b")
     }),
 
+    // the stored SQL surface TIMED as a first-class query (SqlParity
+    // pins the ≡, this puts it in the bench record under every
+    // master): write the signature table to the stored layout, then
+    // run the band self-join as PURE SQL over the catalog's stored
+    // namespace — the partition-layout read path a SQL-only user gets
+    "q_stored_sql_pairs" -> ((s, d) => {
+      val root = Scratch.fresh(s"ssq_${Scratch.tag(d)}")
+      // catalog instances cache per name on first use — key the name
+      // by the sf dir so scale legs in one process don't collide
+      val cat = s"gsb${Scratch.tag(d)}"
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.storedDir", root)
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(Tables.documents(s, d), "doc_id", "text", K,
+          dedup = false),
+        "doc_id")
+      Dedup.writeSignatures(sigs, "doc_id", s"$root/sigs")
+      // band keys as aliased structs (identical struct types — SQL
+      // infers field names from source columns otherwise)
+      val bands = (0 until NumBands).map { b =>
+        val rows = (0 until RowsPerBand)
+          .map(r => s"mh${b * RowsPerBand + r} AS r$r")
+        s"struct($b AS b, ${rows.mkString(", ")})"
+      }
+      s.sql(
+        s"""WITH keyed AS (
+           |  SELECT doc_id AS id, explode(array(${bands.mkString(", ")}))
+           |    AS band_key
+           |  FROM $cat.stored.sigs)
+           |SELECT a.id AS id_a, b.id AS id_b
+           |FROM keyed a JOIN keyed b ON a.band_key = b.band_key
+           |WHERE a.id < b.id
+           |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)
+    }),
+
     // frequency-aware near-dup: weighted MinHash (tf-capped unary
     // expansion) proposes candidates, exact capped weighted Jaccard
     // verifies — reported as an integer fraction (jw_num/jw_den) so
@@ -606,6 +642,16 @@ object DedupQueries {
          |JOIN sig b ON b.doc_id = c.id_b
          |ORDER BY c.id_a, c.id_b""".stripMargin
     },
+
+    // the stored-SQL band join must land on the same candidate set —
+    // write + store + pure-SQL read ≡ the direct band derivation
+    "q_stored_sql_pairs" ->
+      s"""WITH $sigCte,
+         |$bandsCte
+         |SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+         |FROM bands x JOIN bands y ON x.band_key = y.band_key
+         |WHERE x.doc_id < y.doc_id
+         |ORDER BY 1, 2""".stripMargin,
 
     "q_weighted_jaccard" -> {
       val wbands = (0 until NumBands).map { bnd =>
