@@ -359,24 +359,12 @@ object MaintainedAgg {
     * the replayed batch would otherwise re-create its delta ON TOP of
     * a base that already contains it.
     */
-  private def foldedMark(spark: SparkSession, path: String): Long = {
-    val p = new org.apache.hadoop.fs.Path(path, "_folded")
-    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
-  }
+  private def foldedMark(spark: SparkSession, path: String): Long =
+    Marks.readLong(spark, path, "_folded")
 
   private def writeFoldedMark(spark: SparkSession, dir: String,
-                              mark: Long): Unit = {
-    val p = new org.apache.hadoop.fs.Path(dir, "_folded")
-    val out = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      .create(p, true)
-    try out.write(mark.toString.getBytes("UTF-8")) finally out.close()
-  }
+                              mark: Long): Unit =
+    Marks.writeLong(spark, dir, "_folded", mark)
 
   /** One micro-batch's delta write (factored out so replay
     * idempotence is testable without a stream): `added` rows carry

@@ -196,4 +196,93 @@ object MaintainedDistinct {
           .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
     }
   }
+
+  // ---- streaming ingest: per-batch register-delta partitions ----
+  //
+  // The MaintainedAgg discipline, made SAFER by the sketch's algebra:
+  // each micro-batch's per-group register block lands under
+  // `_deltas/batch_id=<id>` (own-partition overwrite → replay rewrites
+  // the same bytes), serving is merge-on-read, compaction folds deltas
+  // into the base atomically with the `_folded` high-water mark. And
+  // because the register merge is IDEMPOTENT (max), even a delta that
+  // somehow folded twice could not corrupt the distinct registers —
+  // only the row counts need the exactly-once marks, same as sums.
+
+  private def deltasDir(path: String) = s"$path/_deltas"
+
+  /** One micro-batch's delta write: `added` rows carry
+    * (groupCols ++ keyCol); the per-group register block + row count
+    * land under this batch's own partition. Batch ids at or below the
+    * `_folded` mark no-op (their content is already in the base).
+    */
+  def writeDeltaPartial(added: DataFrame, batchId: Long,
+                        groupCols: Seq[String], keyCol: String,
+                        path: String, nCol: String = "n"): Unit = {
+    if (batchId <= graft.io.Marks.readLong(added.sparkSession, path,
+        "_folded")) return
+    val b = added.localCheckpoint() // isEmpty + write: two actions
+    if (!b.isEmpty)
+      regsOf(b, groupCols, keyCol, "regs", nCol)
+        .write.mode("overwrite")
+        .parquet(s"${deltasDir(path)}/batch_id=$batchId")
+  }
+
+  /** The served view: base registers merged with every pending batch
+    * delta — element-wise max across blocks ([[Sketches
+    * .hllBlockMerge]]), counts summed.
+    */
+  def readWithDeltas(spark: SparkSession, path: String,
+                     groupCols: Seq[String],
+                     nCol: String = "n"): DataFrame = {
+    val base = read(spark, path)
+    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
+    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dDir) || fs.listStatus(dDir).isEmpty) return base
+    val deltas = spark.read.parquet(deltasDir(path))
+      .select((groupCols ++ Seq("regs", nCol)).map(col): _*)
+    base.unionByName(deltas)
+      .groupBy(groupCols.map(col): _*)
+      .agg(Sketches.hllBlockMerge(col("regs")).as("regs"),
+        sum(col(nCol)).as(nCol))
+  }
+
+  /** Serve estimates over base ⊎ deltas. */
+  def estimatesWithDeltas(spark: SparkSession, path: String,
+                          groupCols: Seq[String],
+                          nCol: String = "n"): DataFrame =
+    readWithDeltas(spark, path, groupCols, nCol)
+      .select(groupCols.map(col) :+
+        estimateCol(col("regs")).as("hll_estimate") :+ col(nCol): _*)
+
+  /** Fold pending deltas into the base ATOMICALLY ([[graft.io
+    * .StagedSwap]]): staged dir gets the merged view plus the
+    * `_folded` high-water mark of every absorbed batch id, published
+    * in one rename — a replayed batch at or below the mark no-ops in
+    * [[writeDeltaPartial]]. Same single-writer discipline as
+    * [[graft.io.MaintainedAgg.compactDeltas]]: stop the ingest first.
+    */
+  def compactDeltas(spark: SparkSession, path: String,
+                    groupCols: Seq[String],
+                    nCol: String = "n"): Unit = {
+    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
+    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedIds =
+      if (!fs.exists(dDir)) Seq.empty[Long]
+      else fs.listStatus(dDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLong }.toSeq
+    val mark = (foldedIds :+ graft.io.Marks.readLong(spark, path,
+      "_folded")).max
+    val applied = PartCommit.lastApplied(spark, path)
+    graft.io.StagedSwap.swap(spark, path) { stage =>
+      val folded = readWithDeltas(spark, path, groupCols, nCol)
+        .localCheckpoint() // materialize BEFORE the swap touches files
+      val keyed = MaintainedAgg.withAggPart(folded, groupCols)
+      keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
+        .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
+      SchemaFile.write(spark, stage, keyed.schema)
+      graft.io.Marks.writeLong(spark, stage, "_folded", mark)
+      if (applied >= 0) PartCommit.markApplied(spark, stage, applied)
+    }
+  }
 }

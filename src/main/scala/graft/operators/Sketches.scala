@@ -130,6 +130,45 @@ object Sketches {
     udaf(new HllRegisterBlock)
   }
 
+  /** Merge whole register BLOCKS (the array form) — the aggregate twin
+    * of a pairwise `zip_with(a, b, greatest)`: element-wise max over
+    * any number of input rows per group. Used where several stored
+    * blocks fold into one (merge-on-read over a maintained distinct
+    * view's pending delta batches); same associative + idempotent
+    * contract as [[hllMergeRegisters]].
+    */
+  final class HllBlockMerge
+      extends org.apache.spark.sql.expressions.Aggregator[
+        Seq[Int], Array[Int], Seq[Int]] {
+    override def zero: Array[Int] = new Array[Int](HllM)
+    override def reduce(buf: Array[Int], in: Seq[Int]): Array[Int] = {
+      if (in != null) {
+        var i = 0
+        val n = in.length.min(HllM)
+        while (i < n) { if (in(i) > buf(i)) buf(i) = in(i); i += 1 }
+      }
+      buf
+    }
+    override def merge(a: Array[Int], b: Array[Int]): Array[Int] = {
+      var i = 0
+      while (i < HllM) { if (b(i) > a(i)) a(i) = b(i); i += 1 }
+      a
+    }
+    override def finish(buf: Array[Int]): Seq[Int] = buf.toSeq
+    override def bufferEncoder: org.apache.spark.sql.Encoder[Array[Int]] =
+      org.apache.spark.sql.Encoders.kryo[Array[Int]]
+    override def outputEncoder: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+  }
+
+  /** Untyped-callable form: `hllBlockMerge(regsCol)`. */
+  lazy val hllBlockMerge
+      : org.apache.spark.sql.expressions.UserDefinedFunction = {
+    implicit val inEnc: org.apache.spark.sql.Encoder[Seq[Int]] =
+      org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Int]]()
+    udaf(new HllBlockMerge)
+  }
+
   /** Per-group approximate distinct count. */
   def hllDistinct(df: DataFrame, groupCol: String, keyCol: String): DataFrame =
     hllEstimateFromRegisters(hllRegisters(df, groupCol, keyCol),

@@ -812,6 +812,28 @@ object Streams {
       }
       .start()
 
+  /** The distinct-count twin of [[viewMaintainingIngest]]: each
+    * micro-batch's per-group HLL register block lands under its own
+    * `_deltas/batch_id=<id>` partition of the
+    * [[graft.operators.MaintainedDistinct]] view (replay-idempotent
+    * own-partition overwrite; the register merge is itself idempotent
+    * max, so only the row counts even need the batch-id discipline);
+    * serve with `MaintainedDistinct.estimatesWithDeltas`, fold with
+    * `compactDeltas`.
+    */
+  def distinctMaintainingIngest(rows: DataFrame, groupCols: Seq[String],
+                                keyCol: String, viewPath: String,
+                                options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.MaintainedDistinct.writeDeltaPartial(
+          batch.toDF(), id, groupCols, keyCol, viewPath)
+      }
+      .start()
+
   /** One micro-batch's partial-sketch write (factored out so the
     * replay-idempotence contract is testable without a stream):
     * overwrite-in-place of this batch's OWN partition only.

@@ -1266,4 +1266,61 @@ class StreamsSpec extends SparkSpec {
         "compacted view must keep the hash-partitioned layout")
     } finally q.stop()
   }
+
+  test("distinctMaintainingIngest: stream ≡ batch sketch, replay-safe, atomic compact") {
+    import graft.operators.{MaintainedDistinct, Sketches}
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_dist_ing_").toString
+    val path = s"$dir/view"
+    def rows(xs: Seq[(String, String)]) = xs.toDF("g", "k")
+    // base view from a historical batch
+    val hist = Seq(("a", "x1"), ("a", "x2"), ("b", "y1"))
+    MaintainedDistinct.write(rows(hist), Seq("g"), "k", path)
+    val b0 = Seq(("a", "x3"), ("c", "z1"))
+    val b1 = Seq(("b", "y2"), ("c", "z1")) // z1 repeats: distinct ignores
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String)]
+    val q = Streams.distinctMaintainingIngest(
+      in.toDF().toDF("g", "k"), Seq("g"), "k", path,
+      Map("checkpointLocation" -> s"$dir/ckpt"))
+    def served = MaintainedDistinct
+      .estimatesWithDeltas(spark, path, Seq("g"))
+      .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+      .toSet
+    // ground truth: the direct sketch over everything ingested
+    def direct(xs: Seq[(String, String)]) =
+      Sketches.hllDistinct(rows(xs), "g", "k")
+        .join(rows(xs).groupBy(col("g")).agg(count(lit(1)).as("n")), "g")
+        .collect().map(r => (r.getString(0), r.getDouble(1), r.getLong(2)))
+        .toSet
+    val expect = direct(hist ++ b0 ++ b1)
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(served == expect, s"stream sketch diverged: $served vs $expect")
+      // at-least-once replay: own-partition overwrite, counts intact
+      MaintainedDistinct.writeDeltaPartial(rows(b1), 1L, Seq("g"), "k",
+        path)
+      assert(served == expect, "replayed batch must not double-count")
+      // atomic compaction folds deltas; serving identical after
+      MaintainedDistinct.compactDeltas(spark, path, Seq("g"))
+      assert(served == expect, s"compacted sketch diverged: $served")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")),
+        "compaction must fold the deltas away")
+      // a replay AFTER compaction no-ops against the _folded mark
+      MaintainedDistinct.writeDeltaPartial(rows(b1), 1L, Seq("g"), "k",
+        path)
+      assert(served == expect, "folded batch must not be recreated")
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")))
+      // and the compacted table still refreshes through the CDC path
+      MaintainedDistinct.deltaRefresh(spark, path,
+        removed = rows(Seq()).limit(0), added = rows(Seq(("d", "w1"))),
+        Seq("g"), "k", batchId = 100L) { d => fail("insert-only is clean") }
+      assert(MaintainedDistinct.read(spark, path).count() == 4L)
+    } finally q.stop()
+  }
 }
