@@ -1,0 +1,166 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+import graft.io.{MaintainedAgg, PartCommit, SchemaFile}
+
+/** The maintained QUANTILE-SKETCH view — the fourth stored-aggregate
+  * member (sum/count, extrema, distinct registers, this): per group,
+  * the engine's deterministic bottom-m sample ([[Sketches
+  * .quantileSketch]] — the m smallest (portable-hash, key) ranks, a
+  * PURE SET FUNCTION of the group's keys, which is what makes an
+  * incremental "reservoir" oracle-exact where a random one could
+  * never be), stored as ≤ m rows/group under the `agg_part` layout.
+  *
+  * Maintenance by the sample's set algebra:
+  *
+  *   - INSERTS fold: bottom-m(S ∪ A) = bottom-m(bottom-m(S) ∪
+  *     bottom-m(A)) — the spec-pinned merge ≡ direct identity of
+  *     [[Sketches.quantileSketchMerge]] — so an ingest batch merges
+  *     its own m-row sketch into the stored slice, never re-reading a
+  *     fact.
+  *   - DELETES of a NON-MEMBER of a FULL sample are free: removing an
+  *     element whose rank lies above the m-th smallest cannot change
+  *     the m smallest — bottom-m(S ∖ R) = bottom-m(S) when
+  *     R ∩ bottom-m(S) = ∅. Only a delete that hits a sample MEMBER
+  *     (or an under-full sample, where every row is a member and any
+  *     remove means the stored state disagrees with the facts) dirties
+  *     the group for the caller's fact-side recompute — the group
+  *     needs its next-smallest rank, and only the facts know it.
+  *
+  * Same [[graft.io.PartCommit]] exactly-once contract as its three
+  * siblings; refresh ≡ full re-sketch is the oracle
+  * (q_incr_quantile, the q_sketch_lifecycle SQL replayed over the new
+  * snapshot). Serving composes with the sketch toolkit unchanged:
+  * [[Sketches.sketchQuantiles]] for percentile estimates,
+  * [[Sketches.sketchKsDrift]] for drift between two stored samples.
+  *
+  * Reference scope: the reference recomputes its per-view statistics
+  * from scratch each run (`steps/step5_create_views.py` rebuilds every
+  * consolidated view); this maintains the distribution summary a
+  * 100 TB corpus cannot afford to re-scan.
+  */
+object MaintainedSample {
+
+  /** View rows: (groupCol, hv, key, v) — the [[Sketches
+    * .quantileSketch]] shape minus the recomputable rank.
+    */
+  private def viewCols(groupCol: String) =
+    Seq(groupCol, "hv", "key", "v")
+
+  /** Materialize the bottom-m sample per group from per-row input. */
+  def write(rows: DataFrame, groupCol: String, keyCol: String,
+            valueCol: String, path: String, m: Int): Unit = {
+    val keyed = MaintainedAgg.withAggPart(
+      Sketches.quantileSketch(rows, groupCol, keyCol, valueCol, m)
+        .drop("rk"),
+      Seq(groupCol))
+    keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
+      .write.mode("overwrite").partitionBy("agg_part").parquet(path)
+    SchemaFile.write(rows.sparkSession, path, keyed.schema)
+  }
+
+  /** The stored sample rows (layout column dropped), crash-recovered —
+    * feed directly to [[Sketches.sketchQuantiles]] /
+    * [[Sketches.sketchKsDrift]].
+    */
+  def read(spark: SparkSession, path: String): DataFrame = {
+    PartCommit.recover(spark, path)
+    readKeyed(spark, path).drop("agg_part")
+  }
+
+  private def readKeyed(spark: SparkSession, path: String): DataFrame =
+    SchemaFile.read(spark, path) match {
+      case Some(s) => spark.read.schema(s).parquet(path)
+      case None    => spark.read.parquet(path)
+    }
+
+  /** Percentile estimates served from the store. */
+  def readQuantiles(spark: SparkSession, path: String, groupCol: String,
+                    pcts: Seq[Int] = Seq(50, 90, 99)): DataFrame =
+    Sketches.sketchQuantiles(read(spark, path), groupCol, pcts)
+
+  /** Apply a CDC batch. `removed`/`added` carry per-row
+    * (groupCol, keyCol, valueCol) contributions. `recompute` receives
+    * the distinct DIRTY group keys and must return the NEW snapshot's
+    * per-row rows for exactly those groups. Exactly-once under retry
+    * keyed by `batchId`.
+    *
+    * Invariant (q_incr_quantile oracle, spec-pinned): after the
+    * refresh the view ≡ [[write]] over the new snapshot, row-equal.
+    */
+  def deltaRefresh(spark: SparkSession, path: String,
+                   removed: DataFrame, added: DataFrame,
+                   groupCol: String, keyCol: String, valueCol: String,
+                   m: Int, batchId: Long)
+                  (recompute: DataFrame => DataFrame): Unit = {
+    PartCommit.recover(spark, path)
+    if (batchId <= PartCommit.lastApplied(spark, path)) return
+    val rem = removed
+      .select(col(groupCol), col(keyCol).cast("string").as("key"))
+      .distinct().localCheckpoint()
+    // the batch's own bottom-m: folding it in is exact (merge ≡ direct)
+    val addSk = Sketches.quantileSketch(added, groupCol, keyCol,
+      valueCol, m).drop("rk").localCheckpoint()
+    val batchGroups = rem.select(groupCol)
+      .union(addSk.select(groupCol)).distinct().localCheckpoint()
+    val parts = MaintainedAgg.withAggPart(batchGroups, Seq(groupCol))
+      .select("agg_part").distinct().collect().map(_.getInt(0)).toSeq
+    if (parts.isEmpty) {
+      PartCommit.markApplied(spark, path, batchId)
+      return
+    }
+    val slice = readKeyed(spark, path)
+      .filter(col("agg_part").isin(parts: _*)).drop("agg_part")
+      .localCheckpoint() // feeds stats, carry and candidates once
+    // per-group classification: member-hit removes (or an under-full
+    // sample with ANY remove, or removes against a group with no
+    // stored rows) ⇒ dirty — everything else folds arithmetically
+    val stats = slice
+      .join(broadcast(rem).withColumn("__hit", lit(1)),
+        Seq(groupCol, "key"), "left")
+      .groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__size"),
+        sum(coalesce(col("__hit"), lit(0))).as("__hits"))
+    val remGroups = rem.select(groupCol).distinct()
+      .withColumn("__rg", lit(1))
+    val cls = stats.join(remGroups, Seq(groupCol), "full_outer")
+      .select(col(groupCol),
+        (coalesce(col("__rg"), lit(0)) === 1 &&
+          (col("__size").isNull || col("__hits") > 0 ||
+            col("__size") < m)).as("__dirty"))
+      .localCheckpoint()
+    val dirtyKeys = cls.filter(col("__dirty"))
+      .select(groupCol).localCheckpoint()
+    val cleanTouched = batchGroups
+      .join(dirtyKeys, Seq(groupCol), "left_anti")
+    // clean fold: bottom-m of (stored slice ∪ batch sketch), computed
+    // only over TOUCHED clean groups; untouched groups in the touched
+    // partitions carry over verbatim
+    val carry = slice.join(broadcast(batchGroups), Seq(groupCol),
+      "left_anti")
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("hv"), col("key"))
+    val cleanFold = slice
+      .join(broadcast(cleanTouched), Seq(groupCol), "left_semi")
+      .unionByName(addSk
+        .join(broadcast(cleanTouched), Seq(groupCol), "left_semi"))
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") <= m).drop("rk")
+    val dirtySk =
+      if (dirtyKeys.isEmpty) cleanFold.limit(0)
+      else Sketches.quantileSketch(recompute(dirtyKeys), groupCol,
+        keyCol, valueCol, m).drop("rk")
+    val merged = MaintainedAgg.withAggPart(
+      carry.select(viewCols(groupCol).map(col): _*)
+        .unionByName(cleanFold.select(viewCols(groupCol).map(col): _*))
+        .unionByName(dirtySk.select(viewCols(groupCol).map(col): _*)),
+      Seq(groupCol))
+    PartCommit.replaceParts(spark, path, "agg_part", batchId, parts) {
+      stage =>
+        merged.repartition(parts.size, col("agg_part"))
+          .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
+    }
+  }
+}

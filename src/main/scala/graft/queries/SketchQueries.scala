@@ -244,6 +244,53 @@ object SketchQueries {
       }
       MaintainedDistinct.readEstimates(s, path, Seq("nk"))
         .orderBy("nk")
+    }),
+
+    // quantile-sketch MAINTAINED view (the fourth stored-aggregate
+    // member): per-nation bottom-m price sample stored on disk, one
+    // CDC batch — deletes that hit sample members dirty their group
+    // (the next-smallest rank lives in the facts), non-member deletes
+    // and all inserts fold by the merge ≡ direct identity. The sample
+    // is a pure set function of the keys, so the refresh must land
+    // row-equal to the oracle's full re-sketch of the new snapshot.
+    "q_incr_quantile" -> ((s, d) => {
+      import graft.operators.MaintainedSample
+      val li = Tables.lineitem(s, d)
+      def rows(f: DataFrame): DataFrame = f
+        .join(broadcast(Tables.supplier(s, d)),
+          col("l_suppkey") === col("s_suppkey"))
+        .select(col("s_nationkey").as("nk"), col("k"), col("v"))
+      def keyed(f: DataFrame): DataFrame = f.withColumn("k",
+        concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      val path = Scratch.fresh(s"msv_${Scratch.tag(d)}/view")
+      val oldF = keyed(li.filter(col("l_orderkey") % 13 =!= 0))
+        .withColumn("v", col("l_extendedprice"))
+      MaintainedSample.write(rows(oldF), "nk", "k", "v", path, QsM)
+      val removed = rows(oldF.filter(
+        col("l_orderkey") % 7 === 0 || col("l_orderkey") % 11 === 0))
+      val added = rows(oldF
+          .filter(col("l_orderkey") % 7 === 0 &&
+            col("l_orderkey") % 11 =!= 0)
+          .withColumn("v", col("l_extendedprice") + 1.0))
+        .unionByName(rows(keyed(li.filter(col("l_orderkey") % 13 === 0))
+          .withColumn("v", col("l_extendedprice"))))
+      val newRows = rows(keyed(li.filter(col("l_orderkey") % 11 =!= 0 ||
+          col("l_orderkey") % 13 === 0))
+        .withColumn("v",
+          when(col("l_orderkey") % 7 === 0 &&
+              col("l_orderkey") % 11 =!= 0 &&
+              col("l_orderkey") % 13 =!= 0,
+            col("l_extendedprice") + 1.0)
+            .otherwise(col("l_extendedprice"))))
+      MaintainedSample.deltaRefresh(s, path, removed, added,
+        "nk", "k", "v", QsM, batchId = 1L) { dirty =>
+        newRows.join(broadcast(dirty), Seq("nk"), "left_semi")
+      }
+      val sk = MaintainedSample.read(s, path)
+      val ns = sk.groupBy("nk").agg(count(lit(1)).as("n_sample"))
+      ns.join(Sketches.sketchQuantiles(sk, "nk"), "nk")
+        .select("nk", "n_sample", "est_p50", "est_p90", "est_p99")
+        .orderBy("nk")
     })
   )
 
@@ -610,5 +657,39 @@ object SketchQueries {
          |    (($M - present) + s_present), 4) AS hll_estimate, c.n
          |FROM cnt c JOIN est e ON c.nk = e.nk
          |ORDER BY c.nk""".stripMargin,
+
+    // full re-sketch of the NEW snapshot — refresh ≡ recompute is the
+    // maintained-sample contract; sketch/estimate SQL shared with
+    // q_sketch_lifecycle
+    "q_incr_quantile" -> {
+      def est(p: Int) =
+        s"min(CASE WHEN sr * 100 >= sm * $p THEN v END) AS est_p$p"
+      s"""WITH newf AS (SELECT l_suppkey,
+         |    CAST(l_orderkey AS VARCHAR) || '-' ||
+         |      CAST(l_linenumber AS VARCHAR) AS k,
+         |    CASE WHEN l_orderkey % 7 = 0 AND l_orderkey % 11 <> 0
+         |              AND l_orderkey % 13 <> 0
+         |         THEN l_extendedprice + 1.0
+         |         ELSE l_extendedprice END AS v
+         |  FROM lineitem WHERE l_orderkey % 11 <> 0 OR l_orderkey % 13 = 0),
+         |j AS (SELECT s_nationkey AS nk, k, v
+         |  FROM newf JOIN supplier ON l_suppkey = s_suppkey),
+         |sk AS (SELECT nk, k, v FROM (
+         |    SELECT nk, k, v,
+         |      row_number() OVER (PARTITION BY nk
+         |        ORDER BY ${Portable.hash32Sql("k")}, k) AS rk
+         |    FROM j) WHERE rk <= $QsM),
+         |ns AS (SELECT nk, count(*) AS n_sample FROM sk GROUP BY 1),
+         |sr AS (SELECT nk, v,
+         |    CAST(row_number() OVER (PARTITION BY nk ORDER BY v, k)
+         |      AS BIGINT) AS sr,
+         |    CAST(count(*) OVER (PARTITION BY nk) AS BIGINT) AS sm
+         |  FROM sk),
+         |est AS (SELECT nk, ${est(50)}, ${est(90)}, ${est(99)}
+         |  FROM sr GROUP BY nk)
+         |SELECT n.nk, n.n_sample, est_p50, est_p90, est_p99
+         |FROM ns n JOIN est e ON n.nk = e.nk
+         |ORDER BY n.nk""".stripMargin
+    },
   )
 }
