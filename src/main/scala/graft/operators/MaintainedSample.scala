@@ -163,4 +163,77 @@ object MaintainedSample {
           .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
     }
   }
+
+  // ---- streaming ingest: per-batch sample-delta partitions ----
+  //
+  // The MaintainedDistinct discipline, and like the registers the
+  // sample's algebra makes it SAFER than the sum view: merge is a set
+  // union + keep-bottom-m — associative AND idempotent — so even a
+  // delta folded twice yields the same sample. The batch-id marks
+  // exist for IO hygiene (skip known-folded work), not correctness.
+
+  private def deltasDir(path: String) = s"$path/_deltas"
+
+  /** One micro-batch's delta: the batch's OWN bottom-m sketch under
+    * its own partition (replay rewrites the same bytes).
+    */
+  def writeDeltaPartial(added: DataFrame, batchId: Long,
+                        groupCol: String, keyCol: String,
+                        valueCol: String, m: Int, path: String): Unit = {
+    if (batchId <= graft.io.Marks.readLong(added.sparkSession, path,
+        "_folded")) return
+    val b = added.localCheckpoint() // isEmpty + write: two actions
+    if (!b.isEmpty)
+      Sketches.quantileSketch(b, groupCol, keyCol, valueCol, m)
+        .drop("rk")
+        .write.mode("overwrite")
+        .parquet(s"${deltasDir(path)}/batch_id=$batchId")
+  }
+
+  /** The served sample: bottom-m of (base ∪ every pending delta) per
+    * group — merge-on-read, one window over ≤ (1 + batches)·m rows
+    * per group.
+    */
+  def readWithDeltas(spark: SparkSession, path: String,
+                     groupCol: String, m: Int): DataFrame = {
+    val base = read(spark, path)
+    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
+    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(dDir) || fs.listStatus(dDir).isEmpty) return base
+    val deltas = spark.read.parquet(deltasDir(path))
+      .select(viewCols(groupCol).map(col): _*)
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("hv"), col("key"))
+    base.unionByName(deltas)
+      .withColumn("rk", row_number().over(wv))
+      .filter(col("rk") <= m).drop("rk")
+  }
+
+  /** Fold pending deltas into the base ATOMICALLY (StagedSwap +
+    * `_folded` mark — the [[MaintainedDistinct.compactDeltas]]
+    * contract verbatim; single-writer: stop the ingest first).
+    */
+  def compactDeltas(spark: SparkSession, path: String,
+                    groupCol: String, m: Int): Unit = {
+    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
+    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val foldedIds =
+      if (!fs.exists(dDir)) Seq.empty[Long]
+      else fs.listStatus(dDir).map(_.getPath.getName)
+        .collect { case n if n.startsWith("batch_id=") =>
+          n.stripPrefix("batch_id=").toLong }.toSeq
+    val mark = (foldedIds :+ graft.io.Marks.readLong(spark, path,
+      "_folded")).max
+    val applied = PartCommit.lastApplied(spark, path)
+    graft.io.StagedSwap.swap(spark, path) { stage =>
+      val folded = readWithDeltas(spark, path, groupCol, m)
+        .localCheckpoint() // materialize BEFORE the swap touches files
+      val keyed = MaintainedAgg.withAggPart(folded, Seq(groupCol))
+      keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
+        .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
+      SchemaFile.write(spark, stage, keyed.schema)
+      graft.io.Marks.writeLong(spark, stage, "_folded", mark)
+      if (applied >= 0) PartCommit.markApplied(spark, stage, applied)
+    }
+  }
 }

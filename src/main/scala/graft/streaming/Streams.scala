@@ -834,6 +834,27 @@ object Streams {
       }
       .start()
 
+  /** The quantile-sample twin: each micro-batch's bottom-m sketch
+    * lands under its own `_deltas/batch_id=<id>` partition of the
+    * [[graft.operators.MaintainedSample]] view; the sample merge (set
+    * union + keep-bottom-m) is associative AND idempotent, so replay
+    * safety holds by algebra, not bookkeeping. Serve with
+    * `MaintainedSample.readWithDeltas`, fold with `compactDeltas`.
+    */
+  def sampleMaintainingIngest(rows: DataFrame, groupCol: String,
+                              keyCol: String, valueCol: String, m: Int,
+                              viewPath: String,
+                              options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    rows.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.MaintainedSample.writeDeltaPartial(
+          batch.toDF(), id, groupCol, keyCol, valueCol, m, viewPath)
+      }
+      .start()
+
   /** One micro-batch's partial-sketch write (factored out so the
     * replay-idempotence contract is testable without a stream):
     * overwrite-in-place of this batch's OWN partition only.

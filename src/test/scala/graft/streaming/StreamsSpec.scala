@@ -1323,4 +1323,64 @@ class StreamsSpec extends SparkSpec {
       assert(MaintainedDistinct.read(spark, path).count() == 4L)
     } finally q.stop()
   }
+
+  test("sampleMaintainingIngest: stream ≡ batch sample, replay-safe, atomic compact") {
+    import graft.operators.{MaintainedSample, Sketches}
+    val m = 2
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_samp_ing_").toString
+    val path = s"$dir/view"
+    def rows(xs: Seq[(String, String, Double)]) = xs.toDF("g", "k", "v")
+    val hist = Seq(("a", "x1", 1.0), ("a", "x2", 2.0), ("a", "x3", 3.0),
+      ("b", "y1", 4.0))
+    MaintainedSample.write(rows(hist), "g", "k", "v", path, m)
+    val b0 = Seq(("a", "x4", 5.0), ("c", "z1", 6.0))
+    val b1 = Seq(("b", "y2", 7.0), ("c", "z1", 6.0)) // repeat: set union
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(String, String, Double)]
+    val q = Streams.sampleMaintainingIngest(
+      in.toDF().toDF("g", "k", "v"), "g", "k", "v", m, path,
+      Map("checkpointLocation" -> s"$dir/ckpt"))
+    def served = MaintainedSample.readWithDeltas(spark, path, "g", m)
+      .select("g", "key", "v")
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+      .toSet
+    def direct(xs: Seq[(String, String, Double)]) =
+      Sketches.quantileSketch(rows(xs), "g", "k", "v", m)
+        .select("g", "key", "v")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2)))
+        .toSet
+    val expect = direct(hist ++ b0 ++ b1)
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      assert(served == expect, s"stream sample diverged: $served vs $expect")
+      // replay before compaction: same bytes, same sample
+      MaintainedSample.writeDeltaPartial(rows(b1), 1L, "g", "k", "v", m,
+        path)
+      assert(served == expect, "replayed batch must not change the sample")
+      MaintainedSample.compactDeltas(spark, path, "g", m)
+      assert(served == expect, s"compacted sample diverged: $served")
+      val fs = new org.apache.hadoop.fs.Path(path)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")),
+        "compaction must fold the deltas away")
+      // replay AFTER compaction no-ops against the _folded mark
+      MaintainedSample.writeDeltaPartial(rows(b1), 1L, "g", "k", "v", m,
+        path)
+      assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")))
+      assert(served == expect)
+      // and the compacted table still refreshes through the CDC path
+      MaintainedSample.deltaRefresh(spark, path,
+        removed = rows(Seq()).limit(0),
+        added = rows(Seq(("d", "w1", 8.0))),
+        "g", "k", "v", m, batchId = 100L) { d =>
+        fail("insert-only is clean")
+      }
+      assert(MaintainedSample.read(spark, path)
+        .filter(col("g") === "d").count() == 1L)
+    } finally q.stop()
+  }
 }
