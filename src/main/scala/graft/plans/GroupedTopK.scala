@@ -77,27 +77,8 @@ case class GroupedTopKExec(partitionExprs: Seq[Expression],
     val outRows = longMetric("numOutputRows")
     val nGroups = longMetric("numGroups")
     child.execute().mapPartitions { iter =>
-      val groupProj = UnsafeProjection.create(partExprs, childOutput)
-      val ordering = RowOrdering.create(ordExprs, childOutput)
-      // max-heap on the sort order: head = worst row currently kept,
-      // so "better than head" decides eviction in O(log k)
-      val heaps =
-        mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
-      while (iter.hasNext) {
-        val row = iter.next()
-        val key = groupProj(row)
-        heaps.get(key) match {
-          case Some(heap) =>
-            if (heap.size < kk) heap.enqueue(row.copy())
-            else if (ordering.lt(row, heap.head)) {
-              heap.dequeue(); heap.enqueue(row.copy())
-            }
-          case None =>
-            val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
-            heap.enqueue(row.copy())
-            heaps.put(key.copy(), heap)
-        }
-      }
+      val heaps = GroupedTopKExec.pruneToHeaps(iter, childOutput,
+        partExprs, ordExprs, kk)
       val resultProj = UnsafeProjection.create(outAttrs, outAttrs)
       nGroups += heaps.size
       heaps.valuesIterator.flatMap { heap =>
@@ -117,12 +98,88 @@ case class GroupedTopKExec(partitionExprs: Seq[Expression],
       : GroupedTopKExec = copy(child = newChild)
 }
 
+object GroupedTopKExec {
+  /** The shared per-partition heap pass: one k-bounded max-heap per
+    * group key seen in this partition — head = worst row kept, so
+    * "better than head" decides eviction in O(log k).
+    */
+  private[plans] def pruneToHeaps(iter: Iterator[InternalRow],
+      childOutput: Seq[Attribute], partExprs: Seq[Expression],
+      ordExprs: Seq[SortOrder], kk: Int)
+      : mutable.LinkedHashMap[UnsafeRow, mutable.PriorityQueue[InternalRow]] = {
+    val groupProj = UnsafeProjection.create(partExprs, childOutput)
+    val ordering = RowOrdering.create(ordExprs, childOutput)
+    val heaps =
+      mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+    while (iter.hasNext) {
+      val row = iter.next()
+      val key = groupProj(row)
+      heaps.get(key) match {
+        case Some(heap) =>
+          if (heap.size < kk) heap.enqueue(row.copy())
+          else if (ordering.lt(row, heap.head)) {
+            heap.dequeue(); heap.enqueue(row.copy())
+          }
+        case None =>
+          val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+          heap.enqueue(row.copy())
+          heaps.put(key.copy(), heap)
+      }
+    }
+    heaps
+  }
+}
+
+/** The MAP-SIDE half of the top-k: per input partition, prune each
+  * group to its k best rows BEFORE the shuffle — the rows that cannot
+  * be in the global top-k locally cannot be in it globally, so the
+  * exchange moves ≤ partitions × groups × k rows instead of the whole
+  * child. No distribution or ordering requirement (the heap replaces
+  * the sort Spark's own partial WindowGroupLimitExec would demand),
+  * no rank output — the final [[GroupedTopKExec]] above re-ranks.
+  * This is the pass the stock plan gets from InferWindowGroupLimit;
+  * the rewrite peels that logical node (it has no sort-free planning
+  * path), so the strategy re-inserts the pruning here.
+  */
+case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
+                                  orderExprs: Seq[SortOrder], k: Int,
+                                  child: SparkPlan)
+    extends SparkPlan with UnaryExecNode {
+
+  override def output: Seq[Attribute] = child.output
+  override def outputPartitioning = child.outputPartitioning
+
+  override lazy val metrics = Map(
+    "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "number of output rows"))
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val childOutput = child.output
+    val partExprs = partitionExprs
+    val ordExprs = orderExprs
+    val kk = k
+    val outRows = longMetric("numOutputRows")
+    child.execute().mapPartitions { iter =>
+      GroupedTopKExec.pruneToHeaps(iter, childOutput, partExprs,
+        ordExprs, kk)
+        .valuesIterator.flatMap { heap =>
+          heap.iterator.map { r => outRows += 1; r }
+        }
+    }
+  }
+
+  override protected def withNewChildInternal(newChild: SparkPlan)
+      : GroupedTopKPartialExec = copy(child = newChild)
+}
+
 /** Optimizer rule: Filter(rn ≤ k) over a single-row_number Window →
   * [[GroupedTopKPlan]]. Matches only the exact shape (one window
   * expression, RowNumber, integer-literal bound) and peels Spark's own
-  * WindowGroupLimit if InferWindowGroupLimit already inserted it (the
-  * heap operator subsumes the final pass; the partial map-side pass is
-  * kept where the planner placed it).
+  * WindowGroupLimit if InferWindowGroupLimit already inserted it — a
+  * bare logical WindowGroupLimit would plan as partial+final execs
+  * that each demand a per-partition SORT; the strategy instead plants
+  * [[GroupedTopKPartialExec]] (sort-free heap prune) below the final
+  * heap, so the map-side cut survives without the sorts.
   */
 object GroupedTopKRule extends Rule[LogicalPlan] {
 
@@ -192,7 +249,11 @@ object GroupedTopKRule extends Rule[LogicalPlan] {
 object GroupedTopKStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case GroupedTopKPlan(part, order, k, rn, child) =>
-      GroupedTopKExec(part, order, k, rn, planLater(child)) :: Nil
+      // partial (map-side prune, no shuffle/sort requirement) feeding
+      // the final heap — the exchange the final demands then moves
+      // ≤ partitions × groups × k rows, never the whole child
+      GroupedTopKExec(part, order, k, rn,
+        GroupedTopKPartialExec(part, order, k, planLater(child))) :: Nil
     case _ => Nil
   }
 }

@@ -28,6 +28,25 @@ class GroupedTopKSpec extends SparkSpec {
       s"window sort must be gone:\n$plan")
   }
 
+  test("map-side partial prunes the shuffle to ≤ partitions × groups × k rows") {
+    val k = 3
+    val df = topkDf(k)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("GroupedTopKPartial"),
+      s"expected the partial prune below the exchange:\n$plan")
+    val base = Tables.lineitem(spark, sf)
+      .select("l_suppkey", "l_orderkey", "l_linenumber", "l_quantity")
+    val inputRows = base.count()
+    val groups = base.select("l_suppkey").distinct().count()
+    val inputParts = base.rdd.getNumPartitions
+    val shuffled = ShuffleAudit.measure(df).shuffleRecords
+    assert(shuffled <= inputParts * groups * k,
+      s"partial must bound the exchange: $shuffled rows shuffled vs " +
+        s"$inputParts parts × $groups groups × $k")
+    assert(shuffled < inputRows / 2,
+      s"the exchange must not carry the corpus: $shuffled of $inputRows")
+  }
+
   test("heap operator returns exactly the window form's rows and ranks") {
     // reference computed driver-side from raw data — no window, no rule
     val got = topkDf(2)
