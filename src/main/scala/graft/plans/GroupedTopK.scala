@@ -140,6 +140,17 @@ object GroupedTopKExec {
   * This is the pass the stock plan gets from InferWindowGroupLimit;
   * the rewrite peels that logical node (it has no sort-free planning
   * path), so the strategy re-inserts the pruning here.
+  *
+  * ADAPTIVE SKIP (the partial-aggregate lesson): when group
+  * cardinality approaches the row count (one component per doc, one
+  * key per row), the heaps keep nearly every row — all copy-into-heap
+  * cost, no shuffle cut. Like Spark's skip-partial-aggregate
+  * heuristic, the pass samples its own prune ratio over the first
+  * [[GroupedTopKPartialExec.SampleRows]] rows of each partition and
+  * degrades to PASS-THROUGH when pruning isn't paying (kept/seen >
+  * [[GroupedTopKPartialExec.SkipRatio]]); the final heap computes the
+  * identical answer from unpruned input. This also bounds the pass's
+  * memory on high-cardinality partitions to the sample window.
   */
 case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
                                   orderExprs: Seq[SortOrder], k: Int,
@@ -151,7 +162,9 @@ case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
 
   override lazy val metrics = Map(
     "numOutputRows" -> org.apache.spark.sql.execution.metric.SQLMetrics
-      .createMetric(sparkContext, "number of output rows"))
+      .createMetric(sparkContext, "number of output rows"),
+    "numSkipped" -> org.apache.spark.sql.execution.metric.SQLMetrics
+      .createMetric(sparkContext, "partitions that skipped pruning"))
 
   override protected def doExecute(): RDD[InternalRow] = {
     val childOutput = child.output
@@ -159,17 +172,55 @@ case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
     val ordExprs = orderExprs
     val kk = k
     val outRows = longMetric("numOutputRows")
+    val skipped = longMetric("numSkipped")
     child.execute().mapPartitions { iter =>
-      GroupedTopKExec.pruneToHeaps(iter, childOutput, partExprs,
-        ordExprs, kk)
-        .valuesIterator.flatMap { heap =>
-          heap.iterator.map { r => outRows += 1; r }
+      import GroupedTopKPartialExec.{SampleRows, SkipRatio}
+      val groupProj = UnsafeProjection.create(partExprs, childOutput)
+      val ordering = RowOrdering.create(ordExprs, childOutput)
+      val heaps =
+        mutable.LinkedHashMap.empty[UnsafeRow, mutable.PriorityQueue[InternalRow]]
+      var seen = 0L
+      var kept = 0L
+      var sampling = true
+      while (iter.hasNext && sampling) {
+        val row = iter.next()
+        seen += 1
+        val key = groupProj(row)
+        heaps.get(key) match {
+          case Some(heap) =>
+            if (heap.size < kk) { heap.enqueue(row.copy()); kept += 1 }
+            else if (ordering.lt(row, heap.head)) {
+              heap.dequeue(); heap.enqueue(row.copy())
+            }
+          case None =>
+            val heap = mutable.PriorityQueue.empty[InternalRow](ordering)
+            heap.enqueue(row.copy())
+            heaps.put(key.copy(), heap)
+            kept += 1
         }
+        if (seen >= SampleRows && kept > seen * SkipRatio) sampling = false
+      }
+      val pruned = heaps.valuesIterator.flatMap { heap =>
+        heap.iterator.map { r => outRows += 1; r }
+      }
+      if (!sampling) {
+        // pruning isn't paying on this partition — emit what's held
+        // and pass the rest through untouched (no copies, no heaps)
+        skipped += 1
+        pruned ++ iter.map { r => outRows += 1; r }
+      } else pruned
     }
   }
 
   override protected def withNewChildInternal(newChild: SparkPlan)
       : GroupedTopKPartialExec = copy(child = newChild)
+}
+
+object GroupedTopKPartialExec {
+  /** Prune-ratio sample window per partition. */
+  val SampleRows = 8192L
+  /** Above this kept/seen ratio the partition stops pruning. */
+  val SkipRatio = 0.7
 }
 
 /** Optimizer rule: Filter(rn ≤ k) over a single-row_number Window →

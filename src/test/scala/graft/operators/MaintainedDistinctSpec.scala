@@ -178,6 +178,16 @@ class MaintainedDistinctSpec extends SparkSpec {
         .toMap
     }
     val before = files(path, parts)
+    // the refresh's view-slice read prunes at the partition level —
+    // ScanAudit numbers, not prose (the MaintainedAgg standard)
+    val total = spark.read.parquet(path).count()
+    val slice = spark.read.parquet(path)
+      .filter(col("agg_part").isin(parts.toSeq: _*))
+    val read = graft.plans.ScanAudit.measure(slice).rowsRead
+    assert(read < total / 2,
+      s"a one-group batch must not scan the whole view: $read of $total")
+    assert(slice.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "agg_part must prune at plan level")
     MaintainedDistinct.deltaRefresh(spark, path,
       removed = one.limit(0), added = one,
       Seq("nk"), "k", batchId = 1L) { d => fail("insert-only is clean") }

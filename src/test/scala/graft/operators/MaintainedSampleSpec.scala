@@ -160,6 +160,20 @@ class MaintainedSampleSpec extends SparkSpec {
         .toMap
     }
     val before = files(path, parts)
+    // partition-pruned slice read, ScanAudit-measured (the
+    // MaintainedAgg standard)
+    val total = spark.read.parquet(path).count()
+    val slice = spark.read.parquet(path)
+      .filter(col("agg_part").isin(parts.toSeq: _*))
+    val read = graft.plans.ScanAudit.measure(slice).rowsRead
+    val allParts = graft.io.MaintainedAgg.withAggPart(
+      b(all: _*).select("g").distinct(), Seq("g"))
+      .select("agg_part").distinct().count()
+    if (allParts > 1) // tiny fixture: groups could all share a partition
+      assert(read < total,
+        s"a one-group batch must not scan the whole view: $read of $total")
+    assert(slice.queryExecution.executedPlan.toString
+      .contains("PartitionFilters"), "agg_part must prune at plan level")
     MaintainedSample.deltaRefresh(spark, path,
       removed = one.limit(0), added = one,
       "g", "k", "v", M, batchId = 1L) { d => fail("insert-only is clean") }
