@@ -349,27 +349,11 @@ object MaintainedAgg {
   // dir, deltas removed in the same rename — a crash anywhere leaves
   // either the old view+deltas or the folded view, never both).
 
-  private def deltasDir(path: String) = s"$path/_deltas"
-
-  /** High-water mark of batch ids already FOLDED into the base by
-    * [[compactDeltas]] — published in the same atomic swap as the
-    * folded view, so a batch can never be both in the base and in a
-    * delta partition. `writeDeltaPartial` refuses ids at or below it:
-    * after a crash between compaction and the stream's offset commit,
-    * the replayed batch would otherwise re-create its delta ON TOP of
-    * a base that already contains it.
-    */
-  private def foldedMark(spark: SparkSession, path: String): Long =
-    Marks.readLong(spark, path, "_folded")
-
-  private def writeFoldedMark(spark: SparkSession, dir: String,
-                              mark: Long): Unit =
-    Marks.writeLong(spark, dir, "_folded", mark)
-
   /** One micro-batch's delta write (factored out so replay
     * idempotence is testable without a stream): `added` rows carry
     * the per-row measure contributions; the per-group delta lands
-    * under this batch's own partition.
+    * under this batch's own partition. Gate/layout/compaction
+    * contract: [[Deltas]].
     */
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCols: Seq[String], measureCols: Seq[String],
@@ -377,7 +361,7 @@ object MaintainedAgg {
     // a batch already FOLDED into the base (compaction published its
     // id in the _folded mark) must no-op on replay — recreating its
     // delta would double-count it in every merge-on-read
-    if (batchId <= foldedMark(added.sparkSession, path)) return
+    if (Deltas.alreadyFolded(added.sparkSession, path, batchId)) return
     // materialize once: isEmpty is an action and the write is another
     // — without the checkpoint the micro-batch source is read twice
     val b = added.localCheckpoint()
@@ -388,7 +372,7 @@ object MaintainedAgg {
       normalize(b.groupBy(groupCols.map(col): _*)
         .agg(dAggs.head, dAggs.tail: _*), measureCols, countCol)
         .write.mode("overwrite")
-        .parquet(s"${deltasDir(path)}/batch_id=$batchId")
+        .parquet(Deltas.deltaPath(path, batchId))
     }
   }
 
@@ -402,10 +386,8 @@ object MaintainedAgg {
                      groupCols: Seq[String], measureCols: Seq[String],
                      countCol: String): DataFrame = {
     val base = read(spark, path)
-    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
-    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dDir) || fs.listStatus(dDir).isEmpty) return base
-    val deltas = spark.read.parquet(deltasDir(path))
+    if (!Deltas.hasDeltas(spark, path)) return base
+    val deltas = spark.read.parquet(Deltas.dir(path))
       .select((groupCols ++ measureCols :+ countCol).map(col): _*)
     val mAggs = measureCols.map(m =>
       sum(col(m)).cast(MeasureType).as(m)) :+
@@ -433,24 +415,10 @@ object MaintainedAgg {
     */
   def compactDeltas(spark: SparkSession, path: String,
                     groupCols: Seq[String], measureCols: Seq[String],
-                    countCol: String): Unit = {
-    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
-    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val foldedIds =
-      if (!fs.exists(dDir)) Seq.empty[Long]
-      else fs.listStatus(dDir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch_id=") =>
-          n.stripPrefix("batch_id=").toLong }.toSeq
-    val mark = (foldedIds :+ foldedMark(spark, path)).max
-    val applied = PartCommit.lastApplied(spark, path)
-    StagedSwap.swap(spark, path) { stage =>
+                    countCol: String): Unit =
+    Deltas.compact(spark, path) { stage =>
       write(readWithDeltas(spark, path, groupCols, measureCols, countCol)
         .localCheckpoint(), // materialize BEFORE the swap touches files
         groupCols, stage, measureCols, countCol)
-      writeFoldedMark(spark, stage, mark)
-      // the whole-dir swap would otherwise drop the refresh replay
-      // mark — carry it so batch-id dedup survives compaction
-      if (applied >= 0) PartCommit.markApplied(spark, stage, applied)
     }
-  }
 }

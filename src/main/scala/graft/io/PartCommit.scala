@@ -54,35 +54,18 @@ object PartCommit {
   def stageDir(path: String): String = s"$path/_stage"
 
   /** Batch ids ≤ this mark are fully applied; -1 before any commit. */
-  def lastApplied(spark: SparkSession, path: String): Long = {
-    val p = new Path(path, "_applied")
-    val fs = fsOf(spark, path)
-    if (!fs.exists(p)) -1L
-    else {
-      val in = fs.open(p)
-      try scala.io.Source.fromInputStream(in, "UTF-8").mkString.trim.toLong
-      finally in.close()
-    }
-  }
+  def lastApplied(spark: SparkSession, path: String): Long =
+    Marks.readLong(spark, path, "_applied")
 
-  // Written via tmp + rename, never truncate-in-place: a crash mid-write
-  // must not leave an unparseable mark (every later lastApplied would
-  // throw). A crash BETWEEN delete and rename loses the mark entirely,
-  // which is safe: applyCommit writes it before removing `_commit`, so
-  // recovery replays the (idempotent) apply; markApplied's empty-delta
-  // case simply re-marks on retry.
+  // Published via Marks (tmp + rename, never truncate-in-place): a
+  // crash mid-write must not leave an unparseable mark. A crash
+  // BETWEEN delete and rename loses the mark entirely, which is safe:
+  // applyCommit writes it before removing `_commit`, so recovery
+  // replays the (idempotent) apply; markApplied's empty-delta case
+  // simply re-marks on retry.
   private def writeApplied(spark: SparkSession, path: String,
-                           id: Long): Unit = {
-    val fs = fsOf(spark, path)
-    val tmp = new Path(path, "_applied.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(id.toString.getBytes("UTF-8")) finally out.close()
-    val live = new Path(path, "_applied")
-    fs.delete(live, false)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(
-        s"part commit: cannot publish applied mark for $path")
-  }
+                           id: Long): Unit =
+    Marks.writeLong(spark, path, "_applied", id)
 
   /** Record a batch as applied WITHOUT touching any partition — the
     * empty-delta case still needs replay detection.

@@ -208,23 +208,21 @@ object MaintainedDistinct {
   // somehow folded twice could not corrupt the distinct registers —
   // only the row counts need the exactly-once marks, same as sums.
 
-  private def deltasDir(path: String) = s"$path/_deltas"
-
   /** One micro-batch's delta write: `added` rows carry
     * (groupCols ++ keyCol); the per-group register block + row count
-    * land under this batch's own partition. Batch ids at or below the
-    * `_folded` mark no-op (their content is already in the base).
+    * land under this batch's own partition. Gate/layout/compaction
+    * contract: [[graft.io.Deltas]].
     */
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCols: Seq[String], keyCol: String,
                         path: String, nCol: String = "n"): Unit = {
-    if (batchId <= graft.io.Marks.readLong(added.sparkSession, path,
-        "_folded")) return
+    if (graft.io.Deltas.alreadyFolded(added.sparkSession, path,
+        batchId)) return
     val b = added.localCheckpoint() // isEmpty + write: two actions
     if (!b.isEmpty)
       regsOf(b, groupCols, keyCol, "regs", nCol)
         .write.mode("overwrite")
-        .parquet(s"${deltasDir(path)}/batch_id=$batchId")
+        .parquet(graft.io.Deltas.deltaPath(path, batchId))
   }
 
   /** The served view: base registers merged with every pending batch
@@ -235,10 +233,8 @@ object MaintainedDistinct {
                      groupCols: Seq[String],
                      nCol: String = "n"): DataFrame = {
     val base = read(spark, path)
-    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
-    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dDir) || fs.listStatus(dDir).isEmpty) return base
-    val deltas = spark.read.parquet(deltasDir(path))
+    if (!graft.io.Deltas.hasDeltas(spark, path)) return base
+    val deltas = spark.read.parquet(graft.io.Deltas.dir(path))
       .select((groupCols ++ Seq("regs", nCol)).map(col): _*)
     base.unionByName(deltas)
       .groupBy(groupCols.map(col): _*)
@@ -263,26 +259,13 @@ object MaintainedDistinct {
     */
   def compactDeltas(spark: SparkSession, path: String,
                     groupCols: Seq[String],
-                    nCol: String = "n"): Unit = {
-    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
-    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val foldedIds =
-      if (!fs.exists(dDir)) Seq.empty[Long]
-      else fs.listStatus(dDir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch_id=") =>
-          n.stripPrefix("batch_id=").toLong }.toSeq
-    val mark = (foldedIds :+ graft.io.Marks.readLong(spark, path,
-      "_folded")).max
-    val applied = PartCommit.lastApplied(spark, path)
-    graft.io.StagedSwap.swap(spark, path) { stage =>
+                    nCol: String = "n"): Unit =
+    graft.io.Deltas.compact(spark, path) { stage =>
       val folded = readWithDeltas(spark, path, groupCols, nCol)
         .localCheckpoint() // materialize BEFORE the swap touches files
       val keyed = MaintainedAgg.withAggPart(folded, groupCols)
       keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
         .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
       SchemaFile.write(spark, stage, keyed.schema)
-      graft.io.Marks.writeLong(spark, stage, "_folded", mark)
-      if (applied >= 0) PartCommit.markApplied(spark, stage, applied)
     }
-  }
 }

@@ -3,7 +3,8 @@ package graft.operators
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
-import graft.io.{MaintainedAgg, PartCommit, SchemaFile}
+import graft.functions.Portable
+import graft.io.{Deltas, MaintainedAgg, PartCommit, SchemaFile}
 
 /** The maintained QUANTILE-SKETCH view — the fourth stored-aggregate
   * member (sum/count, extrema, distinct registers, this): per group,
@@ -12,6 +13,16 @@ import graft.io.{MaintainedAgg, PartCommit, SchemaFile}
   * PURE SET FUNCTION of the group's keys, which is what makes an
   * incremental "reservoir" oracle-exact where a random one could
   * never be), stored as ≤ m rows/group under the `agg_part` layout.
+  *
+  * SET SEMANTICS, made explicit (review-hardened): the sample is of
+  * KEYS. Rows are canonicalized to one per (group, key) before any
+  * ranking — a key re-emitted across batches (or present in both the
+  * stored slice and an insert batch) collapses instead of occupying
+  * two of the m slots, and a conflicting value for one key resolves
+  * deterministically (min). NULL keys are excluded throughout: a row
+  * that cannot be named cannot be deleted, so admitting it would
+  * leave an unremovable sample member (it also hashes to a null rank,
+  * which would pin it to the front of every ordering).
   *
   * Maintenance by the sample's set algebra:
   *
@@ -49,13 +60,49 @@ object MaintainedSample {
   private def viewCols(groupCol: String) =
     Seq(groupCol, "hv", "key", "v")
 
+  /** Per-row (group, hv, key, v) contributions: null keys excluded
+    * (see class doc), null values excluded (the quantileSketch
+    * contract), key carried AS STRING for cross-engine tie-breaks.
+    */
+  private def keyedRows(rows: DataFrame, groupCol: String,
+                        keyCol: String, valueCol: String): DataFrame =
+    rows.filter(col(keyCol).isNotNull && col(valueCol).isNotNull)
+      .select(col(groupCol),
+        Portable.hash32(col(keyCol).cast("string")).as("hv"),
+        col(keyCol).cast("string").as("key"), col(valueCol).as("v"))
+
+  /** One row per (group, key): duplicate emissions collapse; a
+    * conflicting value resolves to the min (deterministic — for
+    * key-functional data this is the value itself).
+    */
+  private def canonical(df: DataFrame, groupCol: String): DataFrame =
+    df.groupBy(col(groupCol), col("hv"), col("key"))
+      .agg(min(col("v")).as("v"))
+      .select(viewCols(groupCol).map(col): _*)
+
+  /** bottom-m by (hv, key) per group — rides the GroupedTopK heap. */
+  private def bottomM(df: DataFrame, groupCol: String,
+                      m: Int): DataFrame = {
+    val wv = org.apache.spark.sql.expressions.Window
+      .partitionBy(col(groupCol)).orderBy(col("hv"), col("key"))
+    df.withColumn("rk", row_number().over(wv))
+      .filter(col("rk") <= m).drop("rk")
+  }
+
+  /** The canonical bottom-m sketch of per-row input — ≡ [[Sketches
+    * .quantileSketch]] for unique non-null keys (spec-pinned by the
+    * refresh ≡ re-sketch tests), set-canonical beyond it.
+    */
+  private def sketchOf(rows: DataFrame, groupCol: String, keyCol: String,
+                       valueCol: String, m: Int): DataFrame =
+    bottomM(canonical(keyedRows(rows, groupCol, keyCol, valueCol),
+      groupCol), groupCol, m)
+
   /** Materialize the bottom-m sample per group from per-row input. */
   def write(rows: DataFrame, groupCol: String, keyCol: String,
             valueCol: String, path: String, m: Int): Unit = {
     val keyed = MaintainedAgg.withAggPart(
-      Sketches.quantileSketch(rows, groupCol, keyCol, valueCol, m)
-        .drop("rk"),
-      Seq(groupCol))
+      sketchOf(rows, groupCol, keyCol, valueCol, m), Seq(groupCol))
     keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
       .write.mode("overwrite").partitionBy("agg_part").parquet(path)
     SchemaFile.write(rows.sparkSession, path, keyed.schema)
@@ -97,12 +144,15 @@ object MaintainedSample {
                   (recompute: DataFrame => DataFrame): Unit = {
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
-    val rem = removed
+    // row-level (group, key) removal set — batch-bounded but NOT
+    // broadcast (a CDC delete wave can be arbitrarily large; the
+    // member-hit join below shuffles, AQE picks the strategy)
+    val rem = removed.filter(col(keyCol).isNotNull)
       .select(col(groupCol), col(keyCol).cast("string").as("key"))
       .distinct().localCheckpoint()
     // the batch's own bottom-m: folding it in is exact (merge ≡ direct)
-    val addSk = Sketches.quantileSketch(added, groupCol, keyCol,
-      valueCol, m).drop("rk").localCheckpoint()
+    val addSk = sketchOf(added, groupCol, keyCol, valueCol, m)
+      .localCheckpoint()
     val batchGroups = rem.select(groupCol)
       .union(addSk.select(groupCol)).distinct().localCheckpoint()
     val parts = MaintainedAgg.withAggPart(batchGroups, Seq(groupCol))
@@ -118,7 +168,7 @@ object MaintainedSample {
     // sample with ANY remove, or removes against a group with no
     // stored rows) ⇒ dirty — everything else folds arithmetically
     val stats = slice
-      .join(broadcast(rem).withColumn("__hit", lit(1)),
+      .join(rem.withColumn("__hit", lit(1)),
         Seq(groupCol, "key"), "left")
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("__size"),
@@ -135,23 +185,20 @@ object MaintainedSample {
       .select(groupCol).localCheckpoint()
     val cleanTouched = batchGroups
       .join(dirtyKeys, Seq(groupCol), "left_anti")
-    // clean fold: bottom-m of (stored slice ∪ batch sketch), computed
-    // only over TOUCHED clean groups; untouched groups in the touched
-    // partitions carry over verbatim
+    // clean fold: bottom-m of the KEY SET of (stored slice ∪ batch
+    // sketch) — canonicalized so a re-added existing key cannot take
+    // two slots — computed only over TOUCHED clean groups; untouched
+    // groups in the touched partitions carry over verbatim
     val carry = slice.join(broadcast(batchGroups), Seq(groupCol),
       "left_anti")
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("hv"), col("key"))
-    val cleanFold = slice
-      .join(broadcast(cleanTouched), Seq(groupCol), "left_semi")
-      .unionByName(addSk
-        .join(broadcast(cleanTouched), Seq(groupCol), "left_semi"))
-      .withColumn("rk", row_number().over(wv))
-      .filter(col("rk") <= m).drop("rk")
+    val cleanFold = bottomM(canonical(
+      slice.join(broadcast(cleanTouched), Seq(groupCol), "left_semi")
+        .unionByName(addSk
+          .join(broadcast(cleanTouched), Seq(groupCol), "left_semi")),
+      groupCol), groupCol, m)
     val dirtySk =
       if (dirtyKeys.isEmpty) cleanFold.limit(0)
-      else Sketches.quantileSketch(recompute(dirtyKeys), groupCol,
-        keyCol, valueCol, m).drop("rk")
+      else sketchOf(recompute(dirtyKeys), groupCol, keyCol, valueCol, m)
     val merged = MaintainedAgg.withAggPart(
       carry.select(viewCols(groupCol).map(col): _*)
         .unionByName(cleanFold.select(viewCols(groupCol).map(col): _*))
@@ -166,13 +213,12 @@ object MaintainedSample {
 
   // ---- streaming ingest: per-batch sample-delta partitions ----
   //
-  // The MaintainedDistinct discipline, and like the registers the
-  // sample's algebra makes it SAFER than the sum view: merge is a set
-  // union + keep-bottom-m — associative AND idempotent — so even a
-  // delta folded twice yields the same sample. The batch-id marks
-  // exist for IO hygiene (skip known-folded work), not correctness.
-
-  private def deltasDir(path: String) = s"$path/_deltas"
+  // The shared delta protocol ([[graft.io.Deltas]]), and like the
+  // distinct view's registers the sample's algebra makes it SAFER
+  // than the sum view: the canonicalized merge is a set union +
+  // keep-bottom-m — associative AND idempotent — so even a delta
+  // folded twice yields the same sample. The batch-id marks exist for
+  // IO hygiene (skip known-folded work), not correctness.
 
   /** One micro-batch's delta: the batch's OWN bottom-m sketch under
     * its own partition (replay rewrites the same bytes).
@@ -180,60 +226,40 @@ object MaintainedSample {
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCol: String, keyCol: String,
                         valueCol: String, m: Int, path: String): Unit = {
-    if (batchId <= graft.io.Marks.readLong(added.sparkSession, path,
-        "_folded")) return
+    if (Deltas.alreadyFolded(added.sparkSession, path, batchId)) return
     val b = added.localCheckpoint() // isEmpty + write: two actions
     if (!b.isEmpty)
-      Sketches.quantileSketch(b, groupCol, keyCol, valueCol, m)
-        .drop("rk")
+      sketchOf(b, groupCol, keyCol, valueCol, m)
         .write.mode("overwrite")
-        .parquet(s"${deltasDir(path)}/batch_id=$batchId")
+        .parquet(Deltas.deltaPath(path, batchId))
   }
 
-  /** The served sample: bottom-m of (base ∪ every pending delta) per
-    * group — merge-on-read, one window over ≤ (1 + batches)·m rows
-    * per group.
+  /** The served sample: bottom-m of the canonical KEY SET of
+    * (base ∪ every pending delta) per group — merge-on-read, one
+    * window over ≤ (1 + batches)·m rows per group; a key present in
+    * the base and in a delta (or in two deltas) counts once.
     */
   def readWithDeltas(spark: SparkSession, path: String,
                      groupCol: String, m: Int): DataFrame = {
     val base = read(spark, path)
-    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
-    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(dDir) || fs.listStatus(dDir).isEmpty) return base
-    val deltas = spark.read.parquet(deltasDir(path))
+    if (!Deltas.hasDeltas(spark, path)) return base
+    val deltas = spark.read.parquet(Deltas.dir(path))
       .select(viewCols(groupCol).map(col): _*)
-    val wv = org.apache.spark.sql.expressions.Window
-      .partitionBy(col(groupCol)).orderBy(col("hv"), col("key"))
-    base.unionByName(deltas)
-      .withColumn("rk", row_number().over(wv))
-      .filter(col("rk") <= m).drop("rk")
+    bottomM(canonical(base.unionByName(deltas), groupCol), groupCol, m)
   }
 
-  /** Fold pending deltas into the base ATOMICALLY (StagedSwap +
-    * `_folded` mark — the [[MaintainedDistinct.compactDeltas]]
-    * contract verbatim; single-writer: stop the ingest first).
+  /** Fold pending deltas into the base ATOMICALLY — the shared
+    * [[graft.io.Deltas.compact]] contract (single-writer: stop the
+    * ingest first).
     */
   def compactDeltas(spark: SparkSession, path: String,
-                    groupCol: String, m: Int): Unit = {
-    val dDir = new org.apache.hadoop.fs.Path(deltasDir(path))
-    val fs = dDir.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val foldedIds =
-      if (!fs.exists(dDir)) Seq.empty[Long]
-      else fs.listStatus(dDir).map(_.getPath.getName)
-        .collect { case n if n.startsWith("batch_id=") =>
-          n.stripPrefix("batch_id=").toLong }.toSeq
-    val mark = (foldedIds :+ graft.io.Marks.readLong(spark, path,
-      "_folded")).max
-    val applied = PartCommit.lastApplied(spark, path)
-    graft.io.StagedSwap.swap(spark, path) { stage =>
+                    groupCol: String, m: Int): Unit =
+    Deltas.compact(spark, path) { stage =>
       val folded = readWithDeltas(spark, path, groupCol, m)
         .localCheckpoint() // materialize BEFORE the swap touches files
       val keyed = MaintainedAgg.withAggPart(folded, Seq(groupCol))
       keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
         .write.mode("overwrite").partitionBy("agg_part").parquet(stage)
       SchemaFile.write(spark, stage, keyed.schema)
-      graft.io.Marks.writeLong(spark, stage, "_folded", mark)
-      if (applied >= 0) PartCommit.markApplied(spark, stage, applied)
     }
-  }
 }

@@ -145,12 +145,17 @@ object GroupedTopKExec {
   * cardinality approaches the row count (one component per doc, one
   * key per row), the heaps keep nearly every row — all copy-into-heap
   * cost, no shuffle cut. Like Spark's skip-partial-aggregate
-  * heuristic, the pass samples its own prune ratio over the first
-  * [[GroupedTopKPartialExec.SampleRows]] rows of each partition and
-  * degrades to PASS-THROUGH when pruning isn't paying (kept/seen >
-  * [[GroupedTopKPartialExec.SkipRatio]]); the final heap computes the
-  * identical answer from unpruned input. This also bounds the pass's
-  * memory on high-cardinality partitions to the sample window.
+  * heuristic, the pass CONTINUOUSLY tracks its prune ratio and
+  * degrades to PASS-THROUGH when, past the first
+  * [[GroupedTopKPartialExec.SampleRows]] rows, pruning isn't paying
+  * (kept/seen > [[GroupedTopKPartialExec.SkipRatio]]) — OR,
+  * regardless of ratio, once [[GroupedTopKPartialExec.MaxKeptRows]]
+  * rows are held (a ratio just under the threshold would otherwise
+  * let the heaps grow with the partition; the stock sort-based
+  * partial streams in O(k), so unbounded buffering here would trade
+  * a spill for an OOM). The final heap computes the identical answer
+  * from partially-pruned input: every row this pass drops was beaten
+  * by k emitted rows of its own group.
   */
 case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
                                   orderExprs: Seq[SortOrder], k: Int,
@@ -182,6 +187,7 @@ case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
       var seen = 0L
       var kept = 0L
       var sampling = true
+      import GroupedTopKPartialExec.MaxKeptRows
       while (iter.hasNext && sampling) {
         val row = iter.next()
         seen += 1
@@ -198,7 +204,8 @@ case class GroupedTopKPartialExec(partitionExprs: Seq[Expression],
             heaps.put(key.copy(), heap)
             kept += 1
         }
-        if (seen >= SampleRows && kept > seen * SkipRatio) sampling = false
+        if ((seen >= SampleRows && kept > seen * SkipRatio) ||
+          kept >= MaxKeptRows) sampling = false
       }
       val pruned = heaps.valuesIterator.flatMap { heap =>
         heap.iterator.map { r => outRows += 1; r }
@@ -221,6 +228,11 @@ object GroupedTopKPartialExec {
   val SampleRows = 8192L
   /** Above this kept/seen ratio the partition stops pruning. */
   val SkipRatio = 0.7
+  /** Absolute per-partition cap on buffered rows — pruning stops here
+    * even when the ratio says it is paying, so the pass's memory is
+    * bounded no matter the partition size or group cardinality.
+    */
+  val MaxKeptRows = 131072L
 }
 
 /** Optimizer rule: Filter(rn ≤ k) over a single-row_number Window →

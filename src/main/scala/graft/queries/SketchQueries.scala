@@ -660,7 +660,10 @@ object SketchQueries {
 
     // full re-sketch of the NEW snapshot — refresh ≡ recompute is the
     // maintained-sample contract; sketch/estimate SQL shared with
-    // q_sketch_lifecycle
+    // q_sketch_lifecycle. The j2 CTE replays the view's SET semantics:
+    // the sample is of KEYS (one row per (group, key), min-v
+    // canonical) — the harness lineitem carries duplicate
+    // (orderkey, linenumber) pairs, so this is load-bearing
     "q_incr_quantile" -> {
       def est(p: Int) =
         s"min(CASE WHEN sr * 100 >= sm * $p THEN v END) AS est_p$p"
@@ -672,8 +675,9 @@ object SketchQueries {
          |         THEN l_extendedprice + 1.0
          |         ELSE l_extendedprice END AS v
          |  FROM lineitem WHERE l_orderkey % 11 <> 0 OR l_orderkey % 13 = 0),
-         |j AS (SELECT s_nationkey AS nk, k, v
+         |j0 AS (SELECT s_nationkey AS nk, k, v
          |  FROM newf JOIN supplier ON l_suppkey = s_suppkey),
+         |j AS (SELECT nk, k, min(v) AS v FROM j0 GROUP BY 1, 2),
          |sk AS (SELECT nk, k, v FROM (
          |    SELECT nk, k, v,
          |      row_number() OVER (PARTITION BY nk

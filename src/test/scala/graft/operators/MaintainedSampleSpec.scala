@@ -142,6 +142,35 @@ class MaintainedSampleSpec extends SparkSpec {
     assert(stored(path) == after)
   }
 
+  test("set semantics: null keys excluded; a re-added member takes one slot") {
+    val path = tmp()
+    // a null-key row never enters the sample (it could never be
+    // deleted — rem joins on key equality) …
+    MaintainedSample.write(b(("g", "a1", 1.0), ("g", null, 9.0)),
+      "g", "k", "v", path, M)
+    val s0 = stored(path)
+    assert(s0 == Set(("g", "a1", 1.0)), s0)
+    // … and removing the null-key fact is a clean no-op, not a dirty
+    // group (an unremovable member would make the view permanently
+    // stale — the review finding this test pins)
+    MaintainedSample.deltaRefresh(spark, path,
+      removed = b(("g", null, 9.0)), added = b(),
+      "g", "k", "v", M, batchId = 1L) { d => fail("null-key remove") }
+    assert(stored(path) == s0)
+    // re-adding the stored member a1 plus two new keys: the sample is
+    // of KEYS — bottom-m of the distinct set, a1 never takes two slots
+    MaintainedSample.deltaRefresh(spark, path,
+      removed = b(),
+      added = b(("g", "a1", 1.0), ("g", "a2", 2.0), ("g", "a3", 3.0)),
+      "g", "k", "v", M, batchId = 2L) { d => fail("insert-only") }
+    val fresh = tmp()
+    MaintainedSample.write(
+      b(("g", "a1", 1.0), ("g", "a2", 2.0), ("g", "a3", 3.0)),
+      "g", "k", "v", fresh, M)
+    assert(stored(path) == stored(fresh),
+      "refold with a duplicate key must equal the set re-sketch")
+  }
+
   test("untouched partitions stable; emptied view stays readable") {
     val order = rankOrder((0 until 6).map(i => s"p$i"))
     val path = tmp()

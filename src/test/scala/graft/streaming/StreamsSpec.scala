@@ -1361,8 +1361,17 @@ class StreamsSpec extends SparkSpec {
       MaintainedSample.writeDeltaPartial(rows(b1), 1L, "g", "k", "v", m,
         path)
       assert(served == expect, "replayed batch must not change the sample")
+      // set semantics at ROW level (a Set compare would mask it): the
+      // key z1 arrived in two batches yet occupies ONE slot of c's
+      // sample, pre- and post-compaction
+      assert(MaintainedSample.readWithDeltas(spark, path, "g", m)
+        .filter(col("g") === "c").count() == 1L,
+        "a key in two deltas must occupy one sample slot")
       MaintainedSample.compactDeltas(spark, path, "g", m)
       assert(served == expect, s"compacted sample diverged: $served")
+      assert(MaintainedSample.read(spark, path)
+        .filter(col("g") === "c").count() == 1L,
+        "compaction must persist the set-canonical sample")
       val fs = new org.apache.hadoop.fs.Path(path)
         .getFileSystem(spark.sparkContext.hadoopConfiguration)
       assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/_deltas")),
