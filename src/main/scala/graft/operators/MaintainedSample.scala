@@ -92,11 +92,46 @@ object MaintainedSample {
   /** The canonical bottom-m sketch of per-row input — ≡ [[Sketches
     * .quantileSketch]] for unique non-null keys (spec-pinned by the
     * refresh ≡ re-sketch tests), set-canonical beyond it.
+    *
+    * COST: canonicalizing first (`groupBy(group, key)`) would exchange
+    * every keyed row — the corpus-wide shuffle the GroupedTopK partial
+    * exists to avoid (measured 1.9× on the whole lifecycle at the sf10
+    * leg). Instead: take the BAG bottom-2m per group through the heap
+    * (map-side pruned, exchange ≤ partitions × groups × 2m), dedupe
+    * that window, and keep its first m keys — EXACT whenever the
+    * window still holds ≥ m distinct keys, because bag order visits
+    * keys in set order with duplicates adjacent, so the m-th distinct
+    * key of the window is the true m-th set key. Only a group whose
+    * FULL 2m window yielded < m keys (> m duplicate rows crowded the
+    * boundary — needs duplicates ≳ half the window) falls back to the
+    * full canonical shuffle, and only its rows.
     */
   private def sketchOf(rows: DataFrame, groupCol: String, keyCol: String,
                        valueCol: String, m: Int): DataFrame =
-    bottomM(canonical(keyedRows(rows, groupCol, keyCol, valueCol),
-      groupCol), groupCol, m)
+    sketchOfKeyed(keyedRows(rows, groupCol, keyCol, valueCol),
+      groupCol, m)
+
+  private def sketchOfKeyed(keyed: DataFrame, groupCol: String,
+                            m: Int): DataFrame = {
+    val win = bottomM(keyed, groupCol, 2 * m)
+      .localCheckpoint() // feeds the dedup AND the crowding test once
+    val canon = canonical(win, groupCol)
+    val crowded = canon.groupBy(col(groupCol))
+      .agg(count(lit(1)).as("__nk"))
+      .join(win.groupBy(col(groupCol)).agg(count(lit(1)).as("__nb")),
+        groupCol)
+      .filter(col("__nk") < m && col("__nb") >= 2 * m)
+      .select(groupCol).localCheckpoint() // group-level, tiny
+    val fast = bottomM(
+      canon.join(broadcast(crowded), Seq(groupCol), "left_anti"),
+      groupCol, m)
+    val slow =
+      if (crowded.isEmpty) fast.limit(0)
+      else bottomM(canonical(
+        keyed.join(broadcast(crowded), Seq(groupCol), "left_semi"),
+        groupCol), groupCol, m)
+    fast.unionByName(slow)
+  }
 
   /** Materialize the bottom-m sample per group from per-row input. */
   def write(rows: DataFrame, groupCol: String, keyCol: String,

@@ -171,6 +171,20 @@ class MaintainedSampleSpec extends SparkSpec {
       "refold with a duplicate key must equal the set re-sketch")
   }
 
+  test("duplicate-crowded bag window falls back to the exact set sketch") {
+    // M=2 ⇒ the bag bottom-2m window is 4 rows; five copies of the
+    // lowest-ranked key fill it with ONE distinct key (< m), forcing
+    // the crowded-group fallback — which must still produce the exact
+    // set-bottom-m {lowest, second-lowest}
+    val order = rankOrder(Seq("c0", "c1", "c2"))
+    val path = tmp()
+    val rows = Seq.fill(5)(("g", order(0), 1.0)) ++
+      Seq(("g", order(1), 2.0), ("g", order(2), 3.0))
+    MaintainedSample.write(b(rows: _*), "g", "k", "v", path, M)
+    val got = stored(path)
+    assert(got == Set(("g", order(0), 1.0), ("g", order(1), 2.0)), got)
+  }
+
   test("untouched partitions stable; emptied view stays readable") {
     val order = rankOrder((0 until 6).map(i => s"p$i"))
     val path = tmp()
