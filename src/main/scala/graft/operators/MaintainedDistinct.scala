@@ -145,6 +145,16 @@ object MaintainedDistinct {
                   (recompute: DataFrame => DataFrame): Unit = {
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
+    // pending streaming deltas make a CDC refresh unsound here: a
+    // register max cannot subtract, so a delete whose key also lives
+    // in an unfolded delta would be resurrected by readWithDeltas,
+    // and the tie test below would consult a stale base register.
+    // The sum view composes arithmetically; this one must compact
+    // first (same guard as MaintainedSample.deltaRefresh).
+    require(!graft.io.Deltas.hasDeltas(spark, path),
+      s"deltaRefresh($path): pending streaming _deltas — the register" +
+        "-max merge cannot compose a CDC delete with unfolded deltas; " +
+        "run compactDeltas first")
     val aAgg = regsOf(added, groupCols, keyCol, "__aregs", "__an")
     val rAgg = regsOf(removed, groupCols, keyCol, "__rregs", "__rn")
     val batch = aAgg.join(rAgg, groupCols, "full_outer")

@@ -101,10 +101,20 @@ object MaintainedSample {
     * that window, and keep its first m keys — EXACT whenever the
     * window still holds ≥ m distinct keys, because bag order visits
     * keys in set order with duplicates adjacent, so the m-th distinct
-    * key of the window is the true m-th set key. Only a group whose
-    * FULL 2m window yielded < m keys (> m duplicate rows crowded the
-    * boundary — needs duplicates ≳ half the window) falls back to the
-    * full canonical shuffle, and only its rows.
+    * key of the window is the true m-th set key. The VALUE of a kept
+    * key is also exact, with one boundary case: rows of equal (hv,
+    * key) are adjacent in the window order, so the 2m cut can slice
+    * through at most the LAST key's run — a kept key with rows beyond
+    * the window (whose min-v the window-local dedupe would miss) is
+    * possible only when that last key itself ranks within the kept m,
+    * i.e. the full window yielded ≤ m distinct keys. So any group
+    * whose FULL 2m window yielded ≤ m keys (duplicates ≳ half the
+    * window crowded the boundary) falls back to the full canonical
+    * shuffle, and only its rows; every other group's kept keys have
+    * ALL their rows inside the window, making min-v exact for
+    * non-key-functional inputs too (review-hardened: `< m` here once
+    * let the m-th key's straddling rows return a window-local, not
+    * global, min).
     */
   private def sketchOf(rows: DataFrame, groupCol: String, keyCol: String,
                        valueCol: String, m: Int): DataFrame =
@@ -120,7 +130,7 @@ object MaintainedSample {
       .agg(count(lit(1)).as("__nk"))
       .join(win.groupBy(col(groupCol)).agg(count(lit(1)).as("__nb")),
         groupCol)
-      .filter(col("__nk") < m && col("__nb") >= 2 * m)
+      .filter(col("__nk") <= m && col("__nb") >= 2 * m)
       .select(groupCol).localCheckpoint() // group-level, tiny
     val fast = bottomM(
       canon.join(broadcast(crowded), Seq(groupCol), "left_anti"),
@@ -179,6 +189,17 @@ object MaintainedSample {
                   (recompute: DataFrame => DataFrame): Unit = {
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
+    // a CDC refresh against a base with PENDING streaming deltas is
+    // unsound for this view: the merge-on-read is a SET UNION, so a
+    // delete of a key that also lives in an unfolded delta would be
+    // silently resurrected by readWithDeltas, and the member-hit
+    // classification below would run against a stale base. Unlike the
+    // sum view (where base refresh and additive deltas compose
+    // arithmetically), there is no safe interleaving — compact first.
+    require(!Deltas.hasDeltas(spark, path),
+      s"deltaRefresh($path): pending streaming _deltas — the sample " +
+        "view's set-union merge cannot compose a CDC delete with " +
+        "unfolded deltas; run compactDeltas first")
     // row-level (group, key) removal set — batch-bounded but NOT
     // broadcast (a CDC delete wave can be arbitrarily large; the
     // member-hit join below shuffles, AQE picks the strategy)

@@ -155,6 +155,31 @@ class MaintainedDistinctSpec extends SparkSpec {
     assert(stored(path) == after, "replay double-applied")
   }
 
+  test("CDC refresh refuses a base with pending streaming deltas") {
+    val path = tmp()
+    MaintainedDistinct.write(b(("g", "a")), Seq("g"), "k", path)
+    MaintainedDistinct.writeDeltaPartial(b(("g", "b")), batchId = 1L,
+      Seq("g"), "k", path)
+    // a delete of "b" would be resurrected by readWithDeltas (register
+    // max can't subtract) — fail fast, don't corrupt
+    val e = intercept[IllegalArgumentException] {
+      MaintainedDistinct.deltaRefresh(spark, path,
+        removed = b(("g", "b")), added = b(),
+        Seq("g"), "k", batchId = 2L) { d => fail("must not reach") }
+    }
+    assert(e.getMessage.contains("compactDeltas"))
+    // after compaction the same refresh is legal and register-exact
+    MaintainedDistinct.compactDeltas(spark, path, Seq("g"))
+    MaintainedDistinct.deltaRefresh(spark, path,
+      removed = b(("g", "b")), added = b(),
+      Seq("g"), "k", batchId = 2L) { d =>
+      b(("g", "a")).join(broadcast(d), Seq("g"), "left_semi")
+    }
+    val fresh = tmp()
+    MaintainedDistinct.write(b(("g", "a")), Seq("g"), "k", fresh)
+    assert(stored(path) == stored(fresh))
+  }
+
   test("refresh rewrites only touched partitions; emptied view stays readable") {
     val li = Tables.lineitem(spark, sf)
     def rows(f: DataFrame): DataFrame = f

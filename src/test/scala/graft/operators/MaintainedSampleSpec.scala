@@ -185,6 +185,52 @@ class MaintainedSampleSpec extends SparkSpec {
     assert(got == Set(("g", order(0), 1.0), ("g", order(1), 2.0)), got)
   }
 
+  test("boundary key straddling the bag window keeps its GLOBAL min value") {
+    // the r13-advice case the `< m` crowded test missed: the window
+    // yields EXACTLY m distinct keys, and the m-th (last) key's
+    // duplicate rows straddle the 2m cut with conflicting values —
+    // a window-local dedupe could return a non-min v for it. The
+    // `<= m` crowded condition must route the group through the full
+    // canonical shuffle, so the kept value is the global min (0.5)
+    // regardless of which duplicate rows the bag window happened to
+    // hold. Key-functional inputs can't distinguish the two paths;
+    // this fixture is deliberately non-key-functional.
+    val order = rankOrder(Seq("s0", "s1"))
+    val path = tmp()
+    // group g: key A = 1 row; key B = 11 rows, distinct values with a
+    // unique min — the 4-row (2m) window holds A + 3 of B's rows, so
+    // B always straddles and its min is in the window only by luck
+    val rows = Seq(("g", order(0), 1.0)) ++
+      (0 until 10).map(i => ("g", order(1), 10.0 + i)) :+
+      (("g", order(1), 0.5))
+    MaintainedSample.write(b(rows: _*), "g", "k", "v", path, M)
+    val got = stored(path)
+    assert(got == Set(("g", order(0), 1.0), ("g", order(1), 0.5)), got)
+  }
+
+  test("CDC refresh refuses a base with pending streaming deltas") {
+    val path = tmp()
+    MaintainedSample.write(b(("g", "a", 1.0)), "g", "k", "v", path, M)
+    MaintainedSample.writeDeltaPartial(b(("g", "b", 2.0)), batchId = 1L,
+      "g", "k", "v", M, path)
+    // a delete of "b" against the base would be resurrected by
+    // readWithDeltas — deltaRefresh must fail fast, not corrupt
+    val e = intercept[IllegalArgumentException] {
+      MaintainedSample.deltaRefresh(spark, path,
+        removed = b(("g", "b", 2.0)), added = b(),
+        "g", "k", "v", M, batchId = 2L) { d => fail("must not reach") }
+    }
+    assert(e.getMessage.contains("compactDeltas"))
+    // after compaction the same refresh is legal and exact
+    MaintainedSample.compactDeltas(spark, path, "g", M)
+    MaintainedSample.deltaRefresh(spark, path,
+      removed = b(("g", "b", 2.0)), added = b(),
+      "g", "k", "v", M, batchId = 2L) { d =>
+      b(("g", "a", 1.0)).join(broadcast(d), Seq("g"), "left_semi")
+    }
+    assert(stored(path) == Set(("g", "a", 1.0)))
+  }
+
   test("untouched partitions stable; emptied view stays readable") {
     val order = rankOrder((0 until 6).map(i => s"p$i"))
     val path = tmp()
