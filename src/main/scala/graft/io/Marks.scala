@@ -26,14 +26,9 @@ object Marks {
   }
 
   def writeLong(spark: SparkSession, dir: String, name: String,
-                value: Long): Unit = {
-    val fs = fsOf(spark, dir)
-    val tmp = new Path(dir, s"$name.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(value.toString.getBytes("UTF-8")) finally out.close()
-    val live = new Path(dir, name)
-    fs.delete(live, false)
-    if (!fs.rename(tmp, live))
-      throw new java.io.IOException(s"cannot publish mark $name in $dir")
-  }
+                value: Long): Unit =
+    // all-or-nothing publication per backend (tmp+rename vs atomic
+    // PUT) — the [[AtomicIo]] seam
+    AtomicIo.publishFile(fsOf(spark, dir), new Path(dir, name),
+      value.toString.getBytes("UTF-8"))
 }

@@ -45,6 +45,17 @@ import org.apache.spark.sql.SparkSession
   * Single-writer assumption throughout, as every maintenance op in
   * this package: two concurrent refreshes of one table are a caller
   * bug, not a tolerated state.
+  *
+  * STORAGE CONTRACT ([[AtomicIo]] seam): step 2's marker publication
+  * is all-or-nothing on every backend (tmp+rename where rename is
+  * atomic, a single atomic PUT on object stores), and step 3 has two
+  * implementations — rename-based where directory rename is atomic
+  * (file://, hdfs://), and delete+copy with per-partition done
+  * markers where it is not (s3a://, gs://, abfs://, unknown schemes;
+  * see [[applyCommitByCopy]]). Both are idempotent under replay from
+  * any crash point; ObjectStoreCommitSpec proves the copy protocol
+  * under a non-atomic-rename filesystem shim with crash injection at
+  * every mutation.
   */
 object PartCommit {
 
@@ -110,23 +121,62 @@ object PartCommit {
   private def applyCommit(spark: SparkSession, path: String,
                           c: Commit): Unit = {
     val fs = fsOf(spark, path)
-    c.touched.foreach { p =>
-      val live = new Path(path, s"${c.partCol}=$p")
-      if (c.survived(p)) {
-        val staged = new Path(stageDir(path), s"${c.partCol}=$p")
-        // the staged dir's existence == "swap not done yet": the
-        // rename below consumes it, so a replay skips finished parts
-        if (fs.exists(staged)) {
-          fs.delete(live, true)
-          if (!fs.rename(staged, live))
-            throw new java.io.IOException(
-              s"part commit: cannot move $staged into place")
-        }
-      } else fs.delete(live, true) // emptied partition — idempotent
-    }
+    if (AtomicIo.renameIsAtomic(fs)) {
+      c.touched.foreach { p =>
+        val live = new Path(path, s"${c.partCol}=$p")
+        if (c.survived(p)) {
+          val staged = new Path(stageDir(path), s"${c.partCol}=$p")
+          // the staged dir's existence == "swap not done yet": the
+          // rename below consumes it, so a replay skips finished parts
+          if (fs.exists(staged)) {
+            fs.delete(live, true)
+            if (!fs.rename(staged, live))
+              throw new java.io.IOException(
+                s"part commit: cannot move $staged into place")
+          }
+        } else fs.delete(live, true) // emptied partition — idempotent
+      }
+    } else applyCommitByCopy(fs, path, c)
     writeApplied(spark, path, c.batchId)
     fs.delete(new Path(path, "_commit"), false)
     fs.delete(new Path(stageDir(path)), true)
+    fs.delete(new Path(path, DoneDir), true)
+  }
+
+  /** `_`-prefixed (reader-invisible) per-partition done markers for
+    * the copy-based apply below.
+    */
+  private val DoneDir = "_commit_done"
+
+  /** The NON-atomic-rename apply: on an object store a directory
+    * "rename" is a per-file copy+delete with arbitrarily long partial
+    * states, so the atomic path's "staged dir existence == swap not
+    * done" invariant does not survive a crash (a half-renamed staged
+    * dir is neither present nor consumed). Instead each partition's
+    * swap is delete-live + COPY-staged-contents (the staged source is
+    * never consumed, so any crash point replays from an intact
+    * source), committed per partition by an all-or-nothing done
+    * marker ([[AtomicIo.publishFile]] — one atomic PUT). Replay skips
+    * partitions whose marker exists and redoes the rest from scratch;
+    * every sub-step is idempotent. Extra cost vs the atomic path: the
+    * touched partitions' bytes are copied once more — which is what a
+    * directory rename costs on these stores anyway.
+    */
+  private def applyCommitByCopy(fs: org.apache.hadoop.fs.FileSystem,
+                                path: String, c: Commit): Unit = {
+    val doneDir = new Path(path, DoneDir)
+    fs.mkdirs(doneDir)
+    c.touched.foreach { p =>
+      val done = new Path(doneDir, p.toString)
+      if (!fs.exists(done)) {
+        val live = new Path(path, s"${c.partCol}=$p")
+        fs.delete(live, true)
+        if (c.survived(p))
+          AtomicIo.copyDirContents(fs,
+            new Path(stageDir(path), s"${c.partCol}=$p"), live)
+        AtomicIo.publishFile(fs, done, Array.emptyByteArray)
+      }
+    }
   }
 
   /** Replace the `touched` partitions of the table at `path` with
@@ -147,23 +197,23 @@ object PartCommit {
     val stagePath = new Path(stageDir(path))
     fs.delete(stagePath, true) // garbage from a pre-marker crash
     fs.delete(new Path(path, "_commit.tmp"), false)
+    // stale done markers from a predecessor that crashed AFTER its
+    // `_commit` removal (so recover above had nothing to replay) must
+    // not leak into this batch's copy-based apply
+    fs.delete(new Path(path, DoneDir), true)
     stage(stageDir(path))
     val survived =
       if (!fs.exists(stagePath)) Set.empty[Int]
       else fs.listStatus(stagePath).map(_.getPath.getName)
         .collect { case n if n.startsWith(s"$partCol=") =>
           n.stripPrefix(s"$partCol=").toInt }.toSet
-    val tmp = new Path(path, "_commit.tmp")
-    val out = fs.create(tmp, true)
-    try out.write(
+    // the commit point: all-or-nothing marker publication (tmp+rename
+    // on atomic-rename filesystems, one atomic PUT on object stores —
+    // [[AtomicIo.publishFile]]). Before it the live table is intact
+    // and a retry recomputes; after it, recovery replays the apply.
+    AtomicIo.publishFile(fs, new Path(path, "_commit"),
       s"$batchId\n$partCol\n${touched.mkString(",")}\n${survived.mkString(",")}\n"
         .getBytes("UTF-8"))
-    finally out.close()
-    // the commit point: before this rename the live table is intact
-    // and a retry recomputes; after it, recovery replays the apply
-    if (!fs.rename(tmp, new Path(path, "_commit")))
-      throw new java.io.IOException(
-        s"part commit: cannot publish commit marker for $path")
     applyCommit(spark, path,
       Commit(batchId, partCol, touched, survived))
   }

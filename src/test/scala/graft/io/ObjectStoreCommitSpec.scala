@@ -1,0 +1,189 @@
+package graft.io
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The object-store leg of the commit protocols: on a filesystem
+  * WITHOUT atomic rename ([[SimFs]], scheme `simfs` — deliberately
+  * absent from [[AtomicIo]]'s atomic set), [[PartCommit]] and
+  * [[StagedSwap]] must take their marker/copy paths and stay
+  * exactly-once under a crash injected at EVERY in-scope mutation
+  * (the full window enumeration the r13 verdict asked for), while
+  * performing zero in-scope renames — the one primitive these
+  * backends cannot give.
+  */
+class ObjectStoreCommitSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def hconf = {
+    val c = spark.sparkContext.hadoopConfiguration
+    c.set("fs.simfs.impl", classOf[SimFs].getName)
+    c
+  }
+
+  /** simfs:// twin of a fresh local temp dir. */
+  private def tmp(): String = {
+    hconf
+    "simfs://" + java.nio.file.Files
+      .createTempDirectory("graft_osc_").toString + "/view"
+  }
+
+  private def scopeOf(path: String): String =
+    new org.apache.hadoop.fs.Path(path).toUri.getPath
+
+  private def dec = org.apache.spark.sql.types.DecimalType(18, 2)
+
+  private def batch(rows: (String, Int)*) =
+    rows.toDF("k", "m").select(col("k"), col("m").cast(dec).as("m"))
+
+  private def seed(path: String): Unit =
+    MaintainedAgg.write(
+      batch(("a", 10), ("b", 7), ("c", 5)).groupBy("k")
+        .agg(sum("m").as("m"), count(lit(1)).as("n")),
+      Seq("k"), path, Seq("m"), "n")
+
+  /** The matrix batch: update a (+1), DELETE b entirely (empties its
+    * partition), add new group d — touches ≥ 3 partitions at the
+    * agg_part layout, exercising survived/emptied/new in one commit.
+    */
+  private def refresh(path: String, batchId: Long = 1L): Unit =
+    MaintainedAgg.deltaRefresh(spark, path,
+      removed = batch(("b", 7)),
+      added = batch(("a", 1), ("d", 3)),
+      Seq("k"), Seq("m"), "n", batchId)
+
+  private def viewMap(path: String): Map[String, (BigDecimal, Long)] =
+    MaintainedAgg.read(spark, path)
+      .select(col("k"), col("m").cast("decimal(38,6)"), col("n"))
+      .collect()
+      .map(r => r.getString(0) ->
+        (BigDecimal(r.getDecimal(1)), r.getLong(2))).toMap
+
+  private val Expected = Map(
+    "a" -> (BigDecimal(11), 2L),
+    "c" -> (BigDecimal(5), 1L),
+    "d" -> (BigDecimal(3), 1L))
+
+  test("AtomicIo capability: simfs is non-atomic, file is atomic, conf overrides") {
+    val simfs = new org.apache.hadoop.fs.Path(tmp()).getFileSystem(hconf)
+    assert(!AtomicIo.renameIsAtomic(simfs), "unknown scheme must default non-atomic")
+    val local = new org.apache.hadoop.fs.Path("/tmp").getFileSystem(hconf)
+    assert(AtomicIo.renameIsAtomic(local))
+    hconf.set(AtomicIo.confKey("simfs"), "true")
+    try assert(AtomicIo.renameIsAtomic(simfs), "conf override must win")
+    finally hconf.unset(AtomicIo.confKey("simfs"))
+    assert(!AtomicIo.renameIsAtomic(simfs))
+  }
+
+  test("maintained view runs end-to-end on the object-store protocol") {
+    val path = tmp()
+    SimFs.arm(scopeOf(path)) // scope armed, no crash: count renames
+    val renames0 = SimFs.renamesInScope.get()
+    seed(path)
+    refresh(path)
+    assert(viewMap(path) == Expected)
+    // replay no-ops
+    refresh(path)
+    assert(viewMap(path) == Expected)
+    // empty batch still advances the mark
+    MaintainedAgg.deltaRefresh(spark, path, removed = batch(),
+      added = batch(), Seq("k"), Seq("m"), "n", batchId = 5L)
+    assert(PartCommit.lastApplied(spark, path) == 5L)
+    // drain to empty (a's TWO contributing rows, c's and d's one each):
+    // the view stays readable through _schema
+    MaintainedAgg.deltaRefresh(spark, path,
+      removed = batch(("a", 10), ("a", 1), ("c", 5), ("d", 3)), added = batch(),
+      Seq("k"), Seq("m"), "n", batchId = 6L)
+    assert(MaintainedAgg.read(spark, path).isEmpty)
+    assert(MaintainedAgg.read(spark, path).columns.toSet == Set("k", "m", "n"))
+    assert(SimFs.renamesInScope.get() == renames0,
+      "the copy-mode protocol must never rename in scope")
+  }
+
+  test("PartCommit crash matrix: process death at every mutation stays exactly-once") {
+    var k = 1L
+    var uncrashed = false
+    var windows = 0
+    val renames0 = SimFs.renamesInScope.get()
+    while (!uncrashed && k <= 400) {
+      val path = tmp()
+      seed(path) // scope not yet armed at this path — seeding never crashes
+      SimFs.arm(scopeOf(path), failFrom = k)
+      val crashed =
+        try { refresh(path); false }
+        catch { case _: Throwable => true } // SimCrash or Spark-wrapped
+      SimFs.disarm()
+      if (!crashed) uncrashed = true else windows += 1
+      // unattended retry of the SAME batch (deltaRefresh recovers any
+      // pending commit, then the applied mark gates the replay)
+      refresh(path)
+      assert(viewMap(path) == Expected, s"crash window #$k diverged")
+      // and a further replay after the recovery cycle still no-ops
+      refresh(path)
+      assert(viewMap(path) == Expected, s"replay after window #$k re-applied")
+      k += 1
+    }
+    assert(uncrashed, "matrix never ran past the last mutation (raise the cap)")
+    assert(windows >= 8, s"too few crash windows exercised: $windows")
+    assert(SimFs.renamesInScope.get() == renames0,
+      "the copy-mode protocol must never rename in scope")
+  }
+
+  test("PartCommit: crash INSIDE the stage write leaves the live table intact") {
+    val path = tmp()
+    seed(path)
+    val before = viewMap(path)
+    SimFs.arm(scopeOf(path))
+    intercept[RuntimeException] {
+      PartCommit.replaceParts(spark, path, "agg_part", batchId = 1L,
+        touched = Seq(0)) { stage =>
+        // half a stage, then death
+        batch(("x", 1)).write.mode("overwrite").parquet(s"$stage/agg_part=0")
+        throw new RuntimeException("die mid-stage")
+      }
+    }
+    assert(viewMap(path) == before, "pre-marker crash must not touch live data")
+    assert(PartCommit.lastApplied(spark, path) == -1L)
+    // the next attempt clears the garbage and commits
+    refresh(path)
+    assert(viewMap(path) == Expected)
+  }
+
+  test("StagedSwap crash matrix: old-or-new at every window; retry lands new") {
+    val oldRows = Seq(1L, 2L, 3L)
+    val newRows = Seq(4L, 5L)
+    def rows(path: String): Seq[Long] =
+      spark.read.parquet(path).as[Long].collect().toSeq.sorted
+    var k = 1L
+    var uncrashed = false
+    var windows = 0
+    while (!uncrashed && k <= 200) {
+      val path = tmp()
+      oldRows.toDF("v").write.parquet(path)
+      SimFs.arm(scopeOf(path), failFrom = k)
+      val crashed =
+        try {
+          StagedSwap.swap(spark, path)(st => newRows.toDF("v").write.parquet(st))
+          false
+        } catch { case _: Throwable => true }
+      SimFs.disarm()
+      if (!crashed) uncrashed = true
+      else {
+        windows += 1
+        // recovery must yield a COMPLETE table — the previous one if
+        // death preceded the commit marker, the new one after it
+        StagedSwap.recover(spark, path)
+        val got = rows(path)
+        assert(got == oldRows || got == newRows,
+          s"window #$k left a mixed table: $got")
+        // retrying the whole swap (the caller contract) lands the new
+        StagedSwap.swap(spark, path)(st => newRows.toDF("v").write.parquet(st))
+      }
+      assert(rows(path) == newRows, s"window #$k: retry did not converge")
+      k += 1
+    }
+    assert(uncrashed, "matrix never ran past the last mutation (raise the cap)")
+    assert(windows >= 4, s"too few crash windows exercised: $windows")
+  }
+}
