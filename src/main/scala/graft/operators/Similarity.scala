@@ -418,12 +418,24 @@ object Similarity {
   /** Create (or replace) a vector index at `path`: frozen centroids
     * + cell-partitioned vectors.
     */
+  /** ONE corpus pass producing (id, cell, vector) — the float-vector
+    * sibling of [[encodeAndRoute]]: row-local argmin against the
+    * broadcast packed centroids instead of the window-argmin +
+    * equi-join-on-id shape (which shuffled corpus × k rows and then
+    * the corpus again). Null vectors are unroutable and excluded (the
+    * pqEncode convention).
+    */
+  private def routeVectors(df: DataFrame, idCol: String, vecCol: String,
+                           centroids: DataFrame): DataFrame =
+    withCellLocal(
+      df.filter(col(vecCol).isNotNull).select(col(idCol), col(vecCol)),
+      vecCol, centroids)
+      .select(col(idCol), col("cell"), col(vecCol))
+
   def writeVectorIndex(df: DataFrame, idCol: String, vecCol: String,
                        centroids: DataFrame, path: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
-    assignToCentroids(df, idCol, vecCol, centroids)
-      .select(col(idCol), col("cluster").as("cell"))
-      .join(df.select(col(idCol), col(vecCol)), idCol)
+    routeVectors(df, idCol, vecCol, centroids)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/vectors")
   }
@@ -435,9 +447,7 @@ object Similarity {
   def appendVectorIndex(df: DataFrame, idCol: String, vecCol: String,
                         path: String): Unit = {
     val cent = df.sparkSession.read.parquet(s"$path/centroids")
-    assignToCentroids(df, idCol, vecCol, cent)
-      .select(col(idCol), col("cluster").as("cell"))
-      .join(df.select(col(idCol), col(vecCol)), idCol)
+    routeVectors(df, idCol, vecCol, cent)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/vectors")
   }
@@ -509,11 +519,8 @@ object Similarity {
     // materialize the new layout inputs BEFORE the swap unlinks the
     // old dir: both read the live index
     val cents = centroids.localCheckpoint()
-    val reassigned = assignToCentroids(
-      readVectorIndex(spark, path), idCol, vecCol, cents)
-      .select(col(idCol), col("cluster").as("cell"))
-      .join(readVectorIndex(spark, path).select(col(idCol), col(vecCol)),
-        idCol)
+    val reassigned = routeVectors(
+      readVectorIndex(spark, path).drop("cell"), idCol, vecCol, cents)
       .localCheckpoint()
     graft.io.StagedSwap.swap(spark, path) { stage =>
       cents.write.parquet(s"$stage/centroids")
@@ -896,6 +903,44 @@ object Similarity {
     }.reduce(_.union(_))
   }
 
+  /** One-row broadcastable form of a centroid frame: `__cents` =
+    * array of (cluster, cv) structs in cluster-ascending order.
+    */
+  private def packCentroids(centroids: DataFrame): DataFrame =
+    centroids
+      .select(col("cluster"), col("cv").cast("array<double>").as("cv"))
+      .groupBy()
+      .agg(sort_array(collect_list(struct(col("cluster"), col("cv"))))
+        .as("__cents"))
+
+  /** ROW-LOCAL twin of [[assignToCentroids]]'s argmin, for the
+    * corpus-side lifecycle passes: same left-folded float-vs-double
+    * squared L2 as [[l2Sq]] and the same (distance asc, cluster asc)
+    * tie-break (the fold visits clusters in ascending order and keeps
+    * strictly-smaller distances, so the first minimum wins — exactly
+    * the window's rank 1), but evaluated per row against the ONE-ROW
+    * broadcast packed centroids: no k-way row blowup and no
+    * per-vector shuffle, where the window form exchanges corpus × k
+    * rows to rank them. Bit-identical cells by construction
+    * (spec-pinned against assignToCentroids on the real embeddings).
+    * Input rows must carry `vecCol` non-null (callers filter).
+    * Adds `cell` of the centroid frame's cluster type.
+    */
+  private[operators] def withCellLocal(df: DataFrame, vecCol: String,
+                                       centroids: DataFrame): DataFrame = {
+    val clT = centroids.schema("cluster").dataType.sql
+    df.crossJoin(broadcast(packCentroids(centroids)))
+      .withColumn("cell", expr(
+        s"""aggregate(
+           |  transform(__cents, c -> named_struct('cl', c.cluster, 'd',
+           |    aggregate(zip_with($vecCol, c.cv, (x, y) -> (x - y) * (x - y)),
+           |      cast(0.0 as double), (a, x) -> a + x))),
+           |  named_struct('cl', cast(null as $clT),
+           |               'd', cast('Infinity' as double)),
+           |  (acc, t) -> IF(t.d < acc.d, t, acc)).cl""".stripMargin))
+      .drop("__cents")
+  }
+
   /** One-row broadcastable nested-array form of a codebook:
     * `__cb[m+1][code+1][i]` = component i of subspace m's codeword. */
   private def packCodebook(codebook: DataFrame): DataFrame =
@@ -936,14 +981,41 @@ object Similarity {
     val v = df.filter(col(vecCol).isNotNull)
       .select(col(idCol), col(vecCol).as("__v"))
     v.crossJoin(broadcast(packCodebook(codebook)))
-      .withColumn("codes", expr(
-        s"""transform(sequence(0, ${numSub - 1}), m ->
-           |  aggregate(
-           |    transform(sequence(0, size(element_at(__cb, m+1)) - 1), c ->
-           |      named_struct('c', c, 'd', ${pqSubDist("__v", subDim)})),
-           |    named_struct('c', -1, 'd', cast('Infinity' as double)),
-           |    (acc, x) -> IF(x.d < acc.d, x, acc)).c)""".stripMargin))
+      .withColumn("codes", expr(pqCodesExpr("__v", numSub, subDim)))
       .select(col(idCol), col("codes"))
+  }
+
+  /** The per-row nearest-codeword fold shared by [[pqEncode]] and the
+    * lifecycle's single-pass [[encodeAndRoute]] — one expression, so
+    * the two paths cannot drift.
+    */
+  private def pqCodesExpr(vn: String, numSub: Int, subDim: Int): String =
+    s"""transform(sequence(0, ${numSub - 1}), m ->
+       |  aggregate(
+       |    transform(sequence(0, size(element_at(__cb, m+1)) - 1), c ->
+       |      named_struct('c', c, 'd', ${pqSubDist(vn, subDim)})),
+       |    named_struct('c', -1, 'd', cast('Infinity' as double)),
+       |    (acc, x) -> IF(x.d < acc.d, x, acc)).c)""".stripMargin
+
+  /** ONE corpus pass producing (id, cell, codes): row-local coarse
+    * assignment ([[withCellLocal]]) + row-local PQ encode against the
+    * two broadcast one-row artifact frames. Replaces the lifecycle's
+    * previous assign → window-argmin → equi-join-on-id → encode shape,
+    * which exchanged corpus × k rows for the argmin and then shuffled
+    * the corpus AGAIN to glue cells to codes — the two largest
+    * shuffles of the 100 TB ingest path, for a result every row can
+    * compute locally. Cells and codes are bit-identical to the
+    * two-pass form (same folds, same tie-breaks; spec-pinned).
+    */
+  private def encodeAndRoute(df: DataFrame, idCol: String, vecCol: String,
+                             centroids: DataFrame, codebook: DataFrame,
+                             numSub: Int, subDim: Int): DataFrame = {
+    val v = df.filter(col(vecCol).isNotNull)
+      .select(col(idCol), col(vecCol).as("__v"))
+    withCellLocal(v, "__v", centroids)
+      .crossJoin(broadcast(packCodebook(codebook)))
+      .withColumn("codes", expr(pqCodesExpr("__v", numSub, subDim)))
+      .select(col(idCol), col("cell"), col("codes"))
   }
 
   /** ADC top-k over PQ codes: each query computes its exact distance
@@ -1007,9 +1079,7 @@ object Similarity {
                    numSub: Int, subDim: Int, path: String): Unit = {
     centroids.write.mode("overwrite").parquet(s"$path/centroids")
     codebook.write.mode("overwrite").parquet(s"$path/codebook")
-    assignToCentroids(df, idCol, vecCol, centroids)
-      .select(col(idCol), col("cluster").as("cell"))
-      .join(pqEncode(df, idCol, vecCol, codebook, numSub, subDim), idCol)
+    encodeAndRoute(df, idCol, vecCol, centroids, codebook, numSub, subDim)
       .write.mode("overwrite").partitionBy("cell")
       .parquet(s"$path/codes")
   }
@@ -1032,9 +1102,7 @@ object Similarity {
     val cent = spark.read.parquet(s"$path/centroids")
     val cb = spark.read.parquet(s"$path/codebook")
     val (numSub, subDim) = pqDims(cb)
-    assignToCentroids(df, idCol, vecCol, cent)
-      .select(col(idCol), col("cluster").as("cell"))
-      .join(pqEncode(df, idCol, vecCol, cb, numSub, subDim), idCol)
+    encodeAndRoute(df, idCol, vecCol, cent, cb, numSub, subDim)
       .write.mode("append").partitionBy("cell")
       .parquet(s"$path/codes")
   }
@@ -1084,10 +1152,18 @@ object Similarity {
     * (distance asc, id tie-break) through the GroupedTopK heap.
     */
   private def pqRank(scored: DataFrame, numSub: Int, k: Int): DataFrame = {
-    val adc = scored.withColumn("adc_micro", expr(
-      s"""aggregate(sequence(0, ${numSub - 1}), cast(0 as bigint), (a, m) ->
-         |  a + element_at(element_at(__lut, m+1),
-         |                 element_at(codes, m+1) + 1))""".stripMargin))
+    // UNROLLED ADC sum: numSub is a plan-time constant, so the former
+    // aggregate-over-sequence(0, numSub-1) — a CodegenFallback HOF
+    // that materialized a sequence array and evaluated an interpreted
+    // lambda PER CANDIDATE ROW — unrolls into a chain of native
+    // element_at adds that stays inside whole-stage codegen. Integer
+    // addition is associative, so the left-assoc chain is the exact
+    // fold (sf10-measured: the ADC scan is the lifecycle's dominant
+    // leg — see README PQ row; this is its hot expression).
+    val adcSum = (0 until numSub).map { m =>
+      s"element_at(element_at(__lut, ${m + 1}), element_at(codes, ${m + 1}) + 1)"
+    }.mkString(" + ")
+    val adc = scored.withColumn("adc_micro", expr(adcSum))
     val w = Window.partitionBy("query_id")
       .orderBy(col("adc_micro").asc, col("neighbor_id").asc)
     adc.withColumn("rank", row_number().over(w))

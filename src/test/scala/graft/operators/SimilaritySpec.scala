@@ -35,6 +35,27 @@ class SimilaritySpec extends SparkSpec {
     assert(r.toSeq == Seq(2L), "only same-label (cell 0) neighbors probed")
   }
 
+  test("row-local cell assignment ≡ window assignToCentroids, bit-equal") {
+    // the single-pass lifecycle route (withCellLocal) must pick the
+    // IDENTICAL cell as the window-argmin form on real embeddings —
+    // same left-folded float-vs-double l2Sq, same (d asc, cluster asc)
+    // tie-break — or the stored index and its oracle replay diverge
+    import org.apache.spark.sql.functions._
+    val e = spark.read.parquet(s"$sf/embeddings.parquet")
+    val cent = e.filter(col("vec_id") < 10)
+      .select(col("vec_id").as("cluster"),
+        col("embedding").cast("array<double>").as("cv"))
+    val win = Similarity.assignToCentroids(e, "vec_id", "embedding", cent)
+      .select(col("vec_id"), col("cluster"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val loc = Similarity.withCellLocal(
+      e.select(col("vec_id"), col("embedding")), "embedding", cent)
+      .select(col("vec_id"), col("cell"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(loc == win, "row-local argmin diverged from the window form")
+    assert(win.nonEmpty)
+  }
+
   test("kmeans recovers separable clusters and assignment is nearest-centroid") {
     // 3 well-separated groups of 8 vectors around orthogonal bases,
     // deterministic jitter; ids interleaved across groups so the seed
