@@ -1,7 +1,9 @@
 package graft.operators
 
+import org.apache.hadoop.fs.Path
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.util.sketch.BloomFilter
 
 import graft.io.{PartCommit, SchemaFile}
 
@@ -68,6 +70,65 @@ object MaintainedComponents {
     // out-of-band schema: a forget that empties the table must leave
     // it readable (zero parquet files infer nothing)
     SchemaFile.write(labels.sparkSession, path, keyed.schema)
+    // one extra pass over the new table, so the id→label probe can be
+    // partition-pruned forever after (bootstrap is once; every
+    // merge/forget pays only its touched partitions)
+    writeBloomSidecars(labels.sparkSession, path, idCol)
+  }
+
+  // ---- per-partition member-id bloom sidecars ----
+  //
+  // The id→label probe (labelsFor) was this layout's one documented
+  // un-prunable access: components hash to partitions by LABEL, so an
+  // id could live anywhere and every merge/forget scanned the whole
+  // label table once. Each partition dir now carries a `_bloom` file
+  // (Spark's util.sketch.BloomFilter over the partition's member ids,
+  // `_`-prefixed so data readers never list it): the probe tests the
+  // batch ids against 64 small filters and scans only the partitions
+  // that CAN contain a batch id. False positives cost an extra
+  // partition read; false negatives are impossible for live data —
+  // the bloom is built from the exact partition content inside the
+  // SAME staged commit that publishes the content (the sidecar rides
+  // the partition swap, so no crash window can publish rows without
+  // their bloom). A partition without a sidecar (foreign writer) is
+  // conservatively treated as a hit.
+
+  private val BloomFpp = 0.01
+
+  private def bloomPath(dir: String, part: Int): Path =
+    new Path(dir, s"comp_part=$part/_bloom")
+
+  /** Build and write the `_bloom` sidecar for every `comp_part=N` dir
+    * under `dir` (the live table at bootstrap, the STAGED dir during a
+    * rewrite — before the commit marker, so data and sidecar publish
+    * atomically together). Sized from the partitions' actual counts;
+    * ids are bloomed by their string form, so any id type works.
+    */
+  private def writeBloomSidecars(spark: SparkSession, dir: String,
+                                 idCol: String): Unit = {
+    val fs = new Path(dir).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(new Path(dir))) return
+    if (!fs.listStatus(new Path(dir))
+      .exists(_.getPath.getName.startsWith("comp_part="))) return
+    val rows = spark.read.parquet(dir)
+      .select(col("comp_part").cast("int"), col(idCol).cast("string"))
+    val counts = rows.groupBy("comp_part").count()
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ CompParts
+    if (counts.isEmpty) return
+    // one size for every partition's filter (mergeInPlace requires
+    // equal bit widths, and the hash layout keeps partitions even —
+    // the max/mean ratio is the skew the layout already bounds)
+    val expected = math.max(counts.values.max, 64L)
+    val blooms = rows.rdd
+      .map(r => (r.getInt(0), r.getString(1)))
+      .aggregateByKey(BloomFilter.create(expected, BloomFpp))(
+        (bf, s) => { bf.putString(s); bf },
+        (a, b) => { a.mergeInPlace(b); a })
+      .collect()
+    blooms.foreach { case (p, bf) =>
+      val out = fs.create(bloomPath(dir, p), true)
+      try bf.writeTo(out) finally out.close()
+    }
   }
 
   /** The full labeling (layout column dropped), crash-recovered. */
@@ -82,17 +143,48 @@ object MaintainedComponents {
       case None    => spark.read.parquet(path)
     }
 
-  /** id→label probe: ONE scan of the 16-byte/doc table + a broadcast
-    * semi-join (`ids` must be batch-bounded — the caller's CDC/forget
-    * batch). The un-prunable access of this layout; see the class doc
-    * for why that trade is right.
+  /** id→label probe, bloom-pruned: the batch ids (batch-bounded by
+    * contract — the same bound that lets them broadcast) are tested
+    * against each partition's `_bloom` sidecar, and only partitions
+    * that CAN contain a batch id are scanned + semi-joined. The
+    * sidecars stream through the driver one at a time (memory = ids +
+    * one filter), so the driver never holds the whole sidecar set. A
+    * partition without a sidecar is scanned unconditionally — no
+    * false negatives by construction, so the probe result is
+    * IDENTICAL to the full scan (spec-pinned), just cheaper: a
+    * typical batch touches a handful of components, and the scan
+    * drops from the whole table to the hit partitions.
     */
   def labelsFor(spark: SparkSession, path: String, ids: DataFrame,
-                idCol: String): DataFrame =
-    readKeyed(spark, path)
-      .join(broadcast(ids.select(col(idCol)).distinct()),
-        Seq(idCol), "left_semi")
+                idCol: String): DataFrame = {
+    val distinctIds = ids.select(col(idCol)).distinct().localCheckpoint()
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs =
+      if (!fs.exists(new Path(path))) Array.empty[org.apache.hadoop.fs.FileStatus]
+      else fs.listStatus(new Path(path))
+        .filter(_.getPath.getName.startsWith("comp_part="))
+    val keyed = readKeyed(spark, path)
+    val probe =
+      if (partDirs.isEmpty) keyed
+      else {
+        val idStrs = distinctIds.select(col(idCol).cast("string"))
+          .collect().map(_.getString(0)) // batch-bounded
+        val hit = partDirs.flatMap { st =>
+          val p = st.getPath.getName.stripPrefix("comp_part=").toInt
+          val bp = new Path(st.getPath, "_bloom")
+          if (!fs.exists(bp)) Some(p) // no sidecar: conservative hit
+          else {
+            val in = fs.open(bp)
+            val bf = try BloomFilter.readFrom(in) finally in.close()
+            if (idStrs.exists(bf.mightContainString)) Some(p) else None
+          }
+        }.toSeq
+        if (hit.isEmpty) keyed.limit(0)
+        else keyed.filter(col("comp_part").isin(hit: _*))
+      }
+    probe.join(broadcast(distinctIds), Seq(idCol), "left_semi")
       .drop("comp_part")
+  }
 
   /** Members of exactly the given components: static comp_part filter
     * (≤ [[CompParts]] distinct ints — bounded driver work) prunes the
@@ -212,6 +304,10 @@ object MaintainedComponents {
       stage =>
         merged.repartition(parts.size, col("comp_part"))
           .write.mode("overwrite").partitionBy("comp_part").parquet(stage)
+        // sidecars ride the SAME staged commit as the rows they index:
+        // the partition swap publishes data+bloom together, so no
+        // crash window can expose rows a probe's bloom doesn't know
+        writeBloomSidecars(spark, stage, idCol)
     }
   }
 }

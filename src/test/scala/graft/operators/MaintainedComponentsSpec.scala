@@ -137,6 +137,57 @@ class MaintainedComponentsSpec extends SparkSpec {
       "untouched comp_part partitions must not be rewritten")
   }
 
+  test("bloom sidecars prune the id→label probe; result ≡ full-scan probe") {
+    val all = Tables.documents(spark, sf)
+    val sigs = sigsOf(all).localCheckpoint()
+    val labels = Dedup.connectedComponents(pairsOf(sigs),
+      all.select("doc_id"), "doc_id").localCheckpoint()
+    val path = tmp("bloom")
+    MaintainedComponents.write(labels, "doc_id", path)
+    // every partition dir carries its sidecar after a bootstrap write
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("comp_part="))
+    assert(partDirs.nonEmpty && partDirs.forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_bloom"))),
+      "every partition must carry a _bloom sidecar")
+    // a SKEWED batch — ids from one component — must read fewer label
+    // rows than the table (the r13 verdict's measured-pruning ask);
+    // with ~1% fpp over this fixture the hit set is a handful of
+    // partitions, not all of them
+    import spark.implicits._
+    val oneComp = labels.orderBy("component", "doc_id").limit(1)
+      .select("component")
+    val batchIds = MaintainedComponents.membersOf(spark, path, oneComp)
+      .select("doc_id").localCheckpoint()
+    val total = spark.read.parquet(path).count()
+    val probe = MaintainedComponents.labelsFor(spark, path, batchIds,
+      "doc_id")
+    val read = graft.plans.ScanAudit.measureFor(probe, "comp_part").rowsRead
+    assert(read < total / 2,
+      s"bloom-pruned probe scanned $read of $total label rows")
+    // pruning must be a semantic no-op: same rows as the full table
+    // restricted to the batch ids
+    val viaProbe = labelMap(probe)
+    val viaFull = labelMap(MaintainedComponents.read(spark, path)
+      .join(batchIds, "doc_id"))
+    assert(viaProbe == viaFull && viaProbe.nonEmpty,
+      "bloom pruning changed the probe result")
+    // after a merge, rewritten partitions carry FRESH sidecars that
+    // know the new ids (no false negatives for post-merge probes)
+    val newId = all.agg(max(col("doc_id"))).head().getLong(0) + 1000L
+    val anchor = batchIds.orderBy("doc_id").limit(1)
+      .collect().head.getLong(0)
+    MaintainedComponents.merge(spark, path,
+      Seq((newId, anchor)).toDF("id_a", "id_b"),
+      Seq(newId).toDF("doc_id"), "doc_id", batchId = 1L)
+    val afterProbe = labelMap(MaintainedComponents.labelsFor(spark, path,
+      Seq(newId).toDF("doc_id"), "doc_id"))
+    assert(afterProbe.keySet == Set(newId),
+      s"post-merge probe missed the new id: $afterProbe")
+  }
+
   test("merge bootstraps an EMPTY stored table") {
     import spark.implicits._
     val path = tmp("boot")
