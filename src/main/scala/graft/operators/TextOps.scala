@@ -990,37 +990,46 @@ object TextOps {
     * by BpeLocalSpec), one Spark job total. The production trainer.
     *
     * `minFreq` / `maxVocab` bound the histogram collect (see
-    * [[bpeHistogram]] for the contract); the defaults keep bit-equality
-    * with the distributed loop, a production crawl should set a floor.
+    * [[bpeHistogram]] for the contract). DEFAULTS ARE BOUNDED
+    * (minFreq = 2, maxVocab = 1,000,000 — r13-advice hardening): the
+    * driver heap stays ≤ ~10⁶ short strings no matter the corpus,
+    * because a 100 TB crawl's distinct-token tail (typos, URLs,
+    * unicode junk, ~10⁸ words) is dropped Spark-side before the
+    * collect — standard BPE practice, rare words contribute noise,
+    * not merges. The unbounded form is the EXPLICITLY-NAMED oracle
+    * path, [[bpeTrainExact]]; no public entry collects an unbounded
+    * histogram by default.
     */
   def bpeTrainLocal(df: DataFrame, textCol: String, numMerges: Int,
-                    minFreq: Long = 1L,
-                    maxVocab: Int = Int.MaxValue): DataFrame = {
+                    minFreq: Long = 2L,
+                    maxVocab: Int = 1000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     bpeLocalLoop(df, textCol, numMerges, minFreq, maxVocab)._1
       .toDF("rank", "lhs", "rhs", "cnt")
   }
 
-  /** GUARDED production trainer: [[bpeTrainLocal]] with the histogram
-    * collect ALWAYS bounded. The permissive defaults on the local/
-    * distributed twins exist solely for the spec-pinned bit-equality;
-    * a production crawl must never reach the uncapped collect by
-    * accident, so this entry point makes a real floor and cap
-    * non-optional — `require`d, not defaulted away. The defaults
-    * (minFreq = 2, maxVocab = 1,000,000) bound the driver heap at
-    * ~10⁶ short strings regardless of corpus size: a 100 TB crawl's
-    * distinct-token tail (typos, URLs, unicode junk, ~10⁸ words) is
-    * dropped Spark-side before the collect, which is standard BPE
-    * practice — rare words contribute noise, not merges (contract at
-    * [[bpeHistogram]]).
+  /** The UNBOUNDED oracle path: full-vocabulary training, bit-equal to
+    * the distributed loop (BpeLocalSpec) and to the DuckDB replay —
+    * reach for it by NAME, never by default (the histogram collect is
+    * corpus-vocabulary-sized).
+    */
+  def bpeTrainExact(df: DataFrame, textCol: String,
+                    numMerges: Int): DataFrame =
+    bpeTrainLocal(df, textCol, numMerges, minFreq = 1L,
+      maxVocab = Int.MaxValue)
+
+  /** GUARDED trainer kept for callers that want the bound REQUIRED,
+    * not merely defaulted: rejects an unbounded cap outright.
+    * Since the r14 default flip, [[bpeTrainLocal]]'s own defaults are
+    * already the production bounds.
     */
   def bpeTrainProduction(df: DataFrame, textCol: String, numMerges: Int,
                          minFreq: Long = 2L,
                          maxVocab: Int = 1000000): DataFrame = {
     require(maxVocab > 0 && maxVocab != Int.MaxValue,
       "bpeTrainProduction requires a real vocab cap; " +
-        "use bpeTrainLocal explicitly for an unbounded collect")
+        "use bpeTrainExact explicitly for an unbounded collect")
     require(minFreq >= 1L, s"minFreq must be >= 1, got $minFreq")
     bpeTrainLocal(df, textCol, numMerges, minFreq, maxVocab)
   }
@@ -1028,10 +1037,11 @@ object TextOps {
   /** Driver-local twin of [[bpeSegmentation]] — same (word, freq,
     * seg_csv) table, zero per-round Spark jobs. With a floor/cap the
     * table covers the surviving vocabulary only ([[bpeHistogram]]).
+    * Bounded defaults; [[bpeSegmentationExact]] is the oracle path.
     */
   def bpeSegmentationLocal(df: DataFrame, textCol: String, numMerges: Int,
-                           minFreq: Long = 1L,
-                           maxVocab: Int = Int.MaxValue): DataFrame = {
+                           minFreq: Long = 2L,
+                           maxVocab: Int = 1000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     bpeLocalLoop(df, textCol, numMerges, minFreq, maxVocab)._2.toSeq
@@ -1039,16 +1049,32 @@ object TextOps {
       .toDF("word", "freq", "seg_csv")
   }
 
+  /** Unbounded [[bpeSegmentationLocal]] — full-vocabulary oracle path,
+    * by name only.
+    */
+  def bpeSegmentationExact(df: DataFrame, textCol: String,
+                           numMerges: Int): DataFrame =
+    bpeSegmentationLocal(df, textCol, numMerges, minFreq = 1L,
+      maxVocab = Int.MaxValue)
+
   /** Driver-local twin of [[bpeEncodeCounts]]: train locally, then the
     * ENCODE stays fully distributed — corpus words broadcast-joined
     * against the vocab-sized segmentation table, one map-side pass.
     * With a floor/cap, words outside the surviving vocabulary drop out
-    * of the encode join (they have no segmentation); the defaults
-    * preserve full coverage.
+    * of the encode join (they have no segmentation). Bounded defaults;
+    * [[bpeEncodeCountsExact]] is the full-coverage oracle path.
     */
+  /** Unbounded [[bpeEncodeCountsLocal]] — full-coverage oracle path,
+    * by name only.
+    */
+  def bpeEncodeCountsExact(df: DataFrame, idCol: String, textCol: String,
+                           numMerges: Int): DataFrame =
+    bpeEncodeCountsLocal(df, idCol, textCol, numMerges, minFreq = 1L,
+      maxVocab = Int.MaxValue)
+
   def bpeEncodeCountsLocal(df: DataFrame, idCol: String, textCol: String,
-                           numMerges: Int, minFreq: Long = 1L,
-                           maxVocab: Int = Int.MaxValue): DataFrame = {
+                           numMerges: Int, minFreq: Long = 2L,
+                           maxVocab: Int = 1000000): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
     val seg = bpeLocalLoop(df, textCol, numMerges, minFreq, maxVocab)._2.toSeq
@@ -1070,10 +1096,14 @@ object TextOps {
     *
     * Rides [[bpeEncodeCountsLocal]]'s broadcast segment table; the
     * only additional work is one group-keyed aggregate of two longs.
+    * Bounded histogram defaults (the r14 flip); pass (1, Int.MaxValue)
+    * explicitly for the full-vocabulary oracle form.
     */
   def bpeFertility(df: DataFrame, idCol: String, textCol: String,
-                   groupCol: String, numMerges: Int): DataFrame = {
-    val counts = bpeEncodeCountsLocal(df, idCol, textCol, numMerges)
+                   groupCol: String, numMerges: Int,
+                   minFreq: Long = 2L, maxVocab: Int = 1000000): DataFrame = {
+    val counts = bpeEncodeCountsLocal(df, idCol, textCol, numMerges,
+      minFreq, maxVocab)
     df.select(col(idCol), col(groupCol)).join(counts, idCol)
       .groupBy(col(groupCol))
       .agg(count(lit(1)).as("n_docs"), sum(col("n_words")).as("n_words"),

