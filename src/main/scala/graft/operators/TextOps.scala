@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.functions.Portable
@@ -1142,6 +1142,106 @@ object TextOps {
     val dfreq = g1.select(col("tok"), col(idCol)).distinct()
       .groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val n = df.agg(count(lit(1)).as("__n"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("__n") / col("df"), 6))
+      .drop("__n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(groupCol), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  // ---- maintained tf-idf term statistics ----
+  //
+  // The stored twin of [[topTerms]]: the characteristic-terms report
+  // derives entirely from three additive aggregates — tf per (group,
+  // term), df per term (one contribution per distinct (doc, term)),
+  // and the corpus doc count — so the WHOLE state is maintainable by
+  // pure arithmetic under inserts AND deletes (every doc's
+  // contribution is recomputable from the doc alone; removal
+  // subtracts exactly what insertion added). No dirty-group recompute
+  // exists in this lifecycle at all. State lives as three
+  // [[graft.io.MaintainedAgg]] views (hash-partitioned, PartCommit
+  // exactly-once, batch-id replay no-ops), so a CDC batch touches
+  // O(batch terms / 64) of the stored statistics and the serve reads
+  // the views, never the corpus. Refresh ≡ [[topTerms]] over the new
+  // snapshot is the oracle (q_incr_tfidf).
+
+  /** Per-doc term contributions — [[topTerms]]'s g1 frame: one row
+    * per (group, tok, doc) carrying the in-doc count as `tf`. Both
+    * the bootstrap and every CDC batch derive their view deltas from
+    * exactly this shape, which is what makes remove ≡ −insert exact.
+    */
+  private def termContribs(df: DataFrame, idCol: String, textCol: String,
+                           groupCol: String): DataFrame =
+    df.select(col(idCol), col(groupCol),
+      explode(Portable.tokens(col(textCol))).as("tok"))
+      .groupBy(col(groupCol), col("tok"), col(idCol))
+      .agg(count(lit(1)).as("tf"))
+
+  /** Bootstrap the maintained term statistics under `dir`:
+    * `dir/tf` (group, tok → Σtf), `dir/df` (tok → contributing docs),
+    * `dir/n` (corpus doc count).
+    */
+  def writeTermStats(df: DataFrame, idCol: String, textCol: String,
+                     groupCol: String, dir: String): Unit = {
+    val g1 = termContribs(df, idCol, textCol, groupCol).localCheckpoint()
+    graft.io.MaintainedAgg.write(
+      g1.groupBy(col(groupCol), col("tok"))
+        .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_docs")),
+      Seq(groupCol, "tok"), s"$dir/tf", Seq("tf"), "n_docs")
+    graft.io.MaintainedAgg.write(
+      g1.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      Seq("tok"), s"$dir/df", Seq.empty, "df")
+    graft.io.MaintainedAgg.write(
+      df.select(lit("corpus").as("scope"))
+        .groupBy(col("scope")).agg(count(lit(1)).as("n_docs")),
+      Seq("scope"), s"$dir/n", Seq.empty, "n_docs")
+  }
+
+  /** Apply a CDC doc batch to the stored term statistics.
+    * `removedDocs` / `addedDocs` carry FULL doc rows (id, text,
+    * group) — a doc update contributes its old row to removed and
+    * its new row to added. All three views fold arithmetically;
+    * exactly-once under retry keyed by `batchId`.
+    */
+  def refreshTermStats(spark: SparkSession, dir: String,
+                       removedDocs: DataFrame, addedDocs: DataFrame,
+                       idCol: String, textCol: String, groupCol: String,
+                       batchId: Long): Unit = {
+    val rem = termContribs(removedDocs, idCol, textCol, groupCol)
+      .localCheckpoint()
+    val add = termContribs(addedDocs, idCol, textCol, groupCol)
+      .localCheckpoint()
+    graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/tf",
+      rem, add, Seq(groupCol, "tok"), Seq("tf"), "n_docs", batchId)
+    graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/df",
+      rem.select(col("tok")), add.select(col("tok")),
+      Seq("tok"), Seq.empty, "df", batchId)
+    graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/n",
+      removedDocs.select(lit("corpus").as("scope")),
+      addedDocs.select(lit("corpus").as("scope")),
+      Seq("scope"), Seq.empty, "n_docs", batchId)
+  }
+
+  /** Serve the characteristic-terms report FROM THE STORED STATE —
+    * the [[topTerms]] output shape and the exact same ×/÷-only score
+    * arithmetic (tf cast long→double, × N, ÷ df), so serve ≡ topTerms
+    * over the snapshot the state reflects, bit-for-bit. Reads three
+    * views; never touches a document.
+    */
+  def topTermsFromStats(spark: SparkSession, dir: String,
+                        groupCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.io.MaintainedAgg.read(spark, s"$dir/tf")
+      .select(col(groupCol), col("tok"), col("tf").cast("long").as("tf"))
+    val dfreq = graft.io.MaintainedAgg.read(spark, s"$dir/df")
+      .select(col("tok"), col("df"))
+    val n = graft.io.MaintainedAgg.read(spark, s"$dir/n")
+      .select(col("n_docs").as("__n"))
     val scored = tf.join(dfreq, "tok")
       .crossJoin(broadcast(n))
       .withColumn("score",

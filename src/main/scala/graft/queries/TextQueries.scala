@@ -181,6 +181,29 @@ object TextQueries {
 
     // per-source top-5 characteristic terms (log-free tf-idf, ranked
     // through the GroupedTopK heap operator)
+    // the MAINTAINED tf-idf lifecycle: term statistics bootstrapped
+    // from 90% of the corpus as three stored views (tf per
+    // (source, term), df per term, corpus N — all additive, so the
+    // whole CDC refresh is pure arithmetic: the one maintained view
+    // family with NO dirty-group recompute at all), then one batch
+    // that deletes docs %17==3 and ingests the held-out tenth, served
+    // from the stored state. Must EQUAL topTerms over the final
+    // corpus (refresh ≡ recompute — the oracle recomputes from
+    // scratch over exactly the surviving docs).
+    "q_incr_tfidf" -> ((s, d) => {
+      val all = Tables.documents(s, d)
+      val base = all.filter(col("doc_id") % 10 =!= 9)
+      val dir = Scratch.fresh(s"tfidf_${Scratch.tag(d)}/state")
+      TextOps.writeTermStats(base, "doc_id", "text", "source", dir)
+      TextOps.refreshTermStats(s, dir,
+        removedDocs = base.filter(col("doc_id") % 17 === 3),
+        addedDocs = all.filter(col("doc_id") % 10 === 9 &&
+          col("doc_id") % 17 =!= 3),
+        "doc_id", "text", "source", batchId = 1L)
+      TextOps.topTermsFromStats(s, dir, "source", k = 5)
+        .orderBy("source", "rk")
+    }),
+
     "q_top_terms" -> ((s, d) =>
       TextOps.topTerms(Tables.documents(s, d), "doc_id", "text", "source",
         k = 5)
@@ -822,6 +845,25 @@ object TextQueries {
          |SELECT shingle, count(*) AS n_docs FROM sh
          |GROUP BY 1 HAVING count(*) >= 5 ORDER BY shingle""".stripMargin
     },
+
+    // refresh ≡ recompute: the oracle is q_top_terms' SQL over the
+    // SURVIVING corpus (everything except doc_id % 17 = 3 — base
+    // minus the forget batch plus the ingested tenth)
+    "q_incr_tfidf" ->
+      s"""WITH docs AS (SELECT * FROM documents WHERE doc_id % 17 <> 3),
+         |toks AS (SELECT doc_id, source, unnest($toksSql) AS tok
+         |  FROM docs),
+         |tf AS (SELECT source, tok, count(*) AS tf FROM toks GROUP BY 1, 2),
+         |dfreq AS (SELECT tok, count(DISTINCT doc_id) AS df FROM toks
+         |  GROUP BY 1),
+         |n AS (SELECT count(*) AS n FROM docs),
+         |scored AS (SELECT t.source, t.tok, t.tf, d.df,
+         |    round(CAST(t.tf AS DOUBLE) * n.n / d.df, 6) AS score
+         |  FROM tf t JOIN dfreq d USING (tok) CROSS JOIN n),
+         |r AS (SELECT *, row_number() OVER (PARTITION BY source
+         |    ORDER BY score DESC, tok) AS rk FROM scored)
+         |SELECT source, tok, tf, df, score, CAST(rk AS INT) AS rk
+         |FROM r WHERE rk <= 5 ORDER BY source, rk""".stripMargin,
 
     // score arithmetic is ×/÷ only (IEEE-exact on both engines; ln
     // would differ in final ulps), same operation order both sides

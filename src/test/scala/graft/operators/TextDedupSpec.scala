@@ -193,6 +193,50 @@ class TextDedupSpec extends SparkSpec {
     assert(got(("s2", 1)) == "beta" && got(("s2", 2)) == "delta")
   }
 
+  test("maintained term stats: refresh ≡ topTerms over the new snapshot; serve never reads docs") {
+    val d0 = Seq(
+      (1L, "alpha alpha beta", "s1"), (2L, "alpha gamma", "s1"),
+      (3L, "beta beta beta", "s2"), (4L, "alpha delta", "s2"),
+    ).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfidf_").toString + "/state"
+    TextOps.writeTermStats(d0, "doc_id", "text", "source", dir)
+    // CDC: doc 2 updated (gamma→omega), doc 3 deleted, doc 5 added
+    val newCorpus = Seq(
+      (1L, "alpha alpha beta", "s1"), (2L, "alpha omega", "s1"),
+      (4L, "alpha delta", "s2"), (5L, "omega omega", "s2"),
+    ).toDF("doc_id", "text", "source")
+    TextOps.refreshTermStats(spark, dir,
+      removedDocs = Seq((2L, "alpha gamma", "s1"),
+        (3L, "beta beta beta", "s2")).toDF("doc_id", "text", "source"),
+      addedDocs = Seq((2L, "alpha omega", "s1"),
+        (5L, "omega omega", "s2")).toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", batchId = 1L)
+    val served = TextOps.topTermsFromStats(spark, dir, "source", k = 3)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(rows(served) ==
+      rows(TextOps.topTerms(newCorpus, "doc_id", "text", "source", k = 3)),
+      "maintained serve must equal the from-scratch report, bit-for-bit")
+    // the serve reads the three views only — no document scan
+    val served2 = TextOps.topTermsFromStats(spark, dir, "source", k = 3)
+    val all = graft.plans.ScanAudit.measure(served2)
+    val state = graft.plans.ScanAudit.measureFor(served2, "state")
+    assert(all.scans > 0 && all.scans == state.scans,
+      s"serve must only read the stored views: ${all.scans} scans, " +
+        s"${state.scans} under the state dir")
+    // replay of batch 1 no-ops on all three views
+    TextOps.refreshTermStats(spark, dir,
+      removedDocs = Seq((1L, "alpha alpha beta", "s1"))
+        .toDF("doc_id", "text", "source"),
+      addedDocs = Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", batchId = 1L)
+    assert(rows(TextOps.topTermsFromStats(spark, dir, "source", k = 3)) ==
+      rows(served), "batch-id replay must no-op")
+  }
+
   test("pairEvidence: contiguous runs vs scattered fragments, exact counts") {
     val d = Seq(
       (1L, "a b c d e f"),          // shingles abc bcd cde def
