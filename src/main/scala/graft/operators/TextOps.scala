@@ -1254,6 +1254,76 @@ object TextOps {
         col("score"), col("rk"))
   }
 
+  // ---- streaming twin of the term statistics ----
+  //
+  // All three views are MaintainedAgg sums, so the shared delta
+  // protocol ([[graft.io.Deltas]]) applies verbatim: each micro-batch
+  // of NEW docs lands one delta per view under the batch's own
+  // partition (replay rewrites the same bytes), serving is
+  // merge-on-read, compaction folds atomically. Deletes stay on the
+  // CDC path ([[refreshTermStats]]) — sums compose arithmetically
+  // with pending deltas, so no compact-first guard is needed (unlike
+  // the distinct/sample views).
+
+  /** One micro-batch of NEW docs: append its term-stat deltas to all
+    * three views. Replay-idempotent per view (own-partition overwrite
+    * + the `_folded` mark).
+    */
+  def writeTermStatsDeltaPartial(addedDocs: DataFrame, batchId: Long,
+                                 idCol: String, textCol: String,
+                                 groupCol: String, dir: String): Unit = {
+    val docs = addedDocs.localCheckpoint() // contribs + N: two reads
+    val add = termContribs(docs, idCol, textCol, groupCol)
+      .localCheckpoint() // tf delta + df delta: two more
+    graft.io.MaintainedAgg.writeDeltaPartial(add, batchId,
+      Seq(groupCol, "tok"), Seq("tf"), "n_docs", s"$dir/tf")
+    graft.io.MaintainedAgg.writeDeltaPartial(add.select(col("tok")),
+      batchId, Seq("tok"), Seq.empty, "df", s"$dir/df")
+    graft.io.MaintainedAgg.writeDeltaPartial(
+      docs.select(lit("corpus").as("scope")), batchId,
+      Seq("scope"), Seq.empty, "n_docs", s"$dir/n")
+  }
+
+  /** Serve the report over base ⊎ pending deltas — the
+    * [[topTermsFromStats]] arithmetic over merge-on-read views.
+    */
+  def topTermsWithDeltas(spark: SparkSession, dir: String,
+                         groupCol: String, k: Int = 5): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val tf = graft.io.MaintainedAgg.readWithDeltas(spark, s"$dir/tf",
+      Seq(groupCol, "tok"), Seq("tf"), "n_docs")
+      .select(col(groupCol), col("tok"), col("tf").cast("long").as("tf"))
+    val dfreq = graft.io.MaintainedAgg.readWithDeltas(spark, s"$dir/df",
+      Seq("tok"), Seq.empty, "df")
+      .select(col("tok"), col("df"))
+    val n = graft.io.MaintainedAgg.readWithDeltas(spark, s"$dir/n",
+      Seq("scope"), Seq.empty, "n_docs")
+      .select(col("n_docs").as("__n"))
+    val scored = tf.join(dfreq, "tok")
+      .crossJoin(broadcast(n))
+      .withColumn("score",
+        round(col("tf").cast("double") * col("__n") / col("df"), 6))
+      .drop("__n")
+    val w = Window.partitionBy(col(groupCol))
+      .orderBy(col("score").desc, col("tok").asc)
+    scored.withColumn("rk", row_number().over(w)).filter(col("rk") <= k)
+      .select(col(groupCol), col("tok"), col("tf"), col("df"),
+        col("score"), col("rk"))
+  }
+
+  /** Fold pending deltas into all three views atomically (per view —
+    * the usual single-writer discipline: stop the ingest first).
+    */
+  def compactTermStats(spark: SparkSession, dir: String,
+                       groupCol: String): Unit = {
+    graft.io.MaintainedAgg.compactDeltas(spark, s"$dir/tf",
+      Seq(groupCol, "tok"), Seq("tf"), "n_docs")
+    graft.io.MaintainedAgg.compactDeltas(spark, s"$dir/df",
+      Seq("tok"), Seq.empty, "df")
+    graft.io.MaintainedAgg.compactDeltas(spark, s"$dir/n",
+      Seq("scope"), Seq.empty, "n_docs")
+  }
+
   /** PMI collocation mining: the corpus-wide top-k adjacent bigrams
     * by pointwise mutual information — the phrase-mining primitive
     * that finds multi-word expressions ("hash join", "new york")

@@ -855,6 +855,28 @@ object Streams {
       }
       .start()
 
+  /** The tf-idf twin: each micro-batch of NEW docs appends its term-
+    * statistic deltas to all three [[graft.operators.TextOps]]
+    * term-stat views (tf, df, corpus N — every one an additive
+    * MaintainedAgg, so the shared delta protocol applies verbatim).
+    * Serve with `TextOps.topTermsWithDeltas`, fold with
+    * `compactTermStats`; deletes go through the CDC path
+    * (`refreshTermStats`) — sums compose with pending deltas.
+    */
+  def termStatsMaintainingIngest(docs: DataFrame, idCol: String,
+                                 textCol: String, groupCol: String,
+                                 dir: String,
+                                 options: Map[String, String] = Map.empty)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    docs.writeStream
+      .outputMode("append")
+      .options(options)
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], id: Long) =>
+        graft.operators.TextOps.writeTermStatsDeltaPartial(
+          batch.toDF(), id, idCol, textCol, groupCol, dir)
+      }
+      .start()
+
   /** One micro-batch's partial-sketch write (factored out so the
     * replay-idempotence contract is testable without a stream):
     * overwrite-in-place of this batch's OWN partition only.

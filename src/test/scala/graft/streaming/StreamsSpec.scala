@@ -1392,4 +1392,61 @@ class StreamsSpec extends SparkSpec {
         .filter(col("g") === "d").count() == 1L)
     } finally q.stop()
   }
+
+  test("termStatsMaintainingIngest: stream ≡ batch report, replay-safe, atomic compact") {
+    import graft.operators.TextOps
+    val dir0 = java.nio.file.Files
+      .createTempDirectory("graft_tfidf_ing_").toString
+    val dir = s"$dir0/state"
+    def docs(xs: Seq[(Long, String, String)]) =
+      xs.toDF("doc_id", "text", "source")
+    val hist = Seq((1L, "alpha alpha beta", "s1"), (2L, "alpha gamma", "s1"))
+    TextOps.writeTermStats(docs(hist), "doc_id", "text", "source", dir)
+    val b0 = Seq((3L, "beta beta beta", "s2"))
+    val b1 = Seq((4L, "alpha delta", "s2"))
+    implicit val sqlCtx = spark.sqlContext
+    val in = MemoryStream[(Long, String, String)]
+    val q = Streams.termStatsMaintainingIngest(
+      in.toDF().toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", dir,
+      Map("checkpointLocation" -> s"$dir0/ckpt"))
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    def served = rows(TextOps.topTermsWithDeltas(spark, dir, "source", 3))
+    def direct(xs: Seq[(Long, String, String)]) =
+      rows(TextOps.topTerms(docs(xs), "doc_id", "text", "source", 3))
+    try {
+      in.addData(b0: _*)
+      q.processAllAvailable()
+      in.addData(b1: _*)
+      q.processAllAvailable()
+      val expect = direct(hist ++ b0 ++ b1)
+      assert(served == expect, s"stream report diverged: $served vs $expect")
+      // replay of batch 1's delta before compaction: same bytes
+      TextOps.writeTermStatsDeltaPartial(docs(b1), 1L,
+        "doc_id", "text", "source", dir)
+      assert(served == expect, "replayed batch must not change the report")
+      TextOps.compactTermStats(spark, dir, "source")
+      assert(served == expect, s"compacted report diverged: $served")
+      assert(rows(TextOps.topTermsFromStats(spark, dir, "source", 3))
+        == expect, "base-only serve must equal the folded report")
+      // replay AFTER compaction no-ops against the _folded mark
+      TextOps.writeTermStatsDeltaPartial(docs(b1), 1L,
+        "doc_id", "text", "source", dir)
+      val fs = new org.apache.hadoop.fs.Path(dir)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      for (v <- Seq("tf", "df", "n"))
+        assert(!fs.exists(
+          new org.apache.hadoop.fs.Path(s"$dir/$v/_deltas")),
+          s"post-compaction replay must no-op on $v")
+      // and the compacted state still refreshes through the CDC path
+      TextOps.refreshTermStats(spark, dir,
+        removedDocs = docs(Seq((3L, "beta beta beta", "s2"))),
+        addedDocs = docs(Seq.empty),
+        "doc_id", "text", "source", batchId = 100L)
+      assert(served == direct(hist ++ b1),
+        "CDC delete after compaction must repair the report")
+    } finally q.stop()
+  }
 }
