@@ -110,15 +110,19 @@ object MaintainedComponents {
     if (!fs.exists(new Path(dir))) return
     if (!fs.listStatus(new Path(dir))
       .exists(_.getPath.getName.startsWith("comp_part="))) return
+    val nParts = fs.listStatus(new Path(dir))
+      .count(_.getPath.getName.startsWith("comp_part="))
     val rows = spark.read.parquet(dir)
       .select(col("comp_part").cast("int"), col(idCol).cast("string"))
-    val counts = rows.groupBy("comp_part").count()
-      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap // ≤ CompParts
-    if (counts.isEmpty) return
+    // metadata-only count (parquet row-group stats — no data read):
+    // one cheap job sizes every filter, instead of a per-part groupBy
+    val total = spark.read.parquet(dir).count()
+    if (total == 0L) return
     // one size for every partition's filter (mergeInPlace requires
     // equal bit widths, and the hash layout keeps partitions even —
-    // the max/mean ratio is the skew the layout already bounds)
-    val expected = math.max(counts.values.max, 64L)
+    // 2× the mean absorbs the residual skew; overshoot only pads the
+    // false-positive budget, never correctness)
+    val expected = math.max(2L * total / math.max(nParts, 1), 64L)
     val blooms = rows.rdd
       .map(r => (r.getInt(0), r.getString(1)))
       .aggregateByKey(BloomFilter.create(expected, BloomFpp))(
