@@ -170,13 +170,17 @@ object Versioned {
         ",", "]}")
     val mDir = manifestDir(path)
     f.mkdirs(mDir)
-    val tmp = new Path(mDir, f".v$next%05d.json.tmp")
-    val out = f.create(tmp, true)
-    try out.write(json.getBytes("UTF-8")) finally out.close()
-    // the publish point: atomic rename — readers see the old latest
-    // manifest or the new one, never a partial file
-    require(f.rename(tmp, new Path(mDir, f"v$next%05d.json")),
-      s"manifest publish failed for v$next")
+    // the publish point, all-or-nothing on every backend (tmp+rename
+    // where rename is atomic, one atomic PUT on object stores —
+    // [[AtomicIo.publishFile]]): readers see the old latest manifest
+    // or the new one, never a partial file. NOTE this log design is
+    // object-store-safe END TO END: the batch-dir rename above is
+    // only a placement optimization (a crashed copy+delete leaves a
+    // partial b<next> that no manifest references and the replayed
+    // commit deletes), because readers resolve files through the
+    // MANIFEST, never by listing data/.
+    AtomicIo.publishFile(f, new Path(mDir, f"v$next%05d.json"),
+      json.getBytes("UTF-8"))
     next
   }
 

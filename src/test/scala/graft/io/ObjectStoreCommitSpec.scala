@@ -150,6 +150,29 @@ class ObjectStoreCommitSpec extends SparkSpec {
     assert(viewMap(path) == Expected)
   }
 
+  test("versioned log commits, time-travels, and replays on the object-store protocol") {
+    // the manifest design is object-store-safe end to end: the
+    // batch-dir rename is a placement optimization only (readers
+    // resolve files through the manifest), and the manifest publish
+    // is one atomic PUT — this smoke runs the whole log lifecycle on
+    // non-atomic-rename semantics
+    val path = tmp()
+    SimFs.arm(scopeOf(path))
+    def vals(df: org.apache.spark.sql.DataFrame): Set[Long] =
+      df.select("v").collect().map(_.getLong(0)).toSet
+    val v0 = Versioned.commit(spark, path, Seq(1L, 2L).toDF("v"),
+      "overwrite", txn = Some("b0"))
+    val v1 = Versioned.commit(spark, path, Seq(3L).toDF("v"),
+      "append", txn = Some("b1"))
+    assert(v0 == 0L && v1 == 1L)
+    assert(vals(Versioned.read(spark, path)) == Set(1L, 2L, 3L))
+    assert(vals(Versioned.read(spark, path, asOf = Some(0L))) == Set(1L, 2L))
+    // at-least-once replay of a committed txn no-ops
+    assert(Versioned.commit(spark, path, Seq(3L).toDF("v"),
+      "append", txn = Some("b1")) == 1L)
+    assert(vals(Versioned.read(spark, path)) == Set(1L, 2L, 3L))
+  }
+
   test("StagedSwap crash matrix: old-or-new at every window; retry lands new") {
     val oldRows = Seq(1L, 2L, 3L)
     val newRows = Seq(4L, 5L)
