@@ -60,7 +60,9 @@ object ShuffleAudit {
       shuffles.map(metric(_, "shuffleBytesWritten")).sum)
   }
 
-  private[plans] def flatten(p: SparkPlan): Seq[SparkPlan] = {
+  // private[graft]: specs outside this package read per-operator
+  // metrics (numSkipped, numOutputRows) through the same unwrapping
+  private[graft] def flatten(p: SparkPlan): Seq[SparkPlan] = {
     val kids = p match {
       case a: AdaptiveSparkPlanExec => Seq(a.executedPlan)
       case q: QueryStageExec => Seq(q.plan)

@@ -89,4 +89,57 @@ class SkewSpec extends SparkSpec {
     assert(maxCtf <= Dedup.WtfCap,
       s"tf cap must bound head shingles: $maxCtf > ${Dedup.WtfCap}")
   }
+
+  test("grouped top-k partial on zipfian keys: prunes the head, forwards the tail") {
+    // the r13 verdict's ask: the adaptive-skip constants were tuned on
+    // the dedup family — pin the partial's behavior on the zipf shape
+    // a real corpus has (few huge groups + a mass of singletons), with
+    // MEASURED volumes rather than wall-clock (wall-clock asserts flip
+    // suites on scheduler luck — the round-5 lesson).
+    val k = 3
+    val heavyKeys = 10L
+    val heavyRows = 3000L // 30k head rows
+    val singles = 30000L  // 30k singleton groups
+    // interleave head and tail by hashing position so the partial's
+    // 8k-row sample window sees the true key mix, not a sorted prefix
+    val heavy = spark.range(heavyKeys * heavyRows)
+      .select((col("id") % heavyKeys).as("g"), (col("id") * 7 % 1000).as("v"))
+    val tail = spark.range(singles)
+      .select((col("id") + heavyKeys).as("g"), (col("id") % 1000).as("v"))
+    val rows = heavy.unionByName(tail)
+      .withColumn("__r", pmod(hash(col("g"), col("v")), lit(1000)))
+      .repartition(2, col("__r")).drop("__r") // 2 parts ≈ 30k rows each
+      .localCheckpoint()
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("g")).orderBy(col("v").desc, col("g"))
+    val topk = rows.withColumn("rn",
+        org.apache.spark.sql.functions.row_number().over(w))
+      .filter(col("rn") <= k)
+    val stats = graft.plans.ShuffleAudit.measure(topk)
+    val exec = topk.queryExecution.executedPlan
+    assert(exec.toString.contains("GroupedTopKPartial"))
+    val total = heavyKeys * heavyRows + singles
+    // the head prunes to ≤ parts × heavyKeys × k rows; the singleton
+    // mass must cross the exchange once each — so the measured shuffle
+    // sits near (singles + small head residue), well under the input
+    assert(stats.shuffleRecords <= singles + 2 * heavyKeys * k + 1000,
+      s"zipf head must prune map-side: $stats vs input $total")
+    assert(stats.shuffleRecords >= singles,
+      s"every singleton group's row must cross: $stats")
+    // with kept/seen ≈ 0.5 < SkipRatio the partial must NOT degrade —
+    // pruning pays on this mix, the cap exists for key-per-row data
+    val numSkipped = graft.plans.ShuffleAudit.flatten(exec).collect {
+      case p: graft.plans.GroupedTopKPartialExec =>
+        p.metrics("numSkipped").value
+    }.sum
+    assert(numSkipped == 0,
+      s"zipf mix must keep pruning (kept/seen ≈ 0.5): skipped $numSkipped")
+    // exactness on the skewed mix: every heavy group yields k rows,
+    // every singleton yields 1
+    val outRows = graft.plans.ShuffleAudit.flatten(exec).collect {
+      case p: graft.plans.GroupedTopKExec => p.metrics("numOutputRows").value
+    }.sum
+    assert(outRows == heavyKeys * k + singles,
+      s"expected ${heavyKeys * k + singles} rows, got $outRows")
+  }
 }
