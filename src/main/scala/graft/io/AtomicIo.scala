@@ -77,6 +77,35 @@ object AtomicIo {
       try out.write(bytes) finally out.close()
     }
 
+  /** [[publishFile]] for content too large to buffer as one array
+    * (e.g. a bloom filter sized for 10⁸ ids): the caller streams into
+    * the handed OutputStream and the complete result publishes
+    * all-or-nothing. The tmp name is attempt-unique, so CONCURRENT
+    * writers of the same dst (task retry racing a zombie attempt,
+    * speculative execution) never interleave on one file — each
+    * attempt renames its own complete tmp over dst (idempotent: every
+    * attempt writes the same logical content), and an abandoned tmp
+    * is swept by the next publish to the same dst. Object-store world:
+    * a direct create, atomic at PUT completion, last-writer-wins.
+    */
+  def publishStream(fs: FileSystem, dst: Path)
+                   (body: java.io.OutputStream => Unit): Unit =
+    if (renameIsAtomic(fs)) {
+      val glob = new Path(dst.getParent, dst.getName + ".tmp-*")
+      Option(fs.globStatus(glob)).getOrElse(Array.empty)
+        .foreach(st => fs.delete(st.getPath, false)) // abandoned attempts
+      val tmp = new Path(dst.getParent,
+        dst.getName + ".tmp-" + java.util.UUID.randomUUID().toString)
+      val out = fs.create(tmp, true)
+      try body(out) finally out.close()
+      fs.delete(dst, false)
+      if (!fs.rename(tmp, dst))
+        throw new java.io.IOException(s"cannot publish $dst")
+    } else {
+      val out = fs.create(dst, true)
+      try body(out) finally out.close()
+    }
+
   /** Copy one file (overwriting any existing dst). Stream copy through
     * the client — a production object-store deployment would swap in
     * the FS's server-side copy; the protocol above only needs "dst is

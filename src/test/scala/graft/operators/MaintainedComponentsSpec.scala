@@ -188,6 +188,94 @@ class MaintainedComponentsSpec extends SparkSpec {
       s"post-merge probe missed the new id: $afterProbe")
   }
 
+  test("bloom sidecar build is executor-side: no task ships a filter " +
+      "to the driver") {
+    // the r14 verdict's scale-killer: the old build aggregateByKey'd
+    // whole filters and collect()ed them — at 10¹⁰ ids that is ~23 GB
+    // of task results on the driver. The rework builds and WRITES each
+    // sidecar inside its own task, so the only things crossing the
+    // driver boundary are the ≤ CompParts-row count map and empty
+    // foreach results. Proof by measurement: a labeling big enough
+    // that each filter serializes ≥ ~90 KB, while NO task of the whole
+    // bootstrap returns more than 40 KB to the driver.
+    import spark.implicits._
+    val labels = spark.range(300000L)
+      .select(col("id").as("doc_id"), (col("id") % 4).as("component"))
+    val path = tmp("execside")
+    val maxResult = new java.util.concurrent.atomic.AtomicLong(0L)
+    val ended = new java.util.concurrent.atomic.AtomicLong(0L)
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onTaskEnd(
+          e: org.apache.spark.scheduler.SparkListenerTaskEnd): Unit = {
+        ended.incrementAndGet()
+        Option(e.taskMetrics).foreach { m =>
+          maxResult.getAndAccumulate(m.resultSize, math.max)
+        }
+      }
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      MaintainedComponents.write(labels, "doc_id", path)
+      // listener bus is async: wait until task-end events stop arriving
+      var last = -1L
+      var spins = 0
+      while (ended.get() != last && spins < 100) {
+        last = ended.get(); spins += 1; Thread.sleep(100)
+      }
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // sanity: the filters really are bigger than the bound we assert —
+    // each partition holds 75k ids, ~90 KB serialized at 1% fpp
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val sidecars = fs.listStatus(new org.apache.hadoop.fs.Path(path))
+      .filter(_.getPath.getName.startsWith("comp_part="))
+      .map(d => fs.getFileStatus(
+        new org.apache.hadoop.fs.Path(d.getPath, "_bloom")).getLen)
+    // components can collide into one comp_part (hash % 64), so the
+    // dir count is ≤ 4 — what matters is every filter is large
+    assert(sidecars.length >= 2 && sidecars.forall(_ > 40000L),
+      s"fixture too small to be probative: ${sidecars.toSeq}")
+    assert(ended.get() > 0, "listener saw no tasks")
+    assert(maxResult.get() < 40000L,
+      s"a task returned ${maxResult.get()} bytes to the driver — " +
+        "filter-sized results mean the build is not executor-side")
+    // and the executor-built sidecars actually work: a probe for ids
+    // of one component prunes to its partition and matches a full scan
+    val ids = Seq(8L, 12L).toDF("doc_id") // component 0
+    val probe = MaintainedComponents.labelsFor(spark, path, ids, "doc_id")
+    assert(labelMap(probe) == Map(8L -> 0L, 12L -> 0L))
+    val read = graft.plans.ScanAudit.measureFor(probe, "comp_part").rowsRead
+    // component 0's part may host one colliding sibling — still a
+    // strict subset of the table
+    assert(read <= 150000L, s"probe scanned $read rows of 300000")
+  }
+
+  test("forget repair branches: multi-survivor components keep their " +
+      "closure, single-survivor components bypass to self-labels") {
+    import spark.implicits._
+    // component {1,2,3,4}: four identical texts (pairwise est = 1.0);
+    // component {10,11}: two identical texts; 20: a singleton
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val t3 = "lorem ipsum dolor sit amet consectetur adipiscing elit sed"
+    val docs = Seq(1L -> t1, 2L -> t1, 3L -> t1, 4L -> t1,
+      10L -> t2, 11L -> t2, 20L -> t3).toDF("doc_id", "text")
+    val sigs = sigsOf(docs).localCheckpoint()
+    val labels = Dedup.connectedComponents(pairsOf(sigs),
+      docs.select("doc_id"), "doc_id")
+    val path = tmp("branches")
+    val sigPath = tmp("branchsigs")
+    MaintainedComponents.write(labels, "doc_id", path)
+    Dedup.writeSignatures(sigs, "doc_id", sigPath)
+    // delete 1 (comp 1 keeps 3 survivors → the banding+closure branch)
+    // and 10 (comp 10 keeps 1 survivor → the bypass branch)
+    MaintainedComponents.forget(spark, path, sigPath,
+      Seq(1L, 10L).toDF("doc_id"), "doc_id", batchId = 1L)
+    val got = labelMap(MaintainedComponents.read(spark, path))
+    assert(got == Map(2L -> 2L, 3L -> 2L, 4L -> 2L, 11L -> 11L,
+      20L -> 20L), got)
+  }
+
   test("merge bootstraps an EMPTY stored table") {
     import spark.implicits._
     val path = tmp("boot")
