@@ -54,18 +54,28 @@ object Deltas {
     * view (base ⊎ deltas, already merged by the caller's fold) into
     * the staged dir; this publishes it with the `_folded` high-water
     * mark of every absorbed batch id and the carried `_applied`
-    * refresh mark in one rename. Single-writer, as every StagedSwap
-    * table: stop the maintaining ingest first.
+    * refresh mark in one commit. Single-writer, as every swap table:
+    * stop the maintaining ingest first.
+    *
+    * Publish route: a GENERATION-rooted table ([[GenTable]] — how
+    * every maintained view bootstraps on non-atomic-rename backends)
+    * stages directly into the next generation dir and commits by one
+    * atomic pointer flip — zero copies, zero reader gap. A legacy
+    * flat table keeps the [[StagedSwap]] rename dance (microsecond
+    * metadata window on atomic-rename filesystems).
     */
   def compact(spark: SparkSession, path: String)
              (stage: String => Unit): Unit = {
-    val mark = (batchIds(spark, path) :+
-      Marks.readLong(spark, path, "_folded")).max
-    val applied = PartCommit.lastApplied(spark, path)
-    StagedSwap.swap(spark, path) { stageDir =>
+    val live = GenTable.live(spark, path)
+    val mark = (batchIds(spark, live) :+
+      Marks.readLong(spark, live, "_folded")).max
+    val applied = PartCommit.lastApplied(spark, live)
+    def fill(stageDir: String): Unit = {
       stage(stageDir)
       Marks.writeLong(spark, stageDir, "_folded", mark)
       if (applied >= 0) PartCommit.markApplied(spark, stageDir, applied)
     }
+    if (GenTable.isGenRoot(spark, path)) GenTable.swapGen(spark, path)(fill)
+    else StagedSwap.swap(spark, path)(fill)
   }
 }

@@ -79,9 +79,31 @@ object MaintainedAgg {
   /** Materialize a freshly computed aggregate as the stored view.
     * `measureCols` are cast to the canonical decimal; `countCol` must
     * be a long count of contributing rows (drives group deletion).
+    *
+    * Layout split ([[GenTable]]): on non-atomic-rename backends the
+    * table bootstraps GENERATION-ROOTED (`path/_gen` + `path/g0/…`),
+    * so every later whole-table swap (compaction) is a zero-gap
+    * pointer flip instead of a delete+copy window; atomic-rename
+    * backends keep the flat in-place layout. Every entry point of
+    * this object resolves [[GenTable.live]] first, so callers always
+    * address the ROOT path.
     */
   def write(agg: DataFrame, groupCols: Seq[String], path: String,
             measureCols: Seq[String], countCol: String): Unit = {
+    val spark = agg.sparkSession
+    if (GenTable.shouldGen(spark, path))
+      GenTable.swapGen(spark, path)(st =>
+        writeFlat(agg, groupCols, st, measureCols, countCol))
+    else writeFlat(agg, groupCols, path, measureCols, countCol)
+  }
+
+  /** The concrete-dir write body: `path` here is a LIVE data dir (a
+    * generation dir, a compaction stage, or a legacy flat root) —
+    * never re-resolved.
+    */
+  private def writeFlat(agg: DataFrame, groupCols: Seq[String],
+                        path: String, measureCols: Seq[String],
+                        countCol: String): Unit = {
     val keyed = withAggPart(normalize(agg, measureCols, countCol),
       groupCols)
     keyed
@@ -101,8 +123,9 @@ object MaintainedAgg {
     * served.
     */
   def read(spark: SparkSession, path: String): DataFrame = {
-    PartCommit.recover(spark, path)
-    readKeyed(spark, path).drop("agg_part")
+    val t = GenTable.live(spark, path)
+    PartCommit.recover(spark, t)
+    readKeyed(spark, t).drop("agg_part")
   }
 
   /** Schema-pinned read including the layout column: total on a
@@ -156,16 +179,30 @@ object MaintainedAgg {
                    groupCols: Seq[String], measureCols: Seq[String],
                    countCol: String): Unit =
     deltaRefresh(spark, path, removed, added, groupCols, measureCols,
-      countCol, PartCommit.lastApplied(spark, path) + 1)
+      countCol,
+      PartCommit.lastApplied(spark, GenTable.live(spark, path)) + 1)
 
-  def deltaRefresh(spark: SparkSession, path: String,
+  def deltaRefresh(spark: SparkSession, rootPath: String,
                    removed: DataFrame, added: DataFrame,
                    groupCols: Seq[String], measureCols: Seq[String],
                    countCol: String, batchId: Long): Unit = {
+    val path = GenTable.live(spark, rootPath)
     // finish any predecessor's half-applied commit BEFORE reading the
     // view — the slice below must see a consistent table
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
+    // pending streaming deltas make a CDC refresh unsound even for
+    // pure sums: the count>0 clamp below DROPS a group whose base
+    // count goes negative (its contributions live in an unfolded
+    // delta, not the base), silently losing the subtraction — the
+    // group resurrects at merge-on-read and compaction folds it back
+    // permanently. Same compact-first discipline as the distinct/
+    // sample views (keeping negative rows instead would leak
+    // tombstones into read() and break refresh ≡ recompute).
+    require(!Deltas.hasDeltas(spark, path),
+      s"deltaRefresh($path): pending streaming _deltas — the count>0 " +
+        "group-deletion clamp cannot compose a CDC remove with " +
+        "unfolded deltas; run compactDeltas first")
     def contrib(df: DataFrame, w: Int): DataFrame =
       df.select(groupCols.map(col) ++
         measureCols.map(m =>
@@ -245,13 +282,19 @@ object MaintainedAgg {
     */
   def writeMinMax(rows: DataFrame, groupCols: Seq[String], path: String,
                   valueCols: Seq[String], countCol: String): Unit = {
-    val a = minMaxAggs(valueCols, countCol)
-    val keyed = withAggPart(
-      rows.groupBy(groupCols.map(col): _*).agg(a.head, a.tail: _*),
-      groupCols)
-    keyed.repartition(AggParts, col("agg_part"))
-      .write.mode("overwrite").partitionBy("agg_part").parquet(path)
-    SchemaFile.write(rows.sparkSession, path, keyed.schema)
+    val spark = rows.sparkSession
+    def flat(dir: String): Unit = {
+      val a = minMaxAggs(valueCols, countCol)
+      val keyed = withAggPart(
+        rows.groupBy(groupCols.map(col): _*).agg(a.head, a.tail: _*),
+        groupCols)
+      keyed.repartition(AggParts, col("agg_part"))
+        .write.mode("overwrite").partitionBy("agg_part").parquet(dir)
+      SchemaFile.write(spark, dir, keyed.schema)
+    }
+    if (GenTable.shouldGen(spark, path))
+      GenTable.swapGen(spark, path)(flat)
+    else flat(path)
   }
 
   /** Apply a CDC batch to the extrema view. `removed`/`added` carry
@@ -264,11 +307,12 @@ object MaintainedAgg {
     * Invariant (spec-pinned, q_incr_minmax oracle): after the refresh
     * the view ≡ min/max/count over the new snapshot.
     */
-  def deltaRefreshMinMax(spark: SparkSession, path: String,
+  def deltaRefreshMinMax(spark: SparkSession, rootPath: String,
                          removed: DataFrame, added: DataFrame,
                          groupCols: Seq[String], valueCols: Seq[String],
                          countCol: String, batchId: Long)
                         (recompute: DataFrame => DataFrame): Unit = {
+    val path = GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     def side(df: DataFrame, w: Int) =
@@ -357,7 +401,8 @@ object MaintainedAgg {
     */
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCols: Seq[String], measureCols: Seq[String],
-                        countCol: String, path: String): Unit = {
+                        countCol: String, rootPath: String): Unit = {
+    val path = GenTable.live(added.sparkSession, rootPath)
     // a batch already FOLDED into the base (compaction published its
     // id in the _folded mark) must no-op on replay — recreating its
     // delta would double-count it in every merge-on-read
@@ -382,9 +427,10 @@ object MaintainedAgg {
     * (count ≤ 0 drops out; ingest deltas are append-only so counts
     * only grow, but a weighted delta keeps the same contract).
     */
-  def readWithDeltas(spark: SparkSession, path: String,
+  def readWithDeltas(spark: SparkSession, rootPath: String,
                      groupCols: Seq[String], measureCols: Seq[String],
                      countCol: String): DataFrame = {
+    val path = GenTable.live(spark, rootPath)
     val base = read(spark, path)
     if (!Deltas.hasDeltas(spark, path)) return base
     val deltas = spark.read.parquet(Deltas.dir(path))
@@ -417,7 +463,11 @@ object MaintainedAgg {
                     groupCols: Seq[String], measureCols: Seq[String],
                     countCol: String): Unit =
     Deltas.compact(spark, path) { stage =>
-      write(readWithDeltas(spark, path, groupCols, measureCols, countCol)
+      // writeFlat, not write: the stage dir handed here is concrete
+      // (a StagedSwap staging dir or the next generation dir) and
+      // must never itself be generation-rooted
+      writeFlat(readWithDeltas(spark, path, groupCols, measureCols,
+          countCol)
         .localCheckpoint(), // materialize BEFORE the swap touches files
         groupCols, stage, measureCols, countCol)
     }

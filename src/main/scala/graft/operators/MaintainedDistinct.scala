@@ -99,15 +99,24 @@ object MaintainedDistinct {
     */
   def write(rows: DataFrame, groupCols: Seq[String], keyCol: String,
             path: String, nCol: String = "n"): Unit = {
-    val keyed = MaintainedAgg.withAggPart(
-      regsOf(rows, groupCols, keyCol, "regs", nCol), groupCols)
-    keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
-      .write.mode("overwrite").partitionBy("agg_part").parquet(path)
-    SchemaFile.write(rows.sparkSession, path, keyed.schema)
+    val spark = rows.sparkSession
+    def flat(dir: String): Unit = {
+      val keyed = MaintainedAgg.withAggPart(
+        regsOf(rows, groupCols, keyCol, "regs", nCol), groupCols)
+      keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
+        .write.mode("overwrite").partitionBy("agg_part").parquet(dir)
+      SchemaFile.write(spark, dir, keyed.schema)
+    }
+    // zero-gap generation root on non-atomic-rename backends — the
+    // [[graft.io.GenTable]] contract MaintainedAgg documents
+    if (graft.io.GenTable.shouldGen(spark, path))
+      graft.io.GenTable.swapGen(spark, path)(flat)
+    else flat(path)
   }
 
   /** The stored rows (layout column dropped), crash-recovered. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, rootPath: String): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     readKeyed(spark, path).drop("agg_part")
   }
@@ -138,11 +147,12 @@ object MaintainedDistinct {
     * refresh the view ≡ [[write]] over the new snapshot, register
     * bit-equal.
     */
-  def deltaRefresh(spark: SparkSession, path: String,
+  def deltaRefresh(spark: SparkSession, rootPath: String,
                    removed: DataFrame, added: DataFrame,
                    groupCols: Seq[String], keyCol: String,
                    batchId: Long, nCol: String = "n")
                   (recompute: DataFrame => DataFrame): Unit = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     // pending streaming deltas make a CDC refresh unsound here: a
@@ -225,7 +235,8 @@ object MaintainedDistinct {
     */
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCols: Seq[String], keyCol: String,
-                        path: String, nCol: String = "n"): Unit = {
+                        rootPath: String, nCol: String = "n"): Unit = {
+    val path = graft.io.GenTable.live(added.sparkSession, rootPath)
     if (graft.io.Deltas.alreadyFolded(added.sparkSession, path,
         batchId)) return
     val b = added.localCheckpoint() // isEmpty + write: two actions
@@ -239,9 +250,10 @@ object MaintainedDistinct {
     * delta — element-wise max across blocks ([[Sketches
     * .hllBlockMerge]]), counts summed.
     */
-  def readWithDeltas(spark: SparkSession, path: String,
+  def readWithDeltas(spark: SparkSession, rootPath: String,
                      groupCols: Seq[String],
                      nCol: String = "n"): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     val base = read(spark, path)
     if (!graft.io.Deltas.hasDeltas(spark, path)) return base
     val deltas = spark.read.parquet(graft.io.Deltas.dir(path))

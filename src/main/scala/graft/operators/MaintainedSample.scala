@@ -146,18 +146,27 @@ object MaintainedSample {
   /** Materialize the bottom-m sample per group from per-row input. */
   def write(rows: DataFrame, groupCol: String, keyCol: String,
             valueCol: String, path: String, m: Int): Unit = {
-    val keyed = MaintainedAgg.withAggPart(
-      sketchOf(rows, groupCol, keyCol, valueCol, m), Seq(groupCol))
-    keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
-      .write.mode("overwrite").partitionBy("agg_part").parquet(path)
-    SchemaFile.write(rows.sparkSession, path, keyed.schema)
+    val spark = rows.sparkSession
+    def flat(dir: String): Unit = {
+      val keyed = MaintainedAgg.withAggPart(
+        sketchOf(rows, groupCol, keyCol, valueCol, m), Seq(groupCol))
+      keyed.repartition(MaintainedAgg.AggParts, col("agg_part"))
+        .write.mode("overwrite").partitionBy("agg_part").parquet(dir)
+      SchemaFile.write(spark, dir, keyed.schema)
+    }
+    // zero-gap generation root on non-atomic-rename backends — the
+    // [[graft.io.GenTable]] contract MaintainedAgg documents
+    if (graft.io.GenTable.shouldGen(spark, path))
+      graft.io.GenTable.swapGen(spark, path)(flat)
+    else flat(path)
   }
 
   /** The stored sample rows (layout column dropped), crash-recovered —
     * feed directly to [[Sketches.sketchQuantiles]] /
     * [[Sketches.sketchKsDrift]].
     */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, rootPath: String): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     readKeyed(spark, path).drop("agg_part")
   }
@@ -182,11 +191,12 @@ object MaintainedSample {
     * Invariant (q_incr_quantile oracle, spec-pinned): after the
     * refresh the view ≡ [[write]] over the new snapshot, row-equal.
     */
-  def deltaRefresh(spark: SparkSession, path: String,
+  def deltaRefresh(spark: SparkSession, rootPath: String,
                    removed: DataFrame, added: DataFrame,
                    groupCol: String, keyCol: String, valueCol: String,
                    m: Int, batchId: Long)
                   (recompute: DataFrame => DataFrame): Unit = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     // a CDC refresh against a base with PENDING streaming deltas is
@@ -281,7 +291,9 @@ object MaintainedSample {
     */
   def writeDeltaPartial(added: DataFrame, batchId: Long,
                         groupCol: String, keyCol: String,
-                        valueCol: String, m: Int, path: String): Unit = {
+                        valueCol: String, m: Int,
+                        rootPath: String): Unit = {
+    val path = graft.io.GenTable.live(added.sparkSession, rootPath)
     if (Deltas.alreadyFolded(added.sparkSession, path, batchId)) return
     val b = added.localCheckpoint() // isEmpty + write: two actions
     if (!b.isEmpty)
@@ -295,8 +307,9 @@ object MaintainedSample {
     * window over ≤ (1 + batches)·m rows per group; a key present in
     * the base and in a delta (or in two deltas) counts once.
     */
-  def readWithDeltas(spark: SparkSession, path: String,
+  def readWithDeltas(spark: SparkSession, rootPath: String,
                      groupCol: String, m: Int): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     val base = read(spark, path)
     if (!Deltas.hasDeltas(spark, path)) return base
     val deltas = spark.read.parquet(Deltas.dir(path))

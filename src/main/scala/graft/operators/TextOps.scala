@@ -1188,7 +1188,22 @@ object TextOps {
     */
   def writeTermStats(df: DataFrame, idCol: String, textCol: String,
                      groupCol: String, dir: String): Unit = {
-    val g1 = termContribs(df, idCol, textCol, groupCol).localCheckpoint()
+    val spark = df.sparkSession
+    // stage the (group, term, doc) contributions as parquet so ONE
+    // tokenize pass feeds all three view builds. A corpus-sized
+    // localCheckpoint here would pin the contributions in executor
+    // block storage with TRUNCATED lineage — an executor loss during
+    // the three writes fails the job unrecoverably and the block
+    // manager carries corpus-scale duplicate bytes (r14 verdict #3).
+    // The parquet stage is the same IO with fault tolerance: each
+    // view build re-reads a vectorized columnar scan, any lost task
+    // recomputes from files. Underscore-prefixed so data readers of
+    // `dir` never list it; deleted once the views are live (a crash
+    // leaves only garbage the next bootstrap overwrites).
+    val stagePath = s"$dir/_contribs_stage"
+    termContribs(df, idCol, textCol, groupCol)
+      .write.mode("overwrite").parquet(stagePath)
+    val g1 = spark.read.parquet(stagePath)
     graft.io.MaintainedAgg.write(
       g1.groupBy(col(groupCol), col("tok"))
         .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_docs")),
@@ -1200,6 +1215,9 @@ object TextOps {
       df.select(lit("corpus").as("scope"))
         .groupBy(col("scope")).agg(count(lit(1)).as("n_docs")),
       Seq("scope"), s"$dir/n", Seq.empty, "n_docs")
+    val fs = new org.apache.hadoop.fs.Path(stagePath)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
   }
 
   /** Apply a CDC doc batch to the stored term statistics.
@@ -1261,9 +1279,12 @@ object TextOps {
   // of NEW docs lands one delta per view under the batch's own
   // partition (replay rewrites the same bytes), serving is
   // merge-on-read, compaction folds atomically. Deletes stay on the
-  // CDC path ([[refreshTermStats]]) — sums compose arithmetically
-  // with pending deltas, so no compact-first guard is needed (unlike
-  // the distinct/sample views).
+  // CDC path ([[refreshTermStats]]) and require COMPACTING FIRST,
+  // like every maintained view: even pure sums cannot compose a
+  // delete with a pending delta, because the base-side count>0 clamp
+  // drops a group whose contributions still sit in an unfolded delta
+  // batch, losing the subtraction (MaintainedAgg.deltaRefresh
+  // enforces this with a fail-fast guard).
 
   /** One micro-batch of NEW docs: append its term-stat deltas to all
     * three views. Replay-idempotent per view (own-partition overwrite

@@ -861,7 +861,10 @@ object Streams {
     * MaintainedAgg, so the shared delta protocol applies verbatim).
     * Serve with `TextOps.topTermsWithDeltas`, fold with
     * `compactTermStats`; deletes go through the CDC path
-    * (`refreshTermStats`) — sums compose with pending deltas.
+    * (`refreshTermStats`) AFTER a `compactTermStats` — a delete
+    * cannot compose with unfolded deltas (the base-side group-
+    * deletion clamp would drop the subtraction; the CDC entry point
+    * fail-fasts on pending deltas).
     */
   def termStatsMaintainingIngest(docs: DataFrame, idCol: String,
                                  textCol: String, groupCol: String,

@@ -86,10 +86,15 @@ class ObjectStoreCommitSpec extends SparkSpec {
     // replay no-ops
     refresh(path)
     assert(viewMap(path) == Expected)
-    // empty batch still advances the mark
+    // the table bootstrapped GENERATION-ROOTED (simfs rename is
+    // non-atomic → zero-gap layout from birth): pointer + g0 data
+    assert(GenTable.isGenRoot(spark, path), "simfs table must gen-root")
+    assert(GenTable.live(spark, path) == s"$path/g0")
+    // empty batch still advances the mark (marks live in the live gen)
     MaintainedAgg.deltaRefresh(spark, path, removed = batch(),
       added = batch(), Seq("k"), Seq("m"), "n", batchId = 5L)
-    assert(PartCommit.lastApplied(spark, path) == 5L)
+    assert(PartCommit.lastApplied(spark,
+      GenTable.live(spark, path)) == 5L)
     // drain to empty (a's TWO contributing rows, c's and d's one each):
     // the view stays readable through _schema
     MaintainedAgg.deltaRefresh(spark, path,
@@ -171,6 +176,91 @@ class ObjectStoreCommitSpec extends SparkSpec {
     assert(Versioned.commit(spark, path, Seq(3L).toDF("v"),
       "append", txn = Some("b1")) == 1L)
     assert(vals(Versioned.read(spark, path)) == Set(1L, 2L, 3L))
+  }
+
+  test("gen-root compaction: a concurrent external reader resolves " +
+      "old-or-new at EVERY crash window, never partial") {
+    // the r14 verdict's ask #4 / advice item: copy-mode StagedSwap
+    // leaves external readers a missing/partial table for the whole
+    // copy. Gen-rooted tables close the gap: compaction stages the
+    // next generation BESIDE the live one and commits by one atomic
+    // pointer flip — so at EVERY process-death window an external
+    // reader (plain parquet read of the resolved live dir, no
+    // recover() call) sees a complete table: the old base before the
+    // flip, the folded one after. The merge-on-read serve is
+    // INVARIANT across all windows (compaction is semantically a
+    // no-op), and the protocol performs zero in-scope renames.
+    def baseRows(root: String): Map[String, (BigDecimal, Long)] = {
+      // external-reader simulation: resolve the pointer, read the
+      // parquet directly — no graft recovery on the way
+      val live = GenTable.live(spark, root)
+      spark.read.parquet(live)
+        .select(col("k"), col("m").cast("decimal(38,6)"), col("n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (BigDecimal(r.getDecimal(1)), r.getLong(2))).toMap
+    }
+    def served(root: String): Map[String, (BigDecimal, Long)] =
+      MaintainedAgg.readWithDeltas(spark, root, Seq("k"), Seq("m"), "n")
+        .select(col("k"), col("m").cast("decimal(38,6)"), col("n"))
+        .collect()
+        .map(r => r.getString(0) ->
+          (BigDecimal(r.getDecimal(1)), r.getLong(2))).toMap
+    val seedMap = Map(
+      "a" -> (BigDecimal(10), 1L), "b" -> (BigDecimal(7), 1L),
+      "c" -> (BigDecimal(5), 1L))
+    val mergedMap = seedMap + ("d" -> (BigDecimal(3), 1L),
+      "a" -> (BigDecimal(12), 2L))
+    def compact(root: String): Unit =
+      MaintainedAgg.compactDeltas(spark, root, Seq("k"), Seq("m"), "n")
+    val renames0 = SimFs.renamesInScope.get()
+    var k = 1L
+    var uncrashed = false
+    var windows = 0
+    while (!uncrashed && k <= 300) {
+      val root = tmp()
+      seed(root)
+      MaintainedAgg.writeDeltaPartial(batch(("a", 2), ("d", 3)), 1L,
+        Seq("k"), Seq("m"), "n", root)
+      assert(served(root) == mergedMap, "merge-on-read precondition")
+      SimFs.arm(scopeOf(root), failFrom = k)
+      val crashed =
+        try { compact(root); false }
+        catch { case _: Throwable => true }
+      SimFs.disarm()
+      if (!crashed) {
+        uncrashed = true
+        println(s"[genmatrix] in-scope ops of a clean compaction:")
+        SimFs.opLog.forEach(o => println(s"[genmatrix]   $o"))
+      } else {
+        windows += 1
+        // NO recovery call: the pointer must already resolve a
+        // complete generation — the old base or the folded one
+        val ext = baseRows(root)
+        assert(ext == seedMap || ext == mergedMap,
+          s"window #$k: external reader saw a partial table: $ext")
+        // the merge-on-read serve is invariant across every window
+        assert(served(root) == mergedMap,
+          s"window #$k: serve diverged mid-compaction")
+        // retrying the compaction (the caller contract) converges
+        compact(root)
+      }
+      assert(served(root) == mergedMap, s"window #$k: retry diverged")
+      assert(baseRows(root) == mergedMap,
+        s"window #$k: retry did not fold the base")
+      assert(!Deltas.hasDeltas(spark,
+        GenTable.live(spark, root)), s"window #$k: deltas left behind")
+      // a folded batch must no-op on replay after the fold
+      MaintainedAgg.writeDeltaPartial(batch(("a", 2), ("d", 3)), 1L,
+        Seq("k"), Seq("m"), "n", root)
+      assert(served(root) == mergedMap,
+        s"window #$k: replayed folded batch double-counted")
+      k += 1
+    }
+    assert(uncrashed, "matrix never ran past the last mutation (raise the cap)")
+    assert(windows >= 4, s"too few crash windows exercised: $windows")
+    assert(SimFs.renamesInScope.get() == renames0,
+      "the gen-pointer protocol must never rename in scope")
   }
 
   test("StagedSwap crash matrix: old-or-new at every window; retry lands new") {

@@ -43,7 +43,8 @@ class SimFs extends RawLocalFileSystem {
   private def inScope(p: Path): Boolean = {
     val s = p.toUri.getPath
     val sc = SimFs.scopePrefix
-    sc != null && s.startsWith(sc) && !s.contains("_temporary")
+    sc != null && s.startsWith(sc) && !s.contains("_temporary") &&
+      !s.contains(".spark-staging")
   }
 
   private def tick(op: String, p: Path): Unit =
@@ -55,6 +56,30 @@ class SimFs extends RawLocalFileSystem {
     tick("create", f)
     super.create(f, permission, overwrite, bufferSize, replication,
       blockSize, progress)
+  }
+
+  // RawLocalFileSystem's permissionless create variant does NOT route
+  // through the permission one (both call a private helper), and
+  // FileSystem.create(Path, boolean) — the AtomicIo/Marks/SchemaFile
+  // path — dispatches HERE; without this override every protocol
+  // create was invisible to the crash matrices (found by the r15
+  // gen-matrix op journal)
+  override def create(f: Path, overwrite: Boolean, bufferSize: Int,
+                      replication: Short, blockSize: Long,
+                      progress: Progressable): FSDataOutputStream = {
+    tick("create", f)
+    super.create(f, overwrite, bufferSize, replication, blockSize,
+      progress)
+  }
+
+  override def createNonRecursive(f: Path, permission: FsPermission,
+                                  flags: java.util.EnumSet[org.apache.hadoop.fs.CreateFlag],
+                                  bufferSize: Int, replication: Short,
+                                  blockSize: Long,
+                                  progress: Progressable): FSDataOutputStream = {
+    tick("create", f)
+    super.createNonRecursive(f, permission, flags, bufferSize,
+      replication, blockSize, progress)
   }
 
   override def delete(p: Path, recursive: Boolean): Boolean = {
@@ -92,9 +117,16 @@ object SimFs {
     * later one throws (process-death model). `Long.MaxValue` = armed
     * scope, no crash.
     */
+  /** In-scope mutation journal since the last [[arm]] — lets a matrix
+    * spec see WHICH ops its windows cover (debugging aid; bounded by
+    * the protocols' own op counts).
+    */
+  val opLog = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+
   def arm(prefix: String, failFrom: Long = Long.MaxValue): Unit = {
     scopePrefix = prefix
     ops.set(0)
+    opLog.clear()
     this.failFrom = failFrom
   }
 
@@ -104,6 +136,7 @@ object SimFs {
 
   private[io] def tick(op: String, p: String): Unit = {
     val n = ops.incrementAndGet()
+    opLog.add(s"#$n $op $p")
     if (n >= failFrom)
       throw new SimCrash(s"simulated crash at mutation #$n: $op $p")
   }

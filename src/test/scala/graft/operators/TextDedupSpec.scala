@@ -237,6 +237,45 @@ class TextDedupSpec extends SparkSpec {
       rows(served), "batch-id replay must no-op")
   }
 
+  test("term-stats CDC fail-fasts on pending streaming deltas; " +
+      "compact-then-delete is exact") {
+    // the r14-advice hole: doc X's contributions live ONLY in an
+    // unfolded _deltas batch; a CDC delete of X would drive base
+    // counts negative, the count>0 clamp would drop the subtraction,
+    // and X's terms would resurrect at merge-on-read — so the delete
+    // must be REJECTED until compaction folds the delta in.
+    val d0 = Seq((1L, "alpha beta", "s1")).toDF("doc_id", "text", "source")
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft_tfidf_guard_").toString + "/state"
+    TextOps.writeTermStats(d0, "doc_id", "text", "source", dir)
+    val streamed = Seq((2L, "gamma gamma", "s1"))
+      .toDF("doc_id", "text", "source")
+    TextOps.writeTermStatsDeltaPartial(streamed, 1L,
+      "doc_id", "text", "source", dir)
+    val del = intercept[IllegalArgumentException] {
+      TextOps.refreshTermStats(spark, dir,
+        removedDocs = streamed,
+        addedDocs = Seq.empty[(Long, String, String)]
+          .toDF("doc_id", "text", "source"),
+        "doc_id", "text", "source", batchId = 5L)
+    }
+    assert(del.getMessage.contains("compactDeltas"), del.getMessage)
+    // after compacting, the same delete applies and the state equals
+    // a from-scratch build over the surviving corpus
+    TextOps.compactTermStats(spark, dir, "source")
+    TextOps.refreshTermStats(spark, dir,
+      removedDocs = streamed,
+      addedDocs = Seq.empty[(Long, String, String)]
+        .toDF("doc_id", "text", "source"),
+      "doc_id", "text", "source", batchId = 5L)
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getDouble(4), r.getInt(5))).toSet
+    assert(rows(TextOps.topTermsFromStats(spark, dir, "source", k = 3)) ==
+      rows(TextOps.topTerms(d0, "doc_id", "text", "source", k = 3)),
+      "compact-then-delete must equal the from-scratch report")
+  }
+
   test("pairEvidence: contiguous runs vs scattered fragments, exact counts") {
     val d = Seq(
       (1L, "a b c d e f"),          // shingles abc bcd cde def
