@@ -1,0 +1,36 @@
+#!/bin/bash
+# Interleaved A/B bench (r14 verdict ask #3): the r14 back-to-back
+# protocol ran jar A's full sweep, then jar B's — one contaminated leg
+# (background load, page-cache asymmetry) skews every per-query delta
+# the same direction and is indistinguishable from a real regression.
+# This runs the two jars ALTERNATING per sweep (A B A B ...), so any
+# environmental drift lands on both sides symmetrically, and emits one
+# tagged JSON line per leg for scripts/ab_aggregate.py to reduce into
+# per-query medians + spread.
+#
+# usage: ab_interleaved.sh <jarA> <jarB> <sfDir> <sweeps> [queryCsv]
+# env:   AB_TOOL       main class (default graft.Bench)
+#        AB_TOOL_ARGS  args for AB_TOOL (overrides queryCsv; e.g.
+#                      "/tmp/graft_sf10 5" for graft.tools.LifecycleBench)
+#        SPARK_GRAFT_CPUS  (default 32)
+set -u
+JARA=$1; JARB=$2; SF=$3; N=$4; QUERIES=${5:-}
+TOOL=${AB_TOOL:-graft.Bench}
+ARGS=${AB_TOOL_ARGS:-$QUERIES}
+CPUS=${SPARK_GRAFT_CPUS:-32}
+
+run_leg() { # $1=side $2=jar $3=sweep
+  # the B jar is appended so tool classes that only exist in the newer
+  # jar (e.g. LifecycleBench) resolve on A legs too, while the LIBRARY
+  # classes load from the leg's own jar (first on the classpath wins)
+  local out
+  out=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
+    java -cp "$2:$JARB:/opt/spark/jars/*" -Xmx96g \
+    $TOOL $ARGS 2>/dev/null | grep '"metric"')
+  echo "{\"sweep\":$3,\"side\":\"$1\",\"leg\":$out}"
+}
+
+for i in $(seq 1 "$N"); do
+  run_leg A "$JARA" "$i"
+  run_leg B "$JARB" "$i"
+done
