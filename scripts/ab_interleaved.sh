@@ -18,6 +18,23 @@ JARA=$1; JARB=$2; SF=$3; N=$4; QUERIES=${5:-}
 TOOL=${AB_TOOL:-graft.Bench}
 ARGS=${AB_TOOL_ARGS:-$QUERIES}
 CPUS=${SPARK_GRAFT_CPUS:-32}
+# Spark's standard Java-17 module opens (sbt adds these itself; a bare
+# java invocation must pass them or kryo's field reflection dies with
+# InaccessibleObjectException on java.nio/java.util internals)
+OPENS="--add-opens=java.base/java.lang=ALL-UNNAMED \
+--add-opens=java.base/java.lang.invoke=ALL-UNNAMED \
+--add-opens=java.base/java.lang.reflect=ALL-UNNAMED \
+--add-opens=java.base/java.io=ALL-UNNAMED \
+--add-opens=java.base/java.net=ALL-UNNAMED \
+--add-opens=java.base/java.nio=ALL-UNNAMED \
+--add-opens=java.base/java.util=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent=ALL-UNNAMED \
+--add-opens=java.base/java.util.concurrent.atomic=ALL-UNNAMED \
+--add-opens=java.base/jdk.internal.ref=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.ch=ALL-UNNAMED \
+--add-opens=java.base/sun.nio.cs=ALL-UNNAMED \
+--add-opens=java.base/sun.security.action=ALL-UNNAMED \
+--add-opens=java.base/sun.util.calendar=ALL-UNNAMED"
 
 run_leg() { # $1=side $2=jar $3=sweep
   # the B jar is appended so tool classes that only exist in the newer
@@ -25,7 +42,7 @@ run_leg() { # $1=side $2=jar $3=sweep
   # classes load from the leg's own jar (first on the classpath wins)
   local out
   out=$(SPARK_GRAFT_SF_DIR="$SF" SPARK_GRAFT_CPUS="$CPUS" \
-    java -cp "$2:$JARB:/opt/spark/jars/*" -Xmx96g \
+    java $OPENS -cp "$2:$JARB:/opt/spark/jars/*" -Xmx96g \
     $TOOL $ARGS 2>/dev/null | grep '"metric"')
   echo "{\"sweep\":$3,\"side\":\"$1\",\"leg\":$out}"
 }
