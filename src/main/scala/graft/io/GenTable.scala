@@ -109,15 +109,18 @@ object GenTable {
     // g<next> after it — never anything partial
     AtomicIo.publishFile(fs, genMark(root),
       next.toString.getBytes("UTF-8"))
-    // sweep EVERY stale generation, not just g<cur>: a writer that
-    // died between a previous flip and its cleanup left its old
-    // generation behind, and per-flip cur-only deletion would orphan
-    // it forever
+    // sweep EVERYTHING stale, not just g<cur>: (a) a writer that died
+    // between a previous flip and its cleanup left its old generation
+    // behind, and per-flip cur-only deletion would orphan it forever;
+    // (b) a table MIGRATING from the flat layout (first gen-rooted
+    // bootstrap over an existing in-place table) leaves its old flat
+    // data/marks/deltas at the root — the flat overwrite it replaces
+    // deleted those, so the sweep preserves the old contract. Both
+    // deletes happen strictly AFTER the flip, so a resolving reader
+    // never loses its snapshot mid-commit.
     fs.listStatus(new Path(root)).foreach { st =>
       val n = st.getPath.getName
-      if (st.isDirectory && n.startsWith("g") &&
-          n.drop(1).forall(_.isDigit) && n != s"g$next")
-        fs.delete(st.getPath, true)
+      if (n != s"g$next" && n != "_gen") fs.delete(st.getPath, true)
     }
   }
 }

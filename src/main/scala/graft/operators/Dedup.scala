@@ -800,9 +800,19 @@ object Dedup {
       (hash32(col(idCol).cast("string")) % SigParts).cast("int"))
 
   /** Create (or replace) a maintained signature table at `path`. */
-  def writeSignatures(sigs: DataFrame, idCol: String, path: String): Unit =
-    withSigPart(sigs, idCol)
-      .write.mode("overwrite").partitionBy("sig_part").parquet(path)
+  def writeSignatures(sigs: DataFrame, idCol: String, path: String): Unit = {
+    val spark = sigs.sparkSession
+    def flat(dir: String): Unit =
+      withSigPart(sigs, idCol)
+        .write.mode("overwrite").partitionBy("sig_part").parquet(dir)
+    // zero-gap generation root on non-atomic-rename backends, like
+    // every maintained view ([[graft.io.GenTable]]): a re-bootstrap
+    // or compaction then flips a pointer instead of exposing a
+    // partial table to external readers
+    if (graft.io.GenTable.shouldGen(spark, path))
+      graft.io.GenTable.swapGen(spark, path)(flat)
+    else flat(path)
+  }
 
   /** Append a batch's signatures to a maintained table — the step that
     * closes [[incrementalDedup]]'s cycle. Parquet append is atomic per
@@ -813,14 +823,16 @@ object Dedup {
     */
   def appendSignatures(sigs: DataFrame, idCol: String, path: String): Unit =
     withSigPart(sigs, idCol)
-      .write.mode("append").partitionBy("sig_part").parquet(path)
+      .write.mode("append").partitionBy("sig_part")
+      .parquet(graft.io.GenTable.live(sigs.sparkSession, path))
 
   /** Read a maintained signature table (the `existingSigs` input of
     * [[incrementalDedup]] — parquet-backed, so its two consumers there
     * each cost a columnar scan, never a signature recompute).
     */
   def readSignatures(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(path).drop("sig_part")
+    spark.read.parquet(graft.io.GenTable.live(spark, path))
+      .drop("sig_part")
 
   /** Point/subset read of a maintained signature table: the
     * signatures of exactly the ids in `ids`, scanning ONLY the hash
@@ -835,8 +847,9 @@ object Dedup {
     * it — spec-measured via ScanAudit, mirroring the Z-order
     * evidence.
     */
-  def readSignaturesFor(spark: SparkSession, path: String,
+  def readSignaturesFor(spark: SparkSession, rootPath: String,
                         ids: DataFrame, idCol: String): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     val keyed = withSigPart(ids.select(col(idCol)).distinct(), idCol)
       .localCheckpoint() // ids subtree evaluates once (parts + semi)
     val parts = keyed.select("sig_part").distinct()
@@ -861,8 +874,9 @@ object Dedup {
     * table, not all of it. Idempotent: re-deleting absent ids is a
     * no-op rewrite.
     */
-  def deleteSignatures(spark: SparkSession, path: String, ids: DataFrame,
-                       idCol: String): Unit = {
+  def deleteSignatures(spark: SparkSession, rootPath: String,
+                       ids: DataFrame, idCol: String): Unit = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     val keyed = withSigPart(ids.select(col(idCol)).distinct(), idCol)
       .localCheckpoint()
     val parts = keyed.select("sig_part").distinct()
@@ -890,12 +904,18 @@ object Dedup {
     * the per-append small files. Swap semantics (reader visibility,
     * crash recovery, single-writer): [[graft.io.StagedSwap]].
     */
-  def compactSignatures(spark: SparkSession, path: String): Unit =
-    graft.io.StagedSwap.swap(spark, path) { stage =>
-      spark.read.parquet(path)
+  def compactSignatures(spark: SparkSession, path: String): Unit = {
+    val live = graft.io.GenTable.live(spark, path)
+    def fold(stage: String): Unit =
+      spark.read.parquet(live)
         .repartition(SigParts, col("sig_part"))
         .write.mode("overwrite").partitionBy("sig_part").parquet(stage)
-    }
+    // gen-rooted tables compact by pointer flip (zero-gap, zero-copy
+    // on object stores); flat tables keep the rename swap
+    if (graft.io.GenTable.isGenRoot(spark, path))
+      graft.io.GenTable.swapGen(spark, path)(fold)
+    else graft.io.StagedSwap.swap(spark, path)(fold)
+  }
 
   /** Connected components over an undirected candidate-pair graph by
     * iterative min-label propagation: every vertex starts labeled with

@@ -62,8 +62,24 @@ object MaintainedComponents {
 
   /** Materialize a labeling (e.g. [[Dedup.connectedComponents]]
     * output) as the stored table. Columns: (`idCol`, component).
+    *
+    * On non-atomic-rename backends the table bootstraps GENERATION-
+    * ROOTED ([[graft.io.GenTable]]) — a RE-bootstrap over an existing
+    * table is a whole-dir overwrite, which on an object store would
+    * otherwise give external readers a partial-table window; the gen
+    * pointer makes it a zero-gap flip. Every entry point resolves the
+    * live generation first, so callers always address the root path.
     */
   def write(labels: DataFrame, idCol: String, path: String): Unit = {
+    val spark = labels.sparkSession
+    if (graft.io.GenTable.shouldGen(spark, path))
+      graft.io.GenTable.swapGen(spark, path)(st =>
+        writeFlat(labels, idCol, st))
+    else writeFlat(labels, idCol, path)
+  }
+
+  private def writeFlat(labels: DataFrame, idCol: String,
+                        path: String): Unit = {
     val keyed = withCompPart(labels.select(col(idCol), col("component")))
     keyed.repartition(CompParts, col("comp_part"))
       .write.mode("overwrite").partitionBy("comp_part").parquet(path)
@@ -159,7 +175,8 @@ object MaintainedComponents {
   }
 
   /** The full labeling (layout column dropped), crash-recovered. */
-  def read(spark: SparkSession, path: String): DataFrame = {
+  def read(spark: SparkSession, rootPath: String): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     readKeyed(spark, path).drop("comp_part")
   }
@@ -182,8 +199,9 @@ object MaintainedComponents {
     * typical batch touches a handful of components, and the scan
     * drops from the whole table to the hit partitions.
     */
-  def labelsFor(spark: SparkSession, path: String, ids: DataFrame,
+  def labelsFor(spark: SparkSession, rootPath: String, ids: DataFrame,
                 idCol: String): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     val distinctIds = ids.select(col(idCol)).distinct().localCheckpoint()
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val partDirs =
@@ -227,8 +245,9 @@ object MaintainedComponents {
     * scan to touched/CompParts of the table, then a broadcast
     * semi-join on (comp_part, component) finishes the exact cut.
     */
-  def membersOf(spark: SparkSession, path: String,
+  def membersOf(spark: SparkSession, rootPath: String,
                 components: DataFrame): DataFrame = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     val keyed = withCompPart(components.select("component").distinct())
       .localCheckpoint() // feeds the part list AND the semi-join once
     val parts = keyed.select("comp_part").distinct()
@@ -247,8 +266,9 @@ object MaintainedComponents {
     * cost: one label-table scan (probe) + touched/CompParts read +
     * batch-sized closure + touched-partition rewrite.
     */
-  def merge(spark: SparkSession, path: String, newEdges: DataFrame,
+  def merge(spark: SparkSession, rootPath: String, newEdges: DataFrame,
             newVertices: DataFrame, idCol: String, batchId: Long): Unit = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     val edges = newEdges.select(col("id_a"), col("id_b")).localCheckpoint()
@@ -279,9 +299,10 @@ object MaintainedComponents {
     * touched-partition rewrite), keeping the two stores consistent.
     * Semantics ≡ [[Dedup.forgetDocs]] over the stored tables.
     */
-  def forget(spark: SparkSession, path: String, sigPath: String,
+  def forget(spark: SparkSession, rootPath: String, sigPath: String,
              deleteIds: DataFrame, idCol: String, batchId: Long,
              threshold: Double = 0.5): Unit = {
+    val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     val del = deleteIds.select(col(idCol)).distinct().localCheckpoint()

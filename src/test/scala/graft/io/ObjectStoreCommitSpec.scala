@@ -263,6 +263,49 @@ class ObjectStoreCommitSpec extends SparkSpec {
       "the gen-pointer protocol must never rename in scope")
   }
 
+  test("component + signature lifecycle runs gen-rooted on the " +
+      "object-store protocol") {
+    import graft.operators.{Dedup, MaintainedComponents}
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    val docs = Seq(1L -> t1, 2L -> t1, 3L -> t1, 10L -> t2, 11L -> t2)
+      .toDF("doc_id", "text")
+    val root = tmp()
+    val labelPath = root + "/labels"
+    val sigPath = root + "/sigs"
+    SimFs.arm(scopeOf(root))
+    val renames0 = SimFs.renamesInScope.get()
+    val sigs = Dedup.minhashSignatures(
+      Dedup.docShingles(docs, "doc_id", "text", 3, dedup = false),
+      "doc_id").localCheckpoint()
+    val pairs = Dedup.estimatedJaccard(
+      Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+      .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    Dedup.writeSignatures(sigs, "doc_id", sigPath)
+    MaintainedComponents.write(
+      Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id"),
+      "doc_id", labelPath)
+    assert(GenTable.isGenRoot(spark, labelPath) &&
+      GenTable.isGenRoot(spark, sigPath),
+      "both stores must gen-root on simfs")
+    // forget 1 (comp {1,2,3} keeps 2 survivors) and 10 (single
+    // survivor): exercises probe, membersOf, sig point-read, rewrite
+    // and sig delete — all through the gen resolution
+    MaintainedComponents.forget(spark, labelPath, sigPath,
+      Seq(1L, 10L).toDF("doc_id"), "doc_id", batchId = 1L)
+    val got = MaintainedComponents.read(spark, labelPath)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(2L -> 2L, 3L -> 2L, 11L -> 11L), got)
+    // sig compaction on the gen root: pointer flip, no in-scope rename
+    Dedup.compactSignatures(spark, sigPath)
+    val sigIds = Dedup.readSignatures(spark, sigPath)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(sigIds == Set(2L, 3L, 11L), sigIds)
+    assert(SimFs.renamesInScope.get() == renames0,
+      "gen-rooted lifecycle must never rename in scope")
+    SimFs.disarm()
+  }
+
   test("StagedSwap crash matrix: old-or-new at every window; retry lands new") {
     val oldRows = Seq(1L, 2L, 3L)
     val newRows = Seq(4L, 5L)
