@@ -47,7 +47,17 @@ run_leg() { # $1=side $2=jar $3=sweep
   echo "{\"sweep\":$3,\"side\":\"$1\",\"leg\":$out}"
 }
 
+# alternate WITHIN-SWEEP order too: with A always first, any within-
+# sweep drift (page-cache displacement by the previous leg, thermal/
+# load ramps) lands on B every time and masquerades as a per-jar
+# delta; odd sweeps run A→B, even sweeps B→A, so order bias cancels
+# in the medians
 for i in $(seq 1 "$N"); do
-  run_leg A "$JARA" "$i"
-  run_leg B "$JARB" "$i"
+  if [ $((i % 2)) -eq 1 ]; then
+    run_leg A "$JARA" "$i"
+    run_leg B "$JARB" "$i"
+  else
+    run_leg B "$JARB" "$i"
+    run_leg A "$JARA" "$i"
+  fi
 done
