@@ -820,19 +820,123 @@ object Dedup {
     * the new batch, never a torn row. Every append adds one file per
     * touched partition; run [[compactSignatures]] periodically (e.g.
     * weekly) so file counts stay bounded.
+    *
+    * Fail-fast guard: a batch that re-adds an id pending DEFERRED
+    * deletion ([[deleteSignaturesDeferred]]) is rejected — the
+    * merge-on-read tombstone would silently mask the new row until
+    * compaction, the same lost-subtraction shape the maintained
+    * views' pending-delta guards close. Costs one semi-join against
+    * the (delete-batch-bounded) tombstone set, and only when
+    * tombstones are actually pending.
     */
-  def appendSignatures(sigs: DataFrame, idCol: String, path: String): Unit =
+  def appendSignatures(sigs: DataFrame, idCol: String, path: String): Unit = {
+    val spark = sigs.sparkSession
+    val live = graft.io.GenTable.live(spark, path)
+    pendingTombstoneIds(spark, live).foreach { ts =>
+      val key = ts.columns.head
+      val clash = sigs.select(col(idCol).as(key))
+        .join(ts, Seq(key), "left_semi").limit(1).count()
+      require(clash == 0L,
+        s"appendSignatures: batch re-adds ids pending deferred deletion " +
+          s"under $live/$TombstoneDir — run compactSignatures first " +
+          "(the merge-on-read tombstone would mask the new rows)")
+    }
     withSigPart(sigs, idCol)
-      .write.mode("append").partitionBy("sig_part")
-      .parquet(graft.io.GenTable.live(sigs.sparkSession, path))
+      .write.mode("append").partitionBy("sig_part").parquet(live)
+  }
 
   /** Read a maintained signature table (the `existingSigs` input of
     * [[incrementalDedup]] — parquet-backed, so its two consumers there
-    * each cost a columnar scan, never a signature recompute).
+    * each cost a columnar scan, never a signature recompute). Pending
+    * deferred-deletion tombstones are applied merge-on-read (an
+    * anti-join against the delete-batch-bounded tombstone set — a
+    * no-op when none are pending).
     */
-  def readSignatures(spark: SparkSession, path: String): DataFrame =
-    spark.read.parquet(graft.io.GenTable.live(spark, path))
-      .drop("sig_part")
+  def readSignatures(spark: SparkSession, path: String): DataFrame = {
+    val live = graft.io.GenTable.live(spark, path)
+    minusTombstones(spark, live,
+      spark.read.parquet(live).drop("sig_part"))
+  }
+
+  // ---- deferred (merge-on-read) signature deletion ----
+  //
+  // [[deleteSignatures]] rewrites every hash partition the deleted ids
+  // can live in — but ids hash UNIFORMLY over sig_part, so any
+  // realistically-mixed forget batch touches ALL partitions and the
+  // "touched-partition rewrite" degenerates to a full-table rewrite
+  // (~1.2 TB of signatures at the 100 TB corpus): O(corpus) per
+  // forget. The deferred path is O(batch): the delete lands as a
+  // TOMBSTONE id list under `_tombstones/batch_id=<id>` (underscore
+  // dir — invisible to base-table scans), committed by one `_done`
+  // marker ([[graft.io.AtomicIo.publishFile]] — all-or-nothing on
+  // both backend worlds); readers apply committed tombstones with an
+  // anti-join, and [[compactSignatures]] folds them into the base.
+  //
+  // Contract: tombstone bulk is bounded by deletes-since-compaction
+  // (compact before it rivals the table); batch ids are monotone per
+  // table under the package-wide single-writer rule; a tombstoned id
+  // must not be re-appended before compaction ([[appendSignatures]]
+  // fail-fasts on it); EXTERNAL raw-parquet readers (the stored SQL
+  // namespace) see the base only — compact before raw serving, the
+  // same pending-state contract the maintained views' `_deltas` carry.
+
+  private val TombstoneDir = "_tombstones"
+
+  private def committedTombstonePaths(spark: SparkSession,
+                                      live: String): Seq[String] = {
+    val d = new org.apache.hadoop.fs.Path(s"$live/$TombstoneDir")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) Seq.empty
+    else fs.listStatus(d).filter(_.isDirectory).map(_.getPath)
+      .filter(p => fs.exists(new org.apache.hadoop.fs.Path(p, "_done")))
+      .map(_.toString).toSeq
+  }
+
+  /** The union of committed tombstone batches' ids (one column, named
+    * as written), or None when no tombstones are pending.
+    */
+  private def pendingTombstoneIds(spark: SparkSession,
+                                  live: String): Option[DataFrame] = {
+    val paths = committedTombstonePaths(spark, live)
+    if (paths.isEmpty) None
+    else {
+      val ts = spark.read.parquet(paths: _*)
+      Some(ts.select(ts.columns.head).distinct())
+    }
+  }
+
+  private def minusTombstones(spark: SparkSession, live: String,
+                              base: DataFrame): DataFrame =
+    pendingTombstoneIds(spark, live) match {
+      case Some(ts) => base.join(ts, Seq(ts.columns.head), "left_anti")
+      case None     => base
+    }
+
+  /** Remove ids from a maintained signature table in O(batch), not
+    * O(touched partitions): publish the id list as a tombstone batch
+    * that every API read applies merge-on-read, leaving the base
+    * files untouched. The commit point is the batch's `_done` marker
+    * (atomic on both backend worlds); a crash before it leaves no
+    * effect (uncommitted files are invisible to readers and are
+    * overwritten by the replay), a replay of a committed batch id
+    * no-ops — so unlike a half-applied eager rewrite there is no
+    * partial-delete state. Fold tombstones into the base with
+    * [[compactSignatures]].
+    */
+  def deleteSignaturesDeferred(spark: SparkSession, rootPath: String,
+                               ids: DataFrame, idCol: String,
+                               batchId: Long): Unit = {
+    val live = graft.io.GenTable.live(spark, rootPath)
+    val dir = s"$live/$TombstoneDir/batch_id=$batchId"
+    val done = new org.apache.hadoop.fs.Path(dir, "_done")
+    val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(done)) return // committed replay: exactly-once no-op
+    // batch-bounded by contract → one small file, not SigParts shards
+    ids.select(col(idCol)).distinct().coalesce(1)
+      .write.mode("overwrite").parquet(dir)
+    graft.io.AtomicIo.publishFile(fs, done,
+      batchId.toString.getBytes("UTF-8"))
+  }
 
   /** Point/subset read of a maintained signature table: the
     * signatures of exactly the ids in `ids`, scanning ONLY the hash
@@ -854,10 +958,11 @@ object Dedup {
       .localCheckpoint() // ids subtree evaluates once (parts + semi)
     val parts = keyed.select("sig_part").distinct()
       .collect().map(_.getInt(0)).toSeq
-    spark.read.parquet(path)
-      .filter(col("sig_part").isin(parts: _*))
-      .join(broadcast(keyed), Seq("sig_part", idCol), "left_semi")
-      .drop("sig_part")
+    minusTombstones(spark, path,
+      spark.read.parquet(path)
+        .filter(col("sig_part").isin(parts: _*))
+        .join(broadcast(keyed), Seq("sig_part", idCol), "left_semi")
+        .drop("sig_part"))
   }
 
   /** Remove ids from a maintained signature table — the deletion
@@ -869,10 +974,18 @@ object Dedup {
     * read the very files it replaces), written back under dynamic
     * partition-overwrite, and a partition whose every row was deleted
     * is removed explicitly (an empty partition produces no output
-    * files, so the dynamic overwrite alone would leave it stale). At
-    * 100 TB a forget batch rewrites touched/[[SigParts]] of the
-    * table, not all of it. Idempotent: re-deleting absent ids is a
-    * no-op rewrite.
+    * files, so the dynamic overwrite alone would leave it stale).
+    * Idempotent: re-deleting absent ids is a no-op rewrite.
+    *
+    * SCALE CAVEAT — prefer [[deleteSignaturesDeferred]] for forget
+    * batches: ids hash uniformly over sig_part, so a mixed batch
+    * touches ALL partitions and this eager path rewrites the whole
+    * table (O(corpus) per delete at 100 TB). The eager form remains
+    * for the skewed case (ids known to land in few partitions) and
+    * for callers that need their ids physically gone without a
+    * compaction. Composes with pending tombstones: rows they mask
+    * stay masked (reads apply tombstones regardless of which files a
+    * rewrite produced) until [[compactSignatures]] folds them.
     */
   def deleteSignatures(spark: SparkSession, rootPath: String,
                        ids: DataFrame, idCol: String): Unit = {
@@ -901,13 +1014,17 @@ object Dedup {
   }
 
   /** Rewrite a signature table to one file per partition, collapsing
-    * the per-append small files. Swap semantics (reader visibility,
+    * the per-append small files and FOLDING pending deferred-deletion
+    * tombstones into the base (the staged/generation dir starts
+    * tombstone-free, so the fold and the tombstone clear commit in
+    * the same atomic swap — no window where a fold landed but its
+    * tombstones still subtract). Swap semantics (reader visibility,
     * crash recovery, single-writer): [[graft.io.StagedSwap]].
     */
   def compactSignatures(spark: SparkSession, path: String): Unit = {
     val live = graft.io.GenTable.live(spark, path)
     def fold(stage: String): Unit =
-      spark.read.parquet(live)
+      minusTombstones(spark, live, spark.read.parquet(live))
         .repartition(SigParts, col("sig_part"))
         .write.mode("overwrite").partitionBy("sig_part").parquet(stage)
     // gen-rooted tables compact by pointer flip (zero-gap, zero-copy

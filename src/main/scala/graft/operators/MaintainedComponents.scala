@@ -295,8 +295,21 @@ object MaintainedComponents {
     * sufficient evidence, so touched components' edges are re-derived
     * from the maintained signature table at `sigPath`, a
     * sig_part-PRUNED point read). Also removes the ids from the
-    * signature table ([[Dedup.deleteSignatures]] — itself a
-    * touched-partition rewrite), keeping the two stores consistent.
+    * signature table, keeping the two stores consistent — as an
+    * O(batch) DEFERRED tombstone ([[Dedup.deleteSignaturesDeferred]]),
+    * not the eager rewrite: a mixed forget batch hashes into every
+    * sig_part, so the eager path rewrites the whole signature table
+    * (O(corpus) at 100 TB); the tombstone is one small file + marker,
+    * folded at the next [[Dedup.compactSignatures]].
+    *
+    * The tombstone publishes BEFORE the label rewrite. Both steps are
+    * idempotent under this batchId (marker-keyed and
+    * `_applied`-keyed), so a crash anywhere replays to completion —
+    * including the window the previous eager ordering left open: with
+    * the sig delete LAST, a crash after the label rewrite's apply mark
+    * made the replay no-op before ever deleting the signatures, and
+    * the forgotten docs' stale signatures could band-join future
+    * batches into edges bridging live components through a ghost.
     * Semantics ≡ [[Dedup.forgetDocs]] over the stored tables.
     */
   def forget(spark: SparkSession, rootPath: String, sigPath: String,
@@ -306,6 +319,9 @@ object MaintainedComponents {
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     val del = deleteIds.select(col(idCol)).distinct().localCheckpoint()
+    // sig-store tombstone first (survivor reads below anti-join it,
+    // and survivors are disjoint from `del` by construction)
+    Dedup.deleteSignaturesDeferred(spark, sigPath, del, idCol, batchId)
     val touched = labelsFor(spark, path, del, idCol)
       .select("component").distinct().localCheckpoint()
     val touchedLabels = membersOf(spark, path, touched).localCheckpoint()
@@ -349,7 +365,6 @@ object MaintainedComponents {
     rewrite(spark, path, idCol, batchId, touched, touchedLabels,
       repaired.select(col(idCol), col("component"))
         .unionByName(singleLabels))
-    Dedup.deleteSignatures(spark, sigPath, del, idCol)
   }
 
   /** Replace the stored rows of `touched` components with `relabeled`

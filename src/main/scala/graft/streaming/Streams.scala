@@ -664,16 +664,24 @@ object Streams {
     * that ingest maintains — the component labels are repaired via
     * [[graft.operators.Dedup.forgetDocs]] (signature-derived edges, so
     * bridge deletions SPLIT components correctly) and the deleted ids'
-    * signatures are removed with a touched-partition-scoped rewrite
-    * ([[graft.operators.Dedup.deleteSignatures]]).
+    * signatures are removed as an O(batch) merge-on-read tombstone
+    * ([[graft.operators.Dedup.deleteSignaturesDeferred]], keyed by the
+    * micro-batch id — a mixed delete batch hashes into every
+    * sig_part, so the eager rewrite this replaces was O(corpus); the
+    * tombstones fold at the next
+    * [[graft.operators.Dedup.compactSignatures]]).
     *
-    * Labels swap first, signatures second: the two steps are not
-    * atomic (the componentMaintainingIngest caveat), but either crash
-    * order re-applies cleanly — forgetting an id that is already
-    * gone from labels touches no component, and re-deleting absent
-    * signatures is a no-op rewrite — so at-least-once batch
-    * re-delivery converges to the same state. Missing tables (nothing
-    * ingested yet) make the batch a no-op.
+    * Signatures tombstone first, labels swap second: the two steps
+    * are not atomic (the componentMaintainingIngest caveat), but both
+    * are idempotent under the micro-batch id — a replayed committed
+    * tombstone no-ops, and forgetting an id already gone from labels
+    * touches no component — so at-least-once batch re-delivery
+    * converges to the same state, with no window where the labels
+    * dropped a doc whose stale signature could still band-join a
+    * future batch. Missing tables (nothing ingested yet) make the
+    * batch a no-op. One checkpoint per table lifetime (the standard
+    * streaming-state contract): tombstone batch dirs are keyed by the
+    * checkpoint's batch id sequence.
     */
   def forgetMaintainingIngest(deletes: DataFrame, idCol: String,
                               sigPath: String, labelPath: String,
@@ -684,7 +692,7 @@ object Streams {
     deletes.writeStream
       .outputMode("append")
       .options(options)
-      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], _: Long) =>
+      .foreachBatch { (batch: Dataset[org.apache.spark.sql.Row], batchId: Long) =>
         val spark = batch.sparkSession
         val conf = spark.sparkContext.hadoopConfiguration
         val sigP = new org.apache.hadoop.fs.Path(sigPath)
@@ -694,13 +702,14 @@ object Streams {
         val labelP = new org.apache.hadoop.fs.Path(labelPath)
         if (!del.isEmpty && fs.exists(sigP) &&
             labelP.getFileSystem(conf).exists(labelP)) {
+          Dedup.deleteSignaturesDeferred(spark, sigPath, del, idCol,
+            batchId)
           val labels = spark.read.parquet(labelPath)
           val sigs = Dedup.readSignatures(spark, sigPath)
           val repaired = Dedup.forgetDocs(labels, sigs, del, idCol,
             threshold)
           graft.io.StagedSwap.swap(spark, labelPath)(tmp =>
             repaired.write.parquet(tmp))
-          Dedup.deleteSignatures(spark, sigPath, del, idCol)
         }
       }
       .start()

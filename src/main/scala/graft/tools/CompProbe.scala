@@ -131,16 +131,20 @@ object CompProbe {
       Dedup.connectedComponents(pairs, multiSurv.select("doc_id"),
         "doc_id").queryExecution.toRdd.count()
     }
-    time("FORGET (stored, incl. sig delete)") {
+    time("FORGET (stored, incl. sig tombstone)") {
       MaintainedComponents.forget(spark, labelPath, sigPath,
         delIds, "doc_id", batchId = 2L)
     }
-    // price the sig-table maintenance alone: re-deleting the same ids
-    // is an idempotent rewrite of the same touched sig partitions —
-    // the cost FORGET carries that MERGE's counterpart
-    // (appendSignatures) pays outside its timed leg above
-    time("  forget/sig-delete replay (idempotent, same partitions)") {
+    // price the two sig-delete forms against each other: the O(batch)
+    // tombstone forget now publishes vs the O(touched-partition)
+    // eager rewrite it replaced (a mixed batch touches ALL sig_parts,
+    // so this leg rewrites the whole table — the r15 scale argument)
+    time("  forget/sig-delete EAGER rewrite (the replaced form)") {
       Dedup.deleteSignatures(spark, sigPath, delIds, "doc_id")
+    }
+    time("  forget/sig-delete tombstone replay (committed, no-op)") {
+      Dedup.deleteSignaturesDeferred(spark, sigPath, delIds, "doc_id",
+        batchId = 2L)
     }
     time("read back") {
       MaintainedComponents.read(spark, labelPath).orderBy("doc_id")

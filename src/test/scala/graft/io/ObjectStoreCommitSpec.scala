@@ -306,6 +306,73 @@ class ObjectStoreCommitSpec extends SparkSpec {
     SimFs.disarm()
   }
 
+  test("forget crash matrix: labels AND signatures jointly converge " +
+      "at every window") {
+    // the window the eager ordering left open: sig delete LAST meant a
+    // crash after the label rewrite's apply mark made the replay no-op
+    // before ever touching the signature table — forgotten docs' stale
+    // signatures then band-joined future batches through a ghost. The
+    // tombstone-first ordering must land BOTH stores from any window.
+    import graft.operators.{Dedup, MaintainedComponents}
+    val t1 = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    val t2 = "one two three four five six seven eight nine ten eleven"
+    def seedStores(root: String): Unit = {
+      val docs = Seq(1L -> t1, 2L -> t1, 3L -> t1, 10L -> t2, 11L -> t2)
+        .toDF("doc_id", "text")
+      val sigs = Dedup.minhashSignatures(
+        Dedup.docShingles(docs, "doc_id", "text", 3, dedup = false),
+        "doc_id").localCheckpoint()
+      val pairs = Dedup.estimatedJaccard(
+        Dedup.lshCandidatePairs(sigs, "doc_id"), sigs, "doc_id")
+        .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+      Dedup.writeSignatures(sigs, "doc_id", root + "/sigs")
+      MaintainedComponents.write(
+        Dedup.connectedComponents(pairs, docs.select("doc_id"), "doc_id"),
+        "doc_id", root + "/labels")
+    }
+    def forgetOnce(root: String): Unit =
+      MaintainedComponents.forget(spark, root + "/labels", root + "/sigs",
+        Seq(1L, 10L).toDF("doc_id"), "doc_id", batchId = 1L)
+    val renames0 = SimFs.renamesInScope.get()
+    var k = 1L
+    var uncrashed = false
+    var windows = 0
+    while (!uncrashed && k <= 400) {
+      val root = tmp()
+      seedStores(root) // scope armed only for the forget itself
+      SimFs.arm(scopeOf(root), failFrom = k)
+      val crashed =
+        try { forgetOnce(root); false }
+        catch { case _: Throwable => true } // SimCrash or Spark-wrapped
+      SimFs.disarm()
+      if (!crashed) uncrashed = true else windows += 1
+      // unattended replay of the SAME batch id from any crash point
+      forgetOnce(root)
+      val labels = MaintainedComponents.read(spark, root + "/labels")
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      assert(labels == Map(2L -> 2L, 3L -> 2L, 11L -> 11L),
+        s"window #$k labels diverged: $labels")
+      val sigIds = Dedup.readSignatures(spark, root + "/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(sigIds == Set(2L, 3L, 11L),
+        s"window #$k signature store diverged: $sigIds")
+      // folding the tombstones lands the same state physically
+      Dedup.compactSignatures(spark, root + "/sigs")
+      val folded = Dedup.readSignatures(spark, root + "/sigs")
+        .select("doc_id").collect().map(_.getLong(0)).toSet
+      assert(folded == Set(2L, 3L, 11L), s"window #$k fold diverged")
+      // crash-at-every-SECOND-op: each protocol phase repeats one
+      // atomicity class per file (N staged copies, N sidecars), so
+      // stride 2 still crosses every phase boundary while keeping the
+      // matrix inside a spec-suite budget
+      k += 2
+    }
+    assert(uncrashed, "matrix never ran past the last mutation (raise the cap)")
+    assert(windows >= 6, s"too few crash windows exercised: $windows")
+    assert(SimFs.renamesInScope.get() == renames0,
+      "the forget protocol must never rename in scope")
+  }
+
   test("StagedSwap crash matrix: old-or-new at every window; retry lands new") {
     val oldRows = Seq(1L, 2L, 3L)
     val newRows = Seq(4L, 5L)

@@ -76,6 +76,67 @@ class DedupLifecycleSpec extends SparkSpec {
       s"sig_part must prune at the partition level:\n$plan")
   }
 
+  test("deferred delete: tombstone masks every read, base files untouched") {
+    val table = Files.createTempDirectory("graft_sig_ts_").toString + "/t"
+    val all = sigsOf(lit(true))
+    Dedup.writeSignatures(all, "doc_id", table)
+    Dedup.compactSignatures(spark, table)
+    val total = all.count()
+
+    def baseFiles(): Seq[(String, Long, Long)] = {
+      def walk(f: java.io.File): Seq[java.io.File] =
+        if (f.isDirectory) f.listFiles().toSeq.flatMap(walk) else Seq(f)
+      walk(new java.io.File(table))
+        .filter(f => f.getName.endsWith(".parquet") &&
+          !f.getPath.contains("_tombstones"))
+        .map(f => (f.getPath, f.lastModified, f.length)).sortBy(_._1)
+    }
+    val before = baseFiles()
+
+    val del = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id")
+    val delCount = del.distinct().count()
+    assert(delCount > 0)
+    Dedup.deleteSignaturesDeferred(spark, table, del, "doc_id", batchId = 1L)
+
+    // the O(batch) claim, physically: not one base file rewritten
+    assert(baseFiles() == before,
+      "deferred delete must not rewrite any base parquet file")
+    // full read masks the ids
+    val back = Dedup.readSignatures(spark, table)
+    assert(back.count() == total - delCount)
+    assert(back.filter(col("doc_id") % 5 === 0).count() == 0)
+    // point read: a deleted id resolves empty, a survivor intact
+    val one = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 === 0).select("doc_id").limit(1)
+    assert(Dedup.readSignaturesFor(spark, table, one, "doc_id").count() == 0)
+    val survivor = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 5 =!= 0).select("doc_id").limit(1)
+    assert(Dedup.readSignaturesFor(spark, table, survivor, "doc_id")
+      .count() == 1)
+    // committed replay of the same batch id no-ops
+    Dedup.deleteSignaturesDeferred(spark, table, del, "doc_id", batchId = 1L)
+    assert(Dedup.readSignatures(spark, table).count() == total - delCount)
+
+    // re-appending a tombstoned id fail-fasts (the lost-row guard)
+    val readd = sigsOf(col("doc_id") % 5 === 0).localCheckpoint()
+    val e = intercept[IllegalArgumentException] {
+      Dedup.appendSignatures(readd, "doc_id", table)
+    }
+    assert(e.getMessage.contains("compactSignatures"))
+
+    // compaction folds: tombstones gone, base physically = the read
+    Dedup.compactSignatures(spark, table)
+    assert(!new java.io.File(table, "_tombstones").exists,
+      "compaction must clear the folded tombstones")
+    assert(spark.read.parquet(table).count() == total - delCount,
+      "folded base must physically drop the tombstoned rows")
+    assert(Dedup.readSignatures(spark, table).count() == total - delCount)
+    // and the append is legal again, restoring the full corpus
+    Dedup.appendSignatures(readd, "doc_id", table)
+    assert(Dedup.readSignatures(spark, table).count() == total)
+  }
+
   test("dedup operators leave the CacheManager empty (no persist leaks)") {
     spark.sharedState.cacheManager.clearCache()
     val docs = Tables.documents(spark, sf)
