@@ -153,6 +153,76 @@ object LifecycleBench {
         .queryExecution.toRdd.count()
     }
 
+    // ---- sample/quantile + distinct views (lineitem ⋈ supplier) ----
+    // completes standing-table pricing over ALL maintained families:
+    // base = 90% of lineitem; round r removes the r-th slice of the
+    // %17 keys and adds the r-th slice of the held-out tenth, so the
+    // "current" relation after round r is one closed-form filter and
+    // the dirty-group recompute can be handed the true current rows.
+    val li = Tables.lineitem(spark, sfDir)
+    val sup = Tables.supplier(spark, sfDir)
+    def asRows(f: DataFrame): DataFrame = f
+      .join(broadcast(sup), col("l_suppkey") === col("s_suppkey"))
+      .select(col("s_nationkey").as("nk"), col("k"), col("v"))
+    def keyedV(f: DataFrame): DataFrame = f
+      .withColumn("k", concat_ws("-", col("l_orderkey"), col("l_linenumber")))
+      .withColumn("v", col("l_extendedprice"))
+    val ok = col("l_orderkey")
+    def removedSlice(r: Int): DataFrame = asRows(keyedV(
+      li.filter(ok % 10 =!= 9 && ok % 17 === 3 &&
+        expr(s"pmod(l_orderkey div 17, $rounds)") === r)))
+    def addedSlice(r: Int): DataFrame = asRows(keyedV(
+      li.filter(ok % 10 === 9 &&
+        expr(s"pmod(l_orderkey div 10, $rounds)") === r)))
+    def currentRows(r: Int): DataFrame = asRows(keyedV(li.filter(
+      (ok % 10 =!= 9 &&
+        !(ok % 17 === 3 && expr(s"pmod(l_orderkey div 17, $rounds)") <= r)) ||
+      (ok % 10 === 9 && expr(s"pmod(l_orderkey div 10, $rounds)") <= r))))
+
+    val QsM = 64
+    val sampDir = s"$root/sample"
+    once("sample_bootstrap") {
+      import graft.operators.MaintainedSample
+      MaintainedSample.write(asRows(keyedV(li.filter(ok % 10 =!= 9))),
+        "nk", "k", "v", sampDir, QsM)
+    }
+    perRound("sample_refresh") { r =>
+      import graft.operators.MaintainedSample
+      MaintainedSample.deltaRefresh(spark, sampDir,
+        removedSlice(r), addedSlice(r), "nk", "k", "v", QsM,
+        batchId = r + 1L) { dirty =>
+        currentRows(r).join(broadcast(dirty), Seq("nk"), "left_semi")
+      }
+    }
+    perRound("sample_serve") { _ =>
+      import graft.operators.{MaintainedSample, Sketches}
+      Sketches.sketchQuantiles(
+        MaintainedSample.read(spark, sampDir), "nk")
+        .queryExecution.toRdd.count()
+    }
+
+    val distDir = s"$root/distinct"
+    once("distinct_bootstrap") {
+      import graft.operators.MaintainedDistinct
+      MaintainedDistinct.write(
+        asRows(keyedV(li.filter(ok % 10 =!= 9))).drop("v"),
+        Seq("nk"), "k", distDir)
+    }
+    perRound("distinct_refresh") { r =>
+      import graft.operators.MaintainedDistinct
+      MaintainedDistinct.deltaRefresh(spark, distDir,
+        removedSlice(r).drop("v"), addedSlice(r).drop("v"),
+        Seq("nk"), "k", batchId = r + 1L) { dirty =>
+        currentRows(r).drop("v")
+          .join(broadcast(dirty), Seq("nk"), "left_semi")
+      }
+    }
+    perRound("distinct_serve") { _ =>
+      import graft.operators.MaintainedDistinct
+      MaintainedDistinct.read(spark, distDir)
+        .queryExecution.toRdd.count()
+    }
+
     // ---- tf-idf term stats ----
     val tfDir = s"$root/tfidf"
     once("tfidf_bootstrap") {
