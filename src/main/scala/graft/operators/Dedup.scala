@@ -821,28 +821,44 @@ object Dedup {
     * touched partition; run [[compactSignatures]] periodically (e.g.
     * weekly) so file counts stay bounded.
     *
-    * Fail-fast guard: a batch that re-adds an id pending DEFERRED
-    * deletion ([[deleteSignaturesDeferred]]) is rejected — the
-    * merge-on-read tombstone would silently mask the new row until
-    * compaction, the same lost-subtraction shape the maintained
-    * views' pending-delta guards close. Costs one semi-join against
-    * the (delete-batch-bounded) tombstone set, and only when
-    * tombstones are actually pending.
+    * Tombstone-clash self-heal: a batch that re-adds an id pending
+    * DEFERRED deletion ([[deleteSignaturesDeferred]]) would have its
+    * new row silently masked by the merge-on-read tombstone — the
+    * lost-subtraction shape the maintained views' pending-delta
+    * guards close. Rather than fail-fasting (which would crash-loop a
+    * maintaining ingest stream the first time a forgotten doc is
+    * legitimately resubmitted), the clash triggers an inline
+    * [[compactSignatures]]: the fold physically drops the old rows
+    * and clears the tombstones, after which the append lands clean.
+    * The compaction is table-sized — a cost spike, logged loudly, but
+    * one the table owes periodically anyway; it only fires on the
+    * rare re-ingest-after-forget event. The clash probe costs one
+    * semi-join against the (delete-batch-bounded) tombstone set, and
+    * only when tombstones are actually pending. Single-writer per
+    * table, as all maintenance here: the probe is check-then-act, so
+    * a CONCURRENT forget racing this append could still tombstone the
+    * id after the probe — serialized writers are the contract, not a
+    * courtesy.
     */
   def appendSignatures(sigs: DataFrame, idCol: String, path: String): Unit = {
     val spark = sigs.sparkSession
-    val live = graft.io.GenTable.live(spark, path)
-    pendingTombstoneIds(spark, live).foreach { ts =>
-      val key = ts.columns.head
-      val clash = sigs.select(col(idCol).as(key))
-        .join(ts, Seq(key), "left_semi").limit(1).count()
-      require(clash == 0L,
-        s"appendSignatures: batch re-adds ids pending deferred deletion " +
-          s"under $live/$TombstoneDir — run compactSignatures first " +
-          "(the merge-on-read tombstone would mask the new rows)")
-    }
+    pendingTombstoneIds(spark, graft.io.GenTable.live(spark, path))
+      .foreach { ts =>
+        val key = ts.columns.head
+        val clash = sigs.select(col(idCol).as(key))
+          .join(ts, Seq(key), "left_semi").limit(1).count()
+        if (clash != 0L) {
+          System.err.println(
+            s"[graft] appendSignatures: batch re-adds tombstoned ids at " +
+              s"$path — folding tombstones (compactSignatures) before " +
+              "the append so the new rows are not masked")
+          compactSignatures(spark, path)
+        }
+      }
+    // re-resolve: the clash fold may have advanced the generation
     withSigPart(sigs, idCol)
-      .write.mode("append").partitionBy("sig_part").parquet(live)
+      .write.mode("append").partitionBy("sig_part")
+      .parquet(graft.io.GenTable.live(spark, path))
   }
 
   /** Read a maintained signature table (the `existingSigs` input of
@@ -873,12 +889,22 @@ object Dedup {
   // anti-join, and [[compactSignatures]] folds them into the base.
   //
   // Contract: tombstone bulk is bounded by deletes-since-compaction
-  // (compact before it rivals the table); batch ids are monotone per
-  // table under the package-wide single-writer rule; a tombstoned id
-  // must not be re-appended before compaction ([[appendSignatures]]
-  // fail-fasts on it); EXTERNAL raw-parquet readers (the stored SQL
-  // namespace) see the base only — compact before raw serving, the
-  // same pending-state contract the maintained views' `_deltas` carry.
+  // (compact before it rivals the table); single-writer per table,
+  // the package-wide rule; EXTERNAL raw-parquet readers (the stored
+  // SQL namespace) see the base only — compact before raw serving,
+  // the same pending-state contract the maintained views' `_deltas`
+  // carry. Batch dirs are keyed by (batchId, CONTENT fingerprint),
+  // not batchId alone: exactly-once must survive a batch-id "era
+  // reset" (a replaced stream checkpoint, a re-bootstrapped label
+  // store) — with id-only keying a new era's batch N would find the
+  // old era's `_done` and silently skip a real delete, while
+  // content-keying sends it to a fresh dir and both eras' deletes
+  // stand (tombstones are idempotent SETS — union is always correct
+  // for ids that were each genuinely deleted). This is also why the
+  // audited [[graft.io.Deltas]] skeleton is NOT reused here: delta
+  // batches are additive FOLD VALUES whose exactly-once hangs on a
+  // monotone `_folded` high-water mark (an era assumption), whereas
+  // an id-set's natural key is its content.
 
   private val TombstoneDir = "_tombstones"
 
@@ -918,22 +944,40 @@ object Dedup {
     * files untouched. The commit point is the batch's `_done` marker
     * (atomic on both backend worlds); a crash before it leaves no
     * effect (uncommitted files are invisible to readers and are
-    * overwritten by the replay), a replay of a committed batch id
+    * overwritten by the replay), a replay of a committed batch
     * no-ops — so unlike a half-applied eager rewrite there is no
-    * partial-delete state. Fold tombstones into the base with
-    * [[compactSignatures]].
+    * partial-delete state. The batch dir is keyed by (batchId,
+    * content fingerprint), so a replay with the SAME ids no-ops while
+    * a different delete reusing the id (a batch-id era reset) lands
+    * in its own dir instead of being silently skipped — and a
+    * committed dir is never overwritten, so there is no
+    * deletes-vanish-mid-rewrite window either. Fold tombstones into
+    * the base with [[compactSignatures]].
     */
   def deleteSignaturesDeferred(spark: SparkSession, rootPath: String,
                                ids: DataFrame, idCol: String,
                                batchId: Long): Unit = {
     val live = graft.io.GenTable.live(spark, rootPath)
-    val dir = s"$live/$TombstoneDir/batch_id=$batchId"
+    val del = ids.select(col(idCol)).distinct().localCheckpoint()
+    // order-independent content fingerprint: one scalar, no collect.
+    // bit_xor, not sum — overflow-free (ANSI-safe) and commutative;
+    // the preceding distinct keeps xor's duplicate-cancellation moot
+    val fp = del
+      .agg(expr(s"bit_xor(xxhash64(CAST(`$idCol` AS STRING)))"))
+      .head.get(0) match { case null => 0L; case v => v.asInstanceOf[Long] }
+    val dir = s"$live/$TombstoneDir/batch_id=$batchId-${java.lang.Long.toHexString(fp)}"
     val done = new org.apache.hadoop.fs.Path(dir, "_done")
     val fs = done.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (fs.exists(done)) return // committed replay: exactly-once no-op
+    // one table, one id column: a second name would silently null out
+    // under the multi-dir read's first-file schema — fail loudly
+    pendingTombstoneIds(spark, live).foreach { ts =>
+      require(ts.columns.head == idCol,
+        s"deleteSignaturesDeferred: tombstones at $live/$TombstoneDir " +
+          s"were written with id column '${ts.columns.head}', got '$idCol'")
+    }
     // batch-bounded by contract → one small file, not SigParts shards
-    ids.select(col(idCol)).distinct().coalesce(1)
-      .write.mode("overwrite").parquet(dir)
+    del.coalesce(1).write.mode("overwrite").parquet(dir)
     graft.io.AtomicIo.publishFile(fs, done,
       batchId.toString.getBytes("UTF-8"))
   }

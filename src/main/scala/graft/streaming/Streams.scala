@@ -679,9 +679,10 @@ object Streams {
     * converges to the same state, with no window where the labels
     * dropped a doc whose stale signature could still band-join a
     * future batch. Missing tables (nothing ingested yet) make the
-    * batch a no-op. One checkpoint per table lifetime (the standard
-    * streaming-state contract): tombstone batch dirs are keyed by the
-    * checkpoint's batch id sequence.
+    * batch a no-op. Tombstone batch dirs are keyed by (batch id,
+    * CONTENT fingerprint), so even a replaced checkpoint whose batch
+    * ids restart from 0 cannot collide a new delete into an old
+    * batch's `_done` — the new-era delete lands as its own tombstone.
     */
   def forgetMaintainingIngest(deletes: DataFrame, idCol: String,
                               sigPath: String, labelPath: String,

@@ -118,23 +118,37 @@ class DedupLifecycleSpec extends SparkSpec {
     Dedup.deleteSignaturesDeferred(spark, table, del, "doc_id", batchId = 1L)
     assert(Dedup.readSignatures(spark, table).count() == total - delCount)
 
-    // re-appending a tombstoned id fail-fasts (the lost-row guard)
-    val readd = sigsOf(col("doc_id") % 5 === 0).localCheckpoint()
-    val e = intercept[IllegalArgumentException] {
-      Dedup.appendSignatures(readd, "doc_id", table)
-    }
-    assert(e.getMessage.contains("compactSignatures"))
+    // a delete under a DIFFERENT batch id with different content is a
+    // new tombstone, not a replay (content-keyed dirs): the batch-id
+    // era-reset case must never silently skip a real delete
+    val del2 = Tables.documents(spark, sf)
+      .filter(col("doc_id") % 7 === 1 && col("doc_id") % 5 =!= 0)
+      .select("doc_id")
+    val del2Count = del2.distinct().count()
+    Dedup.deleteSignaturesDeferred(spark, table, del2, "doc_id", batchId = 1L)
+    assert(Dedup.readSignatures(spark, table).count() ==
+      total - delCount - del2Count,
+      "same batch id, different content must land as a NEW tombstone")
 
-    // compaction folds: tombstones gone, base physically = the read
-    Dedup.compactSignatures(spark, table)
-    assert(!new java.io.File(table, "_tombstones").exists,
-      "compaction must clear the folded tombstones")
-    assert(spark.read.parquet(table).count() == total - delCount,
-      "folded base must physically drop the tombstoned rows")
-    assert(Dedup.readSignatures(spark, table).count() == total - delCount)
-    // and the append is legal again, restoring the full corpus
+    // re-appending tombstoned ids self-heals: the clash triggers an
+    // inline fold (old rows physically dropped, tombstones cleared)
+    // and the append lands unmasked — a maintaining ingest stream
+    // must not crash-loop when a forgotten doc is resubmitted
+    val readd = sigsOf(col("doc_id") % 5 === 0).localCheckpoint()
     Dedup.appendSignatures(readd, "doc_id", table)
-    assert(Dedup.readSignatures(spark, table).count() == total)
+    assert(!new java.io.File(table, "_tombstones").exists,
+      "the clash append must fold the pending tombstones")
+    assert(Dedup.readSignatures(spark, table).count() ==
+      total - del2Count,
+      "after the self-heal the re-added rows must be visible")
+    assert(Dedup.readSignatures(spark, table)
+      .filter(col("doc_id") % 5 === 0).count() > 0)
+
+    // compaction after the fold is a plain rewrite: state unchanged
+    Dedup.compactSignatures(spark, table)
+    assert(spark.read.parquet(table).count() == total - del2Count,
+      "folded base must physically match the read")
+    assert(Dedup.readSignatures(spark, table).count() == total - del2Count)
   }
 
   test("dedup operators leave the CacheManager empty (no persist leaks)") {
