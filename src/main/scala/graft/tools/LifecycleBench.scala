@@ -127,6 +127,13 @@ object LifecycleBench {
           .select("doc_id"),
         "doc_id", batchId = rounds + r + 1L)
     }
+    // the deferred cost the tombstone forgets accumulate: one periodic
+    // fold absorbs all N rounds' tombstones (honest amortized pricing
+    // — the eager delete this replaced paid a comparable rewrite EVERY
+    // round)
+    once("sig_compact_after_forgets") {
+      Dedup.compactSignatures(spark, sigPath)
+    }
 
     // ---- PQ index ----
     val e = Tables.embeddings(spark, sfDir)
