@@ -21,16 +21,22 @@ import graft.io.{PartCommit, SchemaFile}
   * granular: a batch touches the components its edges reach, and with
   * this layout (a) expanding a touched component to its members is a
   * partition-PRUNED read (its comp_part is recomputable from the label
-  * alone — static filter, ≤ [[CompParts]] values), and (b) the rewrite
-  * replaces ONLY the partitions where touched components live — the
-  * untouched 63/64ths of a 100 TB corpus's labels are never read or
-  * written. The one access this layout cannot prune is the initial
-  * id→label probe (which components does the batch touch?): that is
-  * one columnar scan of the label table with a broadcast semi-join —
-  * bounded by the table's 16 bytes/doc, never by the corpus — and is
-  * the deliberate trade against an id-hashed layout, whose probe would
-  * prune but whose rewrite would touch nearly every partition (a
-  * component's members hash everywhere by id).
+  * alone — static filter, ≤ [[CompParts]] values), and (b) a batch's
+  * label changes land as one O(batch) `_relabels` OVERLAY applied
+  * merge-on-read and folded at [[compactLabels]] — the untouched
+  * corpus labels are never read or written by maintenance. (The
+  * overlay replaced a touched-partition rewrite: components hash
+  * uniformly over comp_part, so any batch touching ≳ [[CompParts]]
+  * components degenerated that rewrite to a full-table write — the
+  * round-15 measured frontier, same shape and same cure as the
+  * signature tombstones.) The one access this layout cannot prune is
+  * the initial id→label probe (which components does the batch
+  * touch?): that is a bloom-sidecar-pruned scan of the label table
+  * with a broadcast semi-join — bounded by the table's 16 bytes/doc,
+  * never by the corpus — and is the deliberate trade against an
+  * id-hashed layout, whose probe would prune but whose maintenance
+  * would need id-keyed state (a component's members hash everywhere
+  * by id).
   *
   * Correctness contracts are inherited verbatim:
   *   - merge: CC(star edges ∪ new edges) ≡ CC(old pairs ∪ new pairs)
@@ -41,12 +47,12 @@ import graft.io.{PartCommit, SchemaFile}
   *     read — and re-runs the closure over survivors only
   *     ([[Dedup.forgetDocs]]).
   *
-  * Both rewrites go through [[graft.io.PartCommit]]: staged touched
-  * partitions, atomic commit marker, idempotent per-partition swap —
-  * exactly-once under retry, keyed by the caller's batch id, with
-  * every entry point recovering a predecessor's crashed commit first.
-  * Refresh ≡ full recompute is the oracle (q_comp_lifecycle) and
-  * spec-pinned against the in-memory twins.
+  * Both maintenance ops commit as relabel overlays (see the overlay
+  * section below): publish-then-`_done`-then-`_applied`, exactly-once
+  * under retry keyed by the caller's monotone batch id, with every
+  * entry point recovering a predecessor's crashed legacy PartCommit
+  * first. Refresh ≡ full recompute is the oracle (q_comp_lifecycle)
+  * and spec-pinned against the in-memory twins.
   */
 object MaintainedComponents {
 
@@ -111,9 +117,6 @@ object MaintainedComponents {
 
   private val BloomFpp = 0.01
 
-  private def bloomPath(dir: String, part: Int): Path =
-    new Path(dir, s"comp_part=$part/_bloom")
-
   /** Build and write the `_bloom` sidecar for every `comp_part=N` dir
     * under `dir` (the live table at bootstrap, the STAGED dir during a
     * rewrite — before the commit marker, so data and sidecar publish
@@ -174,11 +177,165 @@ object MaintainedComponents {
       }
   }
 
-  /** The full labeling (layout column dropped), crash-recovered. */
+  // ---- relabel overlays (merge-on-read label maintenance) ----
+  //
+  // The partition-granular rewrite this replaces was the table's
+  // measured scale frontier: components hash UNIFORMLY over comp_part,
+  // so a batch touching ≳ CompParts components lands in every
+  // partition and the "touched-partition rewrite" degenerates to a
+  // full-table rewrite — at sf10 steady state the merge/forget rewrite
+  // halves (6.0 s / 6.6 s) already cost ≈ a full label-table write
+  // (4.8 s), and partition-count increases cannot fix it (touched
+  // parts = min(#components, CompParts)). Same shape, same cure as the
+  // signature tombstones: each batch appends its (touched-component
+  // mask, relabeled rows) as ONE small overlay dir under `_relabels`
+  // (underscore dir — invisible to base scans), committed by one
+  // `_done` marker ([[graft.io.AtomicIo.publishFile]] — all-or-nothing
+  // on both backend worlds). Readers apply committed overlays in
+  // BATCH-ID ORDER (mask the touched components, union the relabeled
+  // rows); [[compactLabels]] folds them into the base and rebuilds the
+  // bloom sidecars in the same atomic swap.
+  //
+  // Contract mirrors the tombstones': overlay bulk is bounded by
+  // batches-since-compaction (compact before it rivals the table);
+  // single-writer per table; EXTERNAL raw-parquet readers see the base
+  // only — compact before raw serving. UNLIKE the tombstones the
+  // overlays are ORDERED (relabels do not commute), so the dirs are
+  // keyed by batchId alone and exactly-once hangs on the table's
+  // monotone `_applied` mark — the same era assumption the PartCommit
+  // rewrite had — rather than on content keying (which buys nothing
+  // when an era reset is already a contract violation for ordered
+  // state). Crash windows: the overlay publishes (invisible until
+  // `_done`), then `_done` (the commit point), then `_applied`
+  // advances; a replay from any window finds either no committed
+  // overlay (recompute — deterministic, the read excludes the
+  // uncommitted dir) or the committed overlay (skip straight to the
+  // mark). The bloom sidecars stay BASE-only: an id that lives only in
+  // an overlay is found by the overlay union, so a probe can never
+  // false-negative on it.
+
+  private val RelabelDir = "_relabels"
+
+  private def relabelBatchDir(live: String, batchId: Long): Path =
+    new Path(s"$live/$RelabelDir", s"batch_id=$batchId")
+
+  /** Committed overlay dirs in ascending batch order. Fails loudly on
+    * a duplicated batch id — two committed dirs for one id would make
+    * the apply order ambiguous, and the writer-side gate makes the
+    * state unreachable short of a caller contract violation.
+    */
+  private def committedRelabels(spark: SparkSession,
+                                live: String): Seq[(Long, String)] = {
+    val d = new Path(s"$live/$RelabelDir")
+    val fs = d.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(d)) return Seq.empty
+    val dirs = fs.listStatus(d).filter(_.isDirectory)
+      .filter(st => fs.exists(new Path(st.getPath, "_done")))
+      .map { st =>
+        val id = st.getPath.getName.stripPrefix("batch_id=").toLong
+        id -> st.getPath.toString
+      }.toSeq.sortBy(_._1)
+    require(dirs.map(_._1).distinct.size == dirs.size,
+      s"relabel overlays at $live/$RelabelDir carry duplicated batch " +
+        s"ids — apply order is ambiguous: ${dirs.map(_._1)}")
+    dirs
+  }
+
+  /** Fold `base` (idCol, component — NO comp_part) through the pending
+    * overlays in batch order. `restrict` post-filters each overlay's
+    * relabeled rows (both restrictions commute with mask∘union, so
+    * pre-restricted bases stay correct): the id-probe and member-
+    * expansion callers keep their pruned scans and only pay
+    * batch-sized overlay joins.
+    */
+  private def applyRelabels(spark: SparkSession, live: String,
+                            base: DataFrame, idCol: String)
+                           (restrict: DataFrame => DataFrame)
+                           : DataFrame = {
+    val folded = committedRelabels(spark, live)
+      .foldLeft(base) { case (st, (_, dir)) =>
+        val overlay = spark.read.parquet(dir)
+        val touched = overlay.filter(col(idCol).isNull)
+          .select("component").distinct()
+        val rows = restrict(overlay.filter(col(idCol).isNotNull))
+        st.join(broadcast(touched), Seq("component"), "left_anti")
+          .unionByName(rows.select(st.columns.map(col): _*))
+      }
+    // a USING-key join hoists its key first — positional consumers of
+    // read() must keep seeing the base's (id, component) order
+    folded.select(base.columns.map(col): _*)
+  }
+
+  /** Publish one batch's (touched mask, relabeled rows) as a committed
+    * overlay — O(batch) regardless of how many partitions the touched
+    * components hash into. Null-id rows encode the mask (a fully-
+    * forgotten component has no relabeled row to learn it from).
+    */
+  private def appendRelabel(spark: SparkSession, live: String,
+                            idCol: String, batchId: Long,
+                            touched: DataFrame,
+                            relabeled: DataFrame): Unit = {
+    val idType = relabeled.schema(idCol).dataType
+    val payload = touched
+      .select(lit(null).cast(idType).as(idCol), col("component"))
+      .unionByName(relabeled.select(col(idCol), col("component")))
+    val dir = relabelBatchDir(live, batchId)
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // batch-bounded by contract → one small file, like the tombstones
+    payload.coalesce(1).write.mode("overwrite").parquet(dir.toString)
+    graft.io.AtomicIo.publishFile(fs, new Path(dir, "_done"),
+      batchId.toString.getBytes("UTF-8"))
+  }
+
+  /** Has `batchId`'s overlay already committed? (The crash window
+    * between its `_done` and the `_applied` advance — the replay must
+    * not recompute against a state that already contains the overlay.)
+    */
+  private def relabelCommitted(spark: SparkSession, live: String,
+                               batchId: Long): Boolean = {
+    val done = new Path(relabelBatchDir(live, batchId), "_done")
+    done.getFileSystem(spark.sparkContext.hadoopConfiguration).exists(done)
+  }
+
+  /** Fold pending relabel overlays into the base table, rebuilding the
+    * schema file and bloom sidecars in the SAME atomic swap (gen-
+    * pointer flip on object-store backends, staged rename swap on
+    * atomic-rename ones) — so there is no window where a fold landed
+    * but its overlays still apply. The `_applied` high-water mark is
+    * carried into the new table (replay detection must survive
+    * compaction). No-op when nothing is pending.
+    */
+  def compactLabels(spark: SparkSession, rootPath: String): Unit = {
+    val live0 = graft.io.GenTable.live(spark, rootPath)
+    if (committedRelabels(spark, live0).isEmpty) return
+    val applied = PartCommit.lastApplied(spark, live0)
+    val idCol = readKeyed(spark, live0).columns
+      .filterNot(c => c == "component" || c == "comp_part").head
+    def fold(stage: String): Unit = {
+      val state = applyRelabels(spark, live0,
+        readKeyed(spark, live0).drop("comp_part"), idCol)(identity)
+      val keyed = withCompPart(state)
+      keyed.repartition(CompParts, col("comp_part"))
+        .write.mode("overwrite").partitionBy("comp_part").parquet(stage)
+      SchemaFile.write(spark, stage, keyed.schema)
+      writeBloomSidecars(spark, stage, idCol)
+      graft.io.Marks.writeLong(spark, stage, "_applied", applied)
+    }
+    if (graft.io.GenTable.isGenRoot(spark, rootPath))
+      graft.io.GenTable.swapGen(spark, rootPath)(fold)
+    else graft.io.StagedSwap.swap(spark, live0)(fold)
+  }
+
+  /** The full labeling (layout column dropped), crash-recovered, with
+    * pending relabel overlays applied merge-on-read.
+    */
   def read(spark: SparkSession, rootPath: String): DataFrame = {
     val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
-    readKeyed(spark, path).drop("comp_part")
+    val idCol = readKeyed(spark, path).columns
+      .filterNot(c => c == "component" || c == "comp_part").head
+    applyRelabels(spark, path,
+      readKeyed(spark, path).drop("comp_part"), idCol)(identity)
   }
 
   private def readKeyed(spark: SparkSession, path: String): DataFrame =
@@ -236,8 +393,15 @@ object MaintainedComponents {
         if (hit.isEmpty) keyed.limit(0)
         else keyed.filter(col("comp_part").isin(hit: _*))
       }
-    probe.join(broadcast(distinctIds), Seq(idCol), "left_semi")
-      .drop("comp_part")
+    val baseHits = probe.join(broadcast(distinctIds), Seq(idCol),
+      "left_semi").drop("comp_part")
+    // pending overlays: mask relabeled-away base rows, union overlay
+    // rows for the batch ids (restriction to ids commutes with the
+    // fold, so the bloom-pruned base stays pruned). An id living ONLY
+    // in an overlay is invisible to the base-only sidecars by design —
+    // this union is what keeps the probe free of false negatives.
+    applyRelabels(spark, path, baseHits, idCol)(
+      _.join(broadcast(distinctIds), Seq(idCol), "left_semi"))
   }
 
   /** Members of exactly the given components: static comp_part filter
@@ -250,14 +414,22 @@ object MaintainedComponents {
     val path = graft.io.GenTable.live(spark, rootPath)
     val keyed = withCompPart(components.select("component").distinct())
       .localCheckpoint() // feeds the part list AND the semi-join once
+    val idCol = readKeyed(spark, path).columns
+      .filterNot(c => c == "component" || c == "comp_part").head
     val parts = keyed.select("comp_part").distinct()
       .collect().map(_.getInt(0)).toSeq
-    if (parts.isEmpty)
-      return readKeyed(spark, path).limit(0).drop("comp_part")
-    readKeyed(spark, path)
-      .filter(col("comp_part").isin(parts: _*))
-      .join(broadcast(keyed), Seq("comp_part", "component"), "left_semi")
-      .drop("comp_part")
+    val base =
+      if (parts.isEmpty) readKeyed(spark, path).limit(0).drop("comp_part")
+      else readKeyed(spark, path)
+        .filter(col("comp_part").isin(parts: _*))
+        .join(broadcast(keyed), Seq("comp_part", "component"), "left_semi")
+        .drop("comp_part")
+    // overlays: restriction to the component set commutes with the
+    // fold, so the comp_part-pruned base scan stays pruned and each
+    // overlay pays one batch-sized semi-join
+    applyRelabels(spark, path, base, idCol)(
+      _.join(broadcast(keyed.select("component").distinct()),
+        Seq("component"), "left_semi"))
   }
 
   /** Merge a batch's near-dup edges (batch–batch and batch–corpus,
@@ -271,6 +443,13 @@ object MaintainedComponents {
     val path = graft.io.GenTable.live(spark, rootPath)
     PartCommit.recover(spark, path)
     if (batchId <= PartCommit.lastApplied(spark, path)) return
+    if (relabelCommitted(spark, path, batchId)) {
+      // crashed between the overlay's `_done` and the applied mark:
+      // the state already contains this batch — recomputing against
+      // it would derive a DIFFERENT overlay for the same id
+      PartCommit.markApplied(spark, path, batchId)
+      return
+    }
     val edges = newEdges.select(col("id_a"), col("id_b")).localCheckpoint()
     val verts = newVertices.select(col(idCol)).distinct().localCheckpoint()
     val probeIds = edges
@@ -287,7 +466,7 @@ object MaintainedComponents {
     val subVerts = touchedLabels.select(idCol).union(freshVerts).distinct()
     val sub = Dedup.connectedComponents(starEdges.union(edges), subVerts,
       idCol)
-    rewrite(spark, path, idCol, batchId, touched, touchedLabels, sub)
+    commitRelabel(spark, path, idCol, batchId, touched, sub)
   }
 
   /** Forget documents: drop them from the labeling and repair the
@@ -320,8 +499,16 @@ object MaintainedComponents {
     if (batchId <= PartCommit.lastApplied(spark, path)) return
     val del = deleteIds.select(col(idCol)).distinct().localCheckpoint()
     // sig-store tombstone first (survivor reads below anti-join it,
-    // and survivors are disjoint from `del` by construction)
+    // and survivors are disjoint from `del` by construction); the
+    // tombstone is content-keyed and idempotent, so re-publishing it
+    // on an overlay-committed replay is safe
     Dedup.deleteSignaturesDeferred(spark, sigPath, del, idCol, batchId)
+    if (relabelCommitted(spark, path, batchId)) {
+      // crashed between the label overlay's `_done` and the applied
+      // mark — see the merge twin
+      PartCommit.markApplied(spark, path, batchId)
+      return
+    }
     val touched = labelsFor(spark, path, del, idCol)
       .select("component").distinct().localCheckpoint()
     val touchedLabels = membersOf(spark, path, touched).localCheckpoint()
@@ -362,50 +549,30 @@ object MaintainedComponents {
       .select("id_a", "id_b")
     val repaired = Dedup.connectedComponents(pairs,
       multiSurv.select(idCol), idCol)
-    rewrite(spark, path, idCol, batchId, touched, touchedLabels,
+    commitRelabel(spark, path, idCol, batchId, touched,
       repaired.select(col(idCol), col("component"))
         .unionByName(singleLabels))
   }
 
-  /** Replace the stored rows of `touched` components with `relabeled`
-    * (the closure's output over exactly those components' vertices ±
-    * batch adds/deletes). Touched partitions = where touched
-    * components lived ∪ where relabeled rows land; each keeps its
-    * untouched-component rows via a broadcast anti-join carry.
+  /** Commit one batch's label maintenance: publish the (touched mask,
+    * relabeled rows) overlay, then advance the applied mark. O(batch)
+    * regardless of how many comp_parts the touched components hash
+    * into — the rewrite this replaces degenerated to a full-table
+    * write past ~CompParts touched components (the measured frontier).
+    * The empty batch (nothing touched, nothing relabeled) skips the
+    * overlay and only marks.
     */
-  private def rewrite(spark: SparkSession, path: String, idCol: String,
-                      batchId: Long, touched: DataFrame,
-                      touchedLabels: DataFrame,
-                      relabeled: DataFrame): Unit = {
-    val newKeyed = withCompPart(
-      relabeled.select(col(idCol), col("component"))).localCheckpoint()
-    val oldParts = withCompPart(touched).select("comp_part").distinct()
-      .collect().map(_.getInt(0))
-    val newParts = newKeyed.select("comp_part").distinct()
-      .collect().map(_.getInt(0))
-    val parts = (oldParts ++ newParts).distinct.toSeq
-    if (parts.isEmpty) {
+  private def commitRelabel(spark: SparkSession, path: String,
+                            idCol: String, batchId: Long,
+                            touched: DataFrame,
+                            relabeled: DataFrame): Unit = {
+    val rel = relabeled.select(col(idCol), col("component"))
+      .localCheckpoint()
+    if (touched.isEmpty && rel.isEmpty) {
       PartCommit.markApplied(spark, path, batchId)
       return
     }
-    val slice = readKeyed(spark, path)
-      .filter(col("comp_part").isin(parts: _*))
-    // untouched components sharing a touched partition carry over
-    // verbatim; touched components' rows are replaced wholesale
-    val carry = slice.join(broadcast(touched), Seq("component"),
-      "left_anti")
-    val merged = carry.select(col(idCol), col("component"),
-      col("comp_part"))
-      .unionByName(newKeyed.select(col(idCol), col("component"),
-        col("comp_part")))
-    PartCommit.replaceParts(spark, path, "comp_part", batchId, parts) {
-      stage =>
-        merged.repartition(parts.size, col("comp_part"))
-          .write.mode("overwrite").partitionBy("comp_part").parquet(stage)
-        // sidecars ride the SAME staged commit as the rows they index:
-        // the partition swap publishes data+bloom together, so no
-        // crash window can expose rows a probe's bloom doesn't know
-        writeBloomSidecars(spark, stage, idCol)
-    }
+    appendRelabel(spark, path, idCol, batchId, touched, rel)
+    PartCommit.markApplied(spark, path, batchId)
   }
 }

@@ -127,12 +127,36 @@ object LifecycleBench {
           .select("doc_id"),
         "doc_id", batchId = rounds + r + 1L)
     }
+    // serve with whatever maintenance state is pending (overlays on
+    // the r15 jar, a materialized table on earlier jars) — the honest
+    // read-side price of deferring the fold
+    once("comp_serve") {
+      MaintainedComponents.read(spark, labelPath)
+        .queryExecution.toRdd.count()
+    }
     // the deferred cost the tombstone forgets accumulate: one periodic
     // fold absorbs all N rounds' tombstones (honest amortized pricing
     // — the eager delete this replaced paid a comparable rewrite EVERY
     // round)
     once("sig_compact_after_forgets") {
       Dedup.compactSignatures(spark, sigPath)
+    }
+    // label-overlay fold pricing (the r15 relabel overlay). Reflection
+    // guard: the interleaved A/B runs this tool against OLDER jars
+    // whose MaintainedComponents lacks compactLabels — the untaken
+    // branch keeps the call site unresolved there, so A legs simply
+    // omit these rows instead of dying on linkage.
+    val hasCompactLabels = scala.util.Try(
+      MaintainedComponents.getClass.getMethod("compactLabels",
+        classOf[SparkSession], classOf[String])).isSuccess
+    if (hasCompactLabels) {
+      once("label_compact_after_ops") {
+        MaintainedComponents.compactLabels(spark, labelPath)
+      }
+      once("comp_serve_folded") {
+        MaintainedComponents.read(spark, labelPath)
+          .queryExecution.toRdd.count()
+      }
     }
 
     // ---- PQ index ----

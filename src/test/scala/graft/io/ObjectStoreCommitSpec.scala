@@ -368,7 +368,12 @@ class ObjectStoreCommitSpec extends SparkSpec {
       k += 1
     }
     assert(uncrashed, "matrix never ran past the last mutation (raise the cap)")
-    assert(windows >= 6, s"too few crash windows exercised: $windows")
+    // the relabel-overlay protocol has exactly 5 in-scope mutations
+    // (tombstone parquet commit, tombstone `_done`, overlay parquet
+    // commit, overlay `_done`, `_applied` mark) — down from the
+    // replaced PartCommit rewrite's ≥6, which is the O(batch) win
+    // measured in op count; the floor keeps the matrix probative
+    assert(windows >= 5, s"too few crash windows exercised: $windows")
     assert(SimFs.renamesInScope.get() == renames0,
       "the forget protocol must never rename in scope")
   }

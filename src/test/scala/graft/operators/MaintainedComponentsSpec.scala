@@ -276,6 +276,65 @@ class MaintainedComponentsSpec extends SparkSpec {
       20L -> 20L), got)
   }
 
+  test("maintenance is O(batch): merge+forget write NO base partition " +
+      "files; compactLabels folds the overlays to the identical labeling") {
+    val all = Tables.documents(spark, sf)
+    val base = all.filter(col("doc_id") % 10 =!= 9)
+    val batch = all.filter(col("doc_id") % 10 === 9)
+    val baseSigs = sigsOf(base).localCheckpoint()
+    val path = tmp("overlay")
+    val sigPath = tmp("overlaysigs")
+    MaintainedComponents.write(Dedup.connectedComponents(
+      pairsOf(baseSigs), base.select("doc_id"), "doc_id"), "doc_id", path)
+    Dedup.writeSignatures(baseSigs, "doc_id", sigPath)
+    val newSigs = sigsOf(batch).localCheckpoint()
+    val cross = Dedup.estimatedJaccardAcross(
+      Dedup.lshCrossPairs(newSigs, baseSigs, "doc_id"),
+      newSigs, baseSigs, "doc_id")
+      .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
+    val edges = cross.unionByName(pairsOf(newSigs)).localCheckpoint()
+    Dedup.appendSignatures(newSigs, "doc_id", sigPath)
+    // snapshot EVERY base partition file, then run both maintenance ops
+    val before = untouchedFiles(path, Set.empty)
+    MaintainedComponents.merge(spark, path, edges,
+      batch.select("doc_id"), "doc_id", batchId = 1L)
+    MaintainedComponents.forget(spark, path, sigPath,
+      all.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id",
+      batchId = 2L)
+    assert(untouchedFiles(path, Set.empty) == before,
+      "overlay maintenance must not rewrite ANY base partition file")
+    // ground truth: full closure over the post-maintenance corpus
+    // (merge added the held-out tenth, forget removed the %17 slice)
+    val surv = all.filter(col("doc_id") % 17 =!= 3)
+    val full = labelMap(Dedup.connectedComponents(
+      pairsOf(sigsOf(surv).localCheckpoint()),
+      surv.select("doc_id"), "doc_id"))
+    val viaOverlays = labelMap(MaintainedComponents.read(spark, path))
+    assert(viaOverlays == full,
+      "merge-on-read state diverged from the survivors' closure")
+    // fold: identical labeling, overlays gone, replay gate survives
+    MaintainedComponents.compactLabels(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val live = graft.io.GenTable.live(spark, path)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(live, "_relabels")),
+      "compactLabels must clear the folded overlays")
+    assert(labelMap(MaintainedComponents.read(spark, path)) == full,
+      "compaction changed the labeling")
+    // every partition of the folded base carries a fresh bloom sidecar
+    val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(live))
+      .filter(_.getPath.getName.startsWith("comp_part="))
+    assert(partDirs.nonEmpty && partDirs.forall(d =>
+      fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_bloom"))),
+      "folded base must carry rebuilt _bloom sidecars")
+    // applied mark survived the fold: replaying batch 2 no-ops
+    MaintainedComponents.forget(spark, path, sigPath,
+      all.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id",
+      batchId = 2L)
+    assert(labelMap(MaintainedComponents.read(spark, path)) == full,
+      "replay of a folded batch must no-op")
+  }
+
   test("merge bootstraps an EMPTY stored table") {
     import spark.implicits._
     val path = tmp("boot")
