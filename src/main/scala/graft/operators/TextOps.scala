@@ -1189,35 +1189,31 @@ object TextOps {
   def writeTermStats(df: DataFrame, idCol: String, textCol: String,
                      groupCol: String, dir: String): Unit = {
     val spark = df.sparkSession
-    // stage the (group, term, doc) contributions as parquet so ONE
-    // tokenize pass feeds all three view builds. A corpus-sized
-    // localCheckpoint here would pin the contributions in executor
-    // block storage with TRUNCATED lineage — an executor loss during
-    // the three writes fails the job unrecoverably and the block
-    // manager carries corpus-scale duplicate bytes (r14 verdict #3).
-    // The parquet stage is the same IO with fault tolerance: each
-    // view build re-reads a vectorized columnar scan, any lost task
-    // recomputes from files. Underscore-prefixed so data readers of
-    // `dir` never list it; deleted once the views are live (a crash
-    // leaves only garbage the next bootstrap overwrites).
-    val stagePath = s"$dir/_contribs_stage"
-    termContribs(df, idCol, textCol, groupCol)
-      .write.mode("overwrite").parquet(stagePath)
-    val g1 = spark.read.parquet(stagePath)
+    // ONE tokenize pass, NOTHING corpus-sized staged: the tf view is
+    // the only consumer that needs the (group, tok, doc) contributions,
+    // because df(tok) folds from the AGGREGATED tf view — every doc
+    // carries exactly one group, so the number of docs containing tok
+    // is Σ_group n_docs(group, tok) — and the corpus count comes
+    // straight from the doc frame (no tokenize). This replaces a
+    // corpus-sized contribution stage (first a lineage-truncating
+    // localCheckpoint — r14 verdict #3 — then a recoverable-but-heavy
+    // parquet stage) with plain recomputable lineage: the contribution
+    // set is never written at all, and the df build scans the already
+    // term-aggregated view, orders of magnitude smaller than the
+    // per-doc contributions at corpus scale.
     graft.io.MaintainedAgg.write(
-      g1.groupBy(col(groupCol), col("tok"))
+      termContribs(df, idCol, textCol, groupCol)
+        .groupBy(col(groupCol), col("tok"))
         .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_docs")),
       Seq(groupCol, "tok"), s"$dir/tf", Seq("tf"), "n_docs")
     graft.io.MaintainedAgg.write(
-      g1.groupBy(col("tok")).agg(count(lit(1)).as("df")),
+      graft.io.MaintainedAgg.read(spark, s"$dir/tf")
+        .groupBy(col("tok")).agg(sum(col("n_docs")).as("df")),
       Seq("tok"), s"$dir/df", Seq.empty, "df")
     graft.io.MaintainedAgg.write(
       df.select(lit("corpus").as("scope"))
         .groupBy(col("scope")).agg(count(lit(1)).as("n_docs")),
       Seq("scope"), s"$dir/n", Seq.empty, "n_docs")
-    val fs = new org.apache.hadoop.fs.Path(stagePath)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    fs.delete(new org.apache.hadoop.fs.Path(stagePath), true)
   }
 
   /** Apply a CDC doc batch to the stored term statistics.
