@@ -18,15 +18,6 @@ object Sessions {
     .config("spark.sql.adaptive.enabled", "true")
     .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
     .config("spark.sql.adaptive.skewJoin.enabled", "true")
-    // let the planner pick shuffled-hash over sort-merge when its size
-    // conditions hold (build side per partition fits memory): the LSH
-    // band self-joins and id-keyed maintenance joins then skip the
-    // per-partition sorts. Measured (r15 optimization, interleaved
-    // sf0.1): dedup family 0.67-0.86× per query, none slower outside
-    // noise. Scale-safe by construction — the planner's SHJ size
-    // gate falls back to sort-merge exactly where a 100 TB build side
-    // would not fit a task, and AQE's skew split handles SHJ too.
-    .config("spark.sql.join.preferSortMergeJoin", "false")
     // parquet scans: vectorized reader + pushdown are default-on; pin
     // them anyway so a cluster-side config drift can't silently
     // de-optimize every scan.
