@@ -15,11 +15,16 @@ import graft.{Sessions, SparkEntry}
   *
   * usage: PlanDump <outDir> <suffix> [queryCsv]
   *   writes <outDir>/<query>_<suffix>.txt for each selected query.
+  *   A suffix ending in `_exec` EXECUTES the query first and dumps the
+  *   FINAL adaptive plan (isFinalPlan=true) — the only way to see
+  *   decisions AQE takes at runtime (join-strategy rewrites, coalesced
+  *   exchanges), which the pre-execution plan hides.
   */
 object PlanDump {
   def main(args: Array[String]): Unit = {
     val outDir = args(0)
     val suffix = args(1)
+    val exec = suffix.endsWith("_exec")
     val only = if (args.length > 2) Some(args(2).split(",").toSet) else None
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
@@ -38,6 +43,9 @@ object PlanDump {
     selected.foreach { case (name, fn) =>
       try {
         val df = fn(spark, sfDir)
+        // same QueryExecution instance: after the action its adaptive
+        // roots are final, so the explain below prints the real plan
+        if (exec) df.queryExecution.toRdd.count()
         val plan = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         Files.write(Paths.get(outDir, s"${name}_$suffix.txt"),
