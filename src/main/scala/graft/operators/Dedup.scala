@@ -980,6 +980,18 @@ object Dedup {
     del.coalesce(1).write.mode("overwrite").parquet(dir)
     graft.io.AtomicIo.publishFile(fs, done,
       batchId.toString.getBytes("UTF-8"))
+    // self-triggering compaction — the cadence is code, not a caller
+    // contract (same seam, same bound as the relabel overlays in
+    // [[MaintainedComponents]]): past the threshold the per-read
+    // anti-join tax keeps growing and the "delete-batch-bounded"
+    // assumption behind the merge-on-read shape erodes. The fold runs
+    // AFTER this batch's `_done` (the commit point), so a crash
+    // mid-fold leaves a fully-committed tombstone that the next
+    // maintenance op (or explicit [[compactSignatures]]) folds; the
+    // count check is one directory listing, no Spark job.
+    if (committedTombstonePaths(spark, live).size >=
+        spark.conf.get("spark.graft.autoCompactPendingBatches", "8").toInt)
+      compactSignatures(spark, rootPath)
   }
 
   /** Point/subset read of a maintained signature table: the

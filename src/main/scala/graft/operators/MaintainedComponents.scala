@@ -216,6 +216,23 @@ object MaintainedComponents {
 
   private val RelabelDir = "_relabels"
 
+  /** Pending-batch bound past which merge/forget fold their own
+    * overlays ([[compactLabels]]) before returning — the compaction
+    * cadence is CODE, not a caller contract: without it a long-running
+    * ingest that never compacts degrades every read by one broadcast
+    * anti-join + union per pending batch and, past the broadcast
+    * threshold, quietly breaks the "batch-bounded ⇒ broadcastable"
+    * assumption in [[applyRelabels]]. 8 bounds the read tax at ≤8
+    * batch-sized joins while amortizing each fold (one table write)
+    * over 8 O(batch) maintenance ops; production tables with larger
+    * batch-to-table ratios can lower it (`spark.graft
+    * .autoCompactPendingBatches`), streams with tiny batches raise it.
+    * Shared with the signature tombstones ([[Dedup
+    * .deleteSignaturesDeferred]]) — the same merge-on-read seam.
+    */
+  private def autoCompactPendingBatches(spark: SparkSession): Int =
+    spark.conf.get("spark.graft.autoCompactPendingBatches", "8").toInt
+
   private def relabelBatchDir(live: String, batchId: Long): Path =
     new Path(s"$live/$RelabelDir", s"batch_id=$batchId")
 
@@ -467,6 +484,7 @@ object MaintainedComponents {
     val sub = Dedup.connectedComponents(starEdges.union(edges), subVerts,
       idCol)
     commitRelabel(spark, path, idCol, batchId, touched, sub)
+    maybeAutoCompact(spark, rootPath)
   }
 
   /** Forget documents: drop them from the labeling and repair the
@@ -552,6 +570,7 @@ object MaintainedComponents {
     commitRelabel(spark, path, idCol, batchId, touched,
       repaired.select(col(idCol), col("component"))
         .unionByName(singleLabels))
+    maybeAutoCompact(spark, rootPath)
   }
 
   /** Commit one batch's label maintenance: publish the (touched mask,
@@ -574,5 +593,21 @@ object MaintainedComponents {
     }
     appendRelabel(spark, path, idCol, batchId, touched, rel)
     PartCommit.markApplied(spark, path, batchId)
+  }
+
+  /** Self-triggering compaction: fold when the pending overlay count
+    * reaches the bound. Runs AFTER the batch's applied mark, so a
+    * crash mid-fold leaves a fully-committed batch plus pending
+    * overlays — the next maintenance op (or an explicit
+    * [[compactLabels]]) simply folds them then; no replay ambiguity,
+    * the fold is content-preserving and atomic (gen flip / staged
+    * swap). The count check is one directory listing, no Spark job.
+    */
+  private def maybeAutoCompact(spark: SparkSession,
+                               rootPath: String): Unit = {
+    val live = graft.io.GenTable.live(spark, rootPath)
+    if (committedRelabels(spark, live).size >=
+        autoCompactPendingBatches(spark))
+      compactLabels(spark, rootPath)
   }
 }

@@ -43,6 +43,41 @@ class DedupLifecycleSpec extends SparkSpec {
     }
   }
 
+  test("auto-compaction folds tombstones at the pending-batch bound") {
+    val table = Files.createTempDirectory("graft_sig_ac_").toString + "/t"
+    val all = sigsOf(lit(true))
+    Dedup.writeSignatures(all, "doc_id", table)
+    val total = all.count()
+    def pendingTombstones(): Int = {
+      val d = new java.io.File(
+        graft.io.GenTable.live(spark, table), "_tombstones")
+      if (!d.exists) 0 else d.listFiles().count(_.isDirectory)
+    }
+    spark.conf.set("spark.graft.autoCompactPendingBatches", "2")
+    try {
+      val del1 = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 5 === 0).select("doc_id")
+      val del2 = Tables.documents(spark, sf)
+        .filter(col("doc_id") % 5 === 1).select("doc_id")
+      val gone = del1.union(del2).distinct().count()
+      // below the bound: the tombstone stays pending
+      Dedup.deleteSignaturesDeferred(spark, table, del1, "doc_id", 1L)
+      assert(pendingTombstones() == 1,
+        "one batch below the bound must stay a pending tombstone")
+      // at the bound: the delete itself folds — no caller discipline
+      Dedup.deleteSignaturesDeferred(spark, table, del2, "doc_id", 2L)
+      assert(pendingTombstones() == 0,
+        "reaching the bound must auto-fold the tombstones")
+      // folded base: rows physically gone, reads unchanged
+      val live = graft.io.GenTable.live(spark, table)
+      assert(spark.read.parquet(live).count() == total - gone,
+        "the auto-fold must physically drop the tombstoned rows")
+      assert(Dedup.readSignatures(spark, table).count() == total - gone)
+      assert(Dedup.readSignatures(spark, table)
+        .filter(col("doc_id") % 5 <= 1).count() == 0)
+    } finally spark.conf.unset("spark.graft.autoCompactPendingBatches")
+  }
+
   test("readSignaturesFor prunes the scan to the touched hash partitions") {
     val table = Files.createTempDirectory("graft_sig_prune_").toString + "/t"
     val all = sigsOf(lit(true))

@@ -335,6 +335,51 @@ class MaintainedComponentsSpec extends SparkSpec {
       "replay of a folded batch must no-op")
   }
 
+  test("auto-compaction folds relabel overlays at the pending-batch bound") {
+    import spark.implicits._
+    val path = tmp("autocompact")
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def pendingOverlays(): Int = {
+      val d = new org.apache.hadoop.fs.Path(
+        graft.io.GenTable.live(spark, path), "_relabels")
+      if (!fs.exists(d)) 0 else fs.listStatus(d).count(_.isDirectory)
+    }
+    MaintainedComponents.write(
+      Seq(1L -> 1L, 2L -> 2L, 3L -> 3L, 4L -> 4L)
+        .toDF("doc_id", "component"), "doc_id", path)
+    spark.conf.set("spark.graft.autoCompactPendingBatches", "2")
+    try {
+      // below the bound: the overlay stays pending (no premature fold)
+      MaintainedComponents.merge(spark, path,
+        Seq((1L, 2L)).toDF("id_a", "id_b"),
+        Seq(1L, 2L).toDF("doc_id"), "doc_id", batchId = 1L)
+      assert(pendingOverlays() == 1,
+        "one batch below the bound must stay a pending overlay")
+      // at the bound: merge itself folds — no caller discipline needed
+      MaintainedComponents.merge(spark, path,
+        Seq((3L, 4L)).toDF("id_a", "id_b"),
+        Seq(3L, 4L).toDF("doc_id"), "doc_id", batchId = 2L)
+      assert(pendingOverlays() == 0,
+        "reaching the bound must auto-fold the overlays")
+      // folded state ≡ the merged labeling, sidecars rebuilt
+      assert(labelMap(MaintainedComponents.read(spark, path)) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+      val live = graft.io.GenTable.live(spark, path)
+      val partDirs = fs.listStatus(new org.apache.hadoop.fs.Path(live))
+        .filter(_.getPath.getName.startsWith("comp_part="))
+      assert(partDirs.nonEmpty && partDirs.forall(d =>
+        fs.exists(new org.apache.hadoop.fs.Path(d.getPath, "_bloom"))),
+        "auto-fold must rebuild the _bloom sidecars")
+      // replay of a folded batch still no-ops (applied mark survived)
+      MaintainedComponents.merge(spark, path,
+        Seq((3L, 4L)).toDF("id_a", "id_b"),
+        Seq(3L, 4L).toDF("doc_id"), "doc_id", batchId = 2L)
+      assert(labelMap(MaintainedComponents.read(spark, path)) ==
+        Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+    } finally spark.conf.unset("spark.graft.autoCompactPendingBatches")
+  }
+
   test("merge bootstraps an EMPTY stored table") {
     import spark.implicits._
     val path = tmp("boot")
