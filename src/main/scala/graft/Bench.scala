@@ -71,10 +71,18 @@ object Bench {
       }
       name -> times.min
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    // Millisecond precision, deliberately: 241 queries at raw double
+    // precision made a ~10 KB line, and round 14's stdout capture
+    // truncated mid-line — the driver's round-over-round comparison
+    // parsed nothing that round. 3 decimals halves the line (≤ ~4 KB)
+    // with zero information loss at the measured ±10–25% host noise.
+    // Same keys, same one-line shape, same env contract as before —
+    // this is a measurement-output fix, not a methodology change.
+    def fmt(v: Double): String = "%.3f".formatLocal(java.util.Locale.ROOT, v)
+    val qs = results.map { case (k, v) => s"\"" + k + "\":" + fmt(v) }
       .mkString("{", ",", "}")
     val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs}""")
+    println(s"""{"metric":"total","value":${fmt(total)},"unit":"sec","queries":$qs,"sf":"$sfDir","runs_per_query":$Runs}""")
     spark.stop()
   }
 }
