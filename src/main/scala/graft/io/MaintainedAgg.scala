@@ -363,11 +363,24 @@ object MaintainedAgg {
       (coalesce(col(countCol), lit(0L)) + an - rn).as(countCol)
     val clean = touched.filter(!dirtyCond).select(cleanSel: _*)
       .filter(col(countCol) > 0)
-    val dirtyKeys = touched.filter(dirtyCond)
-      .select(groupCols.map(col): _*).localCheckpoint()
+    // dirty keys land on the driver in ONE job (batch-group-bounded;
+    // every caller broadcasts them into its recompute, and a broadcast
+    // IS a driver collect + ship — so driver-boundedness was already
+    // the contract; the localCheckpoint + isEmpty pair this replaces
+    // paid two blocking jobs for the same bytes), and the emptiness
+    // gate becomes a driver-local array check: recompute stays
+    // un-invoked when nothing is dirty — the spec-pinned contract
+    // nullable=true: a null group key must survive the driver hop the
+    // way it survived the checkpoint this replaces
+    val dirtySchema = org.apache.spark.sql.types.StructType(
+      groupCols.map(n => joined.schema(n).copy(nullable = true)))
+    val dirtyRows = touched.filter(dirtyCond)
+      .select(groupCols.map(col): _*).collect()
+    val dirtyKeys = spark.createDataFrame(
+      java.util.Arrays.asList(dirtyRows: _*), dirtySchema)
     val a = minMaxAggs(valueCols, countCol)
     val dirtyAgg =
-      if (dirtyKeys.isEmpty) clean.limit(0)
+      if (dirtyRows.isEmpty) clean.limit(0)
       else recompute(dirtyKeys).groupBy(groupCols.map(col): _*)
         .agg(a.head, a.tail: _*)
     val merged = withAggPart(

@@ -126,20 +126,29 @@ object MaintainedSample {
     val win = bottomM(keyed, groupCol, 2 * m)
       .localCheckpoint() // feeds the dedup AND the crowding test once
     val canon = canonical(win, groupCol)
-    val crowded = canon.groupBy(col(groupCol))
+    // crowded groups land on the driver in ONE job (they fed two
+    // broadcast joins before, so driver-boundedness was already this
+    // code's assumption — a broadcast IS a driver collect + ship; the
+    // localCheckpoint + isEmpty pair this replaces paid two blocking
+    // jobs per sketch for the same bytes, ×3 sketches per view
+    // lifecycle — measured by tools/ViewProbe)
+    val crowdedRows = canon.groupBy(col(groupCol))
       .agg(count(lit(1)).as("__nk"))
       .join(win.groupBy(col(groupCol)).agg(count(lit(1)).as("__nb")),
         groupCol)
       .filter(col("__nk") <= m && col("__nb") >= 2 * m)
-      .select(groupCol).localCheckpoint() // group-level, tiny
+      .select(groupCol).collect()
+    if (crowdedRows.isEmpty) return bottomM(canon, groupCol, m)
+    val crowded = keyed.sparkSession.createDataFrame(
+      java.util.Arrays.asList(crowdedRows: _*),
+      org.apache.spark.sql.types.StructType(Seq(
+        canon.schema(groupCol).copy(nullable = true))))
     val fast = bottomM(
       canon.join(broadcast(crowded), Seq(groupCol), "left_anti"),
       groupCol, m)
-    val slow =
-      if (crowded.isEmpty) fast.limit(0)
-      else bottomM(canonical(
-        keyed.join(broadcast(crowded), Seq(groupCol), "left_semi"),
-        groupCol), groupCol, m)
+    val slow = bottomM(canonical(
+      keyed.join(broadcast(crowded), Seq(groupCol), "left_semi"),
+      groupCol), groupCol, m)
     fast.unionByName(slow)
   }
 
@@ -219,10 +228,19 @@ object MaintainedSample {
     // the batch's own bottom-m: folding it in is exact (merge ≡ direct)
     val addSk = sketchOf(added, groupCol, keyCol, valueCol, m)
       .localCheckpoint()
-    val batchGroups = rem.select(groupCol)
-      .union(addSk.select(groupCol)).distinct().localCheckpoint()
-    val parts = MaintainedAgg.withAggPart(batchGroups, Seq(groupCol))
-      .select("agg_part").distinct().collect().map(_.getInt(0)).toSeq
+    // ONE driver hop feeds the touched-part list AND the group set
+    // (batch-group-level, broadcast below anyway — so driver-bounded by
+    // the existing contract; the checkpoint + separate part collect
+    // this replaces paid two blocking jobs)
+    val bgSchema = org.apache.spark.sql.types.StructType(Seq(
+      rem.schema(groupCol).copy(nullable = true)))
+    val bgRows = MaintainedAgg.withAggPart(
+      rem.select(groupCol).union(addSk.select(groupCol)).distinct(),
+      Seq(groupCol)).collect()
+    val parts = bgRows.map(_.getInt(1)).distinct.toSeq
+    val batchGroups = spark.createDataFrame(
+      java.util.Arrays.asList(bgRows.map(r =>
+        org.apache.spark.sql.Row(r.get(0))): _*), bgSchema)
     if (parts.isEmpty) {
       PartCommit.markApplied(spark, path, batchId)
       return
@@ -241,14 +259,25 @@ object MaintainedSample {
         sum(coalesce(col("__hit"), lit(0))).as("__hits"))
     val remGroups = rem.select(groupCol).distinct()
       .withColumn("__rg", lit(1))
-    val cls = stats.join(remGroups, Seq(groupCol), "full_outer")
-      .select(col(groupCol),
-        (coalesce(col("__rg"), lit(0)) === 1 &&
-          (col("__size").isNull || col("__hits") > 0 ||
-            col("__size") < m)).as("__dirty"))
-      .localCheckpoint()
-    val dirtyKeys = cls.filter(col("__dirty"))
-      .select(groupCol).localCheckpoint()
+    // classification folds straight into the dirty-key materialization
+    // (the intermediate (group, __dirty) checkpoint was one more
+    // blocking job for a frame with one consumer), and the dirty keys
+    // land on the driver in ONE job: dirtyKeys ⊆ batchGroups, which
+    // this method already broadcasts (carry's anti-join), and every
+    // caller broadcasts into its recompute — driver-boundedness was
+    // already the contract, so the localCheckpoint + isEmpty pair paid
+    // two blocking jobs for the same bytes
+    // nullable=true: a null group key must survive the driver hop the
+    // way it survived the checkpoint this replaces
+    val dirtySchema = org.apache.spark.sql.types.StructType(Seq(
+      rem.schema(groupCol).copy(nullable = true)))
+    val dirtyRows = stats.join(remGroups, Seq(groupCol), "full_outer")
+      .filter(coalesce(col("__rg"), lit(0)) === 1 &&
+        (col("__size").isNull || col("__hits") > 0 ||
+          col("__size") < m))
+      .select(groupCol).collect()
+    val dirtyKeys = spark.createDataFrame(
+      java.util.Arrays.asList(dirtyRows: _*), dirtySchema)
     val cleanTouched = batchGroups
       .join(dirtyKeys, Seq(groupCol), "left_anti")
     // clean fold: bottom-m of the KEY SET of (stored slice ∪ batch
@@ -262,8 +291,11 @@ object MaintainedSample {
         .unionByName(addSk
           .join(broadcast(cleanTouched), Seq(groupCol), "left_semi")),
       groupCol), groupCol, m)
+    // the emptiness gate is now a driver-local array check (no job);
+    // recompute stays un-invoked when nothing is dirty — the
+    // spec-pinned contract
     val dirtySk =
-      if (dirtyKeys.isEmpty) cleanFold.limit(0)
+      if (dirtyRows.isEmpty) cleanFold.limit(0)
       else sketchOf(recompute(dirtyKeys), groupCol, keyCol, valueCol, m)
     val merged = MaintainedAgg.withAggPart(
       carry.select(viewCols(groupCol).map(col): _*)
