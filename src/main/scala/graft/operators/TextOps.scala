@@ -1201,19 +1201,27 @@ object TextOps {
     // set is never written at all, and the df build scans the already
     // term-aggregated view, orders of magnitude smaller than the
     // per-doc contributions at corpus scale.
-    graft.io.MaintainedAgg.write(
-      termContribs(df, idCol, textCol, groupCol)
-        .groupBy(col(groupCol), col("tok"))
-        .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_docs")),
-      Seq(groupCol, "tok"), s"$dir/tf", Seq("tf"), "n_docs")
-    graft.io.MaintainedAgg.write(
-      graft.io.MaintainedAgg.read(spark, s"$dir/tf")
-        .groupBy(col("tok")).agg(sum(col("n_docs")).as("df")),
-      Seq("tok"), s"$dir/df", Seq.empty, "df")
-    graft.io.MaintainedAgg.write(
-      df.select(lit("corpus").as("scope"))
-        .groupBy(col("scope")).agg(count(lit(1)).as("n_docs")),
-      Seq("scope"), s"$dir/n", Seq.empty, "n_docs")
+    // the tf→df chain is dependent (df folds from the written tf
+    // view); the corpus-count view is independent of both and overlaps
+    // them (guide §2.6) — its tiny count job back-fills the tf write's
+    // straggler tail
+    parallel2(
+      () => {
+        graft.io.MaintainedAgg.write(
+          termContribs(df, idCol, textCol, groupCol)
+            .groupBy(col(groupCol), col("tok"))
+            .agg(sum(col("tf")).as("tf"), count(lit(1)).as("n_docs")),
+          Seq(groupCol, "tok"), s"$dir/tf", Seq("tf"), "n_docs")
+        graft.io.MaintainedAgg.write(
+          graft.io.MaintainedAgg.read(spark, s"$dir/tf")
+            .groupBy(col("tok")).agg(sum(col("n_docs")).as("df")),
+          Seq("tok"), s"$dir/df", Seq.empty, "df")
+      },
+      () => graft.io.MaintainedAgg.write(
+        df.select(lit("corpus").as("scope"))
+          .groupBy(col("scope")).agg(count(lit(1)).as("n_docs")),
+        Seq("scope"), s"$dir/n", Seq.empty, "n_docs"))
+    ()
   }
 
   /** Apply a CDC doc batch to the stored term statistics.
@@ -1226,20 +1234,37 @@ object TextOps {
                        removedDocs: DataFrame, addedDocs: DataFrame,
                        idCol: String, textCol: String, groupCol: String,
                        batchId: Long): Unit = {
-    val rem = termContribs(removedDocs, idCol, textCol, groupCol)
-      .localCheckpoint()
-    val add = termContribs(addedDocs, idCol, textCol, groupCol)
-      .localCheckpoint()
-    graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/tf",
-      rem, add, Seq(groupCol, "tok"), Seq("tf"), "n_docs", batchId)
-    graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/df",
-      rem.select(col("tok")), add.select(col("tok")),
-      Seq("tok"), Seq.empty, "df", batchId)
-    graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/n",
-      removedDocs.select(lit("corpus").as("scope")),
-      addedDocs.select(lit("corpus").as("scope")),
-      Seq("scope"), Seq.empty, "n_docs", batchId)
+    // The three views are INDEPENDENT tables (own dirs, own PartCommit
+    // marks), and rem/add are two independent tokenize jobs — actions
+    // were only sequential because this driver code called them
+    // sequentially (guide §2.6: overlap independent jobs; Spark's
+    // scheduler back-fills one job's straggler tail with the next
+    // job's tasks). Crash story unchanged: a crash mid-way leaves some
+    // tables applied and some not, exactly like the sequential form —
+    // a replay with the same batchId no-ops on the applied ones and
+    // completes the rest (each table's exactly-once is its own mark).
+    val (rem, add) = parallel2(
+      () => termContribs(removedDocs, idCol, textCol, groupCol)
+        .localCheckpoint(),
+      () => termContribs(addedDocs, idCol, textCol, groupCol)
+        .localCheckpoint())
+    parallel3(
+      () => graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/tf",
+        rem, add, Seq(groupCol, "tok"), Seq("tf"), "n_docs", batchId),
+      () => graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/df",
+        rem.select(col("tok")), add.select(col("tok")),
+        Seq("tok"), Seq.empty, "df", batchId),
+      () => graft.io.MaintainedAgg.deltaRefresh(spark, s"$dir/n",
+        removedDocs.select(lit("corpus").as("scope")),
+        addedDocs.select(lit("corpus").as("scope")),
+        Seq("scope"), Seq.empty, "n_docs", batchId))
   }
+
+  private def parallel2[A, B](fa: () => A, fb: () => B): (A, B) =
+    graft.Par.par2(fa, fb)
+
+  private def parallel3(fs: (() => Unit)*): Unit =
+    graft.Par.par3(fs: _*)
 
   /** Serve the characteristic-terms report FROM THE STORED STATE —
     * the [[topTerms]] output shape and the exact same ×/÷-only score

@@ -109,6 +109,22 @@ object DedupQueries {
         .unionByName(pairs.select(col("id_b").as("src"), col("id_a").as("dst")))
       val ranks = graft.operators.Graph.pageRank(docs.select("doc_id"),
         edges, "doc_id", "src", "dst", iters = 3)
+      // Kept as the WINDOW pair deliberately (r16 measured rejection):
+      // a groupBy(component).agg(min(struct(-rank, id)), count) was
+      // tried — it is the guide-§2.3 "aggregate before you shuffle"
+      // form — but a struct-min buffer is not hash-aggregable, so the
+      // plan became Sort → SortAggregate(partial) → Exchange → Sort →
+      // SortAggregate: TWO sorts where the window pair pays one
+      // exchange + one sort (both windows share the partitioning), and
+      // on this mostly-singleton-component corpus the partial phase
+      // reduced 5.0E3 rows only to 4.72E3 while the struct column grew
+      // the exchange from 156 KiB to 258 KiB
+      // (plans/r16/q_canonical_docs_{before,after}_exec.txt) —
+      // interleaved A/B 1.03, flat. The aggregate form only wins at
+      // high duplication rates (clusters ≫ 1 per task), which this
+      // operator cannot assume. The corpus-sized comps ⋈ ranks join
+      // below is correctly a SortMergeJoin at scale (both sides carry
+      // one row per doc); AQE broadcasts it at bench sizes.
       val w = Window.partitionBy("component")
         .orderBy(col("rank_ppm").desc, col("doc_id").asc)
       comps.join(ranks, "doc_id")
@@ -313,12 +329,19 @@ object DedupQueries {
       val basePairs = Dedup.estimatedJaccard(
         Dedup.lshCandidatePairs(baseSigs, "doc_id"), baseSigs, "doc_id")
         .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
-      Dedup.writeSignatures(baseSigs, "doc_id", sigPath)
-      MaintainedComponents.write(
-        Dedup.connectedComponents(basePairs, base.select("doc_id"),
-          "doc_id"),
-        "doc_id", labelPath)
+      // the two bootstrap writes are INDEPENDENT tables over the same
+      // checkpointed baseSigs — overlap them (guide §2.6): the sig
+      // write's tasks back-fill the closure's per-round straggler
+      // tails instead of waiting for the whole iteration to finish
+      graft.Par.par3(
+        () => Dedup.writeSignatures(baseSigs, "doc_id", sigPath),
+        () => MaintainedComponents.write(
+          Dedup.connectedComponents(basePairs, base.select("doc_id"),
+            "doc_id"),
+          "doc_id", labelPath))
       // ingest: batch edges derived against the STORED signature table
+      // (the read's file listing snapshots here, before the append
+      // below can add files — the merge leg scans exactly this state)
       val storedSigs = Dedup.readSignatures(s, sigPath)
       val newSigs = Dedup.minhashSignatures(
         Dedup.docShingles(batch, "doc_id", "text", K, dedup = false),
@@ -330,10 +353,14 @@ object DedupQueries {
       val intra = Dedup.estimatedJaccard(
         Dedup.lshCandidatePairs(newSigs, "doc_id"), newSigs, "doc_id")
         .filter(col("est_jaccard") >= 0.5).select("id_a", "id_b")
-      MaintainedComponents.merge(s, labelPath,
-        cross.unionByName(intra), batch.select("doc_id"), "doc_id",
-        batchId = 1L)
-      Dedup.appendSignatures(newSigs, "doc_id", sigPath)
+      // merge touches only the label store, append only the signature
+      // store (parquet append: immutable files, and merge's scans ride
+      // the pre-append listing above) — independent, overlapped
+      graft.Par.par3(
+        () => MaintainedComponents.merge(s, labelPath,
+          cross.unionByName(intra), batch.select("doc_id"), "doc_id",
+          batchId = 1L),
+        () => Dedup.appendSignatures(newSigs, "doc_id", sigPath))
       // right-to-be-forgotten batch, repaired from the stored sigs
       MaintainedComponents.forget(s, labelPath, sigPath,
         all.filter(col("doc_id") % 17 === 3).select("doc_id"), "doc_id",
